@@ -1,38 +1,54 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin shim over ``zeus_data_quality_spark`` — the engine package. The
+driver runs ``entry(spark)`` as a smoke check, each ``queries()[name]``
+at sf=0.01, and compares against ``oracle_sql()[name]`` via DuckDB.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from zeus_data_quality_spark.functions.scrub import scrub_text  # noqa: E402
+from zeus_data_quality_spark.plans import query_suite  # noqa: E402
+from zeus_data_quality_spark.plans.configs import (  # noqa: E402
+    default_transcript_checks,
+)
+from zeus_data_quality_spark.plans.runner import apply_checks  # noqa: E402
+from zeus_data_quality_spark.sources.transcripts import (  # noqa: E402
+    load_transcripts,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full quality-filter pipeline on sf0.001 —
+    synthesize transcripts, evaluate every rule in one fused scan,
+    scrub PII, return per-turn labels + scrubbed text."""
+    from pyspark.sql import functions as F
+
+    t = load_transcripts(spark, "/root/testdata/sf0.001")
+    labeled = apply_checks(t, default_transcript_checks())
+    return labeled.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "ts",
+        "n_violations",
+        "keep",
+        "drop_reasons",
+        scrub_text(F.col("text")).alias("text_scrubbed"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return query_suite.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return query_suite.oracle_sql()

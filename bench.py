@@ -1,0 +1,126 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "suite_seconds", "value": <total>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "turns_per_sec": <rate>, ...}
+
+Each query is forced with the noop sink (full plan execution, no
+driver-side collect). The flagship `pipeline` entry is the end-to-end
+quality filter: synthesize transcripts → fused rule scan → keep/drop →
+PII scrub; its throughput is reported as turns/sec.
+
+Scaling evidence (north rule: efficiency ≥ 0.8 from N → 4N): run
+  SPARK_GRAFT_CPUS=8 python bench.py   vs   SPARK_GRAFT_CPUS=32 ...
+or use tools/bench_scaling.py which does both and writes
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from zeus_data_quality_spark.functions.scrub import scrub_text  # noqa: E402
+from zeus_data_quality_spark.plans import query_suite as qs  # noqa: E402
+from zeus_data_quality_spark.plans.configs import (  # noqa: E402
+    default_transcript_checks,
+)
+from zeus_data_quality_spark.plans.runner import apply_checks  # noqa: E402
+from zeus_data_quality_spark.session import get_spark  # noqa: E402
+from zeus_data_quality_spark.sources.transcripts import (  # noqa: E402
+    load_transcripts,
+)
+
+# Deterministic corpus amplification for the pipeline benchmark: the
+# sf0.1 events table is ~100k rows; replicate conversations with a
+# suffixed conv_id so the bench measures a multi-million-turn corpus.
+PIPELINE_REPLICAS = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "10"))
+
+
+def _force(df) -> int:
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def bench_pipeline(spark, sf_dir: str) -> tuple[float, int]:
+    t = load_transcripts(spark, sf_dir)
+    if PIPELINE_REPLICAS > 1:
+        rep = spark.range(PIPELINE_REPLICAS).select(
+            F.col("id").cast("string").alias("__rep")
+        )
+        t = t.crossJoin(rep).withColumn(
+            "conv_id", F.concat_ws("_", "conv_id", "__rep")
+        ).drop("__rep")
+    t = t.persist()
+    n_turns = t.count()
+    labeled = apply_checks(t, default_transcript_checks())
+    out = labeled.withColumn("text_scrubbed", scrub_text(F.col("text"))).select(
+        "conv_id", "turn_idx", "keep", "n_violations", "text_scrubbed"
+    )
+    t0 = time.time()
+    _force(out)
+    dt = time.time() - t0
+    t.unpersist()
+    return dt, n_turns
+
+
+HEADLINE = [
+    "rule_failure_counts",
+    "keep_drop_labels",
+    "scrubbed_text",
+    "conv_features",
+    "tpch_q1",
+    "dedup_exact",
+    "text_stats",
+    "minhash_pairs",
+    "ann_bruteforce",
+    "langid",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = qs.queries()
+    timings: dict[str, float] = {}
+
+    # Warm up the JVM/codegen once with a trivial action.
+    spark.range(1000).agg(F.sum("id")).collect()
+
+    pipe_sec, n_turns = bench_pipeline(spark, sf_dir)
+    timings["pipeline"] = round(pipe_sec, 3)
+
+    for name in HEADLINE:
+        t0 = time.time()
+        _force(queries[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": cpus,
+                "pipeline_turns": n_turns,
+                "turns_per_sec": round(n_turns / pipe_sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""End-to-end gate: every oracle-backed query matches DuckDB at sf0.001.
+
+This is the in-repo twin of the driver's CORRECTNESS gate (which runs
+at sf0.01); ``tools/parity_check.py`` is the same comparison as a CLI.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            s = s.astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(s):
+            s = s.round(9)
+        elif s.dtype == object:
+            s = s.map(
+                lambda x: str(x)
+                if isinstance(x, (_dt.date, _dt.datetime))
+                else x
+            )
+        out[c] = s
+    norm = pd.DataFrame(out)
+    return norm.sort_values(by=list(norm.columns), ignore_index=True)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+ORACLES = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    got = _normalize(QUERIES[name](spark, sf_dir).toPandas())
+    want = _normalize(duck.sql(ORACLES[name]).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    n = df.count()
+    assert n > 0
+    kept = df.filter("keep").count()
+    assert 0 < kept < n  # filter actually separates good from bad turns

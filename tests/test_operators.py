@@ -1,0 +1,167 @@
+"""Dedup / similarity / convfeat / anomaly operators on micro-fixtures."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.operators.anomaly import (
+    freshness,
+    row_count,
+    row_count_anomaly,
+)
+from zeus_data_quality_spark.operators.convfeat import conversation_features
+from zeus_data_quality_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash,
+)
+from zeus_data_quality_spark.operators.similarity import brute_force_topk
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa"), (4, "aa")], "id long, text string"
+    )
+    out = {r["id"]: r for r in exact_dedup(df, "id").collect()}
+    assert out[1]["n_copies"] == 3 and out[1]["is_canonical"]
+    assert out[3]["n_copies"] == 3 and not out[3]["is_canonical"]
+    assert out[2]["n_copies"] == 1 and out[2]["is_canonical"]
+
+
+def test_minhash_finds_near_dups_not_distinct(spark):
+    base = "the quick brown fox jumps over the lazy dog and keeps running fast"
+    near = "the quick brown fox jumps over the lazy dog and keeps walking fast"
+    other = "completely different content about spark query planning and shuffles"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other), (4, base)], "id long, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard_est"]
+        for r in minhash_dedup(df, "id", threshold=0.4).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs  # near dup
+    assert not any(3 in p for p in pairs)  # distinct text not paired
+
+
+def test_minhash_signature_deterministic(spark):
+    df = spark.createDataFrame([(1, "a b c d e f")], "id long, text string")
+    s1 = minhash_signatures(df, "id").first()["sig"]
+    s2 = minhash_signatures(df, "id").first()["sig"]
+    assert s1 == s2
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    j = ngram_jaccard(df, "id", pairs).first()["jaccard"]
+    # shingles(1)={abc,bcd}, shingles(2)={abc,bce}; J = 1/3
+    assert abs(j - 1 / 3) < 1e-12
+
+
+def test_simhash_similar_texts_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark query plan optimizer shuffle"),
+            (2, "spark query plan optimizer shuffles"),
+            (3, "entirely unrelated words about cooking pasta dinner"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["simhash"] for r in simhash(df, "id").collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(out[1], out[2]) < hamming(out[1], out[3])
+
+
+def test_brute_force_topk_orders_by_cosine(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.7, 0.7, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    out = brute_force_topk(df, q, k=3).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in out] == [1, 3, 2]
+
+
+def test_conversation_features(spark):
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "2024-01-01 00:00:00"),
+            ("c1", 1, "assistant", "2024-01-01 00:00:01"),
+            ("c1", 2, "user", "2024-01-01 00:00:02"),
+            ("c1", 3, "user", "2024-01-01 00:00:03"),
+            ("c2", None, "user", "2024-01-01 00:00:04"),
+        ],
+        "conv_id string, turn_idx int, role string, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    out = {r["conv_id"]: r for r in conversation_features(df).collect()}
+    c1 = out["c1"]
+    assert c1["n_turns"] == 4
+    assert c1["n_roles"] == 2
+    assert c1["n_role_switches"] == 2
+    assert c1["first_turn"] == 0 and c1["last_turn"] == 3
+    assert "c2" not in out  # null turn_idx rows excluded
+
+
+def test_freshness_and_row_count(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00",), (None,)], "ts_s string"
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    from datetime import datetime
+
+    r = freshness(df, "ts", 60, datetime(2024, 1, 1, 0, 30)).first()
+    assert r["ok"] and r["row_cnt"] == 2 and r["ts_cnt"] == 1
+    r2 = freshness(df, "ts", 10, datetime(2024, 1, 2)).first()
+    assert not r2["ok"]
+    assert row_count(df, 3).first()["ok"] is False
+    assert row_count(df, 2).first()["ok"] is True
+
+
+def test_row_count_anomaly_zero_mad_fails(spark):
+    # 10 history days with identical counts (MAD=0) + anchor day equal
+    # to the median → still fails (NULLIF→NULL→COALESCE FALSE,
+    # reference checkdefs.py:153 / SURVEY.md §2.9.8).
+    rows = []
+    for d in range(1, 12):  # days 1..11; day 11 is the anchor
+        rows.append((f"2024-01-{d:02d} 12:00:00",))
+    df = spark.createDataFrame(rows, "ts_s string").withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    r = row_count_anomaly(df, "ts").first()
+    assert r["history_days"] == 10
+    assert r["c_anchor"] == 1
+    assert r["ok"] is False
+
+
+def test_row_count_anomaly_detects_spike(spark):
+    rows = []
+    for d in range(1, 15):
+        n = 10 + (d % 3)  # mild variation → nonzero MAD
+        rows.extend([(f"2024-01-{d:02d} 12:00:00",)] * n)
+    ok = row_count_anomaly(
+        spark.createDataFrame(rows, "ts_s string").withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ),
+        "ts",
+    ).first()
+    assert ok["ok"] is True
+    rows.extend([("2024-01-14 13:00:00",)] * 500)  # spike the anchor day
+    bad = row_count_anomaly(
+        spark.createDataFrame(rows, "ts_s string").withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ),
+        "ts",
+    ).first()
+    assert bad["ok"] is False

@@ -1,0 +1,141 @@
+"""Unit tests pinning the 3VL edges of SURVEY.md §2.9 on micro-tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.functions import rules
+from zeus_data_quality_spark.functions.rules import Check
+from zeus_data_quality_spark.operators.unique import with_unique_flag
+from zeus_data_quality_spark.plans.runner import apply_checks, failure_counts
+
+
+def _fails(spark, pred_builder, rows, schema="v string"):
+    df = spark.createDataFrame(rows, schema)
+    return df.select(
+        rules.fails(pred_builder(F.col("v"))).alias("f")
+    ).toPandas()["f"].tolist()
+
+
+def test_null_passes_min_max(spark):
+    # NULL yields a NULL predicate → not a failure (3VL).
+    df = spark.createDataFrame([(None,), (5,), (-1,), (2000,)], "v int")
+    out = df.select(
+        rules.fails(rules.min_max(F.col("v"), 0, 1000)).alias("f")
+    ).toPandas()["f"].tolist()
+    assert out == [False, False, True, True]
+
+
+def test_min_max_no_bounds_always_passes(spark):
+    df = spark.createDataFrame([(None,), (5,)], "v int")
+    out = df.select(
+        rules.fails(rules.min_max(F.col("v"))).alias("f")
+    ).toPandas()["f"].tolist()
+    assert out == [False, False]
+
+
+def test_null_passes_value_distribution(spark):
+    out = _fails(
+        spark,
+        lambda c: rules.value_distribution(c, ["a", "b"]),
+        [(None,), ("a",), ("z",)],
+    )
+    assert out == [False, False, True]
+
+
+def test_empty_value_distribution_passes_everything(spark):
+    out = _fails(
+        spark, lambda c: rules.value_distribution(c, []), [(None,), ("z",)]
+    )
+    assert out == [False, False]
+
+
+def test_null_count_fails_nulls(spark):
+    out = _fails(spark, rules.null_count, [(None,), ("a",)])
+    assert out == [True, False]
+
+
+def test_whitespace_modes(spark):
+    rows = [(None,), ("ok",), (" lead",), ("trail ",), ("in  ner",), ("",), ("   ",)]
+    nlt = _fails(spark, lambda c: rules.whitespace(c, "NO_LEADING_TRAILING"), rows)
+    assert nlt == [False, False, True, True, False, False, True]
+    internal = _fails(
+        spark, lambda c: rules.whitespace(c, "NO_INTERNAL_ONLY_WHITESPACE"), rows
+    )
+    # Single leading/trailing spaces survive the \s+→' ' collapse, so
+    # they PASS this mode (reference checkdefs.py:81-82 semantics);
+    # only runs ("in  ner") and whitespace-only strings fail.
+    assert internal == [False, False, False, False, True, False, True]
+    nonempty = _fails(spark, lambda c: rules.whitespace(c, "NON_EMPTY_TRIMMED"), rows)
+    assert nonempty == [True, False, False, False, False, True, True]
+
+
+def test_format_null_passes(spark):
+    out = _fails(
+        spark,
+        lambda c: rules.format_distribution(c, "^a+$"),
+        [(None,), ("aaa",), ("bbb",)],
+    )
+    assert out == [False, False, True]
+
+
+def test_unique_drops_all_duplicate_group_members(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), (None, 1), (None, 1)],
+        "k string, i int",
+    )
+    out = with_unique_flag(df, ["k", "i"], "u", ignore_nulls=True)
+    got = {
+        (r["k"], r["i"]): r["u"] for r in out.collect()
+    }
+    assert got[("a", 1)] is False  # both members of the dup group fail
+    assert got[("a", 2)] is True
+    assert got[(None, 1)] is True  # NULL keys exempt
+
+
+def test_unique_ignore_nulls_false_null_predicate(spark):
+    df = spark.createDataFrame([("a",), (None,), (None,)], "k string")
+    out = with_unique_flag(df, ["k"], "u", ignore_nulls=False)
+    got = [(r["k"], r["u"]) for r in out.collect()]
+    # NULL keys → NULL predicate (passes under 3VL counting).
+    assert all(u is None for k, u in got if k is None)
+    assert all(u is True for k, u in got if k == "a")
+
+
+def test_runner_counts_and_keep(spark):
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "hello world"),
+            ("c1", 0, "user", "dup turn"),  # UNIQUE dup (both fail)
+            ("c1", 1, "bogus", "x"),  # role out of set
+            ("c2", None, "user", None),  # turn null passes MIN_MAX; text fails
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    checks = [
+        Check("A_UNIQ", "UNIQUE", None, {"key": ["conv_id", "turn_idx"]}),
+        Check("B_ROLE", "VALUE_DISTRIBUTION", "role", {"allowed_values": ["user"]}),
+        Check("C_TEXT", "WHITESPACE", "text", {"mode": "NON_EMPTY_TRIMMED"}),
+        Check("D_TURN", "MIN_MAX", "turn_idx", {"min": 0}),
+    ]
+    labeled = apply_checks(df, checks)
+    counts = failure_counts(labeled, checks).first().asDict()
+    assert counts["rows_in"] == 4
+    assert counts["fail_a_uniq"] == 2
+    assert counts["fail_b_role"] == 1
+    assert counts["fail_c_text"] == 1
+    assert counts["fail_d_turn"] == 0
+    kept = {r["text"] for r in labeled.filter("keep").collect()}
+    assert kept == set()  # c1/0 rows fail UNIQUE; others fail their rule
+    reasons = {
+        r["text"]: r["drop_reasons"] for r in labeled.collect()
+    }
+    assert reasons["hello world"] == ["A_UNIQ"]
+    assert reasons[None] == ["C_TEXT"]
+
+
+def test_unknown_check_type_permissive(spark):
+    df = spark.createDataFrame([("x",)], "v string")
+    checks = [Check("Z", "SOMETHING_NEW", "v")]
+    labeled = apply_checks(df, checks)
+    assert labeled.first()["keep"] is True

@@ -1,0 +1,74 @@
+"""langid / perplexity / textstats behavior tests."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.functions.langid import detect_language_batch
+from zeus_data_quality_spark.functions.perplexity import (
+    OOV_NLL,
+    perplexity_batch,
+)
+from zeus_data_quality_spark.functions.textstats import with_text_stats
+
+
+def test_langid_basic():
+    s = pd.Series(
+        [
+            "the cat sat on the mat and it was happy with the sun",
+            "der Hund läuft über die Straße und das ist nicht gut",
+            "le chat est dans la maison et il dort pour une heure",
+            "el perro es una mascota que vive con la familia para siempre",
+            "这是一个中文句子",
+            "zzz qqq xxx",
+            None,
+        ]
+    )
+    out = detect_language_batch(s).tolist()
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "fr"
+    assert out[3] == "es"
+    assert out[4] == "zh"
+    assert out[5] == "unknown"
+    assert out[6] is None
+
+
+def test_langid_deterministic():
+    s = pd.Series(["the cat and the dog of the house"] * 3)
+    a = detect_language_batch(s).tolist()
+    b = detect_language_batch(s).tolist()
+    assert a == b
+
+
+def test_perplexity_fluent_lower_than_gibberish():
+    s = pd.Series(
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "zxq vbn wer tyu asd fgh jkl qwe rty uio",
+            None,
+        ]
+    )
+    out = perplexity_batch(s)
+    assert out[0] < out[1]
+    assert out[1] <= OOV_NLL
+    assert math.isnan(out[2])
+
+
+def test_text_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on a mat, happily sleeping near the warm fire."),
+            (2, "!!! ??? ... ,,, ;;;"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in with_text_stats(df).collect()}
+    assert out[1]["n_tokens"] == 12
+    assert out[1]["n_punct"] == 2
+    assert out[2]["is_quality"] is False  # punct-dominated
+    assert out[3]["n_tokens"] == 0 and out[3]["is_quality"] is False

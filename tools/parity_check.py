@@ -1,0 +1,117 @@
+"""Local twin of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and the
+matching ``oracle_sql()`` on DuckDB over the same sf dir, then compares
+row count, column names, and an order-insensitive value multiset.
+
+Usage: python tools/parity_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
+    import datetime as _dt
+
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            s = s.astype("datetime64[us]").astype(str)
+        elif s.dtype == object and s.map(
+            lambda x: x is None or isinstance(x, (_dt.date, _dt.datetime))
+        ).all() and s.notna().any():
+            s = s.map(lambda x: None if x is None else str(x))
+        elif pd.api.types.is_float_dtype(s):
+            s = s.round(9)
+        elif pd.api.types.is_bool_dtype(s) or s.dtype == object and s.map(
+            lambda x: isinstance(x, bool) or x is None
+        ).all() and s.notna().any():
+            s = s.map(lambda x: None if x is None else bool(x))
+        out[c] = s
+    norm = pd.DataFrame(out)
+    try:
+        norm = norm.sort_values(by=list(norm.columns), ignore_index=True)
+    except Exception:
+        norm = norm.iloc[
+            norm.astype(str).apply(tuple, axis=1).argsort()
+        ].reset_index(drop=True)
+    return norm
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from zeus_data_quality_spark.session import get_spark
+
+    spark = get_spark("parity_check", cpus=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:
+            print(f"✗ {name}: SPARK ERROR {type(exc).__name__}: {exc}")
+            failures.append(name)
+            continue
+        if name not in os_:
+            print(f"· {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.sql(os_[name]).df()
+        except Exception as exc:
+            print(f"✗ {name}: ORACLE ERROR {type(exc).__name__}: {exc}")
+            failures.append(name)
+            continue
+        a, b = normalize(sdf), normalize(odf)
+        if list(a.columns) != list(b.columns):
+            print(f"✗ {name}: COLUMNS spark={list(a.columns)} oracle={list(b.columns)}")
+            failures.append(name)
+            continue
+        if len(a) != len(b):
+            print(f"✗ {name}: ROWS spark={len(a)} oracle={len(b)}")
+            failures.append(name)
+            continue
+        if not a.equals(b):
+            neq = (a != b) & ~(a.isna() & b.isna())
+            bad_cols = [c for c in a.columns if neq[c].any()]
+            n_bad = int(neq.any(axis=1).sum())
+            print(f"✗ {name}: VALUES differ in {bad_cols} ({n_bad} rows)")
+            for c in bad_cols[:2]:
+                i = neq[c].idxmax()
+                print(f"    e.g. row {i} col {c}: spark={a[c][i]!r} oracle={b[c][i]!r}")
+            failures.append(name)
+            continue
+        print(f"✓ {name}: {len(a)} rows match ({time.time()-t0:.1f}s)")
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL MATCH")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

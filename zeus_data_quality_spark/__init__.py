@@ -1,0 +1,26 @@
+"""zeus_data_quality_spark — a PySpark-native quality-filter engine.
+
+A from-scratch reimplementation of the data-quality semantics of
+``jebjergk/zeus_data_quality`` (reference at /root/reference, a
+Streamlit-in-Snowflake app that emits SQL strings), recast as a
+turn-level keep/drop + PII-scrub pipeline over tables of multi-turn
+conversation transcripts ``(conv_id, turn_idx, role, text, tool, ts)``.
+
+Design principles (Spark-first, 100 TB scale):
+
+* Declarative DataFrame plans — one fused scan evaluates every row rule
+  (the reference runs one full table scan per check,
+  ``services/runner.py:9-65``; we fuse them into a single Project +
+  Aggregate so Catalyst/Tungsten sees one pipeline).
+* Exact three-valued-logic parity with the reference: a row *fails* a
+  check iff ``NOT(pred)`` is TRUE (``services/runner.py:43``), so NULL
+  predicates silently pass — see ``functions/rules.py``.
+* No per-row Python anywhere. The only Python compute (language ID,
+  perplexity, PII scrub) runs as Arrow-batched pandas UDFs.
+* Shuffle-conscious operators: UNIQUE is a two-phase aggregate +
+  broadcast-back join of the (small) duplicate-key set, not a
+  window-sort; conversation windows project narrow columns first;
+  AQE handles residual skew.
+"""
+
+__version__ = "0.1.0"

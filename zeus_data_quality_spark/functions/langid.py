@@ -1,0 +1,78 @@
+"""Language identification — fastText-style linear scorer, Arrow-batched.
+
+Self-contained, deterministic model (no external downloads): per
+language, a profile of high-frequency marker words and characteristic
+character n-grams (public linguistic knowledge). Scoring is a linear
+sum of profile hits — the same shape as fastText's averaged n-gram
+embedding → linear classifier, reduced to hand-set weights so the model
+is reproducible and dependency-free.
+
+Execution contract (north rule): the model is built once per executor
+(module import), shipped via closure serialization exactly like an
+``sc.broadcast`` of a model blob, and applied with vectorized pandas
+``str.count`` over Arrow batches — zero per-row Python calls into the
+interpreter per string-op (pandas loops in C).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+# Marker-word profiles. Word-boundary regexes, case-insensitive.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "with", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "den", "über"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pour", "que", "dans", "pas"],
+    "es": ["el", "la", "los", "que", "es", "una", "por", "con", "para", "como"],
+}
+# Characteristic non-ASCII character classes (strong signals).
+CHAR_SIGNALS: dict[str, str] = {
+    "de": "[äöüß]",
+    "fr": "[éèêàçùâî]",
+    "es": "[ñ¿¡áíóú]",
+    "zh": "[一-鿿]",
+}
+WORD_WEIGHT = 1.0
+CHAR_WEIGHT = 3.0
+MIN_SCORE = 2.0  # below → 'unknown'
+
+_WORD_RE = {
+    lang: r"(?i)\b(?:" + "|".join(words) + r")\b"
+    for lang, words in LANG_PROFILES.items()
+}
+_ALL_LANGS = sorted(set(LANG_PROFILES) | set(CHAR_SIGNALS))
+
+
+def detect_language_batch(s: pd.Series) -> pd.Series:
+    """Vectorized language scores → argmax label ('unknown' below
+    threshold; None for NULL input)."""
+    scores = pd.DataFrame(index=s.index)
+    for lang in _ALL_LANGS:
+        sc = pd.Series(0.0, index=s.index)
+        if lang in _WORD_RE:
+            sc = sc + s.str.count(_WORD_RE[lang]).fillna(0.0) * WORD_WEIGHT
+        if lang in CHAR_SIGNALS:
+            sc = sc + s.str.count(CHAR_SIGNALS[lang]).fillna(0.0) * CHAR_WEIGHT
+        scores[lang] = sc
+    best = scores.idxmax(axis=1)
+    best_score = scores.max(axis=1)
+    out = best.where(best_score >= MIN_SCORE, "unknown")
+    return out.where(s.notna(), None)
+
+
+@pandas_udf(StringType())
+def detect_language(s: pd.Series) -> pd.Series:
+    return detect_language_batch(s)
+
+
+def with_language(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    return df.withColumn(out_col, detect_language(F.col(text_col)))
+
+
+def keep_languages(text_col: Column, allowed: list[str]) -> Column:
+    """Keep-predicate: detected language in the allowed set."""
+    return detect_language(text_col).isin(allowed)

@@ -1,0 +1,185 @@
+"""Row-level quality rules as composable Column expressions.
+
+Re-expresses the reference's rule registry (pass-predicates emitted as
+SQL strings in ``utils/checkdefs.py:59-97`` of the reference) as pure
+functions returning ``pyspark.sql.Column`` boolean *pass-predicates*.
+
+Semantics contract (reference parity — SURVEY.md §2.9):
+
+* A row **fails** a check iff ``NOT(pred)`` is TRUE under SQL
+  three-valued logic (reference ``services/runner.py:43`` counts
+  failures with ``WHERE NOT (pred)``). A NULL predicate therefore
+  passes. Use :func:`fails` / :func:`passes` to materialize booleans —
+  never ``~pred`` directly.
+* ``UNIQUE`` drops *all* members of a duplicate group (the reference's
+  ``HAVING COUNT(*) = 1`` membership test, ``utils/checkdefs.py:66``),
+  and NULL keys are exempt in both ``ignore_nulls`` variants (with
+  ``ignore_nulls=False`` the reference's ``c IN (subquery)`` yields a
+  NULL predicate for NULL ``c`` → passes via 3VL anyway).
+* ``MIN_MAX`` with no bounds, ``VALUE_DISTRIBUTION`` with an empty
+  allowed set, and unknown check types are permissive ``TRUE``
+  (``utils/checkdefs.py:76,90,97``).
+* Stored-but-ignored params (``max_nulls``, ``min_match_ratio``) are
+  accepted and ignored, exactly like the reference
+  (SURVEY.md §2.9.3).
+
+Scale note: every predicate here is a built-in Column expression —
+whole-stage-codegen'd, no Python in the hot path. ``UNIQUE`` is the
+only rule needing global state; its scalable plan lives in
+``operators/unique.py`` (two-phase aggregate + broadcast-back join of
+the duplicate-key set — no window sort over 10^12 rows).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SUPPORTED_COLUMN_CHECKS = [
+    "UNIQUE",
+    "NULL_COUNT",
+    "MIN_MAX",
+    "WHITESPACE",
+    "FORMAT_DISTRIBUTION",
+    "VALUE_DISTRIBUTION",
+]
+SUPPORTED_TABLE_CHECKS = ["FRESHNESS", "ROW_COUNT", "ROW_COUNT_ANOMALY"]
+
+
+@dataclass(frozen=True)
+class Check:
+    """One quality check — mirrors the reference's DQ_CHECK row
+    (``utils/meta.py:144-157``): (config_id, check_id, column, type,
+    params). ``severity`` and ``sample_rows`` are stored but never
+    branched on at run time, exactly like the reference
+    (SURVEY.md §2.9.4)."""
+
+    check_id: str
+    check_type: str
+    column: str | None = None
+    params: dict[str, Any] = field(default_factory=dict)
+    severity: str = "ERROR"
+    sample_rows: int = 0
+    config_id: str = "default"
+
+    @property
+    def is_table_level(self) -> bool:
+        return self.check_type.upper() in SUPPORTED_TABLE_CHECKS
+
+
+def passes(pred: Column) -> Column:
+    """Materialize 'row does not fail' as a non-null boolean.
+
+    Reference counts failures via ``WHERE NOT(pred)``; a NULL pred is
+    not a failure, so pass := coalesce(pred, TRUE).
+    """
+    return F.coalesce(pred, F.lit(True))
+
+
+def fails(pred: Column) -> Column:
+    """'NOT(pred) IS TRUE' as a non-null boolean."""
+    return ~passes(pred)
+
+
+# --- individual pass-predicates (reference utils/checkdefs.py:59-97) ---
+
+
+def null_count(col: Column) -> Column:
+    """NULL_COUNT: no NULLs allowed (checkdefs.py:68-70). The stored
+    ``max_nulls`` param is ignored by the reference — any NULL fails."""
+    return col.isNotNull()
+
+
+def min_max(col: Column, min_v: Any = None, max_v: Any = None) -> Column:
+    """MIN_MAX: inclusive range, either bound optional; no bounds → TRUE
+    (checkdefs.py:71-76). NULL values yield a NULL predicate → pass."""
+    conds: list[Column] = []
+    if min_v is not None and min_v != "":
+        conds.append(col >= F.lit(min_v))
+    if max_v is not None and max_v != "":
+        conds.append(col <= F.lit(max_v))
+    if not conds:
+        return F.lit(True)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def whitespace(col: Column, mode: str = "NO_LEADING_TRAILING") -> Column:
+    """WHITESPACE modes (checkdefs.py:77-83); default fallback mode is
+    NON_EMPTY_TRIMMED for any unrecognized mode string, like the
+    reference's trailing return."""
+    if mode == "NO_LEADING_TRAILING":
+        return col.isNull() | (col == F.trim(col))
+    if mode == "NO_INTERNAL_ONLY_WHITESPACE":
+        return col.isNull() | (F.regexp_replace(col, r"\s+", " ") == col)
+    return col.isNotNull() & (F.length(F.trim(col)) > 0)
+
+
+def format_distribution(col: Column, regex: str = ".*") -> Column:
+    """FORMAT_DISTRIBUTION: NULL passes; regex is a *search* (RLIKE),
+    anchor explicitly for full-match (checkdefs.py:84-86). The stored
+    ``min_match_ratio`` param is ignored, like the reference."""
+    return col.isNull() | col.rlike(regex)
+
+
+def value_distribution(col: Column, allowed: list[Any]) -> Column:
+    """VALUE_DISTRIBUTION: membership in allowed set; empty set → TRUE;
+    NULL value → NULL predicate → passes via 3VL (checkdefs.py:87-96)."""
+    if not allowed:
+        return F.lit(True)
+    return col.isin(list(allowed))
+
+
+def _resolve_col(check: Check) -> Column:
+    """Column or derived expression for a check.
+
+    Extension over the reference: ``params['expr']`` lets a check
+    target a SQL expression (e.g. ``length(text)``) instead of a bare
+    column, which is how length-bound rules are phrased on transcripts.
+    """
+    expr = check.params.get("expr")
+    if expr:
+        return F.expr(expr)
+    if not check.column:
+        raise ValueError(f"check {check.check_id} has neither column nor expr")
+    return F.col(check.column)
+
+
+def compile_row_check(check: Check) -> Column:
+    """check → pass-predicate Column. UNIQUE is handled by the runner
+    (needs a prepared duplicate-key flag column, see
+    ``operators/unique.py``); here it consumes the prepared flag."""
+    ctype = (check.check_type or "").upper()
+    col = _resolve_col(check) if ctype != "UNIQUE" else None
+    if ctype == "UNIQUE":
+        # Runner guarantees a boolean 'is unique or null-key' column.
+        return F.col(unique_flag_name(check))
+    if ctype == "NULL_COUNT":
+        return null_count(col)
+    if ctype == "MIN_MAX":
+        return min_max(col, check.params.get("min"), check.params.get("max"))
+    if ctype == "WHITESPACE":
+        return whitespace(col, check.params.get("mode", "NO_LEADING_TRAILING"))
+    if ctype == "FORMAT_DISTRIBUTION":
+        return format_distribution(col, check.params.get("regex", ".*"))
+    if ctype == "VALUE_DISTRIBUTION":
+        allowed = check.params.get("allowed_values")
+        if allowed is None:
+            csv = check.params.get("allowed_values_csv", "")
+            allowed = [v.strip() for v in csv.split(",") if v.strip() != ""]
+        return value_distribution(col, allowed)
+    # Unknown check → permissive TRUE (checkdefs.py:97).
+    return F.lit(True)
+
+
+def unique_flag_name(check: Check) -> str:
+    return f"__uniq_{check.check_id}"
+
+
+def fail_flag_name(check: Check) -> str:
+    return f"fail_{check.check_id.lower()}"

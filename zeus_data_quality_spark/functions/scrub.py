@@ -1,0 +1,111 @@
+"""PII / secret scrubbing — compiled-regex, Arrow-batched.
+
+New capability mandated by the north rule (not present in the
+reference, SURVEY.md §2.8): replace emails, SSNs, phone numbers, and
+API keys in ``text`` with typed placeholder tokens, and count
+replacements per pattern for lineage.
+
+Design constraints:
+
+* **Exact text equality** with any independent implementation requires
+  a canonical pattern ORDER (applied top to bottom, each globally,
+  left-to-right non-overlapping) and regex constructs that mean the
+  same thing in Python ``re``, Java regex, and RE2: no backrefs, no
+  lookaround, ASCII classes only. SSN precedes PHONE so the 3-2-4
+  digit shape is never half-eaten by the phone pattern.
+* **No per-row Python**: the scrubber runs as a pandas UDF over Arrow
+  batches (``pandas.Series.str.replace`` loops in C over the batch);
+  per-pattern counts come from a second vectorized ``str.count``.
+* Idempotent: placeholder tokens match no pattern, so
+  ``scrub(scrub(x)) == scrub(x)`` (property-tested).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+# Canonical ordered pattern set. Each entry: (name, pattern, replacement).
+SCRUB_PATTERNS: list[tuple[str, str, str]] = [
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    (
+        "phone",
+        r"\([0-9]{3}\) [0-9]{3}-[0-9]{4}|\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b",
+        "<PHONE>",
+    ),
+    ("api_key", r"\bsk-[A-Za-z0-9]{8,}\b", "<KEY>"),
+    ("aws_key", r"\bAKIA[0-9A-Z]{16}\b", "<KEY>"),
+]
+
+def scrub_series(s: pd.Series) -> pd.Series:
+    """Apply every pattern in canonical order; NULL-safe."""
+    out = s
+    for _, pat, repl in SCRUB_PATTERNS:
+        out = out.str.replace(pat, repl, regex=True)
+    return out
+
+
+def scrub_count_series(s: pd.Series) -> pd.DataFrame:
+    """Per-pattern match counts *at the point each pattern applies*
+    (i.e. after earlier patterns already replaced their matches)."""
+    cur = s
+    counts = {}
+    for name, pat, repl in SCRUB_PATTERNS:
+        counts[f"n_{name}"] = cur.str.count(pat).fillna(0).astype("int64")
+        cur = cur.str.replace(pat, repl, regex=True)
+    counts["text_scrubbed"] = cur
+    return pd.DataFrame(counts)
+
+
+@pandas_udf(StringType())
+def scrub_text(s: pd.Series) -> pd.Series:
+    return scrub_series(s)
+
+
+_COUNT_SCHEMA = StructType(
+    [StructField(f"n_{n}", LongType()) for n, _, _ in SCRUB_PATTERNS]
+    + [StructField("text_scrubbed", StringType())]
+)
+
+
+@pandas_udf(_COUNT_SCHEMA)
+def scrub_with_counts(s: pd.Series) -> pd.DataFrame:
+    return scrub_count_series(s)
+
+
+def with_scrubbed_text(df, text_col: str = "text", out_col: str = "text_scrubbed"):
+    """Cheap path: scrubbed text only (one string column out)."""
+    return df.withColumn(out_col, scrub_text(F.col(text_col)))
+
+
+def with_scrub_struct(df, text_col: str = "text", struct_col: str = "scrub"):
+    """Full path: scrubbed text + per-pattern counts as a struct column
+    (one Arrow round-trip for everything; counts feed lineage)."""
+    return df.withColumn(struct_col, scrub_with_counts(F.col(text_col)))
+
+
+def duckdb_scrub_expr(col: str) -> str:
+    """The *same* canonical scrub as a DuckDB expression (nested global
+    regexp_replace) — used by the correctness oracle. DuckDB's RE2 and
+    Python re agree on these ASCII-only, lookaround-free patterns."""
+    expr = col
+    for _, pat, repl in SCRUB_PATTERNS:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    return expr
+
+
+def scrub_totals(df, struct_col: str = "scrub") -> list[Column]:
+    """Aggregate expressions for lineage: total replacements per pattern."""
+    return [
+        F.sum(F.col(f"{struct_col}.n_{n}")).alias(f"scrub_{n}")
+        for n, _, _ in SCRUB_PATTERNS
+    ]

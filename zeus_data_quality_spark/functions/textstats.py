@@ -1,0 +1,91 @@
+"""Text analysis for training-data pipelines — all JVM-side built-ins.
+
+Token counting, punctuation/stopword stats, and an integer-arithmetic
+quality heuristic. Everything here is whole-stage-codegen'd Column
+algebra (split / regexp_replace / higher-order array functions) — no
+Python in the hot path, no shuffle, fully pushdown-friendly.
+
+The quality verdict deliberately uses integer comparisons
+(``n_punct * 10 <= n_chars`` instead of float ratios) so independent
+engines (the DuckDB oracle) agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small English stopword marker set (public knowledge).
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+PUNCT_CLASS = "[.,;:!?]"
+TOKEN_SPLIT = r"\s+"
+
+# Quality thresholds (integer heuristic).
+MIN_TOKENS = 5
+MAX_TOKENS = 1000
+
+
+def n_tokens(text: Column) -> Column:
+    """Whitespace token count; empty/blank → 0 (split('') yields [''],
+    which both Spark and DuckDB count as 1, so guard explicitly)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), TOKEN_SPLIT))
+    )
+
+
+def n_punct(text: Column) -> Column:
+    return F.length(text) - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+
+
+def n_stopwords(text: Column) -> Column:
+    toks = F.split(F.lower(F.trim(text)), TOKEN_SPLIT)
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    )
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_chars/n_tokens/n_punct/n_stopwords + boolean quality flag."""
+    t = F.col(text_col)
+    out = (
+        df.withColumn("n_chars", F.length(t).cast("long"))
+        .withColumn("n_tokens", n_tokens(t).cast("long"))
+        .withColumn("n_punct", n_punct(t).cast("long"))
+        .withColumn("n_stopwords", n_stopwords(t).cast("long"))
+    )
+    return out.withColumn(
+        "is_quality",
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("n_tokens") <= MAX_TOKENS)
+        & (F.col("n_punct") * 10 <= F.col("n_chars"))
+        & (F.col("n_stopwords") * 2 <= F.col("n_tokens")),
+    )
+
+
+def duckdb_text_stats_sql(table: str, id_col: str, text_col: str = "text") -> str:
+    """The same stats as DuckDB SQL for the correctness oracle."""
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    ntok = (
+        f"CASE WHEN length(trim({text_col})) = 0 THEN 0 "
+        f"ELSE len(regexp_split_to_array(trim({text_col}), '{TOKEN_SPLIT}')) END"
+    )
+    nsw = (
+        f"CASE WHEN length(trim({text_col})) = 0 THEN 0 "
+        f"ELSE len(list_filter(regexp_split_to_array(lower(trim({text_col})), "
+        f"'{TOKEN_SPLIT}'), x -> x IN ({sw}))) END"
+    )
+    npunct = (
+        f"length({text_col}) - "
+        f"length(regexp_replace({text_col}, '{PUNCT_CLASS}', '', 'g'))"
+    )
+    return f"""
+SELECT {id_col},
+       CAST(length({text_col}) AS BIGINT) AS n_chars,
+       CAST({ntok} AS BIGINT) AS n_tokens,
+       CAST({npunct} AS BIGINT) AS n_punct,
+       CAST({nsw} AS BIGINT) AS n_stopwords,
+       ({ntok} >= {MIN_TOKENS} AND {ntok} <= {MAX_TOKENS}
+        AND {npunct} * 10 <= length({text_col})
+        AND {nsw} * 2 <= {ntok}) AS is_quality
+FROM {table}
+"""

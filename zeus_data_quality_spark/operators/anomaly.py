@@ -1,0 +1,141 @@
+"""Table-level checks: FRESHNESS, ROW_COUNT, ROW_COUNT_ANOMALY.
+
+Reference semantics (``utils/checkdefs.py:100-159``), with one
+deliberate change for determinism: the reference anchors on
+``CURRENT_TIMESTAMP()`` / ``CURRENT_DATE`` (drifts between runs —
+SURVEY.md §7.4.6); our operators take an explicit ``anchor`` timestamp
+(defaulting to ``max(ts)`` so tests and oracles are reproducible).
+
+ROW_COUNT_ANOMALY (reference ``checkdefs.py:120-158``): robust z-score
+of "today's" row count against the per-day history of the trailing
+``lookback_days`` (exclusive of today):
+
+    ok := history_days >= min_history_days
+          AND COALESCE(|c_today - median| / NULLIF(1.4826*MAD, 0)
+                       <= sensitivity, FALSE)
+
+so a zero-MAD history *fails* even when today equals the median exactly
+(NULLIF → NULL → COALESCE FALSE — SURVEY.md §2.9.8). The reference uses
+APPROX_PERCENTILE; we use exact ``percentile`` so the DuckDB oracle
+(``median``) agrees bit-for-bit on small fixtures; at 100 TB the
+history relation is ≤ lookback_days rows after the first aggregate, so
+exactness costs nothing.
+
+Scale shape: one ``groupBy(day)`` partial-aggregated count over the
+(filter-pruned) lookback window, then all remaining algebra happens on
+≤ ``lookback_days`` rows via singleton-aggregate cross joins — the same
+plan shape the reference emits, and trivially broadcast by Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+
+
+def freshness(
+    df: DataFrame,
+    ts_col: str = "ts",
+    max_age_minutes: int = 1920,
+    anchor=None,
+) -> DataFrame:
+    """Reference ``checkdefs.py:102-115``: non-empty, ts non-all-NULL,
+    newest ts within ``max_age_minutes`` of the anchor.
+
+    The age test is expressed as a *timestamp comparison*
+    ``max(ts) >= anchor - max_age`` rather than a minute-diff function,
+    because minute-diff truncation semantics differ across engines
+    (Java ChronoUnit elapsed-units vs boundary-crossing counts); a
+    plain comparison is engine-exact. One-row result:
+    (row_cnt, ts_cnt, max_ts, ok)."""
+    from datetime import timedelta
+
+    ts = F.col(ts_col)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("row_cnt"),
+        F.count(ts).alias("ts_cnt"),
+        F.max(ts).alias("max_ts"),
+    )
+    if anchor is not None:
+        threshold = anchor - timedelta(minutes=max_age_minutes)
+        fresh_enough = F.col("max_ts") >= F.lit(threshold)
+    else:
+        # Anchor at max(ts) itself → trivially fresh (deterministic default).
+        fresh_enough = F.lit(True)
+    return agg.select(
+        "row_cnt",
+        "ts_cnt",
+        "max_ts",
+        (
+            (F.col("row_cnt") > 0) & (F.col("ts_cnt") > 0) & fresh_enough
+        ).alias("ok"),
+    )
+
+
+def row_count(df: DataFrame, min_rows: int = 1) -> DataFrame:
+    """Reference ``checkdefs.py:116-119``."""
+    return df.agg(F.count(F.lit(1)).alias("row_cnt")).select(
+        "row_cnt", (F.col("row_cnt") >= F.lit(min_rows)).alias("ok")
+    )
+
+
+def row_count_anomaly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    lookback_days: int = 28,
+    sensitivity: float = 3.0,
+    min_history_days: int = 7,
+    anchor_day=None,
+) -> DataFrame:
+    """One-row result (history_days, c_anchor, ok).
+
+    ``anchor_day`` plays the reference's CURRENT_DATE; when None it is
+    derived as ``max(date(ts))`` (deterministic).
+    """
+    ts = F.col(ts_col)
+    day = ts.cast("date")
+    base = df.filter(ts.isNotNull()).select(day.alias("day"))
+    if anchor_day is None:
+        anchor = base.agg(F.max("day").alias("anchor_day"))
+    else:
+        anchor = df.sparkSession.range(1).select(
+            F.lit(anchor_day).cast("date").alias("anchor_day")
+        )
+    with_anchor = base.crossJoin(F.broadcast(anchor))
+    history = (
+        with_anchor.filter(
+            (F.col("day") >= F.date_sub(F.col("anchor_day"), lookback_days))
+            & (F.col("day") < F.col("anchor_day"))
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    aggregates = history.agg(
+        F.count(F.lit(1)).alias("history_days"),
+        F.expr("percentile(c, 0.5)").alias("median_c"),
+    )
+    mad = (
+        history.crossJoin(F.broadcast(aggregates))
+        .select(F.abs(F.col("c") - F.col("median_c")).alias("dev"))
+        .agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    )
+    today = (
+        with_anchor.filter(F.col("day") == F.col("anchor_day"))
+        .agg(F.count(F.lit(1)).alias("c_anchor"))
+    )
+    z_ok = (
+        F.abs(F.col("c_anchor") - F.col("median_c"))
+        / F.nullif(F.lit(1.4826) * F.col("mad"), F.lit(0.0))
+    ) <= F.lit(sensitivity)
+    return (
+        aggregates.crossJoin(F.broadcast(mad))
+        .crossJoin(F.broadcast(today))
+        .select(
+            "history_days",
+            "c_anchor",
+            (
+                (F.col("history_days") >= F.lit(min_history_days))
+                & F.coalesce(z_ok, F.lit(False))
+            ).alias("ok"),
+        )
+    )

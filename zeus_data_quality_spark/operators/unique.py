@@ -1,0 +1,66 @@
+"""Scalable UNIQUE check: duplicate-key detection without a window sort.
+
+The reference expresses UNIQUE as an uncorrelated IN-subquery with
+GROUP BY / HAVING COUNT(*) = 1 (``utils/checkdefs.py:63-67``) — i.e. a
+self-join. The naive Spark transliteration is a window count
+(``count(*) over (partition by key)``), which at 10^12 rows sorts the
+whole table inside each shuffle partition.
+
+We instead do a two-phase plan that only shuffles an aggregate:
+
+1. ``groupBy(key).count().filter(count > 1)`` — partial (map-side)
+   aggregation first, so the shuffle carries at most one row per
+   distinct key per mapper; the *result* is only the duplicate keys,
+   which for a quality corpus is a small fraction of the data.
+2. Left-join the duplicate-key set back (marker column). Spark's AQE
+   converts this to a broadcast join at runtime when the dup set is
+   small; otherwise it is a plain shuffled join on the same key with
+   skew-join splitting enabled.
+
+NULL keys never fail UNIQUE in either reference variant
+(``ignore_nulls=True`` exempts explicitly; ``=False`` yields a NULL
+``IN`` predicate that passes via 3VL — SURVEY.md §2.9.1), so NULL-key
+rows bypass the join entirely: they are not shuffled at all and cannot
+create a NULL-key skew cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_unique_flag(
+    df: DataFrame,
+    key_cols: list[str],
+    flag_name: str,
+    ignore_nulls: bool = True,
+) -> DataFrame:
+    """Add boolean ``flag_name``: the UNIQUE pass-predicate.
+
+    * non-NULL key occurring once → TRUE (pass)
+    * non-NULL key occurring more than once → FALSE (every member of a
+      duplicate group fails, reference ``checkdefs.py:66``)
+    * any NULL key component → TRUE if ``ignore_nulls`` else NULL
+      (both pass under the runner's 3VL counting; the distinction is
+      kept for literal predicate parity)
+    """
+    key = [F.col(c) for c in key_cols]
+    null_key: Column = key[0].isNull()
+    for k in key[1:]:
+        null_key = null_key | k.isNull()
+
+    dup_keys = (
+        df.filter(~null_key)
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__dup_cnt"))
+        .filter(F.col("__dup_cnt") > 1)
+        .select(*key_cols, F.lit(True).alias("__is_dup"))
+    )
+    joined = df.join(dup_keys, on=key_cols, how="left")
+    not_dup = F.col("__is_dup").isNull()
+    if ignore_nulls:
+        flag = F.when(null_key, F.lit(True)).otherwise(not_dup)
+    else:
+        flag = F.when(null_key, F.lit(None).cast("boolean")).otherwise(not_dup)
+    return joined.withColumn(flag_name, flag).drop("__is_dup")

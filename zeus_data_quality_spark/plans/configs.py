@@ -1,0 +1,85 @@
+"""Canonical check configurations.
+
+``default_transcript_checks()`` is the pipeline's standing config over
+the transcript corpus — one instance of every reference check type,
+recast per SURVEY.md §2.1's "turn-level recast" column. check_ids
+follow the reference's ``<COL>_<TYPE>`` convention
+(``streamlit_app.py:448,479,514,536,558,580``) and run order is the
+string sort of check_id (``sql/CREATE_RESULTS_AND_SP.SQL:47``).
+"""
+
+from __future__ import annotations
+
+from ..functions.rules import Check
+
+CONV_ID_FORMAT = "^conv_[0-9a-f]{8}$"
+VALID_ROLES_CSV = "system,user,assistant,tool"
+
+
+def default_transcript_checks(config_id: str = "transcripts_default") -> list[Check]:
+    return [
+        Check("CONV_ID_NULL_COUNT", "NULL_COUNT", "conv_id", config_id=config_id),
+        Check(
+            "CONV_ID_FORMAT",
+            "FORMAT_DISTRIBUTION",
+            "conv_id",
+            {"regex": CONV_ID_FORMAT},
+            config_id=config_id,
+        ),
+        Check(
+            "TURNKEY_UNIQUE",
+            "UNIQUE",
+            None,
+            {"key": ["conv_id", "turn_idx"], "ignore_nulls": True},
+            config_id=config_id,
+        ),
+        Check(
+            "TURN_IDX_MIN_MAX",
+            "MIN_MAX",
+            "turn_idx",
+            {"min": 0},
+            config_id=config_id,
+        ),
+        Check(
+            "ROLE_VALUE_DIST",
+            "VALUE_DISTRIBUTION",
+            "role",
+            {"allowed_values_csv": VALID_ROLES_CSV},
+            config_id=config_id,
+        ),
+        Check(
+            "ROLE_WHITESPACE",
+            "WHITESPACE",
+            "role",
+            {"mode": "NO_LEADING_TRAILING"},
+            config_id=config_id,
+        ),
+        Check(
+            "TEXT_NONEMPTY",
+            "WHITESPACE",
+            "text",
+            {"mode": "NON_EMPTY_TRIMMED"},
+            config_id=config_id,
+        ),
+        Check(
+            "TEXT_WHITESPACE",
+            "WHITESPACE",
+            "text",
+            {"mode": "NO_INTERNAL_ONLY_WHITESPACE"},
+            config_id=config_id,
+        ),
+        Check(
+            "TEXT_LEN_MIN_MAX",
+            "MIN_MAX",
+            None,
+            {"expr": "length(text)", "min": 1, "max": 1000},
+            config_id=config_id,
+        ),
+        Check(
+            "TOOL_WHITESPACE",
+            "WHITESPACE",
+            "tool",
+            {"mode": "NO_LEADING_TRAILING"},
+            config_id=config_id,
+        ),
+    ]

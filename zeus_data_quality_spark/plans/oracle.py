@@ -1,0 +1,128 @@
+"""DuckDB oracle-SQL generation for rule checks.
+
+For every check the driver's correctness gate runs the Spark plan AND
+an independent ANSI-SQL formulation on DuckDB. This module derives that
+SQL *from the same Check objects* the engine executes, so the two sides
+cannot drift: one config, two dialects.
+
+The pass-predicate shapes are the literal reference shapes
+(``utils/checkdefs.py:59-97``), and failure counting is
+``CASE WHEN NOT(pred) THEN 1 ELSE 0 END`` — NULL predicates fall to the
+ELSE branch, which is exactly the reference's ``WHERE NOT(pred)``
+three-valued-logic behavior (SURVEY.md §2.9.1).
+
+DuckDB dialect notes: ``regexp_matches`` is a search (≡ RLIKE);
+``regexp_replace`` needs the ``'g'`` flag to match Snowflake/Spark
+replace-all semantics; integer SUMs return HUGEINT so every count is
+CAST to BIGINT to match Spark's LongType.
+"""
+
+from __future__ import annotations
+
+from ..functions.rules import Check
+
+
+def _sq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _target(check: Check) -> str:
+    expr = check.params.get("expr")
+    if expr:
+        return f"({expr})"
+    return check.column
+
+
+def unique_count_col(check: Check) -> str:
+    return f"__kc_{check.check_id.lower()}"
+
+
+def pass_predicate_sql(check: Check) -> str:
+    """DuckDB boolean pass-predicate for one check. UNIQUE predicates
+    reference the window-count column added by :func:`labeled_cte`."""
+    ctype = check.check_type.upper()
+    c = _target(check) if ctype != "UNIQUE" else None
+    if ctype == "UNIQUE":
+        key = check.params.get("key") or [check.column]
+        null_key = " OR ".join(f"{k} IS NULL" for k in key)
+        return f"({null_key} OR {unique_count_col(check)} = 1)"
+    if ctype == "NULL_COUNT":
+        return f"({c} IS NOT NULL)"
+    if ctype == "MIN_MAX":
+        conds = []
+        mn, mx = check.params.get("min"), check.params.get("max")
+        if mn is not None and mn != "":
+            conds.append(f"{c} >= {mn}")
+        if mx is not None and mx != "":
+            conds.append(f"{c} <= {mx}")
+        return "(" + (" AND ".join(conds) if conds else "TRUE") + ")"
+    if ctype == "WHITESPACE":
+        mode = check.params.get("mode", "NO_LEADING_TRAILING")
+        if mode == "NO_LEADING_TRAILING":
+            return f"({c} IS NULL OR {c} = trim({c}))"
+        if mode == "NO_INTERNAL_ONLY_WHITESPACE":
+            return f"({c} IS NULL OR regexp_replace({c}, '\\s+', ' ', 'g') = {c})"
+        return f"({c} IS NOT NULL AND length(trim({c})) > 0)"
+    if ctype == "FORMAT_DISTRIBUTION":
+        regex = check.params.get("regex", ".*")
+        return f"({c} IS NULL OR regexp_matches({c}, '{_sq(regex)}'))"
+    if ctype == "VALUE_DISTRIBUTION":
+        allowed = check.params.get("allowed_values")
+        if allowed is None:
+            csv = check.params.get("allowed_values_csv", "")
+            allowed = [v.strip() for v in csv.split(",") if v.strip() != ""]
+        if not allowed:
+            return "(TRUE)"
+        vals = ", ".join(f"'{_sq(str(v))}'" for v in allowed)
+        return f"({c} IN ({vals}))"
+    return "(TRUE)"
+
+
+def fail_int_sql(check: Check) -> str:
+    """1 iff NOT(pred) IS TRUE — reference failure counting."""
+    return f"CASE WHEN NOT {pass_predicate_sql(check)} THEN 1 ELSE 0 END"
+
+
+def labeled_cte(checks: list[Check], source: str = "transcripts") -> str:
+    """CTE chain adding UNIQUE window-count columns to ``source``;
+    result relation is named ``__labeled``."""
+    uniques = [c for c in checks if c.check_type.upper() == "UNIQUE"]
+    cols = []
+    for u in uniques:
+        key = u.params.get("key") or [u.column]
+        part = ", ".join(key)
+        cols.append(
+            f"COUNT(*) OVER (PARTITION BY {part}) AS {unique_count_col(u)}"
+        )
+    extra = (", " + ", ".join(cols)) if cols else ""
+    return f"__labeled AS (SELECT {source}.*{extra} FROM {source})"
+
+
+def failure_counts_sql(checks: list[Check], source: str = "transcripts") -> str:
+    """Body (appended after the transcripts CTE) reproducing the fused
+    failure-count aggregate of ``plans/runner.py``."""
+    rcs = sorted(
+        (c for c in checks if not c.is_table_level), key=lambda c: c.check_id
+    )
+    sums = ",\n  ".join(
+        f"CAST(SUM({fail_int_sql(c)}) AS BIGINT) AS fail_{c.check_id.lower()}"
+        for c in rcs
+    )
+    return (
+        f", {labeled_cte(rcs, source)}\n"
+        f"SELECT CAST(COUNT(*) AS BIGINT) AS rows_in,\n  {sums}\nFROM __labeled"
+    )
+
+
+def keep_labels_sql(checks: list[Check], source: str = "transcripts") -> str:
+    """Per-row labels: source columns + n_violations + keep."""
+    rcs = sorted(
+        (c for c in checks if not c.is_table_level), key=lambda c: c.check_id
+    )
+    viol = " + ".join(fail_int_sql(c) for c in rcs)
+    return (
+        f", {labeled_cte(rcs, source)}\n"
+        "SELECT conv_id, turn_idx, role, text, tool, ts,\n"
+        f"  CAST({viol} AS INT) AS n_violations,\n"
+        f"  ({viol}) = 0 AS keep\nFROM __labeled"
+    )

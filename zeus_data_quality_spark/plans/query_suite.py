@@ -1,0 +1,394 @@
+"""The driver-facing query suite: Spark implementations + DuckDB oracles.
+
+Each entry implements one operator family from SURVEY.md §2 (or a
+north-rule extension) as (a) an idiomatic Spark DataFrame plan and
+(b) an equivalent DuckDB SQL string for the correctness gate. Column
+names and types are aligned on both sides (driver hash-compares after
+sorting columns by name).
+
+Transcript queries run over the deterministic dual-dialect synthesis of
+``sources/transcripts.py`` — both engines derive the identical corpus
+from the ``events`` parquet, so value hashes are comparable.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import textstats
+from ..functions.langid import detect_language
+from ..functions.perplexity import perplexity_nll
+from ..functions.scrub import duckdb_scrub_expr, scrub_text
+from ..operators import anomaly
+from ..operators.convfeat import conversation_features
+from ..operators.dedup import exact_dedup, minhash_dedup, simhash
+from ..operators.similarity import brute_force_topk, lsh_ann_topk
+from ..sources.transcripts import load_transcripts, oracle_with_transcripts
+from . import oracle as osql
+from .configs import default_transcript_checks
+from .runner import apply_checks, failure_counts
+
+CHECKS = default_transcript_checks()
+FRESHNESS_ANCHOR = datetime(2024, 2, 1, 0, 0, 0)
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- rules
+
+def q_rule_failure_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused single-scan failure counts for the default transcript
+    config — the reference's per-check COUNT(*) WHERE NOT(pred) numbers
+    (services/runner.py:43) from ONE pass."""
+    t = load_transcripts(spark, sf_dir)
+    return failure_counts(apply_checks(t, CHECKS), CHECKS)
+
+
+def q_keep_drop_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn keep/drop verdicts (the quality-filter core)."""
+    t = load_transcripts(spark, sf_dir)
+    labeled = apply_checks(t, CHECKS)
+    return labeled.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "n_violations", "keep"
+    )
+
+
+def q_scrubbed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/secret scrub — pandas-UDF output must equal the DuckDB
+    regexp_replace chain exactly (north-rule text-equality gate)."""
+    t = load_transcripts(spark, sf_dir)
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        scrub_text(F.col("text")).alias("text_scrubbed"),
+    )
+
+
+def q_unique_turnkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-key groups — the reference UNIQUE check's GROUP BY /
+    HAVING COUNT(*) > 1 core (checkdefs.py:66), two-phase aggregated."""
+    t = load_transcripts(spark, sf_dir)
+    return (
+        t.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+        .filter(F.col("n_dup") > 1)
+    )
+
+
+def q_conv_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_transcripts(spark, sf_dir)
+    return conversation_features(t)
+
+
+def q_row_count_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return anomaly.row_count_anomaly(_read(spark, sf_dir, "events"), "ts")
+
+
+def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return anomaly.freshness(
+        _read(spark, sf_dir, "events"), "ts", 1920, FRESHNESS_ANCHOR
+    )
+
+
+def q_date_spine_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-day zero-filled daily counts (reference streamlit_app.py:
+    692-707 GENERATOR date spine), via spark.range + broadcast."""
+    events = _read(spark, sf_dir, "events")
+    mx = events.agg(F.max(F.col("ts").cast("date")).alias("maxd"))
+    spine = (
+        spark.range(60)
+        .crossJoin(F.broadcast(mx))
+        .select(F.date_sub(F.col("maxd"), F.col("id").cast("int")).alias("day"))
+    )
+    daily = (
+        events.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt")
+    )
+
+
+# ------------------------------------------------------- generic relational
+
+def q_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast equi-join + top-k (reference monitor join pattern,
+    streamlit_app.py:1056-1087: LEFT JOIN + ORDER BY ... LIMIT)."""
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select("o_orderkey", "c_name", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary; exact DECIMAL accumulation then
+    cast to DOUBLE so both engines agree bitwise."""
+    li = _read(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    one = F.lit(1).cast("decimal(18,2)")
+    disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit(datetime(1998, 9, 2)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("_sq"),
+            F.sum(dec("l_extendedprice")).alias("_sbp"),
+            F.sum(disc_price).alias("_sdp"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sbp").cast("double").alias("sum_base_price"),
+        F.col("_sdp").cast("double").alias("sum_disc_price"),
+        (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("_sbp").cast("double") / F.col("count_order")).alias("avg_price"),
+        F.col("count_order").cast("long").alias("count_order"),
+    )
+
+
+# ---------------------------------------------------- training-data ops
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.with_text_stats(docs, "text").select(
+        "doc_id", "n_chars", "n_tokens", "n_punct", "n_stopwords", "is_quality"
+    )
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rnk")
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_ann_topk(emb, queries, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rnk")
+    )
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_transcripts(spark, sf_dir).filter(F.col("text").isNotNull())
+    keyed = t.select(
+        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("turn_key"),
+        "text",
+    ).filter(F.col("turn_key") != "")
+    return minhash_dedup(keyed, "turn_key", "text", threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", detect_language(F.col("text")).alias("lang_pred"))
+
+
+def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_transcripts(spark, sf_dir)
+    return t.select(
+        "conv_id", "turn_idx", perplexity_nll(F.col("text")).alias("nll")
+    )
+
+
+# ------------------------------------------------------------- oracles
+
+def _oracle_rule_failure_counts() -> str:
+    return oracle_with_transcripts(osql.failure_counts_sql(CHECKS))
+
+
+def _oracle_keep_drop() -> str:
+    return oracle_with_transcripts(osql.keep_labels_sql(CHECKS))
+
+
+def _oracle_scrub() -> str:
+    return oracle_with_transcripts(
+        "SELECT conv_id, turn_idx, text, "
+        f"{duckdb_scrub_expr('text')} AS text_scrubbed FROM transcripts"
+    )
+
+
+def _oracle_unique() -> str:
+    return oracle_with_transcripts(
+        "SELECT conv_id, turn_idx, CAST(COUNT(*) AS BIGINT) AS n_dup\n"
+        "FROM transcripts WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL\n"
+        "GROUP BY conv_id, turn_idx HAVING COUNT(*) > 1"
+    )
+
+
+def _oracle_conv_features() -> str:
+    return oracle_with_transcripts(
+        """
+, valid AS (
+    SELECT conv_id, turn_idx, ts, role FROM transcripts
+    WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+), lagged AS (
+    SELECT conv_id, turn_idx, role,
+           LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx ASC, ts ASC) AS prev_role
+    FROM valid
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(COUNT(DISTINCT role) AS BIGINT) AS n_roles,
+       MIN(turn_idx) AS first_turn,
+       MAX(turn_idx) AS last_turn,
+       CAST(SUM(CASE WHEN prev_role IS NOT NULL AND role IS NOT NULL
+                     AND role <> prev_role THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_role_switches
+FROM lagged GROUP BY conv_id
+"""
+    )
+
+
+ORACLE_ANOMALY = """
+WITH days AS (SELECT CAST(ts AS DATE) AS day FROM events WHERE ts IS NOT NULL),
+anchor AS (SELECT MAX(day) AS anchor_day FROM days),
+history AS (
+    SELECT day, COUNT(*) AS c FROM days, anchor
+    WHERE day >= anchor_day - 28 AND day < anchor_day GROUP BY day
+),
+aggregates AS (SELECT COUNT(*) AS history_days, median(c) AS median_c FROM history),
+mad_calc AS (
+    SELECT median(ABS(h.c - a.median_c)) AS mad
+    FROM history h CROSS JOIN aggregates a
+),
+today AS (SELECT COUNT(*) AS c_anchor FROM days, anchor WHERE day = anchor_day)
+SELECT CAST(aggregates.history_days AS BIGINT) AS history_days,
+       CAST(today.c_anchor AS BIGINT) AS c_anchor,
+       (aggregates.history_days >= 7
+        AND COALESCE(ABS(today.c_anchor - aggregates.median_c)
+                     / NULLIF(1.4826 * mad_calc.mad, 0) <= 3.0, FALSE)) AS ok
+FROM aggregates CROSS JOIN mad_calc CROSS JOIN today
+"""
+
+ORACLE_FRESHNESS = """
+SELECT CAST(COUNT(*) AS BIGINT) AS row_cnt,
+       CAST(COUNT(ts) AS BIGINT) AS ts_cnt,
+       MAX(ts) AS max_ts,
+       (COUNT(*) > 0 AND COUNT(ts) > 0
+        AND MAX(ts) >= TIMESTAMP '2024-01-30 16:00:00') AS ok
+FROM events
+"""
+
+ORACLE_DATE_SPINE = """
+WITH mx AS (SELECT CAST(MAX(ts) AS DATE) AS maxd FROM events),
+spine AS (SELECT maxd - CAST(i AS INT) AS day FROM range(60) t(i), mx),
+daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt FROM events GROUP BY 1)
+SELECT spine.day AS day, CAST(COALESCE(daily.cnt, 0) AS BIGINT) AS cnt
+FROM spine LEFT JOIN daily ON spine.day = daily.day
+"""
+
+ORACLE_JOIN_TOPK = """
+SELECT o.o_orderkey, c.c_name, o.o_totalprice, o.o_orderdate
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 100
+"""
+
+ORACLE_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLE_DEDUP_EXACT = """
+SELECT doc_id,
+       CAST(cnt AS BIGINT) AS n_copies,
+       doc_id = keep_id AS is_canonical
+FROM (
+    SELECT doc_id,
+           COUNT(*) OVER (PARTITION BY md5(text)) AS cnt,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+    FROM documents
+) t
+"""
+
+ORACLE_ANN_BRUTEFORCE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(e.embedding, q.qv) AS cos
+    FROM embeddings e, q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+def queries():
+    return {
+        "rule_failure_counts": q_rule_failure_counts,
+        "keep_drop_labels": q_keep_drop_labels,
+        "scrubbed_text": q_scrubbed_text,
+        "unique_turnkey": q_unique_turnkey,
+        "conv_features": q_conv_features,
+        "row_count_anomaly": q_row_count_anomaly,
+        "freshness": q_freshness,
+        "date_spine_daily": q_date_spine_daily,
+        "join_topk": q_join_topk,
+        "tpch_q1": q_tpch_q1,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "langid": q_langid,
+        "perplexity": q_perplexity,
+    }
+
+
+def oracle_sql():
+    return {
+        "rule_failure_counts": _oracle_rule_failure_counts(),
+        "keep_drop_labels": _oracle_keep_drop(),
+        "scrubbed_text": _oracle_scrub(),
+        "unique_turnkey": _oracle_unique(),
+        "conv_features": _oracle_conv_features(),
+        "row_count_anomaly": ORACLE_ANOMALY,
+        "freshness": ORACLE_FRESHNESS,
+        "date_spine_daily": ORACLE_DATE_SPINE,
+        "join_topk": ORACLE_JOIN_TOPK,
+        "tpch_q1": ORACLE_TPCH_Q1,
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "text_stats": textstats.duckdb_text_stats_sql("documents", "doc_id", "text"),
+        "ann_bruteforce": ORACLE_ANN_BRUTEFORCE,
+        # ann_lsh / minhash_pairs / simhash / langid / perplexity:
+        # deliberately no oracle — hash-seeded / model-driven operators
+        # are not SQL-expressible; covered by pytest oracles instead.
+    }

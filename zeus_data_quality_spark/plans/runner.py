@@ -1,0 +1,197 @@
+"""Run lifecycle: config → fused single-scan plan → labels, counts, lineage.
+
+The reference evaluates N checks as N full table scans
+(``services/runner.py:9-65``: per check, ``SELECT COUNT(*) FROM t WHERE
+NOT (pred)``). Semantics are per-row independent (except UNIQUE), so we
+fuse everything into ONE scan:
+
+    df → [unique-flag prep joins] → Project(fail_<id>... , keep)
+       → (a) Aggregate(sum(fail_i)...)  — failure counts, one action
+       → (b) filter(keep) / filter(!keep) — keep/drop split
+
+Catalyst sees a single pipeline; whole-stage codegen covers the entire
+Project, and the only shuffles are the UNIQUE aggregate joins.
+
+Failure-count parity: ``failures_i = COUNT(*) WHERE NOT(pred_i) IS
+TRUE`` and ``ok_i = failures_i == 0`` — identical to the reference's
+runner loop and stored proc (``sql/CREATE_RESULTS_AND_SP.SQL:86-95``).
+Check evaluation/reporting order is ``ORDER BY check_id`` (string sort),
+matching ``sql/CREATE_RESULTS_AND_SP.SQL:47``.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import rules
+from ..functions.rules import Check
+from ..operators.unique import with_unique_flag
+
+KEEP_COL = "keep"
+REASONS_COL = "drop_reasons"
+
+
+def row_checks(checks: list[Check]) -> list[Check]:
+    return sorted(
+        (c for c in checks if not c.is_table_level), key=lambda c: c.check_id
+    )
+
+
+def apply_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Label every row with per-check fail flags + keep verdict.
+
+    Output columns: input columns ++ ``fail_<check_id>`` booleans (3VL
+    already resolved: TRUE iff the row fails) ++ ``keep`` ++
+    ``drop_reasons`` (array of failed check_ids, check_id-sorted).
+    """
+    rcs = row_checks(checks)
+    # Phase 1: UNIQUE checks need a prepared duplicate-key flag.
+    for c in rcs:
+        if c.check_type.upper() == "UNIQUE":
+            key = c.params.get("key") or [c.column]
+            df = with_unique_flag(
+                df,
+                key_cols=list(key),
+                flag_name=rules.unique_flag_name(c),
+                ignore_nulls=bool(c.params.get("ignore_nulls", True)),
+            )
+    # Phase 2: one Project computing every fail flag.
+    flags = []
+    for c in rcs:
+        pred = rules.compile_row_check(c)
+        flags.append(rules.fails(pred).alias(rules.fail_flag_name(c)))
+    df = df.select("*", *flags)
+    # Drop internal unique-prep columns.
+    for c in rcs:
+        if c.check_type.upper() == "UNIQUE":
+            df = df.drop(rules.unique_flag_name(c), "__dup_cnt")
+    fail_cols = [F.col(rules.fail_flag_name(c)) for c in rcs]
+    n_viol = None
+    for fc in fail_cols:
+        term = fc.cast("int")
+        n_viol = term if n_viol is None else (n_viol + term)
+    reasons = F.filter(
+        F.array(
+            *[
+                F.when(F.col(rules.fail_flag_name(c)), F.lit(c.check_id))
+                for c in rcs
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        df.withColumn("n_violations", F.coalesce(n_viol, F.lit(0)))
+        .withColumn(KEEP_COL, F.col("n_violations") == 0)
+        .withColumn(REASONS_COL, reasons)
+    )
+
+
+def failure_counts(labeled: DataFrame, checks: list[Check]) -> DataFrame:
+    """One-row DataFrame: rows_in + per-check failure counts.
+
+    Single Aggregate over the labeled scan — the reference's N
+    ``COUNT(*) WHERE NOT(pred)`` numbers from one pass.
+    """
+    rcs = row_checks(checks)
+    aggs = [F.count(F.lit(1)).alias("rows_in")] + [
+        F.sum(F.col(rules.fail_flag_name(c)).cast("long")).alias(
+            rules.fail_flag_name(c)
+        )
+        for c in rcs
+    ]
+    return labeled.agg(*aggs)
+
+
+def split(labeled: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(kept, dropped) — dropped is the reference's failing-row view
+    ``SELECT * FROM t WHERE NOT(pred)`` generalized to the fused rule
+    set (``utils/dmfs.py:347-350``)."""
+    return labeled.filter(F.col(KEEP_COL)), labeled.filter(~F.col(KEEP_COL))
+
+
+@dataclass
+class RunRecord:
+    """One DQ_RUN_RESULTS-shaped lineage row
+    (``sql/CREATE_RESULTS_AND_SP.SQL:1-10``)."""
+
+    run_id: str
+    config_id: str
+    check_id: str
+    check_type: str
+    run_ts: datetime
+    failures: int
+    ok: bool
+    error_msg: str | None = None
+
+
+def run_config(
+    spark: SparkSession,
+    df: DataFrame,
+    checks: list[Check],
+    config_id: str = "default",
+    run_ts: datetime | None = None,
+) -> tuple[DataFrame, list[RunRecord]]:
+    """Evaluate all row checks of a config; return (labeled df, lineage).
+
+    Table-level checks (FRESHNESS / ROW_COUNT / ROW_COUNT_ANOMALY) are
+    evaluated by ``operators/anomaly.py`` with an explicit anchor
+    timestamp and appended to the same lineage list by the caller.
+    Errors in one check do not abort the run (reference
+    ``sql/CREATE_RESULTS_AND_SP.SQL:96-103``): the failing check logs
+    ``ok=False, failures=0, error_msg`` and evaluation continues.
+    """
+    run_id = str(uuid.uuid4())
+    run_ts = run_ts or datetime.now(timezone.utc)
+    rcs = row_checks(checks)
+    records: list[RunRecord] = []
+    bad: list[tuple[Check, str]] = []
+    good: list[Check] = []
+    for c in rcs:
+        try:
+            rules.compile_row_check(c) if c.check_type.upper() != "UNIQUE" else None
+            good.append(c)
+        except Exception as exc:  # malformed check: log, continue
+            bad.append((c, f"{type(exc).__name__}: {exc}"))
+    labeled = apply_checks(df, good)
+    counts: dict[str, Any] = failure_counts(labeled, good).first().asDict()
+    for c in good:
+        n = int(counts[rules.fail_flag_name(c)] or 0)
+        records.append(
+            RunRecord(run_id, config_id, c.check_id, c.check_type, run_ts, n, n == 0)
+        )
+    for c, msg in bad:
+        records.append(
+            RunRecord(
+                run_id, config_id, c.check_id, c.check_type, run_ts, 0, False, msg
+            )
+        )
+    records.sort(key=lambda r: r.check_id)
+    return labeled, records
+
+
+def lineage_df(spark: SparkSession, records: list[RunRecord]) -> DataFrame:
+    return spark.createDataFrame(
+        [
+            (
+                r.run_id,
+                r.config_id,
+                r.check_id,
+                r.check_type,
+                r.run_ts,
+                r.failures,
+                r.ok,
+                r.error_msg,
+            )
+            for r in records
+        ],
+        schema=(
+            "run_id string, config_id string, check_id string, check_type string,"
+            " run_ts timestamp, failures long, ok boolean, error_msg string"
+        ),
+    )

@@ -1,0 +1,48 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[N]``; the same configuration is what we
+would submit to a 1000-executor cluster (AQE, skew-join handling, Arrow
+batching). Nothing here is local-mode specific except the master URL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "zeus_data_quality_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for the quality-filter pipeline.
+
+    * AQE on: runtime coalescing of shuffle partitions + skew-join
+      splitting (mega-conversation skew per SURVEY.md §7.4).
+    * Arrow on: every pandas UDF ships Arrow batches, never pickled rows.
+    * Session timezone pinned to UTC so timestamp rules (FRESHNESS /
+      ROW_COUNT_ANOMALY) are deterministic across environments —
+      the reference's TIMESTAMP_LTZ drift risk (SURVEY.md §7.4.6).
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(32, cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

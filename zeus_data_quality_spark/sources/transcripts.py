@@ -1,0 +1,121 @@
+"""Deterministic synthesis of the transcript corpus.
+
+The pipeline's input shape is an Iceberg table
+``(conv_id string, turn_idx int, role string, text string, tool string,
+ts timestamp)``. This sandbox has no transcript data, so we synthesise
+it *deterministically* from the driver-provided ``events`` table with a
+single SQL template that is valid — and produces bit-identical results —
+in BOTH Spark SQL and DuckDB. That makes every transcript query
+oracle-checkable: the DuckDB oracle derives the exact same corpus.
+
+Dialect-portability rules for the template (do not break these):
+
+* No backslash escape sequences in string literals (Spark interprets
+  ``'\\t'``, DuckDB does not) — control characters come from ``chr()``.
+* No regex anywhere (Java vs RE2 differences live elsewhere, not here).
+* No float→string formatting (printf rounding differs); only integer
+  arithmetic feeds string builders.
+* ``ROW_NUMBER()`` is ordered by the unique ``event_id`` so it is
+  deterministic in both engines.
+
+The injected defect mix (NULLs, malformed ids, whitespace damage,
+duplicate turn keys, PII strings, near-duplicate texts, over-long
+texts) exercises every rule in ``functions/rules.py`` and the scrubber
+patterns in ``functions/scrub.py``; see FIXTURES.md §1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Valid roles for the VALUE_DISTRIBUTION rule; event_type → role mapping
+# below keeps most rows valid so keep-rate is realistically high.
+VALID_ROLES = ("system", "user", "assistant", "tool")
+
+# CTE body: expects a relation named `events` to be in scope.
+# `base` assigns a per-conversation turn counter; `transcripts` maps
+# events → transcript turns and injects deterministic defects keyed on
+# event_id modulo small primes (disjoint-ish arms; CASE order is
+# identical in both engines).
+TRANSCRIPTS_CTE = """
+base AS (
+    SELECT
+        event_id,
+        ts,
+        user_id,
+        event_type,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn
+    FROM events
+),
+transcripts AS (
+    SELECT
+        CASE
+            WHEN event_id % 97 = 0 THEN NULL
+            WHEN event_id % 89 = 3 THEN 'BAD ID ' || CAST(event_id AS STRING)
+            ELSE 'conv_' || lpad(CAST(user_id % 100000000 AS STRING), 8, '0')
+        END AS conv_id,
+        CASE
+            WHEN event_id % 83 = 5 THEN NULL
+            WHEN event_id % 79 = 7 THEN -1
+            WHEN event_id % 73 = 11 THEN 0
+            ELSE CAST(rn AS INT)
+        END AS turn_idx,
+        CASE
+            WHEN event_id % 71 = 13 THEN NULL
+            WHEN event_id % 67 = 17 THEN ' user'
+            WHEN event_id % 61 = 19 THEN 'Assistant'
+            WHEN event_id % 59 = 23 THEN 'moderator'
+            WHEN event_type = 'signup' THEN 'system'
+            WHEN event_type = 'click' THEN 'tool'
+            WHEN event_type = 'error' THEN 'assistant'
+            WHEN event_type = 'view' THEN 'assistant'
+            ELSE 'user'
+        END AS role,
+        CASE
+            WHEN event_id % 57 = 0 THEN NULL
+            WHEN event_id % 53 = 1 THEN ''
+            WHEN event_id % 47 = 2 THEN '   '
+            WHEN event_id % 43 = 3 THEN '  needs trimming  '
+            WHEN event_id % 41 = 4 THEN 'internal' || chr(9) || 'tab  and  double  spaces'
+            WHEN event_id % 37 = 5 THEN 'reach me at alice' || CAST(event_id % 10 AS STRING) || '@example.com for details'
+            WHEN event_id % 31 = 6 THEN 'call (555) 123-' || lpad(CAST(event_id % 10000 AS STRING), 4, '0') || ' now'
+            WHEN event_id % 29 = 7 THEN 'my ssn is 123-45-' || lpad(CAST(event_id % 10000 AS STRING), 4, '0')
+            WHEN event_id % 23 = 8 THEN 'api key sk-' || lpad(CAST(event_id AS STRING), 16, '0') || ' do not share'
+            WHEN event_id % 19 = 9 THEN 'aws cred AKIA' || lpad(CAST(event_id % 10000000 AS STRING), 16, '0') || ' leaked'
+            WHEN event_id % 17 = 10 THEN 'the quick brown fox jumps over the lazy dog'
+            WHEN event_id % 13 = 11 THEN 'the quick brown fox jumped over the lazy dogs'
+            WHEN event_id % 11 = 3 THEN repeat('lorem ipsum dolor sit amet ', 40)
+            ELSE 'turn ' || CAST(rn AS STRING) || ' discussing ' || event_type || ' ' || repeat(event_type || ' ', CAST(event_id % 5 AS INT))
+        END AS text,
+        CASE
+            WHEN event_type = 'click' AND event_id % 7 <> 0 THEN 'web_search'
+            WHEN event_type = 'click' THEN 'code_exec  '
+            ELSE NULL
+        END AS tool,
+        ts
+    FROM base
+)
+""".strip()
+
+# Full standalone statement selecting the synthesized corpus.
+TRANSCRIPTS_SQL = f"WITH {TRANSCRIPTS_CTE}\nSELECT * FROM transcripts"
+
+
+def oracle_with_transcripts(body_sql: str) -> str:
+    """Wrap an oracle query body so it can reference `transcripts`.
+
+    ``body_sql`` is ANSI/DuckDB SQL referencing the `transcripts`
+    relation; the driver pre-registers `events` as a DuckDB view.
+    """
+    return f"WITH {TRANSCRIPTS_CTE}\n{body_sql}"
+
+
+def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the transcript corpus for one scale factor.
+
+    Runs the shared template through Spark SQL so the engine input is
+    byte-identical to what the DuckDB oracle derives.
+    """
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.createOrReplaceTempView("events")
+    return spark.sql(TRANSCRIPTS_SQL)
