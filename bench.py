@@ -57,7 +57,9 @@ def bench_pipeline(spark, sf_dir: str) -> tuple[float, int]:
         t = t.crossJoin(rep).withColumn(
             "conv_id", F.concat_ws("_", "conv_id", "__rep")
         ).drop("__rep")
-    t = t.persist()
+    # Fixed partition count regardless of core count: the N vs 4N
+    # scaling comparison must run on an identical split structure.
+    t = t.repartition(128).persist()
     n_turns = t.count()
     labeled = apply_checks(t, default_transcript_checks())
     out = labeled.withColumn("text_scrubbed", scrub_text(F.col("text"))).select(
@@ -100,10 +102,11 @@ def main() -> None:
     pipe_sec, n_turns = bench_pipeline(spark, sf_dir)
     timings["pipeline"] = round(pipe_sec, 3)
 
-    for name in HEADLINE:
-        t0 = time.time()
-        _force(queries[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+    if "--pipeline-only" not in sys.argv:
+        for name in HEADLINE:
+            t0 = time.time()
+            _force(queries[name](spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -1,0 +1,63 @@
+"""CLI surface: run (resumable) + show-lineage via python -m."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cli(*args: str):
+    return subprocess.run(
+        [sys.executable, "-m", "zeus_data_quality_spark.cli", "--cpus", "4", *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=300,
+    )
+
+
+def test_cli_run_and_lineage(spark, sf_dir, tmp_path):
+    # Prepare a transcript parquet input via the synthesis template.
+    from zeus_data_quality_spark.sources.transcripts import load_transcripts
+
+    inp = str(tmp_path / "in.parquet")
+    load_transcripts(spark, sf_dir).write.parquet(inp)
+
+    out = _cli(
+        "run",
+        "--input", inp,
+        "--output", str(tmp_path / "out"),
+        "--lineage", str(tmp_path / "lineage"),
+        "--run-id", "cli-r1",
+        "--buckets", "4",
+        "--batch-size", "2",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["rows_in"] == 1000
+    assert summary["slices_processed_now"] == 4
+    assert summary["rows_kept"] + summary["rows_dropped"] == 1000
+
+    # Re-run with the same run-id: resumable → zero new work.
+    again = _cli(
+        "run",
+        "--input", inp,
+        "--output", str(tmp_path / "out"),
+        "--lineage", str(tmp_path / "lineage"),
+        "--run-id", "cli-r1",
+        "--buckets", "4",
+    )
+    assert again.returncode == 0, again.stderr[-2000:]
+    summary2 = json.loads(again.stdout.strip().splitlines()[-1])
+    assert summary2["slices_processed_now"] == 0
+    assert summary2["rows_in"] == 1000  # lineage totals unchanged
+
+    show = _cli("show-lineage", "--lineage", str(tmp_path / "lineage"),
+                "--run-id", "cli-r1")
+    lines = [json.loads(l) for l in show.stdout.strip().splitlines()]
+    assert len(lines) == 4
+    assert {l["partition_id"] for l in lines} == {"0", "1", "2", "3"}

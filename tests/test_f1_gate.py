@@ -1,0 +1,106 @@
+"""North-star gate: keep/drop F1 ≥ 0.99 + exact scrub equality vs an
+independent pure-pandas oracle implementing the reference semantics
+literally (BASELINE.md rows 2-3).
+
+The oracle re-implements ``WHERE NOT(pred)`` three-valued-logic
+counting per reference services/runner.py:43 and utils/checkdefs.py
+rule shapes — written directly against pandas, sharing no code with
+the engine (the DuckDB oracle in test_entry_parity.py is a second,
+SQL-based independent implementation).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from zeus_data_quality_spark.functions.scrub import SCRUB_PATTERNS
+from zeus_data_quality_spark.plans.configs import (
+    CONV_ID_FORMAT,
+    default_transcript_checks,
+)
+from zeus_data_quality_spark.plans.runner import apply_checks
+from zeus_data_quality_spark.sources.transcripts import load_transcripts
+
+
+def oracle_keep(pdf: pd.DataFrame) -> pd.Series:
+    """Pass/fail per reference 3VL: a row fails iff NOT(pred) is TRUE,
+    i.e. pred is definitively False; NULL predicates pass."""
+    n = len(pdf)
+    fail = pd.Series(False, index=pdf.index)
+
+    conv, turn, role, text, tool = (
+        pdf["conv_id"], pdf["turn_idx"], pdf["role"], pdf["text"], pdf["tool"]
+    )
+    # CONV_ID_NULL_COUNT: fail iff NULL.
+    fail |= conv.isna()
+    # CONV_ID_FORMAT: NULL passes; fail iff no regex search match.
+    rx = re.compile(CONV_ID_FORMAT)
+    fail |= conv.notna() & ~conv.fillna("").map(lambda s: bool(rx.search(s)))
+    # TURNKEY_UNIQUE: all members of a duplicate non-null key group fail.
+    key_ok = conv.notna() & turn.notna()
+    key = pd.Series(list(zip(conv, turn)), index=pdf.index)
+    counts = key[key_ok].map(key[key_ok].value_counts())
+    fail |= key_ok & (counts.reindex(pdf.index) > 1)
+    # TURN_IDX_MIN_MAX (min=0): NULL passes (NULL predicate).
+    fail |= turn.notna() & (turn < 0)
+    # ROLE_VALUE_DIST: NULL passes (IN → NULL under 3VL).
+    allowed = {"system", "user", "assistant", "tool"}
+    fail |= role.notna() & ~role.isin(allowed)
+    # ROLE_WHITESPACE NO_LEADING_TRAILING: NULL passes.
+    fail |= role.notna() & (role != role.str.strip(" "))
+    # TEXT_NONEMPTY: NULL or blank fails.
+    fail |= text.isna() | (text.fillna("").str.strip(" ").str.len() == 0)
+    # TEXT_WHITESPACE NO_INTERNAL_ONLY_WHITESPACE: NULL passes.
+    collapsed = text.fillna("").map(lambda s: re.sub(r"\s+", " ", s))
+    fail |= text.notna() & (collapsed != text.fillna(""))
+    # TEXT_LEN_MIN_MAX 1..1000 on length(text): NULL passes.
+    fail |= text.notna() & ~text.str.len().between(1, 1000)
+    # TOOL_WHITESPACE: NULL passes.
+    fail |= tool.notna() & (tool != tool.str.strip(" "))
+    assert len(fail) == n
+    return ~fail
+
+
+def oracle_scrub(text: pd.Series) -> pd.Series:
+    out = text
+    for _, pat, repl in SCRUB_PATTERNS:
+        out = out.str.replace(pat, repl, regex=True)
+    return out
+
+
+def test_f1_and_exact_scrub(spark, sf_dir):
+    from zeus_data_quality_spark.functions.scrub import scrub_text
+    from pyspark.sql import functions as F
+
+    t = load_transcripts(spark, sf_dir)
+    labeled = apply_checks(t, default_transcript_checks()).withColumn(
+        "text_scrubbed", scrub_text(F.col("text"))
+    )
+    got = (
+        labeled.select(
+            "conv_id", "turn_idx", "role", "text", "tool", "keep", "text_scrubbed"
+        )
+        .toPandas()
+        .sort_values(
+            ["conv_id", "turn_idx", "text"], na_position="first", kind="mergesort"
+        )
+        .reset_index(drop=True)
+    )
+    want_keep = oracle_keep(got)
+
+    tp = int((got["keep"] & want_keep).sum())
+    fp = int((got["keep"] & ~want_keep).sum())
+    fn = int((~got["keep"] & want_keep).sum())
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * precision * recall / (precision + recall)
+    assert f1 >= 0.99, f"F1={f1} (p={precision}, r={recall})"
+    assert f1 == 1.0  # in fact exact
+
+    # Exact per-turn scrubbed-text equality under stable sort.
+    want_scrub = oracle_scrub(got["text"])
+    a = got["text_scrubbed"].fillna("∅").tolist()
+    b = want_scrub.fillna("∅").tolist()
+    assert a == b

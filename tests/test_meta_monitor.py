@@ -1,0 +1,164 @@
+"""Metadata CRUD, AGG escape hatch, monitor plans, failing-row samples."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.functions.rules import Check
+from zeus_data_quality_spark.plans import aggcheck
+from zeus_data_quality_spark.plans.meta import MetaStore
+from zeus_data_quality_spark.plans.monitor import (
+    daily_trend,
+    kpis,
+    results_with_configs,
+)
+from zeus_data_quality_spark.plans.runner import (
+    run_all,
+    sample_failing_rows,
+)
+
+
+def test_meta_roundtrip(spark, tmp_path):
+    store = MetaStore(spark, str(tmp_path))
+    store.upsert_config(
+        {"config_id": "c1", "name": "alpha", "target_table_fqn": "db.s.t1",
+         "status": "ACTIVE", "owner": "me"}
+    )
+    store.upsert_config(
+        {"config_id": "c2", "name": "beta", "target_table_fqn": "db.s.t2",
+         "status": "INACTIVE"}
+    )
+    checks = [
+        Check("B_X", "NULL_COUNT", "x", config_id="c1"),
+        Check("A_Y", "MIN_MAX", "y", {"min": 0}, sample_rows=5, config_id="c1"),
+    ]
+    store.replace_checks("c1", checks)
+
+    got = store.get_checks("c1")
+    assert [c.check_id for c in got] == ["A_Y", "B_X"]  # ORDER BY check_id
+    assert got[0].params == {"min": 0} and got[0].sample_rows == 5
+
+    # MERGE semantics: update keeps created_at, changes fields.
+    before = store.get_config("c1")
+    store.upsert_config({"config_id": "c1", "name": "alpha2",
+                         "target_table_fqn": "db.s.t1"})
+    after = store.get_config("c1")
+    assert after["name"] == "alpha2"
+    assert after["created_at"] == before["created_at"]
+    assert after["updated_at"] >= before["updated_at"]
+    assert store.configs_df().count() == 2
+
+    # Listing order: STATUS DESC then NAME.
+    listed = [r["config_id"] for r in store.list_configs().collect()]
+    assert listed == ["c2", "c1"]  # INACTIVE > ACTIVE in DESC string sort
+
+    assert store.duplicate_target_guard("cX", "DB.S.T1") is True
+    assert store.duplicate_target_guard("c1", "db.s.t1") is False
+    assert {r["config_id"] for r in store.search_configs("alpha").collect()} == {"c1"}
+
+    store.delete_config("c1")
+    assert store.get_config("c1") is None
+    assert store.get_checks("c1") == []
+    assert store.configs_df().count() == 1
+
+
+def test_agg_escape_hatch(spark):
+    assert aggcheck.is_agg_rule("AGG: SELECT TRUE AS OK")
+    assert aggcheck.is_agg_rule("select 1", "AGG_CUSTOM")
+    assert not aggcheck.is_agg_rule("x IS NOT NULL")
+    assert aggcheck.strip_agg("AGG: 'SELECT 1;'") == "SELECT 1"
+    ok, failures = aggcheck.evaluate_agg_check(spark, "AGG: SELECT 1=1 AS OK")
+    assert ok and failures == 0
+    ok, failures = aggcheck.evaluate_agg_check(spark, "AGG: SELECT 'no'")
+    assert not ok and failures == 1
+    # tolerant bool coercion
+    for v, expect in [("YES", True), ("t", True), (1, True), (0, False),
+                      (None, False), ("FALSE", False)]:
+        assert aggcheck.coerce_bool(v) is expect
+    with pytest.raises(ValueError, match="unbalanced"):
+        aggcheck.evaluate_agg_check(spark, "AGG: SELECT 'x")
+
+
+def test_run_all_mixed_config(spark):
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00"), (None, "2024-01-02 00:00:00")],
+        "v string, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    checks = [
+        Check("A_NULL", "NULL_COUNT", "v"),
+        Check("B_ROWS", "ROW_COUNT", None, {"min_rows": 10}),
+        Check("C_AGG", "AGG_CUSTOM", None, {"agg_sql": "AGG: SELECT TRUE AS OK"}),
+        Check("D_BROKEN", "AGG_CUSTOM", None, {"agg_sql": "AGG: SELECT bad syntax FROM"}),
+    ]
+    labeled, records = run_all(spark, df, checks, "cfg")
+    by_id = {r.check_id: r for r in records}
+    assert [r.check_id for r in records] == sorted(by_id)  # check_id order
+    assert by_id["A_NULL"].failures == 1 and not by_id["A_NULL"].ok
+    assert by_id["B_ROWS"].failures == 1 and not by_id["B_ROWS"].ok
+    assert by_id["C_AGG"].ok and by_id["C_AGG"].failures == 0
+    assert not by_id["D_BROKEN"].ok and by_id["D_BROKEN"].error_msg  # loop continued
+
+
+def test_sample_failing_rows(spark):
+    df = spark.createDataFrame(
+        [(i, "x" if i % 3 else None) for i in range(30)], "id int, v string"
+    )
+    c = Check("V_NULL", "NULL_COUNT", "v", sample_rows=4)
+    got = sample_failing_rows(df, c).collect()
+    assert len(got) == 4
+    assert all(r["v"] is None for r in got)
+    u = Check("U", "UNIQUE", None, {"key": ["v"]}, sample_rows=50)
+    dup_sample = sample_failing_rows(df, u).collect()
+    assert len(dup_sample) == 20  # all non-null v='x' rows are dups
+    assert "__uniq_U" not in dup_sample[0].asDict()
+
+
+def _results_fixture(spark):
+    rows = [
+        ("r1", "c1", "CHK1", datetime(2024, 1, 10, 8), 5, False),
+        ("r1", "c1", "CHK2", datetime(2024, 1, 10, 8), 0, True),
+        ("r2", "c2", "CHK1", datetime(2024, 1, 12, 8), 2, False),
+        ("r3", "c1", "CHK1", datetime(2023, 11, 1, 8), 9, False),  # out of range
+    ]
+    return spark.createDataFrame(
+        rows,
+        "run_id string, config_id string, check_id string, run_ts timestamp,"
+        " failures long, ok boolean",
+    )
+
+
+def test_monitor_join_filters_topk(spark):
+    results = _results_fixture(spark)
+    configs = spark.createDataFrame(
+        [("c1", "alpha"), ("c2", "beta")], "config_id string, name string"
+    )
+    now = datetime(2024, 1, 15)
+    out = results_with_configs(results, configs, days_back=30, now=now).collect()
+    assert len(out) == 3  # 2023 row filtered out
+    assert out[0]["run_ts"] >= out[-1]["run_ts"]  # DESC
+    assert {r["name"] for r in out} == {"alpha", "beta"}
+    failed_only = results_with_configs(
+        results, configs, days_back=30, only_failed=True, now=now
+    ).collect()
+    assert all(not r["ok"] for r in failed_only) and len(failed_only) == 2
+    one_cfg = results_with_configs(
+        results, configs, days_back=30, config_ids=["c2"], now=now
+    ).collect()
+    assert {r["config_id"] for r in one_cfg} == {"c2"}
+
+
+def test_monitor_kpis_and_trend(spark):
+    results = _results_fixture(spark)
+    k = kpis(results).first()
+    assert k["failed_checks"] == 3
+    assert k["total_failures"] == 16
+    assert k["configs_affected"] == 2
+    trend = daily_trend(spark, results, days=5, anchor=datetime(2024, 1, 12)).collect()
+    assert len(trend) == 5  # zero-filled spine
+    by_day = {str(r["day"]): r for r in trend}
+    assert by_day["2024-01-10"]["n_runs"] == 2
+    assert by_day["2024-01-11"]["n_runs"] == 0  # zero-filled
+    assert by_day["2024-01-12"]["n_failed"] == 1

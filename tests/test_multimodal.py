@@ -1,0 +1,56 @@
+"""Multimodal plumbing: schema, batch shape, decode/resize/features."""
+
+from __future__ import annotations
+
+import pytest
+
+from zeus_data_quality_spark.operators.multimodal import (
+    audio_frame_sample,
+    decode_image_bytes,
+    encode_fake_image,
+    image_features,
+    image_resize,
+    synth_media_table,
+)
+
+
+def test_fake_codec_roundtrip():
+    b = encode_fake_image(8, 4, seed=7)
+    w, h, px = decode_image_bytes(b)
+    assert (w, h) == (8, 4) and px.shape == (4, 8)
+    with pytest.raises(NotImplementedError, match="stubbed"):
+        decode_image_bytes(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_media_table_and_resize(spark):
+    media = synth_media_table(spark, 16)
+    assert media.count() == 16
+    out = image_resize(media, 8, 8)
+    rows = out.collect()
+    assert len(rows) == 8  # images only
+    w, h, px = decode_image_bytes(bytes(rows[0]["payload"]))
+    assert (w, h) == (8, 8) and px.size == 64
+    # deterministic across runs
+    again = {r["media_id"]: bytes(r["payload"]) for r in image_resize(media, 8, 8).collect()}
+    assert bytes(rows[0]["payload"]) == again[rows[0]["media_id"]]
+
+
+def test_image_features(spark):
+    media = synth_media_table(spark, 8)
+    feats = {r["media_id"]: r["features"] for r in image_features(media).collect()}
+    assert set(feats) == {0, 2, 4, 6}
+    for v in feats.values():
+        assert len(v) == 16
+        assert abs(sum(v) - 1.0) < 1e-5  # normalized histogram
+
+
+def test_audio_frames(spark):
+    media = synth_media_table(spark, 8)
+    frames = audio_frame_sample(media, frame_ms=100).collect()
+    assert {r["media_id"] for r in frames} == {1, 3, 5, 7}
+    assert all(r["rms"] >= 0 for r in frames)
+    per_media = {}
+    for r in frames:
+        per_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for idxs in per_media.values():
+        assert sorted(idxs) == list(range(len(idxs)))  # contiguous frames

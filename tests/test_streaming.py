@@ -1,0 +1,94 @@
+"""Streaming filter: file-source micro-batches → same verdicts as batch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.plans.configs import default_transcript_checks
+from zeus_data_quality_spark.plans.runner import apply_checks
+from zeus_data_quality_spark.sources.transcripts import load_transcripts
+from zeus_data_quality_spark.streaming.filter_stream import (
+    stateless_checks,
+    streaming_quality_filter,
+    windowed_drop_metrics,
+)
+
+
+def _write_stream_input(spark, sf_dir, path):
+    t = load_transcripts(spark, sf_dir)
+    # Two "arrival" files → two micro-batches under availableNow.
+    t.filter(F.xxhash64("ts") % 2 == 0).write.mode("overwrite").parquet(
+        f"{path}/part=a"
+    )
+    t.filter(F.xxhash64("ts") % 2 != 0).write.mode("append").parquet(
+        f"{path}/part=b"
+    )
+    return t
+
+
+def test_stream_matches_batch(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "in")
+    t = _write_stream_input(spark, sf_dir, src)
+    checks = default_transcript_checks()
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp"
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    labeled = streaming_quality_filter(stream, checks)
+    q = (
+        labeled.writeStream.format("memory")
+        .queryName("labeled_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql(
+        "SELECT conv_id, turn_idx, text, n_violations, keep, text_scrubbed"
+        " FROM labeled_stream"
+    )
+    batch = apply_checks(t, stateless_checks(checks)).withColumn(
+        "text_scrubbed",
+        __import__(
+            "zeus_data_quality_spark.functions.scrub", fromlist=["scrub_text"]
+        ).scrub_text(F.col("text")),
+    ).select("conv_id", "turn_idx", "text", "n_violations", "keep", "text_scrubbed")
+
+    assert got.count() == batch.count()
+    key = ["conv_id", "turn_idx", "text", "n_violations", "keep", "text_scrubbed"]
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
+def test_windowed_metrics(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "in2")
+    _write_stream_input(spark, sf_dir, src)
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp"
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    labeled = streaming_quality_filter(
+        stream, default_transcript_checks(), scrub=False
+    )
+    metrics = windowed_drop_metrics(labeled, window="1 day")
+    q = (
+        metrics.writeStream.format("memory")
+        .queryName("metrics_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM metrics_stream").collect()
+    assert len(rows) >= 1
+    assert all(r["rows_in"] == r["rows_kept"] + r["rows_dropped"] for r in rows)

@@ -1,0 +1,129 @@
+"""spark-submit entry point.
+
+North-rule launch surface: the pipeline ships as a zip and runs as
+
+    spark-submit --py-files zeus_data_quality_spark.zip \\
+        -m zeus_data_quality_spark.cli run \\
+        --input /path/transcripts.parquet --output /path/out \\
+        --lineage /path/lineage --config-id default --run-id r42
+
+(in local dev: ``python -m zeus_data_quality_spark.cli ...``). The
+``run`` command is checkpoint-resumable: re-invoking with the same
+``--run-id`` skips slices already marked complete in the lineage table
+(the reference's Run-Now entry point, ``utils/dmfs.py:475-498``,
+with resume semantics the reference lacks).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark("zeus_dq", cpus=args.cpus)
+
+
+def cmd_run(args) -> int:
+    from .plans.configs import default_transcript_checks
+    from .plans.lineage import LineageStore, run_with_checkpoints
+    from .plans.meta import MetaStore
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    if args.meta:
+        checks = MetaStore(spark, args.meta).get_checks(args.config_id)
+        if not checks:
+            print(f"no checks found for config {args.config_id}", file=sys.stderr)
+            return 2
+    else:
+        checks = default_transcript_checks(args.config_id)
+    lineage = LineageStore(spark, args.lineage)
+    part = F.pmod(
+        F.xxhash64(F.coalesce(F.col(args.partition_key), F.lit("~null~"))),
+        F.lit(args.buckets),
+    )
+    processed = run_with_checkpoints(
+        spark,
+        df,
+        checks,
+        part,
+        args.output,
+        lineage,
+        config_id=args.config_id,
+        run_id=args.run_id,
+        batch_size=args.batch_size,
+    )
+    summary = (
+        lineage.read()
+        .filter(
+            (F.col("run_id") == args.run_id)
+            & (F.col("config_id") == args.config_id)
+        )
+        .agg(
+            F.sum("rows_in").alias("rows_in"),
+            F.sum("rows_kept").alias("rows_kept"),
+            F.sum("rows_dropped").alias("rows_dropped"),
+        )
+        .first()
+    )
+    print(
+        json.dumps(
+            {
+                "run_id": args.run_id,
+                "config_id": args.config_id,
+                "slices_processed_now": len(processed),
+                "rows_in": summary["rows_in"],
+                "rows_kept": summary["rows_kept"],
+                "rows_dropped": summary["rows_dropped"],
+            }
+        )
+    )
+    return 0
+
+
+def cmd_show_lineage(args) -> int:
+    from .plans.lineage import LineageStore
+
+    spark = _spark(args)
+    df = LineageStore(spark, args.lineage).read()
+    if args.run_id:
+        df = df.filter(F.col("run_id") == args.run_id)
+    for r in df.orderBy("completed_at").collect():
+        print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="zeus_data_quality_spark")
+    p.add_argument("--cpus", type=int, default=None, help="local[N] threads")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run the quality-filter pipeline (resumable)")
+    r.add_argument("--input", required=True)
+    r.add_argument("--output", required=True)
+    r.add_argument("--lineage", required=True)
+    r.add_argument("--meta", default=None, help="MetaStore dir (else default config)")
+    r.add_argument("--config-id", default="default")
+    r.add_argument("--run-id", required=True)
+    r.add_argument("--partition-key", default="conv_id")
+    r.add_argument("--buckets", type=int, default=64)
+    r.add_argument("--batch-size", type=int, default=8)
+    r.set_defaults(fn=cmd_run)
+
+    s = sub.add_parser("show-lineage", help="dump lineage rows as JSON lines")
+    s.add_argument("--lineage", required=True)
+    s.add_argument("--run-id", default=None)
+    s.set_defaults(fn=cmd_show_lineage)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -67,7 +67,11 @@ class Check:
 
     @property
     def is_table_level(self) -> bool:
-        return self.check_type.upper() in SUPPORTED_TABLE_CHECKS
+        # AGG* check types are scalar statements, evaluated with the
+        # table checks (reference SP dispatch treats CHECK_TYPE LIKE
+        # 'AGG%' as aggregate, sql/CREATE_RESULTS_AND_SP.SQL:70).
+        ctype = self.check_type.upper()
+        return ctype in SUPPORTED_TABLE_CHECKS or ctype.startswith("AGG")
 
 
 def passes(pred: Column) -> Column:

@@ -1,0 +1,165 @@
+"""Multimodal columns: binary payloads + typed metadata, Arrow-batched.
+
+Training-data pipelines carry images/audio/video as opaque ``binary``
+columns next to structured metadata. This module implements the
+Spark-side plumbing for that pattern — schema convention, mapInPandas
+batch shape, partition sizing — with the *codec* step stubbed: real
+image/audio libraries are not in this container, so decode is either
+(a) a deterministic fake format (``FAKEIMG``/``FAKEPCM`` headers +
+raw payload) that exercises every byte of the plumbing, or (b) a
+clearly-marked ``NotImplementedError`` for real codecs.
+
+Scale notes:
+
+* media rows are large → ``REPARTITION_BYTES`` guidance: keep batches
+  of binary payloads under ~64 MB per Arrow batch by lowering
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` for media tables;
+* mapInPandas streams an *iterator* of pandas batches — nothing
+  materializes a whole partition in memory;
+* metadata-only operations (filtering by width, grouping by codec)
+  never touch the payload column thanks to parquet column pruning —
+  filter first, decode last.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, media_type string, payload binary,"
+    " width int, height int, sample_rate int, duration_ms int"
+)
+
+_IMG_MAGIC = b"FAKEIMG"
+_PCM_MAGIC = b"FAKEPCM"
+
+
+def encode_fake_image(width: int, height: int, seed: int) -> bytes:
+    """Deterministic fake image: magic + dims + u8 pixel grid."""
+    rng = np.arange(width * height, dtype=np.int64) * (seed * 2654435761 % 255 + 1)
+    pixels = (rng % 251).astype(np.uint8)
+    return _IMG_MAGIC + struct.pack("<II", width, height) + pixels.tobytes()
+
+
+def encode_fake_pcm(sample_rate: int, n_samples: int, seed: int) -> bytes:
+    t = np.arange(n_samples, dtype=np.int64)
+    wave = ((t * (seed % 17 + 1)) % 65536 - 32768).astype(np.int16)
+    return _PCM_MAGIC + struct.pack("<II", sample_rate, n_samples) + wave.tobytes()
+
+
+def decode_image_bytes(b: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode the fake format; real codecs are explicitly stubbed."""
+    if b is None:
+        raise ValueError("NULL payload")
+    if not b.startswith(_IMG_MAGIC):
+        raise NotImplementedError(
+            "real image codecs (JPEG/PNG) are stubbed in this environment; "
+            "payload is not FAKEIMG"
+        )
+    w, h = struct.unpack("<II", b[7:15])
+    px = np.frombuffer(b, dtype=np.uint8, offset=15, count=w * h)
+    return w, h, px.reshape(h, w)
+
+
+def synth_media_table(spark, n: int = 64) -> DataFrame:
+    """Deterministic media fixture (images + audio interleaved)."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = 16 + (i % 5) * 8, 16 + (i % 3) * 8
+            rows.append(
+                (i, "image", bytearray(encode_fake_image(w, h, i)), w, h, None, None)
+            )
+        else:
+            sr, ns = 16000, 1600 + (i % 4) * 800
+            rows.append(
+                (
+                    i,
+                    "audio",
+                    bytearray(encode_fake_pcm(sr, ns, i)),
+                    None,
+                    None,
+                    sr,
+                    int(ns * 1000 / sr),
+                )
+            )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def image_resize(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize over mapInPandas (decode → stride-sample
+    → re-encode). Output schema: (media_id, payload, width, height)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_image_bytes(bytes(payload))
+                ys = (np.arange(out_h) * h // out_h).astype(np.int64)
+                xs = (np.arange(out_w) * w // out_w).astype(np.int64)
+                resized = px[np.ix_(ys, xs)]
+                blob = (
+                    _IMG_MAGIC
+                    + struct.pack("<II", out_w, out_h)
+                    + resized.astype(np.uint8).tobytes()
+                )
+                out.append((mid, bytearray(blob), out_w, out_h))
+            yield pd.DataFrame(
+                out, columns=["media_id", "payload", "width", "height"]
+            )
+
+    return df.filter(F.col("media_type") == "image").mapInPandas(
+        batches, "media_id long, payload binary, width int, height int"
+    )
+
+
+def image_features(df: DataFrame, bins: int = 16) -> DataFrame:
+    """Byte-histogram feature vector per image (the feature-extract
+    slot; a real model would run here the same way — batched,
+    broadcast weights). Output: (media_id, features array<float>)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, _, px = decode_image_bytes(bytes(payload))
+                hist, _ = np.histogram(px, bins=bins, range=(0, 256))
+                feat = (hist / max(px.size, 1)).astype(np.float32)
+                out.append((mid, feat.tolist()))
+            yield pd.DataFrame(out, columns=["media_id", "features"])
+
+    return df.filter(F.col("media_type") == "image").mapInPandas(
+        batches, "media_id long, features array<float>"
+    )
+
+
+def audio_frame_sample(df: DataFrame, frame_ms: int = 100) -> DataFrame:
+    """One amplitude summary per frame_ms window of fake-PCM audio.
+    Output: (media_id, frame_idx, rms double)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                if not b.startswith(_PCM_MAGIC):
+                    raise NotImplementedError(
+                        "real audio codecs are stubbed; payload is not FAKEPCM"
+                    )
+                sr, ns = struct.unpack("<II", b[7:15])
+                wave = np.frombuffer(b, dtype=np.int16, offset=15, count=ns)
+                step = max(int(sr * frame_ms / 1000), 1)
+                for fi in range(0, ns, step):
+                    seg = wave[fi : fi + step].astype(np.float64)
+                    rows.append((mid, fi // step, float(np.sqrt((seg**2).mean()))))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "rms"])
+
+    return df.filter(F.col("media_type") == "audio").mapInPandas(
+        batches, "media_id long, frame_idx int, rms double"
+    )

@@ -1,0 +1,77 @@
+"""The ``AGG:`` escape hatch — arbitrary-SQL scalar checks.
+
+The reference's sole extension point (SURVEY.md §2.3 #17): a check
+whose ``rule_expr`` starts with the literal prefix ``"AGG: "`` is a
+complete SQL statement whose first column of the first row is coerced
+to a boolean OK (``services/runner.py:11-41``,
+``sql/CREATE_RESULTS_AND_SP.SQL:70-85``). Failures are reported as
+0/1, never a row count.
+
+Parity details preserved:
+
+* prefix detection is case-insensitive on the stripped expression and
+  also triggers when CHECK_TYPE starts with ``AGG`` (SP :70);
+* stray wrapping quotes around the whole statement are stripped
+  (runner.py:18-24);
+* sanity guards reject dangling ``FROM`` at end and unbalanced single
+  quotes (SP :78-81) — kept because this is raw SQL by design;
+* boolean coercion is the tolerant TRUE/T/YES/Y/1 parser
+  (streamlit_app.py:85-93); numerics count as truthy when nonzero.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+AGG_PREFIX = "AGG:"
+
+
+def is_agg_rule(rule_expr: str | None, check_type: str | None = None) -> bool:
+    if (check_type or "").upper().startswith("AGG"):
+        return True
+    return (rule_expr or "").strip().upper().startswith(AGG_PREFIX)
+
+
+def strip_agg(rule_expr: str) -> str:
+    stmt = rule_expr.strip()
+    if stmt.upper().startswith(AGG_PREFIX):
+        stmt = stmt[len(AGG_PREFIX):].strip()
+    # Strip one layer of symmetric wrapping quotes (runner.py:18-24).
+    while len(stmt) >= 2 and stmt[0] == stmt[-1] and stmt[0] in ("'", '"', "`"):
+        stmt = stmt[1:-1].strip()
+    if stmt.endswith(";"):
+        stmt = stmt[:-1].rstrip()
+    return stmt
+
+
+def sanity_check(stmt: str) -> str | None:
+    """Reference guards (SP :78-81): returns an error message or None."""
+    upper = stmt.upper().rstrip()
+    if upper.endswith("FROM"):
+        return "AGG SQL appears incomplete (dangling FROM)"
+    if stmt.count("'") % 2 == 1:
+        return "AGG SQL has unbalanced quotes"
+    return None
+
+
+def coerce_bool(value) -> bool:
+    """Tolerant boolean parser (streamlit_app.py:85-93)."""
+    if value is None:
+        return False
+    if isinstance(value, bool):
+        return value
+    if isinstance(value, (int, float)):
+        return value != 0
+    return str(value).strip().upper() in ("TRUE", "T", "YES", "Y", "1")
+
+
+def evaluate_agg_check(spark: SparkSession, rule_expr: str) -> tuple[bool, int]:
+    """Execute an AGG check; returns (ok, failures) with failures 0/1
+    (runner.py:33)."""
+    stmt = strip_agg(rule_expr)
+    err = sanity_check(stmt)
+    if err:
+        raise ValueError(err)
+    row = spark.sql(stmt).first()
+    ok = coerce_bool(row[0]) if row is not None else False
+    return ok, 0 if ok else 1

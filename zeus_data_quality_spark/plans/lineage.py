@@ -1,0 +1,176 @@
+"""Per-partition lineage, metrics, and checkpointed resume.
+
+North-rule requirement: "resumable from per-partition checkpoints
+recorded in an Iceberg lineage/metrics table (rows in, rows dropped per
+rule, scrub counts)". Shape per FIXTURES.md §4:
+
+    (run_id, config_id, partition_id, rows_in, rows_kept, rows_dropped,
+     fail_counts map<check_id,long>, scrub_counts map<pattern,long>,
+     completed_at timestamp)
+
+Storage: this container ships no Iceberg runtime jars, so the lineage
+table and the partitioned output are written as append-only /
+dynamic-partition-overwrite **parquet** with identical schema and
+commit ordering; on a cluster the two ``write`` calls swap for
+``writeTo(...).append()`` / ``overwritePartitions()`` on Iceberg tables
+with no other code change (both are atomic per-commit there).
+
+Resume protocol (idempotent, crash-safe):
+
+1. Work is sliced by a user-chosen partition expression (for
+   transcripts: a date or a hash bucket of ``conv_id`` — at 10^12
+   turns each slice is still many GB and one slice = one Spark job).
+2. Slices are processed in batches; each batch's *data* is committed
+   first (dynamic partition overwrite → re-running a half-written
+   batch simply rewrites those partitions), the *lineage* rows are
+   appended after. A crash between the two leaves committed data
+   with no lineage mark → the slice reruns on resume and overwrites
+   itself idempotently. Data first, lineage last (SURVEY.md §7.4.5).
+3. Resume = recompute the todo list minus partition_ids already in
+   the lineage table for this (config_id, run_id).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import rules as rules_mod
+from ..functions.scrub import SCRUB_PATTERNS, with_scrub_struct
+from ..plans.runner import apply_checks, row_checks
+
+LINEAGE_SCHEMA = (
+    "run_id string, config_id string, partition_id string, rows_in long,"
+    " rows_kept long, rows_dropped long, fail_counts map<string,long>,"
+    " scrub_counts map<string,long>, completed_at timestamp"
+)
+
+
+class LineageStore:
+    """Append-only lineage table (parquet directory)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def read(self) -> DataFrame:
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+        return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.path)
+
+    def append(self, rows: list[dict]) -> None:
+        df = self.spark.createDataFrame(
+            [
+                (
+                    r["run_id"],
+                    r["config_id"],
+                    r["partition_id"],
+                    r["rows_in"],
+                    r["rows_kept"],
+                    r["rows_dropped"],
+                    r["fail_counts"],
+                    r["scrub_counts"],
+                    r.get("completed_at") or datetime.now(timezone.utc),
+                )
+                for r in rows
+            ],
+            LINEAGE_SCHEMA,
+        )
+        df.write.mode("append").parquet(self.path)
+
+    def completed_partitions(self, config_id: str, run_id: str) -> set[str]:
+        df = self.read().filter(
+            (F.col("config_id") == config_id) & (F.col("run_id") == run_id)
+        )
+        return {r["partition_id"] for r in df.select("partition_id").collect()}
+
+
+def run_with_checkpoints(
+    spark: SparkSession,
+    df: DataFrame,
+    checks: list,
+    partition_expr: Column,
+    out_dir: str,
+    lineage: LineageStore,
+    config_id: str = "default",
+    run_id: str = "run-1",
+    batch_size: int = 4,
+    text_col: str = "text",
+    fail_after_batches: int | None = None,
+) -> list[str]:
+    """Quality-filter ``df`` slice-by-slice with checkpointed resume.
+
+    Returns the list of partition_ids processed in THIS invocation
+    (already-completed slices are skipped). ``fail_after_batches`` is a
+    test hook that raises after N committed batches to simulate a
+    mid-run crash.
+
+    Scope note: rules are evaluated per slice, so ``partition_expr``
+    MUST co-partition each UNIQUE check's key space (e.g. a hash bucket
+    of ``conv_id`` keeps every (conv_id, turn_idx) group in one slice).
+    Same co-location reasoning as bucketing a join key.
+    """
+    work = df.withColumn("__part", partition_expr.cast("string"))
+    all_parts = sorted(
+        r["__part"] for r in work.select("__part").distinct().collect()
+    )
+    done = lineage.completed_partitions(config_id, run_id)
+    todo = [p for p in all_parts if p not in done]
+    processed: list[str] = []
+    rcs = row_checks(checks)
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batches = [todo[i : i + batch_size] for i in range(0, len(todo), batch_size)]
+    for bi, batch in enumerate(batches):
+        part_df = work.filter(F.col("__part").isin(batch))
+        labeled = apply_checks(part_df, checks)
+        scrubbed = with_scrub_struct(labeled, text_col=text_col)
+        out = scrubbed.select(
+            "*", F.col("scrub.text_scrubbed").alias("text_scrubbed")
+        ).drop("scrub")
+        # 1) data first: idempotent dynamic-partition overwrite.
+        out.write.mode("overwrite").partitionBy("__part").parquet(out_dir)
+        # 2) metrics: one aggregate per batch, grouped by slice.
+        aggs = [
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(F.col("keep").cast("long")).alias("rows_kept"),
+        ]
+        for c in rcs:
+            aggs.append(
+                F.sum(F.col(rules_mod.fail_flag_name(c)).cast("long")).alias(
+                    rules_mod.fail_flag_name(c)
+                )
+            )
+        for name, _, _ in SCRUB_PATTERNS:
+            aggs.append(F.sum(F.col(f"scrub.n_{name}")).alias(f"scrub_{name}"))
+        stats = scrubbed.groupBy("__part").agg(*aggs).collect()
+        rows = []
+        for r in stats:
+            d = r.asDict()
+            rows.append(
+                {
+                    "run_id": run_id,
+                    "config_id": config_id,
+                    "partition_id": d["__part"],
+                    "rows_in": d["rows_in"],
+                    "rows_kept": d["rows_kept"] or 0,
+                    "rows_dropped": d["rows_in"] - (d["rows_kept"] or 0),
+                    "fail_counts": {
+                        c.check_id: int(d[rules_mod.fail_flag_name(c)] or 0)
+                        for c in rcs
+                    },
+                    "scrub_counts": {
+                        name: int(d[f"scrub_{name}"] or 0)
+                        for name, _, _ in SCRUB_PATTERNS
+                    },
+                }
+            )
+        # 3) lineage last: marks the batch complete.
+        lineage.append(rows)
+        processed.extend(batch)
+        if fail_after_batches is not None and bi + 1 >= fail_after_batches:
+            raise RuntimeError(f"injected failure after batch {bi + 1}")
+    return processed

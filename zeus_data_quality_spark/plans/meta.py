@@ -1,0 +1,205 @@
+"""Config/check metadata store + catalog discovery.
+
+Mirrors the reference's metadata layer (``utils/meta.py``): DQ_CONFIG /
+DQ_CHECK tables with MERGE-style upsert, ordered listing, per-config
+fetch, delete, a duplicate-target guard, and case-insensitive search
+(reference operator rows #22-#28, #39 in SURVEY.md §2.4/2.6).
+
+Storage is a parquet-backed key overwrite (this sandbox has no Iceberg
+runtime); on a cluster ``_rewrite`` swaps for an Iceberg ``MERGE INTO``
+(reference ``utils/meta.py:160-184``) / ``DELETE FROM`` — the public
+API is unchanged. Config tables are tiny (thousands of rows), so a
+full-table rewrite per mutation is the honest equivalent of a
+copy-on-write MERGE commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rules import Check
+
+CONFIG_SCHEMA = (
+    "config_id string, name string, description string, target_table_fqn string,"
+    " status string, owner string, schedule_cron string, schedule_timezone string,"
+    " schedule_enabled boolean, created_at timestamp, updated_at timestamp"
+)
+CHECK_SCHEMA = (
+    "config_id string, check_id string, table_fqn string, column_name string,"
+    " rule_expr string, severity string, sample_rows int, check_type string,"
+    " params_json string"
+)
+
+
+class MetaStore:
+    """DQ_CONFIG + DQ_CHECK over a metadata directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._configs = os.path.join(root, "dq_config")
+        self._checks = os.path.join(root, "dq_check")
+
+    # -- raw table access -------------------------------------------------
+    def configs_df(self) -> DataFrame:
+        if not os.path.exists(self._configs):
+            return self.spark.createDataFrame([], CONFIG_SCHEMA)
+        return self.spark.read.schema(CONFIG_SCHEMA).parquet(self._configs)
+
+    def checks_df(self) -> DataFrame:
+        if not os.path.exists(self._checks):
+            return self.spark.createDataFrame([], CHECK_SCHEMA)
+        return self.spark.read.schema(CHECK_SCHEMA).parquet(self._checks)
+
+    def _rewrite(self, df: DataFrame, path: str, schema: str) -> None:
+        # Tiny metadata tables: copy-on-write commit (stand-in for
+        # Iceberg MERGE). Stage to a temp dir then swap to keep the
+        # read path consistent.
+        tmp = path + ".staging"
+        df.write.mode("overwrite").parquet(tmp)
+        staged = self.spark.read.schema(schema).parquet(tmp)
+        staged.write.mode("overwrite").parquet(path)
+
+    # -- reference ops ----------------------------------------------------
+    def upsert_config(self, cfg: dict) -> None:
+        """MERGE-by-config_id (reference utils/meta.py:160-184)."""
+        now = datetime.now(timezone.utc)
+        existing = self.configs_df()
+        old = existing.filter(F.col("config_id") == cfg["config_id"]).collect()
+        created = old[0]["created_at"] if old else now
+        row = (
+            cfg["config_id"],
+            cfg.get("name"),
+            cfg.get("description"),
+            cfg.get("target_table_fqn"),
+            cfg.get("status", "ACTIVE"),
+            cfg.get("owner"),
+            cfg.get("schedule_cron", "0 8 * * *"),
+            cfg.get("schedule_timezone", "Europe/Berlin"),
+            bool(cfg.get("schedule_enabled", False)),
+            created,
+            now,
+        )
+        new = self.spark.createDataFrame([row], CONFIG_SCHEMA)
+        merged = existing.filter(
+            F.col("config_id") != cfg["config_id"]
+        ).unionByName(new)
+        self._rewrite(merged, self._configs, CONFIG_SCHEMA)
+
+    def replace_checks(self, config_id: str, checks: list[Check]) -> None:
+        """DELETE WHERE config_id + batch insert (utils/meta.py:252-261)."""
+        rows = [
+            (
+                config_id,
+                c.check_id,
+                None,
+                c.column,
+                None,
+                c.severity,
+                int(c.sample_rows),
+                c.check_type,
+                json.dumps(c.params, sort_keys=True),
+            )
+            for c in checks
+        ]
+        new = self.spark.createDataFrame(rows, CHECK_SCHEMA)
+        merged = self.checks_df().filter(
+            F.col("config_id") != config_id
+        ).unionByName(new)
+        self._rewrite(merged, self._checks, CHECK_SCHEMA)
+
+    def list_configs(self) -> DataFrame:
+        """ORDER BY STATUS DESC, NAME (utils/meta.py:186-215)."""
+        return self.configs_df().orderBy(F.desc("status"), F.asc("name"))
+
+    def get_config(self, config_id: str) -> dict | None:
+        rows = self.configs_df().filter(F.col("config_id") == config_id).collect()
+        return rows[0].asDict() if rows else None
+
+    def get_checks(self, config_id: str) -> list[Check]:
+        """ORDER BY CHECK_ID — the run order (meta.py:263-274,
+        sql/CREATE_RESULTS_AND_SP.SQL:47)."""
+        rows = (
+            self.checks_df()
+            .filter(F.col("config_id") == config_id)
+            .orderBy("check_id")
+            .collect()
+        )
+        return [
+            Check(
+                check_id=r["check_id"],
+                check_type=r["check_type"],
+                column=r["column_name"],
+                params=json.loads(r["params_json"] or "{}"),
+                severity=r["severity"] or "ERROR",
+                sample_rows=r["sample_rows"] or 0,
+                config_id=r["config_id"],
+            )
+            for r in rows
+        ]
+
+    def delete_config(self, config_id: str) -> None:
+        """Two deletes (utils/meta.py:247-250)."""
+        self._rewrite(
+            self.configs_df().filter(F.col("config_id") != config_id),
+            self._configs,
+            CONFIG_SCHEMA,
+        )
+        self._rewrite(
+            self.checks_df().filter(F.col("config_id") != config_id),
+            self._checks,
+            CHECK_SCHEMA,
+        )
+
+    def duplicate_target_guard(self, config_id: str, target_fqn: str) -> bool:
+        """True if another config already targets the table,
+        case-insensitively (streamlit_app.py:758-777)."""
+        hits = (
+            self.configs_df()
+            .filter(F.lower("target_table_fqn") == (target_fqn or "").lower())
+            .filter(F.col("config_id") != config_id)
+            .count()
+        )
+        return hits > 0
+
+    def search_configs(self, query: str) -> DataFrame:
+        """Case-insensitive substring over name/fqn/status/owner/id
+        (streamlit_app.py:250-261)."""
+        q = (query or "").lower()
+        cols = ["name", "target_table_fqn", "status", "owner", "config_id"]
+        pred = None
+        for c in cols:
+            term = F.lower(F.coalesce(F.col(c), F.lit(""))).contains(q)
+            pred = term if pred is None else (pred | term)
+        return self.configs_df().filter(pred)
+
+    def shared_table_configs(self, table_fqn: str) -> DataFrame:
+        """ACTIVE configs sharing a target table — the safe-detach
+        refcount of utils/dmfs.py:354-384 (config ⋈ check + DISTINCT)."""
+        cfg = self.configs_df().filter(F.upper("status") == "ACTIVE")
+        chk = self.checks_df()
+        return (
+            cfg.join(F.broadcast(chk), "config_id")
+            .filter(F.lower(F.coalesce("target_table_fqn", F.lit(""))) == table_fqn.lower())
+            .select("config_id")
+            .distinct()
+        )
+
+
+# -- discovery (reference utils/meta.py:277-319 → Spark catalog) ----------
+
+def list_databases(spark: SparkSession) -> list[str]:
+    return sorted(d.name for d in spark.catalog.listDatabases())
+
+
+def list_tables(spark: SparkSession, db: str | None = None) -> list[str]:
+    return sorted(t.name for t in spark.catalog.listTables(db))
+
+
+def list_columns(spark: SparkSession, table: str) -> list[tuple[str, str]]:
+    return [(c.name, c.dataType) for c in spark.catalog.listColumns(table)]

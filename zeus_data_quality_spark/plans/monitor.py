@@ -1,0 +1,95 @@
+"""Monitor / reporting plans (reference streamlit_app.py:1014-1235).
+
+Reference operator rows #35-#38 (SURVEY.md §2.6) over the lineage/run
+tables: results⋈configs left join with time-range / config-set / OK
+filters and ORDER BY ... LIMIT (a top-k, no full sort in Spark), KPI
+aggregates, and the zero-filled daily trend via a date spine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def results_with_configs(
+    results: DataFrame,
+    configs: DataFrame,
+    days_back: int = 30,
+    config_ids: list[str] | None = None,
+    only_failed: bool | None = None,
+    limit: int = 5000,
+    now=None,
+) -> DataFrame:
+    """Reference monitor query (streamlit_app.py:1056-1087):
+
+    LEFT JOIN configs (broadcast — metadata is tiny), RUN_TS range
+    filter, optional CONFIG_ID IN, optional COALESCE(OK,FALSE) filter,
+    ORDER BY RUN_TS DESC LIMIT n (TakeOrderedAndProject)."""
+    out = results.join(
+        F.broadcast(configs.select("config_id", "name")), "config_id", "left"
+    )
+    cutoff = (
+        F.lit(now) - F.expr(f"INTERVAL {int(days_back)} DAY")
+        if now is not None
+        else F.current_timestamp() - F.expr(f"INTERVAL {int(days_back)} DAY")
+    )
+    out = out.filter(F.col("run_ts") >= cutoff)
+    if config_ids:
+        out = out.filter(F.col("config_id").isin(config_ids))
+    if only_failed is True:
+        out = out.filter(~F.coalesce(F.col("ok"), F.lit(False)))
+    elif only_failed is False:
+        out = out.filter(F.coalesce(F.col("ok"), F.lit(False)))
+    return out.orderBy(F.desc("run_ts")).limit(limit)
+
+
+def kpis(results: DataFrame) -> DataFrame:
+    """Failed-check count, total failures, configs affected
+    (streamlit_app.py:1115-1143) — one aggregate instead of pandas."""
+    failed = ~F.coalesce(F.col("ok"), F.lit(False))
+    return results.agg(
+        F.sum(failed.cast("long")).alias("failed_checks"),
+        F.sum(F.when(failed, F.col("failures")).otherwise(0)).alias(
+            "total_failures"
+        ),
+        F.countDistinct(F.when(failed, F.col("config_id"))).alias(
+            "configs_affected"
+        ),
+    )
+
+
+def daily_trend(
+    spark: SparkSession, results: DataFrame, days: int = 30, anchor=None
+) -> DataFrame:
+    """Zero-filled per-day failed-run counts: groupBy(day) left-joined
+    to a spark.range date spine (streamlit_app.py:1120-1138 /
+    :692-707 GENERATOR pattern)."""
+    if anchor is not None:
+        mx = spark.range(1).select(F.lit(anchor).cast("date").alias("maxd"))
+    else:
+        mx = results.agg(F.max(F.col("run_ts").cast("date")).alias("maxd"))
+    spine = (
+        spark.range(days)
+        .crossJoin(F.broadcast(mx))
+        .select(F.date_sub(F.col("maxd"), F.col("id").cast("int")).alias("day"))
+    )
+    failed = ~F.coalesce(F.col("ok"), F.lit(False))
+    daily = (
+        results.groupBy(F.col("run_ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.sum(failed.cast("long")).alias("n_failed"),
+            F.sum(F.coalesce(F.col("failures"), F.lit(0))).alias("failures"),
+        )
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_runs", F.lit(0)).alias("n_runs"),
+            F.coalesce("n_failed", F.lit(0)).alias("n_failed"),
+            F.coalesce("failures", F.lit(0)).alias("failures"),
+        )
+        .orderBy("day")
+    )

@@ -26,7 +26,15 @@ from ..operators import anomaly
 from ..operators.convfeat import conversation_features
 from ..operators.dedup import exact_dedup, minhash_dedup, simhash
 from ..operators.similarity import brute_force_topk, lsh_ann_topk
+from ..operators.dedup import ngram_jaccard
+from ..operators.multimodal import (
+    audio_frame_sample,
+    image_features,
+    synth_media_table,
+)
+from ..sources.run_results import load_run_results, oracle_with_run_results
 from ..sources.transcripts import load_transcripts, oracle_with_transcripts
+from . import monitor
 from . import oracle as osql
 from .configs import default_transcript_checks
 from .runner import apply_checks, failure_counts
@@ -214,6 +222,104 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- monitor / reporting
+
+MONITOR_NOW = datetime(2024, 2, 1)
+
+
+def q_monitor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Results⋈configs left join + range filter + ORDER BY ts DESC
+    LIMIT (reference streamlit_app.py:1056-1087) — TakeOrderedAndProject."""
+    results, configs = load_run_results(spark, sf_dir)
+    return monitor.results_with_configs(
+        results, configs, days_back=20, now=MONITOR_NOW, limit=5000
+    ).select("run_id", "config_id", "check_id", "run_ts", "failures", "ok", "name")
+
+
+def q_monitor_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    results, _ = load_run_results(spark, sf_dir)
+    return monitor.kpis(results)
+
+
+def q_monitor_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import date
+
+    results, _ = load_run_results(spark, sf_dir)
+    return monitor.daily_trend(spark, results, days=30, anchor=date(2024, 2, 1))
+
+
+# --------------------------------------------- additional relational ops
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (no reference counterpart — SURVEY.md §2.8
+    gap list) with exact DECIMAL accumulation."""
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_tp"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("_tp").cast("double").alias("total_price"),
+        )
+    )
+
+
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered analytic window: per-customer running spend."""
+    from pyspark.sql import Window
+
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(run)
+        .cast("double")
+        .alias("running_total"),
+        F.row_number().over(w).cast("int").alias("order_seq"),
+    )
+
+
+def q_setops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations on user segments."""
+    events = _read(spark, sf_dir, "events")
+    purch = events.filter(F.col("event_type") == "purchase").select("user_id")
+    err = events.filter(F.col("event_type") == "error").select("user_id")
+    both = purch.intersect(err).withColumn("segment", F.lit("both"))
+    only = purch.subtract(err).withColumn("segment", F.lit("purchase_only"))
+    return both.unionByName(only)
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verify step on fixed document pairs."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = (
+        docs.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100))
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+        )
+    )
+    out = ngram_jaccard(docs, "doc_id", pairs, "text")
+    return out.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: decode fake images → feature vectors."""
+    return image_features(synth_media_table(spark, 64))
+
+
+def q_media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_frame_sample(synth_media_table(spark, 64), frame_ms=100)
+
+
 # ------------------------------------------------------------- oracles
 
 def _oracle_rule_failure_counts() -> str:
@@ -350,6 +456,105 @@ SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= 5
 """
 
 
+ORACLE_MONITOR_TOPK = oracle_with_run_results(
+    """
+, joined AS (
+    SELECT r.run_id, r.config_id, r.check_id, r.run_ts, r.failures, r.ok, c.name
+    FROM run_results r LEFT JOIN configs c ON c.config_id = r.config_id
+    WHERE r.run_ts >= TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 20 DAY
+)
+SELECT * FROM joined ORDER BY run_ts DESC LIMIT 5000
+"""
+)
+
+ORACLE_MONITOR_KPIS = oracle_with_run_results(
+    """
+SELECT CAST(SUM(CASE WHEN NOT COALESCE(ok, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+           AS failed_checks,
+       CAST(SUM(CASE WHEN NOT COALESCE(ok, FALSE) THEN failures ELSE 0 END) AS BIGINT)
+           AS total_failures,
+       CAST(COUNT(DISTINCT CASE WHEN NOT COALESCE(ok, FALSE) THEN config_id END) AS BIGINT)
+           AS configs_affected
+FROM run_results
+"""
+)
+
+ORACLE_MONITOR_TREND = oracle_with_run_results(
+    """
+, spine AS (SELECT DATE '2024-02-01' - CAST(i AS INT) AS day FROM range(30) t(i)),
+daily AS (
+    SELECT CAST(run_ts AS DATE) AS day,
+           COUNT(*) AS n_runs,
+           SUM(CASE WHEN NOT COALESCE(ok, FALSE) THEN 1 ELSE 0 END) AS n_failed,
+           SUM(COALESCE(failures, 0)) AS failures
+    FROM run_results GROUP BY 1
+)
+SELECT spine.day AS day,
+       CAST(COALESCE(n_runs, 0) AS BIGINT) AS n_runs,
+       CAST(COALESCE(n_failed, 0) AS BIGINT) AS n_failed,
+       CAST(COALESCE(failures, 0) AS BIGINT) AS failures
+FROM spine LEFT JOIN daily ON spine.day = daily.day
+"""
+)
+
+ORACLE_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+ORACLE_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_total,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS INT)
+           AS order_seq
+FROM orders
+"""
+
+ORACLE_SETOPS = """
+SELECT user_id, 'both' AS segment FROM (
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+)
+UNION ALL
+SELECT user_id, 'purchase_only' AS segment FROM (
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+)
+"""
+
+ORACLE_NGRAM_JACCARD = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE CAST([] AS VARCHAR[]) END AS s
+    FROM toks
+), pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id % 10 = 0 AND a.doc_id < 100
+)
+SELECT id_a, id_b,
+       CASE WHEN len(list_distinct(list_concat(sa, sb))) > 0
+            THEN round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                       / len(list_distinct(list_concat(sa, sb))), 9)
+            ELSE 0.0 END AS jaccard
+FROM pairs
+"""
+
+
 def queries():
     return {
         "rule_failure_counts": q_rule_failure_counts,
@@ -370,6 +575,15 @@ def queries():
         "simhash": q_simhash,
         "langid": q_langid,
         "perplexity": q_perplexity,
+        "monitor_topk": q_monitor_topk,
+        "monitor_kpis": q_monitor_kpis,
+        "monitor_daily_trend": q_monitor_daily_trend,
+        "rollup_orders": q_rollup_orders,
+        "window_running_total": q_window_running_total,
+        "setops_users": q_setops_users,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "media_features": q_media_features,
+        "media_audio_frames": q_media_audio_frames,
     }
 
 
@@ -388,7 +602,15 @@ def oracle_sql():
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "text_stats": textstats.duckdb_text_stats_sql("documents", "doc_id", "text"),
         "ann_bruteforce": ORACLE_ANN_BRUTEFORCE,
-        # ann_lsh / minhash_pairs / simhash / langid / perplexity:
-        # deliberately no oracle — hash-seeded / model-driven operators
-        # are not SQL-expressible; covered by pytest oracles instead.
+        "monitor_topk": ORACLE_MONITOR_TOPK,
+        "monitor_kpis": ORACLE_MONITOR_KPIS,
+        "monitor_daily_trend": ORACLE_MONITOR_TREND,
+        "rollup_orders": ORACLE_ROLLUP,
+        "window_running_total": ORACLE_RUNNING_TOTAL,
+        "setops_users": ORACLE_SETOPS,
+        "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
+        # ann_lsh / minhash_pairs / simhash / langid / perplexity /
+        # media_*: deliberately no oracle — hash-seeded, model-driven,
+        # or binary-codec operators are not SQL-expressible; each is
+        # covered by an independent pytest oracle instead.
     }

@@ -175,6 +175,106 @@ def run_config(
     return labeled, records
 
 
+def sample_failing_rows(df: DataFrame, check: Check, n: int | None = None) -> DataFrame:
+    """Failing-row sample for one check: ``SELECT * WHERE NOT(pred)
+    LIMIT n`` (reference services/runner.py:49-58). LIMIT maps to
+    CollectLimitExec — the scan short-circuits, no sort, no shuffle."""
+    n = check.sample_rows if n is None else n
+    if check.check_type.upper() == "UNIQUE":
+        key = check.params.get("key") or [check.column]
+        prepped = with_unique_flag(
+            df, list(key), rules.unique_flag_name(check),
+            ignore_nulls=bool(check.params.get("ignore_nulls", True)),
+        )
+        return (
+            prepped.filter(rules.fails(rules.compile_row_check(check)))
+            .drop(rules.unique_flag_name(check))
+            .limit(n)
+        )
+    return df.filter(rules.fails(rules.compile_row_check(check))).limit(n)
+
+
+def run_table_checks(
+    spark: SparkSession,
+    df: DataFrame,
+    checks: list[Check],
+    config_id: str,
+    run_id: str,
+    run_ts: datetime,
+    anchor=None,
+) -> list[RunRecord]:
+    """Evaluate table-level + AGG checks (reference SP dispatch,
+    sql/CREATE_RESULTS_AND_SP.SQL:54-103). Errors don't abort: the
+    failing check records ok=False, failures=0, error_msg and the loop
+    continues (SP :96-103)."""
+    from ..operators import anomaly
+    from . import aggcheck
+
+    records: list[RunRecord] = []
+    for c in sorted(checks, key=lambda c: c.check_id):
+        ctype = c.check_type.upper()
+        try:
+            agg_sql = c.params.get("agg_sql")
+            if agg_sql or aggcheck.is_agg_rule(agg_sql, ctype):
+                ok, failures = aggcheck.evaluate_agg_check(spark, agg_sql)
+            elif ctype == "FRESHNESS":
+                r = anomaly.freshness(
+                    df,
+                    c.params.get("timestamp_column", "ts"),
+                    int(c.params.get("max_age_minutes", 1920)),
+                    anchor,
+                ).first()
+                ok, failures = bool(r["ok"]), 0 if r["ok"] else 1
+            elif ctype == "ROW_COUNT":
+                r = anomaly.row_count(df, int(c.params.get("min_rows", 1))).first()
+                ok, failures = bool(r["ok"]), 0 if r["ok"] else 1
+            elif ctype == "ROW_COUNT_ANOMALY":
+                r = anomaly.row_count_anomaly(
+                    df,
+                    c.params.get("timestamp_column", "ts"),
+                    int(c.params.get("lookback_days", 28)),
+                    float(c.params.get("sensitivity", 3.0)),
+                    int(c.params.get("min_history_days", 7)),
+                ).first()
+                ok, failures = bool(r["ok"]), 0 if r["ok"] else 1
+            else:
+                # Unknown table check → permissive TRUE (checkdefs.py:159).
+                ok, failures = True, 0
+            records.append(
+                RunRecord(run_id, config_id, c.check_id, c.check_type, run_ts,
+                          failures, ok)
+            )
+        except Exception as exc:
+            records.append(
+                RunRecord(run_id, config_id, c.check_id, c.check_type, run_ts,
+                          0, False, f"{type(exc).__name__}: {exc}"[:200])
+            )
+    return records
+
+
+def run_all(
+    spark: SparkSession,
+    df: DataFrame,
+    checks: list[Check],
+    config_id: str = "default",
+    run_ts: datetime | None = None,
+    anchor=None,
+) -> tuple[DataFrame, list[RunRecord]]:
+    """Full run: fused row checks + table/AGG checks, one lineage list
+    ordered by check_id (the reference run loop, SP :40-113)."""
+    run_ts = run_ts or datetime.now(timezone.utc)
+    labeled, records = run_config(
+        spark, df, [c for c in checks if not c.is_table_level], config_id, run_ts
+    )
+    run_id = records[0].run_id if records else str(uuid.uuid4())
+    table_records = run_table_checks(
+        spark, df, [c for c in checks if c.is_table_level],
+        config_id, run_id, run_ts, anchor,
+    )
+    merged = sorted(records + table_records, key=lambda r: r.check_id)
+    return labeled, merged
+
+
 def lineage_df(spark: SparkSession, records: list[RunRecord]) -> DataFrame:
     return spark.createDataFrame(
         [

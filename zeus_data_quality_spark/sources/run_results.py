@@ -1,0 +1,48 @@
+"""Deterministic synthesis of a DQ_RUN_RESULTS-shaped table.
+
+Same dual-dialect trick as ``sources/transcripts.py``: the monitor /
+reporting queries (SURVEY.md §2.6) need a run-results history and a
+config table; both are derived deterministically from ``events`` with
+SQL that evaluates identically in Spark and DuckDB, so the monitor
+plans get full value-level oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+RUN_RESULTS_CTE = """
+run_results AS (
+    SELECT
+        'run_' || lpad(CAST(event_id % 500 AS STRING), 4, '0') AS run_id,
+        'cfg_' || CAST(user_id % 7 AS STRING) AS config_id,
+        CASE
+            WHEN event_id % 3 = 0 THEN 'CHK_NULL'
+            WHEN event_id % 3 = 1 THEN 'CHK_FMT'
+            ELSE 'CHK_UNIQ'
+        END AS check_id,
+        ts AS run_ts,
+        CAST(event_id % 11 AS BIGINT) AS failures,
+        event_id % 11 = 0 AS ok
+    FROM events
+),
+configs AS (
+    SELECT DISTINCT
+        'cfg_' || CAST(user_id % 7 AS STRING) AS config_id,
+        'config name ' || CAST(user_id % 7 AS STRING) AS name
+    FROM events
+)
+""".strip()
+
+RUN_RESULTS_SQL = f"WITH {RUN_RESULTS_CTE}\nSELECT * FROM run_results"
+CONFIGS_SQL = f"WITH {RUN_RESULTS_CTE}\nSELECT * FROM configs"
+
+
+def oracle_with_run_results(body_sql: str) -> str:
+    return f"WITH {RUN_RESULTS_CTE}\n{body_sql}"
+
+
+def load_run_results(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.createOrReplaceTempView("events")
+    return spark.sql(RUN_RESULTS_SQL), spark.sql(CONFIGS_SQL)

@@ -1,0 +1,88 @@
+"""Streaming quality filter — the batch rules over readStream.
+
+The reference is batch + cron (no streaming constructs anywhere,
+SURVEY.md §2.8); this module is the Structured Streaming recast so the
+same config also filters a live transcript feed:
+
+* **Stateless rules** (everything except UNIQUE) are plain Column
+  predicates — identical code path as batch (`apply_checks`), applied
+  per micro-batch. Scrubbing is the same Arrow-batched pandas UDF.
+* **UNIQUE across an unbounded stream is ill-posed**; the streaming
+  equivalent is watermarked dedup: ``withWatermark(ts) +
+  dropDuplicatesWithinWatermark(key)`` keeps the *first* arrival of
+  each (conv_id, turn_idx) and drops later duplicates inside the
+  lateness bound. (Batch UNIQUE drops the whole duplicate group —
+  that group semantics needs the full corpus and stays batch.)
+* **Metrics** are a watermarked windowed aggregate (drop counts per
+  event-time window), append-mode-compatible for a lineage sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scrub import scrub_text
+from ..plans.runner import apply_checks
+
+
+def stateless_checks(checks: list) -> list:
+    return [
+        c
+        for c in checks
+        if not c.is_table_level and c.check_type.upper() != "UNIQUE"
+    ]
+
+
+def streaming_quality_filter(
+    stream: DataFrame,
+    checks: list,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    dedup_keys: list[str] | None = None,
+    scrub: bool = True,
+    text_col: str = "text",
+) -> DataFrame:
+    """readStream df → labeled, scrubbed, watermark-deduped stream.
+
+    Output adds fail_* flags, n_violations, keep, drop_reasons, and
+    text_scrubbed — same columns as the batch pipeline.
+    """
+    out = stream.withWatermark(ts_col, watermark)
+    if dedup_keys:
+        out = out.dropDuplicatesWithinWatermark(dedup_keys)
+    out = apply_checks(out, stateless_checks(checks))
+    if scrub:
+        out = out.withColumn("text_scrubbed", scrub_text(F.col(text_col)))
+    return out
+
+
+def windowed_drop_metrics(
+    labeled_stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-event-time-window keep/drop counts (append-mode sink ready).
+
+    Pass ``watermark`` only if the input stream is not already
+    watermarked (Spark disallows redefining a watermark downstream —
+    ``streaming_quality_filter`` already set one)."""
+    if watermark is not None:
+        labeled_stream = labeled_stream.withWatermark(ts_col, watermark)
+    return (
+        labeled_stream
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(F.col("keep").cast("long")).alias("rows_kept"),
+            F.sum((~F.col("keep")).cast("long")).alias("rows_dropped"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "rows_in",
+            "rows_kept",
+            "rows_dropped",
+        )
+    )
