@@ -1,0 +1,68 @@
+"""As-of join and bucketed range join semantics on micro-fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.operators.asof import asof_join, range_join
+
+
+def _ts(spark, rows, schema):
+    return spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    ).drop("ts_s")
+
+
+def test_asof_join_semantics(spark):
+    left = _ts(
+        spark,
+        [
+            ("u1", "2024-01-01 10:00:00", 100),
+            ("u1", "2024-01-01 12:00:00", 101),
+            ("u2", "2024-01-01 09:00:00", 200),  # before any right row
+            ("u3", "2024-01-01 10:00:00", 300),  # equal-ts (inclusive)
+        ],
+        "k string, ts_s string, lid int",
+    )
+    right = _ts(
+        spark,
+        [
+            ("u1", "2024-01-01 09:30:00", 1),
+            ("u1", "2024-01-01 11:00:00", 2),
+            ("u2", "2024-01-01 09:30:00", 3),
+            ("u3", "2024-01-01 10:00:00", 4),
+        ],
+        "k string, ts_s string, rid int",
+    )
+    out = {
+        r["lid"]: r
+        for r in asof_join(left, right, "k", right_cols=["rid"]).collect()
+    }
+    assert out[100]["r_rid"] == 1  # 09:30 is latest <= 10:00
+    assert out[101]["r_rid"] == 2  # 11:00 is latest <= 12:00
+    assert out[200]["r_rid"] is None  # nothing at or before 09:00
+    assert out[300]["r_rid"] == 4  # equal timestamp matches (inclusive)
+    assert out[100]["r_ts"] is not None and out[200]["r_ts"] is None
+
+
+def test_range_join_window(spark):
+    left = _ts(
+        spark,
+        [("u1", "2024-01-01 10:00:00", 1), ("u2", "2024-01-01 10:00:00", 2)],
+        "k string, ts_s string, lid int",
+    )
+    right = _ts(
+        spark,
+        [
+            ("u1", "2024-01-01 10:04:00", 10),  # within 5 min
+            ("u1", "2024-01-01 09:56:30", 11),  # within 5 min (before)
+            ("u1", "2024-01-01 10:06:00", 12),  # outside
+            ("u2", "2024-01-01 11:00:00", 13),  # outside
+        ],
+        "k string, ts_s string, rid int",
+    )
+    out = range_join(left, right, "k", 300)
+    got = {(r["lid"], r["rid_r"]) for r in out.collect()}
+    assert got == {(1, 10), (1, 11)}
+    # No duplicate pairs from the 3-bucket probe fan-out.
+    assert out.count() == 2

@@ -1,0 +1,56 @@
+"""Build the spark-submit distribution zip.
+
+North-rule launch shape:
+
+    python tools/package.py
+    spark-submit --py-files dist/zeus_data_quality_spark.zip \\
+        dist/submit_main.py run --input ... --output ... \\
+        --lineage ... --run-id r1
+
+The zip contains only the engine package (no tests/tools); it is
+byte-reproducible (fixed file order and timestamps) so cluster deploys
+are content-addressable.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "zeus_data_quality_spark"
+
+SUBMIT_MAIN = '''"""spark-submit driver shim: dispatches to the packaged CLI."""
+import sys
+
+from zeus_data_quality_spark.cli import main
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
+'''
+
+
+def build() -> str:
+    dist = os.path.join(REPO, "dist")
+    os.makedirs(dist, exist_ok=True)
+    zpath = os.path.join(dist, f"{PKG}.zip")
+    files = []
+    for root, _, names in os.walk(os.path.join(REPO, PKG)):
+        for n in sorted(names):
+            if n.endswith(".py"):
+                full = os.path.join(root, n)
+                files.append((full, os.path.relpath(full, REPO)))
+    files.sort(key=lambda t: t[1])
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for full, rel in files:
+            info = zipfile.ZipInfo(rel, date_time=(2024, 1, 1, 0, 0, 0))
+            info.external_attr = 0o644 << 16
+            with open(full, "rb") as f:
+                z.writestr(info, f.read())
+    with open(os.path.join(dist, "submit_main.py"), "w") as f:
+        f.write(SUBMIT_MAIN)
+    return zpath
+
+
+if __name__ == "__main__":
+    print(build())

@@ -1,0 +1,126 @@
+"""As-of join and bucketed range join — composed from built-in ops.
+
+Spark has no native ASOF JOIN (DuckDB/Pandas do) and naive range joins
+degenerate to nested loops. Both are composed here from shuffle-friendly
+primitives:
+
+* **as-of join** (latest right row with ``r.ts <= l.ts`` per key):
+  union the two sides tagged, one window pass per key ordered by
+  ``(ts, side)`` carrying the last non-null right payload forward
+  (``last(..., ignorenulls=True)`` over an unbounded-preceding frame),
+  then keep left rows. One shuffle on the key — same cost as a regular
+  join — instead of a per-row backward scan. Right rows sort before
+  left rows at equal ts, so the match is inclusive.
+* **range join** (pairs within ``±window`` on a timestamp, per key):
+  assign each ts to a bucket of width ``window``; a qualifying pair is
+  at most one bucket apart, so explode the left side into (bucket-1,
+  bucket, bucket+1) probes, equi-join on (key, bucket), then apply the
+  exact range predicate. Turns an inequality join into an equi-join
+  with 3x probe fan-out — the standard scale pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    prefix: str = "r_",
+) -> DataFrame:
+    """For each left row: columns of the latest right row with
+    ``right.ts <= left.ts`` and equal key (NULL if none).
+
+    Right side should be unique per (key, ts) — dedupe upstream if not
+    (as-of semantics are undefined on ties; DuckDB assumes the same).
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (key, right_ts)]
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(
+            F.col(right_ts).alias(f"{prefix}{right_ts}"),
+            *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+        ).alias("__payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c != key],
+    )
+    l = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ",".join(
+                [f"{prefix}{right_ts}:{right.schema[right_ts].dataType.simpleString()}"]
+                + [
+                    f"{prefix}{c}:{right.schema[c].dataType.simpleString()}"
+                    for c in right_cols
+                ]
+            )
+            + ">"
+        )
+        .alias("__payload"),
+        *[F.col(c) for c in left.columns if c != key],
+    )
+    unioned = r.unionByName(l)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        key,
+        *[c for c in left.columns if c != key],
+        F.col(f"__match.{prefix}{right_ts}").alias(f"{prefix}{right_ts}"),
+        *[F.col(f"__match.{prefix}{c}").alias(f"{prefix}{c}") for c in right_cols],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    window_seconds: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """All (left, right) pairs with equal key and
+    ``|left.ts - right.ts| <= window_seconds``, via bucketed equi-join.
+
+    Output: left columns + right columns suffixed ``_r``.
+    """
+    w = F.lit(window_seconds)
+    lb = F.floor(F.unix_timestamp(F.col(left_ts)) / w)
+    rb = F.floor(F.unix_timestamp(F.col(right_ts)) / w)
+    l = left.withColumn(
+        "__bkt", F.explode(F.array(lb - 1, lb, lb + 1))
+    )
+    r = right.select(
+        F.col(key).alias("__rkey"),
+        rb.alias("__bkt"),
+        *[F.col(c).alias(f"{c}_r") for c in right.columns if c != key],
+    )
+    joined = l.join(
+        r, (F.col(key) == F.col("__rkey")) & (l["__bkt"] == r["__bkt"])
+    )
+    exact = (
+        F.abs(
+            F.unix_timestamp(F.col(left_ts))
+            - F.unix_timestamp(F.col(f"{right_ts}_r"))
+        )
+        <= w
+    )
+    return joined.filter(exact).drop("__bkt", "__rkey")

@@ -311,6 +311,40 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (composed: tagged union + carry-forward window, one
+    shuffle) — each purchase matched to the user's latest prior signup.
+    Verified against DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.asof import asof_join
+
+    events = _read(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    right = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    return asof_join(left, right, "user_id", right_cols=["event_id"])
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join — purchase/error pairs of the same user
+    within 30 minutes, as an equi-join with 3x probe fan-out."""
+    from ..operators.asof import range_join
+
+    events = _read(spark, sf_dir, "events")
+    purch = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    err = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    out = range_join(purch, err, "user_id", 1800)
+    return out.select("user_id", "event_id", "event_id_r")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: decode fake images → feature vectors."""
     return image_features(synth_media_table(spark, 64))
@@ -555,6 +589,29 @@ FROM pairs
 """
 
 
+ORACLE_ASOF = """
+WITH l AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+), r0 AS (
+    SELECT user_id, ts, MAX(event_id) AS event_id
+    FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+)
+SELECT l.user_id, l.ts, l.event_id,
+       r0.ts AS r_ts, r0.event_id AS r_event_id
+FROM l ASOF LEFT JOIN r0
+  ON l.user_id = r0.user_id AND l.ts >= r0.ts
+"""
+
+ORACLE_RANGE_JOIN = """
+SELECT l.user_id, l.event_id, r.event_id AS event_id_r
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'purchase' AND r.event_type = 'error'
+ AND abs(CAST(floor(epoch(l.ts)) AS BIGINT)
+         - CAST(floor(epoch(r.ts)) AS BIGINT)) <= 1800
+"""
+
+
 def queries():
     return {
         "rule_failure_counts": q_rule_failure_counts,
@@ -582,6 +639,8 @@ def queries():
         "window_running_total": q_window_running_total,
         "setops_users": q_setops_users,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "media_features": q_media_features,
         "media_audio_frames": q_media_audio_frames,
     }
@@ -609,6 +668,8 @@ def oracle_sql():
         "window_running_total": ORACLE_RUNNING_TOTAL,
         "setops_users": ORACLE_SETOPS,
         "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
+        "asof_join": ORACLE_ASOF,
+        "range_join": ORACLE_RANGE_JOIN,
         # ann_lsh / minhash_pairs / simhash / langid / perplexity /
         # media_*: deliberately no oracle — hash-seeded, model-driven,
         # or binary-codec operators are not SQL-expressible; each is
