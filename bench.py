@@ -83,6 +83,11 @@ HEADLINE = [
     "minhash_pairs",
     "ann_bruteforce",
     "langid",
+    "perplexity",
+    "asof_join",
+    "range_join",
+    "window_running_total",
+    "monitor_topk",
 ]
 
 

@@ -1,0 +1,84 @@
+"""Model-driven checks (LANG_ID / PERPLEXITY) + salted aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.functions.rules import Check
+from zeus_data_quality_spark.operators.skew import salted_agg, salted_count
+from zeus_data_quality_spark.plans.configs import extended_transcript_checks
+from zeus_data_quality_spark.plans.runner import apply_checks
+
+
+def test_langid_check_drops_foreign_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in the house with the mouse"),
+            (2, "der Hund läuft über die Straße und das ist nicht gut"),
+            (3, None),  # NULL text → NULL predicate → passes (3VL)
+        ],
+        "id int, text string",
+    )
+    checks = [Check("L", "LANG_ID", "text", {"allowed": ["en", "unknown"]})]
+    out = {r["id"]: r for r in apply_checks(df, checks).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["drop_reasons"] == ["L"]
+    assert out[3]["keep"] is True
+
+
+def test_perplexity_check_drops_gibberish(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "zxq vbn wer tyu asd fgh jkl qwe rty uio"),
+            (3, None),
+        ],
+        "id int, text string",
+    )
+    checks = [Check("P", "PERPLEXITY", "text", {"max_nll": 11.5})]
+    out = {r["id"]: r for r in apply_checks(df, checks).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False
+    assert out[3]["keep"] is True  # NULL nll → NULL predicate → passes
+
+
+def test_extended_config_runs_end_to_end(spark, sf_dir):
+    from zeus_data_quality_spark.sources.transcripts import load_transcripts
+
+    t = load_transcripts(spark, sf_dir)
+    labeled = apply_checks(t, extended_transcript_checks())
+    total = labeled.count()
+    kept = labeled.filter("keep").count()
+    assert 0 < kept < total
+    # The two new checks contribute real drops beyond the heuristics.
+    extra = labeled.filter(
+        F.array_contains("drop_reasons", "TEXT_PERPLEXITY")
+        | F.array_contains("drop_reasons", "TEXT_LANG_ID")
+    ).count()
+    assert extra > 0
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.createDataFrame(
+        [(f"k{i % 3}", i, float(i)) for i in range(1000)],
+        "k string, i int, x double",
+    )
+    plain = {
+        (r["k"]): (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+        .collect()
+    }
+    salted = {
+        (r["k"]): (r["n"], r["s"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            [F.count(F.lit(1)).alias("c"), F.sum("x").alias("px")],
+            [F.sum("c").alias("n"), F.sum("px").alias("s")],
+            n_salts=8,
+        ).collect()
+    }
+    assert plain == salted
+    counts = {r["k"]: r["n"] for r in salted_count(df, ["k"]).collect()}
+    assert counts == {k: v[0] for k, v in plain.items()}

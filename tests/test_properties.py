@@ -1,0 +1,98 @@
+"""Property-based spot checks (SURVEY.md §5.4).
+
+Hypothesis drives the pure-Python building blocks (fast, no JVM);
+one seeded Spark test pins partition-order independence of keep/drop.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from zeus_data_quality_spark.functions.langid import detect_language_batch
+from zeus_data_quality_spark.functions.perplexity import _fnv1a, perplexity_batch
+from zeus_data_quality_spark.functions.scrub import scrub_series
+from zeus_data_quality_spark.plans.aggcheck import coerce_bool
+
+text_strategy = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    max_size=200,
+)
+pii_strategy = st.one_of(
+    st.just("write bob@example.com now"),
+    st.just("ssn 123-45-6789 leaked"),
+    st.just("(555) 123-4567"),
+    st.just("sk-aaaabbbbcccc1111"),
+    text_strategy,
+)
+
+
+@given(st.lists(pii_strategy, min_size=1, max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_scrub_idempotent_property(texts):
+    s = pd.Series(texts)
+    once = scrub_series(s)
+    twice = scrub_series(once)
+    assert once.fillna("∅").tolist() == twice.fillna("∅").tolist()
+
+
+@given(st.lists(text_strategy, min_size=1, max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_scrub_removes_all_emails(texts):
+    import re
+
+    out = scrub_series(pd.Series(texts)).fillna("")
+    email = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    for t in out:
+        assert not email.search(t.replace("<EMAIL>", " "))
+
+
+@given(st.one_of(st.text(max_size=20), st.integers(), st.floats(allow_nan=True),
+                 st.booleans(), st.none()))
+@settings(max_examples=200, deadline=None)
+def test_coerce_bool_total(v):
+    assert coerce_bool(v) in (True, False)
+
+
+@given(st.text(max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_fnv_stable_and_64bit(s):
+    h = _fnv1a(s)
+    assert 0 <= h < (1 << 64)
+    assert h == _fnv1a(s)
+
+
+@given(st.lists(text_strategy, min_size=1, max_size=10))
+@settings(max_examples=50, deadline=None)
+def test_langid_and_perplexity_total(texts):
+    s = pd.Series(texts)
+    langs = detect_language_batch(s)
+    assert len(langs) == len(s)
+    nll = perplexity_batch(s)
+    assert len(nll) == len(s)
+    assert (nll.dropna() >= 0).all()
+
+
+def test_keep_drop_invariant_under_repartitioning(spark, sf_dir):
+    """Determinism requirement (BASELINE.json north_star: stable
+    verdicts keyed on (conv_id, turn_idx), partition-order free)."""
+    from zeus_data_quality_spark.plans.configs import default_transcript_checks
+    from zeus_data_quality_spark.plans.runner import apply_checks
+    from zeus_data_quality_spark.sources.transcripts import load_transcripts
+
+    t = load_transcripts(spark, sf_dir)
+    checks = default_transcript_checks()
+
+    def verdicts(df):
+        out = apply_checks(df, checks).select(
+            "conv_id", "turn_idx", "text", "keep", "n_violations"
+        )
+        pdf = out.toPandas().sort_values(
+            ["conv_id", "turn_idx", "text"], na_position="first", kind="mergesort"
+        )
+        return list(map(tuple, pdf.fillna("∅").itertuples(index=False)))
+
+    a = verdicts(t.repartition(3))
+    b = verdicts(t.repartition(17, "conv_id"))
+    assert a == b

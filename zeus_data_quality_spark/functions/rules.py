@@ -177,6 +177,21 @@ def compile_row_check(check: Check) -> Column:
             csv = check.params.get("allowed_values_csv", "")
             allowed = [v.strip() for v in csv.split(",") if v.strip() != ""]
         return value_distribution(col, allowed)
+    # --- north-rule extension checks (not in the reference registry;
+    # model-driven pandas-UDF predicates, same 3VL contract: NULL text
+    # yields a NULL predicate → passes) ---
+    if ctype == "LANG_ID":
+        from .langid import detect_language
+
+        allowed = check.params.get("allowed", ["en"])
+        return F.when(
+            col.isNull(), F.lit(None).cast("boolean")
+        ).otherwise(detect_language(col).isin(list(allowed)))
+    if ctype == "PERPLEXITY":
+        from .perplexity import perplexity_nll
+
+        max_nll = float(check.params.get("max_nll", 10.0))
+        return perplexity_nll(col) <= F.lit(max_nll)
     # Unknown check → permissive TRUE (checkdefs.py:97).
     return F.lit(True)
 

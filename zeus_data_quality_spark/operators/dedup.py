@@ -143,13 +143,14 @@ def minhash_candidate_pairs(
     # each time. At corpus scale this persist becomes "write the
     # signature table", same plan shape.
     sig_nn = sigs.filter(F.col("sig").isNotNull()).persist()
+    # Band key = one 64-bit hash of (band index, band's signature
+    # slice): an 8-byte shuffle key instead of a ~60-char string.
     exploded = sig_nn.select(
         F.col(id_col).alias("__id"),
         F.explode(
             F.array(
                 *[
-                    F.concat_ws(
-                        "_",
+                    F.xxhash64(
                         F.lit(b),
                         *[F.element_at("sig", b * r + j + 1) for j in range(r)],
                     )

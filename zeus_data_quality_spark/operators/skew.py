@@ -1,0 +1,61 @@
+"""Salted two-phase aggregation for skewed keys.
+
+North-rule requirement: "salted repartitioning to break skew from
+mega-conversations". A plain ``groupBy(conv_id)`` sends every row of a
+hot conversation to one reducer; salting splits each key into
+``n_salts`` sub-keys for a partial aggregate, then combines the small
+per-(key, salt) partials in a second (cheap) aggregate.
+
+This is only needed for *algebraic* aggregates whose partial state is
+small (count/sum/min/max/approx sketches). Order-dependent window
+features can't be salted — for those the fix is projecting narrow
+columns before the shuffle (see ``operators/convfeat.py``) and AQE
+skew-split. Note Spark's map-side partial aggregation already handles
+*moderate* skew; explicit salting matters when a single key's partials
+must themselves be parallelized across reducers (10^4+ rows per key
+per partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    partial_aggs: list[Column],
+    final_aggs: list[Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase: groupBy(keys + salt).agg(partial) → groupBy(keys)
+    .agg(final over the partials).
+
+    ``partial_aggs`` aliases define the intermediate columns that
+    ``final_aggs`` combine, e.g.::
+
+        salted_agg(df, ["conv_id"],
+                   [F.count(F.lit(1)).alias("c"), F.sum("x").alias("s")],
+                   [F.sum("c").alias("n_turns"), F.sum("s").alias("sum_x")])
+
+    The salt is a deterministic hash of the full row spread across
+    ``n_salts`` buckets (monotonically_increasing_id would break
+    resume determinism).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(
+        *partial_aggs
+    )
+    return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_count(df: DataFrame, keys: list[str], n_salts: int = 16) -> DataFrame:
+    """Skew-proof ``groupBy(keys).count()`` → (keys..., n long)."""
+    return salted_agg(
+        df,
+        keys,
+        [F.count(F.lit(1)).alias("__c")],
+        [F.sum("__c").alias("n")],
+        n_salts,
+    )

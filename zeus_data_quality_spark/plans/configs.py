@@ -83,3 +83,26 @@ def default_transcript_checks(config_id: str = "transcripts_default") -> list[Ch
             config_id=config_id,
         ),
     ]
+
+
+def extended_transcript_checks(config_id: str = "transcripts_extended") -> list[Check]:
+    """Default config + the model-driven north-rule checks (language ID
+    allow-list, perplexity ceiling). Kept out of the DuckDB-oracled
+    default because UDF-backed predicates are not SQL-expressible;
+    pinned by pytest instead."""
+    return default_transcript_checks(config_id) + [
+        Check(
+            "TEXT_LANG_ID",
+            "LANG_ID",
+            "text",
+            {"allowed": ["en", "unknown"]},
+            config_id=config_id,
+        ),
+        Check(
+            "TEXT_PERPLEXITY",
+            "PERPLEXITY",
+            "text",
+            {"max_nll": 11.5},
+            config_id=config_id,
+        ),
+    ]
