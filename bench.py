@@ -65,6 +65,9 @@ def bench_pipeline(spark, sf_dir: str) -> tuple[float, int]:
     out = labeled.withColumn("text_scrubbed", scrub_text(F.col("text"))).select(
         "conv_id", "turn_idx", "keep", "n_violations", "text_scrubbed"
     )
+    # Warm codegen/python-workers on a slice so the measurement is the
+    # steady-state rate, not JIT compilation.
+    _force(out.limit(50_000))
     t0 = time.time()
     _force(out)
     dt = time.time() - t0

@@ -1,0 +1,114 @@
+"""Failing-row views, safe detach, discovery, session snapshot, preflight."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.functions.rules import Check
+from zeus_data_quality_spark.plans.aggcheck import sanitize_identifier
+from zeus_data_quality_spark.plans.meta import (
+    MetaStore,
+    list_columns,
+    list_databases,
+    list_tables,
+    preflight_checks,
+    session_snapshot,
+)
+from zeus_data_quality_spark.plans.runner import apply_checks
+from zeus_data_quality_spark.plans.views import (
+    attach_failing_views,
+    detach_failing_views,
+    view_name,
+)
+
+CHECKS = [
+    Check("V_NULL", "NULL_COUNT", "v"),
+    Check("V_RANGE", "MIN_MAX", "n", {"min": 0}),
+    Check("T_ROWS", "ROW_COUNT", None, {"min_rows": 1}),  # table-level: skipped
+]
+
+
+def test_attach_and_query_failing_views(spark):
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), ("c", -5)], "v string, n int"
+    )
+    labeled = apply_checks(df, CHECKS)
+    names = attach_failing_views(labeled, CHECKS, "cfg-1")
+    assert names == ["DQ_CFG_1_V_NULL_FAILS", "DQ_CFG_1_V_RANGE_FAILS"]
+    assert spark.sql("SELECT * FROM DQ_CFG_1_V_NULL_FAILS").count() == 1
+    assert spark.sql(
+        "SELECT n FROM DQ_CFG_1_V_RANGE_FAILS"
+    ).first()["n"] == -5
+    assert view_name("weird cfg!", "chk.id") == "DQ_WEIRD_CFG__CHK_ID_FAILS"
+
+
+def test_safe_detach_refcount(spark, tmp_path):
+    store = MetaStore(spark, str(tmp_path))
+    store.upsert_config({"config_id": "cfg-1", "name": "a",
+                         "target_table_fqn": "db.s.t", "status": "ACTIVE"})
+    store.upsert_config({"config_id": "cfg-2", "name": "b",
+                         "target_table_fqn": "db.s.t", "status": "ACTIVE"})
+    store.replace_checks("cfg-1", CHECKS)
+    store.replace_checks("cfg-2", CHECKS)
+    df = spark.createDataFrame([("a", 1)], "v string, n int")
+    labeled = apply_checks(df, CHECKS)
+    attach_failing_views(labeled, CHECKS, "cfg-1")
+
+    dropped, skipped = detach_failing_views(
+        spark, store, "cfg-1", CHECKS, "db.s.t"
+    )
+    assert skipped and dropped == []  # cfg-2 still ACTIVE on the table
+
+    store.upsert_config({"config_id": "cfg-2", "name": "b",
+                         "target_table_fqn": "db.s.t", "status": "INACTIVE"})
+    dropped, skipped = detach_failing_views(
+        spark, store, "cfg-1", CHECKS, "db.s.t"
+    )
+    assert not skipped
+    assert set(dropped) == {"DQ_CFG_1_V_NULL_FAILS", "DQ_CFG_1_V_RANGE_FAILS"}
+
+
+def test_discovery_and_snapshot(spark):
+    assert "default" in list_databases(spark)
+    spark.createDataFrame([(1,)], "x int").createOrReplaceTempView("disc_t")
+    assert "disc_t" in list_tables(spark)
+    assert ("x", "int") in list_columns(spark, "disc_t")
+    snap = session_snapshot(spark)
+    assert snap["spark_version"].startswith("4.")
+    assert snap["master"].startswith("local[")
+    assert snap["aqe_enabled"] == "true"
+
+
+def test_preflight(spark):
+    cols = ["conv_id", "turn_idx", "text"]
+    good = [
+        Check("A", "NULL_COUNT", "text"),
+        Check("B", "UNIQUE", None, {"key": ["conv_id", "turn_idx"]}),
+        Check("C", "MIN_MAX", None, {"expr": "length(text)", "min": 1}),
+        Check("D", "AGG_OK", None, {"agg_sql": "AGG: SELECT TRUE"}),
+    ]
+    assert preflight_checks(good, cols) == []
+    bad = [
+        Check("A", "NULL_COUNT", "nope"),
+        Check("A", "TYPO_CHECK", "text"),
+        Check("E", "UNIQUE", None, {"key": ["conv_id", "missing"]}),
+        Check("F", "AGG_X", None, {}),
+    ]
+    problems = preflight_checks(bad, cols)
+    # bad column, duplicate id, unknown type, missing UNIQUE key,
+    # AGG without sql → 5 distinct problems
+    assert len(problems) == 5
+    assert any("duplicate check_id" in p for p in problems)
+    assert any("unknown check type" in p for p in problems)
+    assert any("missing ['missing']" in p for p in problems)
+    assert any("without params['agg_sql']" in p for p in problems)
+
+
+def test_sanitize_identifier():
+    assert sanitize_identifier('  "My Col"  ') == "My Col"
+    assert sanitize_identifier("[x]") == "x"
+    assert sanitize_identifier('a"b') == 'a""b'
+    for bad in ("a.b", "a;b", "a--b", "a/*b", "", "''"):
+        with pytest.raises(ValueError):
+            sanitize_identifier(bad)

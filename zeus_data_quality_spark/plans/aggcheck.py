@@ -25,6 +25,36 @@ from pyspark.sql import SparkSession
 
 AGG_PREFIX = "AGG:"
 
+_WRAPPING_DELIMS = {'"': '"', "'": "'", "`": "`", "[": "]"}
+
+
+def strip_wrapping_delimiters(value: str) -> str:
+    """Reference identifier hygiene #42 (utils/checkdefs.py:13-23)."""
+    text = (value or "").strip()
+    while len(text) >= 2:
+        match = _WRAPPING_DELIMS.get(text[0])
+        if match and text[-1] == match:
+            text = text[1:-1].strip()
+            continue
+        break
+    return text
+
+
+def sanitize_identifier(value: str) -> str:
+    """Reference utils/checkdefs.py:26-38: strip wrapping delimiters,
+    reject dots / statement-break tokens, double embedded quotes.
+    Only needed on the raw-SQL escape-hatch path — typed Column params
+    everywhere else make injection structurally impossible."""
+    text = strip_wrapping_delimiters(value)
+    if not text:
+        raise ValueError("Identifier is required")
+    if "." in text:
+        raise ValueError("Identifier must not include '.' characters")
+    for forbidden in (";", "--", "/*", "*/", "\n", "\r"):
+        if forbidden in text:
+            raise ValueError("Identifier contains invalid characters")
+    return text.replace('"', '""')
+
 
 def is_agg_rule(rule_expr: str | None, check_type: str | None = None) -> bool:
     if (check_type or "").upper().startswith("AGG"):

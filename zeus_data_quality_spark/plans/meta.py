@@ -203,3 +203,62 @@ def list_tables(spark: SparkSession, db: str | None = None) -> list[str]:
 
 def list_columns(spark: SparkSession, table: str) -> list[tuple[str, str]]:
     return [(c.name, c.dataType) for c in spark.catalog.listColumns(table)]
+
+
+def session_snapshot(spark: SparkSession) -> dict[str, str]:
+    """Run-context header for lineage (reference #33: the
+    CURRENT_ACCOUNT/ROLE/... snapshot of utils/dmfs.py:108-139,
+    recast as Spark application introspection)."""
+    sc = spark.sparkContext
+    return {
+        "application_id": sc.applicationId,
+        "spark_version": spark.version,
+        "master": sc.master,
+        "app_name": sc.appName,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "aqe_enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+        "session_timezone": spark.conf.get("spark.sql.session.timeZone"),
+    }
+
+
+def preflight_checks(checks: list["Check"], df_columns: list[str]) -> list[str]:
+    """Config preflight (reference #34: the stored-proc existence +
+    arg-signature validation of utils/dmfs.py:227-295, recast as
+    import-time rule-registry and schema validation). Returns a list
+    of human-readable problems; empty list = ready to run.
+
+    Unknown check types are NOT problems (the engine evaluates them as
+    permissive TRUE, matching checkdefs.py:97) — they are reported so
+    a config author sees typos before a silent all-pass.
+    """
+    from ..functions.rules import SUPPORTED_COLUMN_CHECKS, SUPPORTED_TABLE_CHECKS
+
+    known = set(SUPPORTED_COLUMN_CHECKS) | set(SUPPORTED_TABLE_CHECKS) | {
+        "LANG_ID",
+        "PERPLEXITY",
+    }
+    problems = []
+    seen_ids = set()
+    for c in checks:
+        ctype = c.check_type.upper()
+        if c.check_id in seen_ids:
+            problems.append(f"duplicate check_id {c.check_id!r}")
+        seen_ids.add(c.check_id)
+        if not ctype.startswith("AGG") and ctype not in known:
+            problems.append(
+                f"{c.check_id}: unknown check type {c.check_type!r} "
+                "(will evaluate as permissive TRUE)"
+            )
+        if ctype.startswith("AGG") and not c.params.get("agg_sql"):
+            problems.append(f"{c.check_id}: AGG check without params['agg_sql']")
+        needs_col = not c.is_table_level and not c.params.get("expr")
+        if needs_col and ctype != "UNIQUE" and c.column not in df_columns:
+            problems.append(
+                f"{c.check_id}: column {c.column!r} not in input schema"
+            )
+        if ctype == "UNIQUE":
+            key = c.params.get("key") or [c.column]
+            missing = [k for k in key if k not in df_columns]
+            if missing:
+                problems.append(f"{c.check_id}: UNIQUE key columns missing {missing}")
+    return problems

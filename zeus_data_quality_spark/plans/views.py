@@ -1,0 +1,75 @@
+"""Failing-row views + safe ref-counted detach.
+
+Reference operators #19/#20 (SURVEY.md §2.3): per row-check a view
+``DQ_<CONFIG>_<CHECK>_FAILS`` = ``SELECT * FROM src WHERE NOT (pred)``
+(``utils/dmfs.py:327-352``), AGG/table checks skipped, names sanitized
+``[^A-Z0-9_] → _``; detach drops a table's views only when no *other*
+ACTIVE config still targets the table (``utils/dmfs.py:354-384``).
+
+Here views are Spark temp views over the fused labeled DataFrame (on a
+cluster: ``CREATE OR REPLACE VIEW`` on the Iceberg catalog — same
+names, same predicate). Because the labeled frame already carries every
+``fail_<check_id>`` flag, N views share ONE plan instead of N scans.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import rules
+from ..functions.rules import Check
+from .meta import MetaStore
+
+
+def sanitize_view_token(token: str) -> str:
+    """Reference name hygiene (utils/dmfs.py:327-329)."""
+    return re.sub(r"[^A-Z0-9_]", "_", (token or "").upper())
+
+
+def view_name(config_id: str, check_id: str) -> str:
+    return f"DQ_{sanitize_view_token(config_id)}_{sanitize_view_token(check_id)}_FAILS"
+
+
+def attach_failing_views(
+    labeled: DataFrame, checks: list[Check], config_id: str
+) -> list[str]:
+    """Register one failing-row temp view per row-level check; AGG /
+    table checks are skipped (utils/dmfs.py:342-343). Returns names."""
+    names = []
+    for c in checks:
+        if c.is_table_level:
+            continue
+        name = view_name(config_id, c.check_id)
+        labeled.filter(F.col(rules.fail_flag_name(c))).createOrReplaceTempView(name)
+        names.append(name)
+    return names
+
+
+def detach_failing_views(
+    spark: SparkSession,
+    store: MetaStore,
+    config_id: str,
+    checks: list[Check],
+    table_fqn: str,
+) -> tuple[list[str], bool]:
+    """Drop this config's views unless another ACTIVE config shares the
+    target table (the reference's ref-count via config ⋈ check +
+    DISTINCT, utils/dmfs.py:354-384). Returns (dropped, skipped)."""
+    others = [
+        r["config_id"]
+        for r in store.shared_table_configs(table_fqn).collect()
+        if r["config_id"] != config_id
+    ]
+    if others:
+        return [], True
+    dropped = []
+    for c in checks:
+        if c.is_table_level:
+            continue
+        name = view_name(config_id, c.check_id)
+        if spark.catalog.dropTempView(name):
+            dropped.append(name)
+    return dropped, False
