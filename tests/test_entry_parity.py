@@ -30,7 +30,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
-            s = s.astype("datetime64[us]").astype(str)
+            s = s.astype("datetime64[us]").astype(str).replace("NaT", None)
         elif pd.api.types.is_float_dtype(s):
             s = s.round(9)
         elif s.dtype == object:

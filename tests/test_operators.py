@@ -165,3 +165,22 @@ def test_row_count_anomaly_detects_spike(spark):
         "ts",
     ).first()
     assert bad["ok"] is False
+
+
+def test_embedding_near_dups_lsh_subset_of_exact(spark, sf_dir):
+    from zeus_data_quality_spark.operators.similarity import (
+        embedding_near_dups,
+        embedding_near_dups_lsh,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(emb, threshold=0.35).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups_lsh(emb, threshold=0.35).collect()
+    }
+    assert lsh <= exact  # LSH never invents pairs
+    assert len(lsh) > 0  # and finds a real share of them

@@ -32,7 +32,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
-            s = s.astype("datetime64[us]").astype(str)
+            s = s.astype("datetime64[us]").astype(str).replace("NaT", None)
         elif s.dtype == object and s.map(
             lambda x: x is None or isinstance(x, (_dt.date, _dt.datetime))
         ).all() and s.notna().any():

@@ -108,6 +108,56 @@ def deterministic_planes(dim: int, n_planes: int) -> list[list[float]]:
     return planes
 
 
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
+    cosine ≥ threshold). O(n²) — the correctness baseline; use
+    :func:`embedding_near_dups_lsh` at corpus scale."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine(F.col("__va"), F.col("__vb"))
+    return pairs.select(
+        "id_a", "id_b", F.round(cos, 9).alias("cos")
+    ).filter(F.col("cos") >= threshold)
+
+
+def embedding_near_dups_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    dim: int = 64,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Scale path: candidate pairs restricted to equal LSH buckets
+    (recall trades with n_planes — cos ≥ t pairs collide with
+    probability (1 - acos(t)/π)^n_planes), exact cosine verify inside
+    the bucket. The self-join is per bucket, expected bucket size
+    n/2^n_planes."""
+    planes = deterministic_planes(dim, n_planes)
+    keyed = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        _bucket_key(F.col(vec_col), planes).alias("__bkt"),
+    )
+    a = keyed.select(
+        F.col("__bkt"), F.col("__id").alias("id_a"), F.col("__v").alias("__va")
+    )
+    b = keyed.select(
+        F.col("__bkt"), F.col("__id").alias("id_b"), F.col("__v").alias("__vb")
+    )
+    pairs = a.join(b, on="__bkt").filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine(F.col("__va"), F.col("__vb"))
+    return pairs.select(
+        "id_a", "id_b", F.round(cos, 9).alias("cos")
+    ).filter(F.col("cos") >= threshold)
+
+
 def lsh_ann_topk(
     df: DataFrame,
     queries: DataFrame,

@@ -345,6 +345,45 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "event_id_r")
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact baseline)."""
+    from ..operators.similarity import embedding_near_dups
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, "vec_id", "embedding", 0.35)
+
+
+def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup pairs (scale path; recall < 1 by design)."""
+    from ..operators.similarity import embedding_near_dups_lsh
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dups_lsh(emb, "vec_id", "embedding", 0.35)
+
+
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over event type × day."""
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type", F.col("ts").cast("date").alias("day"), "value"
+        )
+        .cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.col("n").cast("long").alias("n"),
+            "total_value",
+        )
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: decode fake images → feature vectors."""
     return image_features(synth_media_table(spark, 64))
@@ -612,6 +651,24 @@ FROM events l JOIN events r
 """
 
 
+ORACLE_EMBEDDING_DUPS = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 9) AS cos
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 9) >= 0.35
+"""
+
+ORACLE_CUBE = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))
+"""
+
+
 def queries():
     return {
         "rule_failure_counts": q_rule_failure_counts,
@@ -641,6 +698,9 @@ def queries():
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+        "cube_events": q_cube_events,
         "media_features": q_media_features,
         "media_audio_frames": q_media_audio_frames,
     }
@@ -670,6 +730,8 @@ def oracle_sql():
         "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
         "asof_join": ORACLE_ASOF,
         "range_join": ORACLE_RANGE_JOIN,
+        "embedding_near_dups": ORACLE_EMBEDDING_DUPS,
+        "cube_events": ORACLE_CUBE,
         # ann_lsh / minhash_pairs / simhash / langid / perplexity /
         # media_*: deliberately no oracle — hash-seeded, model-driven,
         # or binary-codec operators are not SQL-expressible; each is
