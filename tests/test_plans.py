@@ -1,0 +1,94 @@
+"""Physical-plan regression tests — the plan IS the product at 100 TB.
+
+Asserts the optimizer properties we rely on (SURVEY.md §4): filter
+pushdown into the parquet scan, column pruning, broadcast joins for
+small sides, top-k compiling to TakeOrderedAndProject, sampling to
+CollectLimit, and no accidental cartesian products. If a refactor
+regresses one of these, correctness tests stay green but the 100 TB
+plan silently rots — these tests catch that.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from zeus_data_quality_spark.plans import query_suite as qs
+
+
+def _plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_tpch_q1_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, qs.q_tpch_q1(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # Column pruning: only the 6 needed columns reach the scan.
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read and "l_returnflag" in read
+
+
+def test_join_topk_is_broadcast_topk(spark, sf_dir):
+    plan = _plan(spark, qs.q_join_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_monitor_topk_pushes_time_filter_through_cte(spark, sf_dir):
+    plan = _plan(spark, qs.q_monitor_topk(spark, sf_dir))
+    # The run_ts >= cutoff filter must reach the events parquet scan
+    # through the synthesis CTE (Catalyst pushes it as a ts filter).
+    assert "GreaterThanOrEqual(ts," in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_keep_drop_single_source_scan_per_branch(spark, sf_dir):
+    plan = _plan(spark, qs.q_keep_drop_labels(spark, sf_dir))
+    tree = plan.split("\n\n")[0]  # operator tree only (details repeat names)
+    # The fused rule Project: every fail flag computed in one Project
+    # over the main branch; UNIQUE contributes exactly one extra
+    # aggregate branch + broadcast-back join. No per-check rescans:
+    # two scans total (main + dup-keys), not one per rule (the
+    # reference runs 10 scans for this config).
+    assert tree.count("Scan parquet") == 2
+    assert "BroadcastHashJoin" in tree
+    # The only Window nodes come from the corpus synthesis row_number
+    # (one per scan branch); the UNIQUE check itself must plan as a
+    # partial-aggregated groupBy, never a whole-table window.
+    assert tree.count("Window") == 2
+    assert tree.count("HashAggregate") >= 2  # partial + final dup-key agg
+
+
+def test_failing_row_sample_is_collect_limit(spark, sf_dir):
+    from zeus_data_quality_spark.functions.rules import Check
+    from zeus_data_quality_spark.plans.runner import sample_failing_rows
+    from zeus_data_quality_spark.sources.transcripts import load_transcripts
+
+    t = load_transcripts(spark, sf_dir)
+    df = sample_failing_rows(t, Check("X", "NULL_COUNT", "text", sample_rows=5))
+    plan = _plan(spark, df)
+    assert "CollectLimit" in plan
+    # The LIMIT sample must not impose an ordering (the only Sort in
+    # the plan belongs to the corpus-synthesis row_number, not the
+    # sampling operator).
+    assert "TakeOrderedAndProject" not in plan
+
+
+def test_dedup_exact_no_text_in_shuffle(spark, sf_dir):
+    plan = _plan(spark, qs.q_dedup_exact(spark, sf_dir))
+    # The aggregate/join key is the md5 fingerprint; raw text must not
+    # appear in any Exchange output (only in the scan→hash projection).
+    for line in plan.splitlines():
+        if "Exchange" in line and "Input" in line:
+            assert "text" not in line
+
+
+def test_ann_bruteforce_broadcasts_queries(spark, sf_dir):
+    plan = _plan(spark, qs.q_ann_bruteforce(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -1,0 +1,65 @@
+"""Mega-conversation skew: correctness is partition-shape independent.
+
+North-rule scenario: a few conversations with 10^3-10^4 turns alongside
+a long tail (FIXTURES.md §1 skew requirement). Verifies the skew-exposed
+operators (conversation windows, UNIQUE two-phase, salted counts) agree
+with flat references on a corpus where one key holds 50% of all rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.operators.convfeat import conversation_features
+from zeus_data_quality_spark.operators.skew import salted_count
+from zeus_data_quality_spark.operators.unique import with_unique_flag
+
+
+def _skewed_corpus(spark, mega_turns=20_000, tail_convs=200):
+    mega = spark.range(mega_turns).select(
+        F.lit("conv_mega").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.when(F.col("id") % 2 == 0, "user").otherwise("assistant").alias("role"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(
+            secs=F.col("id").cast("double"))).alias("ts"),
+    )
+    tail = spark.range(tail_convs * 4).select(
+        F.concat(F.lit("conv_"), (F.col("id") % tail_convs).cast("string")).alias(
+            "conv_id"
+        ),
+        (F.col("id") / tail_convs).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.to_timestamp(F.lit("2024-01-02 00:00:00")).alias("ts"),
+    )
+    return mega.unionByName(tail).repartition(32)
+
+
+def test_convfeat_on_mega_conversation(spark):
+    df = _skewed_corpus(spark)
+    feats = {r["conv_id"]: r for r in conversation_features(df).collect()}
+    mega = feats["conv_mega"]
+    assert mega["n_turns"] == 20_000
+    assert mega["n_role_switches"] == 19_999  # strict alternation
+    assert mega["first_turn"] == 0 and mega["last_turn"] == 19_999
+    assert len(feats) == 201
+
+
+def test_unique_on_skewed_keys(spark):
+    df = _skewed_corpus(spark)
+    flagged = with_unique_flag(df, ["conv_id", "turn_idx"], "u")
+    # mega conversation has unique turn_idx values → all pass
+    assert flagged.filter("conv_id = 'conv_mega' AND NOT u").count() == 0
+    # tail convs each have 4 rows sharing turn_idx dups? turn_idx = id/tail -> 0..3 unique per conv
+    assert flagged.filter("NOT u").count() == 0
+    # now inject dups into the hot key and re-check group semantics
+    dup = df.limit(5).withColumn("turn_idx", F.lit(7))
+    flagged2 = with_unique_flag(df.unionByName(dup), ["conv_id", "turn_idx"], "u")
+    assert flagged2.filter("conv_id = 'conv_mega' AND turn_idx = 7 AND NOT u").count() >= 2
+
+
+def test_salted_count_on_hot_key(spark):
+    df = _skewed_corpus(spark)
+    plain = {r["conv_id"]: r["count"] for r in df.groupBy("conv_id").count().collect()}
+    salted = {r["conv_id"]: r["n"] for r in salted_count(df, ["conv_id"], 32).collect()}
+    assert salted == plain
+    assert salted["conv_mega"] == 20_000

@@ -1,0 +1,65 @@
+"""applyInPandasWithState: conversation sessionization on a live stream."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.streaming.stateful import conversation_sessions
+
+
+def test_conversation_sessions_emit_on_timeout(spark, tmp_path):
+    src = str(tmp_path / "in")
+    schema = "conv_id string, turn_idx int, role string, keep boolean"
+
+    first = spark.createDataFrame(
+        [
+            ("c1", 0, "user", True),
+            ("c1", 1, "assistant", True),
+            ("c1", 2, "user", False),
+            ("c2", 0, "user", True),
+            (None, 0, "user", True),  # null conv filtered out
+        ],
+        schema,
+    )
+    first.write.mode("overwrite").parquet(f"{src}/batch=0")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    sessions = conversation_sessions(stream, session_gap_ms=2_000)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        # Let the first batch land, wait past the 2s gap, then push a
+        # nudge batch so a new micro-batch fires the timeouts.
+        time.sleep(4)
+        spark.createDataFrame([("c3", 0, "user", True)], schema).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/batch=1")
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM sessions").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+
+    got = {r["conv_id"]: r for r in rows}
+    assert set(got) >= {"c1", "c2"}
+    c1 = got["c1"]
+    assert c1["n_turns"] == 3
+    assert c1["n_kept"] == 2
+    assert c1["n_role_switches"] == 2  # user→assistant→user
+    assert c1["max_turn_idx"] == 2
+    assert got["c2"]["n_turns"] == 1 and got["c2"]["n_role_switches"] == 0

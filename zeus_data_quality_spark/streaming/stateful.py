@@ -1,0 +1,110 @@
+"""Custom stateful streaming: per-conversation session aggregation.
+
+Demonstrates the sanctioned path for stateful operators Spark lacks
+(``applyInPandasWithState``): conversations arrive turn-by-turn on the
+stream; per ``conv_id`` we keep running state (turn count, kept count,
+last role, last event time) and emit one summary row when the
+conversation goes quiet (processing-time timeout) — the streaming
+equivalent of the batch ``conversation_features`` rollup.
+
+State is a tiny fixed-width tuple per key; Arrow batches flow per
+group, so a mega-conversation costs O(1) state and O(batch) compute —
+no unbounded buffering.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SESSION_OUTPUT = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("n_turns", LongType()),
+        StructField("n_kept", LongType()),
+        StructField("n_role_switches", LongType()),
+        StructField("max_turn_idx", IntegerType()),
+    ]
+)
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_turns", LongType()),
+        StructField("n_kept", LongType()),
+        StructField("n_switches", LongType()),
+        StructField("max_turn", IntegerType()),
+        StructField("last_role", StringType()),
+    ]
+)
+
+
+def _make_update(session_gap_ms: int):
+    """Closure factory so the gap ships inside the serialized function
+    (a module global would reset to its default on executor re-import)."""
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n_turns, n_kept, n_switches, max_turn, _ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(key[0], n_turns, n_kept, n_switches, max_turn)],
+                columns=[f.name for f in SESSION_OUTPUT.fields],
+            )
+            return
+        n_turns, n_kept, n_switches, max_turn, last_role = (
+            state.get if state.exists else (0, 0, 0, -1, None)
+        )
+        for pdf in batches:
+            pdf = pdf.sort_values(["turn_idx"], kind="mergesort")
+            n_turns += len(pdf)
+            if "keep" in pdf.columns:
+                n_kept += int(pdf["keep"].fillna(False).sum())
+            mx = pdf["turn_idx"].max()
+            if pd.notna(mx):
+                max_turn = max(max_turn, int(mx))
+            for role in pdf["role"]:
+                if last_role is not None and role is not None and role != last_role:
+                    n_switches += 1
+                if role is not None:
+                    last_role = role
+        state.update((n_turns, n_kept, n_switches, max_turn, last_role))
+        state.setTimeoutDuration(session_gap_ms)
+        yield from ()  # nothing to emit while the conversation is live
+
+    return update
+
+
+def conversation_sessions(
+    labeled_stream: DataFrame, session_gap_ms: int = 30_000
+) -> DataFrame:
+    """labeled stream → one summary row per conversation once it has
+    been silent for ``session_gap_ms`` of processing time."""
+    cols = ["conv_id", "turn_idx", "role"] + (
+        ["keep"] if "keep" in labeled_stream.columns else []
+    )
+    return (
+        labeled_stream.select(*cols)
+        .filter("conv_id IS NOT NULL AND turn_idx IS NOT NULL")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _make_update(session_gap_ms),
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
