@@ -49,14 +49,11 @@ def _force(df) -> int:
 
 
 def bench_pipeline(spark, sf_dir: str) -> tuple[float, int]:
-    t = load_transcripts(spark, sf_dir)
-    if PIPELINE_REPLICAS > 1:
-        rep = spark.range(PIPELINE_REPLICAS).select(
-            F.col("id").cast("string").alias("__rep")
-        )
-        t = t.crossJoin(rep).withColumn(
-            "conv_id", F.concat_ws("_", "conv_id", "__rep")
-        ).drop("__rep")
+    from zeus_data_quality_spark.sources.transcripts import (
+        load_transcripts_amplified,
+    )
+
+    t = load_transcripts_amplified(spark, sf_dir, PIPELINE_REPLICAS)
     # Fixed partition count regardless of core count: the N vs 4N
     # scaling comparison must run on an identical split structure.
     t = t.repartition(128).persist()

@@ -66,14 +66,10 @@ import sys
 sys.path.insert(0, {REPO!r})
 from pyspark.sql import functions as F
 from zeus_data_quality_spark.session import get_spark
-from zeus_data_quality_spark.sources.transcripts import load_transcripts
+from zeus_data_quality_spark.sources.transcripts import load_transcripts_amplified
 spark = get_spark("prep", cpus=16)
 spark.sparkContext.setLogLevel("ERROR")
-t = load_transcripts(spark, {sf_dir!r})
-rep = spark.range({replicas}).select(F.col("id").cast("string").alias("__rep"))
-t = (t.crossJoin(rep)
-      .withColumn("conv_id", F.concat_ws("_", "conv_id", "__rep"))
-      .drop("__rep"))
+t = load_transcripts_amplified(spark, {sf_dir!r}, {replicas})
 t.repartition(128).write.mode("overwrite").parquet({path!r})
 print("ROWS", spark.read.parquet({path!r}).count())
 """

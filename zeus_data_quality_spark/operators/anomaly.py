@@ -58,7 +58,11 @@ def freshness(
     )
     if anchor is not None:
         threshold = anchor - timedelta(minutes=max_age_minutes)
-        fresh_enough = F.col("max_ts") >= F.lit(threshold)
+        # NTZ literal: parquet timestamps are TIMESTAMP_NTZ; a TZ-typed
+        # lit() would shift the comparison with the session timezone.
+        fresh_enough = F.col("max_ts") >= F.expr(
+            f"TIMESTAMP_NTZ '{threshold:%Y-%m-%d %H:%M:%S}'"
+        )
     else:
         # Anchor at max(ts) itself → trivially fresh (deterministic default).
         fresh_enough = F.lit(True)

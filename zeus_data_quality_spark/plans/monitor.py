@@ -29,11 +29,16 @@ def results_with_configs(
     out = results.join(
         F.broadcast(configs.select("config_id", "name")), "config_id", "left"
     )
-    cutoff = (
-        F.lit(now) - F.expr(f"INTERVAL {int(days_back)} DAY")
-        if now is not None
-        else F.current_timestamp() - F.expr(f"INTERVAL {int(days_back)} DAY")
-    )
+    if now is not None:
+        # NTZ literal so the window doesn't shift with session timezone
+        # (run_ts from parquet sources is TIMESTAMP_NTZ).
+        from datetime import timedelta
+
+        cutoff = F.expr(
+            f"TIMESTAMP_NTZ '{now - timedelta(days=int(days_back)):%Y-%m-%d %H:%M:%S}'"
+        )
+    else:
+        cutoff = F.current_timestamp() - F.expr(f"INTERVAL {int(days_back)} DAY")
     out = out.filter(F.col("run_ts") >= cutoff)
     if config_ids:
         out = out.filter(F.col("config_id").isin(config_ids))

@@ -147,7 +147,10 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast("decimal(18,2)")
     disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
     out = (
-        li.filter(F.col("l_shipdate") <= F.lit(datetime(1998, 9, 2)))
+        # TIMESTAMP_NTZ literal: parquet timestamps load as NTZ; a
+        # TZ-typed literal would make the cutoff shift with the
+        # session timezone.
+        li.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(dec("l_quantity")).alias("_sq"),

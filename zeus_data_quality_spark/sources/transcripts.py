@@ -119,3 +119,38 @@ def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     events.createOrReplaceTempView("events")
     return spark.sql(TRANSCRIPTS_SQL)
+
+
+def load_transcripts_amplified(
+    spark: SparkSession, sf_dir: str, replicas: int
+) -> DataFrame:
+    """Deterministically amplified corpus for benchmarks.
+
+    Replication happens at the *events* level (id/user offsets per
+    replica) BEFORE synthesis, so every replica gets well-formed
+    conv_ids and the same defect mix — amplifying the synthesized
+    conv_id strings instead would fail the CONV_ID_FORMAT rule for
+    every replicated row and skew keep-rates to zero.
+    """
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if replicas > 1:
+        rep = spark.range(replicas).select(F.col("id").alias("__rep"))
+        events = (
+            events.crossJoin(rep)
+            .select(
+                (F.col("event_id") + F.col("__rep") * F.lit(100_000_000)).alias(
+                    "event_id"
+                ),
+                "ts",
+                (F.col("user_id") + F.col("__rep") * F.lit(1_000_000)).alias(
+                    "user_id"
+                ),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    events.createOrReplaceTempView("events")
+    return spark.sql(TRANSCRIPTS_SQL)
