@@ -80,6 +80,7 @@ HEADLINE = [
     "tpch_q1",
     "dedup_exact",
     "text_stats",
+    "doc_fingerprints",
     "minhash_pairs",
     "ann_bruteforce",
     "langid",

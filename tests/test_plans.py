@@ -92,3 +92,17 @@ def test_dedup_exact_no_text_in_shuffle(spark, sf_dir):
 def test_ann_bruteforce_broadcasts_queries(spark, sf_dir):
     plan = _plan(spark, qs.q_ann_bruteforce(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_fingerprint_dup_groups_no_expression_duplication(spark, sf_dir):
+    """InferFiltersFromGenerate must not re-inline the winnow+md5
+    expression into a pushed-down Filter (O(len) → O(8·len) md5 calls;
+    measured 400× slower). Guarded by explode_outer + length pre-filter
+    in fingerprint_dup_groups — the optimized plan computes the k-gram
+    hash array exactly once."""
+    out = qs.q_fingerprint_dup_groups(spark, sf_dir)
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("md5(") == 1, optimized[:2000]
+    # and the cheap pre-filter reaches the parquet scan
+    plan = _plan(spark, out)
+    assert "PushedFilters: [IsNotNull(text)" in plan

@@ -72,3 +72,57 @@ def test_text_stats(spark):
     assert out[1]["n_punct"] == 2
     assert out[2]["is_quality"] is False  # punct-dominated
     assert out[3]["n_tokens"] == 0 and out[3]["is_quality"] is False
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "hello world, 42 times!"),
+            (2, ""),
+            (3, None),
+            (4, "abc123"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in with_text_stats(df).collect()}
+    # "hello" " world" "," " 42" " times" "!" → 6
+    assert out[1]["n_tokens_bpe"] == 6
+    assert out[2]["n_tokens_bpe"] == 0
+    assert out[3]["n_tokens_bpe"] is None
+    assert out[4]["n_tokens_bpe"] == 2  # "abc" + "123"
+
+
+def test_winnowing_fingerprints(spark):
+    from zeus_data_quality_spark.functions.fingerprint import (
+        fingerprint_dup_groups,
+        with_fingerprints,
+    )
+
+    shared = "a long shared passage that both documents contain verbatim"
+    df = spark.createDataFrame(
+        [
+            (1, f"prefix one {shared} suffix one"),
+            (2, f"other start {shared} other end"),
+            (3, "completely different text with nothing in common here"),
+            (4, "tiny"),  # shorter than k → no k-grams
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r for r in with_fingerprints(df, "doc_id").collect()}
+    # winnowing guarantee: shared substring of len >= k+w-1 → shared
+    # fingerprint → docs 1 and 2 land in a dup group together.
+    groups = fingerprint_dup_groups(df, "doc_id").collect()
+    assert any(g["min_doc"] == 1 and g["max_doc"] == 2 for g in groups)
+    # doc 3 shares nothing
+    assert all(g["max_doc"] <= 2 for g in groups)
+    assert fps[4]["n_kgrams"] == 0 and fps[4]["fingerprint"] is None
+    assert fps[5]["n_kgrams"] is None
+    # fingerprint is the min of the winnowed set, fp_max the max
+    assert fps[1]["fingerprint"] <= fps[1]["fp_max"]
+    # determinism: same text → same fingerprint
+    df2 = spark.createDataFrame(
+        [(9, f"prefix one {shared} suffix one")], "doc_id long, text string"
+    )
+    fp9 = with_fingerprints(df2, "doc_id").collect()[0]
+    assert fp9["fingerprint"] == fps[1]["fingerprint"]

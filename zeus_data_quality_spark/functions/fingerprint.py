@@ -1,0 +1,183 @@
+"""Document fingerprinting — rolling k-gram hashes + winnowing.
+
+Content fingerprints in the MOSS/winnowing family (Schleimer, Wilkerson
+& Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+SIGMOD 2003): hash every character k-gram of a document, then keep the
+minimum hash of each sliding window of ``w`` consecutive k-gram hashes.
+Two documents sharing any sufficiently long substring share a winnowed
+fingerprint, so grouping on fingerprints finds near-dup candidates
+without pairwise comparison.
+
+The reference has no fingerprinting (SURVEY.md §2.8 — nothing beyond
+SQL rule predicates); this is a north-rule training-pipeline extension.
+
+Engine-portability: the k-gram hash is ``substr(md5(kgram), 1, 16)`` —
+``md5`` produces identical lowercase hex in Spark and DuckDB, and
+fixed-width lowercase-hex strings order lexicographically exactly like
+the integers they encode, so ``min`` / ``array_sort`` agree across
+engines with no hex→int conversion. All of it is JVM-side Column
+algebra (``transform``/``sequence``/``slice`` higher-order functions
+inside whole-stage codegen): no Python in the hot path, no shuffle —
+O(len) work per document, and winnowing reduces each document to
+~len/w fingerprints, which is what keeps fingerprint-based dedup
+shuffle volume sublinear in corpus bytes at the 100 TB scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# k-gram length and winnowing window (guarantee threshold t = k + w - 1:
+# any shared substring of length >= t yields a shared fingerprint).
+KGRAM = 8
+WINDOW = 4
+
+
+def kgram_hash_sql(text_col: str, k: int = KGRAM) -> str:
+    """Spark-SQL expression: array of 16-hex-char hashes of all
+    character k-grams of ``text_col`` (NULL text → NULL, short → [])."""
+    return (
+        f"CASE WHEN {text_col} IS NULL THEN NULL "
+        f"WHEN length({text_col}) < {k} THEN array() "
+        f"ELSE transform(sequence(1, length({text_col})-{k}+1), "
+        f"i -> substr(md5(substr({text_col}, i, {k})), 1, 16)) END"
+    )
+
+
+def winnow_sql(hashes_col: str, w: int = WINDOW) -> str:
+    """Spark-SQL expression: sorted distinct window-min hashes (the
+    winnowed fingerprint set) of a k-gram hash array."""
+    h = hashes_col
+    return (
+        f"CASE WHEN {h} IS NULL THEN NULL "
+        f"WHEN size({h}) = 0 THEN array() "
+        f"WHEN size({h}) <= {w} THEN array(array_min({h})) "
+        f"ELSE array_sort(array_distinct(transform("
+        f"sequence(1, size({h})-{w}+1), j -> array_min(slice({h}, j, {w}))))) END"
+    )
+
+
+def with_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = KGRAM,
+    w: int = WINDOW,
+) -> DataFrame:
+    """Per-document fingerprint summary.
+
+    Columns: ``fingerprint`` (global min k-gram hash — a 1-perm MinHash
+    of the k-gram set), ``fp_max`` (largest winnowed hash), ``n_kgrams``
+    and ``n_fingerprints`` (winnowed set size ≈ len/w).
+    """
+    return (
+        df.selectExpr(id_col, f"{kgram_hash_sql(text_col, k)} AS __h")
+        .selectExpr(id_col, "size(__h) AS n_kgrams", f"{winnow_sql('__h', w)} AS __fps")
+        .selectExpr(
+            id_col,
+            "CAST(n_kgrams AS BIGINT) AS n_kgrams",
+            "CAST(size(__fps) AS BIGINT) AS n_fingerprints",
+            "CASE WHEN size(__fps) > 0 THEN __fps[0] END AS fingerprint",
+            "CASE WHEN size(__fps) > 0 THEN element_at(__fps, -1) END AS fp_max",
+        )
+    )
+
+
+def fingerprint_dup_groups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = KGRAM,
+    w: int = WINDOW,
+) -> DataFrame:
+    """Near-dup candidate groups: explode winnowed fingerprints and
+    group documents sharing one. Only (fingerprint, id) pairs shuffle
+    — ~len/w rows per doc, not document bytes."""
+    # Materialize the hash array as its own projection step: inlining
+    # kgram_hash_sql textually into winnow_sql would re-hash the whole
+    # document once per window position (O(len²) md5 calls). A column
+    # reference keeps it O(len); Catalyst's CollapseProject won't
+    # duplicate the expensive expression across its uses.
+    #
+    # explode_outer, not explode: InferFiltersFromGenerate would derive
+    # `size(__fps) > 0 AND isnotnull(__fps)` from a plain explode and
+    # push it below the projections, re-inlining the whole winnow+md5
+    # expression ~8× per row inside the Filter (measured 400× slower).
+    # The outer variant infers nothing; the cheap length pre-filter
+    # (pushed to the parquet scan) guarantees a non-empty fingerprint
+    # set, so the results are identical.
+    fps = (
+        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) >= k))
+        .selectExpr(id_col, f"{kgram_hash_sql(text_col, k)} AS __h")
+        .selectExpr(id_col, f"{winnow_sql('__h', w)} AS __fps")
+        .select(id_col, F.explode_outer("__fps").alias("fingerprint"))
+    )
+    return (
+        fps.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("min_doc"),
+            F.max(id_col).alias("max_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def duckdb_fingerprints_sql(
+    table: str, id_col: str, text_col: str = "text",
+    k: int = KGRAM, w: int = WINDOW,
+) -> str:
+    """DuckDB twin of :func:`with_fingerprints` for the oracle gate."""
+    kg = (
+        f"CASE WHEN {text_col} IS NULL THEN NULL "
+        f"WHEN length({text_col}) < {k} THEN [] "
+        f"ELSE list_transform(range(1, length({text_col})-{k}+2), "
+        f"i -> substr(md5(substr({text_col}, i, {k})), 1, 16)) END"
+    )
+    win = (
+        f"CASE WHEN h IS NULL THEN NULL WHEN len(h) = 0 THEN [] "
+        f"WHEN len(h) <= {w} THEN [list_min(h)] "
+        f"ELSE list_sort(list_distinct(list_transform("
+        f"range(1, len(h)-{w}+2), j -> list_min(h[j:j+{w}-1])))) END"
+    )
+    return f"""
+WITH a AS (SELECT {id_col}, {kg} AS h FROM {table}),
+b AS (SELECT {id_col}, len(h) AS n_kgrams, {win} AS fps FROM a)
+SELECT {id_col},
+       CAST(n_kgrams AS BIGINT) AS n_kgrams,
+       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       CASE WHEN len(fps) > 0 THEN fps[1] END AS fingerprint,
+       CASE WHEN len(fps) > 0 THEN fps[-1] END AS fp_max
+FROM b
+"""
+
+
+def duckdb_dup_groups_sql(
+    table: str, id_col: str, text_col: str = "text",
+    k: int = KGRAM, w: int = WINDOW,
+) -> str:
+    """DuckDB twin of :func:`fingerprint_dup_groups`."""
+    kg = (
+        f"CASE WHEN {text_col} IS NULL THEN NULL "
+        f"WHEN length({text_col}) < {k} THEN [] "
+        f"ELSE list_transform(range(1, length({text_col})-{k}+2), "
+        f"i -> substr(md5(substr({text_col}, i, {k})), 1, 16)) END"
+    )
+    win = (
+        f"CASE WHEN h IS NULL THEN NULL WHEN len(h) = 0 THEN [] "
+        f"WHEN len(h) <= {w} THEN [list_min(h)] "
+        f"ELSE list_sort(list_distinct(list_transform("
+        f"range(1, len(h)-{w}+2), j -> list_min(h[j:j+{w}-1])))) END"
+    )
+    return f"""
+WITH a AS (SELECT {id_col}, {kg} AS h FROM {table}),
+b AS (SELECT {id_col}, unnest({win}) AS fingerprint FROM a)
+SELECT fingerprint,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN({id_col}) AS min_doc,
+       MAX({id_col}) AS max_doc
+FROM b
+GROUP BY fingerprint
+HAVING COUNT(*) > 1
+"""

@@ -19,6 +19,12 @@ from pyspark.sql import functions as F
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
 PUNCT_CLASS = "[.,;:!?]"
 TOKEN_SPLIT = r"\s+"
+# BPE-ish pre-tokenizer (GPT-2 style simplified): letter runs, digit
+# runs, punctuation runs (each with optional leading space), whitespace
+# runs. Deliberately restricted to constructs with identical semantics
+# in Java regex (Spark) and RE2 (DuckDB) — no lookarounds, no \p
+# classes — so the oracle agrees exactly.
+BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
 
 # Quality thresholds (integer heuristic).
 MIN_TOKENS = 5
@@ -31,6 +37,14 @@ def n_tokens(text: Column) -> Column:
     return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
         F.size(F.split(F.trim(text), TOKEN_SPLIT))
     )
+
+
+def n_tokens_bpe(text: Column) -> Column:
+    """BPE-ish token count: number of non-overlapping matches of
+    BPE_TOKEN_PATTERN (leftmost-first alternation, identical in Java
+    regex and RE2). Counts every char of non-blank text into exactly
+    one token, approximating a GPT-2 pre-tokenizer's token count."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN))
 
 
 def n_punct(text: Column) -> Column:
@@ -50,6 +64,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = (
         df.withColumn("n_chars", F.length(t).cast("long"))
         .withColumn("n_tokens", n_tokens(t).cast("long"))
+        .withColumn("n_tokens_bpe", n_tokens_bpe(t).cast("long"))
         .withColumn("n_punct", n_punct(t).cast("long"))
         .withColumn("n_stopwords", n_stopwords(t).cast("long"))
     )
@@ -78,10 +93,12 @@ def duckdb_text_stats_sql(table: str, id_col: str, text_col: str = "text") -> st
         f"length({text_col}) - "
         f"length(regexp_replace({text_col}, '{PUNCT_CLASS}', '', 'g'))"
     )
+    nbpe = f"len(regexp_extract_all({text_col}, '{BPE_TOKEN_PATTERN}'))"
     return f"""
 SELECT {id_col},
        CAST(length({text_col}) AS BIGINT) AS n_chars,
        CAST({ntok} AS BIGINT) AS n_tokens,
+       CAST({nbpe} AS BIGINT) AS n_tokens_bpe,
        CAST({npunct} AS BIGINT) AS n_punct,
        CAST({nsw} AS BIGINT) AS n_stopwords,
        ({ntok} >= {MIN_TOKENS} AND {ntok} <= {MAX_TOKENS}

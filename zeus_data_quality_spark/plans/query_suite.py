@@ -18,7 +18,7 @@ from datetime import datetime
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import textstats
+from ..functions import fingerprint, textstats
 from ..functions.langid import detect_language
 from ..functions.perplexity import perplexity_nll
 from ..functions.scrub import duckdb_scrub_expr, scrub_text
@@ -171,6 +171,55 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): 3-table join + agg + top-k. The
+    filtered customer dim broadcasts (no shuffle for the small side);
+    orders⋈lineitem shuffles on the join key with AQE; the final
+    ORDER BY ... LIMIT compiles to TakeOrderedAndProject (no full
+    sort). Ties broken on l_orderkey for deterministic top-10."""
+
+    def dec(c: str):
+        return F.col(c).cast("decimal(18,2)")
+
+    cutoff = F.expr("TIMESTAMP_NTZ '1998-06-01 00:00:00'")
+    cust = (
+        _read(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_TPCH_Q3 = """
+SELECT l_orderkey, o_orderdate,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------- training-data ops
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,7 +229,24 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return textstats.with_text_stats(docs, "text").select(
-        "doc_id", "n_chars", "n_tokens", "n_punct", "n_stopwords", "is_quality"
+        "doc_id", "n_chars", "n_tokens", "n_tokens_bpe", "n_punct",
+        "n_stopwords", "is_quality",
+    )
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003) per document —
+    JVM-side rolling k-gram hashes, no shuffle."""
+    return fingerprint.with_fingerprints(
+        _read(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def q_fingerprint_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate groups by shared winnowed fingerprint — only
+    (fingerprint, doc_id) pairs shuffle, ~len/w per doc."""
+    return fingerprint.fingerprint_dup_groups(
+        _read(spark, sf_dir, "documents"), "doc_id", "text"
     )
 
 
@@ -684,8 +750,11 @@ def queries():
         "date_spine_daily": q_date_spine_daily,
         "join_topk": q_join_topk,
         "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
+        "doc_fingerprints": q_doc_fingerprints,
+        "fingerprint_dup_groups": q_fingerprint_dup_groups,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "minhash_pairs": q_minhash_pairs,
@@ -721,8 +790,15 @@ def oracle_sql():
         "date_spine_daily": ORACLE_DATE_SPINE,
         "join_topk": ORACLE_JOIN_TOPK,
         "tpch_q1": ORACLE_TPCH_Q1,
+        "tpch_q3": ORACLE_TPCH_Q3,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "text_stats": textstats.duckdb_text_stats_sql("documents", "doc_id", "text"),
+        "doc_fingerprints": fingerprint.duckdb_fingerprints_sql(
+            "documents", "doc_id", "text"
+        ),
+        "fingerprint_dup_groups": fingerprint.duckdb_dup_groups_sql(
+            "documents", "doc_id", "text"
+        ),
         "ann_bruteforce": ORACLE_ANN_BRUTEFORCE,
         "monitor_topk": ORACLE_MONITOR_TOPK,
         "monitor_kpis": ORACLE_MONITOR_KPIS,
