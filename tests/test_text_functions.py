@@ -126,3 +126,26 @@ def test_winnowing_fingerprints(spark):
     )
     fp9 = with_fingerprints(df2, "doc_id").collect()[0]
     assert fp9["fingerprint"] == fps[1]["fingerprint"]
+
+
+def test_fingerprint_xxhash64_fast_path(spark):
+    from zeus_data_quality_spark.functions.fingerprint import (
+        fingerprint_dup_groups,
+        with_fingerprints,
+    )
+
+    shared = "a long shared passage that both documents contain verbatim"
+    df = spark.createDataFrame(
+        [
+            (1, f"prefix one {shared} suffix one"),
+            (2, f"other start {shared} other end"),
+            (3, "completely different text with nothing in common here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = with_fingerprints(df, "doc_id", hash_fn="xxhash64").collect()
+    assert all(isinstance(r["fingerprint"], int) for r in fps)
+    groups = fingerprint_dup_groups(df, "doc_id", hash_fn="xxhash64").collect()
+    # winnowing guarantee is hash-agnostic: docs 1+2 still share a group
+    assert any(g["min_doc"] == 1 and g["max_doc"] == 2 for g in groups)
+    assert all(g["max_doc"] <= 2 for g in groups)

@@ -34,14 +34,26 @@ KGRAM = 8
 WINDOW = 4
 
 
-def kgram_hash_sql(text_col: str, k: int = KGRAM) -> str:
-    """Spark-SQL expression: array of 16-hex-char hashes of all
-    character k-grams of ``text_col`` (NULL text → NULL, short → [])."""
+def kgram_hash_sql(text_col: str, k: int = KGRAM, hash_fn: str = "md5") -> str:
+    """Spark-SQL expression: array of k-gram hashes of ``text_col``
+    (NULL text → NULL, short → []).
+
+    hash_fn='md5' (default): 16-hex-char strings — byte-identical in
+    DuckDB, so it is the oracle-parity path. hash_fn='xxhash64': bigint
+    hashes, measured ~1.5× cheaper end-to-end (no digest alloc / hex
+    encode, 8-byte values instead of 16-char strings through the
+    winnow/explode/shuffle path), same winnowing structure and
+    guarantees — just not reproducible in DuckDB. Use it at scale."""
+    if hash_fn == "md5":
+        g = f"substr(md5(substr({text_col}, i, {k})), 1, 16)"
+    elif hash_fn == "xxhash64":
+        g = f"xxhash64(substr({text_col}, i, {k}))"
+    else:  # pragma: no cover - guarded upstream
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
     return (
         f"CASE WHEN {text_col} IS NULL THEN NULL "
         f"WHEN length({text_col}) < {k} THEN array() "
-        f"ELSE transform(sequence(1, length({text_col})-{k}+1), "
-        f"i -> substr(md5(substr({text_col}, i, {k})), 1, 16)) END"
+        f"ELSE transform(sequence(1, length({text_col})-{k}+1), i -> {g}) END"
     )
 
 
@@ -64,6 +76,7 @@ def with_fingerprints(
     text_col: str = "text",
     k: int = KGRAM,
     w: int = WINDOW,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-document fingerprint summary.
 
@@ -72,7 +85,7 @@ def with_fingerprints(
     and ``n_fingerprints`` (winnowed set size ≈ len/w).
     """
     return (
-        df.selectExpr(id_col, f"{kgram_hash_sql(text_col, k)} AS __h")
+        df.selectExpr(id_col, f"{kgram_hash_sql(text_col, k, hash_fn)} AS __h")
         .selectExpr(id_col, "size(__h) AS n_kgrams", f"{winnow_sql('__h', w)} AS __fps")
         .selectExpr(
             id_col,
@@ -90,6 +103,7 @@ def fingerprint_dup_groups(
     text_col: str = "text",
     k: int = KGRAM,
     w: int = WINDOW,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-dup candidate groups: explode winnowed fingerprints and
     group documents sharing one. Only (fingerprint, id) pairs shuffle
@@ -109,7 +123,7 @@ def fingerprint_dup_groups(
     # set, so the results are identical.
     fps = (
         df.filter(F.col(text_col).isNotNull() & (F.length(text_col) >= k))
-        .selectExpr(id_col, f"{kgram_hash_sql(text_col, k)} AS __h")
+        .selectExpr(id_col, f"{kgram_hash_sql(text_col, k, hash_fn)} AS __h")
         .selectExpr(id_col, f"{winnow_sql('__h', w)} AS __fps")
         .select(id_col, F.explode_outer("__fps").alias("fingerprint"))
     )
