@@ -184,3 +184,42 @@ def test_embedding_near_dups_lsh_subset_of_exact(spark, sf_dir):
     }
     assert lsh <= exact  # LSH never invents pairs
     assert len(lsh) > 0  # and finds a real share of them
+
+
+def test_ivf_nprobe_all_equals_brute_force(spark, sf_dir):
+    """The IVF index only restricts candidates — probing every list
+    must reproduce exact brute-force top-k, ranking semantics and all."""
+    from zeus_data_quality_spark.operators import ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = ivf.train_centroids(emb, "embedding", "vec_id", n_centroids=4)
+    approx = ivf.ivf_topk(
+        emb, queries, cents, k=5, nprobe=4
+    ).orderBy("query_id", "rank").collect()
+    exact = brute_force_topk(emb, queries, k=5).orderBy(
+        "query_id", "rank"
+    ).collect()
+    assert [tuple(r) for r in approx] == [tuple(r) for r in exact]
+
+
+def test_ivf_training_deterministic_and_partition_invariant(spark, sf_dir):
+    from zeus_data_quality_spark.operators import ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = ivf.train_centroids(emb, n_centroids=4, n_iters=2)
+    b = ivf.train_centroids(emb.repartition(7), n_centroids=4, n_iters=2)
+    assert len(a) == 4 and all(len(c) == 64 for c in a)
+    for ca, cb in zip(a, b):
+        assert all(abs(x - y) < 1e-9 for x, y in zip(ca, cb))
+
+
+def test_ivf_index_assigns_all_nonnull(spark, sf_dir):
+    from zeus_data_quality_spark.operators import ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf.train_centroids(emb, n_centroids=4, n_iters=1)
+    idx = ivf.ivf_index(emb, cents)
+    n = idx.count()
+    assert idx.filter(F.col("cluster").isNotNull()).count() == n
+    assert idx.select("cluster").distinct().count() <= 4

@@ -1,0 +1,187 @@
+"""IVF (inverted-file) approximate nearest neighbor search.
+
+The third ANN path beside ``similarity.brute_force_topk`` (exactness
+baseline) and ``similarity.lsh_ann_topk`` (hyperplane buckets): a
+coarse spherical k-means quantizer partitions the corpus into
+``n_centroids`` inverted lists; a query scores only the lists of its
+``nprobe`` nearest centroids. At 100 TB the cluster id becomes the
+table's partition/cluster column, so a query touches nprobe/n_centroids
+of the data and partition pruning does the rest.
+
+Training is distributed Lloyd iterations in DataFrame algebra —
+assignment is an argmax of broadcast-literal centroid dot products
+(JVM-side, codegen), the centroid update is a posexplode → per-(cluster,
+dim) average → re-normalize. Only the *model* (n_centroids × dim
+floats) ever reaches the driver. Everything is deterministic: seeded
+xxhash64 ordering for init, fixed iteration count, left-to-right
+aggregate order, id tie-breaks.
+
+Exactness property (pytest-enforced): with nprobe = n_centroids the
+result equals brute-force top-k exactly — the index only *restricts*
+the candidate set, scoring stays exact.
+
+The reference has no similarity search (SURVEY.md §2.8); north-rule /
+training-pipeline extension. Iterative → not SQL-expressible → rows-only
+driver check; the pytest oracle is the nprobe=all equivalence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import _dot, _norm, cosine
+
+DEFAULT_CENTROIDS = 16
+DEFAULT_ITERS = 3
+DEFAULT_NPROBE = 4
+
+
+def _unit(vec):
+    """Normalize to unit length (double array); zero vector → NULL."""
+    n = _norm(vec)
+    return F.when(n > 0, F.transform(vec, lambda x: x.cast("double") / n))
+
+
+def _centroid_lits(centroids: list[list[float]]):
+    return [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+
+
+def _assign(vec, centroids: list[list[float]]):
+    """Argmax of dot(vec, centroid_i) — nearest centroid by cosine for
+    unit vectors. Ties break to the lowest centroid id (array_position
+    finds the first occurrence)."""
+    dots = F.array(*[_dot(vec, c) for c in _centroid_lits(centroids)])
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def train_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = DEFAULT_CENTROIDS,
+    n_iters: int = DEFAULT_ITERS,
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer; returns unit centroids.
+
+    Init = the n_centroids vectors with the smallest xxhash64(id)
+    (a deterministic pseudo-random sample, no RNG state). Each Lloyd
+    iteration: distributed assign + per-dimension mean via posexplode,
+    renormalized; empty clusters keep their previous centroid.
+    """
+    unit = df.select(
+        F.col(id_col).alias("__id"), _unit(F.col(vec_col)).alias("__v")
+    ).filter(F.col("__v").isNotNull())
+
+    seed_rows = (
+        unit.orderBy(F.xxhash64(F.col("__id").cast("string")), F.col("__id"))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [list(r["__v"]) for r in seed_rows]
+
+    for _ in range(n_iters):
+        assigned = unit.select(
+            _assign(F.col("__v"), centroids).alias("__c"), F.col("__v")
+        )
+        means = (
+            assigned.select("__c", F.posexplode("__v").alias("__pos", "__x"))
+            .groupBy("__c", "__pos")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy("__c")
+            .agg(F.array_sort(F.collect_list(F.struct("__pos", "__m"))).alias("__ms"))
+            .select("__c", F.transform("__ms", lambda s: s["__m"]).alias("__mean"))
+            .collect()
+        )
+        new = list(centroids)  # empty clusters keep previous centroid
+        for r in means:
+            m = r["__mean"]
+            norm = sum(x * x for x in m) ** 0.5
+            if norm > 0:
+                new[r["__c"]] = [x / norm for x in m]
+        centroids = new
+    return centroids
+
+
+def ivf_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, cluster) — the inverted-file assignment. At corpus
+    scale, write this partitioned/clustered by ``cluster``."""
+    # Materialize the unit vector once: inlining _unit into every
+    # centroid dot would recompute the norm n_centroids times.
+    return df.select(
+        F.col(id_col), F.col(vec_col), _unit(F.col(vec_col)).alias("__u")
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.when(
+            F.col("__u").isNotNull(), _assign(F.col("__u"), centroids)
+        ).alias("cluster"),
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = DEFAULT_NPROBE,
+) -> DataFrame:
+    """IVF search: (query_id, neighbor_id, rank).
+
+    Queries probe their nprobe nearest centroids (top-nprobe by dot
+    product, slice of a sorted (score, cluster) struct array — all
+    Column algebra), the candidate join is an equi-join on cluster id
+    (broadcast query side), scoring inside the probed lists is exact
+    cosine with id tie-breaks — identical ranking semantics to
+    brute_force_topk, restricted to the probed lists.
+    """
+    indexed = ivf_index(df, centroids, id_col, vec_col).filter(
+        F.col("cluster").isNotNull()
+    )
+    dots = F.array(
+        *[_dot(F.col("__qu"), c) for c in _centroid_lits(centroids)]
+    )
+    # top-nprobe clusters: sort (−score, cluster) structs, slice, project
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                dots,
+                lambda d, i: F.struct((-d).alias("nd"), i.alias("cluster")),
+            )
+        ),
+        1,
+        nprobe,
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        _unit(F.col(vec_col)).alias("__qu"),
+    ).select(
+        "query_id",
+        "__qv",
+        F.explode(F.transform(ranked, lambda s: s["cluster"])).alias("cluster"),
+    )
+    scored = (
+        indexed.join(F.broadcast(q), on="cluster")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("__qv"), F.col(vec_col)).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

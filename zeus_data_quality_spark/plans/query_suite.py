@@ -22,7 +22,7 @@ from ..functions import fingerprint, textstats
 from ..functions.langid import detect_language
 from ..functions.perplexity import perplexity_nll
 from ..functions.scrub import duckdb_scrub_expr, scrub_text
-from ..operators import anomaly
+from ..operators import anomaly, ivf
 from ..operators.convfeat import conversation_features
 from ..operators.dedup import exact_dedup, minhash_dedup, simhash
 from ..operators.similarity import brute_force_topk, lsh_ann_topk
@@ -266,6 +266,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: spherical k-means coarse quantizer → probe nprobe
+    inverted lists → exact cosine rank inside them. Deterministic
+    (seeded init, fixed iterations). Iterative training → rows-only
+    driver check; pytest enforces nprobe=all ≡ brute force."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    centroids = ivf.train_centroids(emb, "embedding", "vec_id", n_centroids=8)
+    return ivf.ivf_topk(
+        emb, queries, centroids, "vec_id", "embedding", k=5, nprobe=3
+    ).select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_transcripts(spark, sf_dir).filter(F.col("text").isNotNull())
     keyed = t.select(
@@ -289,6 +302,52 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "conv_id", "turn_idx", perplexity_nll(F.col("text")).alias("nll")
     )
+
+
+def q_document_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-level quality filter — the documents-table
+    twin of the transcript pipeline: one scan computes text-quality
+    stats, exact-dup canonicality (two-phase agg + join-back), and a
+    length gate; keep = quality AND canonical AND length in bounds.
+    Everything JVM-side; the only shuffle is the compact md5 dedup
+    key. Fully DuckDB-oracle-able (unlike the langid/perplexity gates,
+    which have their own rows-only queries)."""
+    docs = _read(spark, sf_dir, "documents")
+    stats = textstats.with_text_stats(docs, "text")
+    canon = exact_dedup(docs, "doc_id", "text").select(
+        "doc_id", "n_copies", "is_canonical"
+    )
+    out = stats.join(canon, "doc_id")
+    keep = (
+        F.col("is_quality")
+        & F.col("is_canonical")
+        & F.col("n_chars").between(20, 20000)
+    )
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_copies",
+        "is_quality",
+        "is_canonical",
+        keep.alias("keep"),
+    )
+
+
+ORACLE_DOC_QUALITY = """
+WITH canon AS (
+    SELECT doc_id,
+           COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
+           doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+    FROM documents
+), stats AS ({stats_sql})
+SELECT s.doc_id, s.n_chars, s.n_tokens,
+       CAST(c.n_copies AS BIGINT) AS n_copies,
+       s.is_quality, c.is_canonical,
+       (s.is_quality AND c.is_canonical
+        AND s.n_chars BETWEEN 20 AND 20000) AS keep
+FROM stats s JOIN canon c USING (doc_id)
+"""
 
 
 # ----------------------------------------------------- monitor / reporting
@@ -755,8 +814,10 @@ def queries():
         "text_stats": q_text_stats,
         "doc_fingerprints": q_doc_fingerprints,
         "fingerprint_dup_groups": q_fingerprint_dup_groups,
+        "document_quality_filter": q_document_quality_filter,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "langid": q_langid,
@@ -798,6 +859,11 @@ def oracle_sql():
         ),
         "fingerprint_dup_groups": fingerprint.duckdb_dup_groups_sql(
             "documents", "doc_id", "text"
+        ),
+        "document_quality_filter": ORACLE_DOC_QUALITY.format(
+            stats_sql=textstats.duckdb_text_stats_sql(
+                "documents", "doc_id", "text"
+            ).strip()
         ),
         "ann_bruteforce": ORACLE_ANN_BRUTEFORCE,
         "monitor_topk": ORACLE_MONITOR_TOPK,
