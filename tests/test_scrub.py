@@ -64,3 +64,28 @@ def test_duckdb_parity():
 def test_pattern_order_ssn_before_phone():
     names = [n for n, _, _ in SCRUB_PATTERNS]
     assert names.index("ssn") < names.index("phone")
+
+
+def test_jvm_scrub_exactly_matches_pandas_udf(spark):
+    """The chained regexp_replace fast path and the Arrow-batched
+    pandas UDF must produce byte-identical scrubbed text over the
+    whole synthetic corpus (Java regex vs Python re agreement on the
+    canonical ASCII-only pattern set)."""
+    from pyspark.sql import functions as F
+
+    from zeus_data_quality_spark.functions.scrub import (
+        scrub_text,
+        scrub_text_jvm,
+    )
+    from zeus_data_quality_spark.sources.transcripts import load_transcripts
+
+    t = load_transcripts(spark, "/root/testdata/sf0.001")
+    diff = (
+        t.select(
+            scrub_text(F.col("text")).alias("a"),
+            scrub_text_jvm(F.col("text")).alias("b"),
+        )
+        .filter(~F.col("a").eqNullSafe(F.col("b")))
+        .count()
+    )
+    assert diff == 0

@@ -92,6 +92,23 @@ def with_scrub_struct(df, text_col: str = "text", struct_col: str = "scrub"):
     return df.withColumn(struct_col, scrub_with_counts(F.col(text_col)))
 
 
+def scrub_text_jvm(col: Column) -> Column:
+    """JVM fast path: the same canonical scrub as chained built-in
+    ``regexp_replace`` — whole-stage-codegen'd, no Python worker, no
+    Arrow transfer. Exact-equal to the pandas UDF on these patterns
+    (ASCII-only, lookaround-free — Python re, Java regex, and RE2
+    agree; corpus-level equality is pytest-enforced). The pandas UDF
+    stays the default pipeline path per the north rule; use this
+    variant when the per-pattern counts aren't needed and Python
+    worker startup dominates (small batches, many short tasks).
+    Measured at sf0.1×5 on local[16]: 846k rows/s vs 385k for the
+    pandas UDF (~2.2×)."""
+    out = col
+    for _, pat, repl in SCRUB_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
 def duckdb_scrub_expr(col: str) -> str:
     """The *same* canonical scrub as a DuckDB expression (nested global
     regexp_replace) — used by the correctness oracle. DuckDB's RE2 and
