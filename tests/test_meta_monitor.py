@@ -162,3 +162,47 @@ def test_monitor_kpis_and_trend(spark):
     assert by_day["2024-01-10"]["n_runs"] == 2
     assert by_day["2024-01-11"]["n_runs"] == 0  # zero-filled
     assert by_day["2024-01-12"]["n_failed"] == 1
+
+
+def test_profile_columns_stats(spark):
+    from zeus_data_quality_spark.plans.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.5),
+            (2, "b", None),
+            (3, " ", 2.5),
+            (4, None, 0.5),
+            (4, "a", 9.0),
+        ],
+        "id long, s string, v double",
+    )
+    p = {r["column"]: r for r in profile_columns(df).collect()}
+    assert p["id"]["n_rows"] == 5 and p["id"]["n_null"] == 0
+    assert p["id"]["n_distinct"] == 4
+    assert p["id"]["min_num"] == 1.0 and p["id"]["max_num"] == 4.0
+    assert p["s"]["n_null"] == 1 and p["s"]["n_blank"] == 1
+    assert p["s"]["min_str"] == " " and p["s"]["max_str"] == "b"
+    assert p["v"]["n_null"] == 1 and p["v"]["max_num"] == 9.0
+    assert p["s"]["min_num"] is None
+
+
+def test_suggest_checks_from_profile(spark):
+    from zeus_data_quality_spark.plans.profile import suggest_checks
+    from zeus_data_quality_spark.plans.runner import apply_checks, failure_counts
+
+    df = spark.createDataFrame(
+        [(i, "x" if i % 2 == 0 else "y", float(i)) for i in range(10)],
+        "id long, cat string, v double",
+    )
+    checks = suggest_checks(df)
+    by_id = {c.check_id: c for c in checks}
+    assert "ID_UNIQUE" in by_id  # key-like
+    assert "ID_NULL_COUNT" in by_id and "CAT_NULL_COUNT" in by_id
+    assert by_id["V_MIN_MAX"].params == {"min": 0.0, "max": 9.0}
+    assert by_id["CAT_VALUE_DIST"].params["allowed_values_csv"] == "x,y"
+    # suggested checks all pass on the data they were derived from
+    labeled = apply_checks(df, checks)
+    row = failure_counts(labeled, checks).collect()[0].asDict()
+    assert row.pop("rows_in") == 10
+    assert all(v == 0 for v in row.values())

@@ -99,6 +99,31 @@ def cmd_show_lineage(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Profile a table's columns; optionally emit suggested checks as
+    JSON (feed into a MetaStore or review by hand)."""
+    from .plans.profile import profile_columns, suggest_checks
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    for r in profile_columns(df).collect():
+        print(json.dumps({k: v for k, v in r.asDict().items()}))
+    if args.suggest:
+        for c in suggest_checks(df, config_id=args.config_id):
+            print(
+                json.dumps(
+                    {
+                        "check_id": c.check_id,
+                        "check_type": c.check_type,
+                        "column": c.column,
+                        "params": c.params,
+                        "config_id": c.config_id,
+                    }
+                )
+            )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="zeus_data_quality_spark")
     p.add_argument("--cpus", type=int, default=None, help="local[N] threads")
@@ -115,6 +140,12 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--buckets", type=int, default=64)
     r.add_argument("--batch-size", type=int, default=8)
     r.set_defaults(fn=cmd_run)
+
+    pr = sub.add_parser("profile", help="profile columns; --suggest emits checks")
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--suggest", action="store_true")
+    pr.add_argument("--config-id", default="suggested")
+    pr.set_defaults(fn=cmd_profile)
 
     s = sub.add_parser("show-lineage", help="dump lineage rows as JSON lines")
     s.add_argument("--lineage", required=True)

@@ -1,0 +1,201 @@
+"""Column profiling + profile-driven check suggestion.
+
+The reference makes users hand-pick columns and check types in the UI
+(`streamlit_app.py:298-588`); its only introspection is schema
+discovery (`utils/meta.py:277-319`). This module closes that loop the
+way a data-quality engine at corpus scale should: ONE fused scan
+computes per-column stats (null count, exact + approximate distinct,
+numeric min/max, string min/max, blank count), and a suggester turns
+the profile into concrete ``Check`` objects (NULL_COUNT for
+never-null columns, UNIQUE for key-like columns, MIN_MAX with observed
+bounds, VALUE_DISTRIBUTION for low-cardinality strings).
+
+Scale notes: the profile is a single Aggregate over one scan — no
+shuffle beyond the final single-row reduce; ``approx_count_distinct``
+(HyperLogLog++) is the scale path for distinct counts, the exact
+``countDistinct`` per column is kept because the DuckDB oracle needs
+exact agreement (and on fused profile scans the exact variant is one
+extra hash per column, measured fine at bench scale). The profile
+result is O(n_columns) rows — driver-side reshape is free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.rules import Check
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("column", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_null", T.LongType()),
+        T.StructField("n_distinct", T.LongType()),
+        T.StructField("n_distinct_approx", T.LongType()),
+        T.StructField("min_num", T.DoubleType()),
+        T.StructField("max_num", T.DoubleType()),
+        T.StructField("min_str", T.StringType()),
+        T.StructField("max_str", T.StringType()),
+        T.StructField("n_blank", T.LongType()),
+    ]
+)
+
+
+def profile_columns(
+    df: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """One-scan profile: one output row per column.
+
+    Numeric columns fill min_num/max_num; string columns fill
+    min_str/max_str and n_blank (empty-after-trim). Other types profile
+    null/distinct counts only.
+    """
+    spark = df.sparkSession
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = columns or [
+        n for n, t in fields.items()
+        if isinstance(t, _NUMERIC + (T.StringType,))
+    ]
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        t = fields[c]
+        aggs.append(F.count(c).alias(f"nn__{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd__{c}"))
+        aggs.append(F.approx_count_distinct(c).alias(f"nda__{c}"))
+        if isinstance(t, _NUMERIC):
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"mn__{c}"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"mx__{c}"))
+        elif isinstance(t, T.StringType):
+            aggs.append(F.min(c).alias(f"mns__{c}"))
+            aggs.append(F.max(c).alias(f"mxs__{c}"))
+            aggs.append(
+                F.sum(
+                    F.when(F.length(F.trim(F.col(c))) == 0, 1).otherwise(0)
+                ).alias(f"nb__{c}")
+            )
+    row = df.agg(*aggs).collect()[0].asDict()
+    out = []
+    for c in cols:
+        t = fields[c]
+        is_num = isinstance(t, _NUMERIC)
+        is_str = isinstance(t, T.StringType)
+        out.append(
+            (
+                c,
+                row["__n"],
+                row["__n"] - row[f"nn__{c}"],
+                row[f"nd__{c}"],
+                row[f"nda__{c}"],
+                float(row[f"mn__{c}"]) if is_num and row[f"mn__{c}"] is not None else None,
+                float(row[f"mx__{c}"]) if is_num and row[f"mx__{c}"] is not None else None,
+                row.get(f"mns__{c}") if is_str else None,
+                row.get(f"mxs__{c}") if is_str else None,
+                row.get(f"nb__{c}") if is_str else None,
+            )
+        )
+    return spark.createDataFrame(out, PROFILE_SCHEMA)
+
+
+def duckdb_profile_sql(
+    table: str, columns: list[tuple[str, str]]
+) -> str:
+    """DuckDB twin of :func:`profile_columns` (exact columns only —
+    the approx distinct is sketch-specific, so the oracle echoes
+    Spark's semantics for every *exact* stat and omits the HLL one).
+    ``columns`` = [(name, 'num'|'str'), ...].
+    """
+    parts = []
+    for c, kind in columns:
+        mn = f"CAST(MIN({c}) AS DOUBLE)" if kind == "num" else "NULL"
+        mx = f"CAST(MAX({c}) AS DOUBLE)" if kind == "num" else "NULL"
+        mns = f"MIN({c})" if kind == "str" else "NULL"
+        mxs = f"MAX({c})" if kind == "str" else "NULL"
+        nb = (
+            f"SUM(CASE WHEN length(trim({c})) = 0 THEN 1 ELSE 0 END)"
+            if kind == "str"
+            else "NULL"
+        )
+        parts.append(
+            f"SELECT '{c}' AS \"column\", "
+            f"CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null, "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"CAST({mn} AS DOUBLE) AS min_num, "
+            f"CAST({mx} AS DOUBLE) AS max_num, "
+            f"CAST({mns} AS VARCHAR) AS min_str, "
+            f"CAST({mxs} AS VARCHAR) AS max_str, "
+            f"CAST({nb} AS BIGINT) AS n_blank "
+            f"FROM {table}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def suggest_checks(
+    df: DataFrame,
+    config_id: str = "suggested",
+    max_value_dist_cardinality: int = 20,
+) -> list[Check]:
+    """Profile-driven check suggestions, deterministic order.
+
+    * never-null column → NULL_COUNT
+    * key-like (distinct == rows, no nulls) → UNIQUE
+    * numeric → MIN_MAX with the observed bounds
+    * low-cardinality string → VALUE_DISTRIBUTION with the observed
+      value set (one extra tiny scan collects the values)
+    """
+    prof = {r["column"]: r for r in profile_columns(df).collect()}
+    checks: list[Check] = []
+    for c in sorted(prof):
+        p = prof[c]
+        if p["n_rows"] == 0:
+            continue
+        if p["n_null"] == 0:
+            checks.append(
+                Check(f"{c.upper()}_NULL_COUNT", "NULL_COUNT", c, config_id=config_id)
+            )
+        if p["n_null"] == 0 and p["n_distinct"] == p["n_rows"]:
+            checks.append(
+                Check(
+                    f"{c.upper()}_UNIQUE",
+                    "UNIQUE",
+                    None,
+                    {"key": [c], "ignore_nulls": True},
+                    config_id=config_id,
+                )
+            )
+        if p["min_num"] is not None:
+            checks.append(
+                Check(
+                    f"{c.upper()}_MIN_MAX",
+                    "MIN_MAX",
+                    c,
+                    {"min": p["min_num"], "max": p["max_num"]},
+                    config_id=config_id,
+                )
+            )
+        if (
+            p["min_str"] is not None
+            and 0 < p["n_distinct"] <= max_value_dist_cardinality
+        ):
+            vals = [
+                r[0]
+                for r in df.select(c).filter(F.col(c).isNotNull()).distinct()
+                .orderBy(c).collect()
+            ]
+            checks.append(
+                Check(
+                    f"{c.upper()}_VALUE_DIST",
+                    "VALUE_DISTRIBUTION",
+                    c,
+                    {"allowed_values_csv": ",".join(vals)},
+                    config_id=config_id,
+                )
+            )
+    return sorted(checks, key=lambda k: k.check_id)

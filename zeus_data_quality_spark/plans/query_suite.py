@@ -35,6 +35,7 @@ from ..operators.multimodal import (
 from ..sources.run_results import load_run_results, oracle_with_run_results
 from ..sources.transcripts import load_transcripts, oracle_with_transcripts
 from . import monitor
+from . import profile
 from . import oracle as osql
 from .configs import default_transcript_checks
 from .runner import apply_checks, failure_counts
@@ -348,6 +349,25 @@ SELECT s.doc_id, s.n_chars, s.n_tokens,
         AND s.n_chars BETWEEN 20 AND 20000) AS keep
 FROM stats s JOIN canon c USING (doc_id)
 """
+
+
+PROFILE_COLS = [
+    ("event_id", "num"),
+    ("user_id", "num"),
+    ("event_type", "str"),
+    ("value", "num"),
+    ("props", "str"),
+]
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan per-column profile of events (null/distinct counts,
+    numeric and string min/max, blank counts). The HLL approx-distinct
+    column is dropped for the oracle comparison (sketch-specific)."""
+    ev = _read(spark, sf_dir, "events")
+    return profile.profile_columns(ev, [c for c, _ in PROFILE_COLS]).drop(
+        "n_distinct_approx"
+    )
 
 
 # ----------------------------------------------------- monitor / reporting
@@ -815,6 +835,7 @@ def queries():
         "doc_fingerprints": q_doc_fingerprints,
         "fingerprint_dup_groups": q_fingerprint_dup_groups,
         "document_quality_filter": q_document_quality_filter,
+        "column_profile": q_column_profile,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -860,6 +881,7 @@ def oracle_sql():
         "fingerprint_dup_groups": fingerprint.duckdb_dup_groups_sql(
             "documents", "doc_id", "text"
         ),
+        "column_profile": profile.duckdb_profile_sql("events", PROFILE_COLS),
         "document_quality_filter": ORACLE_DOC_QUALITY.format(
             stats_sql=textstats.duckdb_text_stats_sql(
                 "documents", "doc_id", "text"
