@@ -80,3 +80,27 @@ def test_entry_smoke(spark):
     assert n > 0
     kept = df.filter("keep").count()
     assert 0 < kept < n  # filter actually separates good from bad turns
+
+
+def test_amplified_corpus_preserves_defect_mix(spark):
+    """Events-level amplification must keep well-formed conv_ids and a
+    replica-invariant keep-rate (amplifying synthesized conv_id strings
+    would fail CONV_ID_FORMAT for every replica)."""
+    from pyspark.sql import functions as F
+
+    from zeus_data_quality_spark.plans.configs import default_transcript_checks
+    from zeus_data_quality_spark.plans.runner import apply_checks
+    from zeus_data_quality_spark.sources.transcripts import (
+        load_transcripts,
+        load_transcripts_amplified,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = apply_checks(load_transcripts(spark, sf), default_transcript_checks())
+    amp = apply_checks(
+        load_transcripts_amplified(spark, sf, 3), default_transcript_checks()
+    )
+    nb, kb = base.count(), base.filter(F.col("keep")).count()
+    na, ka = amp.count(), amp.filter(F.col("keep")).count()
+    assert na == 3 * nb
+    assert abs(ka / na - kb / nb) < 0.02

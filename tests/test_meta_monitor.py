@@ -206,3 +206,38 @@ def test_suggest_checks_from_profile(spark):
     row = failure_counts(labeled, checks).collect()[0].asDict()
     assert row.pop("rows_in") == 10
     assert all(v == 0 for v in row.values())
+
+
+def test_suggest_save_run_full_loop(spark, tmp_path):
+    """Product loop: profile a table → suggested checks → persist via
+    MetaStore → reload → run_config. All suggested checks pass on the
+    data they were derived from, and a mutated corpus fails them."""
+    from zeus_data_quality_spark.plans.profile import suggest_checks
+    from zeus_data_quality_spark.plans.runner import run_config
+
+    df = spark.createDataFrame(
+        [(i, "x" if i % 2 == 0 else "y") for i in range(20)],
+        "id long, cat string",
+    )
+    store = MetaStore(spark, str(tmp_path))
+    store.upsert_config(
+        {"config_id": "sug", "name": "suggested", "target_table_fqn": "t",
+         "status": "ACTIVE"}
+    )
+    store.replace_checks("sug", suggest_checks(df, config_id="sug"))
+    reloaded = store.get_checks("sug")
+    assert len(reloaded) >= 4
+
+    _, records = run_config(spark, df, reloaded, config_id="sug")
+    assert records and all(r.ok for r in records)
+
+    # mutate: null cat, out-of-range id, duplicate key
+    bad = df.union(
+        spark.createDataFrame([(99, None), (0, "z")], "id long, cat string")
+    )
+    _, recs2 = run_config(spark, bad, reloaded, config_id="sug")
+    failed = {r.check_id for r in recs2 if not r.ok}
+    assert "ID_MIN_MAX" in failed  # 99 > observed max 19
+    assert "ID_UNIQUE" in failed  # duplicate id 0
+    assert "CAT_NULL_COUNT" in failed
+    assert "CAT_VALUE_DIST" in failed  # "z" not in {x,y}
