@@ -1,0 +1,63 @@
+"""Generic source/sink: schema-required text reads, corrupt-record
+quarantine, dynamic partition overwrite."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.sources.generic import (
+    CORRUPT_COL,
+    load,
+    split_corrupt,
+    write_partitioned,
+)
+
+
+def test_json_corrupt_quarantine(spark, tmp_path):
+    p = str(tmp_path / "in.jsonl")
+    with open(p, "w") as f:
+        f.write('{"id": 1, "name": "a"}\n')
+        f.write("this is not json\n")
+        f.write('{"id": 2, "name": "b"}\n')
+        f.write('{"id": "NaN-ish", "name": 3}\n')  # type mismatch -> corrupt
+    df = load(spark, p, "json", "id long, name string")
+    clean, quarantine = split_corrupt(df)
+    assert clean.count() == 2
+    assert CORRUPT_COL not in clean.columns
+    q = quarantine.select(CORRUPT_COL).collect()
+    assert len(q) == 2
+    assert any("not json" in r[0] for r in q)
+
+
+def test_text_formats_require_schema(spark, tmp_path):
+    with pytest.raises(ValueError, match="schema"):
+        load(spark, str(tmp_path), "csv")
+    with pytest.raises(ValueError, match="unsupported"):
+        load(spark, str(tmp_path), "avro")
+
+
+def test_csv_roundtrip_with_header(spark, tmp_path):
+    p = str(tmp_path / "in.csv")
+    with open(p, "w") as f:
+        f.write("id,name\n1,a\n2,b\nnot_a_number,c\n")
+    df = load(spark, p, "csv", "id long, name string")
+    clean, quarantine = split_corrupt(df)
+    assert clean.count() == 2
+    assert quarantine.count() == 1
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
+    out = str(tmp_path / "out")
+    full = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id long, part string"
+    )
+    write_partitioned(full, out, ["part"])
+    assert spark.read.parquet(out).count() == 3
+    # overwrite only part=a with a single row; part=b must survive
+    patch = spark.createDataFrame([(9, "a")], "id long, part string")
+    write_partitioned(patch, out, ["part"])
+    got = {(r["id"], r["part"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(9, "a"), (3, "b")}

@@ -1,0 +1,114 @@
+"""Generic batch sources/sinks — parquet / ORC / CSV / JSON / tables.
+
+The reference reads only Snowflake tables (every query is
+``session.sql`` against a 3-part FQN, ``utils/meta.py:277-319``); our
+engine's canonical input is the Iceberg/parquet transcript table. This
+module is the pragmatic edge of the pipeline: land raw vendor drops
+(CSV/JSONL) into the same DataFrame shape with *explicit schemas* and
+quarantined corrupt records, and write results atomically.
+
+Scale/correctness notes:
+
+* **Always pass a schema** for CSV/JSON: schema inference scans the
+  data once before the real job (2× read at 100 TB) and can silently
+  flip types between drops. ``load()`` requires one for text formats.
+* **Corrupt records are data, not exceptions**: PERMISSIVE mode with a
+  ``_corrupt_record`` column; ``split_corrupt()`` separates clean rows
+  from quarantine rows so a bad vendor line never kills a 10-hour job
+  and lineage can count them (same philosophy as the reference's
+  errors-don't-abort run loop, ``sql/CREATE_RESULTS_AND_SP.SQL:96-103``).
+* **Writes**: ``write_partitioned`` uses dynamic partition overwrite —
+  re-running a slice replaces exactly that slice (the idempotent-resume
+  contract of ``plans/lineage.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+TEXT_FORMATS = {"csv", "json"}
+BINARY_FORMATS = {"parquet", "orc"}
+
+
+def load(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Read ``path`` as ``fmt``. Text formats (csv/json) REQUIRE a
+    schema and read PERMISSIVE with a ``_corrupt_record`` column
+    appended; binary formats (parquet/orc) carry their own schema.
+    """
+    fmt = fmt.lower()
+    if fmt in BINARY_FORMATS:
+        reader = spark.read.format(fmt)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.options(**options).load(path)
+    if fmt not in TEXT_FORMATS:
+        raise ValueError(f"unsupported format: {fmt}")
+    if schema is None:
+        raise ValueError(
+            f"{fmt} requires an explicit schema (inference double-scans "
+            "the input and drifts between drops)"
+        )
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if CORRUPT_COL not in schema.fieldNames():
+        schema = schema.add(T.StructField(CORRUPT_COL, T.StringType()))
+    reader = (
+        spark.read.format(fmt)
+        .schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    if fmt == "csv":
+        reader = reader.option("header", options.pop("header", "true"))
+    return reader.options(**options).load(path)
+
+
+def split_corrupt(df: DataFrame, cache: bool = True) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantine): clean rows lose the corrupt column;
+    quarantine keeps the raw line for inspection/lineage counts.
+
+    Spark forbids queries against a raw JSON/CSV scan whose pruned
+    schema is only the corrupt column (UNSUPPORTED_FEATURE.QUERY_ONLY_
+    CORRUPT_RECORD_COLUMN) — the documented contract is to materialize
+    the parse first. ``cache=True`` does that; at corpus scale land the
+    parsed DataFrame to storage instead and pass ``cache=False``.
+    """
+    if CORRUPT_COL not in df.columns:
+        return df, df.limit(0)
+    if cache:
+        df = df.cache()
+    clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    quarantine = df.filter(F.col(CORRUPT_COL).isNotNull())
+    return clean, quarantine
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    fmt: str = "parquet",
+) -> None:
+    """Dynamic partition overwrite: only the partitions present in
+    ``df`` are replaced — the idempotent re-run primitive (on Iceberg
+    this is ``overwritePartitions()``)."""
+    (
+        df.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+    )
+    (
+        df.write.mode("overwrite")
+        .format(fmt)
+        .partitionBy(*partition_cols)
+        .save(path)
+    )
