@@ -11,7 +11,14 @@ from zeus_data_quality_spark.operators.multimodal import (
     image_features,
     image_resize,
     synth_media_table,
+    video_frame_sample,
 )
+
+# The fixture interleaves: video at i%3==2, image at remaining even i,
+# audio at remaining odd i.
+VIDEO_IDS_16 = {2, 5, 8, 11, 14}
+IMAGE_IDS_16 = {0, 4, 6, 10, 12}
+AUDIO_IDS_16 = {1, 3, 7, 9, 13, 15}
 
 
 def test_fake_codec_roundtrip():
@@ -27,7 +34,7 @@ def test_media_table_and_resize(spark):
     assert media.count() == 16
     out = image_resize(media, 8, 8)
     rows = out.collect()
-    assert len(rows) == 8  # images only
+    assert {r["media_id"] for r in rows} == IMAGE_IDS_16
     w, h, px = decode_image_bytes(bytes(rows[0]["payload"]))
     assert (w, h) == (8, 8) and px.size == 64
     # deterministic across runs
@@ -36,21 +43,36 @@ def test_media_table_and_resize(spark):
 
 
 def test_image_features(spark):
-    media = synth_media_table(spark, 8)
+    media = synth_media_table(spark, 16)
     feats = {r["media_id"]: r["features"] for r in image_features(media).collect()}
-    assert set(feats) == {0, 2, 4, 6}
+    assert set(feats) == IMAGE_IDS_16
     for v in feats.values():
         assert len(v) == 16
         assert abs(sum(v) - 1.0) < 1e-5  # normalized histogram
 
 
 def test_audio_frames(spark):
-    media = synth_media_table(spark, 8)
+    media = synth_media_table(spark, 16)
     frames = audio_frame_sample(media, frame_ms=100).collect()
-    assert {r["media_id"] for r in frames} == {1, 3, 5, 7}
+    assert {r["media_id"] for r in frames} == AUDIO_IDS_16
     assert all(r["rms"] >= 0 for r in frames)
     per_media = {}
     for r in frames:
         per_media.setdefault(r["media_id"], []).append(r["frame_idx"])
     for idxs in per_media.values():
         assert sorted(idxs) == list(range(len(idxs)))  # contiguous frames
+
+
+def test_video_frame_sample(spark):
+    media = synth_media_table(spark, 16)
+    frames = video_frame_sample(media, every_n=2).collect()
+    assert {r["media_id"] for r in frames} == VIDEO_IDS_16
+    per_media = {}
+    for r in frames:
+        per_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for idxs in per_media.values():
+        assert sorted(idxs) == list(range(0, 2 * len(idxs), 2))  # every 2nd
+    assert all(0.0 <= r["mean_intensity"] <= 255.0 for r in frames)
+    # deterministic
+    again = video_frame_sample(media, every_n=2).collect()
+    assert sorted(map(tuple, frames)) == sorted(map(tuple, again))

@@ -149,3 +149,30 @@ def test_fingerprint_xxhash64_fast_path(spark):
     # winnowing guarantee is hash-agnostic: docs 1+2 still share a group
     assert any(g["min_doc"] == 1 and g["max_doc"] == 2 for g in groups)
     assert all(g["max_doc"] <= 2 for g in groups)
+
+
+def test_broadcast_langid_udf_matches_closure_udf(spark):
+    from pyspark.sql import functions as F
+
+    from zeus_data_quality_spark.functions.langid import (
+        detect_language,
+        make_broadcast_langid_udf,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was happy with the sun"),
+            (2, "der Hund läuft über die Straße und das ist nicht gut"),
+            (3, None),
+            (4, "zzz qqq"),
+        ],
+        "id long, text string",
+    )
+    bc_udf = make_broadcast_langid_udf(spark)
+    rows = df.select(
+        "id",
+        detect_language(F.col("text")).alias("a"),
+        bc_udf(F.col("text")).alias("b"),
+    ).collect()
+    assert all(r["a"] == r["b"] for r in rows)
+    assert {r["id"]: r["a"] for r in rows}[1] == "en"

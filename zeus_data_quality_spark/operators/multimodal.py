@@ -38,6 +38,7 @@ MEDIA_SCHEMA = (
 
 _IMG_MAGIC = b"FAKEIMG"
 _PCM_MAGIC = b"FAKEPCM"
+_VID_MAGIC = b"FAKEVID"
 
 
 def encode_fake_image(width: int, height: int, seed: int) -> bytes:
@@ -51,6 +52,22 @@ def encode_fake_pcm(sample_rate: int, n_samples: int, seed: int) -> bytes:
     t = np.arange(n_samples, dtype=np.int64)
     wave = ((t * (seed % 17 + 1)) % 65536 - 32768).astype(np.int16)
     return _PCM_MAGIC + struct.pack("<II", sample_rate, n_samples) + wave.tobytes()
+
+
+def encode_fake_video(
+    width: int, height: int, n_frames: int, seed: int
+) -> bytes:
+    """Deterministic fake video: magic + dims + frame count + per-frame
+    u8 pixel grids (each frame shifted by its index)."""
+    frames = []
+    base = np.arange(width * height, dtype=np.int64) * (seed * 40503 % 255 + 1)
+    for fi in range(n_frames):
+        frames.append(((base + fi * 7) % 251).astype(np.uint8).tobytes())
+    return (
+        _VID_MAGIC
+        + struct.pack("<III", width, height, n_frames)
+        + b"".join(frames)
+    )
 
 
 def decode_image_bytes(b: bytes) -> tuple[int, int, np.ndarray]:
@@ -68,10 +85,23 @@ def decode_image_bytes(b: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def synth_media_table(spark, n: int = 64) -> DataFrame:
-    """Deterministic media fixture (images + audio interleaved)."""
+    """Deterministic media fixture (images + audio + video interleaved)."""
     rows = []
     for i in range(n):
-        if i % 2 == 0:
+        if i % 3 == 2:
+            w, h, nf = 8 + (i % 3) * 4, 8, 4 + (i % 5)
+            rows.append(
+                (
+                    i,
+                    "video",
+                    bytearray(encode_fake_video(w, h, nf, i)),
+                    w,
+                    h,
+                    None,
+                    nf * 40,  # 25 fps
+                )
+            )
+        elif i % 2 == 0:
             w, h = 16 + (i % 5) * 8, 16 + (i % 3) * 8
             rows.append(
                 (i, "image", bytearray(encode_fake_image(w, h, i)), w, h, None, None)
@@ -162,4 +192,36 @@ def audio_frame_sample(df: DataFrame, frame_ms: int = 100) -> DataFrame:
 
     return df.filter(F.col("media_type") == "audio").mapInPandas(
         batches, "media_id long, frame_idx int, rms double"
+    )
+
+
+def video_frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Sample every ``every_n``-th frame of fake-video payloads; emit a
+    per-sampled-frame intensity summary (the frame-sample step of a
+    vision training pipeline). Output: (media_id, frame_idx,
+    mean_intensity double). Real codecs (H.264 etc.) are stubbed —
+    payloads without the FAKEVID magic raise NotImplementedError."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                if not b.startswith(_VID_MAGIC):
+                    raise NotImplementedError(
+                        "real video codecs are stubbed; payload is not FAKEVID"
+                    )
+                w, h, nf = struct.unpack("<III", b[7:19])
+                fsz = w * h
+                for fi in range(0, nf, every_n):
+                    frame = np.frombuffer(
+                        b, dtype=np.uint8, offset=19 + fi * fsz, count=fsz
+                    )
+                    rows.append((mid, fi, float(frame.mean())))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "mean_intensity"]
+            )
+
+    return df.filter(F.col("media_type") == "video").mapInPandas(
+        batches, "media_id long, frame_idx int, mean_intensity double"
     )

@@ -31,6 +31,7 @@ from ..operators.multimodal import (
     audio_frame_sample,
     image_features,
     synth_media_table,
+    video_frame_sample,
 )
 from ..sources.run_results import load_run_results, oracle_with_run_results
 from ..sources.transcripts import load_transcripts, oracle_with_transcripts
@@ -541,6 +542,11 @@ def q_media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_sample(synth_media_table(spark, 64), frame_ms=100)
 
 
+def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling of binary video payloads via mapInPandas."""
+    return video_frame_sample(synth_media_table(spark, 64), every_n=2)
+
+
 # ------------------------------------------------------------- oracles
 
 def _oracle_rule_failure_counts() -> str:
@@ -857,6 +863,7 @@ def queries():
         "cube_events": q_cube_events,
         "media_features": q_media_features,
         "media_audio_frames": q_media_audio_frames,
+        "media_video_frames": q_media_video_frames,
     }
 
 
