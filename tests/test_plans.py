@@ -106,3 +106,12 @@ def test_fingerprint_dup_groups_no_expression_duplication(spark, sf_dir):
     # and the cheap pre-filter reaches the parquet scan
     plan = _plan(spark, out)
     assert "PushedFilters: [IsNotNull(text)" in plan
+
+
+def test_tpch_q3_topk_and_pushdown(spark, sf_dir):
+    plan = _plan(spark, qs.q_tpch_q3(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # top-10 without full sort
+    assert "CartesianProduct" not in plan
+    # date + segment filters reach the scans
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
