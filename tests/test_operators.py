@@ -223,3 +223,67 @@ def test_ivf_index_assigns_all_nonnull(spark, sf_dir):
     n = idx.count()
     assert idx.filter(F.col("cluster").isNotNull()).count() == n
     assert idx.select("cluster").distinct().count() <= 4
+
+
+def test_value_drift_detects_shift(spark):
+    from zeus_data_quality_spark.operators.anomaly import (
+        histogram_fractions,
+        value_drift,
+    )
+
+    base = spark.createDataFrame(
+        [(float(i % 10),) for i in range(1000)], "v double"
+    )
+    base_fracs = [
+        r["frac"]
+        for r in histogram_fractions(base, "v", 10, 0.0, 10.0)
+        .orderBy("bin")
+        .collect()
+    ]
+    # same distribution → no drift
+    same = value_drift(base, "v", base_fracs, 0.0, 10.0).first()
+    assert same["ok"] and abs(same["psi"]) < 1e-6
+    # shifted distribution → drift
+    shifted = spark.createDataFrame(
+        [(float(i % 3),) for i in range(1000)], "v double"
+    )
+    moved = value_drift(shifted, "v", base_fracs, 0.0, 10.0).first()
+    assert not moved["ok"] and moved["psi"] > 0.2
+
+
+def test_value_drift_check_type_in_run(spark):
+    from zeus_data_quality_spark.functions.rules import Check
+    from zeus_data_quality_spark.plans.runner import run_table_checks
+    from datetime import datetime, timezone
+
+    df = spark.createDataFrame([(float(i % 10),) for i in range(100)], "v double")
+    checks = [
+        Check(
+            "V_DRIFT",
+            "VALUE_DRIFT",
+            None,
+            {
+                "column": "v",
+                "baseline_fracs": [0.1] * 10,
+                "lo": 0.0,
+                "hi": 10.0,
+            },
+        ),
+        Check(
+            "V_DRIFT_BAD",
+            "VALUE_DRIFT",
+            None,
+            {
+                "column": "v",
+                "baseline_fracs": [1.0] + [0.0] * 9,
+                "lo": 0.0,
+                "hi": 10.0,
+            },
+        ),
+    ]
+    recs = run_table_checks(
+        spark, df, checks, "cfg", "run", datetime.now(timezone.utc)
+    )
+    by_id = {r.check_id: r for r in recs}
+    assert by_id["V_DRIFT"].ok
+    assert not by_id["V_DRIFT_BAD"].ok and by_id["V_DRIFT_BAD"].failures == 1

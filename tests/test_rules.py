@@ -139,3 +139,30 @@ def test_unknown_check_type_permissive(spark):
     checks = [Check("Z", "SOMETHING_NEW", "v")]
     labeled = apply_checks(df, checks)
     assert labeled.first()["keep"] is True
+
+
+def test_role_alternation_check(spark):
+    from zeus_data_quality_spark.functions.rules import Check
+    from zeus_data_quality_spark.plans.runner import apply_checks
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", None),
+            ("c1", 1, "assistant", None),
+            ("c1", 2, "assistant", None),  # consecutive same role → fail
+            ("c1", 3, "user", None),
+            ("c2", 0, "user", None),       # first turn always passes
+            ("c2", 1, None, None),         # NULL role passes (3VL)
+            (None, 0, "user", None),       # NULL conv_id exempt
+            (None, 1, "user", None),
+        ],
+        "conv_id string, turn_idx int, role string, ts timestamp",
+    )
+    checks = [Check("ROLE_ALT", "ROLE_ALTERNATION", "role")]
+    out = apply_checks(df, checks).collect()
+    failed = {
+        (r["conv_id"], r["turn_idx"]) for r in out if r["fail_role_alt"]
+    }
+    assert failed == {("c1", 2)}
+    # prep column dropped
+    assert all(not c.startswith("__alt_") for c in apply_checks(df, checks).columns)

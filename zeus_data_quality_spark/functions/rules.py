@@ -45,6 +45,7 @@ SUPPORTED_COLUMN_CHECKS = [
     "WHITESPACE",
     "FORMAT_DISTRIBUTION",
     "VALUE_DISTRIBUTION",
+    "ROLE_ALTERNATION",
 ]
 SUPPORTED_TABLE_CHECKS = ["FRESHNESS", "ROW_COUNT", "ROW_COUNT_ANOMALY"]
 
@@ -163,6 +164,10 @@ def compile_row_check(check: Check) -> Column:
     if ctype == "UNIQUE":
         # Runner guarantees a boolean 'is unique or null-key' column.
         return F.col(unique_flag_name(check))
+    if ctype == "ROLE_ALTERNATION":
+        # Runner prepares the lag-based pass flag (needs a per-
+        # conversation window, operators/convfeat.py).
+        return F.col(alternation_flag_name(check))
     if ctype == "NULL_COUNT":
         return null_count(col)
     if ctype == "MIN_MAX":
@@ -198,6 +203,10 @@ def compile_row_check(check: Check) -> Column:
 
 def unique_flag_name(check: Check) -> str:
     return f"__uniq_{check.check_id}"
+
+
+def alternation_flag_name(check: Check) -> str:
+    return f"__alt_{check.check_id}"
 
 
 def fail_flag_name(check: Check) -> str:

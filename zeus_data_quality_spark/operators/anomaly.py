@@ -143,3 +143,82 @@ def row_count_anomaly(
             ).alias("ok"),
         )
     )
+
+
+# ----------------------------------------------------- distribution drift
+
+PSI_EPS = 1e-6  # smoothing for empty bins (standard PSI practice)
+
+
+def histogram_fractions(
+    df: DataFrame, column: str, bins: int, lo: float, hi: float
+) -> DataFrame:
+    """(bin, frac): fixed-width histogram of ``column`` over [lo, hi),
+    out-of-range values clamped into the edge bins, NULLs excluded,
+    zero-count bins present (left join against a bin spine). One
+    partial-aggregated groupBy on an int key — the cheapest possible
+    shuffle shape; the result is ``bins`` rows regardless of input size.
+    """
+    x = F.col(column).cast("double")
+    width = (hi - lo) / bins
+    b = F.least(
+        F.greatest(F.floor((x - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(0)),
+        F.lit(bins - 1),
+    )
+    counts = (
+        df.filter(x.isNotNull())
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = df.sparkSession.range(bins).select(F.col("id").cast("int").alias("bin"))
+    total = counts.agg(F.sum("n").alias("total"))
+    return (
+        spine.join(counts, "bin", "left")
+        .crossJoin(total)  # 1-row, auto-broadcast
+        .select(
+            "bin",
+            (F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("total")).alias(
+                "frac"
+            ),
+        )
+    )
+
+
+def psi_between(cur: DataFrame, base: DataFrame) -> DataFrame:
+    """1-row (psi double): Population Stability Index between two
+    (bin, frac) histograms — Σ (p−q)·ln(p/q) with ε-smoothed bins.
+    Rounded to 9 decimals so independent engines agree despite
+    summation-order float differences."""
+    p = F.greatest(F.col("cur_frac"), F.lit(PSI_EPS))
+    q = F.greatest(F.col("base_frac"), F.lit(PSI_EPS))
+    joined = cur.withColumnRenamed("frac", "cur_frac").join(
+        base.withColumnRenamed("frac", "base_frac"), "bin"
+    )
+    return joined.agg(
+        F.round(F.sum((p - q) * F.log(p / q)), 9).alias("psi")
+    )
+
+
+def value_drift(
+    df: DataFrame,
+    column: str,
+    baseline_fracs: list[float],
+    lo: float,
+    hi: float,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """VALUE_DRIFT table check: PSI of ``column``'s current histogram
+    against a stored baseline (e.g. a prior run's profile, carried in
+    check params). ok ⇔ psi <= threshold (0.2 is the conventional
+    'significant shift' PSI cut)."""
+    bins = len(baseline_fracs)
+    spark = df.sparkSession
+    base = spark.createDataFrame(
+        [(i, float(f)) for i, f in enumerate(baseline_fracs)],
+        "bin int, frac double",
+    )
+    cur = histogram_fractions(df, column, bins, lo, hi)
+    return psi_between(cur, base).select(
+        "psi", (F.col("psi") <= F.lit(threshold)).alias("ok")
+    )

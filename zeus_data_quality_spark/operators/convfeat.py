@@ -47,3 +47,41 @@ def conversation_features(df: DataFrame) -> DataFrame:
         F.max("turn_idx").alias("last_turn"),
         F.sum(switch).alias("n_role_switches"),
     )
+
+
+def with_alternation_flag(
+    df: DataFrame,
+    flag_name: str,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    order_cols: tuple[str, ...] = ("turn_idx", "ts"),
+) -> DataFrame:
+    """ROLE_ALTERNATION pass flag: a turn passes unless its role equals
+    the previous turn's role in the same conversation (consecutive
+    same-role turns = malformed agent transcript).
+
+    Exemptions mirroring the rule family's 3VL conventions: NULL
+    conv_id (no conversation to order within), first turn (no
+    predecessor), NULL role. Ordering is total — (order_cols, role)
+    ASC NULLS FIRST — so the lag is deterministic across engines; rows
+    tied on all ordering columns are identical in the compared
+    attribute, so any tie order yields the same labels.
+
+    Scale: one window sort per conversation partition. Unlike UNIQUE
+    (rewritten as a two-phase aggregate), alternation is inherently
+    sequential within a conversation, so the conv_id-partitioned window
+    IS the right plan; conversations are small and AQE skew handling
+    covers mega-conversation outliers.
+    """
+    order = [F.col(c).asc_nulls_first() for c in order_cols] + [
+        F.col(role_col).asc_nulls_first()
+    ]
+    w = Window.partitionBy(conv_col).orderBy(*order)
+    prev = F.lag(role_col).over(w)
+    passes = (
+        F.col(conv_col).isNull()
+        | prev.isNull()
+        | F.col(role_col).isNull()
+        | (F.col(role_col) != prev)
+    )
+    return df.withColumn(flag_name, passes)

@@ -37,6 +37,10 @@ def unique_count_col(check: Check) -> str:
     return f"__kc_{check.check_id.lower()}"
 
 
+def alternation_prev_col(check: Check) -> str:
+    return f"__ap_{check.check_id.lower()}"
+
+
 def pass_predicate_sql(check: Check) -> str:
     """DuckDB boolean pass-predicate for one check. UNIQUE predicates
     reference the window-count column added by :func:`labeled_cte`."""
@@ -46,6 +50,14 @@ def pass_predicate_sql(check: Check) -> str:
         key = check.params.get("key") or [check.column]
         null_key = " OR ".join(f"{k} IS NULL" for k in key)
         return f"({null_key} OR {unique_count_col(check)} = 1)"
+    if ctype == "ROLE_ALTERNATION":
+        conv = check.params.get("conv_col", "conv_id")
+        role = check.column or "role"
+        prev = alternation_prev_col(check)
+        return (
+            f"({conv} IS NULL OR {prev} IS NULL OR {role} IS NULL "
+            f"OR {role} != {prev})"
+        )
     if ctype == "NULL_COUNT":
         return f"({c} IS NOT NULL)"
     if ctype == "MIN_MAX":
@@ -93,6 +105,19 @@ def labeled_cte(checks: list[Check], source: str = "transcripts") -> str:
         part = ", ".join(key)
         cols.append(
             f"COUNT(*) OVER (PARTITION BY {part}) AS {unique_count_col(u)}"
+        )
+    for a in checks:
+        if a.check_type.upper() != "ROLE_ALTERNATION":
+            continue
+        conv = a.params.get("conv_col", "conv_id")
+        role = a.column or "role"
+        order = list(a.params.get("order_cols", ("turn_idx", "ts"))) + [role]
+        # NULLS FIRST to match Spark's asc_nulls_first default ordering
+        # (DuckDB defaults to NULLS LAST).
+        ob = ", ".join(f"{c} ASC NULLS FIRST" for c in order)
+        cols.append(
+            f"LAG({role}) OVER (PARTITION BY {conv} ORDER BY {ob}) "
+            f"AS {alternation_prev_col(a)}"
         )
     extra = (", " + ", ".join(cols)) if cols else ""
     return f"__labeled AS (SELECT {source}.*{extra} FROM {source})"

@@ -44,6 +44,15 @@ from .runner import apply_checks, failure_counts
 CHECKS = default_transcript_checks()
 FRESHNESS_ANCHOR = datetime(2024, 2, 1, 0, 0, 0)
 
+# Default config + the windowed ROLE_ALTERNATION check (north-rule
+# conversation feature as a first-class keep/drop rule; kept out of the
+# default config so the F1-gate golden corpus stays stable).
+from ..functions.rules import Check as _Check  # noqa: E402
+
+ALT_CHECKS = CHECKS + [
+    _Check("ROLE_ALTERNATION", "ROLE_ALTERNATION", "role")
+]
+
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -57,6 +66,13 @@ def q_rule_failure_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (services/runner.py:43) from ONE pass."""
     t = load_transcripts(spark, sf_dir)
     return failure_counts(apply_checks(t, CHECKS), CHECKS)
+
+
+def q_rule_failure_counts_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default config + the windowed ROLE_ALTERNATION rule (lag over
+    the conv_id partition), counted in the same fused scan."""
+    t = load_transcripts(spark, sf_dir)
+    return failure_counts(apply_checks(t, ALT_CHECKS), ALT_CHECKS)
 
 
 def q_keep_drop_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,6 +365,53 @@ SELECT s.doc_id, s.n_chars, s.n_tokens,
        (s.is_quality AND c.is_canonical
         AND s.n_chars BETWEEN 20 AND 20000) AS keep
 FROM stats s JOIN canon c USING (doc_id)
+"""
+
+
+DRIFT_BINS, DRIFT_LO, DRIFT_HI = 10, 0.0, 400.0
+
+
+def q_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift (PSI) of events.value between the even and
+    odd event_id halves — two tiny (bin,frac) histograms joined on the
+    bin spine, Σ(p−q)·ln(p/q) with ε-smoothing. The halves share a
+    generator, so the expected verdict is 'no drift'."""
+    ev = _read(spark, sf_dir, "events")
+    base = anomaly.histogram_fractions(
+        ev.filter(F.col("event_id") % 2 == 0), "value", DRIFT_BINS, DRIFT_LO, DRIFT_HI
+    )
+    cur = anomaly.histogram_fractions(
+        ev.filter(F.col("event_id") % 2 == 1), "value", DRIFT_BINS, DRIFT_LO, DRIFT_HI
+    )
+    return anomaly.psi_between(cur, base).select(
+        "psi", (F.col("psi") <= 0.2).alias("ok")
+    )
+
+
+ORACLE_VALUE_DRIFT = f"""
+WITH spine AS (SELECT unnest(range({DRIFT_BINS})) AS bin),
+h AS (
+  SELECT (event_id % 2 = 1) AS is_cur,
+         LEAST(GREATEST(CAST(FLOOR((CAST(value AS DOUBLE) - {DRIFT_LO})
+                / {(DRIFT_HI - DRIFT_LO) / DRIFT_BINS}) AS INT), 0),
+               {DRIFT_BINS - 1}) AS bin,
+         COUNT(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+f AS (
+  SELECT s.bin,
+         COALESCE(SUM(CASE WHEN is_cur THEN n END), 0)
+           / SUM(SUM(CASE WHEN is_cur THEN n END)) OVER () AS cur_frac,
+         COALESCE(SUM(CASE WHEN NOT is_cur THEN n END), 0)
+           / SUM(SUM(CASE WHEN NOT is_cur THEN n END)) OVER () AS base_frac
+  FROM spine s LEFT JOIN h ON h.bin = s.bin
+  GROUP BY s.bin
+)
+SELECT ROUND(SUM((GREATEST(cur_frac, 1e-6) - GREATEST(base_frac, 1e-6))
+       * LN(GREATEST(cur_frac, 1e-6) / GREATEST(base_frac, 1e-6))), 9) AS psi,
+       ROUND(SUM((GREATEST(cur_frac, 1e-6) - GREATEST(base_frac, 1e-6))
+       * LN(GREATEST(cur_frac, 1e-6) / GREATEST(base_frac, 1e-6))), 9) <= 0.2 AS ok
+FROM f
 """
 
 
@@ -826,6 +889,7 @@ FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))
 def queries():
     return {
         "rule_failure_counts": q_rule_failure_counts,
+        "rule_failure_counts_alt": q_rule_failure_counts_alt,
         "keep_drop_labels": q_keep_drop_labels,
         "scrubbed_text": q_scrubbed_text,
         "unique_turnkey": q_unique_turnkey,
@@ -842,6 +906,7 @@ def queries():
         "fingerprint_dup_groups": q_fingerprint_dup_groups,
         "document_quality_filter": q_document_quality_filter,
         "column_profile": q_column_profile,
+        "value_drift": q_value_drift,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -870,6 +935,9 @@ def queries():
 def oracle_sql():
     return {
         "rule_failure_counts": _oracle_rule_failure_counts(),
+        "rule_failure_counts_alt": oracle_with_transcripts(
+            osql.failure_counts_sql(ALT_CHECKS)
+        ),
         "keep_drop_labels": _oracle_keep_drop(),
         "scrubbed_text": _oracle_scrub(),
         "unique_turnkey": _oracle_unique(),
@@ -889,6 +957,7 @@ def oracle_sql():
             "documents", "doc_id", "text"
         ),
         "column_profile": profile.duckdb_profile_sql("events", PROFILE_COLS),
+        "value_drift": ORACLE_VALUE_DRIFT,
         "document_quality_filter": ORACLE_DOC_QUALITY.format(
             stats_sql=textstats.duckdb_text_stats_sql(
                 "documents", "doc_id", "text"

@@ -51,7 +51,8 @@ def apply_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     ``drop_reasons`` (array of failed check_ids, check_id-sorted).
     """
     rcs = row_checks(checks)
-    # Phase 1: UNIQUE checks need a prepared duplicate-key flag.
+    # Phase 1: UNIQUE / ROLE_ALTERNATION checks need prepared flags
+    # (global or windowed state the single-Project phase can't build).
     for c in rcs:
         if c.check_type.upper() == "UNIQUE":
             key = c.params.get("key") or [c.column]
@@ -61,16 +62,28 @@ def apply_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
                 flag_name=rules.unique_flag_name(c),
                 ignore_nulls=bool(c.params.get("ignore_nulls", True)),
             )
+        elif c.check_type.upper() == "ROLE_ALTERNATION":
+            from ..operators.convfeat import with_alternation_flag
+
+            df = with_alternation_flag(
+                df,
+                flag_name=rules.alternation_flag_name(c),
+                conv_col=c.params.get("conv_col", "conv_id"),
+                role_col=c.column or "role",
+                order_cols=tuple(c.params.get("order_cols", ("turn_idx", "ts"))),
+            )
     # Phase 2: one Project computing every fail flag.
     flags = []
     for c in rcs:
         pred = rules.compile_row_check(c)
         flags.append(rules.fails(pred).alias(rules.fail_flag_name(c)))
     df = df.select("*", *flags)
-    # Drop internal unique-prep columns.
+    # Drop internal prep columns.
     for c in rcs:
         if c.check_type.upper() == "UNIQUE":
             df = df.drop(rules.unique_flag_name(c), "__dup_cnt")
+        elif c.check_type.upper() == "ROLE_ALTERNATION":
+            df = df.drop(rules.alternation_flag_name(c))
     fail_cols = [F.col(rules.fail_flag_name(c)) for c in rcs]
     n_viol = None
     for fc in fail_cols:
@@ -235,6 +248,16 @@ def run_table_checks(
                     int(c.params.get("lookback_days", 28)),
                     float(c.params.get("sensitivity", 3.0)),
                     int(c.params.get("min_history_days", 7)),
+                ).first()
+                ok, failures = bool(r["ok"]), 0 if r["ok"] else 1
+            elif ctype == "VALUE_DRIFT":
+                r = anomaly.value_drift(
+                    df,
+                    c.params["column"],
+                    [float(x) for x in c.params["baseline_fracs"]],
+                    float(c.params["lo"]),
+                    float(c.params["hi"]),
+                    float(c.params.get("threshold", 0.2)),
                 ).first()
                 ok, failures = bool(r["ok"]), 0 if r["ok"] else 1
             else:
