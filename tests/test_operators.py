@@ -287,3 +287,38 @@ def test_value_drift_check_type_in_run(spark):
     by_id = {r.check_id: r for r in recs}
     assert by_id["V_DRIFT"].ok
     assert not by_id["V_DRIFT_BAD"].ok and by_id["V_DRIFT_BAD"].failures == 1
+
+
+def test_connected_components_chain_and_islands(spark):
+    from zeus_data_quality_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_minhash_dedup_labels_keep_one_per_cluster(spark):
+    from zeus_data_quality_spark.operators.dedup import minhash_dedup_labels
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [
+            ("a", base),
+            ("b", base + " extra"),
+            ("c", base),
+            ("d", "completely unrelated text about database engines and parquet files"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in minhash_dedup_labels(df, "doc_id").collect()}
+    # a,b,c cluster together; canonical = min id = a
+    assert out["a"]["component"] == out["b"]["component"] == out["c"]["component"] == "a"
+    assert out["a"]["is_canonical"] and not out["b"]["is_canonical"]
+    # singleton is its own canonical component
+    assert out["d"]["component"] == "d" and out["d"]["is_canonical"]

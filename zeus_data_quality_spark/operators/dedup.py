@@ -253,3 +253,101 @@ def ngram_jaccard(
         "id_b",
         F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """(id, component) for every node in the pair graph — component is
+    the minimum id reachable from the node. Pairs → clusters is the
+    step that turns near-dup *pairs* into a keep-one-per-cluster
+    verdict.
+
+    Iterative min-label propagation in DataFrame algebra: each round
+    joins the current labels across the (symmetrized) edge set and
+    takes the min; stops when a round changes nothing (or max_iter, a
+    safety bound). Star-shaped LSH anchor graphs (every bucket member
+    linked to the bucket's min-id anchor) converge in 2-3 rounds; plain
+    propagation needs one round per hop for longer paths, so pathological
+    chains are truncated at max_iter — at that point components are
+    still valid refinements (over-segmented, never merged wrongly),
+    which for dedup errs on the keep-more side. Each iteration is one
+    shuffle on the edge key
+    — the same "small, compact keys only" discipline as the rest of
+    this module (node ids only; text never enters the graph).
+    """
+    # Persist the symmetrized edges: every iteration re-reads them, and
+    # the upstream pair generation (minhash signatures + LSH) is far
+    # too expensive to recompute per round. At corpus scale this is
+    # "write the pair table once", same plan shape.
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+    )
+    for _ in range(max_iter):
+        # neighbor's current component, min per node
+        prop = (
+            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        new = (
+            labels.join(prop, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        new = new.persist()
+        changed = (
+            new.join(labels.withColumnRenamed("comp", "old"), "id")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels.unpersist() if hasattr(labels, "unpersist") else None
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("comp").alias("component"))
+
+
+def minhash_dedup_labels(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup verdict: (id, component, is_canonical).
+
+    minhash pairs → connected components → canonical = min id per
+    cluster; singletons (no near-dup) are their own canonical
+    component. This is the column a training pipeline filters on:
+    ``keep = is_canonical``.
+    """
+    pairs = minhash_dedup(df, id_col, text_col, num_hashes, bands, threshold)
+    comp = connected_components(pairs, "id_a", "id_b")
+    out = (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("component"), F.col("id")).alias("component"),
+        )
+    )
+    return out.withColumn(
+        "is_canonical", F.col(id_col) == F.col("component")
+    )

@@ -24,7 +24,12 @@ from ..functions.perplexity import perplexity_nll
 from ..functions.scrub import duckdb_scrub_expr, scrub_text
 from ..operators import anomaly, ivf
 from ..operators.convfeat import conversation_features
-from ..operators.dedup import exact_dedup, minhash_dedup, simhash
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_dedup_labels,
+    simhash,
+)
 from ..operators.similarity import brute_force_topk, lsh_ann_topk
 from ..operators.dedup import ngram_jaccard
 from ..operators.multimodal import (
@@ -304,6 +309,15 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
     ).filter(F.col("turn_key") != "")
     return minhash_dedup(keyed, "turn_key", "text", threshold=0.5)
+
+
+def q_minhash_dedup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → connected components → keep-one-per-cluster verdict
+    (id, component, is_canonical). Hash-seeded → rows-only check;
+    cluster/canonical semantics pytest-enforced."""
+    return minhash_dedup_labels(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.7
+    )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -911,6 +925,7 @@ def queries():
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_dedup_labels": q_minhash_dedup_labels,
         "simhash": q_simhash,
         "langid": q_langid,
         "perplexity": q_perplexity,
