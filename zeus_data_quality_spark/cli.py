@@ -30,7 +30,10 @@ def _spark(args):
 
 
 def cmd_run(args) -> int:
-    from .plans.configs import default_transcript_checks
+    from .plans.configs import (
+        default_transcript_checks,
+        extended_transcript_checks,
+    )
     from .plans.lineage import LineageStore, run_with_checkpoints
     from .plans.meta import MetaStore
 
@@ -41,6 +44,8 @@ def cmd_run(args) -> int:
         if not checks:
             print(f"no checks found for config {args.config_id}", file=sys.stderr)
             return 2
+    elif getattr(args, "extended", False):
+        checks = extended_transcript_checks(args.config_id)
     else:
         checks = default_transcript_checks(args.config_id)
     lineage = LineageStore(spark, args.lineage)
@@ -139,6 +144,11 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--partition-key", default="conv_id")
     r.add_argument("--buckets", type=int, default=64)
     r.add_argument("--batch-size", type=int, default=8)
+    r.add_argument(
+        "--extended",
+        action="store_true",
+        help="full north-rule config (role alternation + langid + perplexity)",
+    )
     r.set_defaults(fn=cmd_run)
 
     pr = sub.add_parser("profile", help="profile columns; --suggest emits checks")

@@ -86,11 +86,18 @@ def default_transcript_checks(config_id: str = "transcripts_default") -> list[Ch
 
 
 def extended_transcript_checks(config_id: str = "transcripts_extended") -> list[Check]:
-    """Default config + the model-driven north-rule checks (language ID
-    allow-list, perplexity ceiling). Kept out of the DuckDB-oracled
-    default because UDF-backed predicates are not SQL-expressible;
-    pinned by pytest instead."""
+    """Default config + the remaining north-rule checks: role
+    alternation (windowed, oracle-able — also exercised standalone by
+    the ``rule_failure_counts_alt`` suite query) and the model-driven
+    pair (language-ID allow-list, perplexity ceiling; UDF-backed →
+    not SQL-expressible, pinned by pytest instead)."""
     return default_transcript_checks(config_id) + [
+        Check(
+            "ROLE_ALTERNATION",
+            "ROLE_ALTERNATION",
+            "role",
+            config_id=config_id,
+        ),
         Check(
             "TEXT_LANG_ID",
             "LANG_ID",
