@@ -69,9 +69,15 @@ def train_centroids(
     iteration: distributed assign + per-dimension mean via posexplode,
     renormalized; empty clusters keep their previous centroid.
     """
-    unit = df.select(
-        F.col(id_col).alias("__id"), _unit(F.col(vec_col)).alias("__v")
-    ).filter(F.col("__v").isNotNull())
+    # Persist the normalized vectors: the init sample plus every Lloyd
+    # iteration re-reads them (n_iters+1 passes of scan + norm
+    # otherwise). At corpus scale, train on a persisted/written sample
+    # instead of the full table — the quantizer doesn't need every row.
+    unit = (
+        df.select(F.col(id_col).alias("__id"), _unit(F.col(vec_col)).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .persist()
+    )
 
     seed_rows = (
         unit.orderBy(F.xxhash64(F.col("__id").cast("string")), F.col("__id"))
@@ -100,6 +106,7 @@ def train_centroids(
             if norm > 0:
                 new[r["__c"]] = [x / norm for x in m]
         centroids = new
+    unit.unpersist()
     return centroids
 
 
