@@ -104,3 +104,67 @@ def test_f1_and_exact_scrub(spark, sf_dir):
     a = got["text_scrubbed"].fillna("∅").tolist()
     b = want_scrub.fillna("∅").tolist()
     assert a == b
+
+
+def oracle_keep_extended(pdf: pd.DataFrame) -> pd.Series:
+    """Extended-config keep: the default heuristics (oracle_keep) AND
+    the north-rule additions — role alternation (groupby+shift, same
+    total order as the engine's window), language-ID allow-list, and
+    perplexity ceiling. The *models* are shared by definition; the 3VL
+    predicate/aggregation logic is independent."""
+    from zeus_data_quality_spark.functions.langid import detect_language_batch
+    from zeus_data_quality_spark.functions.perplexity import perplexity_batch
+
+    keep = oracle_keep(pdf)
+
+    # ROLE_ALTERNATION — sort by (turn_idx, ts, role) NULLS FIRST within
+    # conv_id, fail where role == previous role (NULL conv/role/first
+    # turn exempt).
+    s = pdf.sort_values(
+        ["conv_id", "turn_idx", "ts", "role"], na_position="first",
+        kind="mergesort",
+    )
+    prev = s.groupby("conv_id", dropna=True)["role"].shift()
+    prev = prev.reindex(pdf.index)
+    alt_fail = (
+        pdf["conv_id"].notna()
+        & pdf["role"].notna()
+        & prev.notna()
+        & (pdf["role"] == prev)
+    )
+
+    # TEXT_LANG_ID: NULL text passes; fail iff predicted lang not allowed.
+    lang = detect_language_batch(pdf["text"])
+    lang_fail = pdf["text"].notna() & ~lang.isin(["en", "unknown"])
+
+    # TEXT_PERPLEXITY: NULL text passes; fail iff nll > ceiling.
+    nll = pd.Series(perplexity_batch(pdf["text"]), index=pdf.index)
+    ppl_fail = pdf["text"].notna() & (nll > 11.5)
+
+    return keep & ~alt_fail & ~lang_fail & ~ppl_fail
+
+
+def test_f1_extended_config(spark, sf_dir):
+    from zeus_data_quality_spark.plans.configs import extended_transcript_checks
+    from pyspark.sql import functions as F  # noqa: F401
+
+    t = load_transcripts(spark, sf_dir)
+    labeled = apply_checks(t, extended_transcript_checks())
+    got = (
+        labeled.select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts", "keep"
+        )
+        .toPandas()
+        .sort_values(
+            ["conv_id", "turn_idx", "text"], na_position="first", kind="mergesort"
+        )
+        .reset_index(drop=True)
+    )
+    want = oracle_keep_extended(got)
+    tp = int((got["keep"] & want).sum())
+    fp = int((got["keep"] & ~want).sum())
+    fn = int((~got["keep"] & want).sum())
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * precision * recall / (precision + recall)
+    assert f1 >= 0.99, f"extended F1={f1} (p={precision}, r={recall})"
