@@ -92,3 +92,42 @@ def test_windowed_metrics(spark, sf_dir, tmp_path):
     rows = spark.sql("SELECT * FROM metrics_stream").collect()
     assert len(rows) >= 1
     assert all(r["rows_in"] == r["rows_kept"] + r["rows_dropped"] for r in rows)
+
+
+def test_stream_lineage_sink(spark, sf_dir, tmp_path):
+    """foreachBatch lineage: micro-batch keep/drop counts land in the
+    same LineageStore as the batch pipeline, totals equal the batch
+    verdicts."""
+    from zeus_data_quality_spark.plans.lineage import LineageStore
+    from zeus_data_quality_spark.streaming.filter_stream import stream_to_lineage
+
+    src = str(tmp_path / "in")
+    t = _write_stream_input(spark, sf_dir, src)
+    checks = default_transcript_checks()
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp"
+        )
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    labeled = streaming_quality_filter(stream, checks, scrub=False)
+    lineage = LineageStore(spark, str(tmp_path / "lineage"))
+    q = stream_to_lineage(
+        labeled, lineage, "cfg_stream", "run_s1", str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    rows = lineage.read().filter(F.col("run_id") == "run_s1").collect()
+    assert len(rows) >= 2  # one per micro-batch
+    assert all(r["partition_id"].startswith("microbatch_") for r in rows)
+    total_in = sum(r["rows_in"] for r in rows)
+    total_kept = sum(r["rows_kept"] for r in rows)
+
+    batch = apply_checks(t, stateless_checks(checks))
+    assert total_in == batch.count()
+    assert total_kept == batch.filter(F.col("keep")).count()

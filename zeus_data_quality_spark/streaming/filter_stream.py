@@ -86,3 +86,52 @@ def windowed_drop_metrics(
             "rows_dropped",
         )
     )
+
+
+def stream_to_lineage(
+    labeled_stream: DataFrame,
+    lineage,
+    config_id: str,
+    run_id: str,
+    checkpoint_dir: str,
+):
+    """foreachBatch sink: per micro-batch keep/drop counts appended to
+    the batch pipeline's LineageStore — one lineage table for both
+    execution modes, keyed (config_id, run_id, partition_id =
+    'microbatch_<epoch>'). foreachBatch gives exactly-once *appends*
+    under Spark's checkpointed epoch tracking: a replayed epoch
+    re-appends with the same partition_id, so consumers dedup on it —
+    the same idempotence contract as the batch resume path.
+
+    Returns the StreamingQuery (caller owns awaitTermination/stop).
+    """
+    from pyspark.sql import functions as F
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        agg = batch_df.agg(
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(F.col("keep").cast("long")).alias("rows_kept"),
+        ).first()
+        rows_in = int(agg["rows_in"] or 0)
+        kept = int(agg["rows_kept"] or 0)
+        lineage.append(
+            [
+                {
+                    "run_id": run_id,
+                    "config_id": config_id,
+                    "partition_id": f"microbatch_{epoch_id}",
+                    "rows_in": rows_in,
+                    "rows_kept": kept,
+                    "rows_dropped": rows_in - kept,
+                    "fail_counts": {},
+                    "scrub_counts": {},
+                }
+            ]
+        )
+
+    return (
+        labeled_stream.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
