@@ -176,3 +176,54 @@ def test_broadcast_langid_udf_matches_closure_udf(spark):
     ).collect()
     assert all(r["a"] == r["b"] for r in rows)
     assert {r["id"]: r["a"] for r in rows}[1] == "en"
+
+
+def test_winnowing_matches_pure_python_mirror(spark):
+    """Cross-implementation property: the Spark column-algebra winnow
+    equals a trivially-auditable pure-Python implementation on varied
+    inputs (unicode, repeats, short strings, whitespace runs)."""
+    import hashlib
+
+    from zeus_data_quality_spark.functions.fingerprint import (
+        KGRAM,
+        WINDOW,
+        with_fingerprints,
+    )
+
+    def py_winnow(text, k=KGRAM, w=WINDOW):
+        if text is None:
+            return None
+        if len(text) < k:
+            return []
+        hs = [
+            hashlib.md5(text[i : i + k].encode("utf-8")).hexdigest()[:16]
+            for i in range(len(text) - k + 1)
+        ]
+        if len(hs) <= w:
+            return [min(hs)]
+        return sorted({min(hs[j : j + w]) for j in range(len(hs) - w + 1)})
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "aaaaaaaaaaaaaaaaaaaaaaa",
+        "päivää tämä on testi ja vielä vähän lisää tekstiä",
+        "ab" * 30,
+        "short",
+        "",
+        None,
+        "  spaces   and\ttabs\nnewlines  everywhere   ",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in with_fingerprints(df, "doc_id").collect()}
+    for i, t in enumerate(texts):
+        want = py_winnow(t)
+        if want is None:
+            assert got[i]["fingerprint"] is None and got[i]["n_kgrams"] is None
+        elif not want:
+            assert got[i]["fingerprint"] is None and got[i]["n_fingerprints"] == 0
+        else:
+            assert got[i]["fingerprint"] == want[0], (i, t)
+            assert got[i]["fp_max"] == want[-1], (i, t)
+            assert got[i]["n_fingerprints"] == len(want), (i, t)
