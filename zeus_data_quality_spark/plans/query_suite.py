@@ -611,17 +611,96 @@ def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: decode fake images → feature vectors."""
-    return image_features(synth_media_table(spark, 64))
+    """Multimodal plumbing: decode fake images → histogram features,
+    exploded to one (media_id, bin_idx, value) row per bin so the
+    output is canonicalizable (arrays are not sortable by the driver's
+    hash-compare). value goes through float32 (the model-output dtype)
+    then double, bit-faithfully reproduced by the oracle's
+    ``CAST(... AS REAL)``."""
+    feats = image_features(synth_media_table(spark, 64))
+    return feats.select(
+        "media_id", F.posexplode("features").alias("bin_idx", "__v")
+    ).select(
+        "media_id",
+        F.col("bin_idx").cast("int").alias("bin_idx"),
+        F.col("__v").cast("double").alias("value"),
+    )
 
 
 def q_media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return audio_frame_sample(synth_media_table(spark, 64), frame_ms=100)
+    out = audio_frame_sample(synth_media_table(spark, 64), frame_ms=100)
+    return out.select("media_id", "frame_idx", F.round("rms", 9).alias("rms"))
 
 
 def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling of binary video payloads via mapInPandas."""
-    return video_frame_sample(synth_media_table(spark, 64), every_n=2)
+    out = video_frame_sample(synth_media_table(spark, 64), every_n=2)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        F.round("mean_intensity", 9).alias("mean_intensity"),
+    )
+
+
+# Media oracles: the fake codecs in operators/multimodal.py are pure
+# integer functions of (media_id, position), so DuckDB can re-derive
+# every decoded sample analytically — a genuinely independent
+# recomputation of what Spark obtains by decoding the binary payloads.
+# Constants mirror synth_media_table(spark, 64) + encode_fake_*.
+ORACLE_MEDIA_FEATURES = """
+WITH media AS (
+    SELECT i AS media_id,
+           16 + (i % 5) * 8 AS w,
+           16 + (i % 3) * 8 AS h,
+           (i * 2654435761) % 255 + 1 AS m
+    FROM range(64) t(i) WHERE i % 3 <> 2 AND i % 2 = 0
+),
+px AS (
+    SELECT media_id, w * h AS size, ((idx * m) % 251) // 16 AS bin
+    FROM media, range(1344) r(idx) WHERE idx < w * h
+),
+hist AS (
+    SELECT media_id, size, bin, COUNT(*) AS cnt FROM px GROUP BY 1, 2, 3
+),
+spine AS (SELECT media_id, w * h AS size, b AS bin FROM media, range(16) r(b))
+SELECT s.media_id,
+       CAST(s.bin AS INT) AS bin_idx,
+       CAST(CAST(CAST(COALESCE(h.cnt, 0) AS DOUBLE) / s.size AS REAL) AS DOUBLE)
+           AS value
+FROM spine s LEFT JOIN hist h ON h.media_id = s.media_id AND h.bin = s.bin
+"""
+
+ORACLE_MEDIA_AUDIO = """
+WITH media AS (
+    SELECT i AS media_id, 1600 + (i % 4) * 800 AS ns, (i % 17) + 1 AS k
+    FROM range(64) t(i) WHERE i % 3 <> 2 AND i % 2 = 1
+),
+w AS (
+    SELECT media_id, CAST(ts // 1600 AS INT) AS frame_idx,
+           CAST((ts * k) % 65536 - 32768 AS DOUBLE) AS amp
+    FROM media, range(4000) r(ts) WHERE ts < ns
+)
+SELECT media_id, frame_idx, ROUND(sqrt(AVG(amp * amp)), 9) AS rms
+FROM w GROUP BY 1, 2
+"""
+
+ORACLE_MEDIA_VIDEO = """
+WITH media AS (
+    SELECT i AS media_id, 4 + (i % 5) AS nf, (i * 40503) % 255 + 1 AS m
+    FROM range(64) t(i) WHERE i % 3 = 2
+),
+frames AS (
+    SELECT media_id, m, CAST(f AS INT) AS frame_idx
+    FROM media, range(8) r(f) WHERE f < nf AND f % 2 = 0
+),
+p AS (
+    SELECT media_id, frame_idx,
+           CAST((idx * m + frame_idx * 7) % 251 AS DOUBLE) AS v
+    FROM frames, range(128) r(idx)
+)
+SELECT media_id, frame_idx, ROUND(AVG(v), 9) AS mean_intensity
+FROM p GROUP BY 1, 2
+"""
 
 
 # ------------------------------------------------------------- oracles
@@ -990,6 +1069,9 @@ def oracle_sql():
         "range_join": ORACLE_RANGE_JOIN,
         "embedding_near_dups": ORACLE_EMBEDDING_DUPS,
         "cube_events": ORACLE_CUBE,
+        "media_features": ORACLE_MEDIA_FEATURES,
+        "media_audio_frames": ORACLE_MEDIA_AUDIO,
+        "media_video_frames": ORACLE_MEDIA_VIDEO,
         # ann_lsh / minhash_pairs / simhash / langid / perplexity /
         # media_*: deliberately no oracle — hash-seeded, model-driven,
         # or binary-codec operators are not SQL-expressible; each is
