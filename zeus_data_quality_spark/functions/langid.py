@@ -2,16 +2,32 @@
 
 Self-contained, deterministic model (no external downloads): per
 language, a profile of high-frequency marker words and characteristic
-character n-grams (public linguistic knowledge). Scoring is a linear
+character classes (public linguistic knowledge). Scoring is a linear
 sum of profile hits — the same shape as fastText's averaged n-gram
 embedding → linear classifier, reduced to hand-set weights so the model
 is reproducible and dependency-free.
 
+Scoring semantics (chosen to be engine-portable — Python ``re`` and
+DuckDB's RE2 agree exactly on these primitives, unlike ``\\b`` word
+boundaries whose word-char set is unicode-aware in Python but ASCII in
+RE2):
+
+* word score  = count of ``[a-z]+`` tokens of ``lower(text)`` that are
+  in the language's marker list (duplicates counted);
+* char score  = count of characters matching the language's character
+  class on the *raw* text;
+* total       = word_weight·words + char_weight·chars; label = argmax
+  (alphabetical tie-break), ``unknown`` below ``MIN_SCORE``, NULL for
+  NULL input.
+
 Execution contract (north rule): the model is built once per executor
 (module import), shipped via closure serialization exactly like an
 ``sc.broadcast`` of a model blob, and applied with vectorized pandas
-``str.count`` over Arrow batches — zero per-row Python calls into the
+ops over Arrow batches — zero per-row Python calls into the
 interpreter per string-op (pandas loops in C).
+
+``duckdb_langid_sql`` emits the same model as pure SQL so the driver's
+DuckDB oracle re-computes every label independently.
 """
 
 from __future__ import annotations
@@ -22,10 +38,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
-# Marker-word profiles. Word-boundary regexes, case-insensitive.
+# Marker-word profiles (matched as whole lowercase [a-z]+ tokens).
 LANG_PROFILES: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "is", "in", "that", "it", "with", "for"],
-    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "den", "über"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "den", "von"],
     "fr": ["le", "la", "les", "et", "est", "une", "pour", "que", "dans", "pas"],
     "es": ["el", "la", "los", "que", "es", "una", "por", "con", "para", "como"],
 }
@@ -40,16 +56,13 @@ WORD_WEIGHT = 1.0
 CHAR_WEIGHT = 3.0
 MIN_SCORE = 2.0  # below → 'unknown'
 
-_WORD_RE = {
-    lang: r"(?i)\b(?:" + "|".join(words) + r")\b"
-    for lang, words in LANG_PROFILES.items()
-}
+_TOKEN_RE = r"[a-z]+"
 _ALL_LANGS = sorted(set(LANG_PROFILES) | set(CHAR_SIGNALS))
 
 
 def _default_model() -> dict:
     return {
-        "word_re": _WORD_RE,
+        "markers": LANG_PROFILES,
         "char_signals": CHAR_SIGNALS,
         "word_weight": WORD_WEIGHT,
         "char_weight": CHAR_WEIGHT,
@@ -61,17 +74,21 @@ def detect_language_batch(s: pd.Series, model: dict | None = None) -> pd.Series:
     """Vectorized language scores → argmax label ('unknown' below
     threshold; None for NULL input)."""
     m = model or _default_model()
-    langs = sorted(set(m["word_re"]) | set(m["char_signals"]))
-    scores = pd.DataFrame(index=s.index)
+    langs = sorted(set(m["markers"]) | set(m["char_signals"]))
+    toks = s.str.lower().str.findall(_TOKEN_RE)
+    ex = toks.explode()
+    scores = pd.DataFrame(0.0, index=s.index, columns=langs)
     for lang in langs:
         sc = pd.Series(0.0, index=s.index)
-        if lang in m["word_re"]:
-            sc = sc + s.str.count(m["word_re"][lang]).fillna(0.0) * m["word_weight"]
+        if lang in m["markers"]:
+            hits = (
+                ex.isin(m["markers"][lang]).groupby(level=0).sum().astype("float64")
+            )
+            sc = sc.add(hits * m["word_weight"], fill_value=0.0)
         if lang in m["char_signals"]:
-            sc = (
-                sc
-                + s.str.count(m["char_signals"][lang]).fillna(0.0)
-                * m["char_weight"]
+            sc = sc.add(
+                s.str.count(m["char_signals"][lang]).fillna(0.0) * m["char_weight"],
+                fill_value=0.0,
             )
         scores[lang] = sc
     best = scores.idxmax(axis=1)
@@ -100,6 +117,62 @@ def make_broadcast_langid_udf(spark):
         return detect_language_batch(s, bc.value)
 
     return _udf
+
+
+def duckdb_langid_sql(table: str, id_cols: str, text_col: str) -> str:
+    """DuckDB SQL computing ``lang_pred`` with the exact model above —
+    the driver's independent oracle for the pandas-UDF path. The model
+    constants are embedded as SQL literals; token semantics
+    (``regexp_extract_all(lower(text), '[a-z]+')`` membership) are
+    chosen so RE2 and Python ``re`` provably agree."""
+    score_exprs = []
+    for lang in _ALL_LANGS:
+        parts = []
+        if lang in LANG_PROFILES:
+            lst = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+            parts.append(
+                "COALESCE(len(list_filter(__toks, x -> "
+                f"list_contains([{lst}], x))), 0) * {WORD_WEIGHT!r}"
+            )
+        if lang in CHAR_SIGNALS:
+            parts.append(
+                f"COALESCE(len(regexp_extract_all({text_col}, "
+                f"'{CHAR_SIGNALS[lang]}')), 0) * {CHAR_WEIGHT!r}"
+            )
+        score_exprs.append(f"({' + '.join(parts)}) AS s_{lang}")
+    lang_list = ", ".join(f"'{lang}'" for lang in _ALL_LANGS)
+    score_list = ", ".join(f"s_{lang}" for lang in _ALL_LANGS)
+    scores = ",\n           ".join(score_exprs)
+    return f"""
+WITH __tok AS (
+    SELECT {id_cols}, {text_col},
+           regexp_extract_all(lower({text_col}), '{_TOKEN_RE}') AS __toks
+    FROM {table}
+),
+__scores AS (
+    SELECT {id_cols}, {text_col} IS NULL AS __isnull,
+           {scores}
+    FROM __tok
+),
+__long AS (
+    SELECT {id_cols}, __isnull,
+           unnest([{lang_list}]) AS __lang,
+           unnest([{score_list}]) AS __score
+    FROM __scores
+),
+__best AS (
+    SELECT {id_cols}, __isnull, __lang, __score,
+           row_number() OVER (
+               PARTITION BY {id_cols}
+               ORDER BY __score DESC, __lang ASC) AS __rn
+    FROM __long
+)
+SELECT {id_cols},
+       CASE WHEN __isnull THEN NULL
+            WHEN __score < {MIN_SCORE!r} THEN 'unknown'
+            ELSE __lang END AS lang_pred
+FROM __best WHERE __rn = 1
+"""
 
 
 def with_language(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:

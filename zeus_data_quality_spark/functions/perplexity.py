@@ -103,6 +103,49 @@ def perplexity_nll(s: pd.Series) -> pd.Series:
     return perplexity_batch(s)
 
 
+def duckdb_perplexity_cte() -> str:
+    """DuckDB CTE block re-computing mean bigram NLL per *distinct
+    text* with the exact LM embedded as a VALUES literal (full-precision
+    ``repr`` floats round-trip bit-exactly). The oracle joins
+    ``__ppl_per_text`` back to the corpus on text — NLL is a pure
+    function of text, and texts need no unique row key that way.
+    Tokenization (`lower` → split on ``\\s+`` → drop empties → wrap in
+    ``<s>/<\\/s>``) mirrors ``perplexity_batch`` exactly."""
+    rows = ",\n        ".join(
+        "('{}', '{}', {!r})".format(*k.split("\x00"), v)
+        for k, v in sorted(_LM_STR.items())
+    )
+    return f"""
+__lm(w1, w2, nll) AS (VALUES
+        {rows}
+),
+__ppl_texts AS (SELECT DISTINCT text FROM transcripts WHERE text IS NOT NULL),
+__ppl_tok AS (
+    SELECT text,
+           list_concat(list_concat(
+               ['<s>'],
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')),
+               ['</s>']) AS ws
+    FROM __ppl_texts
+),
+__ppl_bi AS (
+    SELECT text,
+           unnest(list_transform(range(1, len(ws)),
+                  i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS bg
+    FROM __ppl_tok
+),
+__ppl_bi2 AS (SELECT text, bg.w1 AS w1, bg.w2 AS w2 FROM __ppl_bi),
+__ppl_nll AS (
+    SELECT b.text, COALESCE(l.nll, {OOV_NLL!r}) AS v
+    FROM __ppl_bi2 b LEFT JOIN __lm l ON l.w1 = b.w1 AND l.w2 = b.w2
+),
+__ppl_per_text AS (
+    SELECT text, ROUND(AVG(v), 6) AS nll FROM __ppl_nll GROUP BY text
+)
+"""
+
+
 def with_perplexity(
     df: DataFrame, text_col: str = "text", out_col: str = "nll"
 ) -> DataFrame:

@@ -19,8 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import fingerprint, textstats
-from ..functions.langid import detect_language
-from ..functions.perplexity import perplexity_nll
+from ..functions.langid import detect_language, duckdb_langid_sql
+from ..functions.perplexity import duckdb_perplexity_cte, perplexity_nll
 from ..functions.scrub import duckdb_scrub_expr, scrub_text
 from ..operators import anomaly, ivf
 from ..operators.convfeat import conversation_features
@@ -330,10 +330,15 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn mean bigram NLL, rounded to 6 dp (pandas pairwise vs
+    DuckDB sequential double summation differ at ~1e-15 rel — 6 dp
+    makes the hash-compare robust); NULL text → NULL (the when() guard
+    pins the NaN-vs-NULL Arrow edge)."""
     t = load_transcripts(spark, sf_dir)
-    return t.select(
-        "conv_id", "turn_idx", perplexity_nll(F.col("text")).alias("nll")
+    nll = F.when(
+        F.col("text").isNotNull(), F.round(perplexity_nll(F.col("text")), 6)
     )
+    return t.select("conv_id", "turn_idx", nll.alias("nll"))
 
 
 def q_document_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1069,6 +1074,12 @@ def oracle_sql():
         "range_join": ORACLE_RANGE_JOIN,
         "embedding_near_dups": ORACLE_EMBEDDING_DUPS,
         "cube_events": ORACLE_CUBE,
+        "langid": duckdb_langid_sql("documents", "doc_id", "text"),
+        "perplexity": oracle_with_transcripts(
+            ", " + duckdb_perplexity_cte().strip() + "\n"
+            "SELECT t.conv_id, t.turn_idx, p.nll\n"
+            "FROM transcripts t LEFT JOIN __ppl_per_text p ON t.text = p.text"
+        ),
         "media_features": ORACLE_MEDIA_FEATURES,
         "media_audio_frames": ORACLE_MEDIA_AUDIO,
         "media_video_frames": ORACLE_MEDIA_VIDEO,
