@@ -322,3 +322,52 @@ def test_minhash_dedup_labels_keep_one_per_cluster(spark):
     assert out["a"]["is_canonical"] and not out["b"]["is_canonical"]
     # singleton is its own canonical component
     assert out["d"]["component"] == "d" and out["d"]["is_canonical"]
+
+
+def test_ann_recall_floors(spark, sf_dir):
+    """Recall@5 of the approximate ANN paths vs the exact baseline at
+    the documented configs — evidence for the recall/latency knob
+    claims in operators/similarity.py / operators/ivf.py."""
+    from pyspark.sql import functions as F
+
+    from zeus_data_quality_spark.operators import ivf
+    from zeus_data_quality_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_ann_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    exact = pairs(brute_force_topk(emb, queries, k=5))
+
+    lsh = pairs(lsh_ann_topk(emb, queries, k=5, n_planes=6))
+    recall_lsh = len(lsh & exact) / len(exact)
+
+    cents = ivf.train_centroids(emb, "embedding", "vec_id", n_centroids=8)
+    ivf3 = pairs(ivf.ivf_topk(emb, queries, cents, k=5, nprobe=3))
+    recall_ivf = len(ivf3 & exact) / len(exact)
+
+    # Floors set from measured values with margin (lsh 0.72/0.60 and
+    # ivf 0.56/0.66 at sf0.001/sf0.01 on the near-uniform synthetic
+    # embeddings — a hard case for ANN); they evidence the knobs do
+    # what the docstrings claim rather than chase a SOTA number.
+    assert recall_lsh >= 0.5, f"lsh recall@5 {recall_lsh}"
+    assert recall_ivf >= 0.5, f"ivf nprobe=3/8 recall@5 {recall_ivf}"
+
+
+def test_embedding_lsh_recall_floor(spark, sf_dir):
+    from zeus_data_quality_spark.operators.similarity import (
+        embedding_near_dups,
+        embedding_near_dups_lsh,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r["id_a"], r["id_b"]) for r in embedding_near_dups(emb).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in embedding_near_dups_lsh(emb).collect()}
+    assert lsh <= exact
+    recall = len(lsh & exact) / max(len(exact), 1)
+    assert recall >= 0.15, f"near-dup LSH recall {recall}"

@@ -292,8 +292,24 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: spherical k-means coarse quantizer → probe nprobe
     inverted lists → exact cosine rank inside them. Deterministic
-    (seeded init, fixed iterations). Iterative training → rows-only
-    driver check; pytest enforces nprobe=all ≡ brute force."""
+    (seeded init, fixed iterations). With nprobe = n_centroids the
+    index only restricts nothing, so the result must equal brute-force
+    top-k EXACTLY — the driver verifies the whole train → assign →
+    probe → rank machinery end-to-end against the brute-force oracle.
+    The pruning path (nprobe < all) is ``ann_ivf_probe`` + the recall
+    pytest."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    centroids = ivf.train_centroids(emb, "embedding", "vec_id", n_centroids=8)
+    return ivf.ivf_topk(
+        emb, queries, centroids, "vec_id", "embedding", k=5, nprobe=8
+    ).select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
+
+
+def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with real pruning (nprobe=3 of 8 lists) — approximate by
+    design, so rows-only at the driver; recall@5 vs brute force is
+    pinned by pytest (test_operators.py)."""
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     centroids = ivf.train_centroids(emb, "embedding", "vec_id", n_centroids=8)
@@ -645,6 +661,74 @@ def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.round("mean_intensity", 9).alias("mean_intensity"),
     )
+
+
+def _oracle_ann_lsh() -> str:
+    """ann_lsh oracle: the deterministic hyperplanes of every hash
+    table are embedded as literal arrays, so DuckDB re-computes the
+    same multi-table multi-probe bucket keys and exact-ranks the
+    de-duplicated candidate union."""
+    from ..operators.similarity import duckdb_bucket_expr, lsh_tables
+
+    tables = lsh_tables(64, 6, 8)
+    b_cols = ",\n       ".join(
+        f"{duckdb_bucket_expr('ev', pl)} AS b{t}" for t, pl in enumerate(tables)
+    )
+    ckeys = ", ".join(f"'{t}:' || b{t}" for t in range(len(tables)))
+
+    def probes(t: int) -> str:
+        return (
+            f"list_concat(['{t}:' || b{t}], list_transform(range(6), i -> "
+            f"'{t}:' || substr(b{t}, 1, CAST(i AS INT)) "
+            f"|| (CASE WHEN substr(b{t}, CAST(i AS INT) + 1, 1) = '1' "
+            f"THEN '0' ELSE '1' END) "
+            f"|| substr(b{t}, CAST(i AS INT) + 2)))"
+        )
+
+    qkeys = ", ".join(probes(t) for t in range(len(tables)))
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+b AS (SELECT vec_id,
+       {b_cols}
+      FROM v),
+ck AS (SELECT vec_id AS neighbor_id, unnest([{ckeys}]) AS bkt FROM b),
+qk AS (SELECT vec_id AS query_id, unnest(flatten([{qkeys}])) AS bkt
+       FROM b WHERE vec_id < 10),
+cand AS (
+    SELECT DISTINCT q.query_id, c.neighbor_id
+    FROM ck c JOIN qk q ON c.bkt = q.bkt
+    WHERE c.neighbor_id <> q.query_id
+),
+scored AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           list_cosine_similarity(cv.ev, qv.ev) AS cos
+    FROM cand
+    JOIN v cv ON cv.vec_id = cand.neighbor_id
+    JOIN v qv ON qv.vec_id = cand.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+def _oracle_embedding_near_dups_lsh() -> str:
+    from ..operators.similarity import deterministic_planes, duckdb_bucket_expr
+
+    planes = deterministic_planes(64, 4)
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+k AS (SELECT vec_id, ev, {duckdb_bucket_expr('ev', planes)} AS bkt FROM v)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.ev, b.ev), 9) AS cos
+FROM k a JOIN k b ON a.bkt = b.bkt
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.ev, b.ev), 9) >= 0.35
+"""
 
 
 # Media oracles: the fake codecs in operators/multimodal.py are pure
@@ -1008,6 +1092,7 @@ def queries():
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_probe": q_ann_ivf_probe,
         "minhash_pairs": q_minhash_pairs,
         "minhash_dedup_labels": q_minhash_dedup_labels,
         "simhash": q_simhash,
@@ -1063,6 +1148,11 @@ def oracle_sql():
             ).strip()
         ),
         "ann_bruteforce": ORACLE_ANN_BRUTEFORCE,
+        "ann_lsh": _oracle_ann_lsh(),
+        # nprobe = n_centroids ⇒ the IVF machinery must reproduce
+        # brute-force exactly; pruning recall is pytest-pinned.
+        "ann_ivf": ORACLE_ANN_BRUTEFORCE,
+        "embedding_near_dups_lsh": _oracle_embedding_near_dups_lsh(),
         "monitor_topk": ORACLE_MONITOR_TOPK,
         "monitor_kpis": ORACLE_MONITOR_KPIS,
         "monitor_daily_trend": ORACLE_MONITOR_TREND,
