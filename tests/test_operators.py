@@ -371,3 +371,45 @@ def test_embedding_lsh_recall_floor(spark, sf_dir):
     assert lsh <= exact
     recall = len(lsh & exact) / max(len(exact), 1)
     assert recall >= 0.15, f"near-dup LSH recall {recall}"
+
+
+def test_connected_components_converged_flag(spark):
+    """A chain longer than max_iter hops must report converged=False
+    (over-segmented, never wrongly merged); enough iterations converge."""
+    from zeus_data_quality_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(21)], "id_a long, id_b long"
+    )
+    labels, converged = connected_components(
+        edges, max_iter=5, return_converged=True
+    )
+    assert converged is False
+    comps = {r["component"] for r in labels.collect()}
+    assert len(comps) > 1  # truncated → refinement, not full merge
+
+    labels2, converged2 = connected_components(
+        edges, max_iter=25, return_converged=True
+    )
+    assert converged2 is True
+    assert {r["component"] for r in labels2.collect()} == {0}
+
+
+def test_minhash_md5_mode_matches_xxhash_semantics(spark):
+    """Both hash modes must agree on exact-duplicate grouping (Jaccard
+    1.0 texts always pair) and never pair disjoint texts."""
+    from zeus_data_quality_spark.operators.dedup import minhash_dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "completely different words about spark shuffle plans here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    for mode in ("xxhash64", "md5"):
+        pairs = {
+            (r["id_a"], r["id_b"], r["jaccard_est"])
+            for r in minhash_dedup(df, "id", hash_mode=mode).collect()
+        }
+        assert (1, 2, 1.0) in pairs
+        assert all(p[:2] == (1, 2) for p in pairs)

@@ -73,17 +73,44 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = DEFAULT_NUM_HASHES,
     shingle_n: int = 3,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """(id, sig array<long>) — component i = min over word-shingles of
-    a seeded 64-bit shingle hash. Empty shingle set → NULL signature.
+    """(id, sig array) — component i = min over word-shingles of a
+    seeded shingle hash. Empty shingle set → NULL signature.
 
-    Cost shape: each *token* is string-hashed exactly once
-    (``xxhash64(token)``); the k seeded shingle hashes then combine the
-    n adjacent token-hash longs (``xxhash64(seed, h_i..h_{i+n-1})``) —
-    integer inputs only. Hashing strings k× per shingle (the naive
-    form) is ~10× more expensive at corpus scale. ``min`` is invariant
-    under duplicate shingles, so no distinct pass is needed.
+    Two hash modes with identical banding/pairing semantics:
+
+    * ``xxhash64`` (default, the 100 TB path): sig array<long>. Each
+      *token* is string-hashed exactly once (``xxhash64(token)``); the
+      k seeded shingle hashes then combine the n adjacent token-hash
+      longs (``xxhash64(seed, h_i..h_{i+n-1})``) — integer inputs
+      only. Hashing strings k× per shingle (the naive form) is ~10×
+      more expensive at corpus scale. ``min`` is invariant under
+      duplicate shingles, so no distinct pass is needed.
+    * ``md5`` (parity mode): sig array<string> of lowercase-hex
+      ``md5(seed || ':' || shingle)`` minima. MinHash only needs a
+      uniform hash with a total order, and lexicographic min of
+      fixed-width lowercase hex IS the numeric min — and Spark and
+      DuckDB produce byte-identical md5 hex, so the driver's DuckDB
+      oracle re-computes the ENTIRE pipeline (signatures → bands →
+      anchors → pairs → estimate → components) independently. Use it
+      for verification; xxhash64 for production throughput.
     """
+    if hash_mode == "md5":
+        sh = _shingles(text_col, shingle_n)
+        base = df.select(F.col(id_col), sh.alias("__sh"))
+        def seeded(i: int):
+            return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+        sig = F.array(
+            *[
+                F.array_min(F.transform("__sh", seeded(i)))
+                for i in range(num_hashes)
+            ]
+        )
+        return base.select(
+            id_col, F.when(F.size("__sh") > 0, sig).alias("sig")
+        )
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
     n_sh = F.greatest(F.size(toks) - (shingle_n - 1), F.lit(0))
@@ -121,6 +148,7 @@ def minhash_candidate_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding → anchor-member candidate pairs → verified by
     signature-component agreement (MinHash Jaccard estimate).
@@ -143,21 +171,30 @@ def minhash_candidate_pairs(
     # each time. At corpus scale this persist becomes "write the
     # signature table", same plan shape.
     sig_nn = sigs.filter(F.col("sig").isNotNull()).persist()
-    # Band key = one 64-bit hash of (band index, band's signature
-    # slice): an 8-byte shuffle key instead of a ~60-char string.
+    # Band key: xxhash64 mode hashes (band index, slice) into one
+    # 64-bit long — an 8-byte shuffle key instead of a ~60-char string.
+    # md5 parity mode concatenates the hex components (both engines
+    # build the identical string).
+    if hash_mode == "md5":
+        band_keys = [
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.element_at("sig", b * r + j + 1) for j in range(r)],
+            )
+            for b in range(bands)
+        ]
+    else:
+        band_keys = [
+            F.xxhash64(
+                F.lit(b),
+                *[F.element_at("sig", b * r + j + 1) for j in range(r)],
+            )
+            for b in range(bands)
+        ]
     exploded = sig_nn.select(
         F.col(id_col).alias("__id"),
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b),
-                        *[F.element_at("sig", b * r + j + 1) for j in range(r)],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("key"),
+        F.explode(F.array(*band_keys)).alias("key"),
     )
     anchors = exploded.groupBy("key").agg(F.min("__id").alias("id_a"))
     # Candidate pairs carry ids only — the distinct must not shuffle
@@ -177,12 +214,18 @@ def minhash_candidate_pairs(
         )
     )
     est = (agree.cast("double") / F.lit(float(num_hashes))).alias("jaccard_est")
-    return (
+    out = (
         pairs.join(sig_a, on="id_a")
         .join(sig_b, on="id_b")
         .select("id_a", "id_b", est)
         .filter(F.col("jaccard_est") >= threshold)
     )
+    # Expose the persisted signature table so end-to-end callers
+    # (minhash_dedup_labels) can unpersist it once downstream actions
+    # have materialized — long-lived sessions must not accumulate
+    # cached blocks across repeated dedup calls.
+    out._zeus_persisted = [sig_nn]
+    return out
 
 
 def minhash_dedup(
@@ -192,10 +235,13 @@ def minhash_dedup(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end near-dup pairs: (id_a, id_b, jaccard_est)."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
-    return minhash_candidate_pairs(sigs, id_col, num_hashes, bands, threshold)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, hash_mode=hash_mode)
+    return minhash_candidate_pairs(
+        sigs, id_col, num_hashes, bands, threshold, hash_mode
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -237,6 +283,92 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     )
 
 
+def simhash_md5_hex(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """SimHash parity mode: 64-bit fingerprint as a 16-char lowercase
+    hex STRING, with per-token bits taken from ``md5(token)`` instead
+    of ``xxhash64`` — Spark and DuckDB produce byte-identical md5 hex,
+    so the driver's oracle re-computes every fingerprint independently
+    (see ``minhash_signatures`` for the mode rationale). Production
+    default remains :func:`simhash` (xxhash64, integer-only hot path).
+
+    bit_j = majority over distinct tokens of bit_j(md5(token)[:16hex]);
+    NULL / whitespace-only text → NULL.
+    """
+    t = F.col(text_col)
+    toks = F.array_distinct(F.split(F.lower(F.trim(t)), r"\s+"))
+    hashed = df.select(
+        F.col(id_col),
+        t.alias("__t"),
+        F.transform(toks, lambda x: F.substring(F.md5(x), 1, 16)).alias("__h"),
+    )
+    # votes[j] (j = 0..63) = Σ over token hex strings of bit j, where
+    # bit j lives in hex digit j div 4 at position 3 - j % 4.
+    votes = F.expr(
+        "aggregate(__h, array_repeat(0, 64), (acc, h) -> "
+        "zip_with(acc, sequence(0, 63), (a, j) -> "
+        "a + (shiftright(cast(conv(substring(h, (j div 4) + 1, 1), 16, 10)"
+        " as int), 3 - (j % 4)) & 1)))"
+    )
+    staged = hashed.select(
+        id_col, "__t", votes.alias("__v"), F.size("__h").alias("__n")
+    )
+    nibble = (
+        "(CASE WHEN 2 * element_at(__v, 4 * d + 1) > __n THEN 8 ELSE 0 END"
+        " + CASE WHEN 2 * element_at(__v, 4 * d + 2) > __n THEN 4 ELSE 0 END"
+        " + CASE WHEN 2 * element_at(__v, 4 * d + 3) > __n THEN 2 ELSE 0 END"
+        " + CASE WHEN 2 * element_at(__v, 4 * d + 4) > __n THEN 1 ELSE 0 END)"
+    )
+    fp = F.expr(
+        "concat_ws('', transform(sequence(0, 15), d -> "
+        f"substring('0123456789abcdef', {nibble} + 1, 1)))"
+    )
+    return staged.select(
+        F.col(id_col),
+        F.when(F.length(F.trim(F.col("__t"))) > 0, fp).alias("simhash"),
+    )
+
+
+def duckdb_simhash_md5_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`simhash_md5_hex` — tokenize, md5, per-bit
+    majority vote, nibble re-assembly, all re-derived independently."""
+    return f"""
+WITH __t AS (SELECT {id_col}, {text_col} AS __txt FROM {table}),
+__tok AS (
+    SELECT {id_col},
+           unnest(list_distinct(
+               regexp_split_to_array(lower(trim(__txt)), '\\s+'))) AS tk
+    FROM __t WHERE length(trim(__txt)) > 0
+),
+__h AS (SELECT {id_col}, substr(md5(tk), 1, 16) AS hx FROM __tok),
+__n AS (SELECT {id_col}, COUNT(*) AS n FROM __h GROUP BY {id_col}),
+__bits AS (
+    SELECT {id_col}, j,
+           SUM(((strpos('0123456789abcdef',
+                        substr(hx, CAST(j // 4 AS INT) + 1, 1)) - 1)
+                >> CAST(3 - j % 4 AS INT)) & 1) AS votes
+    FROM __h, range(64) r(j) GROUP BY 1, 2
+),
+__maj AS (
+    SELECT b.{id_col}, b.j,
+           CASE WHEN 2 * b.votes > __n.n THEN 1 ELSE 0 END AS bit
+    FROM __bits b JOIN __n USING ({id_col})
+),
+__nib AS (
+    SELECT {id_col}, j // 4 AS d,
+           SUM(bit << CAST(3 - j % 4 AS INT)) AS v
+    FROM __maj GROUP BY 1, 2
+),
+__hex AS (
+    SELECT {id_col},
+           string_agg(substr('0123456789abcdef', CAST(v AS INT) + 1, 1),
+                      '' ORDER BY d) AS simhash
+    FROM __nib GROUP BY {id_col}
+)
+SELECT t.{id_col}, __hex.simhash
+FROM __t t LEFT JOIN __hex USING ({id_col})
+"""
+
+
 def ngram_jaccard(
     df: DataFrame,
     id_col: str,
@@ -266,12 +398,70 @@ def ngram_jaccard(
     )
 
 
+def duckdb_minhash_pairs_cte(
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> str:
+    """DuckDB CTE chain re-computing the ENTIRE md5-mode MinHash
+    pipeline (shingles → seeded minima → band keys → bucket anchors →
+    candidate pairs → signature-agreement estimate) from a relation
+    ``__mh_in(id, txt)`` the caller must define. Ends in
+    ``__mh_pairs(id_a, id_b, jaccard_est)``."""
+    r = num_hashes // bands
+    gram = " || ' ' || ".join(f"t[CAST(i + {j} AS INT)]" for j in range(shingle_n))
+    return f"""
+__mh_tok AS (
+    SELECT id, regexp_split_to_array(lower(trim(txt)), '\\s+') AS t FROM __mh_in
+),
+__mh_sh AS (
+    SELECT id,
+           unnest(list_distinct(list_transform(
+               range(1, len(t) - {shingle_n - 2}), i -> {gram}))) AS s
+    FROM __mh_tok WHERE len(t) >= {shingle_n}
+),
+__mh_minh AS (
+    SELECT id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || s)) AS mh
+    FROM __mh_sh, range({num_hashes}) rs(seed)
+    GROUP BY id, seed
+),
+__mh_sig AS (SELECT id, list(mh ORDER BY seed) AS sig FROM __mh_minh GROUP BY id),
+__mh_band AS (
+    SELECT id,
+           CAST(b AS VARCHAR) || '|' || array_to_string(
+               sig[CAST(b * {r} + 1 AS INT):CAST(b * {r} + {r} AS INT)], '|')
+               AS key
+    FROM __mh_sig, range({bands}) rb(b)
+),
+__mh_anchor AS (SELECT key, MIN(id) AS id_a FROM __mh_band GROUP BY key),
+__mh_cand AS (
+    SELECT DISTINCT a.id_a, m.id AS id_b
+    FROM __mh_band m JOIN __mh_anchor a USING (key)
+    WHERE m.id > a.id_a
+),
+__mh_pairs AS (
+    SELECT c.id_a, c.id_b,
+           len(list_filter(range({num_hashes}),
+               i -> sa.sig[CAST(i + 1 AS INT)] = sb.sig[CAST(i + 1 AS INT)]))
+               / {float(num_hashes)!r} AS jaccard_est
+    FROM __mh_cand c
+    JOIN __mh_sig sa ON sa.id = c.id_a
+    JOIN __mh_sig sb ON sb.id = c.id_b
+    WHERE len(list_filter(range({num_hashes}),
+              i -> sa.sig[CAST(i + 1 AS INT)] = sb.sig[CAST(i + 1 AS INT)]))
+              / {float(num_hashes)!r} >= {threshold!r}
+)
+"""
+
+
 def connected_components(
     edges: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 15,
-) -> DataFrame:
+    return_converged: bool = False,
+):
     """(id, component) for every node in the pair graph — component is
     the minimum id reachable from the node. Pairs → clusters is the
     step that turns near-dup *pairs* into a keep-one-per-cluster
@@ -285,10 +475,20 @@ def connected_components(
     propagation needs one round per hop for longer paths, so pathological
     chains are truncated at max_iter — at that point components are
     still valid refinements (over-segmented, never merged wrongly),
-    which for dedup errs on the keep-more side. Each iteration is one
-    shuffle on the edge key
+    which for dedup errs on the keep-more side. Truncation is NOT
+    silent: with ``return_converged=True`` the function returns
+    ``(labels, converged)`` so a 100 TB run can alert instead of
+    quietly keeping extra near-dups (tests pin the >max_iter-hop chain
+    case). Each iteration is one shuffle on the edge key
     — the same "small, compact keys only" discipline as the rest of
     this module (node ids only; text never enters the graph).
+
+    The final labels are ``localCheckpoint``-ed (they are tiny: one
+    (id, component) row per node touching an edge), which truncates
+    the iterative lineage and lets every intermediate cache — the
+    symmetrized edges and per-round labels — be unpersisted before
+    returning: repeated calls in a long-lived session leave no cached
+    blocks behind.
     """
     # Persist the symmetrized edges: every iteration re-reads them, and
     # the upstream pair generation (minhash signatures + LSH) is far
@@ -300,11 +500,21 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # Each round references `labels` twice (propagation + change
+    # count), so without lineage truncation the logical plan doubles
+    # per iteration — 2^n nodes by round ~20 OOMs the planner before
+    # any data moves. localCheckpoint keeps the per-round plan
+    # constant-size: labels are tiny ((id, comp) per node), and stale
+    # checkpoint blocks are released by the context cleaner as the
+    # Python references drop. At cluster scale, checkpoint to durable
+    # storage instead (same shape).
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         # neighbor's current component, min per node
         prop = (
@@ -320,18 +530,22 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
                 ).alias("comp"),
             )
+            .localCheckpoint(eager=True)
         )
-        new = new.persist()
         changed = (
             new.join(labels.withColumnRenamed("comp", "old"), "id")
             .filter(F.col("comp") != F.col("old"))
             .count()
         )
-        labels.unpersist() if hasattr(labels, "unpersist") else None
         labels = new
         if changed == 0:
+            converged = True
             break
-    return labels.select(F.col("id"), F.col("comp").alias("component"))
+    out = labels.select(F.col("id"), F.col("comp").alias("component"))
+    sym.unpersist()
+    if return_converged:
+        return out, converged
+    return out
 
 
 def minhash_dedup_labels(
@@ -341,6 +555,7 @@ def minhash_dedup_labels(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end near-dup verdict: (id, component, is_canonical).
 
@@ -349,8 +564,23 @@ def minhash_dedup_labels(
     component. This is the column a training pipeline filters on:
     ``keep = is_canonical``.
     """
-    pairs = minhash_dedup(df, id_col, text_col, num_hashes, bands, threshold)
-    comp = connected_components(pairs, "id_a", "id_b")
+    pairs = minhash_dedup(
+        df, id_col, text_col, num_hashes, bands, threshold, hash_mode
+    )
+    comp, converged = connected_components(
+        pairs, "id_a", "id_b", return_converged=True
+    )
+    if not converged:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components hit max_iter before converging: "
+            "components are over-segmented (keep-more); raise max_iter"
+        )
+    # the checkpointed labels no longer reference the signature table —
+    # release it (see minhash_candidate_pairs).
+    for cached in getattr(pairs, "_zeus_persisted", []):
+        cached.unpersist()
     out = (
         df.select(F.col(id_col).alias("id"))
         .join(comp, "id", "left")

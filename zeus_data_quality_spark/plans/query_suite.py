@@ -25,10 +25,12 @@ from ..functions.scrub import duckdb_scrub_expr, scrub_text
 from ..operators import anomaly, ivf
 from ..operators.convfeat import conversation_features
 from ..operators.dedup import (
+    duckdb_minhash_pairs_cte,
+    duckdb_simhash_md5_sql,
     exact_dedup,
     minhash_dedup,
     minhash_dedup_labels,
-    simhash,
+    simhash_md5_hex,
 )
 from ..operators.similarity import brute_force_topk, lsh_ann_topk
 from ..operators.dedup import ngram_jaccard
@@ -319,25 +321,47 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs over transcript turns, md5 parity
+    mode: the DuckDB oracle re-computes signatures, band keys, bucket
+    anchors, candidate pairs and the agreement estimate independently
+    (operators/dedup.py minhash_signatures docstring). The xxhash64
+    production path is benchmarked separately (bench.py)."""
     t = load_transcripts(spark, sf_dir).filter(F.col("text").isNotNull())
-    keyed = t.select(
-        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("turn_key"),
-        "text",
-    ).filter(F.col("turn_key") != "")
-    return minhash_dedup(keyed, "turn_key", "text", threshold=0.5)
+    keyed = (
+        t.select(
+            F.concat_ws(
+                "#", "conv_id", F.col("turn_idx").cast("string")
+            ).alias("turn_key"),
+            "text",
+        )
+        .filter(F.col("turn_key") != "")
+        # duplicate turn keys (injected defect) get a canonical text —
+        # minhash ids must be unique or per-row signatures diverge
+        .groupBy("turn_key")
+        .agg(F.min("text").alias("text"))
+    )
+    return minhash_dedup(keyed, "turn_key", "text", threshold=0.5, hash_mode="md5")
 
 
 def q_minhash_dedup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → connected components → keep-one-per-cluster verdict
-    (id, component, is_canonical). Hash-seeded → rows-only check;
-    cluster/canonical semantics pytest-enforced."""
+    (id, component, is_canonical), md5 parity mode — the oracle builds
+    the same pairs and resolves components with a recursive transitive
+    closure, so the label-propagation loop is verified end-to-end."""
     return minhash_dedup_labels(
-        _read(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.7
+        _read(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        threshold=0.7,
+        hash_mode="md5",
     )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash(_read(spark, sf_dir, "documents"), "doc_id", "text")
+    """SimHash in md5 parity mode (hex fingerprints verified bit-for-
+    bit by the oracle); the xxhash64 long-fingerprint production path
+    is `simhash` with its own pytest."""
+    return simhash_md5_hex(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -661,6 +685,46 @@ def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.round("mean_intensity", 9).alias("mean_intensity"),
     )
+
+
+def _oracle_minhash_pairs() -> str:
+    body = (
+        ", __mh_in AS (\n"
+        "    SELECT concat_ws('#', conv_id, CAST(turn_idx AS VARCHAR)) AS id,\n"
+        "           MIN(text) AS txt\n"
+        "    FROM transcripts\n"
+        "    WHERE text IS NOT NULL\n"
+        "      AND concat_ws('#', conv_id, CAST(turn_idx AS VARCHAR)) <> ''\n"
+        "    GROUP BY 1\n"
+        "),\n"
+        + duckdb_minhash_pairs_cte(threshold=0.5).strip()
+        + "\nSELECT id_a, id_b, jaccard_est FROM __mh_pairs"
+    )
+    return oracle_with_transcripts(body)
+
+
+ORACLE_MINHASH_LABELS = f"""
+WITH RECURSIVE
+__mh_in AS (SELECT doc_id AS id, text AS txt FROM documents),
+{duckdb_minhash_pairs_cte(threshold=0.7).strip()},
+__mh_edges AS (
+    SELECT id_a AS src, id_b AS dst FROM __mh_pairs
+    UNION
+    SELECT id_b, id_a FROM __mh_pairs
+),
+__mh_nodes AS (SELECT DISTINCT src AS id FROM __mh_edges),
+__mh_reach(id, r) AS (
+    SELECT id, id FROM __mh_nodes
+    UNION
+    SELECT __mh_reach.id, e.dst
+    FROM __mh_reach JOIN __mh_edges e ON e.src = __mh_reach.r
+),
+__mh_comp AS (SELECT id, MIN(r) AS component FROM __mh_reach GROUP BY id)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS component,
+       d.doc_id = COALESCE(c.component, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN __mh_comp c ON c.id = d.doc_id
+"""
 
 
 def _oracle_ann_lsh() -> str:
@@ -1165,6 +1229,9 @@ def oracle_sql():
         "embedding_near_dups": ORACLE_EMBEDDING_DUPS,
         "cube_events": ORACLE_CUBE,
         "langid": duckdb_langid_sql("documents", "doc_id", "text"),
+        "minhash_pairs": _oracle_minhash_pairs(),
+        "minhash_dedup_labels": ORACLE_MINHASH_LABELS,
+        "simhash": duckdb_simhash_md5_sql("documents", "doc_id", "text"),
         "perplexity": oracle_with_transcripts(
             ", " + duckdb_perplexity_cte().strip() + "\n"
             "SELECT t.conv_id, t.turn_idx, p.nll\n"
@@ -1173,8 +1240,9 @@ def oracle_sql():
         "media_features": ORACLE_MEDIA_FEATURES,
         "media_audio_frames": ORACLE_MEDIA_AUDIO,
         "media_video_frames": ORACLE_MEDIA_VIDEO,
-        # ann_lsh / minhash_pairs / simhash / langid / perplexity /
-        # media_*: deliberately no oracle — hash-seeded, model-driven,
-        # or binary-codec operators are not SQL-expressible; each is
-        # covered by an independent pytest oracle instead.
+        # ann_ivf_probe is the only deliberate rows-only query: real
+        # IVF pruning (nprobe < all) is approximate by design, and its
+        # recall floor is pytest-pinned (test_operators.py). Everything
+        # else — including the hash-seeded dedup/ANN family — is
+        # oracle-verified via md5 parity modes / embedded-constant SQL.
     }
