@@ -200,7 +200,7 @@ def test_suggest_checks_from_profile(spark):
     assert "ID_UNIQUE" in by_id  # key-like
     assert "ID_NULL_COUNT" in by_id and "CAT_NULL_COUNT" in by_id
     assert by_id["V_MIN_MAX"].params == {"min": 0.0, "max": 9.0}
-    assert by_id["CAT_VALUE_DIST"].params["allowed_values_csv"] == "x,y"
+    assert by_id["CAT_VALUE_DIST"].params["allowed_values"] == ["x", "y"]
     # suggested checks all pass on the data they were derived from
     labeled = apply_checks(df, checks)
     row = failure_counts(labeled, checks).collect()[0].asDict()

@@ -1,0 +1,205 @@
+"""Cron TASK shim, tolerant booleans, and round-2 advice fixes."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.functions.rules import Check
+from zeus_data_quality_spark.operators.dedup import exact_dedup
+from zeus_data_quality_spark.plans.meta import MetaStore, coerce_bool
+from zeus_data_quality_spark.plans.runner import run_config
+from zeus_data_quality_spark.plans.schedules import (
+    ensure_task_for_config,
+    safe_ident,
+    task_name_for_config,
+    validate_cron,
+)
+
+
+def test_task_name_sanitization_matches_reference():
+    """Reference rules (utils/dmfs.py:387-403 + SP v_safe_config):
+    upper, non-[A-Z0-9_] → _, collapse runs, strip edges, empty → X."""
+    assert task_name_for_config("daily-orders") == "DQ_TASK_DAILY_ORDERS"
+    assert task_name_for_config("a..b--c") == "DQ_TASK_A_B_C"
+    assert task_name_for_config("___") == "DQ_TASK_X"
+    assert task_name_for_config(None) == "DQ_TASK_X"
+    assert task_name_for_config("ok_1") == "DQ_TASK_OK_1"
+    assert safe_ident("Müller config") == "M_LLER_CONFIG"
+
+
+def test_validate_cron():
+    assert validate_cron("0 8 * * *") == []
+    assert validate_cron("*/15 0-6 1,15 * 1-5") == []
+    assert validate_cron("61 8 * * *")  # minute out of range
+    assert validate_cron("0 8 * *")  # 4 fields
+    assert validate_cron("0 8 * * mon")  # names unsupported
+    assert validate_cron("5-2 * * * *")  # inverted range
+
+
+def test_ensure_task_manifest_defaults_and_states():
+    cmd = "python -m zeus_data_quality_spark.cli run --config-id c1"
+    # defaults applied for blank cron/tz (reference schedules.py:38-39)
+    m = ensure_task_for_config(
+        {"config_id": "c1", "schedule_enabled": True, "schedule_cron": "  "},
+        cmd,
+    )
+    assert m["status"] == "TASK_CREATED"
+    assert m["task"] == "DQ_TASK_C1"
+    assert m["schedule"] == "USING CRON 0 8 * * * Europe/Berlin"
+    assert m["comment"] == "Auto task for DQ config c1"
+    assert m["crontab"] == f"CRON_TZ=Europe/Berlin\n0 8 * * * {cmd}"
+
+    off = ensure_task_for_config(
+        {"config_id": "c1", "schedule_enabled": False}, cmd
+    )
+    assert off == {"status": "SCHEDULE_DISABLED", "task": "DQ_TASK_C1"}
+
+    bad = ensure_task_for_config(
+        {"config_id": "c1", "schedule_enabled": "YES", "schedule_cron": "99 * * * *"},
+        cmd,
+    )
+    assert bad["status"] == "FALLBACK"
+    assert "minute" in bad["reason"]
+
+
+def test_coerce_bool_reference_token_set():
+    """streamlit_app.py:85-93 accepts TRUE/T/YES/Y/1 case-insensitively."""
+    for v in ("TRUE", "true", "T", "YES", "y", "1", 1, True):
+        assert coerce_bool(v) is True
+    for v in ("FALSE", "no", "N", "0", 0, "", "off", False, "2x"):
+        assert coerce_bool(v) is False
+    assert coerce_bool(None, default=True) is True
+
+
+def test_meta_store_coerces_messy_schedule_enabled(spark, tmp_path):
+    store = MetaStore(spark, str(tmp_path / "meta"))
+    store.upsert_config(
+        {"config_id": "m1", "name": "m", "schedule_enabled": "YES"}
+    )
+    assert store.get_config("m1")["schedule_enabled"] is True
+    store.upsert_config(
+        {"config_id": "m1", "name": "m", "schedule_enabled": "nope"}
+    )
+    assert store.get_config("m1")["schedule_enabled"] is False
+
+
+def test_meta_rewrite_cleans_staging_dir(spark, tmp_path):
+    root = str(tmp_path / "meta")
+    store = MetaStore(spark, root)
+    store.upsert_config({"config_id": "s1", "name": "s"})
+    store.upsert_config({"config_id": "s2", "name": "t"})
+    leftovers = [d for d in os.listdir(root) if d.endswith(".staging")]
+    assert leftovers == []
+
+
+def test_exact_dedup_null_text_rows_kept(spark):
+    """NULL-text rows must stay in the output as ONE duplicate group
+    (the oracle's window PARTITION BY md5(text) groups NULLs) — the old
+    equi-join silently dropped them."""
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, None), (3, None), (4, "aa")], "id long, text string"
+    )
+    out = {r["id"]: r for r in exact_dedup(df, "id").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[2]["n_copies"] == 2 and out[2]["is_canonical"]
+    assert out[3]["n_copies"] == 2 and not out[3]["is_canonical"]
+    assert out[1]["n_copies"] == 2 and out[1]["is_canonical"]
+
+
+def test_run_config_isolates_bad_column_reference(spark):
+    """A check referencing a nonexistent column must log ok=False for
+    THAT check and keep evaluating the rest (reference SP :96-103) —
+    not abort the fused run with an AnalysisException."""
+    df = spark.createDataFrame([("a", 1), (None, 2)], "name string, v int")
+    checks = [
+        Check("C1_NULL", "NULL_COUNT", "name"),
+        Check("C2_BAD", "NULL_COUNT", "no_such_column"),
+        Check("C3_BAD_UNIQUE", "UNIQUE", None, {"key": ["missing_key"]}),
+        Check("C4_RANGE", "MIN_MAX", "v", {"min": 0, "max": 10}),
+    ]
+    labeled, records = run_config(spark, df, checks)
+    by_id = {r.check_id: r for r in records}
+    assert by_id["C1_NULL"].ok is False and by_id["C1_NULL"].failures == 1
+    assert by_id["C4_RANGE"].ok is True
+    assert by_id["C2_BAD"].ok is False and by_id["C2_BAD"].error_msg
+    assert by_id["C3_BAD_UNIQUE"].ok is False and by_id["C3_BAD_UNIQUE"].error_msg
+    # the fused frame evaluates the good checks only
+    assert labeled.count() == 2
+
+
+def test_suggest_checks_two_jobs_and_list_params(spark, monkeypatch):
+    """Value collection is ONE combined aggregate for all low-card
+    columns (2 collect()s total incl. the profile scan), and suggested
+    VALUE_DISTRIBUTION params use the lossless list form."""
+    # Spark 4: pyspark.sql.DataFrame is abstract; patch the concrete class
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from zeus_data_quality_spark.plans.profile import suggest_checks
+
+    df = spark.createDataFrame(
+        [(i, "with, comma" if i % 2 else " padded ", "t" + str(i % 3))
+         for i in range(30)],
+        "id long, tricky string, tag string",
+    )
+    calls = {"n": 0}
+    orig = DataFrame.collect
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counting)
+    checks = suggest_checks(df)
+    assert calls["n"] == 2
+    vd = {c.column: c for c in checks if c.check_type == "VALUE_DISTRIBUTION"}
+    assert set(vd) == {"tricky", "tag"}
+    assert vd["tricky"].params["allowed_values"] == [" padded ", "with, comma"]
+    # round-trip: rows with the observed values must PASS the compiled rule
+    from zeus_data_quality_spark.functions.rules import compile_row_check, passes
+
+    n_pass = df.filter(passes(compile_row_check(vd["tricky"]))).count()
+    assert n_pass == 30
+
+
+def test_run_with_checkpoints_restores_overwrite_mode(spark, tmp_path):
+    from zeus_data_quality_spark.plans.configs import default_transcript_checks
+    from zeus_data_quality_spark.plans.lineage import (
+        LineageStore,
+        run_with_checkpoints,
+    )
+    from zeus_data_quality_spark.sources.transcripts import load_transcripts
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    df = load_transcripts(spark, "/root/testdata/sf0.001").limit(200)
+    lineage = LineageStore(spark, str(tmp_path / "lin"))
+    run_with_checkpoints(
+        spark,
+        df,
+        default_transcript_checks(),
+        F.pmod(F.xxhash64(F.coalesce(F.col("conv_id"), F.lit("~"))), F.lit(4)),
+        str(tmp_path / "out"),
+        lineage,
+        batch_size=2,
+    )
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+    )
+    # and restored even when the run raises mid-way
+    with pytest.raises(RuntimeError):
+        run_with_checkpoints(
+            spark,
+            df,
+            default_transcript_checks(),
+            F.pmod(F.xxhash64(F.coalesce(F.col("conv_id"), F.lit("~"))), F.lit(4)),
+            str(tmp_path / "out2"),
+            LineageStore(spark, str(tmp_path / "lin2")),
+            run_id="crash",
+            batch_size=1,
+            fail_after_batches=1,
+        )
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+    )

@@ -129,6 +129,37 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_schedule(args) -> int:
+    """Emit scheduler manifests (reference TASK lifecycle recast as a
+    crontab/JSON artifact, plans/schedules.py) for one or all configs
+    in a MetaStore."""
+    from .plans.meta import MetaStore
+    from .plans.schedules import ensure_task_for_config
+
+    spark = _spark(args)
+    store = MetaStore(spark, args.meta)
+    cfgs = [r.asDict() for r in store.list_configs().collect()]
+    if args.config_id:
+        cfgs = [c for c in cfgs if c["config_id"] == args.config_id]
+        if not cfgs:
+            print(f"no config {args.config_id}", file=sys.stderr)
+            return 2
+    rc = 0
+    for cfg in cfgs:
+        command = (
+            "python -m zeus_data_quality_spark.cli run"
+            f" --input {args.input} --output {args.output}"
+            f" --lineage {args.lineage} --meta {args.meta}"
+            f" --config-id {cfg['config_id']}"
+            f" --run-id scheduled-{cfg['config_id']}"
+        )
+        manifest = ensure_task_for_config(cfg, command)
+        print(json.dumps(manifest))
+        if manifest["status"] == "FALLBACK":
+            rc = 1
+    return rc
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="zeus_data_quality_spark")
     p.add_argument("--cpus", type=int, default=None, help="local[N] threads")
@@ -156,6 +187,16 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--suggest", action="store_true")
     pr.add_argument("--config-id", default="suggested")
     pr.set_defaults(fn=cmd_profile)
+
+    sc = sub.add_parser(
+        "schedule", help="emit scheduler manifests for stored configs"
+    )
+    sc.add_argument("--meta", required=True)
+    sc.add_argument("--config-id", default=None)
+    sc.add_argument("--input", default="/data/transcripts")
+    sc.add_argument("--output", default="/data/out")
+    sc.add_argument("--lineage", default="/data/lineage")
+    sc.set_defaults(fn=cmd_schedule)
 
     s = sub.add_parser("show-lineage", help="dump lineage rows as JSON lines")
     s.add_argument("--lineage", required=True)

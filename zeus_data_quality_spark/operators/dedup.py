@@ -27,24 +27,31 @@ DEFAULT_BANDS = 4  # rows_per_band = num_hashes // bands
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """Exact duplicate labeling: (id, n_copies, is_canonical).
+    """Exact duplicate labeling: (id, n_copies, is_canonical) — one
+    output row per input row, including NULL text.
 
     Two-phase: aggregate per md5(text) — partial agg shrinks the
     shuffle to one row per distinct text per mapper — then join the
-    (small) group table back; AQE broadcasts it when it fits.
+    (small) group table back; AQE broadcasts it when it fits. The join
+    is NULL-SAFE: md5(NULL) is NULL, groupBy already groups the NULL
+    key, and eqNullSafe keeps NULL-text rows in the output as one
+    duplicate group (the same semantics as the oracle's
+    ``COUNT(*) OVER (PARTITION BY md5(text))``, whose window partition
+    groups NULLs together). A plain equi-join would silently DROP
+    NULL-text rows.
     """
-    key = F.md5(F.col(text_col)).alias("__h")
+    key = F.md5(F.col(text_col))
     groups = (
-        df.select(key, F.col(id_col))
+        df.select(key.alias("__h"), F.col(id_col))
         .groupBy("__h")
         .agg(
             F.count(F.lit(1)).alias("n_copies"),
             F.min(id_col).alias("__keep_id"),
         )
     )
+    left = df.select(F.col(id_col), key.alias("__hl"))
     return (
-        df.select(F.col(id_col), key)
-        .join(groups, on="__h", how="inner")
+        left.join(groups, left["__hl"].eqNullSafe(groups["__h"]), "inner")
         .select(
             id_col,
             F.col("n_copies").cast("long").alias("n_copies"),

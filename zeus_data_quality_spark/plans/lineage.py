@@ -119,10 +119,45 @@ def run_with_checkpoints(
     )
     done = lineage.completed_partitions(config_id, run_id)
     todo = [p for p in all_parts if p not in done]
-    processed: list[str] = []
     rcs = row_checks(checks)
 
+    # dynamic overwrite only for THIS run's writes — restore the
+    # session's previous mode afterwards so unrelated overwrites in a
+    # long-lived session keep their semantics.
+    try:
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    except Exception:
+        prev_mode = None
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        return _run_batches(
+            spark, work, checks, rcs, todo, batch_size, out_dir, lineage,
+            config_id, run_id, text_col, fail_after_batches,
+        )
+    finally:
+        if prev_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+
+
+def _run_batches(
+    spark: SparkSession,
+    work: DataFrame,
+    checks: list,
+    rcs: list,
+    todo: list[str],
+    batch_size: int,
+    out_dir: str,
+    lineage: LineageStore,
+    config_id: str,
+    run_id: str,
+    text_col: str,
+    fail_after_batches: int | None,
+) -> list[str]:
+    processed: list[str] = []
     batches = [todo[i : i + batch_size] for i in range(0, len(todo), batch_size)]
     for bi, batch in enumerate(batches):
         part_df = work.filter(F.col("__part").isin(batch))

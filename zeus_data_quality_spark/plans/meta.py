@@ -36,6 +36,23 @@ CHECK_SCHEMA = (
 )
 
 
+_TRUTHY = {"true", "t", "yes", "y", "1"}
+
+
+def coerce_bool(value, default: bool = False) -> bool:
+    """Tolerant boolean coercion for messy stored metadata — the
+    reference defends against `TRUE/T/YES/Y/1` (case-insensitive)
+    strings in boolean slots (streamlit_app.py:85-93,
+    utils/meta.py:200-206, sql/CREATE_RESULTS_AND_SP.SQL:27-37)."""
+    if value is None:
+        return default
+    if isinstance(value, bool):
+        return value
+    if isinstance(value, (int, float)):
+        return value != 0
+    return str(value).strip().lower() in _TRUTHY
+
+
 class MetaStore:
     """DQ_CONFIG + DQ_CHECK over a metadata directory."""
 
@@ -59,11 +76,15 @@ class MetaStore:
     def _rewrite(self, df: DataFrame, path: str, schema: str) -> None:
         # Tiny metadata tables: copy-on-write commit (stand-in for
         # Iceberg MERGE). Stage to a temp dir then swap to keep the
-        # read path consistent.
+        # read path consistent; the staging dir is removed after the
+        # swap so repeated mutations leave no litter behind.
+        import shutil
+
         tmp = path + ".staging"
         df.write.mode("overwrite").parquet(tmp)
         staged = self.spark.read.schema(schema).parquet(tmp)
         staged.write.mode("overwrite").parquet(path)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     # -- reference ops ----------------------------------------------------
     def upsert_config(self, cfg: dict) -> None:
@@ -81,7 +102,7 @@ class MetaStore:
             cfg.get("owner"),
             cfg.get("schedule_cron", "0 8 * * *"),
             cfg.get("schedule_timezone", "Europe/Berlin"),
-            bool(cfg.get("schedule_enabled", False)),
+            coerce_bool(cfg.get("schedule_enabled", False)),
             created,
             now,
         )

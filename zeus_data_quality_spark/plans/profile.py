@@ -57,7 +57,14 @@ def profile_columns(
     min_str/max_str and n_blank (empty-after-trim). Other types profile
     null/distinct counts only.
     """
-    spark = df.sparkSession
+    return df.sparkSession.createDataFrame(
+        _profile_rows(df, columns), PROFILE_SCHEMA
+    )
+
+
+def _profile_rows(df: DataFrame, columns: list[str] | None = None) -> list[tuple]:
+    """The fused profile scan (ONE job); driver-side reshape to one
+    tuple per column."""
     fields = {f.name: f.dataType for f in df.schema.fields}
     cols = columns or [
         n for n, t in fields.items()
@@ -100,7 +107,7 @@ def profile_columns(
                 row.get(f"nb__{c}") if is_str else None,
             )
         )
-    return spark.createDataFrame(out, PROFILE_SCHEMA)
+    return out
 
 
 def duckdb_profile_sql(
@@ -148,9 +155,36 @@ def suggest_checks(
     * key-like (distinct == rows, no nulls) → UNIQUE
     * numeric → MIN_MAX with the observed bounds
     * low-cardinality string → VALUE_DISTRIBUTION with the observed
-      value set (one extra tiny scan collects the values)
+      value set
+
+    Job shape: TWO jobs total — the fused profile scan, then ONE
+    combined ``collect_set`` aggregate for every qualifying
+    low-cardinality column together (never a job per column). The
+    value collection is deliberately NOT fused into the profile scan:
+    an unconditional collect_set holds every distinct value of every
+    string column in executor memory, which is unbounded for
+    high-cardinality columns at corpus scale; the profile's distinct
+    counts gate which columns are safe to collect.
     """
-    prof = {r["column"]: r for r in profile_columns(df).collect()}
+    prof = {
+        r[0]: dict(zip([f.name for f in PROFILE_SCHEMA.fields], r))
+        for r in _profile_rows(df)
+    }
+    lowcard = [
+        c
+        for c in sorted(prof)
+        if prof[c]["min_str"] is not None
+        and 0 < prof[c]["n_distinct"] <= max_value_dist_cardinality
+    ]
+    observed: dict[str, list] = {}
+    if lowcard:
+        row = df.agg(
+            *[
+                F.sort_array(F.collect_set(c)).alias(f"vals__{c}")
+                for c in lowcard
+            ]
+        ).collect()[0]
+        observed = {c: list(row[f"vals__{c}"]) for c in lowcard}
     checks: list[Check] = []
     for c in sorted(prof):
         p = prof[c]
@@ -180,21 +214,16 @@ def suggest_checks(
                     config_id=config_id,
                 )
             )
-        if (
-            p["min_str"] is not None
-            and 0 < p["n_distinct"] <= max_value_dist_cardinality
-        ):
-            vals = [
-                r[0]
-                for r in df.select(c).filter(F.col(c).isNotNull()).distinct()
-                .orderBy(c).collect()
-            ]
+        if c in observed:
+            # list form, not a CSV string: values containing commas or
+            # edge whitespace must round-trip losslessly through
+            # compile_row_check (which prefers params['allowed_values'])
             checks.append(
                 Check(
                     f"{c.upper()}_VALUE_DIST",
                     "VALUE_DISTRIBUTION",
                     c,
-                    {"allowed_values_csv": ",".join(vals)},
+                    {"allowed_values": observed[c]},
                     config_id=config_id,
                 )
             )

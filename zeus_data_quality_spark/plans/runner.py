@@ -167,10 +167,31 @@ def run_config(
     good: list[Check] = []
     for c in rcs:
         try:
-            rules.compile_row_check(c) if c.check_type.upper() != "UNIQUE" else None
+            ctype = c.check_type.upper()
+            if ctype == "UNIQUE":
+                key = [k for k in (c.params.get("key") or [c.column]) if k]
+                missing = [k for k in key if k not in df.columns]
+                if not key or missing:
+                    raise ValueError(f"UNIQUE key columns missing: {missing or key}")
+            elif ctype == "ROLE_ALTERNATION":
+                cols = [
+                    c.params.get("conv_col", "conv_id"),
+                    c.column or "role",
+                    *tuple(c.params.get("order_cols", ("turn_idx", "ts"))),
+                ]
+                missing = [k for k in cols if k not in df.columns]
+                if missing:
+                    raise ValueError(f"window columns missing: {missing}")
+            else:
+                # Analyze (no job) against the actual schema — a bad
+                # column reference must fail THIS check's record, not
+                # abort the fused run when apply_checks resolves the
+                # whole Project (reference SP :96-103 isolates errors
+                # per check).
+                df.select(rules.compile_row_check(c))
             good.append(c)
         except Exception as exc:  # malformed check: log, continue
-            bad.append((c, f"{type(exc).__name__}: {exc}"))
+            bad.append((c, f"{type(exc).__name__}: {exc}"[:200]))
     labeled = apply_checks(df, good)
     counts: dict[str, Any] = failure_counts(labeled, good).first().asDict()
     for c in good:

@@ -1,0 +1,109 @@
+"""Cron TASK parity shim — scheduler manifests for configs.
+
+The reference schedules daily re-runs as Snowflake TASKs
+(``utils/schedules.py:10-73`` + ``sql/CREATE_RESULTS_AND_SP.SQL:116-214``):
+``SP_DQ_MANAGE_TASK`` sanitizes the config id into ``DQ_TASK_<ID>``,
+builds ``SCHEDULE = 'USING CRON <cron> <tz>'`` with defaults
+``0 8 * * *`` / ``Europe/Berlin``, creates-or-alters the task
+suspended, and resumes it only when scheduling is enabled.
+
+Spark has no task scheduler, so the honest recast (SURVEY.md §2.7) is a
+**manifest emitter**: the same naming/default/enable rules produce a
+JSON manifest plus a crontab line that invokes the resumable CLI run —
+an external scheduler (cron, Airflow, k8s CronJob) consumes it. Unlike
+the reference (which lets Snowflake reject bad schedules), the shim
+validates the cron expression up front.
+"""
+
+from __future__ import annotations
+
+import re
+
+DEFAULT_CRON = "0 8 * * *"
+DEFAULT_TZ = "Europe/Berlin"
+
+# minute hour day-of-month month day-of-week
+_FIELD_RANGES = [(0, 59), (0, 23), (1, 31), (1, 12), (0, 7)]
+_FIELD_RE = re.compile(r"^(\*|\d+)(-(\d+))?(/(\d+))?$")
+
+
+def safe_ident(value) -> str:
+    """Reference identifier sanitization (``utils/dmfs.py:387-394`` /
+    SP ``v_safe_config``): upper-case, non-[A-Z0-9_] → ``_``, collapse
+    runs, strip edges, empty → ``X``."""
+    text = "" if value is None else str(value)
+    text = re.sub(r"[^A-Z0-9_]", "_", text.upper())
+    text = re.sub(r"_+", "_", text).strip("_")
+    return text or "X"
+
+
+def task_name_for_config(config_id) -> str:
+    """``DQ_TASK_<sanitized id>`` (reference utils/dmfs.py:400-403)."""
+    return f"DQ_TASK_{safe_ident(config_id)}"
+
+
+def validate_cron(cron: str) -> list[str]:
+    """Return a list of problems with a 5-field cron expression
+    (empty = valid). Supports ``*``, numbers, ranges, steps, lists."""
+    problems: list[str] = []
+    fields = (cron or "").split()
+    if len(fields) != 5:
+        return [f"expected 5 cron fields, got {len(fields)}: {cron!r}"]
+    names = ["minute", "hour", "day-of-month", "month", "day-of-week"]
+    for name, field, (lo, hi) in zip(names, fields, _FIELD_RANGES):
+        for part in field.split(","):
+            m = _FIELD_RE.match(part)
+            if not m:
+                problems.append(f"{name}: malformed field part {part!r}")
+                continue
+            start, end, step = m.group(1), m.group(3), m.group(5)
+            if start != "*":
+                v = int(start)
+                if not lo <= v <= hi:
+                    problems.append(f"{name}: {v} outside [{lo}, {hi}]")
+            if end is not None:
+                if start == "*":
+                    problems.append(f"{name}: range cannot start with '*'")
+                elif not lo <= int(end) <= hi:
+                    problems.append(f"{name}: {end} outside [{lo}, {hi}]")
+                elif int(end) < int(start):
+                    problems.append(f"{name}: inverted range {part!r}")
+            if step is not None and int(step) == 0:
+                problems.append(f"{name}: step 0 in {part!r}")
+    return problems
+
+
+def ensure_task_for_config(cfg: dict, command: str) -> dict:
+    """Scheduler manifest for one config — the reference's
+    ``ensure_task_for_config`` statuses with a crontab artifact instead
+    of a Snowflake TASK.
+
+    ``command`` is the CLI invocation to schedule (the resumable
+    ``... cli run --config-id <id> ...`` line). Returns a dict with
+    ``status`` ∈ {TASK_CREATED, SCHEDULE_DISABLED, FALLBACK} mirroring
+    the reference's outcomes.
+    """
+    from .meta import coerce_bool
+
+    task = task_name_for_config(cfg.get("config_id"))
+    if not coerce_bool(cfg.get("schedule_enabled"), default=True):
+        return {"status": "SCHEDULE_DISABLED", "task": task}
+    cron = (cfg.get("schedule_cron") or DEFAULT_CRON).strip() or DEFAULT_CRON
+    tz = (cfg.get("schedule_timezone") or DEFAULT_TZ).strip() or DEFAULT_TZ
+    problems = validate_cron(cron)
+    if problems:
+        return {
+            "status": "FALLBACK",
+            "reason": "; ".join(problems),
+            "task": task,
+        }
+    return {
+        "status": "TASK_CREATED",
+        "task": task,
+        "schedule": f"USING CRON {cron} {tz}",
+        "cron": cron,
+        "timezone": tz,
+        "comment": f"Auto task for DQ config {cfg.get('config_id')}",
+        "command": command,
+        "crontab": f"CRON_TZ={tz}\n{cron} {command}",
+    }
