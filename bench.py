@@ -81,7 +81,6 @@ HEADLINE = [
     "dedup_exact",
     "text_stats",
     "doc_fingerprints",
-    "minhash_pairs",
     "ann_bruteforce",
     "langid",
     "perplexity",
@@ -89,7 +88,70 @@ HEADLINE = [
     "range_join",
     "window_running_total",
     "monitor_topk",
+    "media_features",
+    "media_audio_frames",
+    "media_video_frames",
 ]
+
+
+def _extra_benches():
+    """Production-path benches not covered by the driver queries: the
+    driver's minhash/simhash queries run the md5 PARITY mode (so DuckDB
+    can verify them); throughput regressions on the xxhash64 production
+    path and on the iterative pairs→CC→verdict loop are tracked here."""
+    from zeus_data_quality_spark.operators.dedup import (
+        minhash_dedup,
+        minhash_dedup_labels,
+        simhash,
+    )
+
+    def minhash_pairs(spark, sf_dir):
+        # same input/threshold as the r1 bench entry (transcript turns,
+        # xxhash64) so the timing series stays comparable round-over-round
+        t = load_transcripts(spark, sf_dir).filter(F.col("text").isNotNull())
+        keyed = (
+            t.select(
+                F.concat_ws(
+                    "#", "conv_id", F.col("turn_idx").cast("string")
+                ).alias("turn_key"),
+                "text",
+            )
+            .filter(F.col("turn_key") != "")
+            .groupBy("turn_key")
+            .agg(F.min("text").alias("text"))
+        )
+        return minhash_dedup(keyed, "turn_key", "text", threshold=0.5)
+
+    def minhash_pairs_md5_parity(spark, sf_dir):
+        # the driver's oracle-verified mode (md5 string hashing) — ~3×
+        # the hash cost of the production path by design
+        return qs.q_minhash_pairs(spark, sf_dir)
+
+    def minhash_pairs_xx(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return minhash_dedup(docs, "doc_id", "text", threshold=0.5)
+
+    def dedup_labels_e2e_xx(spark, sf_dir):
+        # includes the connected-components loop's internal actions
+        return minhash_dedup_labels(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            "doc_id",
+            "text",
+            threshold=0.7,
+        )
+
+    def simhash_xx(spark, sf_dir):
+        return simhash(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", "text"
+        )
+
+    return {
+        "minhash_pairs": minhash_pairs,
+        "minhash_pairs_md5_parity": minhash_pairs_md5_parity,
+        "minhash_pairs_xx": minhash_pairs_xx,
+        "dedup_labels_e2e_xx": dedup_labels_e2e_xx,
+        "simhash_xx": simhash_xx,
+    }
 
 
 def main() -> None:
@@ -112,6 +174,10 @@ def main() -> None:
         for name in HEADLINE:
             t0 = time.time()
             _force(queries[name](spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+        for name, fn in _extra_benches().items():
+            t0 = time.time()
+            _force(fn(spark, sf_dir))
             timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
