@@ -61,3 +61,56 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
     write_partitioned(patch, out, ["part"])
     got = {(r["id"], r["part"]) for r in spark.read.parquet(out).collect()}
     assert got == {(9, "a"), (3, "b")}
+
+
+def test_write_partitioned_restores_overwrite_mode(spark, tmp_path):
+    from zeus_data_quality_spark.sources.generic import write_partitioned
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, p string")
+    write_partitioned(df, str(tmp_path / "out"), ["p"])
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+
+
+def test_bucketed_table_agg_and_join_shuffle_free(spark, tmp_path):
+    """The 100 TB co-location claim, pinned on the actual plan: after
+    bucketing transcripts by conv_id, (a) groupBy(conv_id) aggregates
+    and (b) a join against a same-bucketed table plan WITHOUT any
+    shuffle Exchange."""
+    from pyspark.sql import functions as F
+
+    from zeus_data_quality_spark.sources.generic import write_bucketed
+    from zeus_data_quality_spark.sources.transcripts import load_transcripts
+
+    t = load_transcripts(spark, "/root/testdata/sf0.001").filter(
+        F.col("conv_id").isNotNull()
+    )
+    write_bucketed(t, "t_bucketed", ["conv_id"], n_buckets=8,
+                   sort_cols=["conv_id", "turn_idx"])
+    write_bucketed(
+        t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n")),
+        "t_stats_bucketed", ["conv_id"], n_buckets=8,
+    )
+    bt = spark.table("t_bucketed")
+    bs = spark.table("t_stats_bucketed")
+
+    agg_plan = bt.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in agg_plan, agg_plan
+
+    # disable broadcast so the join would otherwise shuffle both sides
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        join_plan = bt.join(bs, "conv_id")._jdf.queryExecution(
+        ).executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Exchange" not in join_plan, join_plan
+
+    # and the data is right
+    n = bt.count()
+    assert n == t.count()
+    spark.sql("DROP TABLE IF EXISTS t_bucketed")
+    spark.sql("DROP TABLE IF EXISTS t_stats_bucketed")

@@ -100,15 +100,55 @@ def write_partitioned(
 ) -> None:
     """Dynamic partition overwrite: only the partitions present in
     ``df`` are replaced — the idempotent re-run primitive (on Iceberg
-    this is ``overwritePartitions()``)."""
-    (
-        df.sparkSession.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    this is ``overwritePartitions()``). The session's previous
+    overwrite mode is restored afterwards."""
+    conf = df.sparkSession.conf
+    try:
+        prev = conf.get("spark.sql.sources.partitionOverwriteMode")
+    except Exception:
+        prev = None
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .format(fmt)
+            .partitionBy(*partition_cols)
+            .save(path)
         )
-    )
-    (
+    finally:
+        if prev is None:
+            conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Save as a bucketed (+ optionally sorted) table — the co-location
+    primitive for 100 TB: a table bucketed by ``conv_id`` lets every
+    downstream ``groupBy(conv_id, ...)`` / self-join / UNIQUE-key
+    aggregate and any join against another table bucketed the same way
+    run with ZERO shuffle (Catalyst sees the hash-partitioned output
+    spec and drops the Exchange). Sorting inside buckets additionally
+    drops the per-window sort for ``Window.partitionBy(conv_id)
+    .orderBy(sort_cols)``.
+
+    Bucketed writes must go through the session catalog (``bucketBy``
+    is table-metadata-backed); on a cluster this is the Iceberg
+    ``bucket(N, col)`` partition transform instead — identical plan
+    effect.
+    """
+    writer = (
         df.write.mode("overwrite")
         .format(fmt)
-        .partitionBy(*partition_cols)
-        .save(path)
+        .bucketBy(n_buckets, *bucket_cols)
     )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
