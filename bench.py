@@ -181,17 +181,31 @@ def main() -> None:
             timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # the round-1 timed set, so the suite total stays comparable as new
+    # entries are added round-over-round
+    r1_keys = {
+        "pipeline", "rule_failure_counts", "keep_drop_labels",
+        "scrubbed_text", "conv_features", "tpch_q1", "dedup_exact",
+        "text_stats", "doc_fingerprints", "minhash_pairs",
+        "ann_bruteforce", "langid", "perplexity", "asof_join",
+        "range_join", "window_running_total", "monitor_topk",
+    }
+    comparable = round(sum(v for k, v in timings.items() if k in r1_keys), 3)
     print(
         json.dumps(
             {
-                "metric": "suite_seconds",
-                "value": total,
+                # headline = the north-rule metric (turns/sec through the
+                # full quality-filter pipeline); suite totals are auxiliary
+                "metric": "pipeline_turns_per_sec",
+                "value": round(n_turns / pipe_sec, 1),
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,
                 "pipeline_turns": n_turns,
                 "turns_per_sec": round(n_turns / pipe_sec, 1),
+                "suite_seconds": total,
+                "r1_comparable_suite_seconds": comparable,
             }
         )
     )

@@ -115,3 +115,37 @@ def test_tpch_q3_topk_and_pushdown(spark, sf_dir):
     # date + segment filters reach the scans
     assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
     assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_exact_dedup_nullsafe_join_is_hash_join(spark, sf_dir):
+    """The null-safe dedup join must stay an equi/hash join (EqualNullSafe
+    is a supported join key) — never a CartesianProduct/BNLJ over the
+    corpus."""
+    plan = _plan(spark, qs.q_dedup_exact(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_ann_dedups_id_pairs_before_vectors(spark, sf_dir):
+    """Multi-table LSH: the candidate-dedup distinct must shuffle ID
+    PAIRS only — embedding arrays must not appear in the aggregate
+    that de-duplicates candidates across tables/probes."""
+    plan = _plan(spark, qs.q_ann_lsh(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the dedup aggregate groups exactly (bare ids), no vector column
+    agg_lines = [
+        l for l in plan.splitlines()
+        if "HashAggregate" in l or "Keys" in l
+    ]
+    assert any("query_id" in l and "neighbor_id" in l for l in agg_lines)
+    for line in agg_lines:
+        if "query_id" in line and "neighbor_id" in line:
+            assert "__qv" not in line and "__cv" not in line
+
+
+def test_minhash_md5_parity_pairs_distinct_ids_only(spark, sf_dir):
+    """md5 parity mode keeps the xxhash64 path's discipline: the
+    candidate distinct shuffles (id_a, id_b) only, signatures join in
+    afterwards."""
+    plan = _plan(spark, qs.q_minhash_dedup_labels(spark, sf_dir))
+    assert "CartesianProduct" not in plan
