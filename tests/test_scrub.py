@@ -89,3 +89,25 @@ def test_jvm_scrub_exactly_matches_pandas_udf(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_jvm_scrub_struct_matches_pandas_struct(spark):
+    """The JVM counts+text struct (the default lineage path) must equal
+    the pandas-UDF struct field-for-field over the full defect corpus."""
+    from pyspark.sql import functions as F
+
+    from zeus_data_quality_spark.functions.scrub import with_scrub_struct
+    from zeus_data_quality_spark.sources.transcripts import load_transcripts
+
+    t = load_transcripts(spark, "/root/testdata/sf0.001")
+    jvm = with_scrub_struct(t, engine="jvm").select(
+        "conv_id", "turn_idx", "text", F.col("scrub").alias("a")
+    )
+    pdu = with_scrub_struct(t, engine="pandas").select(
+        "conv_id", "turn_idx", "text", F.col("scrub").alias("b")
+    )
+    joined = jvm.join(pdu, ["conv_id", "turn_idx", "text"], "inner")
+    # null-safe struct comparison
+    diff = joined.filter(~F.col("a").eqNullSafe(F.col("b"))).count()
+    assert diff == 0
+    assert jvm.count() == t.count()

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ..functions import fingerprint, textstats
 from ..functions.langid import detect_language, duckdb_langid_sql
 from ..functions.perplexity import duckdb_perplexity_cte, perplexity_nll
-from ..functions.scrub import duckdb_scrub_expr, scrub_text
+from ..functions.scrub import duckdb_scrub_expr, scrub_text, scrub_text_jvm
 from ..operators import anomaly, ivf
 from ..operators.convfeat import conversation_features
 from ..operators.dedup import (
@@ -100,6 +100,19 @@ def q_scrubbed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "turn_idx",
         "text",
         scrub_text(F.col("text")).alias("text_scrubbed"),
+    )
+
+
+def q_scrubbed_text_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The default (JVM regexp_replace chain) scrub path under the same
+    byte-exact oracle as the pandas-UDF path — both engines are
+    driver-verified."""
+    t = load_transcripts(spark, sf_dir)
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        scrub_text_jvm(F.col("text")).alias("text_scrubbed"),
     )
 
 
@@ -1138,6 +1151,7 @@ def queries():
         "rule_failure_counts_alt": q_rule_failure_counts_alt,
         "keep_drop_labels": q_keep_drop_labels,
         "scrubbed_text": q_scrubbed_text,
+        "scrubbed_text_jvm": q_scrubbed_text_jvm,
         "unique_turnkey": q_unique_turnkey,
         "conv_features": q_conv_features,
         "row_count_anomaly": q_row_count_anomaly,
@@ -1188,6 +1202,7 @@ def oracle_sql():
         ),
         "keep_drop_labels": _oracle_keep_drop(),
         "scrubbed_text": _oracle_scrub(),
+        "scrubbed_text_jvm": _oracle_scrub(),
         "unique_turnkey": _oracle_unique(),
         "conv_features": _oracle_conv_features(),
         "row_count_anomaly": ORACLE_ANOMALY,
