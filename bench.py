@@ -158,7 +158,18 @@ def _extra_benches():
             spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", "text"
         )
 
+    def doc_fingerprints_xx(spark, sf_dir):
+        from zeus_data_quality_spark.functions import fingerprint
+
+        return fingerprint.with_fingerprints(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            "doc_id",
+            "text",
+            hash_fn="xxhash64",
+        )
+
     return {
+        "doc_fingerprints_xx": doc_fingerprints_xx,
         "minhash_pairs": minhash_pairs,
         "minhash_pairs_md5_parity": minhash_pairs_md5_parity,
         "minhash_pairs_xx": minhash_pairs_xx,
