@@ -61,3 +61,33 @@ def test_cli_run_and_lineage(spark, sf_dir, tmp_path):
     lines = [json.loads(l) for l in show.stdout.strip().splitlines()]
     assert len(lines) == 4
     assert {l["partition_id"] for l in lines} == {"0", "1", "2", "3"}
+
+
+def test_cli_schedule_manifests(spark, tmp_path):
+    """`schedule` emits one manifest per config with the reference's
+    naming/default/enable rules."""
+    from zeus_data_quality_spark.plans.meta import MetaStore
+
+    meta = str(tmp_path / "meta")
+    store = MetaStore(spark, meta)
+    store.upsert_config(
+        {"config_id": "daily-orders", "name": "d", "schedule_enabled": "YES"}
+    )
+    store.upsert_config(
+        {"config_id": "paused", "name": "p", "schedule_enabled": False}
+    )
+    out = _cli("schedule", "--meta", meta)
+    assert out.returncode == 0, out.stderr[-2000:]
+    manifests = {
+        m["task"]: m
+        for m in (json.loads(l) for l in out.stdout.strip().splitlines()
+                  if l.startswith("{"))
+    }
+    on = manifests["DQ_TASK_DAILY_ORDERS"]
+    assert on["status"] == "TASK_CREATED"
+    assert on["schedule"] == "USING CRON 0 8 * * * Europe/Berlin"
+    assert "--config-id daily-orders" in on["command"]
+    assert manifests["DQ_TASK_PAUSED"]["status"] == "SCHEDULE_DISABLED"
+
+    bad = _cli("schedule", "--meta", meta, "--config-id", "nope")
+    assert bad.returncode == 2

@@ -96,3 +96,42 @@ def test_keep_drop_invariant_under_repartitioning(spark, sf_dir):
     a = verdicts(t.repartition(3))
     b = verdicts(t.repartition(17, "conv_id"))
     assert a == b
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_scrub_three_engine_equality(texts):
+    """pandas re, DuckDB RE2, and (via the shared pattern table) the
+    canonical replacement order must agree on arbitrary printable-ASCII
+    input — the cross-engine contract behind making the JVM chain the
+    default scrub engine. (The Spark JVM engine itself is pinned
+    corpus-wide in test_scrub.py; this property test hammers the
+    pattern set with adversarial short strings on the two in-process
+    engines.)"""
+    import duckdb
+    import pandas as pd
+
+    from zeus_data_quality_spark.functions.scrub import (
+        duckdb_scrub_expr,
+        scrub_series,
+    )
+
+    ours = scrub_series(pd.Series(texts)).tolist()
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"x": texts}))
+    oracle = [
+        r[0]
+        for r in con.sql(
+            f"SELECT {duckdb_scrub_expr('x')} FROM t"
+        ).fetchall()
+    ]
+    assert ours == oracle
