@@ -413,3 +413,23 @@ def test_minhash_md5_mode_matches_xxhash_semantics(spark):
         }
         assert (1, 2, 1.0) in pairs
         assert all(p[:2] == (1, 2) for p in pairs)
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """reliable_checkpoint=True commits each round to the session's
+    checkpoint dir (durable storage on a cluster) with identical results."""
+    import os
+
+    from zeus_data_quality_spark.operators.dedup import connected_components
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    labels, converged = connected_components(
+        edges, return_converged=True, reliable_checkpoint=True
+    )
+    got = {r["id"]: r["component"] for r in labels.collect()}
+    assert converged
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert os.listdir(str(tmp_path / "ckpt"))  # rounds actually committed

@@ -468,6 +468,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 15,
     return_converged: bool = False,
+    reliable_checkpoint: bool = False,
 ):
     """(id, component) for every node in the pair graph — component is
     the minimum id reachable from the node. Pairs → clusters is the
@@ -510,16 +511,21 @@ def connected_components(
     # Each round references `labels` twice (propagation + change
     # count), so without lineage truncation the logical plan doubles
     # per iteration — 2^n nodes by round ~20 OOMs the planner before
-    # any data moves. localCheckpoint keeps the per-round plan
-    # constant-size: labels are tiny ((id, comp) per node), and stale
-    # checkpoint blocks are released by the context cleaner as the
-    # Python references drop. At cluster scale, checkpoint to durable
-    # storage instead (same shape).
-    labels = (
+    # any data moves. Checkpointing keeps the per-round plan
+    # constant-size: labels are tiny ((id, comp) per node).
+    # localCheckpoint (default) stores blocks on executors — fine
+    # single-box; with ``reliable_checkpoint=True`` rounds commit to
+    # the session's ``setCheckpointDir`` (durable storage) so a
+    # 100 TB run survives executor loss mid-propagation.
+    def _truncate(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    labels = _truncate(
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(max_iter):
@@ -529,7 +535,7 @@ def connected_components(
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("comp").alias("n_comp"))
         )
-        new = (
+        new = _truncate(
             labels.join(prop, "id", "left")
             .select(
                 "id",
@@ -537,7 +543,6 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new.join(labels.withColumnRenamed("comp", "old"), "id")
