@@ -433,3 +433,27 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert converged
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     assert os.listdir(str(tmp_path / "ckpt"))  # rounds actually committed
+
+
+def test_conversation_dedup(spark):
+    """Whole-conversation dedup: identical turn-text sequences group,
+    order of arrival doesn't matter, NULL turn_idx/text are canonical."""
+    from zeus_data_quality_spark.operators.dedup import conversation_dedup
+
+    rows = [
+        ("c1", 0, "hi"), ("c1", 1, "there"),
+        ("c2", 1, "there"), ("c2", 0, "hi"),   # same content, shuffled rows
+        ("c3", 0, "hi"), ("c3", 1, "different"),
+        ("c4", None, None),                      # null-heavy conv
+        ("c5", None, None),                      # duplicate of c4
+        (None, 0, "orphan"),                     # null conv_id excluded
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {r["conv_id"]: r for r in conversation_dedup(df).collect()}
+    assert set(out) == {"c1", "c2", "c3", "c4", "c5"}
+    assert out["c1"]["conv_fingerprint"] == out["c2"]["conv_fingerprint"]
+    assert out["c1"]["n_copies"] == 2
+    assert out["c1"]["is_canonical"] and not out["c2"]["is_canonical"]
+    assert out["c3"]["n_copies"] == 1 and out["c3"]["is_canonical"]
+    assert out["c4"]["conv_fingerprint"] == out["c5"]["conv_fingerprint"]
+    assert out["c4"]["is_canonical"] and not out["c5"]["is_canonical"]

@@ -60,6 +60,58 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     )
 
 
+def conversation_dedup(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conversation-level exact dedup: one row per conversation with a
+    content fingerprint (md5 of the turn texts in a canonical order),
+    duplicate-group size, and a keep-one verdict — the whole-dialogue
+    twin of turn-level ``exact_dedup`` (LLM pipelines drop repeated
+    conversations, not just repeated turns).
+
+    Canonical order = (turn_idx NULLs-first, text) so the fingerprint
+    is deterministic under any physical row order; NULL texts hash as a
+    sentinel. Cost shape: one groupBy(conv_id) building a per-conv
+    16-byte fingerprint (conversation text never re-shuffles after the
+    first agg), then the same two-phase fingerprint→group join as
+    exact_dedup. Fully DuckDB-oracle-able.
+    """
+    min_int = -2147483648
+    key = F.struct(
+        F.coalesce(F.col(turn_col), F.lit(min_int)).alias("k1"),
+        F.coalesce(F.col(text_col), F.lit("<NULL>")).alias("k2"),
+    )
+    per_conv = (
+        df.filter(F.col(conv_col).isNotNull())
+        .groupBy(conv_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.transform(
+                        F.array_sort(F.collect_list(key)), lambda s: s["k2"]
+                    ),
+                )
+            ).alias("conv_fingerprint"),
+        )
+    )
+    groups = per_conv.groupBy("conv_fingerprint").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(conv_col).alias("__keep"),
+    )
+    return per_conv.join(groups, "conv_fingerprint").select(
+        conv_col,
+        "conv_fingerprint",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("n_copies").cast("long").alias("n_copies"),
+        (F.col(conv_col) == F.col("__keep")).alias("is_canonical"),
+    )
+
+
 def _shingles(text_col: str, n: int = 3):
     """Word n-gram shingle array (distinct), built-in only:
     lowercase → split → sliding n-gram via transform over indices."""

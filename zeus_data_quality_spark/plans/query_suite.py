@@ -25,6 +25,7 @@ from ..functions.scrub import duckdb_scrub_expr, scrub_text, scrub_text_jvm
 from ..operators import anomaly, ivf
 from ..operators.convfeat import conversation_features
 from ..operators.dedup import (
+    conversation_dedup,
     duckdb_minhash_pairs_cte,
     duckdb_simhash_md5_sql,
     exact_dedup,
@@ -262,6 +263,27 @@ LIMIT 10
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_conversation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-conversation exact dedup over the transcript corpus."""
+    return conversation_dedup(load_transcripts(spark, sf_dir))
+
+
+ORACLE_CONV_DEDUP = """
+, c AS (
+    SELECT conv_id,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           md5(string_agg(coalesce(text, '<NULL>'), chr(31)
+               ORDER BY coalesce(turn_idx, -2147483648),
+                        coalesce(text, '<NULL>'))) AS conv_fingerprint
+    FROM transcripts WHERE conv_id IS NOT NULL GROUP BY conv_id
+)
+SELECT conv_id, conv_fingerprint, n_turns,
+       CAST(COUNT(*) OVER (PARTITION BY conv_fingerprint) AS BIGINT) AS n_copies,
+       conv_id = MIN(conv_id) OVER (PARTITION BY conv_fingerprint) AS is_canonical
+FROM c
+"""
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1161,6 +1183,7 @@ def queries():
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "dedup_exact": q_dedup_exact,
+        "conversation_dedup": q_conversation_dedup,
         "text_stats": q_text_stats,
         "doc_fingerprints": q_doc_fingerprints,
         "fingerprint_dup_groups": q_fingerprint_dup_groups,
@@ -1212,6 +1235,7 @@ def oracle_sql():
         "tpch_q1": ORACLE_TPCH_Q1,
         "tpch_q3": ORACLE_TPCH_Q3,
         "dedup_exact": ORACLE_DEDUP_EXACT,
+        "conversation_dedup": oracle_with_transcripts(ORACLE_CONV_DEDUP),
         "text_stats": textstats.duckdb_text_stats_sql("documents", "doc_id", "text"),
         "doc_fingerprints": fingerprint.duckdb_fingerprints_sql(
             "documents", "doc_id", "text"
