@@ -457,3 +457,41 @@ def test_conversation_dedup(spark):
     assert out["c3"]["n_copies"] == 1 and out["c3"]["is_canonical"]
     assert out["c4"]["conv_fingerprint"] == out["c5"]["conv_fingerprint"]
     assert out["c4"]["is_canonical"] and not out["c5"]["is_canonical"]
+
+
+def test_contamination_flags(spark):
+    from zeus_data_quality_spark.operators.decontam import (
+        benchmark_ngrams,
+        contamination_flags,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "my doc says the secret benchmark answer is something else"),
+            (2, "totally clean document about spark plans"),
+            (3, None),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    ng = benchmark_ngrams(bench)
+    out = {r["doc_id"]: r for r in contamination_flags(docs, ng).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["is_contaminated"] and out[1]["n_contaminated_ngrams"] >= 3
+    for i in (2, 3, 4):
+        assert not out[i]["is_contaminated"]
+        assert out[i]["n_contaminated_ngrams"] == 0
+
+
+def test_top_tokens(spark):
+    from zeus_data_quality_spark.functions.textstats import top_tokens
+
+    df = spark.createDataFrame(
+        [("A a b",), ("a  b",), ("c",), (None,), ("   ",)], "text string"
+    )
+    out = [(r["token"], r["n"]) for r in top_tokens(df, k=2).collect()]
+    assert out == [("a", 3), ("b", 2)]

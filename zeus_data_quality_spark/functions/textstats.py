@@ -106,3 +106,42 @@ SELECT {id_col},
         AND {nsw} * 2 <= {ntok}) AS is_quality
 FROM {table}
 """
+
+
+def top_tokens(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+    """Corpus vocabulary head: top-k whitespace tokens of
+    ``lower(trim(text))`` by frequency, ties broken on the token —
+    the coverage/vocabulary sanity check of a training-data pipeline.
+
+    Plan: explode → two-phase count on the token (map-side partial
+    aggregation collapses each task's token stream to its local
+    vocabulary before the shuffle, so shuffle volume is ~|vocab| per
+    task, not corpus tokens) → global top-k via
+    TakeOrderedAndProject (no full sort)."""
+    toks = F.explode(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ).alias("token")
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(toks)
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+        .select("token", F.col("n").cast("long").alias("n"))
+    )
+
+
+def duckdb_top_tokens_sql(table: str, text_col: str = "text", k: int = 50) -> str:
+    return f"""
+WITH toks AS (
+    SELECT unnest(list_filter(
+        regexp_split_to_array(lower(trim({text_col})), '\\s+'),
+        x -> x <> '')) AS token
+    FROM {table} WHERE {text_col} IS NOT NULL
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM toks GROUP BY token
+ORDER BY n DESC, token ASC LIMIT {k}
+"""

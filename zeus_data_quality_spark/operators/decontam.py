@@ -1,0 +1,113 @@
+"""Benchmark decontamination — eval-set n-gram overlap flags.
+
+A training-data pipeline must drop documents that contain evaluation-set
+content (otherwise benchmarks leak into training). The standard recipe
+(public: GPT-3 appendix C / PaLM / Llama decontamination write-ups) is
+n-gram overlap: build the set of word n-grams of every benchmark item,
+then flag any training document sharing at least ``min_hits`` of them.
+
+Spark shape at 100 TB: the benchmark n-gram set is SMALL (eval suites
+are thousands of items) — hash each n-gram to 8 bytes and broadcast the
+set; documents stream through one scan, their distinct shingles probe
+the broadcast hash join, and a per-doc aggregate counts hits. Nothing
+about the corpus shuffles except (doc_id, hit) pairs for docs that DO
+overlap — a vanishing fraction.
+
+The n-gram normalization (lowercase, whitespace split, n=3 word
+shingles) reuses ``dedup._shingles`` so dedup and decontamination agree
+on tokenization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _shingles
+
+
+def benchmark_ngrams(
+    bench: DataFrame, text_col: str = "text", shingle_n: int = 3
+) -> DataFrame:
+    """Distinct word n-grams of the benchmark set: (ngram string)."""
+    return (
+        bench.select(F.explode(_shingles(text_col, shingle_n)).alias("ngram"))
+        .distinct()
+    )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    bench_ngrams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """(id, n_contaminated_ngrams, is_contaminated) per document.
+
+    ``bench_ngrams`` is broadcast (eval suites are small); each doc's
+    distinct shingles probe it and hits aggregate per doc. Documents
+    with zero overlap never enter the aggregate (inner join) and come
+    back via the left join with zero hits.
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(_shingles(text_col, shingle_n)).alias("ngram")
+    ).distinct()
+    hits = (
+        sh.join(F.broadcast(bench_ngrams), "ngram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_contaminated_ngrams"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias(
+                "is_contaminated"
+            ),
+        )
+    )
+
+
+def duckdb_contamination_sql(
+    docs_table: str,
+    bench_predicate: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_hits: int = 1,
+) -> str:
+    """DuckDB twin: the benchmark set is ``docs_table`` rows matching
+    ``bench_predicate`` (the fixture has no separate benchmark table,
+    so the oracle — like the Spark query — carves one out)."""
+    gram = " || ' ' || ".join(f"t[CAST(i + {j} AS INT)]" for j in range(shingle_n))
+    shingles = f"""
+    SELECT {id_col},
+           unnest(list_distinct(list_transform(
+               range(1, len(t) - {shingle_n - 2}), i -> {gram}))) AS ngram
+    FROM (SELECT {id_col},
+                 regexp_split_to_array(lower(trim({text_col})), '\\s+') AS t
+          FROM {docs_table}) q
+    WHERE len(t) >= {shingle_n}
+    """
+    return f"""
+WITH sh AS ({shingles}),
+bench AS (
+    SELECT DISTINCT ngram FROM sh WHERE {bench_predicate}
+),
+hits AS (
+    SELECT sh.{id_col}, COUNT(*) AS n_hits
+    FROM (SELECT DISTINCT {id_col}, ngram FROM sh) sh
+    JOIN bench USING (ngram)
+    GROUP BY sh.{id_col}
+)
+SELECT d.{id_col},
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_contaminated_ngrams,
+       COALESCE(h.n_hits, 0) >= {min_hits} AS is_contaminated
+FROM {docs_table} d LEFT JOIN hits h ON h.{id_col} = d.{id_col}
+"""

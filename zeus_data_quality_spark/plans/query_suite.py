@@ -24,6 +24,7 @@ from ..functions.perplexity import duckdb_perplexity_cte, perplexity_nll
 from ..functions.scrub import duckdb_scrub_expr, scrub_text, scrub_text_jvm
 from ..operators import anomaly, ivf
 from ..operators.convfeat import conversation_features
+from ..operators.decontam import duckdb_contamination_sql
 from ..operators.dedup import (
     conversation_dedup,
     duckdb_minhash_pairs_cte,
@@ -292,6 +293,21 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_chars", "n_tokens", "n_tokens_bpe", "n_punct",
         "n_stopwords", "is_quality",
     )
+
+
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head over documents (top-50 tokens)."""
+    return textstats.top_tokens(_read(spark, sf_dir, "documents"), "text", 50)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id < 25 play the eval
+    set; every document is flagged by shared word-3-gram count."""
+    from ..operators.decontam import benchmark_ngrams, contamination_flags
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = benchmark_ngrams(docs.filter(F.col("doc_id") < 25))
+    return contamination_flags(docs, bench, "doc_id", "text")
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1185,6 +1201,8 @@ def queries():
         "dedup_exact": q_dedup_exact,
         "conversation_dedup": q_conversation_dedup,
         "text_stats": q_text_stats,
+        "top_tokens": q_top_tokens,
+        "decontaminate": q_decontaminate,
         "doc_fingerprints": q_doc_fingerprints,
         "fingerprint_dup_groups": q_fingerprint_dup_groups,
         "document_quality_filter": q_document_quality_filter,
@@ -1237,6 +1255,8 @@ def oracle_sql():
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "conversation_dedup": oracle_with_transcripts(ORACLE_CONV_DEDUP),
         "text_stats": textstats.duckdb_text_stats_sql("documents", "doc_id", "text"),
+        "top_tokens": textstats.duckdb_top_tokens_sql("documents", "text", 50),
+        "decontaminate": duckdb_contamination_sql("documents", "doc_id < 25"),
         "doc_fingerprints": fingerprint.duckdb_fingerprints_sql(
             "documents", "doc_id", "text"
         ),
