@@ -72,17 +72,20 @@ def conversation_dedup(
     twin of turn-level ``exact_dedup`` (LLM pipelines drop repeated
     conversations, not just repeated turns).
 
-    Canonical order = (turn_idx NULLs-first, text) so the fingerprint
-    is deterministic under any physical row order; NULL texts hash as a
-    sentinel. Cost shape: one groupBy(conv_id) building a per-conv
-    16-byte fingerprint (conversation text never re-shuffles after the
-    first agg), then the same two-phase fingerprint→group join as
-    exact_dedup. Fully DuckDB-oracle-able.
+    Canonical order = (turn_idx NULLs-first, per-turn md5) so the
+    fingerprint is deterministic under any physical row order; NULL
+    texts hash as a sentinel. Cost shape: each turn's text collapses to
+    a 32-hex md5 in the map-side Project BEFORE the conv_id shuffle —
+    the aggregate collects ~36 bytes per turn, never conversation text
+    — then the same two-phase fingerprint→group join as exact_dedup.
+    Mega-conversation skew is bounded: a 10^5-turn conversation is a
+    ~3.6 MB array in one reducer, not its gigabytes of text. Fully
+    DuckDB-oracle-able.
     """
     min_int = -2147483648
     key = F.struct(
         F.coalesce(F.col(turn_col), F.lit(min_int)).alias("k1"),
-        F.coalesce(F.col(text_col), F.lit("<NULL>")).alias("k2"),
+        F.md5(F.coalesce(F.col(text_col), F.lit("<NULL>"))).alias("k2"),
     )
     per_conv = (
         df.filter(F.col(conv_col).isNotNull())

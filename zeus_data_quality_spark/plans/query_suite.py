@@ -275,9 +275,9 @@ ORACLE_CONV_DEDUP = """
 , c AS (
     SELECT conv_id,
            CAST(COUNT(*) AS BIGINT) AS n_turns,
-           md5(string_agg(coalesce(text, '<NULL>'), chr(31)
+           md5(string_agg(md5(coalesce(text, '<NULL>')), chr(31)
                ORDER BY coalesce(turn_idx, -2147483648),
-                        coalesce(text, '<NULL>'))) AS conv_fingerprint
+                        md5(coalesce(text, '<NULL>')))) AS conv_fingerprint
     FROM transcripts WHERE conv_id IS NOT NULL GROUP BY conv_id
 )
 SELECT conv_id, conv_fingerprint, n_turns,
