@@ -104,6 +104,9 @@ HEADLINE = [
     "media_features",
     "media_audio_frames",
     "media_video_frames",
+    "conversation_dedup",
+    "decontaminate",
+    "top_tokens",
 ]
 
 

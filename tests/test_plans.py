@@ -149,3 +149,18 @@ def test_minhash_md5_parity_pairs_distinct_ids_only(spark, sf_dir):
     afterwards."""
     plan = _plan(spark, qs.q_minhash_dedup_labels(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_ngrams(spark, sf_dir):
+    """The eval-set n-gram probe must be a broadcast join — the corpus
+    side must never shuffle on the n-gram string key."""
+    plan = _plan(spark, qs.q_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_tokens_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, qs.q_top_tokens(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # two-phase aggregate: a partial count precedes the exchange
+    assert "partial_count" in plan

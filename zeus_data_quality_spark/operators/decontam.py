@@ -26,14 +26,27 @@ from pyspark.sql import functions as F
 from .dedup import _shingles
 
 
+def _exploded_shingles(df: DataFrame, cols: list, text_col: str, n: int):
+    """Project the shingle array FIRST, then explode_outer it. A plain
+    explode over the inline expression lets InferFiltersFromGenerate
+    derive `size(expr) > 0` and push it below the projection,
+    re-computing the whole shingle expression per row inside the
+    Filter (the measured 400× trap documented in
+    functions/fingerprint.py); explode_outer infers nothing and the
+    NULL rows from empty arrays are filtered on the cheap generated
+    column."""
+    return (
+        df.select(*cols, _shingles(text_col, n).alias("__sh"))
+        .select(*cols, F.explode_outer("__sh").alias("ngram"))
+        .filter(F.col("ngram").isNotNull())
+    )
+
+
 def benchmark_ngrams(
     bench: DataFrame, text_col: str = "text", shingle_n: int = 3
 ) -> DataFrame:
     """Distinct word n-grams of the benchmark set: (ngram string)."""
-    return (
-        bench.select(F.explode(_shingles(text_col, shingle_n)).alias("ngram"))
-        .distinct()
-    )
+    return _exploded_shingles(bench, [], text_col, shingle_n).distinct()
 
 
 def contamination_flags(
@@ -51,8 +64,8 @@ def contamination_flags(
     with zero overlap never enter the aggregate (inner join) and come
     back via the left join with zero hits.
     """
-    sh = docs.select(
-        F.col(id_col), F.explode(_shingles(text_col, shingle_n)).alias("ngram")
+    sh = _exploded_shingles(
+        docs, [F.col(id_col)], text_col, shingle_n
     ).distinct()
     hits = (
         sh.join(F.broadcast(bench_ngrams), "ngram")

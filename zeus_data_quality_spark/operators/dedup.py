@@ -117,16 +117,29 @@ def conversation_dedup(
 
 def _shingles(text_col: str, n: int = 3):
     """Word n-gram shingle array (distinct), built-in only:
-    lowercase → split → sliding n-gram via transform over indices."""
+    lowercase → split → sliding n-gram via transform over indices.
+
+    The token array is bound ONCE through a lambda variable
+    (``flatten(transform(array(toks), t -> ...))``): referencing the
+    inline ``split(...)`` expression from every ``element_at`` would
+    re-split the whole text ~3n× per shingle (measured 25× slower on
+    the documents corpus — 7 s vs 0.3 s for the exploded shingle scan
+    at sf0.1)."""
+
+    def inner(t):
+        n_sh = F.greatest(F.size(t) - (n - 1), F.lit(0))
+        idx = F.sequence(F.lit(0), n_sh - 1)
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
+        )
+        # CASE keeps sequence() unevaluated when there are no shingles
+        # (sequence(0, -1) would descend).
+        return F.when(n_sh <= 0, F.array().cast("array<string>")).otherwise(
+            F.array_distinct(F.transform(idx, gram))
+        )
+
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    idx = F.sequence(F.lit(0), n_sh - 1)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-    )
-    return F.when(n_sh <= 0, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(F.transform(idx, gram))
-    )
+    return F.flatten(F.transform(F.array(toks), inner))
 
 
 def minhash_signatures(
