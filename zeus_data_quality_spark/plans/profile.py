@@ -228,3 +228,50 @@ def suggest_checks(
                 )
             )
     return sorted(checks, key=lambda k: k.check_id)
+
+
+QUANTILE_PROBS = (0.25, 0.5, 0.75, 0.99)
+
+QUANTILE_SCHEMA = T.StructType(
+    [T.StructField("column", T.StringType())]
+    + [
+        T.StructField(f"p{int(p * 100)}", T.DoubleType())
+        for p in QUANTILE_PROBS
+    ]
+)
+
+
+def quantile_profile(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Exact quantiles per numeric column, ONE scan (SURVEY §7.4.4:
+    the reference leans on APPROX_PERCENTILE; we keep the exact
+    ``percentile`` so the DuckDB oracle agrees bitwise at 9 dp —
+    at 100 TB swap each expression for ``approx_percentile`` with a
+    documented accuracy parameter, same plan shape)."""
+    probs = ", ".join(str(p) for p in QUANTILE_PROBS)
+    aggs = [
+        F.expr(f"percentile({c}, array({probs}))").alias(f"q__{c}")
+        for c in columns
+    ]
+    row = df.agg(*aggs).collect()[0]
+    out = []
+    for c in columns:
+        q = row[f"q__{c}"]
+        out.append(
+            (c, *[round(v, 9) if v is not None else None for v in (q or [None] * len(QUANTILE_PROBS))])
+        )
+    return df.sparkSession.createDataFrame(out, QUANTILE_SCHEMA)
+
+
+def duckdb_quantile_sql(table: str, columns: list[str]) -> str:
+    probs = ", ".join(str(p) for p in QUANTILE_PROBS)
+    parts = []
+    for c in columns:
+        cols = ", ".join(
+            f"ROUND(q[{i + 1}], 9) AS p{int(p * 100)}"
+            for i, p in enumerate(QUANTILE_PROBS)
+        )
+        parts.append(
+            f"SELECT '{c}' AS \"column\", {cols} FROM "
+            f"(SELECT quantile_cont({c}, [{probs}]) AS q FROM {table})"
+        )
+    return " UNION ALL ".join(parts)

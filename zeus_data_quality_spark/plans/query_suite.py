@@ -534,6 +534,13 @@ PROFILE_COLS = [
 ]
 
 
+def q_numeric_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles + p99 per numeric column, one scan."""
+    return profile.quantile_profile(
+        _read(spark, sf_dir, "events"), ["event_id", "user_id", "value"]
+    )
+
+
 def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-scan per-column profile of events (null/distinct counts,
     numeric and string min/max, blank counts). The HLL approx-distinct
@@ -1207,6 +1214,7 @@ def queries():
         "fingerprint_dup_groups": q_fingerprint_dup_groups,
         "document_quality_filter": q_document_quality_filter,
         "column_profile": q_column_profile,
+        "numeric_quantiles": q_numeric_quantiles,
         "value_drift": q_value_drift,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
@@ -1264,6 +1272,9 @@ def oracle_sql():
             "documents", "doc_id", "text"
         ),
         "column_profile": profile.duckdb_profile_sql("events", PROFILE_COLS),
+        "numeric_quantiles": profile.duckdb_quantile_sql(
+            "events", ["event_id", "user_id", "value"]
+        ),
         "value_drift": ORACLE_VALUE_DRIFT,
         "document_quality_filter": ORACLE_DOC_QUALITY.format(
             stats_sql=textstats.duckdb_text_stats_sql(
