@@ -175,6 +175,21 @@ FROM __best WHERE __rn = 1
 """
 
 
+def duckdb_langid_per_text_cte(
+    cte_name: str, source: str, text_col: str = "text"
+) -> str:
+    """CTE computing ``(tid, lang_pred)`` for every DISTINCT non-null
+    ``text_col`` of ``source`` — the join-back form used when a rule
+    oracle needs the label as a per-row column."""
+    inner = duckdb_langid_sql(
+        f"(SELECT DISTINCT {text_col} AS tid, {text_col} AS txt "
+        f"FROM {source} WHERE {text_col} IS NOT NULL) __lsrc",
+        "tid",
+        "txt",
+    )
+    return f"{cte_name} AS ({inner.strip()})"
+
+
 def with_language(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     return df.withColumn(out_col, detect_language(F.col(text_col)))
 

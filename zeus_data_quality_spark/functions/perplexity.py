@@ -103,7 +103,7 @@ def perplexity_nll(s: pd.Series) -> pd.Series:
     return perplexity_batch(s)
 
 
-def duckdb_perplexity_cte() -> str:
+def duckdb_perplexity_cte(source: str = "transcripts") -> str:
     """DuckDB CTE block re-computing mean bigram NLL per *distinct
     text* with the exact LM embedded as a VALUES literal (full-precision
     ``repr`` floats round-trip bit-exactly). The oracle joins
@@ -119,7 +119,7 @@ def duckdb_perplexity_cte() -> str:
 __lm(w1, w2, nll) AS (VALUES
         {rows}
 ),
-__ppl_texts AS (SELECT DISTINCT text FROM transcripts WHERE text IS NOT NULL),
+__ppl_texts AS (SELECT DISTINCT text FROM {source} WHERE text IS NOT NULL),
 __ppl_tok AS (
     SELECT text,
            list_concat(list_concat(

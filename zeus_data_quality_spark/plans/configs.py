@@ -87,10 +87,14 @@ def default_transcript_checks(config_id: str = "transcripts_default") -> list[Ch
 
 def extended_transcript_checks(config_id: str = "transcripts_extended") -> list[Check]:
     """Default config + the remaining north-rule checks: role
-    alternation (windowed, oracle-able — also exercised standalone by
-    the ``rule_failure_counts_alt`` suite query) and the model-driven
-    pair (language-ID allow-list, perplexity ceiling; UDF-backed →
-    not SQL-expressible, pinned by pytest instead)."""
+    alternation (windowed) and the model-driven pair (language-ID
+    allow-list, perplexity ceiling). The WHOLE config — pandas-UDF
+    models included — is value-hash verified against DuckDB
+    (suite queries ``rule_failure_counts_ext`` /
+    ``keep_drop_labels_ext``): the oracle computes the same labels via
+    the models' embedded-constant SQL forms (plans/oracle.py
+    labeled_cte), plus the pandas-mirror F1 gate in
+    tests/test_f1_gate.py."""
     return default_transcript_checks(config_id) + [
         Check(
             "ROLE_ALTERNATION",

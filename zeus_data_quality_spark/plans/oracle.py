@@ -41,6 +41,14 @@ def alternation_prev_col(check: Check) -> str:
     return f"__ap_{check.check_id.lower()}"
 
 
+def lang_col(check: Check) -> str:
+    return f"__lang_{check.check_id.lower()}"
+
+
+def nll_col(check: Check) -> str:
+    return f"__nll_{check.check_id.lower()}"
+
+
 def pass_predicate_sql(check: Check) -> str:
     """DuckDB boolean pass-predicate for one check. UNIQUE predicates
     reference the window-count column added by :func:`labeled_cte`."""
@@ -87,6 +95,17 @@ def pass_predicate_sql(check: Check) -> str:
             return "(TRUE)"
         vals = ", ".join(f"'{_sq(str(v))}'" for v in allowed)
         return f"({c} IN ({vals}))"
+    if ctype == "LANG_ID":
+        # Spark: when(col IS NULL, NULL).otherwise(lang IN allowed) —
+        # NULL text yields a NULL predicate → passes via 3VL. The
+        # per-row label joins in from the model CTE (labeled_cte).
+        allowed = check.params.get("allowed", ["en"])
+        vals = ", ".join(f"'{_sq(str(v))}'" for v in allowed)
+        return f"({c} IS NULL OR {lang_col(check)} IN ({vals}))"
+    if ctype == "PERPLEXITY":
+        # NULL text → NULL nll → NULL predicate → passes via 3VL.
+        max_nll = float(check.params.get("max_nll", 10.0))
+        return f"({nll_col(check)} <= {max_nll!r})"
     return "(TRUE)"
 
 
@@ -96,10 +115,16 @@ def fail_int_sql(check: Check) -> str:
 
 
 def labeled_cte(checks: list[Check], source: str = "transcripts") -> str:
-    """CTE chain adding UNIQUE window-count columns to ``source``;
-    result relation is named ``__labeled``."""
+    """CTE chain adding UNIQUE window-count, ROLE_ALTERNATION lag, and
+    model (LANG_ID / PERPLEXITY) columns to ``source``; result relation
+    is named ``__labeled``. Model labels/scores are computed per
+    DISTINCT text in their own CTEs (the SQL forms of the pandas-UDF
+    models) and left-joined back — 1:1 on text, so window counts are
+    unaffected."""
     uniques = [c for c in checks if c.check_type.upper() == "UNIQUE"]
     cols = []
+    pre_ctes: list[str] = []
+    joins: list[str] = []
     for u in uniques:
         key = u.params.get("key") or [u.column]
         part = ", ".join(key)
@@ -119,8 +144,38 @@ def labeled_cte(checks: list[Check], source: str = "transcripts") -> str:
             f"LAG({role}) OVER (PARTITION BY {conv} ORDER BY {ob}) "
             f"AS {alternation_prev_col(a)}"
         )
+    for c in checks:
+        if c.check_type.upper() == "LANG_ID":
+            from ..functions.langid import duckdb_langid_per_text_cte
+
+            cte = f"__lt_{c.check_id.lower()}"
+            pre_ctes.append(
+                duckdb_langid_per_text_cte(cte, source, c.column or "text")
+            )
+            joins.append(
+                f"LEFT JOIN {cte} ON {source}.{c.column or 'text'} = {cte}.tid"
+            )
+            cols.append(f"{cte}.lang_pred AS {lang_col(c)}")
+        elif c.check_type.upper() == "PERPLEXITY":
+            from ..functions.perplexity import duckdb_perplexity_cte
+
+            if any("__ppl_per_text" in p for p in pre_ctes):
+                raise ValueError(
+                    "oracle supports one PERPLEXITY check per config"
+                )
+            pre_ctes.append(duckdb_perplexity_cte(source).strip())
+            joins.append(
+                f"LEFT JOIN __ppl_per_text __pp "
+                f"ON {source}.{c.column or 'text'} = __pp.text"
+            )
+            cols.append(f"__pp.nll AS {nll_col(c)}")
     extra = (", " + ", ".join(cols)) if cols else ""
-    return f"__labeled AS (SELECT {source}.*{extra} FROM {source})"
+    pre = "".join(p + ",\n" for p in pre_ctes)
+    join_sql = ("\n" + "\n".join(joins)) if joins else ""
+    return (
+        f"{pre}__labeled AS "
+        f"(SELECT {source}.*{extra} FROM {source}{join_sql})"
+    )
 
 
 def failure_counts_sql(checks: list[Check], source: str = "transcripts") -> str:

@@ -63,6 +63,12 @@ ALT_CHECKS = CHECKS + [
 ]
 
 
+def _ext_checks():
+    from .configs import extended_transcript_checks
+
+    return extended_transcript_checks()
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -82,6 +88,33 @@ def q_rule_failure_counts_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
     the conv_id partition), counted in the same fused scan."""
     t = load_transcripts(spark, sf_dir)
     return failure_counts(apply_checks(t, ALT_CHECKS), ALT_CHECKS)
+
+
+def q_rule_failure_counts_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL north-rule config — heuristic rules + windowed role
+    alternation + language-ID allow-list + perplexity ceiling — counted
+    in one fused scan. The langid/perplexity models run as pandas UDFs
+    on the Spark side and as their embedded-constant SQL forms in the
+    oracle, so the complete extended keep/drop pipeline is value-hash
+    verified end-to-end."""
+    from .configs import extended_transcript_checks
+
+    t = load_transcripts(spark, sf_dir)
+    checks = extended_transcript_checks()
+    return failure_counts(apply_checks(t, checks), checks)
+
+
+def q_keep_drop_labels_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn verdicts under the full extended config (see
+    q_rule_failure_counts_ext)."""
+    from .configs import extended_transcript_checks
+
+    t = load_transcripts(spark, sf_dir)
+    labeled = apply_checks(t, extended_transcript_checks())
+    return labeled.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        "n_violations", "keep",
+    )
 
 
 def q_keep_drop_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1194,6 +1227,8 @@ def queries():
     return {
         "rule_failure_counts": q_rule_failure_counts,
         "rule_failure_counts_alt": q_rule_failure_counts_alt,
+        "rule_failure_counts_ext": q_rule_failure_counts_ext,
+        "keep_drop_labels_ext": q_keep_drop_labels_ext,
         "keep_drop_labels": q_keep_drop_labels,
         "scrubbed_text": q_scrubbed_text,
         "scrubbed_text_jvm": q_scrubbed_text_jvm,
@@ -1248,6 +1283,12 @@ def oracle_sql():
         "rule_failure_counts": _oracle_rule_failure_counts(),
         "rule_failure_counts_alt": oracle_with_transcripts(
             osql.failure_counts_sql(ALT_CHECKS)
+        ),
+        "rule_failure_counts_ext": oracle_with_transcripts(
+            osql.failure_counts_sql(_ext_checks())
+        ),
+        "keep_drop_labels_ext": oracle_with_transcripts(
+            osql.keep_labels_sql(_ext_checks())
         ),
         "keep_drop_labels": _oracle_keep_drop(),
         "scrubbed_text": _oracle_scrub(),
