@@ -81,8 +81,23 @@ def bench_pipeline(spark, sf_dir: str) -> tuple[float, float, int]:
 
     jvm_sec = run(scrub_text_jvm(F.col("text")))
     pandas_sec = run(scrub_text(F.col("text")))
+
+    # full north-rule config: + role alternation window + langid +
+    # perplexity pandas-UDF gates (the oracle-verified extended config)
+    from zeus_data_quality_spark.plans.configs import (
+        extended_transcript_checks,
+    )
+
+    ext = apply_checks(t, extended_transcript_checks()).withColumn(
+        "text_scrubbed", scrub_text_jvm(F.col("text"))
+    ).select("conv_id", "turn_idx", "keep", "n_violations", "text_scrubbed")
+    _force(ext.limit(50_000))
+    t0 = time.time()
+    _force(ext)
+    ext_sec = time.time() - t0
+
     t.unpersist()
-    return jvm_sec, pandas_sec, n_turns
+    return jvm_sec, pandas_sec, ext_sec, n_turns
 
 
 HEADLINE = [
@@ -195,9 +210,10 @@ def main() -> None:
     # Warm up the JVM/codegen once with a trivial action.
     spark.range(1000).agg(F.sum("id")).collect()
 
-    pipe_sec, pandas_sec, n_turns = bench_pipeline(spark, sf_dir)
+    pipe_sec, pandas_sec, ext_sec, n_turns = bench_pipeline(spark, sf_dir)
     timings["pipeline"] = round(pipe_sec, 3)
     timings["pipeline_pandas_scrub"] = round(pandas_sec, 3)
+    timings["pipeline_extended"] = round(ext_sec, 3)
 
     if "--pipeline-only" not in sys.argv:
         for name in HEADLINE:
