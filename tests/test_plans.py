@@ -164,3 +164,14 @@ def test_top_tokens_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     # two-phase aggregate: a partial count precedes the exchange
     assert "partial_count" in plan
+
+
+def test_extended_pipeline_adds_no_scans(spark, sf_dir):
+    """The extended config (ROLE_ALTERNATION window + model UDFs) must
+    read the source exactly as often as the default config — model
+    gates add Python evaluation nodes and the window adds one shuffle,
+    never extra scans."""
+    base = _plan(spark, qs.q_keep_drop_labels(spark, sf_dir))
+    ext = _plan(spark, qs.q_keep_drop_labels_ext(spark, sf_dir))
+    assert ext.count("Scan parquet") == base.count("Scan parquet")
+    assert "CartesianProduct" not in ext

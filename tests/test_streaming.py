@@ -131,3 +131,46 @@ def test_stream_lineage_sink(spark, sf_dir, tmp_path):
     batch = apply_checks(t, stateless_checks(checks))
     assert total_in == batch.count()
     assert total_kept == batch.filter(F.col("keep")).count()
+
+
+def test_stream_extended_model_gates_match_batch(spark, sf_dir, tmp_path):
+    """The model-driven gates (LANG_ID / PERPLEXITY pandas UDFs) run
+    identically inside Structured Streaming micro-batches — per-turn
+    verdicts of the extended stateless config match the batch run."""
+    from zeus_data_quality_spark.plans.configs import (
+        extended_transcript_checks,
+    )
+
+    src = str(tmp_path / "in_ext")
+    t = _write_stream_input(spark, sf_dir, src)
+    checks = extended_transcript_checks()
+    stateless = stateless_checks(checks)
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp"
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    labeled = streaming_quality_filter(stream, stateless, scrub=False)
+    q = (
+        labeled.writeStream.format("memory")
+        .queryName("ext_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["conv_id"], r["turn_idx"], r["text"]): (r["n_violations"], r["keep"])
+        for r in spark.sql("SELECT * FROM ext_stream").collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_idx"], r["text"]): (r["n_violations"], r["keep"])
+        for r in apply_checks(t, stateless).collect()
+    }
+    assert len(got) == len(want)
+    assert got == want

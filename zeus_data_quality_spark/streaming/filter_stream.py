@@ -27,10 +27,19 @@ from ..plans.runner import apply_checks
 
 
 def stateless_checks(checks: list) -> list:
+    """Checks evaluable per micro-batch row: everything except
+    table-level checks, UNIQUE (global state → watermarked dedup is
+    the streaming recast, see module docstring) and ROLE_ALTERNATION
+    (a row-ordered LAG window, which Structured Streaming rejects —
+    NON_TIME_WINDOW_NOT_SUPPORTED_IN_STREAMING; order-dependent
+    conversation features belong to the stateful sessionizer,
+    ``streaming/stateful.py``). Model-driven gates (LANG_ID /
+    PERPLEXITY pandas UDFs) ARE stateless and stream fine."""
     return [
         c
         for c in checks
-        if not c.is_table_level and c.check_type.upper() != "UNIQUE"
+        if not c.is_table_level
+        and c.check_type.upper() not in ("UNIQUE", "ROLE_ALTERNATION")
     ]
 
 
