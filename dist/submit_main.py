@@ -1,0 +1,7 @@
+"""spark-submit driver shim: dispatches to the packaged CLI."""
+import sys
+
+from zeus_data_quality_spark.cli import main
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
