@@ -495,3 +495,28 @@ def test_top_tokens(spark):
     )
     out = [(r["token"], r["n"]) for r in top_tokens(df, k=2).collect()]
     assert out == [("a", 3), ("b", 2)]
+
+
+def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
+    """A written IVF index is partitioned by cluster: probing reads
+    only the probed directories (PartitionFilters prune at the scan)
+    and returns exactly the assigned vectors."""
+    from zeus_data_quality_spark.operators import ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf.train_centroids(emb, "embedding", "vec_id", n_centroids=4)
+    path = str(tmp_path / "ivf_index")
+    ivf.write_ivf_index(emb, cents, path)
+
+    probe = ivf.read_probe_lists(spark, path, [0, 2])
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+
+    expect = (
+        ivf.ivf_index(emb, cents)
+        .filter("cluster in (0, 2)")
+        .select("vec_id")
+    )
+    got = {r["vec_id"] for r in probe.select("vec_id").collect()}
+    assert got == {r["vec_id"] for r in expect.collect()}
+    assert 0 < len(got) < emb.count()  # pruning actually restricts
