@@ -453,6 +453,18 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", detect_language(F.col("text")).alias("lang_pred"))
 
 
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language composition — the report a filter config is
+    tuned against (aggregate over the model's per-doc labels)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(detect_language(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select("lang_pred", F.col("n_docs").cast("long").alias("n_docs"))
+    )
+
+
 def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-turn mean bigram NLL, rounded to 6 dp (pandas pairwise vs
     DuckDB sequential double summation differ at ~1e-15 rel — 6 dp
@@ -1259,6 +1271,7 @@ def queries():
         "minhash_dedup_labels": q_minhash_dedup_labels,
         "simhash": q_simhash,
         "langid": q_langid,
+        "lang_distribution": q_lang_distribution,
         "perplexity": q_perplexity,
         "monitor_topk": q_monitor_topk,
         "monitor_kpis": q_monitor_kpis,
@@ -1340,6 +1353,11 @@ def oracle_sql():
         "embedding_near_dups": ORACLE_EMBEDDING_DUPS,
         "cube_events": ORACLE_CUBE,
         "langid": duckdb_langid_sql("documents", "doc_id", "text"),
+        "lang_distribution": (
+            "SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs FROM ("
+            + duckdb_langid_sql("documents", "doc_id", "text").strip()
+            + ") GROUP BY lang_pred"
+        ),
         "minhash_pairs": _oracle_minhash_pairs(),
         "minhash_dedup_labels": ORACLE_MINHASH_LABELS,
         "simhash": duckdb_simhash_md5_sql("documents", "doc_id", "text"),
