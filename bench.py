@@ -48,8 +48,8 @@ def _force(df) -> int:
     return 0
 
 
-def bench_pipeline(spark, sf_dir: str) -> tuple[float, float, int]:
-    """Returns (jvm_scrub_sec, pandas_scrub_sec, n_turns).
+def bench_pipeline(spark, sf_dir: str) -> tuple[float, float, float, int]:
+    """Returns (jvm_scrub_sec, pandas_scrub_sec, extended_sec, n_turns).
 
     The flagship `pipeline` entry uses the DEFAULT scrub engine (JVM
     regexp_replace chain — byte-identical to the pandas UDF, driver-
@@ -245,7 +245,7 @@ def main() -> None:
                 # full quality-filter pipeline); suite totals are auxiliary
                 "metric": "pipeline_turns_per_sec",
                 "value": round(n_turns / pipe_sec, 1),
-                "unit": "sec",
+                "unit": "turns/sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,

@@ -203,3 +203,75 @@ def test_run_with_checkpoints_restores_overwrite_mode(spark, tmp_path):
     assert (
         spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
     )
+
+
+def test_scheduled_command_varies_run_id_per_firing(spark, tmp_path):
+    """A constant --run-id would make every cron firing after the first
+    resume to a no-op; the manifest must inject a per-firing run id
+    (cron-escaped date substitution)."""
+    import json
+    import subprocess
+    import sys
+
+    meta = str(tmp_path / "meta")
+    MetaStore(spark, meta).upsert_config(
+        {"config_id": "c1", "name": "c", "schedule_enabled": True}
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "zeus_data_quality_spark.cli", "--cpus", "2",
+         "schedule", "--meta", meta, "--input", "/data/my input"],
+        capture_output=True, text=True,
+    )
+    m = json.loads(
+        [l for l in out.stdout.splitlines() if l.startswith("{")][0]
+    )
+    assert "$(date +\\%Y-\\%m-\\%d)" in m["command"]
+    assert "'/data/my input'" in m["command"]  # shell-quoted paths
+
+
+def test_perplexity_nonascii_whitespace_matches_oracle():
+    """U+00A0 / U+3000 must tokenize identically in the pandas scorer
+    and the RE2 oracle (explicit ASCII whitespace class on both)."""
+    import duckdb
+    import pandas as pd
+
+    from zeus_data_quality_spark.functions.perplexity import (
+        duckdb_perplexity_cte,
+        perplexity_batch,
+    )
+
+    texts = ["a\xa0b", "the　quick", "the quick", " edge  case "]
+    ours = perplexity_batch(pd.Series(texts)).round(6).tolist()
+    con = duckdb.connect()
+    con.register("src", pd.DataFrame({"text": texts}))
+    sql = (
+        "WITH transcripts AS (SELECT text FROM src), "
+        + duckdb_perplexity_cte().strip().lstrip()
+        + " SELECT t.text, p.nll FROM transcripts t "
+        "LEFT JOIN __ppl_per_text p ON t.text = p.text"
+    )
+    oracle = {r[0]: r[1] for r in con.sql(sql).fetchall()}
+    assert ours == [oracle[t] for t in texts]
+
+
+def test_scrub_ascii_boundary_matches_duckdb():
+    """\\b must behave ASCII in all engines: a digit adjacent to a
+    non-ASCII letter IS a boundary to RE2/Java — re.ASCII makes the
+    pandas path agree."""
+    import duckdb
+    import pandas as pd
+
+    from zeus_data_quality_spark.functions.scrub import (
+        duckdb_scrub_expr,
+        scrub_series,
+    )
+
+    texts = ["é123-45-6789", "x123-45-6789", "ü555-123-4567 call"]
+    ours = scrub_series(pd.Series(texts)).tolist()
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"x": texts}))
+    oracle = [
+        r[0] for r in con.sql(f"SELECT {duckdb_scrub_expr('x')} FROM t").fetchall()
+    ]
+    assert ours == oracle
+    assert ours[0] == "é<SSN>"

@@ -144,14 +144,25 @@ def cmd_schedule(args) -> int:
         if not cfgs:
             print(f"no config {args.config_id}", file=sys.stderr)
             return 2
+    import shlex
+
     rc = 0
     for cfg in cfgs:
-        command = (
-            "python -m zeus_data_quality_spark.cli run"
-            f" --input {args.input} --output {args.output}"
-            f" --lineage {args.lineage} --meta {args.meta}"
-            f" --config-id {cfg['config_id']}"
-            f" --run-id scheduled-{cfg['config_id']}"
+        # run-id varies per firing (cron evaluates the $(date) at run
+        # time; % must be escaped in crontab lines): a CONSTANT run-id
+        # would make every firing after the first resume-to-noop, since
+        # the lineage store marks its fixed bucket set complete.
+        run_id = f"scheduled-{cfg['config_id']}-$(date +\\%Y-\\%m-\\%d)"
+        command = " ".join(
+            [
+                "python -m zeus_data_quality_spark.cli run",
+                "--input", shlex.quote(args.input),
+                "--output", shlex.quote(args.output),
+                "--lineage", shlex.quote(args.lineage),
+                "--meta", shlex.quote(args.meta),
+                "--config-id", shlex.quote(cfg["config_id"]),
+                "--run-id", f'"{run_id}"',
+            ]
         )
         manifest = ensure_task_for_config(cfg, command)
         print(json.dumps(manifest))

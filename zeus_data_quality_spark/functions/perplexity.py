@@ -78,14 +78,19 @@ def perplexity_batch(s: pd.Series) -> pd.Series:
     no per-row pandas calls (the earlier per-row ``reindex`` was ~10x
     slower at 100k rows).
     """
-    toks = s.str.lower().str.split()
+    # Explicit ASCII whitespace class, NOT .split(): Python's default
+    # split (and regex \s) is unicode-aware while the oracle's RE2 \s
+    # is ASCII — a text containing U+00A0 would silently diverge.
+    # The explicit class means the same thing in Python re, Java
+    # regex, and RE2; empties from edge whitespace are dropped below.
+    toks = s.str.lower().str.split(r"[ \t\n\r\f\v]+", regex=True)
     out = pd.Series(float("nan"), index=s.index, dtype="float64")
     keys: list[str] = []
     rows: list[int] = []
     for pos, words in enumerate(toks.tolist()):
         if not isinstance(words, list):
             continue
-        ws = ["<s>", *words, "</s>"]
+        ws = ["<s>", *[w for w in words if w], "</s>"]
         keys.extend(
             ws[i] + "\x00" + ws[i + 1] for i in range(len(ws) - 1)
         )
@@ -124,7 +129,8 @@ __ppl_tok AS (
     SELECT text,
            list_concat(list_concat(
                ['<s>'],
-               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+               list_filter(regexp_split_to_array(lower(text),
+                                                 '[ \\t\\n\\r\\f\\v]+'),
                            x -> x <> '')),
                ['</s>']) AS ws
     FROM __ppl_texts

@@ -22,6 +22,8 @@ Design constraints:
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -45,10 +47,21 @@ SCRUB_PATTERNS: list[tuple[str, str, str]] = [
     ("aws_key", r"\bAKIA[0-9A-Z]{16}\b", "<KEY>"),
 ]
 
+# Compiled with re.ASCII so \b means the same as RE2/Java's
+# ASCII-word-char boundary: without it a digit adjacent to a non-ASCII
+# letter ('é123-45-6789') is a boundary to RE2/Java but not to
+# unicode-aware Python re — the one construct in these patterns whose
+# default meaning differs across the three engines.
+_COMPILED = [
+    (name, re.compile(pat, re.ASCII), repl)
+    for name, pat, repl in SCRUB_PATTERNS
+]
+
+
 def scrub_series(s: pd.Series) -> pd.Series:
     """Apply every pattern in canonical order; NULL-safe."""
     out = s
-    for _, pat, repl in SCRUB_PATTERNS:
+    for _, pat, repl in _COMPILED:
         out = out.str.replace(pat, repl, regex=True)
     return out
 
@@ -58,7 +71,7 @@ def scrub_count_series(s: pd.Series) -> pd.DataFrame:
     (i.e. after earlier patterns already replaced their matches)."""
     cur = s
     counts = {}
-    for name, pat, repl in SCRUB_PATTERNS:
+    for name, pat, repl in _COMPILED:
         counts[f"n_{name}"] = cur.str.count(pat).fillna(0).astype("int64")
         cur = cur.str.replace(pat, repl, regex=True)
     counts["text_scrubbed"] = cur

@@ -243,9 +243,13 @@ def minhash_candidate_pairs(
     # Signatures are expensive (k hashes × shingles); materialize ONCE.
     # Downstream uses them 4× (banding, anchor agg, two verify joins) —
     # without this, Spark recomputes the whole shingle+hash expression
-    # each time. At corpus scale this persist becomes "write the
-    # signature table", same plan shape.
-    sig_nn = sigs.filter(F.col("sig").isNotNull()).persist()
+    # each time. Lazy localCheckpoint instead of persist(): same
+    # compute-once property, but the blocks are released by the
+    # context cleaner when the DataFrame is garbage-collected, so
+    # direct callers (driver queries, bench loops) cannot leak cached
+    # signature blocks across a long-lived session. At corpus scale
+    # this becomes "write the signature table", same plan shape.
+    sig_nn = sigs.filter(F.col("sig").isNotNull()).localCheckpoint(eager=False)
     # Band key: xxhash64 mode hashes (band index, slice) into one
     # 64-bit long — an 8-byte shuffle key instead of a ~60-char string.
     # md5 parity mode concatenates the hex components (both engines
@@ -289,18 +293,12 @@ def minhash_candidate_pairs(
         )
     )
     est = (agree.cast("double") / F.lit(float(num_hashes))).alias("jaccard_est")
-    out = (
+    return (
         pairs.join(sig_a, on="id_a")
         .join(sig_b, on="id_b")
         .select("id_a", "id_b", est)
         .filter(F.col("jaccard_est") >= threshold)
     )
-    # Expose the persisted signature table so end-to-end callers
-    # (minhash_dedup_labels) can unpersist it once downstream actions
-    # have materialized — long-lived sessions must not accumulate
-    # cached blocks across repeated dedup calls.
-    out._zeus_persisted = [sig_nn]
-    return out
 
 
 def minhash_dedup(
@@ -584,7 +582,10 @@ def connected_components(
     # localCheckpoint (default) stores blocks on executors — fine
     # single-box; with ``reliable_checkpoint=True`` rounds commit to
     # the session's ``setCheckpointDir`` (durable storage) so a
-    # 100 TB run survives executor loss mid-propagation.
+    # 100 TB run survives executor loss mid-propagation. Per-round
+    # checkpoint files are reclaimed by the context cleaner
+    # (session.py sets spark.cleaner.referenceTracking.cleanCheckpoints)
+    # as old rounds go out of scope.
     def _truncate(df: DataFrame) -> DataFrame:
         if reliable_checkpoint:
             return df.checkpoint(eager=True)
@@ -657,10 +658,6 @@ def minhash_dedup_labels(
             "connected_components hit max_iter before converging: "
             "components are over-segmented (keep-more); raise max_iter"
         )
-    # the checkpointed labels no longer reference the signature table —
-    # release it (see minhash_candidate_pairs).
-    for cached in getattr(pairs, "_zeus_persisted", []):
-        cached.unpersist()
     out = (
         df.select(F.col(id_col).alias("id"))
         .join(comp, "id", "left")

@@ -86,6 +86,13 @@ def ensure_task_for_config(cfg: dict, command: str) -> dict:
     from .meta import coerce_bool
 
     task = task_name_for_config(cfg.get("config_id"))
+    # A MISSING schedule_enabled counts as enabled — deliberately the
+    # reference's semantics (utils/schedules.py:15,
+    # ``getattr(cfg, 'schedule_enabled', True)``). Note the asymmetry
+    # with MetaStore.upsert_config, which STORES False when the field
+    # is absent at write time — also mirroring the reference (its
+    # config table defaults the column); only configs that bypass the
+    # store and omit the key hit this default.
     if not coerce_bool(cfg.get("schedule_enabled"), default=True):
         return {"status": "SCHEDULE_DISABLED", "task": task}
     cron = (cfg.get("schedule_cron") or DEFAULT_CRON).strip() or DEFAULT_CRON
