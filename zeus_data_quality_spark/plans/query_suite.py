@@ -775,6 +775,60 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_resize_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """image_resize end-to-end: decode → nearest-neighbor resample →
+    re-encode via mapInPandas, then checksum the RESIZED payload's
+    pixels. The oracle re-derives the resample analytically (the fake
+    pixels are a pure function of (media_id, index)), so the whole
+    resize path is value-verified without binary blobs in the compare."""
+    from ..operators.multimodal import image_resize
+
+    resized = image_resize(synth_media_table(spark, 64), out_w=8, out_h=8)
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.multimodal import decode_image_bytes
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_image_bytes(bytes(payload))
+                rows.append((mid, w, h, int(np.int64(px).sum()), int(px.size)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "px_sum", "px_n"]
+            )
+
+    return resized.mapInPandas(
+        batches,
+        "media_id long, width int, height int, px_sum long, px_n long",
+    )
+
+
+ORACLE_MEDIA_RESIZE = """
+WITH media AS (
+    SELECT i AS media_id,
+           16 + (i % 5) * 8 AS w,
+           16 + (i % 3) * 8 AS h,
+           (i * 2654435761) % 255 + 1 AS m
+    FROM range(64) t(i) WHERE i % 3 <> 2 AND i % 2 = 0
+),
+px AS (
+    SELECT media_id,
+           -- nearest-neighbor sample at (y, x) of the 8x8 output:
+           -- src_y = y*h//8, src_x = x*w//8, pixel = (idx*m) % 251
+           (((y * h) // 8) * w + ((x * w) // 8)) * m % 251 AS v
+    FROM media, range(8) ry(y), range(8) rx(x)
+)
+SELECT media_id,
+       CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(COUNT(*) AS BIGINT) AS px_n
+FROM px GROUP BY media_id
+"""
+
+
 def q_media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = audio_frame_sample(synth_media_table(spark, 64), frame_ms=100)
     return out.select("media_id", "frame_idx", F.round("rms", 9).alias("rms"))
@@ -1286,6 +1340,7 @@ def queries():
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "cube_events": q_cube_events,
         "media_features": q_media_features,
+        "media_resize_checksums": q_media_resize_checksums,
         "media_audio_frames": q_media_audio_frames,
         "media_video_frames": q_media_video_frames,
     }
@@ -1367,6 +1422,7 @@ def oracle_sql():
             "FROM transcripts t LEFT JOIN __ppl_per_text p ON t.text = p.text"
         ),
         "media_features": ORACLE_MEDIA_FEATURES,
+        "media_resize_checksums": ORACLE_MEDIA_RESIZE,
         "media_audio_frames": ORACLE_MEDIA_AUDIO,
         "media_video_frames": ORACLE_MEDIA_VIDEO,
         # ann_ivf_probe is the only deliberate rows-only query: real
