@@ -111,3 +111,23 @@ def test_jvm_scrub_struct_matches_pandas_struct(spark):
     diff = joined.filter(~F.col("a").eqNullSafe(F.col("b"))).count()
     assert diff == 0
     assert jvm.count() == t.count()
+
+
+def test_toxicity_scrub_pattern():
+    import pandas as pd
+
+    from zeus_data_quality_spark.functions.scrub import scrub_count_series
+
+    df = scrub_count_series(
+        pd.Series(
+            [
+                "this is FUCKING terrible and shitty",
+                "clean text about spark",
+                "what the Damn hell",  # 'hell' not in the list
+            ]
+        )
+    )
+    assert df["text_scrubbed"][0] == "this is <TOX> terrible and <TOX>"
+    assert df["n_toxicity"][0] == 2
+    assert df["text_scrubbed"][1] == "clean text about spark"
+    assert df["text_scrubbed"][2] == "what the <TOX> hell"

@@ -63,3 +63,37 @@ def test_salted_count_on_hot_key(spark):
     salted = {r["conv_id"]: r["n"] for r in salted_count(df, ["conv_id"], 32).collect()}
     assert salted == plain
     assert salted["conv_mega"] == 20_000
+
+
+def test_conversation_dedup_mega_conversation(spark):
+    """A single hot conversation (half the corpus) must dedup correctly
+    and cheaply: its turns collapse to per-turn hashes map-side, so the
+    conv_id aggregate carries ~36 bytes per turn (dedup.py docstring)."""
+    from pyspark.sql import functions as F
+
+    from zeus_data_quality_spark.operators.dedup import conversation_dedup
+
+    n = 20_000
+    hot = spark.range(n).select(
+        F.lit("conv_hot").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.concat(F.lit("turn text "), F.col("id")).alias("text"),
+    )
+    cold = spark.range(n).select(
+        F.concat(F.lit("conv_"), (F.col("id") % 1000)).alias("conv_id"),
+        (F.col("id") / 1000).cast("int").alias("turn_idx"),
+        F.concat(F.lit("turn text "), F.col("id") % 20).alias("text"),
+    )
+    out = conversation_dedup(hot.unionByName(cold))
+    rows = {r["conv_id"]: r for r in out.collect()}
+    assert rows["conv_hot"]["n_turns"] == n
+    assert rows["conv_hot"]["n_copies"] == 1  # unique content
+    # the 1000 cold conversations share identical turn sequences in
+    # groups — every group elects exactly one canonical conversation
+    groups = {}
+    for cid, r in rows.items():
+        if cid != "conv_hot":
+            groups.setdefault(r["conv_fingerprint"], []).append(r)
+    for g in groups.values():
+        assert sum(1 for r in g if r["is_canonical"]) == 1
+        assert all(r["n_copies"] == len(g) for r in g)

@@ -45,6 +45,15 @@ SCRUB_PATTERNS: list[tuple[str, str, str]] = [
     ),
     ("api_key", r"\bsk-[A-Za-z0-9]{8,}\b", "<KEY>"),
     ("aws_key", r"\bAKIA[0-9A-Z]{16}\b", "<KEY>"),
+    # Toxicity (north rule: "PII/toxicity scrubbing"): the compiled-
+    # regex tier masks a profanity word list; anything subtler is the
+    # model-based scrubber's job via the pandas engine plug-in point.
+    # (?i) is an embedded flag in Python re, Java regex, and RE2 alike.
+    (
+        "toxicity",
+        r"(?i)\b(?:fuck(?:ing|ed)?|shit(?:ty)?|bitch|asshole|bastard|damn)\b",
+        "<TOX>",
+    ),
 ]
 
 # Compiled with re.ASCII so \b means the same as RE2/Java's
