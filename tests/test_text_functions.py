@@ -227,3 +227,29 @@ def test_winnowing_matches_pure_python_mirror(spark):
             assert got[i]["fingerprint"] == want[0], (i, t)
             assert got[i]["fp_max"] == want[-1], (i, t)
             assert got[i]["n_fingerprints"] == len(want), (i, t)
+
+
+def test_jvm_model_engines_match_pandas(spark):
+    """detect_language_jvm / perplexity_nll_jvm must equal the pandas
+    UDFs corpus-wide (labels exactly; NLL at 9 dp — summation order)."""
+    from pyspark.sql import functions as F
+
+    from zeus_data_quality_spark.functions.langid import (
+        detect_language,
+        detect_language_jvm,
+    )
+    from zeus_data_quality_spark.functions.perplexity import (
+        perplexity_nll,
+        perplexity_nll_jvm,
+    )
+    from zeus_data_quality_spark.sources.transcripts import load_transcripts
+
+    t = load_transcripts(spark, "/root/testdata/sf0.001")
+    d = t.select(
+        detect_language(F.col("text")).alias("a"),
+        detect_language_jvm(F.col("text")).alias("b"),
+        F.round(perplexity_nll(F.col("text")), 9).alias("pa"),
+        F.round(perplexity_nll_jvm(F.col("text")), 9).alias("pb"),
+    )
+    assert d.filter(~F.col("a").eqNullSafe(F.col("b"))).count() == 0
+    assert d.filter(~F.col("pa").eqNullSafe(F.col("pb"))).count() == 0

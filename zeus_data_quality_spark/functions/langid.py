@@ -175,6 +175,47 @@ FROM __best WHERE __rn = 1
 """
 
 
+def detect_language_jvm(col) -> "F.Column":
+    """JVM fast path: the same marker-token + character-class linear
+    scorer as pure Column algebra (regexp_extract_all + array filter
+    with IN, regexp_count for char classes) — no Python worker. The
+    token array is bound once through a lambda variable so the regex
+    extraction runs once per row, not once per language. Identical
+    labels to the pandas path (pytest-pinned corpus-wide); the pandas
+    UDF stays the default per the north rule's model-execution pattern
+    and as the plug-in point for a real fastText binary."""
+    toks = F.regexp_extract_all(F.lower(col), F.lit(_TOKEN_RE), 0)
+    char_scores = {
+        lang: F.coalesce(
+            F.regexp_count(col, F.lit(cls)).cast("double"), F.lit(0.0)
+        )
+        * F.lit(CHAR_WEIGHT)
+        for lang, cls in CHAR_SIGNALS.items()
+    }
+
+    def label(t):
+        scores = {}
+        for lang in _ALL_LANGS:
+            sc = F.lit(0.0)
+            if lang in LANG_PROFILES:
+                words = LANG_PROFILES[lang]
+                sc = sc + F.size(
+                    F.filter(t, lambda x: x.isin(*words))
+                ).cast("double") * F.lit(WORD_WEIGHT)
+            if lang in char_scores:
+                sc = sc + char_scores[lang]
+            scores[lang] = sc
+        best = F.greatest(*scores.values())
+        out = F.when(best < F.lit(MIN_SCORE), F.lit("unknown"))
+        for lang in _ALL_LANGS:  # alphabetical tie-break = idxmax order
+            out = out.when(scores[lang] == best, F.lit(lang))
+        return out
+
+    return F.when(
+        col.isNotNull(), F.element_at(F.transform(F.array(toks), label), 1)
+    )
+
+
 def duckdb_langid_per_text_cte(
     cte_name: str, source: str, text_col: str = "text"
 ) -> str:

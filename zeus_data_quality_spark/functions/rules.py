@@ -186,17 +186,29 @@ def compile_row_check(check: Check) -> Column:
     # model-driven pandas-UDF predicates, same 3VL contract: NULL text
     # yields a NULL predicate → passes) ---
     if ctype == "LANG_ID":
-        from .langid import detect_language
+        from .langid import detect_language, detect_language_jvm
 
         allowed = check.params.get("allowed", ["en"])
+        # engine='jvm' swaps the pandas UDF for the pure-Column scorer
+        # (identical labels, pytest- and driver-oracle-pinned).
+        lang = (
+            detect_language_jvm(col)
+            if check.params.get("engine") == "jvm"
+            else detect_language(col)
+        )
         return F.when(
             col.isNull(), F.lit(None).cast("boolean")
-        ).otherwise(detect_language(col).isin(list(allowed)))
+        ).otherwise(lang.isin(list(allowed)))
     if ctype == "PERPLEXITY":
-        from .perplexity import perplexity_nll
+        from .perplexity import perplexity_nll, perplexity_nll_jvm
 
         max_nll = float(check.params.get("max_nll", 10.0))
-        return perplexity_nll(col) <= F.lit(max_nll)
+        nll = (
+            perplexity_nll_jvm(col)
+            if check.params.get("engine") == "jvm"
+            else perplexity_nll(col)
+        )
+        return nll <= F.lit(max_nll)
     # Unknown check → permissive TRUE (checkdefs.py:97).
     return F.lit(True)
 

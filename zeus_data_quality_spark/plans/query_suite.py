@@ -117,6 +117,29 @@ def q_keep_drop_labels_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_keep_drop_labels_ext_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extended config with the model gates on their JVM engines
+    (pure-Column langid scorer + map-literal bigram LM) — the SAME
+    oracle as the pandas-engine query, so both engine families are
+    driver-verified to produce identical verdicts."""
+    from dataclasses import replace
+
+    from .configs import extended_transcript_checks
+
+    checks = [
+        replace(c, params={**c.params, "engine": "jvm"})
+        if c.check_type in ("LANG_ID", "PERPLEXITY")
+        else c
+        for c in extended_transcript_checks()
+    ]
+    t = load_transcripts(spark, sf_dir)
+    labeled = apply_checks(t, checks)
+    return labeled.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        "n_violations", "keep",
+    )
+
+
 def q_keep_drop_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-turn keep/drop verdicts (the quality-filter core)."""
     t = load_transcripts(spark, sf_dir)
@@ -1295,6 +1318,7 @@ def queries():
         "rule_failure_counts_alt": q_rule_failure_counts_alt,
         "rule_failure_counts_ext": q_rule_failure_counts_ext,
         "keep_drop_labels_ext": q_keep_drop_labels_ext,
+        "keep_drop_labels_ext_jvm": q_keep_drop_labels_ext_jvm,
         "keep_drop_labels": q_keep_drop_labels,
         "scrubbed_text": q_scrubbed_text,
         "scrubbed_text_jvm": q_scrubbed_text_jvm,
@@ -1356,6 +1380,10 @@ def oracle_sql():
             osql.failure_counts_sql(_ext_checks())
         ),
         "keep_drop_labels_ext": oracle_with_transcripts(
+            osql.keep_labels_sql(_ext_checks())
+        ),
+        # same oracle: the JVM model engines must produce identical verdicts
+        "keep_drop_labels_ext_jvm": oracle_with_transcripts(
             osql.keep_labels_sql(_ext_checks())
         ),
         "keep_drop_labels": _oracle_keep_drop(),
