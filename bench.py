@@ -220,10 +220,17 @@ def main() -> None:
             t0 = time.time()
             _force(queries[name](spark, sf_dir))
             timings[name] = round(time.time() - t0, 3)
+        from zeus_data_quality_spark.operators.dedup import (
+            release_signature_caches,
+        )
+
         for name, fn in _extra_benches().items():
             t0 = time.time()
             _force(fn(spark, sf_dir))
             timings[name] = round(time.time() - t0, 3)
+            # minhash ops persist their signature tables; release them
+            # so later entries aren't measured under cache pressure
+            release_signature_caches()
 
     total = round(sum(timings.values()), 3)
     # the round-1 timed set, so the suite total stays comparable as new

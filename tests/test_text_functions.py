@@ -229,7 +229,7 @@ def test_winnowing_matches_pure_python_mirror(spark):
             assert got[i]["n_fingerprints"] == len(want), (i, t)
 
 
-def test_jvm_model_engines_match_pandas(spark):
+def test_jvm_model_engines_match_pandas(spark, sf_dir):
     """detect_language_jvm / perplexity_nll_jvm must equal the pandas
     UDFs corpus-wide (labels exactly; NLL at 9 dp — summation order)."""
     from pyspark.sql import functions as F
@@ -244,7 +244,7 @@ def test_jvm_model_engines_match_pandas(spark):
     )
     from zeus_data_quality_spark.sources.transcripts import load_transcripts
 
-    t = load_transcripts(spark, "/root/testdata/sf0.001")
+    t = load_transcripts(spark, sf_dir)
     d = t.select(
         detect_language(F.col("text")).alias("a"),
         detect_language_jvm(F.col("text")).alias("b"),

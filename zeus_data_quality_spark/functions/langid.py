@@ -193,8 +193,19 @@ def detect_language_jvm(col) -> "F.Column":
         for lang, cls in CHAR_SIGNALS.items()
     }
 
+    def pick(s):
+        # s = the evaluated score array (lambda-bound — each score tree
+        # runs ONCE per row; referencing the score expressions from
+        # greatest() AND each when-branch would re-evaluate them 3-7×
+        # in this interpreted HOF context)
+        best = F.array_max(s)
+        out = F.when(best < F.lit(MIN_SCORE), F.lit("unknown"))
+        for i, lang in enumerate(_ALL_LANGS):  # alphabetical = idxmax order
+            out = out.when(F.element_at(s, i + 1) == best, F.lit(lang))
+        return out
+
     def label(t):
-        scores = {}
+        scores = []
         for lang in _ALL_LANGS:
             sc = F.lit(0.0)
             if lang in LANG_PROFILES:
@@ -204,12 +215,8 @@ def detect_language_jvm(col) -> "F.Column":
                 ).cast("double") * F.lit(WORD_WEIGHT)
             if lang in char_scores:
                 sc = sc + char_scores[lang]
-            scores[lang] = sc
-        best = F.greatest(*scores.values())
-        out = F.when(best < F.lit(MIN_SCORE), F.lit("unknown"))
-        for lang in _ALL_LANGS:  # alphabetical tie-break = idxmax order
-            out = out.when(scores[lang] == best, F.lit(lang))
-        return out
+            scores.append(sc)
+        return F.element_at(F.transform(F.array(F.array(*scores)), pick), 1)
 
     return F.when(
         col.isNotNull(), F.element_at(F.transform(F.array(toks), label), 1)

@@ -25,6 +25,27 @@ from pyspark.sql import functions as F
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 4  # rows_per_band = num_hashes // bands
 
+# Every persisted signature table is tracked here in addition to any
+# caller-supplied handle; long-lived sessions that call the pair
+# generators directly (without a sig_cache_out) release accumulated
+# caches with release_signature_caches(). Spark's CacheManager dedups
+# by plan, so repeated calls on identical inputs don't grow this.
+_SIG_CACHES: list = []
+
+
+def release_signature_caches() -> int:
+    """Unpersist every signature table cached by minhash calls in this
+    session; returns how many were released."""
+    n = 0
+    while _SIG_CACHES:
+        df = _SIG_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Exact duplicate labeling: (id, n_copies, is_canonical) — one
@@ -253,6 +274,7 @@ def minhash_candidate_pairs(
     # accumulating. At corpus scale this persist becomes "write the
     # signature table", same plan shape.
     sig_nn = sigs.filter(F.col("sig").isNotNull()).persist()
+    _SIG_CACHES.append(sig_nn)
     if sig_cache_out is not None:
         sig_cache_out.append(sig_nn)
     # Band key: xxhash64 mode hashes (band index, slice) into one
@@ -656,13 +678,16 @@ def minhash_dedup_labels(
         df, id_col, text_col, num_hashes, bands, threshold, hash_mode,
         sig_cache_out=sig_caches,
     )
-    comp, converged = connected_components(
-        pairs, "id_a", "id_b", return_converged=True
-    )
-    # the checkpointed component labels no longer reference the
-    # signature table — release its cache explicitly.
-    for cached in sig_caches:
-        cached.unpersist()
+    try:
+        comp, converged = connected_components(
+            pairs, "id_a", "id_b", return_converged=True
+        )
+    finally:
+        # the checkpointed component labels no longer reference the
+        # signature table — release its cache even on failure (a retry
+        # in the same session must not compound cached tables).
+        for cached in sig_caches:
+            cached.unpersist()
     if not converged:
         import logging
 

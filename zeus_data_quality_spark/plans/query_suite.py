@@ -107,10 +107,25 @@ def q_rule_failure_counts_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_keep_drop_labels_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-turn verdicts under the full extended config (see
     q_rule_failure_counts_ext)."""
+    return _keep_drop_ext(spark, sf_dir, None)
+
+
+def _keep_drop_ext(spark: SparkSession, sf_dir: str, engine: str | None) -> DataFrame:
+    """Shared body for the extended keep/drop queries — one select list
+    so the two engine variants cannot drift from their shared oracle."""
+    from dataclasses import replace
+
     from .configs import extended_transcript_checks
 
-    t = load_transcripts(spark, sf_dir)
-    labeled = apply_checks(t, extended_transcript_checks())
+    checks = extended_transcript_checks()
+    if engine:
+        checks = [
+            replace(c, params={**c.params, "engine": engine})
+            if c.check_type in ("LANG_ID", "PERPLEXITY")
+            else c
+            for c in checks
+        ]
+    labeled = apply_checks(load_transcripts(spark, sf_dir), checks)
     return labeled.select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts",
         "n_violations", "keep",
@@ -122,22 +137,7 @@ def q_keep_drop_labels_ext_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pure-Column langid scorer + map-literal bigram LM) — the SAME
     oracle as the pandas-engine query, so both engine families are
     driver-verified to produce identical verdicts."""
-    from dataclasses import replace
-
-    from .configs import extended_transcript_checks
-
-    checks = [
-        replace(c, params={**c.params, "engine": "jvm"})
-        if c.check_type in ("LANG_ID", "PERPLEXITY")
-        else c
-        for c in extended_transcript_checks()
-    ]
-    t = load_transcripts(spark, sf_dir)
-    labeled = apply_checks(t, checks)
-    return labeled.select(
-        "conv_id", "turn_idx", "role", "text", "tool", "ts",
-        "n_violations", "keep",
-    )
+    return _keep_drop_ext(spark, sf_dir, "jvm")
 
 
 def q_keep_drop_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
