@@ -80,6 +80,14 @@ def main() -> int:
             print(f"✗ {name}: SPARK ERROR {type(exc).__name__}: {exc}")
             failures.append(name)
             continue
+        finally:
+            # minhash queries persist signature tables; keep the
+            # long-lived comparison session lean
+            from zeus_data_quality_spark.operators.dedup import (
+                release_signature_caches,
+            )
+
+            release_signature_caches()
         if name not in os_:
             print(f"· {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             continue
