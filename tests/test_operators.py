@@ -520,3 +520,25 @@ def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
     got = {r["vec_id"] for r in probe.select("vec_id").collect()}
     assert got == {r["vec_id"] for r in expect.collect()}
     assert 0 < len(got) < emb.count()  # pruning actually restricts
+
+
+def test_daily_psi_drift_detects_shift(spark):
+    """Stable days → low PSI; a shifted day → high PSI, ok=False."""
+    from zeus_data_quality_spark.operators.anomaly import daily_psi_drift
+
+    rows = []
+    for d in range(1, 10):  # 9 stable days, values uniform 0..99
+        for i in range(200):
+            rows.append((f"2024-01-{d:02d} 12:00:00", float(i % 100)))
+    for i in range(200):  # day 10: values shifted to 300..399
+        rows.append(("2024-01-10 12:00:00", 300.0 + i % 100))
+    df = spark.createDataFrame(rows, "ts_s string, value double").withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    out = {str(r["day"]): r for r in daily_psi_drift(
+        df, "value", "ts", bins=10, lo=0.0, hi=400.0, window_days=7
+    ).collect()}
+    # days 1-7 lack a full trailing window; 8,9 stable; 10 shifted
+    assert set(out) == {"2024-01-08", "2024-01-09", "2024-01-10"}
+    assert out["2024-01-08"]["ok"] and out["2024-01-08"]["psi"] < 0.01
+    assert not out["2024-01-10"]["ok"] and out["2024-01-10"]["psi"] > 1.0

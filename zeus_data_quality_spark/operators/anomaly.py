@@ -29,7 +29,7 @@ plan shape the reference emits, and trivially broadcast by Spark.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Row
+from pyspark.sql import DataFrame, Row, Window
 from pyspark.sql import functions as F
 
 
@@ -221,4 +221,79 @@ def value_drift(
     cur = histogram_fractions(df, column, bins, lo, hi)
     return psi_between(cur, base).select(
         "psi", (F.col("psi") <= F.lit(threshold)).alias("ok")
+    )
+
+
+def daily_psi_drift(
+    df: DataFrame,
+    column: str,
+    ts_col: str = "ts",
+    bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 400.0,
+    window_days: int = 7,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Rolling drift monitor: per-day PSI of ``column``'s histogram
+    against the trailing ``window_days`` days — the time-series twin of
+    the one-shot ``value_drift`` check.
+
+    Scale shape: ONE partial-aggregated groupBy((day, bin)) over the
+    corpus — the cheapest shuffle (int keys, ≤ days×bins rows out);
+    everything after (grid zero-fill, trailing window sums, PSI) runs
+    on that tiny aggregate, so a 10^12-row input costs the same as its
+    daily histogram. Output: (day, psi, ok) for days with a full
+    trailing window; psi rounded to 9 dp (engine-agnostic summation).
+    """
+    x = F.col(column).cast("double")
+    width = (hi - lo) / bins
+    b = F.least(
+        F.greatest(F.floor((x - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(0)),
+        F.lit(bins - 1),
+    )
+    day = F.col(ts_col).cast("date")
+    counts = (
+        df.filter(x.isNotNull() & F.col(ts_col).isNotNull())
+        .select(day.alias("day"), b.alias("bin"))
+        .groupBy("day", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    days = counts.select("day").distinct()
+    grid = days.crossJoin(
+        spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+    )
+    filled = grid.join(counts, ["day", "bin"], "left").select(
+        "day",
+        "bin",
+        F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("n"),
+        F.datediff(F.col("day"), F.lit("1970-01-01")).alias("__d"),
+    )
+    wd = Window.partitionBy("bin").orderBy("__d").rangeBetween(
+        -window_days, -1
+    )
+    with_base = filled.select(
+        "day",
+        "bin",
+        "n",
+        F.sum("n").over(wd).alias("base_n"),
+        F.count(F.when(F.col("n") >= 0, 1)).over(wd).alias("__bins_present"),
+    )
+    day_tot = Window.partitionBy("day")
+    fr = with_base.select(
+        "day",
+        "bin",
+        (F.col("n") / F.sum("n").over(day_tot)).alias("cur_frac"),
+        (
+            F.col("base_n") / F.sum("base_n").over(day_tot)
+        ).alias("base_frac"),
+        F.col("__bins_present"),
+    )
+    p = F.greatest(F.col("cur_frac"), F.lit(PSI_EPS))
+    q = F.greatest(F.col("base_frac"), F.lit(PSI_EPS))
+    return (
+        fr.filter(F.col("__bins_present") >= window_days)
+        .groupBy("day")
+        .agg(F.round(F.sum((p - q) * F.log(p / q)), 9).alias("psi"))
+        .select("day", "psi", (F.col("psi") <= threshold).alias("ok"))
     )

@@ -593,6 +593,58 @@ FROM f
 """
 
 
+def q_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling per-day PSI of events.value vs the trailing 7 days."""
+    return anomaly.daily_psi_drift(
+        _read(spark, sf_dir, "events"), "value", "ts",
+        DRIFT_BINS, DRIFT_LO, DRIFT_HI, window_days=7,
+    )
+
+
+ORACLE_DAILY_DRIFT = f"""
+WITH counts AS (
+    SELECT CAST(ts AS DATE) AS day,
+           LEAST(GREATEST(CAST(FLOOR((CAST(value AS DOUBLE) - {DRIFT_LO})
+                  / {(DRIFT_HI - DRIFT_LO) / DRIFT_BINS}) AS INT), 0),
+                 {DRIFT_BINS - 1}) AS bin,
+           COUNT(*) AS n
+    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
+),
+grid AS (
+    SELECT d.day, s.bin,
+           CAST(COALESCE(c.n, 0) AS DOUBLE) AS n,
+           datediff('day', DATE '1970-01-01', d.day) AS dd
+    FROM (SELECT DISTINCT day FROM counts) d
+    CROSS JOIN (SELECT unnest(range({DRIFT_BINS})) AS bin) s
+    LEFT JOIN counts c ON c.day = d.day AND c.bin = s.bin
+),
+win AS (
+    SELECT day, bin, n,
+           SUM(n) OVER (PARTITION BY bin ORDER BY dd
+                        RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS base_n,
+           COUNT(*) OVER (PARTITION BY bin ORDER BY dd
+                          RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+               AS bins_present
+    FROM grid
+),
+fr AS (
+    SELECT day, bin, bins_present,
+           n / SUM(n) OVER (PARTITION BY day) AS cur_frac,
+           base_n / SUM(base_n) OVER (PARTITION BY day) AS base_frac
+    FROM win
+)
+SELECT day,
+       ROUND(SUM((GREATEST(cur_frac, 1e-6) - GREATEST(base_frac, 1e-6))
+             * LN(GREATEST(cur_frac, 1e-6) / GREATEST(base_frac, 1e-6))), 9)
+           AS psi,
+       ROUND(SUM((GREATEST(cur_frac, 1e-6) - GREATEST(base_frac, 1e-6))
+             * LN(GREATEST(cur_frac, 1e-6) / GREATEST(base_frac, 1e-6))), 9)
+           <= 0.2 AS ok
+FROM fr WHERE bins_present >= 7
+GROUP BY day
+"""
+
+
 PROFILE_COLS = [
     ("event_id", "num"),
     ("user_id", "num"),
@@ -1341,6 +1393,7 @@ def queries():
         "column_profile": q_column_profile,
         "numeric_quantiles": q_numeric_quantiles,
         "value_drift": q_value_drift,
+        "daily_drift": q_daily_drift,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1413,6 +1466,7 @@ def oracle_sql():
             "events", ["event_id", "user_id", "value"]
         ),
         "value_drift": ORACLE_VALUE_DRIFT,
+        "daily_drift": ORACLE_DAILY_DRIFT,
         "document_quality_filter": ORACLE_DOC_QUALITY.format(
             stats_sql=textstats.duckdb_text_stats_sql(
                 "documents", "doc_id", "text"
