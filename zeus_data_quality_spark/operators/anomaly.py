@@ -150,6 +150,26 @@ def row_count_anomaly(
 PSI_EPS = 1e-6  # smoothing for empty bins (standard PSI practice)
 
 
+def _bin_expr(column: str, bins: int, lo: float, hi: float):
+    """Fixed-width bin index of ``column`` over [lo, hi), out-of-range
+    clamped into the edge bins — THE binning used by every drift check
+    (and mirrored by their oracles); keep it single-sourced."""
+    x = F.col(column).cast("double")
+    width = (hi - lo) / bins
+    return F.least(
+        F.greatest(F.floor((x - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(0)),
+        F.lit(bins - 1),
+    )
+
+
+def _psi_agg():
+    """The ε-smoothed, round-9 PSI aggregate over (cur_frac, base_frac)
+    columns — shared by psi_between and daily_psi_drift."""
+    p = F.greatest(F.col("cur_frac"), F.lit(PSI_EPS))
+    q = F.greatest(F.col("base_frac"), F.lit(PSI_EPS))
+    return F.round(F.sum((p - q) * F.log(p / q)), 9).alias("psi")
+
+
 def histogram_fractions(
     df: DataFrame, column: str, bins: int, lo: float, hi: float
 ) -> DataFrame:
@@ -160,14 +180,9 @@ def histogram_fractions(
     shuffle shape; the result is ``bins`` rows regardless of input size.
     """
     x = F.col(column).cast("double")
-    width = (hi - lo) / bins
-    b = F.least(
-        F.greatest(F.floor((x - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(0)),
-        F.lit(bins - 1),
-    )
     counts = (
         df.filter(x.isNotNull())
-        .select(b.alias("bin"))
+        .select(_bin_expr(column, bins, lo, hi).alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -190,14 +205,10 @@ def psi_between(cur: DataFrame, base: DataFrame) -> DataFrame:
     (bin, frac) histograms — Σ (p−q)·ln(p/q) with ε-smoothed bins.
     Rounded to 9 decimals so independent engines agree despite
     summation-order float differences."""
-    p = F.greatest(F.col("cur_frac"), F.lit(PSI_EPS))
-    q = F.greatest(F.col("base_frac"), F.lit(PSI_EPS))
     joined = cur.withColumnRenamed("frac", "cur_frac").join(
         base.withColumnRenamed("frac", "base_frac"), "bin"
     )
-    return joined.agg(
-        F.round(F.sum((p - q) * F.log(p / q)), 9).alias("psi")
-    )
+    return joined.agg(_psi_agg())
 
 
 def value_drift(
@@ -227,10 +238,10 @@ def value_drift(
 def daily_psi_drift(
     df: DataFrame,
     column: str,
-    ts_col: str = "ts",
-    bins: int = 10,
-    lo: float = 0.0,
-    hi: float = 400.0,
+    ts_col: str,
+    bins: int,
+    lo: float,
+    hi: float,
     window_days: int = 7,
     threshold: float = 0.2,
 ) -> DataFrame:
@@ -246,15 +257,10 @@ def daily_psi_drift(
     trailing window; psi rounded to 9 dp (engine-agnostic summation).
     """
     x = F.col(column).cast("double")
-    width = (hi - lo) / bins
-    b = F.least(
-        F.greatest(F.floor((x - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(0)),
-        F.lit(bins - 1),
-    )
     day = F.col(ts_col).cast("date")
     counts = (
         df.filter(x.isNotNull() & F.col(ts_col).isNotNull())
-        .select(day.alias("day"), b.alias("bin"))
+        .select(day.alias("day"), _bin_expr(column, bins, lo, hi).alias("bin"))
         .groupBy("day", "bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -277,7 +283,9 @@ def daily_psi_drift(
         "bin",
         "n",
         F.sum("n").over(wd).alias("base_n"),
-        F.count(F.when(F.col("n") >= 0, 1)).over(wd).alias("__bins_present"),
+        # number of trailing DAYS present for this bin (the grid is
+        # dense in bins, so one row per (day, bin))
+        F.count(F.lit(1)).over(wd).alias("__days_present"),
     )
     day_tot = Window.partitionBy("day")
     fr = with_base.select(
@@ -287,13 +295,11 @@ def daily_psi_drift(
         (
             F.col("base_n") / F.sum("base_n").over(day_tot)
         ).alias("base_frac"),
-        F.col("__bins_present"),
+        F.col("__days_present"),
     )
-    p = F.greatest(F.col("cur_frac"), F.lit(PSI_EPS))
-    q = F.greatest(F.col("base_frac"), F.lit(PSI_EPS))
     return (
-        fr.filter(F.col("__bins_present") >= window_days)
+        fr.filter(F.col("__days_present") >= window_days)
         .groupBy("day")
-        .agg(F.round(F.sum((p - q) * F.log(p / q)), 9).alias("psi"))
+        .agg(_psi_agg())
         .select("day", "psi", (F.col("psi") <= threshold).alias("ok"))
     )

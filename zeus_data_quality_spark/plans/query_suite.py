@@ -547,6 +547,7 @@ FROM stats s JOIN canon c USING (doc_id)
 
 
 DRIFT_BINS, DRIFT_LO, DRIFT_HI = 10, 0.0, 400.0
+DRIFT_WINDOW_DAYS, DRIFT_THRESHOLD = 7, 0.2
 
 
 def q_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,7 +563,7 @@ def q_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_id") % 2 == 1), "value", DRIFT_BINS, DRIFT_LO, DRIFT_HI
     )
     return anomaly.psi_between(cur, base).select(
-        "psi", (F.col("psi") <= 0.2).alias("ok")
+        "psi", (F.col("psi") <= DRIFT_THRESHOLD).alias("ok")
     )
 
 
@@ -588,7 +589,7 @@ f AS (
 SELECT ROUND(SUM((GREATEST(cur_frac, 1e-6) - GREATEST(base_frac, 1e-6))
        * LN(GREATEST(cur_frac, 1e-6) / GREATEST(base_frac, 1e-6))), 9) AS psi,
        ROUND(SUM((GREATEST(cur_frac, 1e-6) - GREATEST(base_frac, 1e-6))
-       * LN(GREATEST(cur_frac, 1e-6) / GREATEST(base_frac, 1e-6))), 9) <= 0.2 AS ok
+       * LN(GREATEST(cur_frac, 1e-6) / GREATEST(base_frac, 1e-6))), 9) <= {DRIFT_THRESHOLD} AS ok
 FROM f
 """
 
@@ -597,7 +598,8 @@ def q_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling per-day PSI of events.value vs the trailing 7 days."""
     return anomaly.daily_psi_drift(
         _read(spark, sf_dir, "events"), "value", "ts",
-        DRIFT_BINS, DRIFT_LO, DRIFT_HI, window_days=7,
+        DRIFT_BINS, DRIFT_LO, DRIFT_HI,
+        window_days=DRIFT_WINDOW_DAYS, threshold=DRIFT_THRESHOLD,
     )
 
 
@@ -621,14 +623,16 @@ grid AS (
 win AS (
     SELECT day, bin, n,
            SUM(n) OVER (PARTITION BY bin ORDER BY dd
-                        RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS base_n,
+                        RANGE BETWEEN {DRIFT_WINDOW_DAYS} PRECEDING
+                        AND 1 PRECEDING) AS base_n,
            COUNT(*) OVER (PARTITION BY bin ORDER BY dd
-                          RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
-               AS bins_present
+                          RANGE BETWEEN {DRIFT_WINDOW_DAYS} PRECEDING
+                          AND 1 PRECEDING)
+               AS days_present
     FROM grid
 ),
 fr AS (
-    SELECT day, bin, bins_present,
+    SELECT day, bin, days_present,
            n / SUM(n) OVER (PARTITION BY day) AS cur_frac,
            base_n / SUM(base_n) OVER (PARTITION BY day) AS base_frac
     FROM win
@@ -639,8 +643,8 @@ SELECT day,
            AS psi,
        ROUND(SUM((GREATEST(cur_frac, 1e-6) - GREATEST(base_frac, 1e-6))
              * LN(GREATEST(cur_frac, 1e-6) / GREATEST(base_frac, 1e-6))), 9)
-           <= 0.2 AS ok
-FROM fr WHERE bins_present >= 7
+           <= {DRIFT_THRESHOLD} AS ok
+FROM fr WHERE days_present >= {DRIFT_WINDOW_DAYS}
 GROUP BY day
 """
 
