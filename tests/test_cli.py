@@ -91,3 +91,33 @@ def test_cli_schedule_manifests(spark, tmp_path):
 
     bad = _cli("schedule", "--meta", meta, "--config-id", "nope")
     assert bad.returncode == 2
+
+
+def test_dist_zip_matches_package_tree():
+    """The shipped --py-files artifact must byte-match the source tree
+    (r2 ADVICE: the zip went stale after a later commit). Rebuilds are
+    byte-reproducible, so equality here means `spark-submit` runs the
+    reviewed code. Fails with the rebuild command in the message."""
+    import os
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = os.path.join(repo, "dist", "zeus_data_quality_spark.zip")
+    assert os.path.exists(zpath), "run: python tools/package.py"
+    tree = {}
+    pkg = os.path.join(repo, "zeus_data_quality_spark")
+    for root, _, names in os.walk(pkg):
+        for n in names:
+            if n.endswith(".py"):
+                full = os.path.join(root, n)
+                with open(full, "rb") as f:
+                    tree[os.path.relpath(full, repo)] = f.read()
+    with zipfile.ZipFile(zpath) as z:
+        zipped = {i.filename: z.read(i) for i in z.infolist()}
+    stale = sorted(
+        set(tree) ^ set(zipped)
+        | {k for k in set(tree) & set(zipped) if tree[k] != zipped[k]}
+    )
+    assert not stale, (
+        f"dist zip stale for {stale}; run: python tools/package.py"
+    )

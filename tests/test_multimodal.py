@@ -76,3 +76,28 @@ def test_video_frame_sample(spark):
     # deterministic
     again = video_frame_sample(media, every_n=2).collect()
     assert sorted(map(tuple, frames)) == sorted(map(tuple, again))
+
+
+def test_resize_checksum_single_python_stage(spark):
+    """The checksum rides image_resize's own batch loop: the query plan
+    must contain exactly ONE MapInPandas node (a second one would mean
+    a redundant decode pass over every payload — the r2 ADVICE item)."""
+    from zeus_data_quality_spark.plans.query_suite import (
+        q_media_resize_checksums,
+    )
+
+    df = q_media_resize_checksums(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("MapInPandas") == 1, plan
+    rows = {r["media_id"]: r for r in df.collect()}
+    # spot-check one checksum against the analytic pixel function
+    # (media_id=0: 16x16 source, m=1 → pixel(idx)=(idx*1)%251)
+    import numpy as np
+
+    w = h = 16
+    px = (np.arange(w * h, dtype=np.int64) * 1 % 251).reshape(h, w)
+    ys = np.arange(8) * h // 8
+    xs = np.arange(8) * w // 8
+    resized = px[np.ix_(ys, xs)]
+    assert rows[0]["px_sum"] == int(resized.sum())
+    assert rows[0]["px_n"] == 64

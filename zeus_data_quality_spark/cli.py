@@ -151,8 +151,15 @@ def cmd_schedule(args) -> int:
         # run-id varies per firing (cron evaluates the $(date) at run
         # time; % must be escaped in crontab lines): a CONSTANT run-id
         # would make every firing after the first resume-to-noop, since
-        # the lineage store marks its fixed bucket set complete.
-        run_id = f"scheduled-{cfg['config_id']}-$(date +\\%Y-\\%m-\\%d)"
+        # the lineage store marks its fixed bucket set complete. The
+        # config-id portion is shlex-quoted (a quote/$/backtick in the
+        # id must not break or inject into the shell line); the $(date)
+        # suffix sits OUTSIDE the quoted part as an adjacent
+        # double-quoted word so the shell still expands it at fire time.
+        run_id = (
+            shlex.quote(f"scheduled-{cfg['config_id']}-")
+            + '"$(date +\\%Y-\\%m-\\%d)"'
+        )
         command = " ".join(
             [
                 "python -m zeus_data_quality_spark.cli run",
@@ -161,7 +168,7 @@ def cmd_schedule(args) -> int:
                 "--lineage", shlex.quote(args.lineage),
                 "--meta", shlex.quote(args.meta),
                 "--config-id", shlex.quote(cfg["config_id"]),
-                "--run-id", f'"{run_id}"',
+                "--run-id", run_id,
             ]
         )
         manifest = ensure_task_for_config(cfg, command)

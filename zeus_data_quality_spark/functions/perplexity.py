@@ -108,12 +108,15 @@ def perplexity_nll(s: pd.Series) -> pd.Series:
     return perplexity_batch(s)
 
 
-def duckdb_perplexity_cte(source: str = "transcripts") -> str:
+def duckdb_perplexity_cte(source: str = "transcripts", column: str = "text") -> str:
     """DuckDB CTE block re-computing mean bigram NLL per *distinct
     text* with the exact LM embedded as a VALUES literal (full-precision
     ``repr`` floats round-trip bit-exactly). The oracle joins
-    ``__ppl_per_text`` back to the corpus on text — NLL is a pure
-    function of text, and texts need no unique row key that way.
+    ``__ppl_per_text`` back to the corpus on the scored column — NLL is
+    a pure function of the text, and texts need no unique row key that
+    way. ``column`` is the column the PERPLEXITY check scores (exposed
+    in ``__ppl_per_text.text``), so a check on a non-default column
+    gets a correct oracle rather than silently scoring ``text``.
     Tokenization (`lower` → split on ``\\s+`` → drop empties → wrap in
     ``<s>/<\\/s>``) mirrors ``perplexity_batch`` exactly."""
     rows = ",\n        ".join(
@@ -124,7 +127,7 @@ def duckdb_perplexity_cte(source: str = "transcripts") -> str:
 __lm(w1, w2, nll) AS (VALUES
         {rows}
 ),
-__ppl_texts AS (SELECT DISTINCT text FROM {source} WHERE text IS NOT NULL),
+__ppl_texts AS (SELECT DISTINCT {column} AS text FROM {source} WHERE {column} IS NOT NULL),
 __ppl_tok AS (
     SELECT text,
            list_concat(list_concat(

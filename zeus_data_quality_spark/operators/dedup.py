@@ -19,6 +19,8 @@ always (partial-aggregated) groupBys on compact keys + joins back.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -28,17 +30,23 @@ DEFAULT_BANDS = 4  # rows_per_band = num_hashes // bands
 # Every persisted signature table is tracked here in addition to any
 # caller-supplied handle; long-lived sessions that call the pair
 # generators directly (without a sig_cache_out) release accumulated
-# caches with release_signature_caches(). Spark's CacheManager dedups
-# by plan, so repeated calls on identical inputs don't grow this.
-_SIG_CACHES: list = []
+# caches with release_signature_caches(). Held via weakref so a
+# DataFrame unpersisted-and-dropped through its sig_cache_out handle
+# becomes collectible instead of pinning its plan for the life of the
+# driver (ADVICE r2). Spark's CacheManager dedups by plan, so repeated
+# calls on identical inputs don't grow this.
+_SIG_CACHES: list = []  # list[weakref.ref[DataFrame]]
 
 
 def release_signature_caches() -> int:
     """Unpersist every signature table cached by minhash calls in this
-    session; returns how many were released."""
+    session; returns how many were released (already-collected refs
+    are skipped)."""
     n = 0
     while _SIG_CACHES:
-        df = _SIG_CACHES.pop()
+        df = _SIG_CACHES.pop()()
+        if df is None:
+            continue
         try:
             df.unpersist()
             n += 1
@@ -274,7 +282,7 @@ def minhash_candidate_pairs(
     # accumulating. At corpus scale this persist becomes "write the
     # signature table", same plan shape.
     sig_nn = sigs.filter(F.col("sig").isNotNull()).persist()
-    _SIG_CACHES.append(sig_nn)
+    _SIG_CACHES.append(weakref.ref(sig_nn))
     if sig_cache_out is not None:
         sig_cache_out.append(sig_nn)
     # Band key: xxhash64 mode hashes (band index, slice) into one

@@ -122,9 +122,15 @@ def synth_media_table(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def image_resize(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+def image_resize(
+    df: DataFrame, out_w: int, out_h: int, with_checksum: bool = False
+) -> DataFrame:
     """Nearest-neighbor resize over mapInPandas (decode → stride-sample
-    → re-encode). Output schema: (media_id, payload, width, height)."""
+    → re-encode). Output schema: (media_id, payload, width, height),
+    plus (px_sum, px_n) checksum columns when ``with_checksum`` — the
+    checksum rides the SAME batch loop (the pixels are already in hand
+    after the resample), so verification never pays a second
+    decode/mapInPandas pass over the payloads."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -139,13 +145,23 @@ def image_resize(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                     + struct.pack("<II", out_w, out_h)
                     + resized.astype(np.uint8).tobytes()
                 )
-                out.append((mid, bytearray(blob), out_w, out_h))
-            yield pd.DataFrame(
-                out, columns=["media_id", "payload", "width", "height"]
-            )
+                row = (mid, bytearray(blob), out_w, out_h)
+                if with_checksum:
+                    row += (
+                        int(resized.astype(np.int64).sum()),
+                        int(resized.size),
+                    )
+                out.append(row)
+            cols = ["media_id", "payload", "width", "height"]
+            if with_checksum:
+                cols += ["px_sum", "px_n"]
+            yield pd.DataFrame(out, columns=cols)
 
+    schema = "media_id long, payload binary, width int, height int"
+    if with_checksum:
+        schema += ", px_sum long, px_n long"
     return df.filter(F.col("media_type") == "image").mapInPandas(
-        batches, "media_id long, payload binary, width int, height int"
+        batches, schema
     )
 
 

@@ -163,7 +163,9 @@ def labeled_cte(checks: list[Check], source: str = "transcripts") -> str:
                 raise ValueError(
                     "oracle supports one PERPLEXITY check per config"
                 )
-            pre_ctes.append(duckdb_perplexity_cte(source).strip())
+            pre_ctes.append(
+                duckdb_perplexity_cte(source, c.column or "text").strip()
+            )
             joins.append(
                 f"LEFT JOIN __ppl_per_text __pp "
                 f"ON {source}.{c.column or 'text'} = __pp.text"

@@ -21,6 +21,8 @@ result is O(n_columns) rows — driver-side reshape is free.
 
 from __future__ import annotations
 
+import decimal
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -257,9 +259,23 @@ def quantile_profile(df: DataFrame, columns: list[str]) -> DataFrame:
     for c in columns:
         q = row[f"q__{c}"]
         out.append(
-            (c, *[round(v, 9) if v is not None else None for v in (q or [None] * len(QUANTILE_PROBS))])
+            (c, *[_round9(v) for v in (q or [None] * len(QUANTILE_PROBS))])
         )
     return df.sparkSession.createDataFrame(out, QUANTILE_SCHEMA)
+
+
+def _round9(v):
+    """Round half-AWAY-from-zero at 9 dp on the double's exact binary
+    value — the same rule as DuckDB's ROUND(). Python's builtin round()
+    is banker's (half-even): an interpolated quantile landing exactly
+    on a 5e-10 boundary would hash-mismatch the oracle (ADVICE r2)."""
+    if v is None:
+        return None
+    return float(
+        decimal.Decimal(v).quantize(
+            decimal.Decimal("1e-9"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
 
 
 def duckdb_quantile_sql(table: str, columns: list[str]) -> str:
