@@ -18,7 +18,9 @@ a pandas ``map`` against the model Series (C-level hash join per batch).
 from __future__ import annotations
 
 import math
+import re
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -69,38 +71,45 @@ def _train(corpus: str) -> dict[str, float]:
 _LM_STR = _train(SEED_CORPUS)
 
 
+# Explicit ASCII whitespace class, NOT str.split()'s default: Python's
+# default split (and regex \s) is unicode-aware while the oracle's RE2
+# \s is ASCII — a text containing U+00A0 would silently diverge. The
+# explicit class means the same thing in Python re, Java regex, and
+# RE2; empties from edge whitespace are dropped in the key loop.
+_WS = re.compile(r"[ \t\n\r\f\v]+")
+
+
 def perplexity_batch(s: pd.Series) -> pd.Series:
     """Mean bigram NLL per text (nats/bigram; lower = more fluent).
 
     Batch-vectorized: one pass builds every bigram key of the batch
-    (flat lists), then a single C-level ``Series.map`` does all LM
-    lookups and one ``groupby(...).mean()`` folds them back per row —
-    no per-row pandas calls (the earlier per-row ``reindex`` was ~10x
-    slower at 100k rows).
-    """
-    # Explicit ASCII whitespace class, NOT .split(): Python's default
-    # split (and regex \s) is unicode-aware while the oracle's RE2 \s
-    # is ASCII — a text containing U+00A0 would silently diverge.
-    # The explicit class means the same thing in Python re, Java
-    # regex, and RE2; empties from edge whitespace are dropped below.
-    toks = s.str.lower().str.split(r"[ \t\n\r\f\v]+", regex=True)
-    out = pd.Series(float("nan"), index=s.index, dtype="float64")
+    (flat lists; precompiled ``re.split`` on raw python strings beats
+    the pandas ``str.split(regex=...)`` machinery ~1.5x — pandas pays
+    a Series allocation per row's token list), then a single C-level
+    ``Series.map`` does all LM lookups and one ``np.bincount``
+    sum/count pair folds them back per row (~8x faster than the
+    earlier ``groupby(...).mean()``; sequential accumulation order
+    also matches DuckDB's AVG, tightening the ~1e-15 pairwise-vs-
+    sequential gap the 6 dp rounding absorbs)."""
+    out_idx = s.index
+    vals = s.tolist()
     keys: list[str] = []
     rows: list[int] = []
-    for pos, words in enumerate(toks.tolist()):
-        if not isinstance(words, list):
+    for pos, txt in enumerate(vals):
+        if not isinstance(txt, str):
             continue
-        ws = ["<s>", *[w for w in words if w], "</s>"]
-        keys.extend(
-            ws[i] + "\x00" + ws[i + 1] for i in range(len(ws) - 1)
-        )
+        ws = ["<s>", *[w for w in _WS.split(txt.lower()) if w], "</s>"]
+        keys.extend(map("\x00".join, zip(ws, ws[1:])))
         rows.extend([pos] * (len(ws) - 1))
     if not keys:
-        return out
-    nll = pd.Series(keys).map(_LM_STR).fillna(OOV_NLL)
-    means = nll.groupby(pd.Series(rows)).mean()
-    out.iloc[means.index] = means.to_numpy()
-    return out
+        return pd.Series(float("nan"), index=out_idx, dtype="float64")
+    nll = pd.Series(keys).map(_LM_STR).fillna(OOV_NLL).to_numpy()
+    ridx = np.asarray(rows)
+    sums = np.bincount(ridx, weights=nll, minlength=len(vals))
+    cnts = np.bincount(ridx, minlength=len(vals))
+    with np.errstate(invalid="ignore"):
+        means = sums / cnts  # rows with no bigrams (NULL text) → NaN
+    return pd.Series(means, index=out_idx, dtype="float64")
 
 
 @pandas_udf(DoubleType())
