@@ -92,6 +92,60 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """MinHash near-dup dedup as a standalone resumable stage.
+
+    ``--state-dir`` makes every connected-components round a parquet
+    commit: a run killed mid-propagation re-invoked with the same
+    state dir resumes from the last completed round and produces
+    byte-identical labels (pytest kills a live run to pin this).
+    ``--reliable-checkpoints`` instead wires rounds to a real Spark
+    checkpoint directory (``<state-dir>/spark_ckpt`` or
+    ``--checkpoint-dir``) so they survive executor loss within one
+    driver lifetime — the in-session durability rung below
+    ``--state-dir``.
+    """
+    from .operators.dedup import minhash_dedup_labels
+
+    spark = _spark(args)
+    if args.reliable_checkpoints:
+        ckpt = args.checkpoint_dir or (
+            f"{args.state_dir}/spark_ckpt" if args.state_dir else None
+        )
+        if not ckpt:
+            print(
+                "--reliable-checkpoints needs --checkpoint-dir or --state-dir",
+                file=sys.stderr,
+            )
+            return 2
+        spark.sparkContext.setCheckpointDir(ckpt)
+    df = spark.read.parquet(args.input)
+    labels = minhash_dedup_labels(
+        df,
+        args.id_col,
+        args.text_col,
+        threshold=args.threshold,
+        reliable_checkpoint=args.reliable_checkpoints and not args.state_dir,
+        state_dir=args.state_dir,
+        max_iter=args.max_iter,
+    )
+    labels.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    n = out.count()
+    canon = out.filter(F.col("is_canonical")).count()
+    print(
+        json.dumps(
+            {
+                "rows": n,
+                "canonical": canon,
+                "near_dups_dropped": n - canon,
+                "state_dir": args.state_dir,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_show_lineage(args) -> int:
     from .plans.lineage import LineageStore
 
@@ -215,6 +269,28 @@ def main(argv: list[str] | None = None) -> int:
     sc.add_argument("--output", default="/data/out")
     sc.add_argument("--lineage", default="/data/lineage")
     sc.set_defaults(fn=cmd_schedule)
+
+    d = sub.add_parser(
+        "dedup", help="MinHash near-dup labeling (resumable via --state-dir)"
+    )
+    d.add_argument("--input", required=True)
+    d.add_argument("--output", required=True)
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--threshold", type=float, default=0.5)
+    d.add_argument("--max-iter", type=int, default=15)
+    d.add_argument(
+        "--state-dir",
+        default=None,
+        help="durable CC rounds (parquet); same dir resumes a killed run",
+    )
+    d.add_argument(
+        "--reliable-checkpoints",
+        action="store_true",
+        help="CC rounds via reliable Spark checkpoints (executor-loss safe)",
+    )
+    d.add_argument("--checkpoint-dir", default=None)
+    d.set_defaults(fn=cmd_dedup)
 
     s = sub.add_parser("show-lineage", help="dump lineage rows as JSON lines")
     s.add_argument("--lineage", required=True)

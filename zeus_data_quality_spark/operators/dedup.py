@@ -665,6 +665,129 @@ def connected_components(
     return out
 
 
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _fs_exists(spark, path: str) -> bool:
+    fs, jpath = _hadoop_fs(spark, path)
+    return fs.exists(jpath)
+
+
+def _fs_touch(spark, path: str) -> None:
+    fs, jpath = _hadoop_fs(spark, path)
+    fs.create(jpath, True).close()
+
+
+def connected_components_durable(
+    edges: DataFrame,
+    state_dir: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 15,
+    return_converged: bool = False,
+):
+    """``connected_components`` with every round committed to durable
+    storage — the driver-loss answer for corpus-scale dedup.
+
+    Plain iterative CC only survives *executor* loss (reliable RDD
+    checkpoints); if the driver dies mid-propagation the whole
+    pairs→labels computation restarts. Here each round's labels are a
+    parquet commit under ``state_dir`` and convergence is a marker
+    file, so a killed run re-invoked with the same ``state_dir``
+    resumes from the last COMPLETED round (parquet's _SUCCESS protocol
+    makes a half-written round invisible — it is simply redone) and
+    produces byte-identical labels. The durable write doubles as
+    lineage truncation: each round's plan starts from a fresh scan, so
+    no localCheckpoint/checkpoint is needed at all. Layout::
+
+        state_dir/edges/          symmetrized (src,dst) pairs, written once
+        state_dir/rounds/round=N/ labels after round N (round 0 = init)
+        state_dir/_CONVERGED_N    marker: round N changed nothing
+
+    All paths go through the Hadoop FileSystem API, so ``state_dir``
+    may be HDFS/S3/local alike. Semantics (min-label propagation,
+    max_iter truncation with ``return_converged``) are identical to
+    ``connected_components`` — pytest pins agreement between the two.
+    """
+    spark = edges.sparkSession
+    edges_path = f"{state_dir}/edges"
+    if not _fs_exists(spark, f"{edges_path}/_SUCCESS"):
+        (
+            edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+            .union(
+                edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+            )
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(edges_path)
+        )
+    sym = spark.read.parquet(edges_path)
+
+    def round_path(n: int) -> str:
+        return f"{state_dir}/rounds/round={n}"
+
+    def converged_round() -> int | None:
+        for n in range(max_iter + 1):
+            if _fs_exists(spark, f"{state_dir}/_CONVERGED_{n}"):
+                return n
+        return None
+
+    done = converged_round()
+    last = None
+    for n in range(max_iter, -1, -1):
+        if _fs_exists(spark, f"{round_path(n)}/_SUCCESS"):
+            last = n
+            break
+    if last is None:
+        (
+            sym.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("comp", F.col("id"))
+            .write.mode("overwrite")
+            .parquet(round_path(0))
+        )
+        last = 0
+    labels = spark.read.parquet(round_path(last))
+    converged = done is not None and done <= last
+    if not converged:
+        for n in range(last + 1, max_iter + 1):
+            prop = (
+                sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.min("comp").alias("n_comp"))
+            )
+            (
+                labels.join(prop, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("comp"),
+                        F.coalesce(F.col("n_comp"), F.col("comp")),
+                    ).alias("comp"),
+                )
+                .write.mode("overwrite")
+                .parquet(round_path(n))
+            )
+            new = spark.read.parquet(round_path(n))
+            changed = (
+                new.join(labels.withColumnRenamed("comp", "old"), "id")
+                .filter(F.col("comp") != F.col("old"))
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                _fs_touch(spark, f"{state_dir}/_CONVERGED_{n}")
+                converged = True
+                break
+    out = labels.select(F.col("id"), F.col("comp").alias("component"))
+    if return_converged:
+        return out, converged
+    return out
+
+
 def minhash_dedup_labels(
     df: DataFrame,
     id_col: str,
@@ -673,6 +796,9 @@ def minhash_dedup_labels(
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
     hash_mode: str = "xxhash64",
+    reliable_checkpoint: bool = False,
+    state_dir: str | None = None,
+    max_iter: int = 15,
 ) -> DataFrame:
     """End-to-end near-dup verdict: (id, component, is_canonical).
 
@@ -680,6 +806,12 @@ def minhash_dedup_labels(
     cluster; singletons (no near-dup) are their own canonical
     component. This is the column a training pipeline filters on:
     ``keep = is_canonical``.
+
+    Durability ladder (CLI ``dedup`` exposes all three): default
+    localCheckpoint (single box), ``reliable_checkpoint=True`` (rounds
+    survive executor loss via the session checkpoint dir), ``state_dir``
+    (rounds are parquet commits — a killed DRIVER resumes
+    byte-identical; see ``connected_components_durable``).
     """
     sig_caches: list = []
     pairs = minhash_dedup(
@@ -687,9 +819,17 @@ def minhash_dedup_labels(
         sig_cache_out=sig_caches,
     )
     try:
-        comp, converged = connected_components(
-            pairs, "id_a", "id_b", return_converged=True
-        )
+        if state_dir is not None:
+            comp, converged = connected_components_durable(
+                pairs, state_dir, "id_a", "id_b",
+                max_iter=max_iter, return_converged=True,
+            )
+        else:
+            comp, converged = connected_components(
+                pairs, "id_a", "id_b",
+                max_iter=max_iter, return_converged=True,
+                reliable_checkpoint=reliable_checkpoint,
+            )
     finally:
         # the checkpointed component labels no longer reference the
         # signature table — release its cache even on failure (a retry
