@@ -1,0 +1,150 @@
+"""Streaming MinHash-band dedup: stream≡batch band/anchor agreement,
+online duplicate detection across micro-batches, and TTL eviction.
+
+One continuous query per test (memory sink + polling, the same
+pattern as test_stateful_streaming.py): ``processAllAvailable`` /
+``availableNow`` never settle under ProcessingTimeTimeout because
+pending state timeouts keep scheduling maintenance batches."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.operators.dedup import minhash_band_keys
+from zeus_data_quality_spark.streaming.band_dedup import (
+    doc_verdicts,
+    streaming_band_dedup,
+)
+
+SCHEMA = "doc_id long, text string"
+
+
+def _docs(spark, n=40):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < n)
+        .select("doc_id", "text")
+    )
+
+
+def _start(spark, src, name, ttl_ms=3_600_000):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = streaming_band_dedup(stream, "doc_id", "text", ttl_ms=ttl_ms)
+    return (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+
+def _wait(spark, name, cond, timeout=90):
+    deadline = time.time() + timeout
+    rows = []
+    while time.time() < deadline:
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+        if cond(rows):
+            return rows
+    raise AssertionError(f"condition not met in {timeout}s ({len(rows)} rows)")
+
+
+def test_single_batch_stream_matches_batch_anchors(spark, tmp_path):
+    """One micro-batch holding the whole corpus must reproduce the
+    batch pipeline exactly at the band-key level: same (id, key) rows,
+    same min-id anchor per key (VERDICT r2 item 4's agreement bar)."""
+    docs = _docs(spark)
+    src = str(tmp_path / "in")
+    docs.write.parquet(f"{src}/b0")
+
+    batch_keys = minhash_band_keys(docs, "doc_id", "text")
+    batch_pairs = {(r["id"], r["key"]) for r in batch_keys.collect()}
+    batch_anchors = {
+        r["key"]: r["anchor"]
+        for r in batch_keys.groupBy("key")
+        .agg(F.min("id").alias("anchor"))
+        .collect()
+    }
+
+    q = _start(spark, src, "band_single")
+    try:
+        got = _wait(
+            spark, "band_single", lambda rs: len(rs) >= len(batch_pairs)
+        )
+    finally:
+        q.stop()
+    assert {(r["id"], r["key"]) for r in got} == batch_pairs
+    for r in got:
+        assert r["anchor_id"] == batch_anchors[r["key"]]
+        assert r["is_dup_band"] == (r["id"] != r["anchor_id"])
+
+
+def test_cross_batch_duplicate_flagged_and_fresh_kept(spark, tmp_path):
+    docs = _docs(spark)
+    dup_text = docs.filter("doc_id = 3").first()["text"]
+    src = str(tmp_path / "in")
+    docs.write.parquet(f"{src}/b0")
+
+    q = _start(spark, src, "band_cross")
+    try:
+        _wait(spark, "band_cross", lambda rs: len(rs) > 0)
+        spark.createDataFrame(
+            [(9001, dup_text), (9002, "utterly novel text " * 20)], SCHEMA
+        ).write.parquet(f"{src}/b1")
+        rows = _wait(
+            spark,
+            "band_cross",
+            lambda rs: {9001, 9002} <= {r["id"] for r in rs},
+        )
+    finally:
+        q.stop()
+
+    late = [r for r in rows if r["id"] >= 9000]
+    verdicts = {
+        r["id"]: r["is_near_dup"]
+        for r in doc_verdicts(
+            spark.createDataFrame(
+                late,
+                "key long, id long, anchor_id long, is_dup_band boolean",
+            )
+        ).collect()
+    }
+    # exact copy of doc 3 → every band key already anchored to 3
+    assert verdicts[9001] is True
+    assert {r["anchor_id"] for r in late if r["id"] == 9001} == {3}
+    # novel doc → anchors to itself, kept
+    assert verdicts[9002] is False
+
+
+def test_ttl_evicts_band_state(spark, tmp_path):
+    """After ttl_ms of silence (and a micro-batch to fire the timeout),
+    a band key is evicted; recurring content then anchors afresh —
+    the bounded-memory trade documented on the operator."""
+    src = str(tmp_path / "in")
+    text = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    spark.createDataFrame([(1, text)], SCHEMA).write.parquet(f"{src}/b0")
+
+    q = _start(spark, src, "band_ttl", ttl_ms=1_500)
+    try:
+        _wait(spark, "band_ttl", lambda rs: any(r["id"] == 1 for r in rs))
+        time.sleep(3)  # past the TTL; next batches fire the timeout
+        # nudge batch with an unrelated key-space triggers eviction
+        spark.createDataFrame(
+            [(2, "completely different filler words " * 6)], SCHEMA
+        ).write.parquet(f"{src}/b1")
+        _wait(spark, "band_ttl", lambda rs: any(r["id"] == 2 for r in rs))
+        # same text as doc 1, new id: state was evicted → fresh anchor
+        spark.createDataFrame([(3, text)], SCHEMA).write.parquet(f"{src}/b2")
+        rows = _wait(
+            spark, "band_ttl", lambda rs: any(r["id"] == 3 for r in rs)
+        )
+    finally:
+        q.stop()
+    anchors3 = {r["anchor_id"] for r in rows if r["id"] == 3}
+    assert anchors3 == {3}, anchors3  # NOT anchored to 1 — state expired

@@ -285,27 +285,7 @@ def minhash_candidate_pairs(
     _SIG_CACHES.append(weakref.ref(sig_nn))
     if sig_cache_out is not None:
         sig_cache_out.append(sig_nn)
-    # Band key: xxhash64 mode hashes (band index, slice) into one
-    # 64-bit long — an 8-byte shuffle key instead of a ~60-char string.
-    # md5 parity mode concatenates the hex components (both engines
-    # build the identical string).
-    if hash_mode == "md5":
-        band_keys = [
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                *[F.element_at("sig", b * r + j + 1) for j in range(r)],
-            )
-            for b in range(bands)
-        ]
-    else:
-        band_keys = [
-            F.xxhash64(
-                F.lit(b),
-                *[F.element_at("sig", b * r + j + 1) for j in range(r)],
-            )
-            for b in range(bands)
-        ]
+    band_keys = _band_key_columns(bands, r, hash_mode)
     exploded = sig_nn.select(
         F.col(id_col).alias("__id"),
         F.explode(F.array(*band_keys)).alias("key"),
@@ -333,6 +313,55 @@ def minhash_candidate_pairs(
         .join(sig_b, on="id_b")
         .select("id_a", "id_b", est)
         .filter(F.col("jaccard_est") >= threshold)
+    )
+
+
+def _band_key_columns(bands: int, r: int, hash_mode: str) -> list:
+    """One key Column per LSH band over a ``sig`` array column.
+
+    xxhash64 mode hashes (band index, slice) into one 64-bit long — an
+    8-byte shuffle key instead of a ~60-char string. md5 parity mode
+    concatenates the hex components (both engines build the identical
+    string)."""
+    if hash_mode == "md5":
+        return [
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.element_at("sig", b * r + j + 1) for j in range(r)],
+            )
+            for b in range(bands)
+        ]
+    return [
+        F.xxhash64(
+            F.lit(b),
+            *[F.element_at("sig", b * r + j + 1) for j in range(r)],
+        )
+        for b in range(bands)
+    ]
+
+
+def minhash_band_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """(id, key): one row per (document, LSH band) — the exact banding
+    used by ``minhash_candidate_pairs``, exposed standalone because it
+    is pure stateless Column algebra and therefore streams: the
+    watermark-free streaming near-dup gate
+    (``streaming.band_dedup``) keys its state on these values, and the
+    stream≡batch agreement test pins both paths to this one
+    expression. NULL-signature rows (NULL/shingle-less text) are
+    excluded, matching the batch pair generator."""
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, hash_mode=hash_mode)
+    return sigs.filter(F.col("sig").isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(*_band_key_columns(bands, r, hash_mode))).alias("key"),
     )
 
 

@@ -61,13 +61,19 @@ def train_centroids(
     id_col: str = "vec_id",
     n_centroids: int = DEFAULT_CENTROIDS,
     n_iters: int = DEFAULT_ITERS,
+    init_mode: str = "xxhash64",
 ) -> list[list[float]]:
     """Spherical k-means coarse quantizer; returns unit centroids.
 
-    Init = the n_centroids vectors with the smallest xxhash64(id)
-    (a deterministic pseudo-random sample, no RNG state). Each Lloyd
-    iteration: distributed assign + per-dimension mean via posexplode,
-    renormalized; empty clusters keep their previous centroid.
+    Init = the n_centroids vectors with the smallest hash(id) — a
+    deterministic pseudo-random sample, no RNG state. ``init_mode``
+    picks the hash: ``xxhash64`` (default, 8-byte sort key) or ``md5``
+    (hex-string order — the engine-portable parity mode, same
+    discipline as dedup's hash modes, so a DuckDB oracle can re-derive
+    the identical seed set and replay the whole Lloyd loop in SQL).
+    Each Lloyd iteration: distributed assign + per-dimension mean via
+    posexplode, renormalized; empty clusters keep their previous
+    centroid.
     """
     # Persist the normalized vectors: the init sample plus every Lloyd
     # iteration re-reads them (n_iters+1 passes of scan + norm
@@ -79,8 +85,13 @@ def train_centroids(
         .persist()
     )
 
+    seed_key = (
+        F.md5(F.col("__id").cast("string").cast("binary"))
+        if init_mode == "md5"
+        else F.xxhash64(F.col("__id").cast("string"))
+    )
     seed_rows = (
-        unit.orderBy(F.xxhash64(F.col("__id").cast("string")), F.col("__id"))
+        unit.orderBy(seed_key, F.col("__id"))
         .limit(n_centroids)
         .collect()
     )

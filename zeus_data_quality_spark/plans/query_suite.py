@@ -416,15 +416,117 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with real pruning (nprobe=3 of 8 lists) — approximate by
-    design, so rows-only at the driver; recall@5 vs brute force is
-    pinned by pytest (test_operators.py)."""
+    """IVF with real pruning (nprobe=3 of 8 lists), md5-init parity
+    mode. Approximate vs brute force BY DESIGN (recall@5 is
+    pytest-pinned), but fully deterministic — so rather than settling
+    for a rows-only driver check, the DuckDB oracle replays the ENTIRE
+    computation in SQL: md5-ordered seed sample, three unrolled Lloyd
+    iterations (assign = per-vector argmax of centroid dots, update =
+    per-dimension AVG renormalized, empty clusters carried forward),
+    nprobe-cluster probing, and exact cosine ranking inside the probed
+    lists (``_oracle_ann_ivf_probe``). That upgrades r2's one
+    remaining no-oracle row to a green value row."""
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    centroids = ivf.train_centroids(emb, "embedding", "vec_id", n_centroids=8)
+    centroids = ivf.train_centroids(
+        emb, "embedding", "vec_id", n_centroids=8, init_mode="md5"
+    )
     return ivf.ivf_topk(
         emb, queries, centroids, "vec_id", "embedding", k=5, nprobe=3
     ).select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
+
+
+def _oracle_ann_ivf_probe(
+    n_centroids: int = 8, n_iters: int = 3, nprobe: int = 3, k: int = 5
+) -> str:
+    """DuckDB replay of ``q_ann_ivf_probe``: the Lloyd loop unrolled
+    into one CTE chain per iteration. Float parity notes: both engines
+    do double math end to end (embeddings cast to DOUBLE before any
+    sum); per-dimension means may differ at ~1e-16 (partition-order vs
+    single-stream summation), which only matters if two centroids are
+    equidistant from a vector at that scale — the same tolerance the
+    brute-force ANN oracle already relies on for rank stability."""
+    sq = "list_reduce(list_transform({v}, y -> y * y), (a, b) -> a + b)"
+    parts = [
+        f"""unit AS (
+    SELECT vec_id AS id,
+           CAST(embedding AS DOUBLE[]) AS raw,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> x / sqrt({sq.format(v='CAST(embedding AS DOUBLE[])')})) AS v
+    FROM embeddings
+    WHERE {sq.format(v='CAST(embedding AS DOUBLE[])')} > 0
+)""",
+        f"""c0 AS (
+    SELECT CAST(rn - 1 AS INT) AS cluster, vec FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn,
+               v AS vec
+        FROM unit
+    ) WHERE rn <= {n_centroids}
+)""",
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(f"""a{i} AS (
+    SELECT id, v, cluster FROM (
+        SELECT u.id, u.v, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY u.id
+                   ORDER BY list_dot_product(u.v, c.vec) DESC,
+                            c.cluster ASC) AS rn
+        FROM unit u CROSS JOIN c{i - 1} c
+    ) WHERE rn = 1
+),
+m{i} AS (
+    SELECT cluster, pos, AVG(x) AS m FROM (
+        SELECT cluster, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+        FROM a{i}
+    ) GROUP BY cluster, pos
+),
+n{i} AS (
+    SELECT cluster,
+           CASE WHEN sqrt({sq.format(v='mv')}) > 0
+                THEN list_transform(mv, x -> x / sqrt({sq.format(v='mv')}))
+           END AS vec
+    FROM (SELECT cluster, list(m ORDER BY pos) AS mv FROM m{i} GROUP BY cluster)
+),
+c{i} AS (
+    SELECT p.cluster, COALESCE(n.vec, p.vec) AS vec
+    FROM c{i - 1} p LEFT JOIN n{i} n ON n.cluster = p.cluster
+)""")
+    parts.append(f"""asg AS (
+    SELECT id, raw, cluster FROM (
+        SELECT u.id, u.raw, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY u.id
+                   ORDER BY list_dot_product(u.v, c.vec) DESC,
+                            c.cluster ASC) AS rn
+        FROM unit u CROSS JOIN c{n_iters} c
+    ) WHERE rn = 1
+),
+q AS (SELECT id AS query_id, raw AS qv, v AS qu FROM unit WHERE id < 10),
+probe AS (
+    SELECT query_id, cluster FROM (
+        SELECT q.query_id, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY list_dot_product(q.qu, c.vec) DESC,
+                            c.cluster ASC) AS rn
+        FROM q CROSS JOIN c{n_iters} c
+    ) WHERE rn <= {nprobe}
+),
+scored AS (
+    SELECT p.query_id, a.id AS neighbor_id,
+           list_cosine_similarity(a.raw, q.qv) AS cos
+    FROM probe p
+    JOIN asg a ON a.cluster = p.cluster
+    JOIN q ON q.query_id = p.query_id
+    WHERE a.id <> p.query_id
+)""")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rnk
+FROM scored
+QUALIFY rnk <= {k}
+"""
+    )
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1478,6 +1580,8 @@ def oracle_sql():
         # nprobe = n_centroids ⇒ the IVF machinery must reproduce
         # brute-force exactly; pruning recall is pytest-pinned.
         "ann_ivf": ORACLE_ANN_BRUTEFORCE,
+        # the pruned path replays the full k-means + probe in SQL
+        "ann_ivf_probe": _oracle_ann_ivf_probe(),
         "embedding_near_dups_lsh": _oracle_embedding_near_dups_lsh(),
         "monitor_topk": ORACLE_MONITOR_TOPK,
         "monitor_kpis": ORACLE_MONITOR_KPIS,
@@ -1508,9 +1612,7 @@ def oracle_sql():
         "media_resize_checksums": ORACLE_MEDIA_RESIZE,
         "media_audio_frames": ORACLE_MEDIA_AUDIO,
         "media_video_frames": ORACLE_MEDIA_VIDEO,
-        # ann_ivf_probe is the only deliberate rows-only query: real
-        # IVF pruning (nprobe < all) is approximate by design, and its
-        # recall floor is pytest-pinned (test_operators.py). Everything
-        # else — including the hash-seeded dedup/ANN family — is
-        # oracle-verified via md5 parity modes / embedded-constant SQL.
+        # Every query now has a value oracle — including ann_ivf_probe
+        # (r2's one rows-only row), whose oracle replays seed sampling,
+        # the Lloyd loop, probing and in-list ranking entirely in SQL.
     }

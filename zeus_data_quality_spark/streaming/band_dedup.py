@@ -1,0 +1,138 @@
+"""Streaming MinHash-band near-duplicate gate.
+
+The batch family (`operators/dedup.py`) turns MinHash band collisions
+into candidate pairs and connected components; on an unbounded stream
+that global view is ill-posed, so the standard online recast is:
+**a document is a near-dup if any of its LSH band keys was already
+claimed by an earlier document**. State is one tiny row per *live band
+key* (anchor id + nothing else) with a processing-time TTL — bounded
+memory, O(1) state per key, no text and no signatures in state.
+
+Mechanics:
+
+* Band keys come from the SAME stateless Column algebra as batch
+  (``minhash_band_keys`` — signatures → banded xxhash64 longs), so the
+  stream and batch agree key-for-key (pytest pins this).
+* ``groupBy(key).applyInPandasWithState`` assigns each key's anchor =
+  first-arriving id (ties within a micro-batch break to the smallest
+  id, which makes a single-batch stream reproduce batch's min-id
+  anchors exactly).
+* TTL (``state.setTimeoutDuration``): a band key silent for ``ttl_ms``
+  is evicted, after which recurring content anchors afresh — the
+  bounded-memory trade every online dedup makes; size ttl to the
+  dedup horizon (e.g. a crawl snapshot window).
+
+Per-document verdicts need an aggregate over the document's bands
+(near-dup ⇔ ANY band anchored to another id). Chaining another
+stateful aggregate onto an append stream is not supported, so the
+verdict fold lives in the sink: ``doc_verdicts(batch_df)`` in
+``foreachBatch`` (micro-batch DataFrame algebra, one shuffle on id).
+
+The reference has no streaming surface at all (SURVEY.md §2.8); this
+extends the batch dedup family per the north rule.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..operators.dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_NUM_HASHES,
+    minhash_band_keys,
+)
+
+BAND_OUTPUT = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("id", LongType()),
+        StructField("anchor_id", LongType()),
+        StructField("is_dup_band", BooleanType()),
+    ]
+)
+BAND_STATE = StructType([StructField("anchor_id", LongType())])
+
+
+def _make_update(ttl_ms: int):
+    """Closure factory: the TTL ships inside the serialized function
+    (same discipline as ``stateful._make_update``)."""
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # evict the band key; emit nothing
+            return
+        ids: list[int] = []
+        for pdf in batches:
+            ids.extend(int(x) for x in pdf["id"].dropna())
+        if not ids:
+            return
+        ids.sort()
+        anchor = state.get[0] if state.exists else ids[0]
+        state.update((anchor,))
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(ids),
+                "id": ids,
+                "anchor_id": [anchor] * len(ids),
+                "is_dup_band": [i != anchor for i in ids],
+            }
+        )
+
+    return update
+
+
+def streaming_band_dedup(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """stream of (id, text) → append stream of per-(document, band)
+    verdicts ``(key, id, anchor_id, is_dup_band)``.
+
+    ``id_col`` must be integral (string keys: pre-hash with
+    ``xxhash64`` — the anchor choice only needs a total order)."""
+    keys = minhash_band_keys(
+        stream, id_col, text_col, num_hashes, bands, hash_mode="xxhash64"
+    )
+    return (
+        keys.select(F.col("id").cast("long").alias("id"), "key")
+        .groupBy("key")
+        .applyInPandasWithState(
+            _make_update(ttl_ms),
+            outputStructType=BAND_OUTPUT,
+            stateStructType=BAND_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def doc_verdicts(band_rows: DataFrame) -> DataFrame:
+    """Fold per-band rows to per-document verdicts — run inside
+    ``foreachBatch`` on each micro-batch of ``streaming_band_dedup``
+    output (or on any batch DataFrame with the same shape). near-dup ⇔
+    any band anchored elsewhere; keep = NOT near-dup."""
+    return band_rows.groupBy("id").agg(
+        F.max(F.col("is_dup_band")).alias("is_near_dup"),
+        (~F.max(F.col("is_dup_band"))).alias("keep"),
+    )
