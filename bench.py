@@ -122,6 +122,8 @@ HEADLINE = [
     "conversation_dedup",
     "decontaminate",
     "top_tokens",
+    "gopher_repetition",
+    "c4_line_filter",
 ]
 
 

@@ -175,3 +175,30 @@ def test_extended_pipeline_adds_no_scans(spark, sf_dir):
     ext = _plan(spark, qs.q_keep_drop_labels_ext(spark, sf_dir))
     assert ext.count("Scan parquet") == base.count("Scan parquet")
     assert "CartesianProduct" not in ext
+
+
+def test_page_synthesis_single_exchange(spark, sf_dir):
+    """The page corpus window (row_number per page) and the page
+    groupBy hash-partition on the SAME projected page_id attribute —
+    one Exchange total. Both page queries inherit the property: all
+    repetition/C4 metrics are per-row array algebra after the agg."""
+    import re
+
+    for q in (qs.q_gopher_repetition, qs.q_c4_line_filter):
+        plan = _plan(spark, q(spark, sf_dir))
+        n = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n == 1, f"{q.__name__}: {n} exchanges"
+
+
+def test_repetition_stats_evaluate_char_sums_once(spark, sf_dir):
+    """The integer stats (char-sum lambdas) are materialized in their
+    own projection and referenced by attribute from the fraction and
+    verdict columns — CollapseProject must not clone the O(len)
+    aggregate() lambdas into every consumer (the minhash 25x
+    expression-duplication lesson, commit b958d60)."""
+    plan = _plan(spark, qs.q_gopher_repetition(spark, sf_dir))
+    # 3 char-sum aggregates per unit family (all, distinct, reuse) x2
+    # (lines, paras) + 2 for 5-grams + top2 run-length + its finish =
+    # bounded small; duplication into frac+verdict consumers would
+    # push this past 20.
+    assert plan.count("aggregate(") <= 12

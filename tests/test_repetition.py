@@ -1,0 +1,144 @@
+"""Gopher repetition metrics + C4 line filter: pinned fixtures and a
+pure-Python cross-check of the run-length top-2-gram scan."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from zeus_data_quality_spark.functions.boilerplate import c4_line_filter
+from zeus_data_quality_spark.functions.repetition import with_repetition_stats
+
+
+def _rep(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    rows = with_repetition_stats(df, "text").orderBy("id").collect()
+    return [r.asDict() for r in rows]
+
+
+def _c4(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    rows = c4_line_filter(df, "text").orderBy("id").collect()
+    return [r.asDict() for r in rows]
+
+
+def test_duplicate_lines_and_chars(spark):
+    # 4 lines: "aaaa" twice (4 chars each), "bb", "cccc"; one dup
+    # occurrence beyond first → dup_line_frac 1/4; dup chars 4/14.
+    (r,) = _rep(spark, ["aaaa\nbb\naaaa\ncccc"])
+    assert r["n_lines"] == 4
+    assert r["dup_line_frac"] == pytest.approx(0.25)
+    assert r["dup_line_char_frac"] == pytest.approx(4 / 14)
+    assert r["repetition_ok"] is False  # 4/14 > 0.20 char threshold
+
+
+def test_duplicate_paragraphs(spark):
+    text = "para one here\n\npara two is long\n\npara one here"
+    (r,) = _rep(spark, [text])
+    assert r["dup_para_frac"] == pytest.approx(1 / 3)
+    assert r["dup_para_char_frac"] == pytest.approx(13 / 42)
+    # lines are split on single newlines → blank-separated segments
+    # are also lines here; 1 dup of 3.
+    assert r["dup_line_frac"] == pytest.approx(1 / 3)
+    assert r["repetition_ok"] is False
+
+
+def test_line_identity_is_trimmed(spark):
+    (r,) = _rep(spark, ["  x y  \nx y\nz z z"])
+    assert r["dup_line_frac"] == pytest.approx(1 / 3)
+
+
+def test_top2gram_run_length_matches_counter(spark):
+    texts = [
+        "a b a b a c",            # "a b" x2 beats "b a" x2 tie → smallest
+        "x y x y x y x y",        # "x y" x4 vs "y x" x3
+        "one two three four",     # all 2-grams unique
+        "t",                      # below 2 tokens → frac 0
+        "",
+    ]
+    rows = _rep(spark, texts)
+    for t, r in zip(texts, rows):
+        toks = [w for w in t.lower().split() if w]
+        grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        if not grams:
+            assert r["top2gram_char_frac"] == 0.0
+            continue
+        cnt = Counter(grams)
+        best_n = max(cnt.values())
+        best_g = min(g for g, n in cnt.items() if n == best_n)
+        den = len(" ".join(toks))
+        assert r["top2gram_char_frac"] == pytest.approx(
+            best_n * len(best_g) / den
+        ), t
+
+
+def test_dup5gram_fraction(spark):
+    # "a b c d e" appears twice among the 5-grams of this text.
+    (r,) = _rep(spark, ["a b c d e a b c d e"])
+    toks = "a b c d e a b c d e".split()
+    grams = [" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)]
+    total = sum(len(g) for g in grams)
+    distinct = sum(len(g) for g in set(grams))
+    assert r["dup5gram_char_frac"] == pytest.approx((total - distinct) / total)
+    assert r["repetition_ok"] is False
+
+
+def test_empty_and_blank_pass(spark):
+    rows = _rep(spark, ["", "   ", "\n\n\n"])
+    for r in rows:
+        assert r["n_lines"] == 0
+        assert r["repetition_ok"] is True
+        for k in (
+            "dup_line_frac", "dup_para_frac", "top2gram_char_frac",
+            "dup5gram_char_frac",
+        ):
+            assert r[k] == 0.0
+
+
+def test_c4_line_rules(spark):
+    text = "\n".join(
+        [
+            "this line has enough words and ends well.",   # keep
+            "short line.",                                  # < 5 words
+            "this line has enough words but no terminal",   # no punct
+            "does this question line have enough words?",   # keep
+            'he said "stop" and that was quoted enough."',  # keep (quote)
+            "please enable JavaScript to view the page.",   # bad phrase
+            "we updated our privacy policy effective now.", # bad phrase
+        ]
+    )
+    (r,) = _c4(spark, [text])
+    assert r["n_lines"] == 7
+    assert r["n_kept"] == 3
+    assert r["page_keep"] is True
+    assert r["cleaned_text"].split("\n") == [
+        "this line has enough words and ends well.",
+        "does this question line have enough words?",
+        'he said "stop" and that was quoted enough."',
+    ]
+
+
+def test_c4_page_guards(spark):
+    keepable = "\n".join(["good line with five words here."] * 3)
+    rows = _c4(
+        spark,
+        [
+            keepable,                                   # keep
+            keepable + "\nlorem ipsum dolor sit amet.", # lorem → drop
+            keepable + "\ncode { sample } here now.",   # brace → drop
+            "only one good line here today.",           # < 3 kept → drop
+        ],
+    )
+    assert [r["page_keep"] for r in rows] == [True, False, False, False]
+
+
+def test_c4_empty_text(spark):
+    (r,) = _c4(spark, [""])
+    assert r["n_lines"] == 0 and r["n_kept"] == 0
+    assert r["page_keep"] is False
+    assert r["cleaned_text"] == ""

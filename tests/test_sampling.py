@@ -1,0 +1,109 @@
+"""Deterministic hash split / sample / corpus mix."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.functions.sampling import (
+    RESOLUTION,
+    _threshold_hex,
+    corpus_mix,
+    hash_sample,
+    hash_split,
+)
+
+
+def _ids(spark, n, source_of=None):
+    rows = [(i, (source_of(i) if source_of else "s")) for i in range(n)]
+    return spark.createDataFrame(rows, "id long, source string")
+
+
+def test_threshold_hex_boundaries():
+    assert _threshold_hex(0.0) == "0000"
+    assert _threshold_hex(1.0) == "g"          # above every hex bucket
+    assert _threshold_hex(0.5) == format(RESOLUTION // 2, "04x")
+
+
+def test_split_proportions_and_determinism(spark):
+    df = _ids(spark, 4000)
+    out = hash_split(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 4000 - 0.8) < 0.03
+    assert abs(counts["val"] / 4000 - 0.1) < 0.02
+    # exactly reproducible across invocations
+    again = hash_split(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.orderBy("id").collect() == again.orderBy("id").collect()
+
+
+def test_split_matches_python_md5(spark):
+    out = hash_split(
+        _ids(spark, 200), "id", {"a": 0.5, "b": 0.5}, salt="s2"
+    ).orderBy("id").collect()
+    half = format(RESOLUTION // 2, "04x")
+    for r in out:
+        h = hashlib.md5(f"s2:{r['id']}".encode()).hexdigest()[:4]
+        assert r["split"] == ("b" if half <= h < "g" else "a"), r
+
+
+def test_split_null_ids_deterministic_first_label(spark):
+    df = spark.createDataFrame([(None,), (1,)], "id long")
+    out = {r["id"]: r["split"] for r in
+           hash_split(df, "id", {"a": 0.5, "b": 0.5}).collect()}
+    assert out[None] == "a"
+
+
+def test_weight_stability_only_moves_boundary(spark):
+    """Growing a split keeps every previously-assigned member (the
+    reproducible-holdout property of hash bucketing)."""
+    df = _ids(spark, 1000)
+    small = hash_split(df, "id", {"train": 0.5, "rest": 0.5})
+    big = hash_split(df, "id", {"train": 0.7, "rest": 0.3})
+    small_train = {r["id"] for r in small.collect() if r["split"] == "train"}
+    big_train = {r["id"] for r in big.collect() if r["split"] == "train"}
+    assert small_train <= big_train
+
+
+def test_hash_sample_rate_and_subset(spark):
+    df = _ids(spark, 2000)
+    s20 = hash_sample(df, "id", 0.2)
+    s50 = hash_sample(df, "id", 0.5)
+    n20, n50 = s20.count(), s50.count()
+    assert abs(n20 / 2000 - 0.2) < 0.04
+    assert abs(n50 / 2000 - 0.5) < 0.04
+    ids20 = {r["id"] for r in s20.collect()}
+    ids50 = {r["id"] for r in s50.collect()}
+    assert ids20 <= ids50
+    assert hash_sample(df, "id", 0.0).count() == 0
+    assert hash_sample(df, "id", 1.0).count() == 2000
+
+
+def test_corpus_mix_rates(spark):
+    # 300/300/300 rows; shares 50/30/20 → binding source is src0:
+    # C = min(300/.5, 300/.3, 300/.2) = 600 → rates 1.0, 0.6, 0.4.
+    df = _ids(spark, 900, lambda i: f"src{i % 3}")
+    out = corpus_mix(df, "source", "id", {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+    rates = {r["source"]: r["mix_rate"] for r in
+             out.select("source", "mix_rate").distinct().collect()}
+    assert rates["src0"] == pytest.approx(1.0)
+    assert rates["src1"] == pytest.approx(0.6)
+    assert rates["src2"] == pytest.approx(0.4)
+    kept = {r["source"]: r["n"] for r in
+            out.filter("mix_keep").groupBy("source")
+               .agg(F.count("*").alias("n")).collect()}
+    assert kept["src0"] == 300           # binding source fully kept
+    assert abs(kept["src1"] / 300 - 0.6) < 0.1
+    assert abs(kept["src2"] / 300 - 0.4) < 0.1
+
+
+def test_corpus_mix_unlisted_source_dropped(spark):
+    df = _ids(spark, 100, lambda i: "src0" if i % 2 == 0 else "other")
+    out = corpus_mix(df, "source", "id", {"src0": 1.0})
+    other = out.filter(F.col("source") == "other").collect()
+    assert all(r["mix_rate"] == 0.0 and r["mix_keep"] is False for r in other)
+    src0 = out.filter(F.col("source") == "src0").collect()
+    assert all(r["mix_keep"] is True for r in src0)

@@ -1,0 +1,119 @@
+"""C4-style line-level boilerplate filtering — pure JVM Column algebra.
+
+Implements the public line/page heuristics of the C4 corpus (Raffel et
+al. 2020, "Exploring the Limits of Transfer Learning", §2.2): keep a
+line only if it ends in terminal punctuation, has at least 5 words,
+and carries no javascript/cookie/policy boilerplate phrase; keep the
+page only if at least 3 lines survive and the raw text contains
+neither ``lorem ipsum`` nor a ``{`` (the code-page proxy). The
+reference repo has no corpus-level text heuristics (its checks are
+per-row SQL predicates, ``utils/checkdefs.py``); this is part of the
+north-rule training-data extension.
+
+Everything is higher-order-function algebra over the per-row line
+array (split → filter → array_join): no shuffle, no UDF, whole-stage
+codegen end to end — the filter runs at scan speed and composes with
+predicate pushdown on any preceding projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TERMINAL_PUNCT = (".", "!", "?", '"')
+MIN_WORDS_PER_LINE = 5
+MIN_KEPT_LINES = 3
+# Lowercased substrings that kill a line (C4 dropped javascript lines;
+# the policy/cookie phrases are the standard boilerplate companions).
+BAD_LINE_PHRASES = (
+    "javascript",
+    "cookie policy",
+    "privacy policy",
+    "terms of use",
+    "uses cookies",
+)
+BAD_DOC_LOWER = "lorem ipsum"
+BAD_DOC_RAW = "{"
+
+
+def _keep_line(x: Column) -> Column:
+    last = x.substr(F.length(x), F.lit(1))
+    words = F.size(F.filter(F.split(x, r"\s+"), lambda w: w != F.lit("")))
+    ok = last.isin(*TERMINAL_PUNCT) & (words >= MIN_WORDS_PER_LINE)
+    low = F.lower(x)
+    for p in BAD_LINE_PHRASES:
+        ok = ok & ~low.contains(p)
+    return ok
+
+
+def c4_line_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``n_lines``, ``n_kept``, ``page_keep``, ``cleaned_text``."""
+    t = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    tmp = df.withColumn("__lines", lines).withColumn(
+        "__kept", F.filter(F.col("__lines"), _keep_line)
+    )
+    return (
+        tmp.withColumns(
+            {
+                "n_lines": F.size(F.col("__lines")).cast("long"),
+                "n_kept": F.size(F.col("__kept")).cast("long"),
+                "cleaned_text": F.array_join(F.col("__kept"), "\n"),
+            }
+        )
+        .withColumn(
+            "page_keep",
+            (F.col("n_kept") >= MIN_KEPT_LINES)
+            & ~F.lower(t).contains(BAD_DOC_LOWER)
+            & ~t.contains(BAD_DOC_RAW),
+        )
+        .drop("__lines", "__kept")
+    )
+
+
+NL = chr(10)
+
+
+def duckdb_c4_sql(from_clause: str, id_col: str, text_col: str = "text") -> str:
+    """Equivalent DuckDB SQL (same columns, byte-identical
+    ``cleaned_text``)."""
+    punct = ", ".join(
+        "'" + p.replace("'", "''") + "'" for p in TERMINAL_PUNCT
+    )
+    bad = " AND ".join(
+        f"NOT contains(lower(x), '{p}')" for p in BAD_LINE_PHRASES
+    )
+    keep = (
+        f"right(x, 1) IN ({punct}) "
+        f"AND len(list_filter(regexp_split_to_array(x, '\\s+'), "
+        f"w -> w <> '')) >= {MIN_WORDS_PER_LINE} AND {bad}"
+    )
+    return f"""
+WITH c4_src AS (
+    SELECT {id_col} AS id, {text_col} AS t FROM {from_clause}
+),
+c4_arr AS (
+    SELECT id, t,
+        list_filter(list_transform(
+            regexp_split_to_array(t, '{NL}'), x -> trim(x)), x -> x <> '')
+            AS lines
+    FROM c4_src
+),
+c4_kept AS (
+    SELECT id, t, lines,
+           list_filter(lines, x -> {keep}) AS kept
+    FROM c4_arr
+)
+SELECT id AS {id_col},
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(kept) AS BIGINT) AS n_kept,
+    (len(kept) >= {MIN_KEPT_LINES}
+     AND NOT contains(lower(t), '{BAD_DOC_LOWER}')
+     AND NOT contains(t, '{BAD_DOC_RAW}')) AS page_keep,
+    array_to_string(kept, chr(10)) AS cleaned_text
+FROM c4_kept
+"""

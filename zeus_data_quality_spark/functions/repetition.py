@@ -1,0 +1,305 @@
+"""Gopher-style repetition filters — pure JVM Column algebra.
+
+Implements the repetition family of quality heuristics published with
+Gopher (Rae et al. 2021, "Scaling Language Models", Table A1): a
+document is low-quality when too much of it is the same line /
+paragraph / n-gram repeated. The reference repo has no corpus-level
+text heuristics (its checks are per-row SQL predicates,
+``utils/checkdefs.py``); this module is part of the north-rule
+training-data extension, alongside ``functions/textstats.py``.
+
+Metrics (all per document, fractions in [0,1]):
+
+* ``dup_line_frac``      — occurrences beyond the first of any
+  repeated line, over total lines (Gopher threshold 0.30).
+* ``dup_line_char_frac`` — same, character-weighted (0.20).
+* ``dup_para_frac`` / ``dup_para_char_frac`` — the paragraph twins
+  (0.30 / 0.20); paragraphs split on blank lines (``\\n{2,}``).
+* ``top2gram_char_frac`` — characters covered by the most frequent
+  word 2-gram over the single-space-joined token stream (0.20).
+* ``dup5gram_char_frac`` — characters (gram-length-weighted) in
+  occurrences beyond the first of any repeated word 5-gram (0.15).
+* ``repetition_ok``      — all six thresholds hold. The verdict uses
+  integer cross-multiplication (``dup*10 <= total*3`` …), never float
+  compares, so independent engines agree exactly.
+
+Everything is whole-stage-codegen'd higher-order-function algebra over
+per-row arrays — no shuffle, no UDF, fully pushdown-friendly. The most
+frequent 2-gram is found by sort + run-length scan
+(``array_sort`` + ``aggregate``): O(n log n) per row, no per-distinct
+rescan. Line/paragraph/n-gram identities are trimmed strings; ties for
+the top 2-gram break to the lexicographically smallest gram (the
+run-length scan keeps the FIRST maximal run of the ascending sort; the
+DuckDB oracle mirrors with ``ORDER BY n DESC, g ASC``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LINE_SPLIT = "\n"
+PARA_SPLIT = "\n{2,}"
+TOKEN_SPLIT = r"\s+"
+
+# (numerator multiplier, denominator multiplier): frac <= d/n  ⇔
+# num * n <= den * d, evaluated in exact integer arithmetic.
+MAX_DUP_LINE_FRAC = (10, 3)        # 0.30
+MAX_DUP_LINE_CHAR_FRAC = (5, 1)    # 0.20
+MAX_DUP_PARA_FRAC = (10, 3)        # 0.30
+MAX_DUP_PARA_CHAR_FRAC = (5, 1)    # 0.20
+MAX_TOP2GRAM_CHAR_FRAC = (5, 1)    # 0.20
+MAX_DUP5GRAM_CHAR_FRAC = (20, 3)   # 0.15
+
+
+def _units(text: Column, pattern: str) -> Column:
+    """Non-empty trimmed segments of ``text`` split on ``pattern``."""
+    return F.filter(
+        F.transform(F.split(text, pattern), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+
+
+def _char_sum(arr: Column) -> Column:
+    return F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+
+
+def _frac(num: Column, den: Column) -> Column:
+    return F.when(
+        den > 0, num.cast("double") / den.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def _ngrams(tokens: Column, n: int) -> Column:
+    """Word n-grams joined with single spaces; empty array below n
+    tokens (guarded — ``sequence(0, -k)`` would count DOWN)."""
+    make = F.transform(
+        F.sequence(F.lit(0), F.size(tokens) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.get(tokens, i + F.lit(j)) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(tokens) >= n, make).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _top_run(sorted_arr: Column) -> Column:
+    """struct(best_n, best_g): longest run in an ascending-sorted array
+    == the mode; strict ``>`` keeps the first (smallest) gram on ties."""
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best_n"),
+        F.lit("").alias("best_g"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(run > acc["best_n"], run).otherwise(acc["best_n"]).alias("best_n"),
+            F.when(run > acc["best_n"], x).otherwise(acc["best_g"]).alias("best_g"),
+        )
+
+    return F.aggregate(
+        sorted_arr,
+        zero,
+        merge,
+        lambda acc: F.struct(
+            acc["best_n"].alias("best_n"), acc["best_g"].alias("best_g")
+        ),
+    )
+
+
+def _le(num: Column, den: Column, mult: tuple[int, int]) -> Column:
+    n_mult, d_mult = mult
+    return num * n_mult <= den * d_mult
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds the six repetition fractions + ``repetition_ok``."""
+    t = F.col(text_col)
+    tmp = df.withColumns(
+        {
+            "__lines": _units(t, LINE_SPLIT),
+            "__paras": _units(t, PARA_SPLIT),
+            "__toks": F.filter(
+                F.split(F.lower(t), TOKEN_SPLIT), lambda x: x != F.lit("")
+            ),
+        }
+    ).withColumns(
+        {
+            "__g2": _ngrams(F.col("__toks"), 2),
+            "__g5": _ngrams(F.col("__toks"), 5),
+        }
+    )
+
+    def dup_stats(arr: str, prefix: str) -> dict[str, Column]:
+        a = F.col(arr)
+        d = F.array_distinct(a)
+        n, chars = F.size(a).cast("long"), _char_sum(a)
+        return {
+            f"__{prefix}_dup": n - F.size(d),   # occurrences beyond first
+            f"__{prefix}_n": n,
+            f"__{prefix}_dupc": chars - _char_sum(d),
+            f"__{prefix}_c": chars,
+        }
+
+    top2 = _top_run(F.array_sort(F.col("__g2")))
+    g5 = F.col("__g5")
+    g5_chars = _char_sum(g5)
+    # Materialize every integer stat as a column in ONE projection so
+    # each O(len) lambda evaluates once — the fraction and the verdict
+    # below reference the attributes (CollapseProject keeps non-cheap
+    # multi-use expressions in their own projection, verified by plan).
+    stats = tmp.withColumns(
+        {
+            **dup_stats("__lines", "l"),
+            **dup_stats("__paras", "p"),
+            "__t2_num": top2["best_n"] * F.length(top2["best_g"]),
+            "__t2_den": F.length(F.array_join(F.col("__toks"), " ")).cast(
+                "long"
+            ),
+            "__g5_dupc": g5_chars - _char_sum(F.array_distinct(g5)),
+            "__g5_c": g5_chars,
+        }
+    )
+
+    c = F.col
+    out = stats.withColumns(
+        {
+            "n_lines": c("__l_n"),
+            "dup_line_frac": _frac(c("__l_dup"), c("__l_n")),
+            "dup_line_char_frac": _frac(c("__l_dupc"), c("__l_c")),
+            "dup_para_frac": _frac(c("__p_dup"), c("__p_n")),
+            "dup_para_char_frac": _frac(c("__p_dupc"), c("__p_c")),
+            "top2gram_char_frac": _frac(c("__t2_num"), c("__t2_den")),
+            "dup5gram_char_frac": _frac(c("__g5_dupc"), c("__g5_c")),
+            "repetition_ok": (
+                _le(c("__l_dup"), c("__l_n"), MAX_DUP_LINE_FRAC)
+                & _le(c("__l_dupc"), c("__l_c"), MAX_DUP_LINE_CHAR_FRAC)
+                & _le(c("__p_dup"), c("__p_n"), MAX_DUP_PARA_FRAC)
+                & _le(c("__p_dupc"), c("__p_c"), MAX_DUP_PARA_CHAR_FRAC)
+                & _le(c("__t2_num"), c("__t2_den"), MAX_TOP2GRAM_CHAR_FRAC)
+                & _le(c("__g5_dupc"), c("__g5_c"), MAX_DUP5GRAM_CHAR_FRAC)
+            ),
+        }
+    )
+    return out.drop(
+        "__lines", "__paras", "__toks", "__g2", "__g5",
+        "__l_dup", "__l_n", "__l_dupc", "__l_c",
+        "__p_dup", "__p_n", "__p_dupc", "__p_c",
+        "__t2_num", "__t2_den", "__g5_dupc", "__g5_c",
+    )
+
+
+NL = chr(10)
+
+
+def duckdb_repetition_sql(
+    from_clause: str, id_col: str, text_col: str = "text"
+) -> str:
+    """Equivalent DuckDB SQL (same columns, same integer verdicts).
+
+    ``from_clause`` is a relation name or ``(subquery)``. The top
+    2-gram is recomputed relationally (unnest → GROUP BY → window) —
+    an independent algorithm from the Spark run-length scan, which is
+    exactly what makes the parity check meaningful.
+    """
+
+    def dup_sql(arr: str) -> tuple[str, str, str, str]:
+        return (
+            f"len({arr}) - len(list_distinct({arr}))",
+            f"len({arr})",
+            f"coalesce(list_sum(list_transform({arr}, x -> length(x))), 0) - "
+            f"coalesce(list_sum(list_transform(list_distinct({arr}), "
+            f"x -> length(x))), 0)",
+            f"coalesce(list_sum(list_transform({arr}, x -> length(x))), 0)",
+        )
+
+    dl, nl, dlc, lc = dup_sql("lines")
+    dp, np_, dpc, pc = dup_sql("paras")
+    g5c = "coalesce(list_sum(list_transform(g5, x -> length(x))), 0)"
+    g5d = (
+        "coalesce(list_sum(list_transform(list_distinct(g5), "
+        "x -> length(x))), 0)"
+    )
+
+    def frac(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN {den} > 0 "
+            f"THEN CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) "
+            f"ELSE 0.0 END"
+        )
+
+    def le(num: str, den: str, mult: tuple[int, int]) -> str:
+        return f"({num}) * {mult[0]} <= ({den}) * {mult[1]}"
+
+    return f"""
+WITH rep_src AS (
+    SELECT {id_col} AS id, {text_col} AS t FROM {from_clause}
+),
+rep_arr AS (
+    SELECT id, t,
+        list_filter(list_transform(
+            regexp_split_to_array(t, '{NL}'), x -> trim(x)), x -> x <> '')
+            AS lines,
+        list_filter(list_transform(
+            regexp_split_to_array(t, '{NL}{{2,}}'), x -> trim(x)), x -> x <> '')
+            AS paras,
+        list_filter(regexp_split_to_array(lower(t), '\\s+'), x -> x <> '')
+            AS toks
+    FROM rep_src
+),
+rep_grams AS (
+    SELECT id, lines, paras, toks,
+        CASE WHEN len(toks) >= 2 THEN
+            list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        ELSE CAST([] AS VARCHAR[]) END AS g2,
+        CASE WHEN len(toks) >= 5 THEN
+            list_transform(range(1, len(toks) - 3), i ->
+                toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                toks[i+3] || ' ' || toks[i+4])
+        ELSE CAST([] AS VARCHAR[]) END AS g5
+    FROM rep_arr
+),
+rep_g2x AS (SELECT id, unnest(g2) AS g FROM rep_grams),
+rep_cnt AS (SELECT id, g, COUNT(*) AS n FROM rep_g2x GROUP BY id, g),
+rep_top AS (
+    SELECT id, g, n FROM (
+        SELECT id, g, n,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY n DESC, g ASC) AS rn
+        FROM rep_cnt
+    ) WHERE rn = 1
+),
+rep_stats AS (
+    SELECT a.id,
+        {dl} AS dl, {nl} AS nl, {dlc} AS dlc, {lc} AS lc,
+        {dp} AS dp, {np_} AS np, {dpc} AS dpc, {pc} AS pc,
+        coalesce(t.n, 0) * length(coalesce(t.g, '')) AS top2_num,
+        length(array_to_string(toks, ' ')) AS top2_den,
+        {g5c} - {g5d} AS dup5, {g5c} AS g5c
+    FROM rep_grams a LEFT JOIN rep_top t ON a.id = t.id
+)
+SELECT id AS {id_col},
+    CAST(nl AS BIGINT) AS n_lines,
+    {frac('dl', 'nl')} AS dup_line_frac,
+    {frac('dlc', 'lc')} AS dup_line_char_frac,
+    {frac('dp', 'np')} AS dup_para_frac,
+    {frac('dpc', 'pc')} AS dup_para_char_frac,
+    {frac('top2_num', 'top2_den')} AS top2gram_char_frac,
+    {frac('dup5', 'g5c')} AS dup5gram_char_frac,
+    ({le('dl', 'nl', MAX_DUP_LINE_FRAC)}
+     AND {le('dlc', 'lc', MAX_DUP_LINE_CHAR_FRAC)}
+     AND {le('dp', 'np', MAX_DUP_PARA_FRAC)}
+     AND {le('dpc', 'pc', MAX_DUP_PARA_CHAR_FRAC)}
+     AND {le('top2_num', 'top2_den', MAX_TOP2GRAM_CHAR_FRAC)}
+     AND {le('dup5', 'g5c', MAX_DUP5GRAM_CHAR_FRAC)}) AS repetition_ok
+FROM rep_stats
+"""

@@ -1,0 +1,257 @@
+"""Deterministic hash splits, sampling, and corpus mixing.
+
+The training-data counterparts of the reference's row-level checks:
+once keep/drop labels exist, a pipeline still has to (a) carve
+train/val/test splits, (b) subsample, and (c) hit a target source mix
+— all REPRODUCIBLY, on any engine, with no RNG state. Everything here
+keys on ``md5(salt || ':' || id)``:
+
+* a row's first-4-hex-chars bucket is uniform over ``16^4 = 65536``
+  values, and FIXED-WIDTH LOWERCASE HEX COMPARES LEXICOGRAPHICALLY AS
+  ITS NUMERIC VALUE — so split/sample thresholds are plain string
+  comparisons, byte-identical in Spark and DuckDB (the same idiom as
+  the md5 parity modes in ``operators/dedup.py``);
+* per-row rates (corpus mixing) convert the 4-hex bucket to an int
+  with a position-weighted ``instr`` lookup — no engine-specific
+  hex-cast, same result everywhere.
+
+Scale: pure map-side Column algebra; ``corpus_mix`` adds one tiny
+groupBy (|sources| rows) broadcast-joined back. Changing the salt
+re-draws every assignment; changing weights moves only the boundary
+rows (hash stability — the standard reproducible-holdout property).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX_CHARS = 4
+RESOLUTION = 16 ** HEX_CHARS  # 65536 buckets → 0.0015% rate granularity
+_ALPHA = "0123456789abcdef"
+
+
+def _bucket_hex(id_col: Column, salt: str) -> Column:
+    return F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), id_col.cast("string"))),
+        1,
+        HEX_CHARS,
+    )
+
+
+def _threshold_hex(frac: float) -> str:
+    """Cumulative-weight boundary as a fixed-width hex literal.
+    ``frac=1.0`` maps to 'g' — lexicographically above every hex
+    bucket, so a full weight keeps every row."""
+    n = int(round(frac * RESOLUTION))
+    if n >= RESOLUTION:
+        return "g"
+    return format(n, f"0{HEX_CHARS}x")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Adds ``out_col``: a deterministic split label with the given
+    weights (normalized over their sum; insertion order defines the
+    bucket layout). NULL ids all land in the FIRST split —
+    deterministic, and stated here so it is a contract, not an
+    accident (md5(NULL) is NULL and ``NULL < 'x'`` is never TRUE, so
+    NULLs fall through every WHEN to the otherwise-arm; we therefore
+    put the first label in the otherwise-arm and order the WHENs from
+    the last boundary down)."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum > 0")
+    names = list(weights)
+    h = _bucket_hex(F.col(id_col), salt)
+    cum = 0.0
+    bounds: list[tuple[str, str]] = []  # (label, upper hex bound)
+    for name in names:
+        cum += weights[name] / total
+        bounds.append((name, _threshold_hex(cum)))
+    # First label is the otherwise-arm (catches its own bucket range
+    # AND NULL ids); remaining labels take (prev_bound, bound].
+    expr = None
+    for (name, bound), (_, prev_bound) in zip(bounds[1:], bounds[:-1]):
+        cond = (h >= prev_bound) & (h < bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    if expr is None:
+        return df.withColumn(out_col, F.lit(names[0]))
+    return df.withColumn(out_col, expr.otherwise(F.lit(names[0])))
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic ~``fraction`` subsample: keep rows whose bucket
+    falls below the threshold. NULL ids are dropped (NULL < 'x' is
+    NULL → filter false) — stated contract."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(
+        _bucket_hex(F.col(id_col), salt) < F.lit(_threshold_hex(fraction))
+    )
+
+
+def _hex_to_int(h: Column) -> Column:
+    """Position-weighted instr lookup: engine-portable hex4 → int."""
+    out = F.lit(0)
+    for i in range(HEX_CHARS):
+        digit = F.position(F.substring(h, i + 1, 1), F.lit(_ALPHA)) - 1
+        out = out + digit * (16 ** (HEX_CHARS - 1 - i))
+    return out
+
+
+def corpus_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    target_shares: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Adds ``mix_rate`` (per-source acceptance rate) and ``mix_keep``.
+
+    Finds the LARGEST corpus whose kept rows hit ``target_shares``
+    (normalized) exactly in expectation: the binding source s* (the
+    one with the least data relative to its share) is kept at rate 1,
+    every other source at ``share_s * n_{s*} / (share_{s*} * n_s)``.
+    Sources not listed get rate 0. One |sources|-row aggregate,
+    broadcast back; the keep decision is the deterministic hash
+    bucket against ``floor(rate * RESOLUTION)``."""
+    if not target_shares:
+        raise ValueError("target_shares must be non-empty")
+    total = sum(target_shares.values())
+    shares = {k: v / total for k, v in target_shares.items()}
+    share_expr = None
+    for name, share in shares.items():
+        cond = F.col(source_col) == name
+        share_expr = (
+            F.when(cond, F.lit(share))
+            if share_expr is None
+            else share_expr.when(cond, F.lit(share))
+        )
+    share_expr = share_expr.otherwise(F.lit(0.0))
+
+    counts = (
+        df.filter(share_expr > 0)
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .withColumn("__share", share_expr)
+    )
+    # scaled corpus size C = min over sources of n_s / share_s
+    c = counts.agg(
+        F.min(F.col("__n").cast("double") / F.col("__share")).alias("__c")
+    )
+    rates = counts.crossJoin(F.broadcast(c)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.col("__share") * F.col("__c") / F.col("__n").cast("double"),
+        ).alias("mix_rate"),
+    )
+    bucket = _hex_to_int(_bucket_hex(F.col(id_col), salt))
+    return (
+        df.join(F.broadcast(rates), on=source_col, how="left")
+        .withColumn("mix_rate", F.coalesce(F.col("mix_rate"), F.lit(0.0)))
+        .withColumn(
+            "mix_keep",
+            bucket < F.floor(F.col("mix_rate") * RESOLUTION).cast("int"),
+        )
+    )
+
+
+# ------------------------------------------------------------- oracles
+
+def _sql_bucket(id_sql: str, salt: str) -> str:
+    return f"substr(md5('{salt}:' || CAST({id_sql} AS VARCHAR)), 1, {HEX_CHARS})"
+
+
+def _sql_hex_to_int(h: str) -> str:
+    terms = " + ".join(
+        f"(instr('{_ALPHA}', substr({h}, {i + 1}, 1)) - 1) * "
+        f"{16 ** (HEX_CHARS - 1 - i)}"
+        for i in range(HEX_CHARS)
+    )
+    return f"({terms})"
+
+
+def duckdb_hash_split_sql(
+    from_clause: str,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+    out_col: str = "split",
+) -> str:
+    total = sum(weights.values())
+    names = list(weights)
+    h = _sql_bucket(id_col, salt)
+    cum, arms = 0.0, []
+    bounds = []
+    for name in names:
+        cum += weights[name] / total
+        bounds.append((name, _threshold_hex(cum)))
+    for (name, bound), (_, prev) in zip(bounds[1:], bounds[:-1]):
+        arms.append(f"WHEN {h} >= '{prev}' AND {h} < '{bound}' THEN '{name}'")
+    case = (
+        f"CASE {' '.join(arms)} ELSE '{names[0]}' END"
+        if arms
+        else f"'{names[0]}'"
+    )
+    return f"SELECT *, {case} AS {out_col} FROM {from_clause}"
+
+
+def duckdb_hash_sample_sql(
+    from_clause: str, id_col: str, fraction: float, salt: str = "sample"
+) -> str:
+    h = _sql_bucket(id_col, salt)
+    return (
+        f"SELECT * FROM {from_clause} "
+        f"WHERE {h} < '{_threshold_hex(fraction)}'"
+    )
+
+
+def duckdb_corpus_mix_sql(
+    from_clause: str,
+    source_col: str,
+    id_col: str,
+    target_shares: dict[str, float],
+    salt: str = "mix",
+) -> str:
+    total = sum(target_shares.values())
+    shares = {k: v / total for k, v in target_shares.items()}
+    share_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN {source_col} = '{k}' THEN {v!r}" for k, v in shares.items()
+        )
+        + " ELSE 0.0 END"
+    )
+    bucket = _sql_hex_to_int(_sql_bucket(id_col, salt))
+    return f"""
+WITH mix_counts AS (
+    SELECT {source_col}, CAST(COUNT(*) AS BIGINT) AS n, {share_case} AS share
+    FROM {from_clause}
+    WHERE {share_case} > 0
+    GROUP BY {source_col}
+),
+mix_c AS (SELECT MIN(CAST(n AS DOUBLE) / share) AS c FROM mix_counts),
+mix_rates AS (
+    SELECT {source_col},
+           least(1.0, share * (SELECT c FROM mix_c) / CAST(n AS DOUBLE))
+               AS mix_rate
+    FROM mix_counts
+)
+SELECT s.*, coalesce(r.mix_rate, 0.0) AS mix_rate,
+       {bucket} < CAST(floor(coalesce(r.mix_rate, 0.0) * {RESOLUTION}) AS INT)
+           AS mix_keep
+FROM {from_clause} s LEFT JOIN mix_rates r USING ({source_col})
+"""

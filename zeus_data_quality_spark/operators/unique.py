@@ -20,8 +20,11 @@ We instead do a two-phase plan that only shuffles an aggregate:
 NULL keys never fail UNIQUE in either reference variant
 (``ignore_nulls=True`` exempts explicitly; ``=False`` yields a NULL
 ``IN`` predicate that passes via 3VL — SURVEY.md §2.9.1), so NULL-key
-rows bypass the join entirely: they are not shuffled at all and cannot
-create a NULL-key skew cell.
+rows are excluded from the phase-1 aggregate, and in the probe join a
+NULL key matches nothing, so no NULL-key skew cell can form. (Under
+the AQE broadcast conversion the probe side is not shuffled at all;
+in the shuffled-join fallback NULL-key rows do ride the shuffle, but
+as dead weight spread by hash, never as one hot cell.)
 """
 
 from __future__ import annotations

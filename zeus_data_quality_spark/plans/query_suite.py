@@ -939,6 +939,106 @@ def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pages import synthesize_pages
+
+    return synthesize_pages(_read(spark, sf_dir, "documents"))
+
+
+def _oracle_pages(inner: str) -> str:
+    from ..sources.pages import duckdb_pages_cte
+
+    return (
+        "WITH " + duckdb_pages_cte().strip() + " SELECT * FROM (" + inner + ")"
+    )
+
+
+def _oracle_hash_split() -> str:
+    from ..functions.sampling import duckdb_hash_split_sql
+
+    return (
+        "SELECT doc_id, split FROM ("
+        + duckdb_hash_split_sql("documents", "doc_id", SPLIT_WEIGHTS)
+        + ")"
+    )
+
+
+def _oracle_corpus_mix() -> str:
+    from ..functions.sampling import duckdb_corpus_mix_sql
+
+    return (
+        "SELECT doc_id, source, mix_rate, mix_keep FROM ("
+        + duckdb_corpus_mix_sql("documents", "source", "doc_id", MIX_SHARES)
+        + ")"
+    )
+
+
+def _oracle_gopher_repetition() -> str:
+    from ..functions.repetition import duckdb_repetition_sql
+
+    return _oracle_pages(duckdb_repetition_sql("pages", "page_id", "text"))
+
+
+def _oracle_c4_line_filter() -> str:
+    from ..functions.boilerplate import duckdb_c4_sql
+
+    return _oracle_pages(duckdb_c4_sql("pages", "page_id", "text"))
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021) over the synthesized
+    page corpus (``sources/pages.py``): duplicate line/paragraph
+    fractions, top-2-gram and duplicate-5-gram character fractions,
+    and the integer-arithmetic ``repetition_ok`` verdict — all pure
+    JVM higher-order-function algebra, no shuffle past the page
+    synthesis."""
+    from ..functions.repetition import with_repetition_stats
+
+    return with_repetition_stats(_pages(spark, sf_dir), "text").select(
+        "page_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "dup_para_char_frac", "top2gram_char_frac",
+        "dup5gram_char_frac", "repetition_ok",
+    )
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level boilerplate filter (Raffel et al. 2020) over the
+    synthesized page corpus: terminal-punctuation / min-words /
+    bad-phrase line predicates, page-level lorem-ipsum and brace
+    guards, byte-exact ``cleaned_text`` reassembly."""
+    from ..functions.boilerplate import c4_line_filter
+
+    return c4_line_filter(_pages(spark, sf_dir), "text").select(
+        "page_id", "n_lines", "n_kept", "page_keep", "cleaned_text"
+    )
+
+
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+MIX_SHARES = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket train/val/test split over documents —
+    reproducible holdouts with zero RNG state; thresholds are
+    fixed-width hex string compares (``functions/sampling.py``)."""
+    from ..functions.sampling import hash_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id", SPLIT_WEIGHTS).select("doc_id", "split")
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus mixing: largest deterministic subsample
+    hitting the target source shares in expectation (binding source at
+    rate 1, others scaled; one tiny aggregate broadcast back)."""
+    from ..functions.sampling import corpus_mix
+
+    docs = _read(spark, sf_dir, "documents")
+    return corpus_mix(docs, "source", "doc_id", MIX_SHARES).select(
+        "doc_id", "source", "mix_rate", "mix_keep"
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: decode fake images → histogram features,
     exploded to one (media_id, bin_idx, value) row per bin so the
@@ -1465,8 +1565,16 @@ def queries():
     tests (`rule_failure_counts_alt` = alt-config fused counts,
     `keep_drop_labels_ext_jvm` / `scrubbed_text_jvm` = JVM engines
     proven verdict/byte-identical to the in-window pandas rows,
-    `lang_distribution` = a GROUP BY over the in-window `langid`).
-    tests/test_entry_parity.py asserts every family stays in-window."""
+    `lang_distribution` = a GROUP BY over the in-window `langid`,
+    `tpch_q3` = join+agg+topN already exercised by `join_topk` and
+    `tpch_q1`, `cube_events` = grouping sets already exercised by
+    `rollup_orders`, `date_spine_daily` = the spine that
+    `monitor_daily_trend` zero-fills with, `embedding_near_dups` = the
+    labeled O(n²) exactness baseline whose LSH scale path stays
+    in-window with a subset-of-exact pytest pin). Tail rows still run
+    against their full oracles in tests/test_entry_parity.py, which
+    also asserts every family stays in-window and nothing novel hides
+    in the tail."""
     return {
         "rule_failure_counts": q_rule_failure_counts,
         "rule_failure_counts_ext": q_rule_failure_counts_ext,
@@ -1477,10 +1585,11 @@ def queries():
         "conv_features": q_conv_features,
         "row_count_anomaly": q_row_count_anomaly,
         "freshness": q_freshness,
-        "date_spine_daily": q_date_spine_daily,
+        "hash_split": q_hash_split,
         "join_topk": q_join_topk,
         "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
+        "gopher_repetition": q_gopher_repetition,
+        "c4_line_filter": q_c4_line_filter,
         "dedup_exact": q_dedup_exact,
         "conversation_dedup": q_conversation_dedup,
         "text_stats": q_text_stats,
@@ -1511,18 +1620,21 @@ def queries():
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
-        "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
-        "cube_events": q_cube_events,
+        "corpus_mix": q_corpus_mix,
         "media_features": q_media_features,
         "media_resize_checksums": q_media_resize_checksums,
         "media_audio_frames": q_media_audio_frames,
         "media_video_frames": q_media_video_frames,
         # ---- tail: engine twins / derivative aggregates (see above) ----
+        "tpch_q3": q_tpch_q3,
+        "cube_events": q_cube_events,
         "rule_failure_counts_alt": q_rule_failure_counts_alt,
         "keep_drop_labels_ext_jvm": q_keep_drop_labels_ext_jvm,
         "scrubbed_text_jvm": q_scrubbed_text_jvm,
         "lang_distribution": q_lang_distribution,
+        "date_spine_daily": q_date_spine_daily,
+        "embedding_near_dups": q_embedding_near_dups,
     }
 
 
@@ -1553,6 +1665,8 @@ def oracle_sql():
         "join_topk": ORACLE_JOIN_TOPK,
         "tpch_q1": ORACLE_TPCH_Q1,
         "tpch_q3": ORACLE_TPCH_Q3,
+        "gopher_repetition": _oracle_gopher_repetition(),
+        "c4_line_filter": _oracle_c4_line_filter(),
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "conversation_dedup": oracle_with_transcripts(ORACLE_CONV_DEDUP),
         "text_stats": textstats.duckdb_text_stats_sql("documents", "doc_id", "text"),
@@ -1600,6 +1714,8 @@ def oracle_sql():
             + duckdb_langid_sql("documents", "doc_id", "text").strip()
             + ") GROUP BY lang_pred"
         ),
+        "hash_split": _oracle_hash_split(),
+        "corpus_mix": _oracle_corpus_mix(),
         "minhash_pairs": _oracle_minhash_pairs(),
         "minhash_dedup_labels": ORACLE_MINHASH_LABELS,
         "simhash": duckdb_simhash_md5_sql("documents", "doc_id", "text"),

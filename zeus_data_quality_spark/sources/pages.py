@@ -1,0 +1,162 @@
+"""Deterministic synthesis of a multi-line "page" corpus.
+
+The Gopher repetition rules and the C4 line-level boilerplate filter
+(``functions/repetition.py`` / ``functions/boilerplate.py``) operate on
+documents WITH internal line structure. Every text column in this
+sandbox (``documents.parquet``, the synthesized transcripts) is
+single-line, so — exactly like ``sources/transcripts.py`` — we derive a
+deterministic page corpus from ``documents``: each page is the
+``doc_id``-ordered concatenation of the member documents of one
+``doc_id % N_PAGES`` bucket, one document per line, with
+
+* a repeated nav/boilerplate line every 7th slot (``rn % 7 == 2``) —
+  the classic header/footer duplication the Gopher duplicate-line rules
+  exist to catch, and real fodder for the C4 phrase filter;
+* injected defect lines keyed on ``doc_id`` modulo small primes
+  (javascript walls, cookie/privacy banners, ``lorem ipsum``, a brace
+  line) — one arm per C4 heuristic;
+* a terminal-punctuation suffix cycling on ``doc_id % 4`` (25% of
+  lines end unpunctuated → C4's terminal-punct rule discriminates);
+* a blank-line paragraph break every 3rd line (``rn % 3 == 0``) so the
+  paragraph-level metrics see real paragraphs.
+
+Both engines build the page text with integer-keyed CASE arms and an
+ordered aggregation over the unique ``doc_id``, so the corpora are
+bit-identical and every page query is oracle-checkable.
+
+Scale note: the per-page ``collect_list`` exists only because this
+corpus must be synthesized; a real pipeline reads pages that already
+have line structure. Page sizes are bounded by construction
+(|docs| / N_PAGES), and the groupBy shuffles one compact row per doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PAGES = 40
+PARA_EVERY = 3   # every 3rd line starts a new paragraph (blank line)
+BOILER_EVERY = 7  # every 7th line slot is the repeated nav boilerplate
+
+BOILER_LINE = "home about contact subscribe to the newsletter today."
+# Pages whose id is in SPAM_PAGES get the same spam line for 2/3 of
+# their member docs — concentrated duplication that pushes those pages
+# past the Gopher duplicate-line thresholds (the rest of the corpus
+# stays under them, so ``repetition_ok`` discriminates).
+SPAM_PAGES = (3, 17)
+SPAM_LINE = "buy now limited time offer click here to win a prize."
+INJECT_ARMS = (
+    # (modulus, residue, line) — first matching arm wins; CASE order
+    # below is identical in both engines.
+    (17, 3, "please enable javascript to view this page"),
+    (23, 5, "this site uses cookies and the privacy policy applies here"),
+    (29, 11, "lorem ipsum dolor sit amet"),
+    (31, 7, "code sample follows the brace { here"),
+)
+# doc_id % 4 → terminal suffix ('' arm leaves the line unpunctuated).
+PUNCT_SUFFIXES = (".", "?", "!", "")
+
+
+def _line_col(doc_id, text, n_pages: int):
+    """Spark Column: the member line for one document row (before the
+    position-keyed boilerplate override and paragraph prefixing)."""
+    base = F.trim(text)
+    spam = ((doc_id % n_pages).isin(*SPAM_PAGES)) & (doc_id % 3 != 0)
+    inj = F.when(spam, F.lit(SPAM_LINE))
+    for mod, res, line in INJECT_ARMS:
+        inj = inj.when(doc_id % mod == res, F.lit(line))
+    inj = inj.otherwise(base)
+    suffix = (
+        F.when(doc_id % 4 == 0, F.lit(PUNCT_SUFFIXES[0]))
+        .when(doc_id % 4 == 1, F.lit(PUNCT_SUFFIXES[1]))
+        .when(doc_id % 4 == 2, F.lit(PUNCT_SUFFIXES[2]))
+        .otherwise(F.lit(PUNCT_SUFFIXES[3]))
+    )
+    return F.concat(inj, suffix)
+
+
+def synthesize_pages(docs: DataFrame, n_pages: int = N_PAGES) -> DataFrame:
+    """``documents(doc_id, text, ...)`` → ``(page_id, text, n_docs)``.
+
+    Plan: one narrow projection, a window ``row_number`` on the page
+    key (the only shuffle), then a groupBy that concatenates the
+    pre-prefixed lines in ``doc_id`` order via
+    ``array_sort(collect_list(struct))`` — deterministic because
+    ``doc_id`` is unique.
+    """
+    doc_id = F.col("doc_id")
+    # Project page_id FIRST and window-partition on the attribute, so
+    # the groupBy below reuses the window's hash partitioning (one
+    # Exchange total, plan-pinned by tests/test_plans.py).
+    base = docs.select(
+        (doc_id % n_pages).cast("long").alias("page_id"),
+        "doc_id",
+        _line_col(doc_id, F.col("text"), n_pages).alias("line"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("page_id").orderBy("doc_id")
+    ) - 1
+    line = F.when(rn % BOILER_EVERY == 2, F.lit(BOILER_LINE)).otherwise(
+        F.col("line")
+    )
+    prefixed = (
+        F.when(rn == 0, line)
+        .when(rn % PARA_EVERY == 0, F.concat(F.lit("\n\n"), line))
+        .otherwise(F.concat(F.lit("\n"), line))
+    )
+    rows = base.select("page_id", "doc_id", prefixed.alias("part"))
+    collected = F.array_sort(F.collect_list(F.struct("doc_id", "part")))
+    return rows.groupBy("page_id").agg(
+        F.array_join(F.transform(collected, lambda x: x["part"]), "").alias("text"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+
+
+def duckdb_pages_cte(table: str = "documents", n_pages: int = N_PAGES) -> str:
+    """DuckDB CTE body (``page_lines``, ``pages``) deriving the exact
+    same ``(page_id, text, n_docs)`` corpus from ``table``."""
+    spam_ids = ", ".join(str(p) for p in SPAM_PAGES)
+    inj_arms = (
+        f"WHEN doc_id % {n_pages} IN ({spam_ids}) AND doc_id % 3 <> 0 "
+        f"THEN '{SPAM_LINE}'\n            "
+    ) + "\n            ".join(
+        f"WHEN doc_id % {mod} = {res} THEN '{line.replace(chr(39), chr(39) * 2)}'"
+        for mod, res, line in INJECT_ARMS
+    )
+    suffix = (
+        "CASE WHEN doc_id % 4 = 0 THEN '.' WHEN doc_id % 4 = 1 THEN '?' "
+        "WHEN doc_id % 4 = 2 THEN '!' ELSE '' END"
+    )
+    return f"""
+page_lines AS (
+    SELECT
+        CAST(doc_id % {n_pages} AS BIGINT) AS page_id,
+        doc_id,
+        ROW_NUMBER() OVER (
+            PARTITION BY doc_id % {n_pages} ORDER BY doc_id
+        ) - 1 AS rn,
+        (CASE
+            {inj_arms}
+            ELSE trim(text)
+        END) || {suffix} AS line
+    FROM {table}
+),
+pages AS (
+    SELECT
+        page_id,
+        string_agg(
+            CASE
+                WHEN rn = 0 THEN line2
+                WHEN rn % {PARA_EVERY} = 0 THEN chr(10) || chr(10) || line2
+                ELSE chr(10) || line2
+            END, '' ORDER BY doc_id) AS text,
+        CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM (
+        SELECT page_id, doc_id, rn,
+               CASE WHEN rn % {BOILER_EVERY} = 2
+                    THEN '{BOILER_LINE}' ELSE line END AS line2
+        FROM page_lines
+    )
+    GROUP BY page_id
+)"""
