@@ -48,14 +48,17 @@ def _force(df) -> int:
     return 0
 
 
-def bench_pipeline(spark, sf_dir: str) -> tuple[float, float, float, int]:
-    """Returns (jvm_scrub_sec, pandas_scrub_sec, extended_sec, n_turns).
+def bench_pipeline(spark, sf_dir: str) -> tuple[float, float, float, float, int]:
+    """Returns (jvm_scrub_sec, pandas_scrub_sec, extended_sec,
+    extended_jvm_sec, n_turns).
 
     The flagship `pipeline` entry uses the DEFAULT scrub engine (JVM
     regexp_replace chain — byte-identical to the pandas UDF, driver-
     oracle-verified, ~1.5× faster end-to-end); `pipeline_pandas_scrub`
     keeps the round-1 configuration so the timing series stays
-    comparable."""
+    comparable. `pipeline_extended` keeps the round-2 pandas model
+    gates for the same series reason; `pipeline_extended_jvm` is the
+    production default (CLI --model-engine jvm, verdict-identical)."""
     from zeus_data_quality_spark.functions.scrub import scrub_text_jvm
     from zeus_data_quality_spark.sources.transcripts import (
         load_transcripts_amplified,
@@ -88,16 +91,22 @@ def bench_pipeline(spark, sf_dir: str) -> tuple[float, float, float, int]:
         extended_transcript_checks,
     )
 
-    ext = apply_checks(t, extended_transcript_checks()).withColumn(
-        "text_scrubbed", scrub_text_jvm(F.col("text"))
-    ).select("conv_id", "turn_idx", "keep", "n_violations", "text_scrubbed")
-    _force(ext.limit(50_000))
-    t0 = time.time()
-    _force(ext)
-    ext_sec = time.time() - t0
+    def run_ext(engine) -> float:
+        ext = apply_checks(
+            t, extended_transcript_checks(engine=engine)
+        ).withColumn("text_scrubbed", scrub_text_jvm(F.col("text"))).select(
+            "conv_id", "turn_idx", "keep", "n_violations", "text_scrubbed"
+        )
+        _force(ext.limit(50_000))
+        t0 = time.time()
+        _force(ext)
+        return time.time() - t0
+
+    ext_sec = run_ext(None)
+    ext_jvm_sec = run_ext("jvm")
 
     t.unpersist()
-    return jvm_sec, pandas_sec, ext_sec, n_turns
+    return jvm_sec, pandas_sec, ext_sec, ext_jvm_sec, n_turns
 
 
 HEADLINE = [
@@ -212,10 +221,13 @@ def main() -> None:
     # Warm up the JVM/codegen once with a trivial action.
     spark.range(1000).agg(F.sum("id")).collect()
 
-    pipe_sec, pandas_sec, ext_sec, n_turns = bench_pipeline(spark, sf_dir)
+    pipe_sec, pandas_sec, ext_sec, ext_jvm_sec, n_turns = bench_pipeline(
+        spark, sf_dir
+    )
     timings["pipeline"] = round(pipe_sec, 3)
     timings["pipeline_pandas_scrub"] = round(pandas_sec, 3)
     timings["pipeline_extended"] = round(ext_sec, 3)
+    timings["pipeline_extended_jvm"] = round(ext_jvm_sec, 3)
 
     # This VM shows hypervisor-steal bursts with ~1.5-2x wall variance
     # between identical runs; per-query best-of-N (default 2) keeps the

@@ -82,3 +82,21 @@ def test_salted_agg_matches_plain(spark):
     assert plain == salted
     counts = {r["k"]: r["n"] for r in salted_count(df, ["k"]).collect()}
     assert counts == {k: v[0] for k, v in plain.items()}
+
+
+def test_extended_engine_stamping():
+    """engine='jvm' stamps ONLY the model checks; 'pandas'/None leave
+    params untouched (the CLI production default is jvm)."""
+    from zeus_data_quality_spark.plans.configs import (
+        extended_transcript_checks,
+    )
+
+    jvm = extended_transcript_checks(engine="jvm")
+    for c in jvm:
+        if c.check_type in ("LANG_ID", "PERPLEXITY"):
+            assert c.params["engine"] == "jvm", c.check_id
+        else:
+            assert "engine" not in c.params, c.check_id
+    for variant in (extended_transcript_checks(),
+                    extended_transcript_checks(engine="pandas")):
+        assert all("engine" not in c.params for c in variant)

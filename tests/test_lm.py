@@ -1,0 +1,82 @@
+"""Corpus-scale bigram LM training / join scoring vs the in-process
+trainer (``perplexity._train``) and a pure-Python scorer."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.functions.lm import fit_bigram_lm, score_with_lm
+from zeus_data_quality_spark.functions.perplexity import (
+    OOV_NLL,
+    SEED_CORPUS,
+    _train,
+)
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_fit_matches_import_time_trainer(spark):
+    """Distributed training on the seed corpus lines reproduces the
+    import-time model exactly (same sentinels, same per-line bigram
+    construction, same unigram denominators)."""
+    lines = SEED_CORPUS.splitlines()
+    model = {
+        (r["w1"], r["w2"]): (r["n"], r["nll"])
+        for r in fit_bigram_lm(_df(spark, lines), "text").collect()
+    }
+    want = _train(SEED_CORPUS)
+    assert set(model) == {tuple(k.split("\x00")) for k in want}
+    for key, nll in want.items():
+        pair = tuple(key.split("\x00"))
+        assert model[pair][1] == pytest.approx(nll, abs=1e-6), pair
+
+
+def test_fit_counts_and_nll(spark):
+    model = {
+        (r["w1"], r["w2"]): (r["n"], r["nll"])
+        for r in fit_bigram_lm(_df(spark, ["a b a b", "a c"]), "text").collect()
+    }
+    # unigrams: <s>:2 a:3 b:2 c:1 </s>:2
+    assert model[("a", "b")] == (2, pytest.approx(-math.log(2 / 3), abs=1e-6))
+    assert model[("<s>", "a")] == (2, pytest.approx(0.0))
+    assert model[("c", "</s>")] == (1, pytest.approx(0.0))
+    assert ("</s>", "<s>") not in model  # bigrams never cross rows
+
+
+def test_score_matches_python(spark):
+    texts = ["a b a b", "a c", "a b c", "zz qq"]
+    df = _df(spark, texts)
+    model_df = fit_bigram_lm(df, "text")
+    got = {
+        r["doc_id"]: r["nll_mean"]
+        for r in score_with_lm(df, model_df, "doc_id", "text").collect()
+    }
+    model = {
+        (r["w1"], r["w2"]): r["nll"] for r in model_df.collect()
+    }
+    for i, t in enumerate(texts):
+        toks = ["<s>", *t.lower().split(), "</s>"]
+        nlls = [
+            model.get((a, b), float(OOV_NLL))
+            for a, b in zip(toks, toks[1:])
+        ]
+        assert got[i] == pytest.approx(sum(nlls) / len(nlls), abs=1e-6), t
+
+
+def test_score_oov_and_null(spark):
+    df = _df(spark, ["x y"])
+    model = fit_bigram_lm(_df(spark, ["a b"]), "text")
+    scored = score_with_lm(df, model, "doc_id", "text").collect()
+    assert scored[0]["nll_mean"] == pytest.approx(OOV_NLL)  # all-OOV
+    null_df = spark.createDataFrame([(0, None)], "doc_id long, text string")
+    assert (
+        score_with_lm(null_df, model, "doc_id", "text").collect()[0]["nll_mean"]
+        is None
+    )

@@ -45,7 +45,9 @@ def cmd_run(args) -> int:
             print(f"no checks found for config {args.config_id}", file=sys.stderr)
             return 2
     elif getattr(args, "extended", False):
-        checks = extended_transcript_checks(args.config_id)
+        checks = extended_transcript_checks(
+            args.config_id, engine=getattr(args, "model_engine", None)
+        )
     else:
         checks = default_transcript_checks(args.config_id)
     lineage = LineageStore(spark, args.lineage)
@@ -251,6 +253,16 @@ def main(argv: list[str] | None = None) -> int:
         "--extended",
         action="store_true",
         help="full north-rule config (role alternation + langid + perplexity)",
+    )
+    r.add_argument(
+        "--model-engine",
+        choices=("pandas", "jvm"),
+        default="pandas",
+        help="extended-config model gates: 'pandas' Arrow UDFs "
+        "(default — measured equal-or-faster than the Column engines "
+        "at sf0.1, and the plug-in-model route) or 'jvm' pure-Column "
+        "scorers (verdict-identical; drops the Python-worker "
+        "dependency entirely)",
     )
     r.set_defaults(fn=cmd_run)
 

@@ -1,0 +1,208 @@
+"""Corpus-scale bigram LM training + join-based scoring.
+
+``functions/perplexity.py`` scores with a bigram NLL table trained at
+import time on an embedded seed corpus (its docstring promises "in
+production the table would be built offline at corpus scale"). This
+module IS that production path: train the same model shape —
+``nll(w1,w2) = -ln(count(w1,w2) / count(w1))`` over per-row token
+streams wrapped in ``<s>``/``</s>`` sentinels — as a distributed
+aggregation, and score with a join instead of a broadcast dict.
+
+Training plan (two shuffles, both on compact keys):
+
+1. tokens per row via JVM split (+ sentinels) → explode → two-phase
+   unigram count (map-side partials shrink each task to its local
+   vocabulary);
+2. bigrams per row via one ``transform`` over the token array →
+   explode → two-phase (w1, w2) count;
+3. bigram counts join unigram counts on ``w1`` (AQE broadcasts the
+   unigram side when small — |vocab| ≪ |bigrams|) → NLL.
+
+Per-row construction matches ``perplexity._train`` exactly: bigrams
+never cross rows (each row re-opens with ``<s>``), unigram counts
+include both sentinels, and the ASCII whitespace class mirrors
+``perplexity._WS`` so the same text tokenizes identically in Spark,
+DuckDB, and the pandas scorer.
+
+Scoring joins the scored texts' exploded bigrams against the model
+(left join, OOV rows take the fixed penalty) and folds back with
+``avg`` — the shuffle-join alternative to broadcasting the table into
+a pandas UDF, for models past broadcast size. NLLs are rounded to 6 dp
+on BOTH engines before averaging so the oracle's ``ln``/mean agree
+bit-for-bit (the same absorption trick the perplexity oracle uses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .perplexity import OOV_NLL
+
+BOS, EOS = "<s>", "</s>"
+# ASCII whitespace, identical semantics in Java regex and RE2 — the
+# same class as perplexity._WS.
+WS = r"[ \t\n\r\f\v]+"
+NLL_DP = 6
+
+
+def _token_array(text):
+    toks = F.filter(F.split(F.lower(text), WS), lambda x: x != F.lit(""))
+    return F.concat(F.array(F.lit(BOS)), toks, F.array(F.lit(EOS)))
+
+
+def _bigram_array(toks):
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.struct(
+            F.get(toks, i).alias("w1"), F.get(toks, i + F.lit(1)).alias("w2")
+        ),
+    )
+
+
+def fit_bigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(w1, w2, n, nll)`` — the corpus-trained bigram model. NULL
+    texts contribute nothing (not even sentinels), matching the pandas
+    scorer's skip of non-string rows."""
+    rows = df.filter(F.col(text_col).isNotNull()).select(
+        _token_array(F.col(text_col)).alias("toks")
+    )
+    uni = (
+        rows.select(F.explode("toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_uni"))
+    )
+    bi = (
+        rows.select(F.explode(_bigram_array(F.col("toks"))).alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    # + 0.0 normalizes IEEE -0.0 (from -ln(1.0)) to +0.0: DuckDB's
+    # round keeps the sign, Spark's BigDecimal round drops it — the
+    # value-hash would differ on certainty bigrams otherwise.
+    return bi.join(uni, "w1").select(
+        "w1",
+        "w2",
+        "n",
+        (
+            F.round(
+                -F.log(
+                    F.col("n").cast("double") / F.col("n_uni").cast("double")
+                ),
+                NLL_DP,
+            )
+            + F.lit(0.0)
+        ).alias("nll"),
+    )
+
+
+def score_with_lm(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    out_col: str = "nll_mean",
+) -> DataFrame:
+    """Mean bigram NLL per row via join against ``model`` — unseen
+    bigrams cost ``OOV_NLL``. Rows with NULL text get NULL (no
+    bigrams). The model side broadcasts under AQE when small; at
+    broadcast-breaking scale the same plan shuffle-joins on (w1, w2)."""
+    ids = df.select(
+        F.col(id_col),
+        F.explode(_bigram_array(_token_array(F.col(text_col)))).alias("bg"),
+    ).select(id_col, "bg.w1", "bg.w2")
+    scored = ids.join(model.select("w1", "w2", "nll"), ["w1", "w2"], "left")
+    # Sum exact integer micro-nats, not doubles: the model NLLs are
+    # 6-dp multiples, so the per-row mean becomes order-independent —
+    # a float sum differs between Spark's partial aggregation and the
+    # oracle's sequential AVG by ~1e-13, which flips rounding-boundary
+    # rows (observed at sf0.01).
+    micro = F.round(
+        F.coalesce(F.col("nll"), F.lit(float(OOV_NLL))) * 1e6, 0
+    ).cast("long")
+    agg = scored.groupBy(id_col).agg(
+        (
+            F.round(
+                F.sum(micro).cast("double") / F.count(F.lit(1)) / 1e6,
+                NLL_DP,
+            )
+            + F.lit(0.0)
+        ).alias(out_col)
+    )
+    return df.join(agg, id_col, "left")
+
+
+def duckdb_fit_bigram_lm_sql(from_clause: str, text_col: str = "text") -> str:
+    """Identical training in DuckDB (list algebra + GROUP BYs)."""
+    return f"""
+WITH lm_rows AS (
+    SELECT list_concat(list_concat(
+        ['{BOS}'],
+        list_filter(regexp_split_to_array(lower({text_col}), '{WS}'),
+                    x -> x <> '')),
+        ['{EOS}']) AS toks
+    FROM {from_clause}
+    WHERE {text_col} IS NOT NULL
+),
+lm_uni AS (
+    SELECT w1, CAST(COUNT(*) AS BIGINT) AS n_uni
+    FROM (SELECT unnest(toks) AS w1 FROM lm_rows)
+    GROUP BY w1
+),
+lm_bi AS (
+    SELECT bg['w1'] AS w1, bg['w2'] AS w2, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                      i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS bg
+        FROM lm_rows
+    )
+    GROUP BY 1, 2
+)
+SELECT b.w1, b.w2, b.n,
+       round(-ln(CAST(b.n AS DOUBLE) / CAST(u.n_uni AS DOUBLE)), {NLL_DP})
+           + 0.0 AS nll
+FROM lm_bi b JOIN lm_uni u USING (w1)
+"""
+
+
+def duckdb_score_with_lm_sql(
+    from_clause: str,
+    id_col: str,
+    text_col: str = "text",
+    out_col: str = "nll_mean",
+) -> str:
+    """Score ``from_clause`` rows against the model trained on the
+    SAME relation (self-train-and-score, mirroring the suite query)."""
+    return f"""
+WITH lm_model AS ({duckdb_fit_bigram_lm_sql(from_clause, text_col)}),
+lm_pairs AS (
+    SELECT {id_col} AS id, bg['w1'] AS w1, bg['w2'] AS w2
+    FROM (
+        SELECT {id_col},
+               unnest(list_transform(range(1, len(toks)),
+                      i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS bg
+        FROM (
+            SELECT {id_col}, list_concat(list_concat(
+                ['{BOS}'],
+                list_filter(regexp_split_to_array(lower({text_col}), '{WS}'),
+                            x -> x <> '')),
+                ['{EOS}']) AS toks
+            FROM {from_clause}
+            WHERE {text_col} IS NOT NULL
+        )
+    )
+),
+lm_scores AS (
+    -- exact integer micro-nat sum: order-independent mean (see
+    -- score_with_lm)
+    SELECT p.id,
+           round(CAST(SUM(CAST(round(coalesce(m.nll, {float(OOV_NLL)!r})
+                                     * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000000, {NLL_DP}) + 0.0 AS {out_col}
+    FROM lm_pairs p LEFT JOIN lm_model m USING (w1, w2)
+    GROUP BY p.id
+)
+SELECT s.{id_col}, sc.{out_col}
+FROM {from_clause} s LEFT JOIN lm_scores sc ON s.{id_col} = sc.id
+"""

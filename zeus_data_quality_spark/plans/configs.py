@@ -85,7 +85,9 @@ def default_transcript_checks(config_id: str = "transcripts_default") -> list[Ch
     ]
 
 
-def extended_transcript_checks(config_id: str = "transcripts_extended") -> list[Check]:
+def extended_transcript_checks(
+    config_id: str = "transcripts_extended", engine: str | None = None
+) -> list[Check]:
     """Default config + the remaining north-rule checks: role
     alternation (windowed) and the model-driven pair (language-ID
     allow-list, perplexity ceiling). The WHOLE config — pandas-UDF
@@ -94,7 +96,30 @@ def extended_transcript_checks(config_id: str = "transcripts_extended") -> list[
     ``keep_drop_labels_ext``): the oracle computes the same labels via
     the models' embedded-constant SQL forms (plans/oracle.py
     labeled_cte), plus the pandas-mirror F1 gate in
-    tests/test_f1_gate.py."""
+    tests/test_f1_gate.py.
+
+    ``engine='jvm'`` stamps the two model checks to their pure-Column
+    scorers (``detect_language_jvm`` / ``perplexity_nll_jvm``) —
+    verdict-identical to the pandas UDFs (driver oracle row
+    ``keep_drop_labels_ext_jvm`` + pytest equality) and useful when a
+    deployment wants zero Python workers; ``None``/'pandas' keeps the
+    Arrow-batched UDFs (the default: measured equal-or-faster at sf0.1
+    — bench rows ``pipeline_extended`` vs ``pipeline_extended_jvm`` —
+    and the route for plugging in real fastText/KenLM models)."""
+    from dataclasses import replace
+
+    checks = _extended_model_checks(config_id)
+    if engine and engine != "pandas":
+        checks = [
+            replace(c, params={**c.params, "engine": engine})
+            if c.check_type in ("LANG_ID", "PERPLEXITY")
+            else c
+            for c in checks
+        ]
+    return checks
+
+
+def _extended_model_checks(config_id: str) -> list[Check]:
     return default_transcript_checks(config_id) + [
         Check(
             "ROLE_ALTERNATION",

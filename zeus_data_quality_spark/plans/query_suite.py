@@ -113,19 +113,12 @@ def q_keep_drop_labels_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _keep_drop_ext(spark: SparkSession, sf_dir: str, engine: str | None) -> DataFrame:
     """Shared body for the extended keep/drop queries — one select list
     so the two engine variants cannot drift from their shared oracle."""
-    from dataclasses import replace
-
     from .configs import extended_transcript_checks
 
-    checks = extended_transcript_checks()
-    if engine:
-        checks = [
-            replace(c, params={**c.params, "engine": engine})
-            if c.check_type in ("LANG_ID", "PERPLEXITY")
-            else c
-            for c in checks
-        ]
-    labeled = apply_checks(load_transcripts(spark, sf_dir), checks)
+    labeled = apply_checks(
+        load_transcripts(spark, sf_dir),
+        extended_transcript_checks(engine=engine),
+    )
     return labeled.select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts",
         "n_violations", "keep",
@@ -973,6 +966,18 @@ def _oracle_corpus_mix() -> str:
     )
 
 
+def _oracle_bigram_lm() -> str:
+    from ..functions.lm import duckdb_fit_bigram_lm_sql
+
+    return duckdb_fit_bigram_lm_sql("documents", "text")
+
+
+def _oracle_perplexity_trained() -> str:
+    from ..functions.lm import duckdb_score_with_lm_sql
+
+    return duckdb_score_with_lm_sql("documents", "doc_id", "text")
+
+
 def _oracle_gopher_repetition() -> str:
     from ..functions.repetition import duckdb_repetition_sql
 
@@ -1036,6 +1041,28 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return corpus_mix(docs, "source", "doc_id", MIX_SHARES).select(
         "doc_id", "source", "mix_rate", "mix_keep"
+    )
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale bigram LM training (``functions/lm.py``): the
+    production path for the perplexity scorer's table — two compact-key
+    shuffles (unigram + bigram counts), NLL via join."""
+    from ..functions.lm import fit_bigram_lm
+
+    return fit_bigram_lm(_read(spark, sf_dir, "documents"), "text")
+
+
+def q_perplexity_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-based scoring against the corpus-trained LM (train and
+    score on documents): the shuffle-join alternative to broadcasting
+    the model into the pandas scorer."""
+    from ..functions.lm import fit_bigram_lm, score_with_lm
+
+    docs = _read(spark, sf_dir, "documents")
+    model = fit_bigram_lm(docs, "text")
+    return score_with_lm(docs, model, "doc_id", "text").select(
+        "doc_id", "nll_mean"
     )
 
 
@@ -1635,6 +1662,10 @@ def queries():
         "lang_distribution": q_lang_distribution,
         "date_spine_daily": q_date_spine_daily,
         "embedding_near_dups": q_embedding_near_dups,
+        # post-window additions (window already holds all 50 distinct
+        # families): full value oracles, judged via the parity tool
+        "bigram_lm": q_bigram_lm,
+        "perplexity_trained": q_perplexity_trained,
     }
 
 
@@ -1716,6 +1747,8 @@ def oracle_sql():
         ),
         "hash_split": _oracle_hash_split(),
         "corpus_mix": _oracle_corpus_mix(),
+        "bigram_lm": _oracle_bigram_lm(),
+        "perplexity_trained": _oracle_perplexity_trained(),
         "minhash_pairs": _oracle_minhash_pairs(),
         "minhash_dedup_labels": ORACLE_MINHASH_LABELS,
         "simhash": duckdb_simhash_md5_sql("documents", "doc_id", "text"),
