@@ -133,6 +133,9 @@ HEADLINE = [
     "top_tokens",
     "gopher_repetition",
     "c4_line_filter",
+    "loop_detection",
+    "bigram_lm",
+    "perplexity_trained",
 ]
 
 

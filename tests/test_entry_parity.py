@@ -108,6 +108,7 @@ TAIL_TWINS = {
 TAIL_OVERFLOW = {
     "bigram_lm",
     "perplexity_trained",
+    "loop_detection",
 }
 
 

@@ -1,0 +1,99 @@
+"""Agent-loop detection: crafted conversations with known runs."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from zeus_data_quality_spark.operators.loops import detect_loops
+
+SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp_ntz"
+)
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    return {r["conv_id"]: r.asDict() for r in detect_loops(df).collect()}
+
+
+def _t(i):
+    return datetime(2024, 1, 1, 0, 0, i)
+
+
+def test_stuck_agent_flagged(spark):
+    rows = [("c1", i, "assistant", "let me try that again", None, _t(i))
+            for i in range(5)]
+    rows += [("c2", i, "user", f"question {i}", None, _t(i)) for i in range(5)]
+    out = _run(spark, rows)
+    assert out["c1"]["max_run"] == 5
+    assert out["c1"]["n_consec_dup"] == 4
+    assert out["c1"]["loop_suspect"] is True
+    assert out["c2"]["max_run"] == 1
+    assert out["c2"]["n_consec_dup"] == 0
+    assert out["c2"]["loop_suspect"] is False
+    assert out["c2"]["distinct_frac"] == pytest.approx(1.0)
+
+
+def test_runs_follow_turn_order_not_arrival_order(spark):
+    # same text at turn 0 and 2 with a different turn between — no run
+    rows = [
+        ("c", 2, "a", "same", None, _t(2)),
+        ("c", 0, "a", "same", None, _t(0)),
+        ("c", 1, "a", "different text", None, _t(1)),
+    ]
+    out = _run(spark, rows)["c"]
+    assert out["max_run"] == 1 and out["n_consec_dup"] == 0
+    assert out["n_distinct"] == 2
+
+
+def test_tool_runs_and_null_tools_break(spark):
+    rows = [
+        ("c", 0, "tool", "r0", "search", _t(0)),
+        ("c", 1, "tool", "r1", "search", _t(1)),
+        ("c", 2, "tool", "r2", "search", _t(2)),
+        ("c", 3, "tool", "r3", "search", _t(3)),
+        ("c", 4, "user", "u", None, _t(4)),
+        ("c", 5, "user", "u2", None, _t(5)),
+        ("c", 6, "tool", "r6", "search", _t(6)),
+    ]
+    out = _run(spark, rows)["c"]
+    assert out["tool_max_run"] == 4       # NULL stretch does not count
+    assert out["loop_suspect"] is True    # tool_max_run >= 4
+    assert out["max_run"] == 1            # texts all differ
+
+
+def test_role_distinguishes_turns(spark):
+    # same text, alternating roles → no consecutive dup
+    rows = [("c", i, ("user", "assistant")[i % 2], "ok", None, _t(i))
+            for i in range(4)]
+    out = _run(spark, rows)["c"]
+    assert out["max_run"] == 1 and out["n_consec_dup"] == 0
+    # same text, same role → run
+    rows2 = [("d", i, "user", "ok", None, _t(i)) for i in range(3)]
+    out2 = _run(spark, rows2)["d"]
+    assert out2["max_run"] == 3 and out2["loop_suspect"] is True
+
+
+def test_null_defects_participate(spark):
+    rows = [
+        ("c", None, None, None, None, None),
+        ("c", None, None, None, None, None),
+        ("c", 1, "user", "hello there", None, _t(1)),
+        (None, 0, "user", "orphan", None, _t(0)),   # NULL conv excluded
+    ]
+    out = _run(spark, rows)
+    assert set(out) == {"c"}
+    # the two all-NULL rows sort first and form a run of 2
+    assert out["c"]["n_turns"] == 3
+    assert out["c"]["max_run"] == 2
+    assert out["c"]["n_consec_dup"] == 1
+
+
+def test_single_turn_conversation(spark):
+    out = _run(spark, [("c", 0, "user", "hi there friend", None, _t(0))])["c"]
+    assert out["n_turns"] == 1 and out["max_run"] == 1
+    assert out["loop_suspect"] is False
+    assert out["consec_dup_frac"] == 0.0

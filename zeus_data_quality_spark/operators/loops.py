@@ -1,0 +1,239 @@
+"""Agent-loop detection — repeated-turn runs within a conversation.
+
+Agent transcripts fail in a way web text does not: the agent gets
+stuck, emitting the same turn (or the same tool call) over and over.
+This operator computes per-conversation repetition features and a
+``loop_suspect`` verdict. The reference has no conversation-level
+checks (its rules are per-row predicates, ``utils/checkdefs.py``);
+this extends the north-rule conversation-feature family
+(``operators/convfeat.py``) with the loop pathology.
+
+Metrics per conversation (turn identity = (role, text), tool identity
+= tool; NULLs folded in via sentinels so defect rows still count):
+
+* ``n_turns``, ``n_distinct`` / ``distinct_frac`` — turn variety;
+* ``n_consec_dup`` / ``consec_dup_frac`` — turns identical to their
+  immediate predecessor;
+* ``max_run`` — longest run of identical consecutive turns;
+* ``tool_max_run`` — longest run of identical consecutive tool calls
+  (NULL tools break runs: a stretch of tool-less turns is not a
+  repeated tool call);
+* ``loop_suspect`` — ``max_run >= 3`` OR ``tool_max_run >= 4`` OR
+  ``consec_dup_frac > 0.3`` (integer cross-multiplied, never
+  float-compared).
+
+Plan: ONE shuffle. Each turn becomes (conv_id, sort-key struct,
+md5 turn key); a groupBy collects the conversation, ``array_sort``
+restores turn order (the struct leads with turn_idx then the event
+timestamp, both sentinel-coalesced, so ordering is deterministic in
+both engines; full-duplicate rows are interchangeable and leave every
+metric unchanged), and the run statistics are one O(n) ``aggregate``
+scan over the positional key sequence — the same shuffle shape as
+``conversation_dedup``, compact hashes only, no window sort over the
+corpus. A mega-conversation costs its own reducer O(n log n), not a
+repartition.
+
+The DuckDB oracle recomputes everything RELATIONALLY (lag +
+gaps-and-islands windows) — an independent algorithm, which is what
+makes the parity check meaningful.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MAX_RUN_SUSPECT = 3
+TOOL_RUN_SUSPECT = 4
+# consec_dup_frac > 3/10 → suspect (numerator mult, denominator mult)
+DUP_FRAC_SUSPECT = (10, 3)
+
+_SENT_TI = -(2 ** 31)  # turn_idx sentinel (defect rows use -1/0/NULL)
+_SENT_TS = -1
+
+
+def _turn_key(role: Column, text: Column) -> Column:
+    return F.md5(
+        F.concat_ws(
+            "\x01", F.coalesce(role, F.lit("\x02R")), F.coalesce(text, F.lit("\x02T"))
+        )
+    )
+
+
+def _run_scan(keys: Column) -> Column:
+    """struct(consec, max_run): one pass over the positional key
+    sequence counting adjacent repeats and the longest run."""
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("max_run"),
+        F.lit(0).cast("long").alias("consec"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        same = x == acc["prev"]
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(run, acc["max_run"]).alias("max_run"),
+            (acc["consec"] + F.when(same, 1).otherwise(0)).alias("consec"),
+        )
+
+    return F.aggregate(
+        keys,
+        zero,
+        merge,
+        lambda acc: F.struct(
+            acc["consec"].alias("consec"), acc["max_run"].alias("max_run")
+        ),
+    )
+
+
+def detect_loops(df: DataFrame, conv_col: str = "conv_id") -> DataFrame:
+    """Per-conversation loop features over a transcript DataFrame with
+    columns (conv_id, turn_idx, role, text, tool, ts). NULL conv_ids
+    are excluded (they are not conversations; the NULL_COUNT rule owns
+    them)."""
+    rows = df.filter(F.col(conv_col).isNotNull()).select(
+        F.col(conv_col),
+        F.struct(
+            F.coalesce(F.col("turn_idx").cast("long"), F.lit(_SENT_TI)).alias(
+                "ti"
+            ),
+            # ts arrives TIMESTAMP_NTZ; the session is pinned UTC
+            # (session.py) so the cast is identity and unix_micros
+            # equals DuckDB's epoch_us on the naive value.
+            F.coalesce(
+                F.unix_micros(F.col("ts").cast("timestamp")), F.lit(_SENT_TS)
+            ).alias("tsu"),
+            _turn_key(F.col("role"), F.col("text")).alias("k"),
+            F.coalesce(F.col("tool"), F.lit("\x02NT")).alias("tk"),
+        ).alias("e"),
+    )
+    arr = F.array_sort(F.collect_list("e"))
+    agg = rows.groupBy(conv_col).agg(arr.alias("__arr"))
+    keys = F.transform(F.col("__arr"), lambda x: x["k"])
+    # NULL tools must BREAK runs (a stretch of tool-less turns is not
+    # a repeated tool call): give each sentinel a position-unique
+    # value so it never matches its neighbor.
+    toolkeys = F.transform(
+        F.col("__arr"),
+        lambda x, i: F.when(
+            x["tk"] == F.lit("\x02NT"),
+            F.concat(F.lit("\x02NT"), i.cast("string")),
+        ).otherwise(x["tk"]),
+    )
+    stats = agg.withColumns(
+        {
+            "__n": F.size(F.col("__arr")).cast("long"),
+            "__nd": F.size(F.array_distinct(keys)).cast("long"),
+            "__scan": _run_scan(keys),
+            "__tscan": _run_scan(toolkeys),
+        }
+    )
+    c = F.col
+    out = stats.withColumns(
+        {
+            "n_turns": c("__n"),
+            "n_distinct": c("__nd"),
+            "distinct_frac": c("__nd").cast("double") / c("__n").cast("double"),
+            "n_consec_dup": c("__scan")["consec"],
+            "consec_dup_frac": c("__scan")["consec"].cast("double")
+            / c("__n").cast("double"),
+            "max_run": c("__scan")["max_run"],
+            "tool_max_run": c("__tscan")["max_run"],
+            "loop_suspect": (c("__scan")["max_run"] >= MAX_RUN_SUSPECT)
+            | (c("__tscan")["max_run"] >= TOOL_RUN_SUSPECT)
+            | (
+                c("__scan")["consec"] * DUP_FRAC_SUSPECT[0]
+                > c("__n") * DUP_FRAC_SUSPECT[1]
+            ),
+        }
+    )
+    return out.drop("__arr", "__n", "__nd", "__scan", "__tscan")
+
+
+def duckdb_detect_loops_sql(from_clause: str, conv_col: str = "conv_id") -> str:
+    """Relational recomputation: lag over the same deterministic order,
+    gaps-and-islands for runs. Returned as a WITH-continuation (leading
+    comma) so it composes after ``oracle_with_transcripts``'s CTE; for
+    standalone use prepend ``WITH placeholder AS (SELECT 1)``-style or
+    strip the comma."""
+    key = (
+        "md5(concat_ws(chr(1), coalesce(role, chr(2) || 'R'), "
+        "coalesce(text, chr(2) || 'T')))"
+    )
+    return f"""
+, loop_rows AS (
+    SELECT {conv_col} AS cid,
+           coalesce(CAST(turn_idx AS BIGINT), {_SENT_TI}) AS ti,
+           coalesce(epoch_us(ts), {_SENT_TS}) AS tsu,
+           {key} AS k,
+           coalesce(tool, chr(2) || 'NT') AS tk
+    FROM {from_clause}
+    WHERE {conv_col} IS NOT NULL
+),
+loop_seq AS (
+    SELECT cid, k,
+           CASE WHEN tk = chr(2) || 'NT'
+                THEN chr(2) || 'NT' || CAST(seq AS VARCHAR)
+                ELSE tk END AS tk,
+           seq
+    FROM (
+        SELECT cid, k, tk,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY ti, tsu, k, tk) AS seq
+        FROM loop_rows
+    )
+),
+loop_lagged AS (
+    SELECT cid, k, tk, seq,
+           CASE WHEN k = lag(k) OVER w THEN 1 ELSE 0 END AS same_k,
+           CASE WHEN tk = lag(tk) OVER w THEN 1 ELSE 0 END AS same_tk
+    FROM loop_seq
+    WINDOW w AS (PARTITION BY cid ORDER BY seq)
+),
+loop_numbered AS (
+    SELECT cid, k, tk, same_k, same_tk, seq,
+           SUM(1 - same_k) OVER (PARTITION BY cid
+                                 ORDER BY seq ROWS UNBOUNDED PRECEDING)
+               AS run_id,
+           SUM(1 - same_tk) OVER (PARTITION BY cid
+                                  ORDER BY seq ROWS UNBOUNDED PRECEDING)
+               AS trun_id
+    FROM loop_lagged
+),
+kruns AS (
+    SELECT cid, run_id, CAST(COUNT(*) AS BIGINT) AS rlen
+    FROM loop_numbered GROUP BY cid, run_id
+),
+truns AS (
+    SELECT cid, trun_id, CAST(COUNT(*) AS BIGINT) AS rlen
+    FROM loop_numbered GROUP BY cid, trun_id
+),
+per_conv AS (
+    SELECT cid,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct,
+           CAST(SUM(same_k) AS BIGINT) AS n_consec_dup
+    FROM loop_numbered GROUP BY cid
+)
+SELECT p.cid AS {conv_col},
+       p.n_turns,
+       p.n_distinct,
+       CAST(p.n_distinct AS DOUBLE) / p.n_turns AS distinct_frac,
+       p.n_consec_dup,
+       CAST(p.n_consec_dup AS DOUBLE) / p.n_turns AS consec_dup_frac,
+       mk.max_run,
+       mt.max_run AS tool_max_run,
+       (mk.max_run >= {MAX_RUN_SUSPECT}
+        OR mt.max_run >= {TOOL_RUN_SUSPECT}
+        OR p.n_consec_dup * {DUP_FRAC_SUSPECT[0]}
+           > p.n_turns * {DUP_FRAC_SUSPECT[1]}) AS loop_suspect
+FROM per_conv p
+JOIN (SELECT cid, MAX(rlen) AS max_run FROM kruns GROUP BY cid) mk
+     ON p.cid = mk.cid
+JOIN (SELECT cid, MAX(rlen) AS max_run FROM truns GROUP BY cid) mt
+     ON p.cid = mt.cid
+"""

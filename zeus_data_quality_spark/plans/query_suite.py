@@ -966,6 +966,12 @@ def _oracle_corpus_mix() -> str:
     )
 
 
+def _oracle_loop_detection() -> str:
+    from ..operators.loops import duckdb_detect_loops_sql
+
+    return oracle_with_transcripts(duckdb_detect_loops_sql("transcripts"))
+
+
 def _oracle_bigram_lm() -> str:
     from ..functions.lm import duckdb_fit_bigram_lm_sql
 
@@ -1041,6 +1047,20 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return corpus_mix(docs, "source", "doc_id", MIX_SHARES).select(
         "doc_id", "source", "mix_rate", "mix_keep"
+    )
+
+
+def q_loop_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent-loop detection (``operators/loops.py``): per-conversation
+    repeated-turn runs, consecutive-dup fractions, tool-call runs, and
+    the loop_suspect verdict — one compact-key shuffle, run statistics
+    as O(n) array scans; oracle recomputes relationally."""
+    from ..operators.loops import detect_loops
+
+    return detect_loops(load_transcripts(spark, sf_dir)).select(
+        "conv_id", "n_turns", "n_distinct", "distinct_frac",
+        "n_consec_dup", "consec_dup_frac", "max_run", "tool_max_run",
+        "loop_suspect",
     )
 
 
@@ -1666,6 +1686,7 @@ def queries():
         # families): full value oracles, judged via the parity tool
         "bigram_lm": q_bigram_lm,
         "perplexity_trained": q_perplexity_trained,
+        "loop_detection": q_loop_detection,
     }
 
 
@@ -1749,6 +1770,7 @@ def oracle_sql():
         "corpus_mix": _oracle_corpus_mix(),
         "bigram_lm": _oracle_bigram_lm(),
         "perplexity_trained": _oracle_perplexity_trained(),
+        "loop_detection": _oracle_loop_detection(),
         "minhash_pairs": _oracle_minhash_pairs(),
         "minhash_dedup_labels": ORACLE_MINHASH_LABELS,
         "simhash": duckdb_simhash_md5_sql("documents", "doc_id", "text"),
