@@ -63,14 +63,21 @@ def _bigram_array(toks):
 def fit_bigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
     """``(w1, w2, n, nll)`` — the corpus-trained bigram model. NULL
     texts contribute nothing (not even sentinels), matching the pandas
-    scorer's skip of non-string rows."""
+    scorer's skip of non-string rows.
+
+    The unigram denominators are DERIVED from the bigram counts
+    instead of a second tokenize+explode pass: within a row every
+    non-``</s>`` token occurrence has a successor (``</s>`` terminates
+    the row), so ``n_uni(w1) = Σ_w2 n(w1, w2)`` exactly for every w1
+    that needs a denominator — one corpus scan, one explode, and the
+    follow-up aggregation runs over the tiny bigram-type table via a
+    window (no join back to the corpus). The DuckDB oracle keeps the
+    independent two-pass uni-join derivation, which pins this identity.
+    """
+    from pyspark.sql import Window
+
     rows = df.filter(F.col(text_col).isNotNull()).select(
         _token_array(F.col(text_col)).alias("toks")
-    )
-    uni = (
-        rows.select(F.explode("toks").alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_uni"))
     )
     bi = (
         rows.select(F.explode(_bigram_array(F.col("toks"))).alias("bg"))
@@ -78,18 +85,17 @@ def fit_bigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    n_uni = F.sum("n").over(Window.partitionBy("w1"))
     # + 0.0 normalizes IEEE -0.0 (from -ln(1.0)) to +0.0: DuckDB's
     # round keeps the sign, Spark's BigDecimal round drops it — the
     # value-hash would differ on certainty bigrams otherwise.
-    return bi.join(uni, "w1").select(
+    return bi.select(
         "w1",
         "w2",
         "n",
         (
             F.round(
-                -F.log(
-                    F.col("n").cast("double") / F.col("n_uni").cast("double")
-                ),
+                -F.log(F.col("n").cast("double") / n_uni.cast("double")),
                 NLL_DP,
             )
             + F.lit(0.0)
