@@ -57,8 +57,9 @@ def bench_pipeline(spark, sf_dir: str) -> tuple[float, float, float, float, int]
     oracle-verified, ~1.5× faster end-to-end); `pipeline_pandas_scrub`
     keeps the round-1 configuration so the timing series stays
     comparable. `pipeline_extended` keeps the round-2 pandas model
-    gates for the same series reason; `pipeline_extended_jvm` is the
-    production default (CLI --model-engine jvm, verdict-identical)."""
+    gates (also the CLI default — measured equal-or-faster);
+    `pipeline_extended_jvm` tracks the verdict-identical pure-Column
+    alternative (--model-engine jvm)."""
     from zeus_data_quality_spark.functions.scrub import scrub_text_jvm
     from zeus_data_quality_spark.sources.transcripts import (
         load_transcripts_amplified,
@@ -136,6 +137,7 @@ HEADLINE = [
     "loop_detection",
     "bigram_lm",
     "perplexity_trained",
+    "sequence_packing",
 ]
 
 

@@ -109,6 +109,7 @@ TAIL_OVERFLOW = {
     "bigram_lm",
     "perplexity_trained",
     "loop_detection",
+    "sequence_packing",
 }
 
 

@@ -1,0 +1,87 @@
+"""Sequence packing: deterministic chunk assignment + fill stats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.operators.packing import (
+    pack_sequences,
+    packing_stats,
+)
+
+
+def _pack(spark, texts, budget, n_buckets=1):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    return {
+        r["id"]: r.asDict()
+        for r in pack_sequences(
+            df, "id", "text", budget=budget, n_buckets=n_buckets
+        ).collect()
+    }
+
+
+def test_concat_and_chunk_semantics(spark):
+    # token counts: 3, 4, 2, 5 — budget 6; cum_before: 0, 3, 7, 9
+    texts = ["a b c", "a b c d", "a b", "a b c d e"]
+    out = _pack(spark, texts, budget=6)
+    assert [out[i]["n_tokens"] for i in range(4)] == [3, 4, 2, 5]
+    assert [out[i]["seq_id"] for i in range(4)] == [0, 0, 1, 1]
+    assert [out[i]["offset"] for i in range(4)] == [0, 3, 1, 3]
+
+
+def test_boundary_crossing_doc_starts_in_its_sequence(spark):
+    # doc of 10 tokens with budget 4: starts in seq 0 at offset 0;
+    # next doc starts at cum 10 → seq 2, offset 2.
+    texts = ["t " * 10, "x y"]
+    out = _pack(spark, texts, budget=4)
+    assert out[0]["seq_id"] == 0 and out[0]["offset"] == 0
+    assert out[1]["seq_id"] == 2 and out[1]["offset"] == 2
+
+
+def test_buckets_pack_independently(spark):
+    texts = [f"w{i} " * 5 for i in range(40)]
+    out = _pack(spark, texts, budget=10, n_buckets=4)
+    per_bucket: dict[int, list] = {}
+    for i in sorted(out):
+        per_bucket.setdefault(out[i]["bucket"], []).append(out[i])
+    assert len(per_bucket) > 1
+    for rows in per_bucket.values():
+        # within a bucket (id order), offsets follow the running sum
+        cum = 0
+        for r in rows:
+            assert r["seq_id"] == cum // 10
+            assert r["offset"] == cum % 10
+            cum += r["n_tokens"]
+
+
+def test_null_and_empty_texts_pack_as_zero(spark):
+    out = _pack(spark, ["a b", None, "", "c d"], budget=4)
+    assert out[1]["n_tokens"] == 0 and out[2]["n_tokens"] == 0
+    # zero-token docs land at the current offset without advancing it
+    assert out[1]["offset"] == out[2]["offset"] == 2
+    assert out[3]["offset"] == 2 and out[3]["seq_id"] == 0
+
+
+def test_packing_stats_fill(spark):
+    df = spark.createDataFrame(
+        [(i, "a b c d") for i in range(6)], "id long, text string"
+    )
+    packed = pack_sequences(df, "id", "text", budget=8, n_buckets=1)
+    stats = {
+        r["seq_id"]: r.asDict()
+        for r in packing_stats(packed, budget=8).collect()
+    }
+    # 6 docs x 4 tokens, budget 8 → 2 docs start per sequence
+    assert all(s["n_docs"] == 2 for s in stats.values())
+    assert all(s["tokens_started"] == 8 for s in stats.values())
+    assert all(s["fill_permille"] == 1000 for s in stats.values())
+
+
+def test_determinism(spark):
+    texts = [f"tok{i} " * (i % 7 + 1) for i in range(100)]
+    a = _pack(spark, texts, budget=16, n_buckets=4)
+    b = _pack(spark, texts, budget=16, n_buckets=4)
+    assert a == b

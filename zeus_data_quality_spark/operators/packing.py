@@ -1,0 +1,113 @@
+"""Sequence packing — concat-and-chunk documents into training
+sequences of a fixed token budget.
+
+The last step of a pretraining data pipeline: kept documents are
+concatenated (in a deterministic order) and chunked into fixed-size
+training sequences. This implements the standard GPT-style
+concat-then-chunk packing: a document belongs to the sequence its
+FIRST token lands in (``seq_id = floor(cum_tokens_before / budget)``);
+consumers read sequences as contiguous token windows, so a document
+crossing a boundary simply continues into the next window. No
+bin-packing heuristics, no Python.
+
+Scale design: a single global running sum would serialize on one
+partition, so packing is BUCKETED — documents hash (md5, engine-
+portable like ``functions/sampling.py``) into ``n_buckets`` independent
+streams, and each bucket packs its own sequence space in parallel
+(sequence identity = (bucket, seq_id)). Training runs shard by bucket
+anyway; within a bucket the order is ``id`` ascending, so re-running
+the pipeline reproduces byte-identical packing. One shuffle (the
+window partition), integer token arithmetic throughout.
+
+Token counts default to ``textstats.n_tokens`` (whitespace tokens,
+JVM-side) — swap in a real tokenizer count column when available.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.sampling import _bucket_hex, _hex_to_int, _sql_bucket, _sql_hex_to_int
+from ..functions import textstats
+
+DEFAULT_BUDGET = 2048
+DEFAULT_BUCKETS = 8
+SALT = "pack"
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    budget: int = DEFAULT_BUDGET,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Adds ``bucket``, ``n_tokens``, ``seq_id``, ``offset`` (token
+    offset of the document inside its sequence). NULL texts count 0
+    tokens and pack like empty documents (position markers only)."""
+    toks = F.coalesce(
+        textstats.n_tokens(F.col(text_col)).cast("long"), F.lit(0)
+    )
+    bucket = (_hex_to_int(_bucket_hex(F.col(id_col), SALT)) % n_buckets).cast(
+        "int"
+    )
+    rows = df.withColumns({"n_tokens": toks, "bucket": bucket})
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return rows.withColumns(
+        {
+            "seq_id": F.floor(cum_before / budget).cast("long"),
+            "offset": (cum_before % budget).cast("long"),
+        }
+    )
+
+
+def packing_stats(packed: DataFrame, budget: int = DEFAULT_BUDGET) -> DataFrame:
+    """Per-(bucket, seq_id) fill statistics: docs started, tokens
+    started (a boundary-crossing doc counts its tokens where it
+    starts), and the integer fill permille of started tokens — the
+    packing-efficiency report."""
+    return packed.groupBy("bucket", "seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_started"),
+        (F.sum("n_tokens") * 1000 / budget).cast("long").alias("fill_permille"),
+    )
+
+
+def duckdb_pack_sql(
+    from_clause: str,
+    id_col: str,
+    text_col: str = "text",
+    budget: int = DEFAULT_BUDGET,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> str:
+    ntok = (
+        f"CASE WHEN {text_col} IS NULL THEN 0 "
+        f"WHEN length(trim({text_col})) = 0 THEN 0 "
+        f"ELSE len(regexp_split_to_array(trim({text_col}), '\\s+')) END"
+    )
+    bucket = f"({_sql_hex_to_int(_sql_bucket(id_col, SALT))} % {n_buckets})"
+    return f"""
+WITH pack_rows AS (
+    SELECT {id_col} AS id,
+           CAST({ntok} AS BIGINT) AS n_tokens,
+           CAST({bucket} AS INT) AS bucket
+    FROM {from_clause}
+),
+pack_cum AS (
+    SELECT id, n_tokens, bucket,
+           SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY id
+                               ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS cum_before
+    FROM pack_rows
+)
+SELECT id AS {id_col}, bucket, n_tokens,
+       CAST(floor(CAST(cum_before AS DOUBLE) / {budget}) AS BIGINT) AS seq_id,
+       CAST(cum_before % {budget} AS BIGINT) AS offset
+FROM pack_cum
+"""

@@ -966,6 +966,12 @@ def _oracle_corpus_mix() -> str:
     )
 
 
+def _oracle_sequence_packing() -> str:
+    from ..operators.packing import duckdb_pack_sql
+
+    return duckdb_pack_sql("documents", "doc_id", "text")
+
+
 def _oracle_loop_detection() -> str:
     from ..operators.loops import duckdb_detect_loops_sql
 
@@ -1061,6 +1067,18 @@ def q_loop_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id", "n_turns", "n_distinct", "distinct_frac",
         "n_consec_dup", "consec_dup_frac", "max_run", "tool_max_run",
         "loop_suspect",
+    )
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (``operators/packing.py``):
+    bucketed deterministic document→training-sequence assignment,
+    integer token arithmetic, one window shuffle."""
+    from ..operators.packing import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "text").select(
+        "doc_id", "bucket", "n_tokens", "seq_id", "offset"
     )
 
 
@@ -1687,6 +1705,7 @@ def queries():
         "bigram_lm": q_bigram_lm,
         "perplexity_trained": q_perplexity_trained,
         "loop_detection": q_loop_detection,
+        "sequence_packing": q_sequence_packing,
     }
 
 
@@ -1771,6 +1790,7 @@ def oracle_sql():
         "bigram_lm": _oracle_bigram_lm(),
         "perplexity_trained": _oracle_perplexity_trained(),
         "loop_detection": _oracle_loop_detection(),
+        "sequence_packing": _oracle_sequence_packing(),
         "minhash_pairs": _oracle_minhash_pairs(),
         "minhash_dedup_labels": ORACLE_MINHASH_LABELS,
         "simhash": duckdb_simhash_md5_sql("documents", "doc_id", "text"),
