@@ -38,6 +38,7 @@ DEFAULT_BANDS = 4  # rows_per_band = num_hashes // bands
 _SIG_CACHES: list = []  # list[weakref.ref[DataFrame]]
 
 
+
 def release_signature_caches() -> int:
     """Unpersist every signature table cached by minhash calls in this
     session; returns how many were released (already-collected refs
@@ -290,6 +291,22 @@ def minhash_candidate_pairs(
         F.col(id_col).alias("__id"),
         F.explode(F.array(*band_keys)).alias("key"),
     )
+    # Materialize the cache before any join is planned: after this
+    # count the planner sees the InMemoryRelation's REAL byte size for
+    # the signature table AND for the anchors aggregate built on it,
+    # so every join below broadcasts only when its side genuinely fits
+    # (sf0.1: ~14 MB sig cache → broadcast; 10M docs: ~2 GB →
+    # shuffled). Without it, the static estimate of a filtered
+    # projection carrying an array column lands under
+    # autoBroadcastJoinThreshold at ANY input size, AQE cannot demote
+    # a statically-planned broadcast, and the 16 GB driver dies
+    # building a multi-GB hash relation (observed on a 10M-doc
+    # corpus; file-size heuristics don't work either — that corpus is
+    # 74 MB on disk, parquet dictionary compression hides the 30×
+    # in-memory expansion). The count's cost is one extra pass of the
+    # already-persisted computation's cache-fill barrier (~0.5-1 s at
+    # sf0.1), paid once per signature table.
+    sig_nn.count()
     anchors = exploded.groupBy("key").agg(F.min("__id").alias("id_a"))
     # Candidate pairs carry ids only — the distinct must not shuffle
     # signature arrays.
