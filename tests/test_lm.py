@@ -80,3 +80,21 @@ def test_score_oov_and_null(spark):
         score_with_lm(null_df, model, "doc_id", "text").collect()[0]["nll_mean"]
         is None
     )
+
+
+def test_train_and_score_equals_two_phase(spark):
+    from zeus_data_quality_spark.functions.lm import train_and_score
+
+    texts = ["a b a b", "a c", "a b c", "zz qq", None]
+    df = _df(spark, texts)
+    fused = {
+        r["doc_id"]: r["nll_mean"]
+        for r in train_and_score(df, "doc_id", "text").collect()
+    }
+    two_phase = {
+        r["doc_id"]: r["nll_mean"]
+        for r in score_with_lm(
+            df, fit_bigram_lm(df, "text"), "doc_id", "text"
+        ).collect()
+    }
+    assert fused == two_phase

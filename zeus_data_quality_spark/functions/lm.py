@@ -114,10 +114,22 @@ def score_with_lm(
     bigrams cost ``OOV_NLL``. Rows with NULL text get NULL (no
     bigrams). The model side broadcasts under AQE when small; at
     broadcast-breaking scale the same plan shuffle-joins on (w1, w2)."""
-    ids = df.select(
-        F.col(id_col),
-        F.explode(_bigram_array(_token_array(F.col(text_col)))).alias("bg"),
-    ).select(id_col, "bg.w1", "bg.w2")
+    # Stage the token array as a COLUMN before the per-element lambda
+    # touches it: inlining `_token_array(...)` into `_bigram_array`
+    # re-evaluates the whole split/filter/concat once per element
+    # access — O(tokens²) per row, measured 20x slower at sf0.1 (the
+    # same expression-inlining trap as the minhash shingle fix,
+    # commit b958d60).
+    ids = (
+        df.select(
+            F.col(id_col), _token_array(F.col(text_col)).alias("__toks")
+        )
+        .select(
+            id_col,
+            F.explode(_bigram_array(F.col("__toks"))).alias("bg"),
+        )
+        .select(id_col, "bg.w1", "bg.w2")
+    )
     scored = ids.join(model.select("w1", "w2", "nll"), ["w1", "w2"], "left")
     # Sum exact integer micro-nats, not doubles: the model NLLs are
     # 6-dp multiples, so the per-row mean becomes order-independent —
@@ -127,6 +139,61 @@ def score_with_lm(
     micro = F.round(
         F.coalesce(F.col("nll"), F.lit(float(OOV_NLL))) * 1e6, 0
     ).cast("long")
+    agg = scored.groupBy(id_col).agg(
+        (
+            F.round(
+                F.sum(micro).cast("double") / F.count(F.lit(1)) / 1e6,
+                NLL_DP,
+            )
+            + F.lit(0.0)
+        ).alias(out_col)
+    )
+    return df.join(agg, id_col, "left")
+
+
+def train_and_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    out_col: str = "nll_mean",
+) -> DataFrame:
+    """Self-train-and-score in ONE bigram pass: the per-id bigram
+    stream IS the training stream (``fit_bigram_lm`` on the same
+    relation aggregates exactly these pairs), so build it once, derive
+    the model by (w1, w2) aggregation, and join it back — the groupBy
+    and the join share the same (w1, w2) hash partitioning. Verdict-
+    identical to ``score_with_lm(df, fit_bigram_lm(df))`` (same oracle)
+    at half the tokenize/explode cost."""
+    # token array staged as a column — see score_with_lm for why.
+    ids = (
+        df.select(
+            F.col(id_col), _token_array(F.col(text_col)).alias("__toks")
+        )
+        .select(
+            id_col,
+            F.explode(_bigram_array(F.col("__toks"))).alias("bg"),
+        )
+        .select(id_col, "bg.w1", "bg.w2")
+    )
+    counts = ids.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    from pyspark.sql import Window
+
+    n_uni = F.sum("n").over(Window.partitionBy("w1"))
+    model = counts.select(
+        "w1",
+        "w2",
+        (
+            F.round(
+                -F.log(F.col("n").cast("double") / n_uni.cast("double")),
+                NLL_DP,
+            )
+            + F.lit(0.0)
+        ).alias("nll"),
+    )
+    scored = ids.join(model, ["w1", "w2"])  # inner: every pair has a model row
+    micro = F.round(F.col("nll") * 1e6, 0).cast("long")
     agg = scored.groupBy(id_col).agg(
         (
             F.round(

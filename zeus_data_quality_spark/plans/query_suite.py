@@ -1093,13 +1093,12 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_perplexity_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-based scoring against the corpus-trained LM (train and
-    score on documents): the shuffle-join alternative to broadcasting
-    the model into the pandas scorer."""
-    from ..functions.lm import fit_bigram_lm, score_with_lm
+    score on documents in one shared bigram pass): the shuffle-join
+    alternative to broadcasting the model into the pandas scorer."""
+    from ..functions.lm import train_and_score
 
     docs = _read(spark, sf_dir, "documents")
-    model = fit_bigram_lm(docs, "text")
-    return score_with_lm(docs, model, "doc_id", "text").select(
+    return train_and_score(docs, "doc_id", "text").select(
         "doc_id", "nll_mean"
     )
 
