@@ -1,0 +1,139 @@
+"""Streaming loop gate: alerts fire online, cross-batch run
+continuation, and single-batch agreement with the batch operator.
+
+One continuous query per test (memory sink + polling — see
+test_stream_band_dedup.py for why processAllAvailable cannot be used
+under ProcessingTimeTimeout)."""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime
+
+from zeus_data_quality_spark.operators.loops import detect_loops
+from zeus_data_quality_spark.streaming.loop_gate import streaming_loop_gate
+
+SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp_ntz"
+)
+
+
+def _t(i):
+    return datetime(2024, 1, 1, 0, 0, i)
+
+
+STUCK = [("stuck", i, "assistant", "try again", None, _t(i)) for i in range(4)]
+HEALTHY = [("ok", i, "user", f"question {i}", None, _t(i)) for i in range(4)]
+TOOLLOOP = [("tools", i, "tool", f"r{i}", "search", _t(i)) for i in range(4)]
+
+
+def _write(spark, tmp_path, rows, sub):
+    p = str(tmp_path / sub)
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p)
+    return p
+
+
+def _start(spark, src, name, gap_ms=3_600_000):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = streaming_loop_gate(stream, session_gap_ms=gap_ms)
+    return (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+
+def _wait(spark, name, cond, timeout=90):
+    deadline = time.time() + timeout
+    rows = []
+    while time.time() < deadline:
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+        if cond(rows):
+            return rows
+    raise AssertionError(f"condition not met in {timeout}s ({len(rows)} rows)")
+
+
+def test_alerts_match_batch_verdicts(spark, tmp_path):
+    """One micro-batch with all three conversations: alert rows appear
+    exactly for the convs the batch operator flags, with the same run
+    counters."""
+    src = str(tmp_path / "in")
+    df = spark.createDataFrame(STUCK + HEALTHY + TOOLLOOP, SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(src + "/b0")
+    q = _start(spark, src, "loopgate1")
+    try:
+        rows = _wait(spark, "loopgate1", lambda r: len(r) >= 2)
+        alerts = {r["conv_id"]: r for r in rows if not r["is_final"]}
+        batch = {
+            r["conv_id"]: r
+            for r in detect_loops(df).collect()
+            if r["loop_suspect"]
+        }
+        assert set(alerts) == set(batch) == {"stuck", "tools"}
+        for cid in alerts:
+            assert alerts[cid]["max_run"] == batch[cid]["max_run"]
+            assert alerts[cid]["tool_max_run"] == batch[cid]["tool_max_run"]
+            assert alerts[cid]["n_consec_dup"] == batch[cid]["n_consec_dup"]
+        assert alerts["stuck"]["loop_suspect"] is True
+    finally:
+        q.stop()
+
+
+def test_run_continues_across_batches(spark, tmp_path):
+    """A run split across micro-batches still counts: batch 1 ends on
+    2 identical turns inside a long-enough conversation that neither
+    the run rule (max_run 2 < 3) nor the dup-frac rule (1/10 < 0.3)
+    fires; one more identical turn in batch 2 → max_run 3 → alert."""
+    src = str(tmp_path / "in2")
+    first = [
+        ("c", i, "user", f"distinct question number {i}", None, _t(i))
+        for i in range(8)
+    ] + [
+        ("c", 8, "assistant", "same turn", None, _t(8)),
+        ("c", 9, "assistant", "same turn", None, _t(9)),
+    ]
+    later = [("c", 10, "assistant", "same turn", None, _t(10))]
+    _write(spark, tmp_path, first, "in2/b0")
+    q = _start(spark, src, "loopgate2")
+    try:
+        time.sleep(5)
+        assert (
+            spark.sql("SELECT * FROM loopgate2").count() == 0
+        )  # max_run 2, dup frac 1/10: no alert yet
+        _write(spark, tmp_path, later, "in2/b1")
+        rows = _wait(spark, "loopgate2", lambda r: len(r) >= 1)
+        (alert,) = [r for r in rows if not r["is_final"]]
+        assert alert["conv_id"] == "c" and alert["max_run"] == 3
+        assert alert["n_turns"] == 11
+    finally:
+        q.stop()
+
+
+def test_alert_fires_once_and_final_summary_on_timeout(spark, tmp_path):
+    src = str(tmp_path / "in3")
+    _write(spark, tmp_path, STUCK, "in3/b0")
+    q = _start(spark, src, "loopgate3", gap_ms=2_000)
+    try:
+        rows = _wait(
+            spark, "loopgate3",
+            lambda r: any(r2["is_final"] for r2 in r),
+            timeout=120,
+        )
+        alerts = [r for r in rows if not r["is_final"]]
+        finals = [r for r in rows if r["is_final"]]
+        assert len(alerts) == 1          # alert emitted exactly once
+        assert len(finals) == 1
+        assert finals[0]["n_turns"] == 4
+        assert finals[0]["max_run"] == 4
+        assert finals[0]["loop_suspect"] is True
+    finally:
+        q.stop()

@@ -1,0 +1,167 @@
+"""Online agent-loop detection — the streaming twin of
+``operators/loops.py``.
+
+An agent stuck in a loop should be caught while the conversation is
+LIVE, not in tomorrow's batch job. Per ``conv_id`` the state tracks
+the current and maximum run of identical turns (same md5 turn key as
+the batch operator: ``md5(coalesce(role) \\x01 coalesce(text))``) and
+of identical consecutive tool calls (NULL tools break runs), plus the
+consecutive-duplicate count. Two kinds of output rows:
+
+* an ALERT row (``is_final = false``) the moment a conversation first
+  crosses a suspect threshold — emitted once per conversation;
+* a summary row (``is_final = true``) when the conversation has been
+  quiet for the processing-time timeout, carrying the final counters
+  (the streaming equivalent of the batch ``detect_loops`` row).
+
+State is a fixed-width tuple per key — O(1) per conversation, no
+turn buffering; Arrow batches flow per group. Within a batch, turns
+are processed in ``turn_idx`` order (same primary order as the batch
+operator); across batches the arrival order stands in for turn order,
+the standard online approximation (exactly how the sessionization and
+band-dedup gates treat it).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..operators.loops import (
+    DUP_FRAC_SUSPECT,
+    MAX_RUN_SUSPECT,
+    TOOL_RUN_SUSPECT,
+)
+
+OUTPUT = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("n_turns", LongType()),
+        StructField("n_consec_dup", LongType()),
+        StructField("max_run", LongType()),
+        StructField("tool_max_run", LongType()),
+        StructField("loop_suspect", BooleanType()),
+        StructField("is_final", BooleanType()),
+    ]
+)
+STATE = StructType(
+    [
+        StructField("n_turns", LongType()),
+        StructField("n_consec", LongType()),
+        StructField("last_key", StringType()),
+        StructField("run", LongType()),
+        StructField("max_run", LongType()),
+        StructField("last_tool", StringType()),
+        StructField("tool_run", LongType()),
+        StructField("tool_max_run", LongType()),
+        StructField("alerted", BooleanType()),
+    ]
+)
+
+
+def _turn_key(role, text) -> str:
+    r = role if isinstance(role, str) else "\x02R"
+    t = text if isinstance(text, str) else "\x02T"
+    return hashlib.md5(f"{r}\x01{t}".encode()).hexdigest()
+
+
+def _suspect(max_run: int, tool_max_run: int, consec: int, n: int) -> bool:
+    return (
+        max_run >= MAX_RUN_SUSPECT
+        or tool_max_run >= TOOL_RUN_SUSPECT
+        or consec * DUP_FRAC_SUSPECT[0] > n * DUP_FRAC_SUSPECT[1]
+    )
+
+
+def _make_update(gap_ms: int):
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in OUTPUT.fields]
+        if state.hasTimedOut:
+            n, consec, _lk, _r, max_run, _lt, _tr, tool_max, _al = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    (
+                        key[0], n, consec, max_run, tool_max,
+                        _suspect(max_run, tool_max, consec, n), True,
+                    )
+                ],
+                columns=cols,
+            )
+            return
+        n, consec, last_key, run, max_run, last_tool, tool_run, tool_max, alerted = (
+            state.get
+            if state.exists
+            else (0, 0, None, 0, 0, None, 0, 0, False)
+        )
+        for pdf in batches:
+            pdf = pdf.sort_values(["turn_idx"], kind="mergesort")
+            for role, text, tool in zip(pdf["role"], pdf["text"], pdf["tool"]):
+                n += 1
+                k = _turn_key(role, text)
+                if k == last_key:
+                    run += 1
+                    consec += 1
+                else:
+                    run = 1
+                last_key = k
+                max_run = max(max_run, run)
+                # NULL tools break tool runs (not a repeated call);
+                # every turn is still a run of >= 1, matching the
+                # batch operator's position-unique sentinels.
+                if isinstance(tool, str) and tool == last_tool:
+                    tool_run += 1
+                else:
+                    tool_run = 1
+                last_tool = tool if isinstance(tool, str) else None
+                tool_max = max(tool_max, tool_run)
+        out = []
+        if not alerted and _suspect(max_run, tool_max, consec, n):
+            alerted = True
+            out.append(
+                (key[0], n, consec, max_run, tool_max, True, False)
+            )
+        state.update(
+            (n, consec, last_key, run, max_run, last_tool, tool_run, tool_max,
+             alerted)
+        )
+        state.setTimeoutDuration(gap_ms)
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    return update
+
+
+def streaming_loop_gate(
+    stream: DataFrame, session_gap_ms: int = 30_000
+) -> DataFrame:
+    """transcript stream → loop alerts (immediate) + per-conversation
+    summaries (on quiet timeout)."""
+    return (
+        stream.select("conv_id", "turn_idx", "role", "text", "tool")
+        .filter("conv_id IS NOT NULL")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _make_update(session_gap_ms),
+            outputStructType=OUTPUT,
+            stateStructType=STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
