@@ -1,0 +1,181 @@
+"""Seeded adversarial corpus vs an independent pure-Python
+reimplementation of the Gopher repetition metrics and the C4 line
+filter — one Spark job per operator (the test_properties.py pattern:
+Hypothesis for pure-Python blocks, seeded corpora for JVM algebra).
+
+The reference implementation mirrors the SEMANTICS, not the code:
+ASCII whitespace class (Java regex \\s without UNICODE_CHARACTER_CLASS
+is ASCII-only; Python's re is unicode-aware, so the class is spelled
+out), space-only trim (Spark's trim strips 0x20, not tabs/newlines).
+"""
+
+from __future__ import annotations
+
+import random
+import re
+from collections import Counter
+
+import pytest
+
+from zeus_data_quality_spark.functions.boilerplate import (
+    BAD_DOC_LOWER,
+    BAD_DOC_RAW,
+    BAD_LINE_PHRASES,
+    MIN_KEPT_LINES,
+    MIN_WORDS_PER_LINE,
+    TERMINAL_PUNCT,
+    c4_line_filter,
+)
+from zeus_data_quality_spark.functions.repetition import with_repetition_stats
+
+_WS = re.compile(r"[ \t\n\r\f\v]+")  # ASCII \s, both engines
+
+
+def _units(text: str, para: bool) -> list[str]:
+    parts = (
+        re.split(r"\n{2,}", text) if para else text.split("\n")
+    )
+    return [p.strip(" ") for p in parts if p.strip(" ") != ""]
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in _WS.split(text.lower()) if t]
+
+
+def _frac(num: int, den: int) -> float:
+    return num / den if den > 0 else 0.0
+
+
+def ref_repetition(text: str) -> dict:
+    lines, paras = _units(text, False), _units(text, True)
+    toks = _tokens(text)
+
+    def dup(units):
+        n, d = len(units), len(set(units))
+        chars = sum(len(u) for u in units)
+        dchars = sum(len(u) for u in set(units))
+        return n - d, n, chars - dchars, chars
+
+    dl, nl, dlc, lc = dup(lines)
+    dp, np_, dpc, pc = dup(paras)
+    g2 = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+    if g2:
+        cnt = Counter(g2)
+        best_n = max(cnt.values())
+        best_g = min(g for g, n in cnt.items() if n == best_n)
+        t2n, t2d = best_n * len(best_g), len(" ".join(toks))
+    else:
+        t2n, t2d = 0, 0
+    g5 = [" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)]
+    g5c = sum(len(g) for g in g5)
+    d5 = g5c - sum(len(g) for g in set(g5))
+    return {
+        "n_lines": nl,
+        "dup_line_frac": _frac(dl, nl),
+        "dup_line_char_frac": _frac(dlc, lc),
+        "dup_para_frac": _frac(dp, np_),
+        "dup_para_char_frac": _frac(dpc, pc),
+        "top2gram_char_frac": _frac(t2n, t2d),
+        "dup5gram_char_frac": _frac(d5, g5c),
+        "repetition_ok": (
+            dl * 10 <= nl * 3
+            and dlc * 5 <= lc
+            and dp * 10 <= np_ * 3
+            and dpc * 5 <= pc
+            and t2n * 5 <= t2d
+            and d5 * 20 <= g5c * 3
+        ),
+    }
+
+
+def ref_c4(text: str) -> dict:
+    lines = _units(text, False)
+
+    def keep(x: str) -> bool:
+        low = x.lower()
+        return (
+            x[-1:] in TERMINAL_PUNCT
+            and len([w for w in _WS.split(x) if w]) >= MIN_WORDS_PER_LINE
+            and not any(p in low for p in BAD_LINE_PHRASES)
+        )
+
+    kept = [x for x in lines if keep(x)]
+    return {
+        "n_lines": len(lines),
+        "n_kept": len(kept),
+        "cleaned_text": "\n".join(kept),
+        "page_keep": (
+            len(kept) >= MIN_KEPT_LINES
+            and BAD_DOC_LOWER not in text.lower()
+            and BAD_DOC_RAW not in text
+        ),
+    }
+
+
+# Case-trivial alphabet: exotic case mappings (Turkish I, ß, ligatures)
+# differ between Java's and Python's lower() and are not what these
+# operators are for; everything else — whitespace zoo, unicode
+# letters without case, punctuation — is fair game.
+_ALPHA = (
+    "abcdefghijklmnopqrstuvwxyz0123456789 .!?\"'{}()-_@#%&*,;: \t\n"
+    "中文字符序列   "
+)
+_WORDS = ["alpha", "beta", "gamma", "delta", "the", "of", "javascript",
+          "cookie policy", "lorem ipsum", "x.", "done!", "really?"]
+
+
+def _corpus(n=400, seed=0):
+    rng = random.Random(seed)
+    texts = []
+    for i in range(n):
+        kind = rng.randrange(6)
+        if kind == 0:
+            texts.append("".join(rng.choice(_ALPHA) for _ in range(rng.randrange(120))))
+        elif kind == 1:  # repeated-line pages
+            line = " ".join(rng.choices(_WORDS, k=rng.randrange(1, 8)))
+            texts.append("\n".join([line] * rng.randrange(1, 6)))
+        elif kind == 2:  # paragraphs with blank lines
+            paras = [
+                " ".join(rng.choices(_WORDS, k=rng.randrange(1, 10)))
+                for _ in range(rng.randrange(1, 5))
+            ]
+            texts.append(("\n" * rng.randrange(2, 4)).join(paras))
+        elif kind == 3:  # token repetition
+            texts.append(" ".join(rng.choices(_WORDS[:4], k=rng.randrange(0, 30))))
+        elif kind == 4:  # edge shells
+            texts.append(rng.choice(["", " ", "\n", "\n\n\n", "\t", ".", "a"]))
+        else:            # mixed with trailing/leading ws
+            texts.append(
+                "  " + " ".join(rng.choices(_WORDS, k=rng.randrange(0, 12))) + " \n "
+            )
+    return texts
+
+
+def test_repetition_matches_reference(spark):
+    texts = _corpus()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r["id"]: r.asDict()
+        for r in with_repetition_stats(df, "text").collect()
+    }
+    for i, t in enumerate(texts):
+        want = ref_repetition(t)
+        for k, v in want.items():
+            if isinstance(v, float):
+                assert got[i][k] == pytest.approx(v), (k, repr(t))
+            else:
+                assert got[i][k] == v, (k, repr(t))
+
+
+def test_c4_matches_reference(spark):
+    texts = _corpus(seed=1)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {r["id"]: r.asDict() for r in c4_line_filter(df, "text").collect()}
+    for i, t in enumerate(texts):
+        want = ref_c4(t)
+        for k, v in want.items():
+            assert got[i][k] == v, (k, repr(t))
