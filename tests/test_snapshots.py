@@ -1,0 +1,82 @@
+"""Snapshot-versioned tables: commit protocol, time travel, crash
+invisibility, optimistic concurrency."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.sources.snapshots import (
+    SnapshotConflict,
+    current_version,
+    read_snapshot,
+    snapshots,
+    write_snapshot,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    assert current_version(spark, t) is None
+    v0 = write_snapshot(_df(spark, 0, 10), t)           # append to empty
+    v1 = write_snapshot(_df(spark, 10, 15), t)          # append
+    v2 = write_snapshot(_df(spark, 100, 103), t, "overwrite")
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert read_snapshot(spark, t).count() == 3          # latest
+    assert read_snapshot(spark, t, version=1).count() == 15
+    assert read_snapshot(spark, t, version=0).count() == 10
+    ids = {r["id"] for r in read_snapshot(spark, t, version=1).collect()}
+    assert ids == set(range(15))
+    log = snapshots(spark, t)
+    assert [s["version"] for s in log] == [0, 1, 2]
+    assert [s["operation"] for s in log] == ["append", "append", "overwrite"]
+    assert [s["row_count"] for s in log] == [10, 15, 3]
+
+
+def test_half_written_data_is_invisible(spark, tmp_path):
+    t = str(tmp_path / "tbl2")
+    write_snapshot(_df(spark, 0, 5), t)
+    # a writer crashed after the data write, before the manifest
+    _df(spark, 90, 99).write.mode("overwrite").parquet(f"{t}/data/snap-1")
+    assert read_snapshot(spark, t).count() == 5
+    assert current_version(spark, t) == 0
+    # the next successful commit claims version 1 and its own data dir
+    write_snapshot(_df(spark, 5, 8), t)
+    assert read_snapshot(spark, t).count() == 8
+
+
+def test_concurrent_commit_conflict(spark, tmp_path, monkeypatch):
+    """A racer committing between our version resolution and our
+    manifest write must lose exactly one of the two writers: pin the
+    stale read with monkeypatch and check the commit guard trips."""
+    import zeus_data_quality_spark.sources.snapshots as snap
+
+    t = str(tmp_path / "tbl3")
+    write_snapshot(_df(spark, 0, 5), t)                  # v0
+    write_snapshot(_df(spark, 5, 8), t)                  # v1 (the racer)
+    monkeypatch.setattr(snap, "current_version", lambda *_: 0)
+    with pytest.raises(SnapshotConflict):
+        snap.write_snapshot(_df(spark, 8, 9), t)         # stale: targets v1
+    monkeypatch.undo()
+    # retry resolves the real current version and lands on v2
+    assert write_snapshot(_df(spark, 8, 9), t) == 2
+    assert read_snapshot(spark, t).count() == 9
+
+
+def test_read_missing_table(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, str(tmp_path / "nope"))
+
+
+def test_schema_round_trip(spark, tmp_path):
+    t = str(tmp_path / "tbl4")
+    write_snapshot(_df(spark, 0, 3), t)
+    df = read_snapshot(spark, t)
+    assert [f.name for f in df.schema.fields] == ["id", "v"]
+    assert [str(f.dataType) for f in df.schema.fields] == [
+        "LongType()", "LongType()",
+    ]

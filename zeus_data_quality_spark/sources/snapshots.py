@@ -1,0 +1,196 @@
+"""Snapshot-versioned tables — Iceberg-style commits without Iceberg.
+
+The north rule stores pipeline outputs and the lineage/metrics table
+in Iceberg; this sandbox ships no Iceberg runtime jars, so the modules
+that need table semantics today (``plans/meta.py``,
+``plans/lineage.py``) document the one-line swap and use
+parquet-directory protocols. This module closes the remaining gap —
+SNAPSHOT ISOLATION AND TIME TRAVEL — with the same mechanism Iceberg
+uses: immutable data files + a versioned manifest that IS the table.
+
+Layout::
+
+    table_dir/
+      data/snap-<v>-<attempt>/part-*.parquet   immutable files of one
+                                               commit ATTEMPT
+      manifests/v<v>.json                      the commit: file list
+
+A reader resolves the highest committed manifest (or an explicit
+``version=`` for time travel) and reads exactly the files it lists —
+a half-written ``data/`` directory with no manifest is invisible, so
+writer crashes never corrupt readers (Iceberg's core invariant).
+Commits are optimistic: the manifest is created with
+``overwrite=False``, so two concurrent writers racing to version v
+have exactly one winner; the loser retries against the new current
+version (documented single-table OCC, same as Iceberg's).
+
+``append`` commits reference the parent's files PLUS the new ones —
+file-level append without rewriting history; ``overwrite`` starts a
+fresh file list. Every manifest records its parent, operation, row
+count and schema, so ``snapshots()`` is the table's audit log.
+
+All paths go through the Hadoop FileSystem API — local/HDFS/S3 alike.
+On a real cluster with Iceberg jars, swap ``write_snapshot`` for
+``df.writeTo(table).append()`` and ``read_snapshot(version=v)`` for
+``VERSION AS OF v``; call sites keep the same shape.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotConflict(RuntimeError):
+    """Another writer committed this version first — re-read and retry."""
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
+def _read_manifest(spark: SparkSession, table_dir: str, v: int) -> dict:
+    fs, jpath, jvm = _fs(spark, f"{table_dir}/manifests/v{v}.json")
+    stream = fs.open(jpath)
+    try:
+        # py4j cannot fill a Python bytearray through Java's read(byte[])
+        # (the copy never comes back); slurp JVM-side instead.
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        return json.loads(data.decode("utf-8"))
+    finally:
+        stream.close()
+
+
+def current_version(spark: SparkSession, table_dir: str) -> int | None:
+    """Highest committed version, or None for an empty/absent table."""
+    fs, jdir, _ = _fs(spark, f"{table_dir}/manifests")
+    if not fs.exists(jdir):
+        return None
+    best = None
+    for status in fs.listStatus(jdir):
+        name = status.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                v = int(name[1:-5])
+            except ValueError:
+                continue
+            best = v if best is None else max(best, v)
+    return best
+
+
+def write_snapshot(
+    df: DataFrame, table_dir: str, mode: str = "append"
+) -> int:
+    """Commit ``df`` as the next snapshot; returns the new version.
+
+    Data lands under an immutable per-version directory first; the
+    manifest write IS the commit. Raises :class:`SnapshotConflict` if
+    a concurrent writer took the version (caller re-reads + retries).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError("mode must be 'append' or 'overwrite'")
+    import uuid
+
+    spark = df.sparkSession
+    parent = current_version(spark, table_dir)
+    version = 0 if parent is None else parent + 1
+    # Unique per ATTEMPT, not per version: a writer racing on a stale
+    # version must never touch a committed snapshot's files (losing
+    # attempts leave an orphan data dir — harmless, referenced by no
+    # manifest; a vacuum walks manifests and deletes the rest).
+    data_dir = f"{table_dir}/data/snap-{version}-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(data_dir)
+
+    fs, jdata, _ = _fs(spark, data_dir)
+    files = sorted(
+        str(s.getPath().toUri().getPath())
+        for s in fs.listStatus(jdata)
+        if s.getPath().getName().endswith(".parquet")
+    )
+    rows = spark.read.parquet(data_dir).count()
+    prev_files: list[str] = []
+    prev_rows = 0
+    if mode == "append" and parent is not None:
+        prev = _read_manifest(spark, table_dir, parent)
+        prev_files, prev_rows = prev["files"], prev["row_count"]
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "operation": mode,
+        "files": prev_files + files,
+        "row_count": prev_rows + rows if mode == "append" else rows,
+        "added_files": files,
+        "added_rows": rows,
+        "schema": df.schema.jsonValue(),
+    }
+    mfs, mpath, jvm = _fs(spark, f"{table_dir}/manifests/v{version}.json")
+    mfs.mkdirs(mpath.getParent())
+    conflict = SnapshotConflict(
+        f"version {version} of {table_dir} was committed concurrently"
+    )
+    # OCC commit: write to a temp name, then rename onto the version
+    # slot. FileSystem.rename refuses an existing destination (and
+    # local create(overwrite=False) does NOT refuse, so it cannot be
+    # the guard); the exists pre-check keeps the common case cheap.
+    if mfs.exists(mpath):
+        raise conflict
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{table_dir}/manifests/.v{version}.json.tmp"
+    )
+    out = mfs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+    finally:
+        out.close()
+    if not mfs.rename(tmp, mpath):
+        mfs.delete(tmp, False)
+        raise conflict
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """The table as of ``version`` (default: latest commit)."""
+    v = current_version(spark, table_dir) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshots in {table_dir}")
+    manifest = _read_manifest(spark, table_dir, v)
+    if not manifest["files"]:
+        return spark.createDataFrame(
+            [], schema_from_manifest(manifest)
+        )
+    return spark.read.parquet(*manifest["files"])
+
+
+def schema_from_manifest(manifest: dict):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(manifest["schema"])
+
+
+def snapshots(spark: SparkSession, table_dir: str) -> list[dict]:
+    """The audit log: one dict per commit, oldest first."""
+    cur = current_version(spark, table_dir)
+    if cur is None:
+        return []
+    out = []
+    for v in range(cur + 1):
+        try:
+            m = _read_manifest(spark, table_dir, v)
+        except Exception:
+            continue  # version skipped by a lost OCC race
+        out.append(
+            {
+                "version": m["version"],
+                "parent": m["parent"],
+                "operation": m["operation"],
+                "row_count": m["row_count"],
+                "added_rows": m["added_rows"],
+                "n_files": len(m["files"]),
+            }
+        )
+    return out
