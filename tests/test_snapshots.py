@@ -80,3 +80,39 @@ def test_schema_round_trip(spark, tmp_path):
     assert [str(f.dataType) for f in df.schema.fields] == [
         "LongType()", "LongType()",
     ]
+
+
+def test_vacuum_orphans_and_retention(spark, tmp_path):
+    from zeus_data_quality_spark.sources.snapshots import vacuum
+
+    t = str(tmp_path / "tbl5")
+    write_snapshot(_df(spark, 0, 5), t)                   # v0
+    write_snapshot(_df(spark, 5, 8), t)                   # v1 (append)
+    write_snapshot(_df(spark, 50, 53), t, "overwrite")    # v2
+    # orphan from a crashed attempt
+    _df(spark, 99, 100).write.parquet(f"{t}/data/snap-9-deadbeef")
+    deleted = vacuum(spark, t)
+    assert any("snap-9-deadbeef" in d for d in deleted)
+    # all committed versions still readable
+    assert read_snapshot(spark, t, version=1).count() == 8
+    assert read_snapshot(spark, t).count() == 3
+    # retention: keep only the current version → v0/v1 data goes
+    deleted = vacuum(spark, t, keep_versions=1)
+    assert len(deleted) == 2                              # v0 + v1 dirs
+    assert read_snapshot(spark, t).count() == 3           # current intact
+    assert [s["version"] for s in snapshots(spark, t)] == [2]
+    with pytest.raises(Exception):
+        read_snapshot(spark, t, version=1)                # expired
+
+
+def test_vacuum_append_chain_keeps_shared_files(spark, tmp_path):
+    """Append manifests share parent files: retaining only the newest
+    version must keep every data dir its file list references."""
+    from zeus_data_quality_spark.sources.snapshots import vacuum
+
+    t = str(tmp_path / "tbl6")
+    write_snapshot(_df(spark, 0, 5), t)        # v0
+    write_snapshot(_df(spark, 5, 8), t)        # v1 references v0 files
+    deleted = vacuum(spark, t, keep_versions=1)
+    assert deleted == []                       # v1 needs v0's data dir
+    assert read_snapshot(spark, t).count() == 8

@@ -172,6 +172,49 @@ def schema_from_manifest(manifest: dict):
     return StructType.fromJson(manifest["schema"])
 
 
+def vacuum(
+    spark: SparkSession, table_dir: str, keep_versions: int | None = None
+) -> list[str]:
+    """Delete data directories referenced by NO retained manifest:
+    orphans from lost OCC races or crashed writers, plus — when
+    ``keep_versions`` is given — snapshots expired out of the
+    retention window (their manifests are removed first, oldest
+    versions go; the current version is always retained). Returns the
+    deleted data-directory paths."""
+    cur = current_version(spark, table_dir)
+    if cur is None:
+        return []
+    retained = range(cur + 1)
+    if keep_versions is not None:
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
+        retained = range(max(0, cur + 1 - keep_versions), cur + 1)
+    live_files: set[str] = set()
+    live_versions: set[int] = set()
+    for v in range(cur + 1):
+        try:
+            m = _read_manifest(spark, table_dir, v)
+        except Exception:
+            continue
+        if v in retained:
+            live_versions.add(v)
+            live_files.update(m["files"])
+        else:
+            mfs, mpath, _ = _fs(spark, f"{table_dir}/manifests/v{v}.json")
+            mfs.delete(mpath, False)
+    # a data dir is live iff any retained manifest references a file in it
+    live_dirs = {f.rsplit("/", 1)[0] for f in live_files}
+    fs, jdata, _ = _fs(spark, f"{table_dir}/data")
+    deleted = []
+    if fs.exists(jdata):
+        for status in fs.listStatus(jdata):
+            p = status.getPath()
+            if str(p.toUri().getPath()) not in live_dirs:
+                fs.delete(p, True)
+                deleted.append(str(p.toUri().getPath()))
+    return sorted(deleted)
+
+
 def snapshots(spark: SparkSession, table_dir: str) -> list[dict]:
     """The audit log: one dict per commit, oldest first."""
     cur = current_version(spark, table_dir)
