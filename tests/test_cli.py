@@ -121,3 +121,42 @@ def test_dist_zip_matches_package_tree():
     assert not stale, (
         f"dist zip stale for {stale}; run: python tools/package.py"
     )
+
+
+def test_cli_run_snapshot_commits(spark, sf_dir, tmp_path):
+    """--snapshot commits each completed run as one table version:
+    two runs → two versions, append semantics, time travel back to
+    the first run's output."""
+    from zeus_data_quality_spark.sources.transcripts import load_transcripts
+    from zeus_data_quality_spark.sources.snapshots import (
+        read_snapshot,
+        snapshots,
+    )
+
+    inp = str(tmp_path / "in.parquet")
+    load_transcripts(spark, sf_dir).write.parquet(inp)
+    snap = str(tmp_path / "snap")
+
+    def run(run_id, outdir):
+        out = _cli(
+            "run",
+            "--input", inp,
+            "--output", str(tmp_path / outdir),
+            "--lineage", str(tmp_path / "lineage_snap"),
+            "--run-id", run_id,
+            "--buckets", "2",
+            "--snapshot", snap,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    s1 = run("snap-r1", "out1")
+    assert s1["snapshot_version"] == 0
+    s2 = run("snap-r2", "out2")
+    assert s2["snapshot_version"] == 1
+    log = snapshots(spark, snap)
+    assert [s["version"] for s in log] == [0, 1]
+    v0 = read_snapshot(spark, snap, version=0).count()
+    v1 = read_snapshot(spark, snap).count()
+    assert v0 == s1["rows_in"]
+    assert v1 == v0 * 2  # append across runs

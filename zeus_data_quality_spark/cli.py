@@ -79,18 +79,26 @@ def cmd_run(args) -> int:
         )
         .first()
     )
-    print(
-        json.dumps(
-            {
-                "run_id": args.run_id,
-                "config_id": args.config_id,
-                "slices_processed_now": len(processed),
-                "rows_in": summary["rows_in"],
-                "rows_kept": summary["rows_kept"],
-                "rows_dropped": summary["rows_dropped"],
-            }
+    out = {
+        "run_id": args.run_id,
+        "config_id": args.config_id,
+        "slices_processed_now": len(processed),
+        "rows_in": summary["rows_in"],
+        "rows_kept": summary["rows_kept"],
+        "rows_dropped": summary["rows_dropped"],
+    }
+    if getattr(args, "snapshot", None):
+        # Optional: commit this run's completed output as ONE
+        # snapshot-table version (sources/snapshots.py) — time travel
+        # across runs. Additive: the slice-level dynamic-partition
+        # output and resume protocol are untouched; the commit happens
+        # only after the run completes, so a resumed run commits once.
+        from .sources.snapshots import write_snapshot
+
+        out["snapshot_version"] = write_snapshot(
+            spark.read.parquet(args.output), args.snapshot, mode="append"
         )
-    )
+    print(json.dumps(out))
     return 0
 
 
@@ -263,6 +271,12 @@ def main(argv: list[str] | None = None) -> int:
         "at sf0.1, and the plug-in-model route) or 'jvm' pure-Column "
         "scorers (verdict-identical; drops the Python-worker "
         "dependency entirely)",
+    )
+    r.add_argument(
+        "--snapshot",
+        default=None,
+        help="after the run completes, commit the output as one version "
+        "of a snapshot table at this dir (time travel across runs)",
     )
     r.set_defaults(fn=cmd_run)
 
