@@ -1,0 +1,111 @@
+"""In-engine logistic quality classifier: GD mechanics vs a numpy
+reference, determinism, and the distillation accuracy floor."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.functions.classifier import (
+    GRAD_DP,
+    N_FEATURES,
+    fit_quality_classifier,
+    score_quality,
+    train_and_score_quality,
+    with_quality_features,
+)
+
+
+def _feats_df(spark, rows):
+    """rows: list of (f1..f5, y) — f0 bias added here."""
+    data = [(float(i), 1.0, *map(float, r)) for i, r in enumerate(rows)]
+    cols = "id double, f0 double, f1 double, f2 double, f3 double, f4 double, f5 double, y double"
+    return spark.createDataFrame(data, cols)
+
+
+def _numpy_gd(rows, steps, lr):
+    X = np.array([[1.0, *r[:-1]] for r in rows])
+    y = np.array([r[-1] for r in rows])
+    w = np.zeros(N_FEATURES)
+    scale = 10.0 ** GRAD_DP
+    n = len(rows)
+    for _ in range(steps):
+        err = 1.0 / (1.0 + np.exp(-(X @ w))) - y
+        # the same integer-rounded gradient sum as the engine
+        g = np.array(
+            [
+                np.sum(np.round(err * X[:, j] * scale)).astype(np.int64)
+                for j in range(N_FEATURES)
+            ]
+        )
+        w = w - lr * (g / n / scale)
+    return w
+
+
+def test_gd_matches_numpy_reference(spark):
+    rows = [
+        (0.5, 0.1, 0.3, 0.0, 0.0, 1.0),
+        (0.9, 0.8, 0.1, 0.2, 0.5, 0.0),
+        (0.2, 0.2, 0.6, 0.0, 0.0, 1.0),
+        (0.7, 0.9, 0.0, 0.9, 0.9, 0.0),
+    ]
+    feats = _feats_df(spark, rows)
+    w = fit_quality_classifier(feats, steps=5, lr=2.0)
+    want = _numpy_gd(rows, steps=5, lr=2.0)
+    assert w == pytest.approx(list(want), abs=1e-12)
+
+
+def test_training_is_deterministic_across_partitionings(spark):
+    rows = [
+        (i / 40.0, (i % 7) / 7.0, (i % 3) / 3.0, (i % 5) / 5.0,
+         (i % 2) / 2.0, float(i % 2))
+        for i in range(40)
+    ]
+    feats = _feats_df(spark, rows)
+    w1 = fit_quality_classifier(feats.repartition(1), steps=4, lr=2.0)
+    w8 = fit_quality_classifier(feats.repartition(8), steps=4, lr=2.0)
+    assert w1 == w8  # integer-summed gradients: exact equality
+
+
+def test_score_threshold_on_rounded_value(spark):
+    feats = _feats_df(spark, [(0.0, 0.0, 0.0, 0.0, 0.0, 1.0)])
+    out = score_quality(feats, [0.0] * N_FEATURES).collect()[0]
+    assert out["quality_score"] == pytest.approx(0.5)
+    assert out["predicted_quality"] is True  # >= on the rounded score
+
+
+def test_distills_c4_verdict(spark, sf_dir):
+    from zeus_data_quality_spark.functions.boilerplate import c4_line_filter
+    from zeus_data_quality_spark.sources.pages import synthesize_pages
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = c4_line_filter(synthesize_pages(docs), "text")
+    out = train_and_score_quality(
+        pages, "page_id", "text", steps=150, lr=4.0,
+        label_col="page_keep", token_cap=2000,
+    ).toPandas()
+    acc = (out.predicted_quality == out.label).mean()
+    assert acc >= 0.75
+    # both classes actually predicted (not a majority-class collapse)
+    assert 0 < out.predicted_quality.sum() < len(out)
+    # scores are calibrated-ish: kept pages score higher on average
+    assert (
+        out[out.label].quality_score.mean()
+        > out[~out.label].quality_score.mean()
+    )
+
+
+def test_feature_ranges(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e."), (1, None), (2, ""), (3, "x { y } z " * 30)],
+        "id long, text string",
+    )
+    feats = with_quality_features(df, "text").select(
+        "id", "f0", "f1", "f2", "f3", "f4", "f5", "y"
+    ).collect()
+    for r in feats:
+        assert r["f0"] == 1.0
+        assert 0.0 <= r["f1"] <= 1.0
+        for k in ("f2", "f3", "f4", "f5"):
+            assert r[k] is not None and r[k] >= 0.0, (k, r)

@@ -110,6 +110,7 @@ TAIL_OVERFLOW = {
     "perplexity_trained",
     "loop_detection",
     "sequence_packing",
+    "quality_classifier",
 }
 
 

@@ -1,0 +1,270 @@
+"""Trainable document-quality classifier — logistic regression as
+Spark aggregations, oracle-replayable.
+
+The heuristic quality verdicts (``textstats.is_quality``, the Gopher
+thresholds) are hand-set; a production pipeline eventually TRAINS its
+filter (fastText-style classifier over document features). This module
+trains a logistic-regression quality model fully in-engine: each
+full-batch gradient-descent step is ONE aggregate over the corpus
+(map-side partial sums; nothing but a 6-number gradient crosses to
+the driver), repeated for a fixed number of steps.
+
+Determinism across engines (the same discipline as ``functions/lm.py``
+micro-nats and the IVF Lloyd replay):
+
+* features are exact int/int doubles (token counts, punctuation and
+  stopword ratios, dup-5-gram char fraction);
+* each row's per-dimension gradient contribution is rounded to 1e-9
+  and summed as a BIGINT — aggregation order cannot change the sum;
+* weights are pure functions of those integer sums, so the DuckDB
+  oracle replays the unrolled GD steps and lands on bit-identical
+  weights and scores.
+
+Labels here are the heuristic ``is_quality`` verdict (the classifier
+distills the rule — demonstrable end to end with zero external data);
+swap the label column for human/LLM annotations in production.
+
+Scale: one corpus aggregate per step (STEPS total scans at 10^12
+rows — persist the feature projection once and the scans read ~40
+bytes/row); the model is 6 doubles, broadcast trivially for scoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import textstats
+from .repetition import with_repetition_stats
+
+STEPS = 3
+LR = 2.0
+GRAD_DP = 9       # per-row gradient contributions rounded to 1e-9
+SCORE_DP = 6
+N_FEATURES = 6    # bias + 5
+
+
+TOKEN_CAP = 200
+
+
+def with_quality_features(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "is_quality",
+    token_cap: int = TOKEN_CAP,
+) -> DataFrame:
+    """Adds f0..f4 (exact int/int doubles) and label y:
+
+    f0 bias, f1 capped token count / cap, f2 punctuation density ×10,
+    f3 stopword density ×2, f4 dup-5-gram char fraction, f5 code-char
+    (brace) density ×1000 — the C4 code-page signal (braces are
+    rare, so the scale brings one brace line into the unit range);
+    y = ``label_col`` (any boolean — the heuristic ``is_quality`` by
+    default, a C4/Gopher verdict, or real annotations) as 0/1."""
+    stats = with_repetition_stats(
+        textstats.with_text_stats(df, text_col), text_col
+    )
+
+    def ratio(num: Column, den: Column, scale: float) -> Column:
+        return F.when(
+            den > 0, num.cast("double") * scale / den.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    return stats.withColumns(
+        {
+            "f0": F.lit(1.0),
+            "f1": F.least(F.col("n_tokens"), F.lit(token_cap)).cast("double")
+            / float(token_cap),
+            "f2": ratio(F.col("n_punct"), F.col("n_chars"), 10.0),
+            "f3": ratio(F.col("n_stopwords"), F.col("n_tokens"), 2.0),
+            "f4": F.col("dup5gram_char_frac"),
+            "f5": ratio(
+                F.length(F.col(text_col))
+                - F.length(
+                    F.regexp_replace(F.col(text_col), "[{}]", "")
+                ),
+                F.col("n_chars"),
+                1000.0,
+            ),
+            "y": F.col(label_col).cast("double"),
+        }
+    )
+
+
+def _z(w: list[float]) -> Column:
+    z = F.lit(0.0)
+    for j, wj in enumerate(w):
+        z = z + F.lit(float(wj)) * F.col(f"f{j}")
+    return z
+
+
+def _sigmoid(z: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def fit_quality_classifier(
+    feats: DataFrame, steps: int = STEPS, lr: float = LR
+) -> list[float]:
+    """Full-batch GD from w=0; returns the weight vector. One corpus
+    aggregate per step; only 6 integer sums + a count reach the
+    driver."""
+    n_row = feats.select(F.count(F.lit(1)).alias("n")).first()
+    n = n_row["n"]
+    w = [0.0] * N_FEATURES
+    scale = float(10 ** GRAD_DP)
+    for _ in range(steps):
+        err = _sigmoid(_z(w)) - F.col("y")
+        sums = feats.agg(
+            *[
+                F.sum(
+                    F.round(err * F.col(f"f{j}") * scale, 0).cast("long")
+                ).alias(f"g{j}")
+                for j in range(N_FEATURES)
+            ]
+        ).first()
+        w = [
+            w[j] - lr * ((sums[f"g{j}"] or 0) / n / scale)
+            for j in range(N_FEATURES)
+        ]
+    return w
+
+
+def score_quality(feats: DataFrame, w: list[float]) -> DataFrame:
+    """Adds ``quality_score`` (rounded sigmoid) and
+    ``predicted_quality`` (on the ROUNDED score, so both engines
+    compare the same number)."""
+    score = F.round(_sigmoid(_z(w)), SCORE_DP) + F.lit(0.0)
+    return feats.withColumn("quality_score", score).withColumn(
+        "predicted_quality", F.col("quality_score") >= 0.5
+    )
+
+
+def train_and_score_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    steps: int = STEPS,
+    lr: float = LR,
+    label_col: str = "is_quality",
+    token_cap: int = TOKEN_CAP,
+) -> DataFrame:
+    feats = with_quality_features(df, text_col, label_col, token_cap).select(
+        id_col, "f0", "f1", "f2", "f3", "f4", "f5", "y"
+    )
+    feats = feats.persist()
+    try:
+        w = fit_quality_classifier(feats, steps, lr)
+        out = score_quality(feats, w).select(
+            F.col(id_col),
+            "quality_score",
+            "predicted_quality",
+            F.col("y").cast("boolean").alias("label"),
+        )
+        # materialize before releasing the cache the plan depends on
+        out = out.localCheckpoint(eager=True)
+    finally:
+        feats.unpersist()
+    return out
+
+
+# ------------------------------------------------------------- oracle
+
+def duckdb_train_and_score_sql(
+    table: str,
+    id_col: str,
+    text_col: str = "text",
+    steps: int = STEPS,
+    lr: float = LR,
+    label_subquery: str | None = None,
+    label_col: str = "is_quality",
+    token_cap: int = TOKEN_CAP,
+) -> str:
+    """Replays the exact training: the same features from the
+    textstats + repetition oracle SQL, the unrolled GD steps with
+    BIGINT-summed gradients, the same rounded scores.
+
+    ``label_subquery`` (a SELECT yielding (id_col, label_col BOOLEAN))
+    overrides the default ``is_quality`` label — e.g. the C4
+    ``page_keep`` verdict."""
+    from .repetition import duckdb_repetition_sql
+
+    scale = 10 ** GRAD_DP
+    if label_subquery is None:
+        label_join = ""
+        label_expr = "t.is_quality"
+    else:
+        label_join = (
+            f"\n    JOIN ({label_subquery.strip()}) l"
+            f"\n      ON s.{id_col} = l.{id_col}"
+        )
+        label_expr = f"l.{label_col}"
+    # MATERIALIZED: DuckDB inlines plain CTEs per reference; the
+    # unrolled step chain references cls_feats once per step, which
+    # without materialization re-expands the whole feature pipeline
+    # (and its parquet scans) exponentially — observed as "Too many
+    # open files" at 25 steps.
+    feats = f"""
+cls_feats AS MATERIALIZED (
+    SELECT t.{id_col} AS id,
+        1.0 AS f0,
+        CAST(least(t.n_tokens, {token_cap}) AS DOUBLE) / {token_cap}.0 AS f1,
+        CASE WHEN t.n_chars > 0
+             THEN CAST(t.n_punct AS DOUBLE) * 10.0 / t.n_chars
+             ELSE 0.0 END AS f2,
+        CASE WHEN t.n_tokens > 0
+             THEN CAST(t.n_stopwords AS DOUBLE) * 2.0 / t.n_tokens
+             ELSE 0.0 END AS f3,
+        r.dup5gram_char_frac AS f4,
+        CASE WHEN t.n_chars > 0
+             THEN CAST(length(s.{text_col})
+                       - length(regexp_replace(s.{text_col}, '[{{}}]', '', 'g'))
+                       AS DOUBLE) * 1000.0 / t.n_chars
+             ELSE 0.0 END AS f5,
+        CASE WHEN {label_expr} THEN 1.0 ELSE 0.0 END AS y
+    FROM {table} s
+    JOIN ({textstats.duckdb_text_stats_sql(table, id_col, text_col).strip()}) t
+      ON s.{id_col} = t.{id_col}
+    JOIN ({duckdb_repetition_sql(table, id_col, text_col).strip()}) r
+      ON s.{id_col} = r.{id_col}{label_join}
+),
+cls_n AS MATERIALIZED (SELECT COUNT(*) AS n FROM cls_feats),
+cls_w0 AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4, 0.0 AS w5)"""
+    step_ctes = []
+    for k in range(steps):
+        z = " + ".join(f"w.w{j} * f.f{j}" for j in range(N_FEATURES))
+        sums = ", ".join(
+            f"SUM(CAST(round((1.0 / (1.0 + exp(-({z}))) - f.y) * f.f{j} "
+            f"* {scale}.0, 0) AS BIGINT)) AS g{j}"
+            for j in range(N_FEATURES)
+        )
+        new_w = ", ".join(
+            f"w.w{j} - {lr!r} * (CAST(g.g{j} AS DOUBLE) "
+            f"/ (SELECT n FROM cls_n) / {scale}.0) AS w{j}"
+            for j in range(N_FEATURES)
+        )
+        step_ctes.append(
+            f"""
+cls_g{k} AS MATERIALIZED (
+    SELECT {sums}
+    FROM cls_feats f CROSS JOIN cls_w{k} w
+),
+cls_w{k + 1} AS MATERIALIZED (
+    SELECT {new_w}
+    FROM cls_w{k} w CROSS JOIN cls_g{k} g
+)"""
+        )
+    zf = " + ".join(f"w.w{j} * f.f{j}" for j in range(N_FEATURES))
+    return (
+        "WITH "
+        + feats
+        + ","
+        + ",".join(step_ctes)
+        + f"""
+SELECT f.id AS {id_col},
+       round(1.0 / (1.0 + exp(-({zf}))), {SCORE_DP}) + 0.0 AS quality_score,
+       round(1.0 / (1.0 + exp(-({zf}))), {SCORE_DP}) + 0.0 >= 0.5
+           AS predicted_quality,
+       f.y = 1.0 AS label
+FROM cls_feats f CROSS JOIN cls_w{steps} w
+"""
+    )

@@ -1070,6 +1070,41 @@ def q_loop_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLS_STEPS, CLS_LR, CLS_TOKEN_CAP = 150, 4.0, 2000
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine trainable quality filter (``functions/classifier.py``):
+    logistic regression over cheap text-density features, trained by
+    full-batch GD (one corpus aggregate per step, integer-summed
+    gradients) to distill the C4 page_keep verdict on the page corpus.
+    The oracle replays every unrolled GD step in SQL and lands on
+    bit-identical weights and scores. Residual error is the signal the
+    feature set deliberately omits (lorem-phrase and kept-line-count
+    drivers) — the plug-in point for richer features."""
+    from ..functions.boilerplate import c4_line_filter
+    from ..functions.classifier import train_and_score_quality
+
+    pages = c4_line_filter(_pages(spark, sf_dir), "text")
+    return train_and_score_quality(
+        pages, "page_id", "text", steps=CLS_STEPS, lr=CLS_LR,
+        label_col="page_keep", token_cap=CLS_TOKEN_CAP,
+    )
+
+
+def _oracle_quality_classifier() -> str:
+    from ..functions.boilerplate import duckdb_c4_sql
+    from ..functions.classifier import duckdb_train_and_score_sql
+
+    return _oracle_pages(
+        duckdb_train_and_score_sql(
+            "pages", "page_id", "text", steps=CLS_STEPS, lr=CLS_LR,
+            label_subquery=duckdb_c4_sql("pages", "page_id", "text"),
+            label_col="page_keep", token_cap=CLS_TOKEN_CAP,
+        )
+    )
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (``operators/packing.py``):
     bucketed deterministic document→training-sequence assignment,
@@ -1705,6 +1740,7 @@ def queries():
         "perplexity_trained": q_perplexity_trained,
         "loop_detection": q_loop_detection,
         "sequence_packing": q_sequence_packing,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -1790,6 +1826,7 @@ def oracle_sql():
         "perplexity_trained": _oracle_perplexity_trained(),
         "loop_detection": _oracle_loop_detection(),
         "sequence_packing": _oracle_sequence_packing(),
+        "quality_classifier": _oracle_quality_classifier(),
         "minhash_pairs": _oracle_minhash_pairs(),
         "minhash_dedup_labels": ORACLE_MINHASH_LABELS,
         "simhash": duckdb_simhash_md5_sql("documents", "doc_id", "text"),
