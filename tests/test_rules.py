@@ -166,3 +166,29 @@ def test_role_alternation_check(spark):
     assert failed == {("c1", 2)}
     # prep column dropped
     assert all(not c.startswith("__alt_") for c in apply_checks(df, checks).columns)
+
+
+def test_tool_consistency_matrix(spark):
+    """TOOL_CONSISTENCY: non-NULL tool requires role='tool'; NULL tool
+    always passes; NULL role with a tool yields NULL → passes (3VL)."""
+    from zeus_data_quality_spark.functions.rules import (
+        Check,
+        compile_row_check,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "tool", "search"),       # pass
+            (1, "user", "search"),       # FAIL: tool under user role
+            (2, "user", None),           # pass: no tool
+            (3, None, "search"),         # NULL role → NULL pred → pass
+            (4, None, None),             # pass
+        ],
+        "id long, role string, tool string",
+    )
+    check = Check("T", "TOOL_CONSISTENCY", "tool")
+    out = {
+        r["id"]: r["ok"]
+        for r in df.withColumn("ok", compile_row_check(check)).collect()
+    }
+    assert out == {0: True, 1: False, 2: True, 3: None, 4: True}

@@ -140,6 +140,20 @@ def value_distribution(col: Column, allowed: list[Any]) -> Column:
     return col.isin(list(allowed))
 
 
+def tool_consistency(
+    tool: Column, role: Column, role_value: str = "tool"
+) -> Column:
+    """TOOL_CONSISTENCY (north-rule transcript check, no reference
+    counterpart): a non-NULL tool payload must sit on a ``role =
+    role_value`` turn — an agent emitting tool output under a user/
+    assistant role is a malformed transcript. NULL tool passes (most
+    turns carry no tool); a non-NULL tool with a NULL role yields a
+    NULL predicate → passes via 3VL, per the house rule that NULL
+    handling belongs to NULL_COUNT/VALUE_DISTRIBUTION on the role
+    column itself."""
+    return tool.isNull() | (role == F.lit(role_value))
+
+
 def _resolve_col(check: Check) -> Column:
     """Column or derived expression for a check.
 
@@ -182,6 +196,12 @@ def compile_row_check(check: Check) -> Column:
             csv = check.params.get("allowed_values_csv", "")
             allowed = [v.strip() for v in csv.split(",") if v.strip() != ""]
         return value_distribution(col, allowed)
+    if ctype == "TOOL_CONSISTENCY":
+        return tool_consistency(
+            col,
+            F.col(check.params.get("role_col", "role")),
+            check.params.get("role_value", "tool"),
+        )
     # --- north-rule extension checks (not in the reference registry;
     # model-driven pandas-UDF predicates, same 3VL contract: NULL text
     # yields a NULL predicate → passes) ---

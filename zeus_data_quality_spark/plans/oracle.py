@@ -95,6 +95,10 @@ def pass_predicate_sql(check: Check) -> str:
             return "(TRUE)"
         vals = ", ".join(f"'{_sq(str(v))}'" for v in allowed)
         return f"({c} IN ({vals}))"
+    if ctype == "TOOL_CONSISTENCY":
+        role = check.params.get("role_col", "role")
+        rv = check.params.get("role_value", "tool")
+        return f"({c} IS NULL OR {role} = '{_sq(rv)}')"
     if ctype == "LANG_ID":
         # Spark: when(col IS NULL, NULL).otherwise(lang IN allowed) —
         # NULL text yields a NULL predicate → passes via 3VL. The

@@ -59,7 +59,11 @@ FRESHNESS_ANCHOR = datetime(2024, 2, 1, 0, 0, 0)
 from ..functions.rules import Check as _Check  # noqa: E402
 
 ALT_CHECKS = CHECKS + [
-    _Check("ROLE_ALTERNATION", "ROLE_ALTERNATION", "role")
+    _Check("ROLE_ALTERNATION", "ROLE_ALTERNATION", "role"),
+    # tool payload on a non-tool turn (north-rule transcript check);
+    # riding the alt config extends the rule_failure_counts_alt oracle
+    # automatically (it derives from this check list in both engines).
+    _Check("TOOL_ROLE_CONSISTENCY", "TOOL_CONSISTENCY", "tool"),
 ]
 
 
