@@ -124,9 +124,11 @@ def test_dist_zip_matches_package_tree():
 
 
 def test_cli_run_snapshot_commits(spark, sf_dir, tmp_path):
-    """--snapshot commits each completed run as one table version:
-    two runs → two versions, append semantics, time travel back to
-    the first run's output."""
+    """--snapshot commits each completed run as one table version with
+    OVERWRITE semantics (each version = the table as of that run; the
+    parent chain keeps time travel): two runs → two versions, and —
+    the ADVICE r3 regression — re-running against the SAME --output
+    dir must not double the snapshot's rows."""
     from zeus_data_quality_spark.sources.transcripts import load_transcripts
     from zeus_data_quality_spark.sources.snapshots import (
         read_snapshot,
@@ -154,9 +156,14 @@ def test_cli_run_snapshot_commits(spark, sf_dir, tmp_path):
     assert s1["snapshot_version"] == 0
     s2 = run("snap-r2", "out2")
     assert s2["snapshot_version"] == 1
+    # the documented reuse pattern: same --output dir, new run-id
+    s3 = run("snap-r3", "out1")
+    assert s3["snapshot_version"] == 2
     log = snapshots(spark, snap)
-    assert [s["version"] for s in log] == [0, 1]
+    assert [s["version"] for s in log] == [0, 1, 2]
     v0 = read_snapshot(spark, snap, version=0).count()
-    v1 = read_snapshot(spark, snap).count()
+    v1 = read_snapshot(spark, snap, version=1).count()
+    v2 = read_snapshot(spark, snap).count()
     assert v0 == s1["rows_in"]
-    assert v1 == v0 * 2  # append across runs
+    assert v1 == v0  # each version is that run's table, not a pile-up
+    assert v2 == v0  # rerun over a reused --output dir: no doubling

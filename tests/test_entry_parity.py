@@ -98,20 +98,22 @@ TAIL_TWINS = {
     # labeled O(n^2) exactness baseline; the LSH scale path is
     # in-window and pytest-pinned as a subset of exact
     "embedding_near_dups",
+    # r4 rotation (per the r3 verdict): family-duplicate rows evicted
+    # to make room for the five round-3 operators. Each family keeps
+    # at least one in-window row (asserted below), and these still run
+    # against their full oracles via this module + parity_check.
+    "ann_ivf",            # oracle IS ORACLE_ANN_BRUTEFORCE; IVF-specific
+                          # Lloyd-replay oracle stays via ann_ivf_probe
+    "monitor_kpis",       # family keeps monitor_topk + monitor_daily_trend
+    "numeric_quantiles",  # family keeps column_profile
+    "daily_drift",        # family keeps value_drift
+    "fingerprint_dup_groups",  # family keeps doc_fingerprints
 }
 
-# Operators added AFTER the 50-slot window filled with distinct
-# families. Not twins — novel semantics — but every one carries a full
-# value oracle exercised by this module and tools/parity_check.py; the
-# driver window simply has no slot left that would not evict a
-# distinct family.
-TAIL_OVERFLOW = {
-    "bigram_lm",
-    "perplexity_trained",
-    "loop_detection",
-    "sequence_packing",
-    "quality_classifier",
-}
+# Operators that once sat past the 50-slot window (round 3); the r4
+# rotation promoted all of them into the window, so this is empty —
+# kept so the window invariants below stay expressed.
+TAIL_OVERFLOW: set = set()
 
 
 def test_driver_window_covers_every_operator_family():
@@ -133,28 +135,36 @@ def test_driver_window_covers_every_operator_family():
         "dedup_exact": {"dedup_exact", "conversation_dedup"},
         "textstats": {"text_stats", "top_tokens"},
         "decontaminate": {"decontaminate"},
-        "fingerprints": {"doc_fingerprints", "fingerprint_dup_groups"},
+        "fingerprints": {"doc_fingerprints"},
         "quality_filter": {"document_quality_filter"},
         "repetition": {"gopher_repetition"},
         "boilerplate": {"c4_line_filter"},
-        "profile": {"column_profile", "numeric_quantiles"},
-        "drift": {"value_drift", "daily_drift"},
-        "ann": {"ann_bruteforce", "ann_lsh", "ann_ivf", "ann_ivf_probe"},
+        "profile": {"column_profile"},
+        "drift": {"value_drift"},
+        "ann": {"ann_bruteforce", "ann_lsh", "ann_ivf_probe"},
         "minhash": {"minhash_pairs", "minhash_dedup_labels"},
         "simhash": {"simhash"},
         "langid": {"langid"},
         "perplexity": {"perplexity"},
-        "monitor": {"monitor_topk", "monitor_kpis", "monitor_daily_trend"},
+        "monitor": {"monitor_topk", "monitor_daily_trend"},
         "olap": {"rollup_orders", "window_running_total", "setops_users"},
         "jaccard": {"ngram_jaccard_pairs"},
         "embedding_dups": {"embedding_near_dups_lsh"},
         "multimodal": {"media_features", "media_resize_checksums",
                        "media_audio_frames", "media_video_frames"},
+        # round-3 operators, promoted by the r4 rotation
+        "lm_training": {"bigram_lm", "perplexity_trained"},
+        "loop_detection": {"loop_detection"},
+        "packing": {"sequence_packing"},
+        "classifier": {"quality_classifier"},
     }
     for fam, members in families.items():
         assert members & in_window, f"family {fam} has no driver-window row"
     # the media family specifically must be FULLY in-window (r2 gap)
     assert families["multimodal"] <= in_window
+    # the round-3 operators specifically must be FULLY in-window (r3 gap)
+    for fam in ("lm_training", "loop_detection", "packing", "classifier"):
+        assert families[fam] <= in_window, fam
     # nothing novel hides in the tail
     assert out_window <= TAIL_TWINS | TAIL_OVERFLOW, (
         out_window - TAIL_TWINS - TAIL_OVERFLOW

@@ -98,3 +98,42 @@ def test_train_and_score_equals_two_phase(spark):
         ).collect()
     }
     assert fused == two_phase
+
+
+def test_exotic_whitespace_parity_with_duckdb(spark):
+    """VT (\\x0b), NEL (U+0085), LS (U+2028), NBSP (U+00A0): the
+    explicit ASCII class must tokenize identically in Spark (Java
+    regex) and DuckDB (RE2). Java's \\v-in-class matches NEL/LS and
+    Java's \\s matches VT while RE2's does not — both divergences are
+    pinned here (ADVICE r3)."""
+    import duckdb
+    import pandas as pd
+    import pytest as pt
+
+    from zeus_data_quality_spark.functions.lm import (
+        duckdb_score_with_lm_sql,
+        fit_bigram_lm,
+        score_with_lm,
+    )
+
+    texts = [
+        "a\x0bb a b",      # vertical tab: IS a separator (ASCII class)
+        "a\u0085b a",      # NEL: NOT a separator on either engine
+        "a\u2028b a",      # LS: NOT a separator
+        "a\u00a0b a b",    # NBSP: NOT a separator
+        "a b a b",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    model = fit_bigram_lm(df, "text")
+    got = {
+        r["doc_id"]: r["nll_mean"]
+        for r in score_with_lm(df, model, "doc_id", "text").collect()
+    }
+    con = duckdb.connect()
+    con.register("exotic_ws", pdf)
+    sql = duckdb_score_with_lm_sql("exotic_ws", "doc_id", "text")
+    want = {int(r[0]): float(r[1]) for r in con.execute(sql).fetchall()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pt.approx(want[k], abs=1e-9), texts[k]

@@ -116,3 +116,26 @@ def test_vacuum_append_chain_keeps_shared_files(spark, tmp_path):
     deleted = vacuum(spark, t, keep_versions=1)
     assert deleted == []                       # v1 needs v0's data dir
     assert read_snapshot(spark, t).count() == 8
+
+
+def test_vacuum_grace_spares_recent_orphans(spark, tmp_path):
+    """grace_seconds: a freshly-written unreferenced data dir (an
+    in-flight writer between data write and manifest commit) is NOT
+    deleted; an old orphan still is (ADVICE r3)."""
+    import os
+    import time
+
+    from zeus_data_quality_spark.sources.snapshots import vacuum
+
+    t = str(tmp_path / "tbl7")
+    write_snapshot(_df(spark, 0, 5), t)                   # v0
+    _df(spark, 99, 100).write.parquet(f"{t}/data/snap-8-aaaaaaaa")  # old
+    _df(spark, 99, 100).write.parquet(f"{t}/data/snap-9-bbbbbbbb")  # fresh
+    old = time.time() - 7200
+    os.utime(f"{t}/data/snap-8-aaaaaaaa", (old, old))
+    deleted = vacuum(spark, t, grace_seconds=3600)
+    assert any("snap-8-aaaaaaaa" in d for d in deleted)
+    assert not any("snap-9-bbbbbbbb" in d for d in deleted)
+    # without grace, eager vacuum reclaims it
+    deleted = vacuum(spark, t)
+    assert any("snap-9-bbbbbbbb" in d for d in deleted)

@@ -93,10 +93,15 @@ def cmd_run(args) -> int:
         # across runs. Additive: the slice-level dynamic-partition
         # output and resume protocol are untouched; the commit happens
         # only after the run completes, so a resumed run commits once.
+        # mode="overwrite", NOT append: each version is "the table as
+        # of this run" (the parent chain still gives time travel).
+        # Appending would double rows when the same --output dir is
+        # reused across run-ids — the resume-oriented pattern this CLI
+        # documents and cmd_schedule generates (ADVICE r3).
         from .sources.snapshots import write_snapshot
 
         out["snapshot_version"] = write_snapshot(
-            spark.read.parquet(args.output), args.snapshot, mode="append"
+            spark.read.parquet(args.output), args.snapshot, mode="overwrite"
         )
     print(json.dumps(out))
     return 0

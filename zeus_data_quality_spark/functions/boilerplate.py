@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .textstats import TOKEN_SPLIT  # engine-portable ASCII \s (ADVICE r3)
+
 TERMINAL_PUNCT = (".", "!", "?", '"')
 MIN_WORDS_PER_LINE = 5
 MIN_KEPT_LINES = 3
@@ -39,7 +41,7 @@ BAD_DOC_RAW = "{"
 
 def _keep_line(x: Column) -> Column:
     last = x.substr(F.length(x), F.lit(1))
-    words = F.size(F.filter(F.split(x, r"\s+"), lambda w: w != F.lit("")))
+    words = F.size(F.filter(F.split(x, TOKEN_SPLIT), lambda w: w != F.lit("")))
     ok = last.isin(*TERMINAL_PUNCT) & (words >= MIN_WORDS_PER_LINE)
     low = F.lower(x)
     for p in BAD_LINE_PHRASES:
@@ -89,7 +91,7 @@ def duckdb_c4_sql(from_clause: str, id_col: str, text_col: str = "text") -> str:
     )
     keep = (
         f"right(x, 1) IN ({punct}) "
-        f"AND len(list_filter(regexp_split_to_array(x, '\\s+'), "
+        f"AND len(list_filter(regexp_split_to_array(x, '{TOKEN_SPLIT}'), "
         f"w -> w <> '')) >= {MIN_WORDS_PER_LINE} AND {bad}"
     )
     return f"""

@@ -40,9 +40,13 @@ from pyspark.sql import functions as F
 from .perplexity import OOV_NLL
 
 BOS, EOS = "<s>", "</s>"
-# ASCII whitespace, identical semantics in Java regex and RE2 — the
-# same class as perplexity._WS.
-WS = r"[ \t\n\r\f\v]+"
+# ASCII whitespace, identical byte-level semantics in Java regex, RE2
+# and Python re — the same class as perplexity._WS. \x0b, NOT \v: in
+# Java 8+ \v inside a class is the vertical-whitespace CLASS
+# [\n\x0B\f\r\x85  ], so '\v' would make Spark split on
+# U+0085/U+2028/U+2029 while the DuckDB oracle and the pandas scorer
+# do not (ADVICE r3).
+WS = r"[ \t\n\r\f\x0b]+"
 NLL_DP = 6
 
 

@@ -76,7 +76,7 @@ _LM_STR = _train(SEED_CORPUS)
 # \s is ASCII — a text containing U+00A0 would silently diverge. The
 # explicit class means the same thing in Python re, Java regex, and
 # RE2; empties from edge whitespace are dropped in the key loop.
-_WS = re.compile(r"[ \t\n\r\f\v]+")
+_WS = re.compile(r"[ \t\n\r\f\x0b]+")
 
 
 def perplexity_batch(s: pd.Series) -> pd.Series:
@@ -142,7 +142,7 @@ __ppl_tok AS (
            list_concat(list_concat(
                ['<s>'],
                list_filter(regexp_split_to_array(lower(text),
-                                                 '[ \\t\\n\\r\\f\\v]+'),
+                                                 '[ \\t\\n\\r\\f\\x0b]+'),
                            x -> x <> '')),
                ['</s>']) AS ws
     FROM __ppl_texts

@@ -38,9 +38,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .textstats import TOKEN_SPLIT  # engine-portable ASCII \s (ADVICE r3)
+
 LINE_SPLIT = "\n"
 PARA_SPLIT = "\n{2,}"
-TOKEN_SPLIT = r"\s+"
 
 # (numerator multiplier, denominator multiplier): frac <= d/n  ⇔
 # num * n <= den * d, evaluated in exact integer arithmetic.
@@ -253,7 +254,7 @@ rep_arr AS (
         list_filter(list_transform(
             regexp_split_to_array(t, '{NL}{{2,}}'), x -> trim(x)), x -> x <> '')
             AS paras,
-        list_filter(regexp_split_to_array(lower(t), '\\s+'), x -> x <> '')
+        list_filter(regexp_split_to_array(lower(t), '{TOKEN_SPLIT}'), x -> x <> '')
             AS toks
     FROM rep_src
 ),

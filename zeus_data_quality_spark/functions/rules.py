@@ -38,6 +38,8 @@ from typing import Any
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .textstats import TOKEN_SPLIT
+
 SUPPORTED_COLUMN_CHECKS = [
     "UNIQUE",
     "NULL_COUNT",
@@ -121,7 +123,7 @@ def whitespace(col: Column, mode: str = "NO_LEADING_TRAILING") -> Column:
     if mode == "NO_LEADING_TRAILING":
         return col.isNull() | (col == F.trim(col))
     if mode == "NO_INTERNAL_ONLY_WHITESPACE":
-        return col.isNull() | (F.regexp_replace(col, r"\s+", " ") == col)
+        return col.isNull() | (F.regexp_replace(col, TOKEN_SPLIT, " ") == col)
     return col.isNotNull() & (F.length(F.trim(col)) > 0)
 
 

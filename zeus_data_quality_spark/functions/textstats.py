@@ -18,13 +18,24 @@ from pyspark.sql import functions as F
 # Small English stopword marker set (public knowledge).
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
 PUNCT_CLASS = "[.,;:!?]"
-TOKEN_SPLIT = r"\s+"
+# ASCII whitespace class with identical BYTE-LEVEL semantics in Java
+# regex (Spark), RE2 (DuckDB), and Python re — the engine-portable
+# replacement for \s everywhere a Spark Column and a DuckDB oracle
+# must tokenize identically. NOT \s (Java's includes \x0B, RE2's
+# doesn't) and NOT \v (Java 8+ treats \v in a class as the
+# vertical-whitespace CLASS incl. U+0085/U+2028/U+2029); ADVICE r3.
+ASCII_WS = r"[ \t\n\r\f\x0b]+"
+ASCII_WS_CHARS = r" \t\n\r\f\x0b"  # for embedding in negated classes
+TOKEN_SPLIT = ASCII_WS
 # BPE-ish pre-tokenizer (GPT-2 style simplified): letter runs, digit
 # runs, punctuation runs (each with optional leading space), whitespace
 # runs. Deliberately restricted to constructs with identical semantics
 # in Java regex (Spark) and RE2 (DuckDB) — no lookarounds, no \p
-# classes — so the oracle agrees exactly.
-BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+# classes, explicit ASCII whitespace instead of \s — so the oracle
+# agrees exactly.
+BPE_TOKEN_PATTERN = (
+    r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9" + ASCII_WS_CHARS + r"]+|" + ASCII_WS
+)
 
 # Quality thresholds (integer heuristic).
 MIN_TOKENS = 5
@@ -119,7 +130,7 @@ def top_tokens(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     task, not corpus tokens) → global top-k via
     TakeOrderedAndProject (no full sort)."""
     toks = F.explode(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT)
     ).alias("token")
     return (
         df.filter(F.col(text_col).isNotNull())
@@ -137,7 +148,7 @@ def duckdb_top_tokens_sql(table: str, text_col: str = "text", k: int = 50) -> st
     return f"""
 WITH toks AS (
     SELECT unnest(list_filter(
-        regexp_split_to_array(lower(trim({text_col})), '\\s+'),
+        regexp_split_to_array(lower(trim({text_col})), '{TOKEN_SPLIT}'),
         x -> x <> '')) AS token
     FROM {table} WHERE {text_col} IS NOT NULL
 )

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.textstats import TOKEN_SPLIT
 from .dedup import _shingles
 
 
@@ -104,7 +105,7 @@ def duckdb_contamination_sql(
            unnest(list_distinct(list_transform(
                range(1, len(t) - {shingle_n - 2}), i -> {gram}))) AS ngram
     FROM (SELECT {id_col},
-                 regexp_split_to_array(lower(trim({text_col})), '\\s+') AS t
+                 regexp_split_to_array(lower(trim({text_col})), '{TOKEN_SPLIT}') AS t
           FROM {docs_table}) q
     WHERE len(t) >= {shingle_n}
     """

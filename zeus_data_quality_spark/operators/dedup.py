@@ -19,35 +19,45 @@ always (partial-aggregated) groupBys on compact keys + joins back.
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.textstats import TOKEN_SPLIT  # engine-portable ASCII \\s (ADVICE r3)
 
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 4  # rows_per_band = num_hashes // bands
 
-# Every persisted signature table is tracked here in addition to any
-# caller-supplied handle; long-lived sessions that call the pair
-# generators directly (without a sig_cache_out) release accumulated
-# caches with release_signature_caches(). Held via weakref so a
-# DataFrame unpersisted-and-dropped through its sig_cache_out handle
-# becomes collectible instead of pinning its plan for the life of the
-# driver (ADVICE r2). Spark's CacheManager dedups by plan, so repeated
-# calls on identical inputs don't grow this.
-_SIG_CACHES: list = []  # list[weakref.ref[DataFrame]]
+# Every persisted signature table is tracked here (STRONG refs — a
+# weakref registry is a no-op for the documented use case: a caller
+# without sig_cache_out drops its only strong reference when the pair
+# generator returns, the weakref dies immediately, and the persisted
+# table stays pinned in Spark's CacheManager forever; ADVICE r3).
+# Callers that manage their own lifecycle (sig_cache_out) are
+# deregistered by _deregister_sig_cache when they unpersist, so the
+# registry never double-releases or pins what a caller already freed.
+# Long-lived sessions that call the pair generators directly release
+# accumulated caches with release_signature_caches(). Spark's
+# CacheManager dedups by plan, so repeated calls on identical inputs
+# don't grow executor storage (the registry may briefly hold duplicate
+# handles to one cache entry; release is idempotent).
+_SIG_CACHES: list = []  # list[DataFrame]
 
+
+def _deregister_sig_cache(df: DataFrame) -> None:
+    """Drop a signature-cache handle from the session registry (used by
+    callers that unpersist their sig_cache_out handles themselves)."""
+    for i, cached in enumerate(_SIG_CACHES):
+        if cached is df:
+            del _SIG_CACHES[i]
+            return
 
 
 def release_signature_caches() -> int:
     """Unpersist every signature table cached by minhash calls in this
-    session; returns how many were released (already-collected refs
-    are skipped)."""
+    session; returns how many were released."""
     n = 0
     while _SIG_CACHES:
-        df = _SIG_CACHES.pop()()
-        if df is None:
-            continue
+        df = _SIG_CACHES.pop()
         try:
             df.unpersist()
             n += 1
@@ -168,7 +178,7 @@ def _shingles(text_col: str, n: int = 3):
             F.array_distinct(F.transform(idx, gram))
         )
 
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT)
     return F.flatten(F.transform(F.array(toks), inner))
 
 
@@ -216,7 +226,7 @@ def minhash_signatures(
         return base.select(
             id_col, F.when(F.size("__sh") > 0, sig).alias("sig")
         )
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT)
     tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
     n_sh = F.greatest(F.size(toks) - (shingle_n - 1), F.lit(0))
     base = df.select(
@@ -283,7 +293,7 @@ def minhash_candidate_pairs(
     # accumulating. At corpus scale this persist becomes "write the
     # signature table", same plan shape.
     sig_nn = sigs.filter(F.col("sig").isNotNull()).persist()
-    _SIG_CACHES.append(weakref.ref(sig_nn))
+    _SIG_CACHES.append(sig_nn)
     if sig_cache_out is not None:
         sig_cache_out.append(sig_nn)
     band_keys = _band_key_columns(bands, r, hash_mode)
@@ -414,7 +424,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     sign).
     """
     t = F.col(text_col)
-    toks = F.array_distinct(F.split(F.lower(F.trim(t)), r"\s+"))
+    toks = F.array_distinct(F.split(F.lower(F.trim(t)), TOKEN_SPLIT))
     hashed = df.select(
         F.col(id_col),
         t.alias("__t"),
@@ -450,7 +460,7 @@ def simhash_md5_hex(df: DataFrame, id_col: str, text_col: str = "text") -> DataF
     NULL / whitespace-only text → NULL.
     """
     t = F.col(text_col)
-    toks = F.array_distinct(F.split(F.lower(F.trim(t)), r"\s+"))
+    toks = F.array_distinct(F.split(F.lower(F.trim(t)), TOKEN_SPLIT))
     hashed = df.select(
         F.col(id_col),
         t.alias("__t"),
@@ -491,7 +501,7 @@ WITH __t AS (SELECT {id_col}, {text_col} AS __txt FROM {table}),
 __tok AS (
     SELECT {id_col},
            unnest(list_distinct(
-               regexp_split_to_array(lower(trim(__txt)), '\\s+'))) AS tk
+               regexp_split_to_array(lower(trim(__txt)), '{TOKEN_SPLIT}'))) AS tk
     FROM __t WHERE length(trim(__txt)) > 0
 ),
 __h AS (SELECT {id_col}, substr(md5(tk), 1, 16) AS hx FROM __tok),
@@ -568,7 +578,7 @@ def duckdb_minhash_pairs_cte(
     gram = " || ' ' || ".join(f"t[CAST(i + {j} AS INT)]" for j in range(shingle_n))
     return f"""
 __mh_tok AS (
-    SELECT id, regexp_split_to_array(lower(trim(txt)), '\\s+') AS t FROM __mh_in
+    SELECT id, regexp_split_to_array(lower(trim(txt)), '{TOKEN_SPLIT}') AS t FROM __mh_in
 ),
 __mh_sh AS (
     SELECT id,
@@ -879,9 +889,12 @@ def minhash_dedup_labels(
     finally:
         # the checkpointed component labels no longer reference the
         # signature table — release its cache even on failure (a retry
-        # in the same session must not compound cached tables).
+        # in the same session must not compound cached tables), and
+        # drop it from the session registry so release_signature_caches
+        # doesn't hold a stale strong ref to the freed plan.
         for cached in sig_caches:
             cached.unpersist()
+            _deregister_sig_cache(cached)
     if not converged:
         import logging
 

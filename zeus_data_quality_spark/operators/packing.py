@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.textstats import TOKEN_SPLIT
+
 from ..functions.sampling import _bucket_hex, _hex_to_int, _sql_bucket, _sql_hex_to_int
 from ..functions import textstats
 
@@ -89,7 +91,7 @@ def duckdb_pack_sql(
     ntok = (
         f"CASE WHEN {text_col} IS NULL THEN 0 "
         f"WHEN length(trim({text_col})) = 0 THEN 0 "
-        f"ELSE len(regexp_split_to_array(trim({text_col}), '\\s+')) END"
+        f"ELSE len(regexp_split_to_array(trim({text_col}), '{TOKEN_SPLIT}')) END"
     )
     bucket = f"({_sql_hex_to_int(_sql_bucket(id_col, SALT))} % {n_buckets})"
     return f"""

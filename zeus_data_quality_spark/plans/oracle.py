@@ -18,6 +18,7 @@ CAST to BIGINT to match Spark's LongType.
 """
 
 from __future__ import annotations
+from ..functions.textstats import TOKEN_SPLIT
 
 from ..functions.rules import Check
 
@@ -81,7 +82,7 @@ def pass_predicate_sql(check: Check) -> str:
         if mode == "NO_LEADING_TRAILING":
             return f"({c} IS NULL OR {c} = trim({c}))"
         if mode == "NO_INTERNAL_ONLY_WHITESPACE":
-            return f"({c} IS NULL OR regexp_replace({c}, '\\s+', ' ', 'g') = {c})"
+            return f"({c} IS NULL OR regexp_replace({c}, '{TOKEN_SPLIT}', ' ', 'g') = {c})"
         return f"({c} IS NOT NULL AND length(trim({c})) > 0)"
     if ctype == "FORMAT_DISTRIBUTION":
         regex = check.params.get("regex", ".*")

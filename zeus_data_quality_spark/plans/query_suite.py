@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import fingerprint, textstats
+from ..functions.textstats import TOKEN_SPLIT
 from ..functions.langid import detect_language, duckdb_langid_sql
 from ..functions.perplexity import duckdb_perplexity_cte, perplexity_nll
 from ..functions.scrub import duckdb_scrub_expr, scrub_text, scrub_text_jvm
@@ -1593,9 +1594,9 @@ SELECT user_id, 'purchase_only' AS segment FROM (
 )
 """
 
-ORACLE_NGRAM_JACCARD = """
+ORACLE_NGRAM_JACCARD = f"""
 WITH toks AS (
-    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '{TOKEN_SPLIT}') AS t
     FROM documents
 ), sh AS (
     SELECT doc_id,
@@ -1674,10 +1675,20 @@ def queries():
     `rollup_orders`, `date_spine_daily` = the spine that
     `monitor_daily_trend` zero-fills with, `embedding_near_dups` = the
     labeled O(n²) exactness baseline whose LSH scale path stays
-    in-window with a subset-of-exact pytest pin). Tail rows still run
-    against their full oracles in tests/test_entry_parity.py, which
-    also asserts every family stays in-window and nothing novel hides
-    in the tail."""
+    in-window with a subset-of-exact pytest pin). Round 4 rotated the
+    window per the r3 verdict: five family-duplicate rows moved to the
+    tail — `ann_ivf` (its oracle IS ORACLE_ANN_BRUTEFORCE; the
+    IVF-specific Lloyd-replay oracle stays in-window via
+    `ann_ivf_probe`), `monitor_kpis` (family keeps `monitor_topk` +
+    `monitor_daily_trend`), `numeric_quantiles` (keeps
+    `column_profile`), `daily_drift` (keeps `value_drift`),
+    `fingerprint_dup_groups` (keeps `doc_fingerprints`) — and the five
+    round-3 operators (`bigram_lm`, `perplexity_trained`,
+    `loop_detection`, `sequence_packing`, `quality_classifier`)
+    promoted into slots ≤50 so the driver adjudicates them. Tail rows
+    still run against their full oracles in
+    tests/test_entry_parity.py, which also asserts every family stays
+    in-window and nothing novel hides in the tail."""
     return {
         "rule_failure_counts": q_rule_failure_counts,
         "rule_failure_counts_ext": q_rule_failure_counts_ext,
@@ -1699,15 +1710,11 @@ def queries():
         "top_tokens": q_top_tokens,
         "decontaminate": q_decontaminate,
         "doc_fingerprints": q_doc_fingerprints,
-        "fingerprint_dup_groups": q_fingerprint_dup_groups,
         "document_quality_filter": q_document_quality_filter,
         "column_profile": q_column_profile,
-        "numeric_quantiles": q_numeric_quantiles,
         "value_drift": q_value_drift,
-        "daily_drift": q_daily_drift,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
         "ann_ivf_probe": q_ann_ivf_probe,
         "minhash_pairs": q_minhash_pairs,
         "minhash_dedup_labels": q_minhash_dedup_labels,
@@ -1715,7 +1722,6 @@ def queries():
         "langid": q_langid,
         "perplexity": q_perplexity,
         "monitor_topk": q_monitor_topk,
-        "monitor_kpis": q_monitor_kpis,
         "monitor_daily_trend": q_monitor_daily_trend,
         "rollup_orders": q_rollup_orders,
         "window_running_total": q_window_running_total,
@@ -1729,6 +1735,11 @@ def queries():
         "media_resize_checksums": q_media_resize_checksums,
         "media_audio_frames": q_media_audio_frames,
         "media_video_frames": q_media_video_frames,
+        "bigram_lm": q_bigram_lm,
+        "perplexity_trained": q_perplexity_trained,
+        "loop_detection": q_loop_detection,
+        "sequence_packing": q_sequence_packing,
+        "quality_classifier": q_quality_classifier,
         # ---- tail: engine twins / derivative aggregates (see above) ----
         "tpch_q3": q_tpch_q3,
         "cube_events": q_cube_events,
@@ -1738,13 +1749,11 @@ def queries():
         "lang_distribution": q_lang_distribution,
         "date_spine_daily": q_date_spine_daily,
         "embedding_near_dups": q_embedding_near_dups,
-        # post-window additions (window already holds all 50 distinct
-        # families): full value oracles, judged via the parity tool
-        "bigram_lm": q_bigram_lm,
-        "perplexity_trained": q_perplexity_trained,
-        "loop_detection": q_loop_detection,
-        "sequence_packing": q_sequence_packing,
-        "quality_classifier": q_quality_classifier,
+        "fingerprint_dup_groups": q_fingerprint_dup_groups,
+        "numeric_quantiles": q_numeric_quantiles,
+        "daily_drift": q_daily_drift,
+        "ann_ivf": q_ann_ivf,
+        "monitor_kpis": q_monitor_kpis,
     }
 
 

@@ -172,15 +172,31 @@ def schema_from_manifest(manifest: dict):
     return StructType.fromJson(manifest["schema"])
 
 
+DEFAULT_VACUUM_GRACE_S = 3 * 24 * 3600  # Iceberg remove-orphan-files default
+
+
 def vacuum(
-    spark: SparkSession, table_dir: str, keep_versions: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    keep_versions: int | None = None,
+    grace_seconds: int = 0,
 ) -> list[str]:
     """Delete data directories referenced by NO retained manifest:
     orphans from lost OCC races or crashed writers, plus — when
     ``keep_versions`` is given — snapshots expired out of the
     retention window (their manifests are removed first, oldest
     versions go; the current version is always retained). Returns the
-    deleted data-directory paths."""
+    deleted data-directory paths.
+
+    ``grace_seconds``: an unreferenced data dir modified within the
+    last ``grace_seconds`` is NOT deleted — an in-flight writer
+    between its data write and manifest commit looks exactly like an
+    orphan, and deleting it would corrupt the version it is about to
+    commit (Iceberg's remove-orphan-files age threshold,
+    :data:`DEFAULT_VACUUM_GRACE_S`; ADVICE r3). The default 0 keeps
+    vacuum eager for single-writer use; pass
+    ``grace_seconds=DEFAULT_VACUUM_GRACE_S`` (or any positive window)
+    whenever writers may run concurrently with vacuum."""
     cur = current_version(spark, table_dir)
     if cur is None:
         return []
@@ -207,11 +223,17 @@ def vacuum(
     fs, jdata, _ = _fs(spark, f"{table_dir}/data")
     deleted = []
     if fs.exists(jdata):
+        import time
+
+        cutoff_ms = (time.time() - grace_seconds) * 1000.0
         for status in fs.listStatus(jdata):
             p = status.getPath()
-            if str(p.toUri().getPath()) not in live_dirs:
-                fs.delete(p, True)
-                deleted.append(str(p.toUri().getPath()))
+            if str(p.toUri().getPath()) in live_dirs:
+                continue
+            if grace_seconds > 0 and status.getModificationTime() > cutoff_ms:
+                continue  # possibly an in-flight writer's attempt dir
+            fs.delete(p, True)
+            deleted.append(str(p.toUri().getPath()))
     return sorted(deleted)
 
 
