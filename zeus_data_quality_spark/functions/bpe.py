@@ -1,0 +1,354 @@
+"""In-engine BPE tokenizer training — iterative top-pair merge as
+corpus aggregation, oracle-replayable.
+
+``operators/packing.py`` and ``textstats.n_tokens`` count whitespace
+tokens — a placeholder for the tokenizer a real pretraining pipeline
+budgets with. This module trains a byte-pair-encoding merge table
+(Sennrich et al. 2016, "Neural Machine Translation of Rare Words with
+Subword Units") fully in-engine, with the same determinism discipline
+as ``functions/lm.py`` and ``functions/classifier.py``: every training
+step is relational algebra over a small vocabulary table, ties break
+lexicographically, and the DuckDB oracle replays the unrolled merge
+steps and lands on the identical merge table.
+
+Training shape (the reference repo has no tokenizer — north-rule
+training-data extension; check semantics lineage: SURVEY.md §2.8):
+
+1. **Pre-tokenize** with ``textstats.BPE_TOKEN_PATTERN`` (leftmost-
+   first alternation, identical in Java regex and RE2) and build the
+   word-frequency table — the ONLY corpus-sized pass. Two-phase
+   groupBy: map-side partial counts collapse each task's token stream
+   to its local vocabulary before the shuffle, so at 10^12 turns the
+   shuffle carries ~|vocab| rows per task, not corpus tokens.
+2. **Merge loop** over the (small, persisted) vocab table: per step,
+   explode adjacent symbol pairs weighted by word frequency, pick the
+   most frequent pair (``ORDER BY freq DESC, left, right`` — total
+   order, engine-portable), and apply the merge to every word's
+   symbol array with a left fold (``F.aggregate`` — pure Column
+   algebra, no UDF, no shuffle). Each step is one vocab-sized
+   aggregate + one vocab-sized projection; corpus size never appears
+   again. ``localCheckpoint`` per step truncates the otherwise
+   M-deep lineage (at production scale this is a parquet commit of
+   the ~MB vocab table — same pattern as
+   ``operators/dedup.connected_components_durable``).
+3. **Token counts**: final symbol count per vocab word, joined back
+   to the corpus's exploded pre-tokens (vocab broadcasts; unseen
+   words — scoring a different corpus than the training one — fall
+   back to character count, i.e. zero applied merges).
+
+Left-fold merge semantics (greedy left-to-right, non-overlapping) are
+replayed relationally in the oracle via gaps-and-islands: within each
+run of consecutive pair matches, merges land at odd offsets. The fold
+and the islands construction agree because within one step a merged
+symbol ``left||right`` can never re-match as the left side of the
+same pair (``right`` is non-empty), so one pass never cascades.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .textstats import BPE_TOKEN_PATTERN
+
+NUM_MERGES = 24
+MIN_COUNT = 2
+
+MERGES_SCHEMA = StructType(
+    [
+        StructField("rank", IntegerType(), False),
+        StructField("left", StringType(), False),
+        StructField("right", StringType(), False),
+        StructField("freq", LongType(), False),
+    ]
+)
+
+
+def _pretokens(df: DataFrame, text_col: str) -> DataFrame:
+    """One row per pre-token occurrence (the corpus-sized pass)."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(BPE_TOKEN_PATTERN), F.lit(0)
+                )
+            ).alias("word")
+        )
+    )
+
+
+def _initial_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq, syms) with syms = the word's characters."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.substr(F.col("word"), i, F.lit(1)),
+    )
+    return (
+        _pretokens(df, text_col)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .withColumn("syms", chars)
+    )
+
+
+def _adjacent_pair_counts(vocab: DataFrame) -> DataFrame:
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("syms") - 1),
+        lambda i: F.struct(
+            F.element_at("syms", i.cast("int")).alias("l"),
+            F.element_at("syms", (i + 1).cast("int")).alias("r"),
+        ),
+    )
+    return (
+        vocab.filter(F.size("syms") >= 2)
+        .select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("f"))
+    )
+
+
+def _apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of adjacent (left, right) — a fold:
+    append each symbol, or replace the just-appended ``left`` when the
+    current symbol is ``right``."""
+    merged = F.lit(left + right)
+
+    def step(acc: Column, x: Column) -> Column:
+        # F.get (0-based) returns NULL on an empty array where ANSI-mode
+        # element_at(-1) would throw; NULL == 'left' is NULL → no hit.
+        hit = (
+            (F.size(acc) > 0)
+            & (F.get(acc, F.size(acc) - 1) == F.lit(left))
+            & (x == F.lit(right))
+        )
+        return F.when(
+            hit,
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def fit_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = NUM_MERGES,
+    min_count: int = MIN_COUNT,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns ``(merges, vocab)``: the learned merge table
+    (rank, left, right, freq) and the final vocabulary
+    (word, freq, syms) with fully-merged symbol arrays.
+
+    Stops early when the best remaining pair falls under ``min_count``
+    (the oracle's remaining unrolled steps are provable no-ops, so
+    both engines emit the same merge rows)."""
+    spark = df.sparkSession
+    vocab = _initial_vocab(df, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        best = (
+            _adjacent_pair_counts(vocab)
+            .filter(F.col("f") >= min_count)
+            .orderBy(F.col("f").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, freq = best[0]["l"], best[0]["r"], int(best[0]["f"])
+        merges.append((rank, left, right, freq))
+        vocab = vocab.withColumn(
+            "syms", _apply_merge(F.col("syms"), left, right)
+        ).localCheckpoint(eager=True)
+    merges_df = spark.createDataFrame(merges, MERGES_SCHEMA)
+    return merges_df, vocab
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+) -> DataFrame:
+    """(id, n_bpe_tokens) for every input row — the real token budget
+    for :func:`operators.packing.pack_sequences`.
+
+    Explode pre-tokens → join the (broadcast-sized) vocab's final
+    symbol counts → sum per document. Unseen words count their
+    characters (no merges learned for them); NULL/empty texts count 0.
+    The join key is the word string; at corpus scale the vocab side is
+    ~MBs and AQE broadcasts it, so the corpus is touched in one pass
+    with no corpus-sized shuffle (the per-doc sum groups on the
+    already-partitioned id)."""
+    counts = vocab.select(
+        "word", F.size("syms").cast("long").alias("__n_sym")
+    )
+    per_tok = (
+        df.select(
+            F.col(id_col),
+            F.explode_outer(
+                F.when(
+                    F.col(text_col).isNotNull(),
+                    F.regexp_extract_all(
+                        F.col(text_col), F.lit(BPE_TOKEN_PATTERN), F.lit(0)
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("word"),
+        )
+        .join(F.broadcast(counts), "word", "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("__n_sym"),
+                F.length("word").cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("__n"),
+        )
+    )
+    return per_tok.groupBy(id_col).agg(
+        F.sum("__n").cast("long").alias("n_bpe_tokens")
+    )
+
+
+# ------------------------------------------------------------- oracle
+
+
+def _step_ctes(k: int, min_count: int) -> str:
+    """One unrolled merge step: pair counts → best pair → greedy
+    left-to-right application via gaps-and-islands. An empty best
+    (under min_count / no pairs left) makes the step a provable no-op
+    (the scalar subqueries go NULL, no position matches)."""
+    prev = f"bpe_w{k - 1}"
+    return f"""
+bpe_p{k} AS (
+    SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS f
+    FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+          FROM {prev} WHERE len(syms) >= 2)
+    GROUP BY 1, 2
+),
+bpe_b{k} AS MATERIALIZED (
+    SELECT l, r, f FROM bpe_p{k} WHERE f >= {min_count}
+    ORDER BY f DESC, l ASC, r ASC LIMIT 1
+),
+bpe_e{k} AS (
+    SELECT word, freq, i, syms[i] AS s,
+           CASE WHEN i < len(syms) THEN syms[i + 1] END AS nxt
+    FROM (SELECT word, freq, syms, unnest(range(1, len(syms) + 1)) AS i
+          FROM {prev})
+),
+bpe_m{k} AS (
+    SELECT *, COALESCE(s = (SELECT l FROM bpe_b{k})
+                       AND nxt = (SELECT r FROM bpe_b{k}), FALSE) AS mt
+    FROM bpe_e{k}
+),
+bpe_i{k} AS (
+    SELECT *, CASE WHEN mt THEN i - ROW_NUMBER()
+                        OVER (PARTITION BY word, mt ORDER BY i) END AS isl
+    FROM bpe_m{k}
+),
+bpe_g{k} AS (
+    SELECT *, mt AND (ROW_NUMBER()
+                      OVER (PARTITION BY word, isl ORDER BY i) % 2 = 1) AS mh
+    FROM bpe_i{k}
+),
+bpe_c{k} AS (
+    SELECT *, COALESCE(LAG(mh) OVER (PARTITION BY word ORDER BY i), FALSE)
+              AS consumed
+    FROM bpe_g{k}
+),
+bpe_w{k} AS MATERIALIZED (
+    SELECT word, ANY_VALUE(freq) AS freq,
+           list(CASE WHEN mh THEN s || nxt ELSE s END ORDER BY i)
+               FILTER (WHERE mh OR NOT consumed) AS syms
+    FROM bpe_c{k} GROUP BY word
+)"""
+
+
+def duckdb_bpe_ctes(
+    from_clause: str,
+    text_col: str = "text",
+    num_merges: int = NUM_MERGES,
+    min_count: int = MIN_COUNT,
+) -> str:
+    """The shared CTE chain (no WITH keyword): pre-tokenize, build the
+    char-split vocab ``bpe_w0``, and unroll ``num_merges`` steps to
+    ``bpe_w{num_merges}``, with per-step ``bpe_b{k}`` holding the
+    chosen merge. Compose into a query via ``WITH <this>, ...``."""
+    base = f"""
+bpe_pre AS (
+    SELECT unnest(regexp_extract_all({text_col}, '{BPE_TOKEN_PATTERN}'))
+           AS word
+    FROM {from_clause} WHERE {text_col} IS NOT NULL
+),
+bpe_w0 AS MATERIALIZED (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+           list_transform(range(1, length(word) + 1), i -> word[i]) AS syms
+    FROM bpe_pre GROUP BY word
+)"""
+    steps = "".join(
+        "," + _step_ctes(k, min_count) for k in range(1, num_merges + 1)
+    )
+    return base + steps
+
+
+def duckdb_fit_bpe_sql(
+    from_clause: str,
+    text_col: str = "text",
+    num_merges: int = NUM_MERGES,
+    min_count: int = MIN_COUNT,
+) -> str:
+    """Full merge-table replay: (rank, left, right, freq), identical
+    to :func:`fit_bpe`'s first return value."""
+    ranks = "\nUNION ALL\n".join(
+        f'SELECT {k} AS rank, l AS "left", r AS "right",'
+        f" CAST(f AS BIGINT) AS freq FROM bpe_b{k}"
+        for k in range(1, num_merges + 1)
+    )
+    return (
+        "WITH "
+        + duckdb_bpe_ctes(from_clause, text_col, num_merges, min_count)
+        + f"\n{ranks}\nORDER BY rank"
+    )
+
+
+def duckdb_bpe_counts_cte(
+    from_clause: str,
+    id_col: str,
+    text_col: str = "text",
+    num_merges: int = NUM_MERGES,
+    min_count: int = MIN_COUNT,
+) -> str:
+    """CTE chain (no WITH) ending in ``bpe_counts(id, n_bpe_tokens)``
+    — the oracle twin of :func:`bpe_token_counts` over the SAME corpus
+    the tokenizer was fit on."""
+    chain = duckdb_bpe_ctes(from_clause, text_col, num_merges, min_count)
+    final = f"bpe_w{num_merges}"
+    return f"""{chain},
+bpe_doc_tok AS (
+    SELECT {id_col} AS id,
+           unnest(
+               CASE WHEN {text_col} IS NULL THEN ['\\x00__pad__']
+                    ELSE list_concat(
+                        regexp_extract_all({text_col}, '{BPE_TOKEN_PATTERN}'),
+                        ['\\x00__pad__'])
+               END) AS word
+    FROM {from_clause}
+),
+bpe_counts AS (
+    SELECT d.id,
+           CAST(COALESCE(SUM(CASE WHEN d.word = '\\x00__pad__' THEN 0
+                                  ELSE COALESCE(len(v.syms), length(d.word))
+                             END), 0) AS BIGINT) AS n_bpe_tokens
+    FROM bpe_doc_tok d LEFT JOIN {final} v ON d.word = v.word
+    GROUP BY d.id
+)"""

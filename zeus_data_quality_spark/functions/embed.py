@@ -1,0 +1,252 @@
+"""In-engine text embeddings — signed hashed char-n-gram projection,
+pure JVM Column algebra, oracle-replayable.
+
+Closes the text→vector loop (r3 verdict item 3): the ANN family
+(``operators/similarity.py``, ``operators/ivf.py``) reads a
+pre-supplied ``embeddings`` table; this module produces an embedding
+for any text column IN the engine, so near-dup and similarity search
+run end-to-end from raw ``documents.text`` with no external model.
+
+The projection is classic feature hashing (Weinberger et al. 2009,
+"Feature Hashing for Large Scale Multitask Learning") over character
+n-grams with a sign hash: ``emb[j] = Σ_g sign(g) · [bucket(g) = j]``.
+Signed counts make the inner product an unbiased similarity estimate
+and keep every coordinate an INTEGER — the engine-portability
+backbone: integer-valued partial sums are exact in IEEE doubles below
+2^53, so cosine(dot/√·√) is bit-identical in Spark and DuckDB
+regardless of aggregation order, with no rounding protocol needed.
+
+Hashing is the repo's standard engine-portable idiom
+(``functions/sampling.py``): ``md5(salt ‖ gram)``, first 4 hex chars
+→ bucket via position-weighted instr, 5th hex char < '8' → sign +1.
+No UDF, no shuffle — the embedding is a per-row Project; at 10^12
+rows it runs at scan speed and pipelines into the LSH/IVF bucketing
+that follows (the only shuffles are the ANN ones, unchanged).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import _ALPHA, _hex_to_int, _sql_hex_to_int
+
+DIM = 16
+NGRAM = 3
+SALT = "emb"
+
+
+def _gram_pairs(text: Column, n: int) -> Column:
+    """array<struct<h: string>> — one md5 per char n-gram of
+    lower(trim(text)); empty for NULL/short texts."""
+    t = F.lower(F.trim(text))
+    n_g = F.length(t) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_g),
+        lambda i: F.md5(
+            F.concat(F.lit(SALT + ":"), F.substr(t, i, F.lit(n)))
+        ),
+    )
+    return F.when(
+        t.isNotNull() & (n_g >= 1), grams
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def text_embedding(
+    text: Column, dim: int = DIM, n: int = NGRAM
+) -> Column:
+    """array<long> of length ``dim``: signed hashed n-gram counts.
+
+    The (bucket, sign) struct array is bound ONCE through a lambda
+    variable (``get(transform(array(pairs), ps -> ...), 0)`` — the
+    same expression-binding idiom as ``dedup._shingles``): referencing
+    the inline ``pairs`` expression from each of the ``dim``
+    coordinate aggregates would re-md5 every n-gram dim× per row
+    (measured 16× slower on the documents corpus)."""
+    pairs = F.transform(
+        _gram_pairs(text, n),
+        lambda h: F.struct(
+            (_hex_to_int(F.substring(h, 1, 4)) % dim).alias("b"),
+            F.when(
+                F.position(F.substring(h, 5, 1), F.lit(_ALPHA)) <= 8,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("s"),
+        ),
+    )
+
+    def vec(ps: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.aggregate(
+                ps,
+                F.lit(0).cast("long"),
+                lambda acc, p: acc
+                + F.when(p["b"] == j, p["s"])
+                .otherwise(F.lit(0))
+                .cast("long"),
+            ),
+        )
+
+    return F.get(F.transform(F.array(pairs), vec), 0)
+
+
+def with_text_embedding(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    dim: int = DIM,
+    n: int = NGRAM,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding array<long>) for every row; NULL/short texts get
+    the zero vector (kept, so downstream joins stay total)."""
+    return df.select(
+        F.col(id_col), text_embedding(F.col(text_col), dim, n).alias(out_col)
+    )
+
+
+def embedding_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    dim: int = DIM,
+    n: int = NGRAM,
+) -> DataFrame:
+    """Exploded oracle-friendly form: (id, dim_idx int, val long) —
+    dim rows per input row, exact integers."""
+    emb = with_text_embedding(df, id_col, text_col, dim, n)
+    return emb.select(
+        id_col,
+        F.posexplode("embedding").alias("dim_idx", "val"),
+    ).select(
+        id_col,
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        F.col("val").cast("long").alias("val"),
+    )
+
+
+def ann_from_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    n_queries: int = 5,
+    dim: int = DIM,
+    n: int = NGRAM,
+) -> DataFrame:
+    """Brute-force cosine top-k over IN-ENGINE embeddings of raw text:
+    (query_id, neighbor_id, rank). Queries = the first ``n_queries``
+    ids. Zero vectors (empty/short texts) are excluded from both sides
+    — cosine is undefined for them, and NaN ordering is the one place
+    Spark and SQL engines disagree."""
+    from ..operators.similarity import brute_force_topk
+
+    emb = with_text_embedding(df, id_col, text_col, dim, n)
+    # Materialize BEFORE the topk join: Catalyst's projection collapse
+    # would otherwise inline the whole n-gram-hash expression into the
+    # per-pair cosine (measured 44 s vs 3 s at 500 docs × 5 queries —
+    # each pair re-hashed the full document). At corpus scale this is
+    # "write the embedding table once", the same shape as the minhash
+    # signature cache (operators/dedup.py).
+    nonzero = emb.filter(
+        F.exists("embedding", lambda v: v != 0)
+    ).localCheckpoint(eager=True)
+    queries = nonzero.orderBy(F.col(id_col)).limit(n_queries)
+    return brute_force_topk(nonzero, queries, id_col, "embedding", k=k)
+
+
+# ------------------------------------------------------------- oracle
+
+
+def duckdb_embedding_cte(
+    from_clause: str,
+    id_col: str,
+    text_col: str = "text",
+    dim: int = DIM,
+    n: int = NGRAM,
+) -> str:
+    """CTE chain (no WITH) ending in ``emb_vec(id, embedding)`` — the
+    DuckDB twin of :func:`with_text_embedding` (same md5 buckets, same
+    signs, zero-filled list ordered by coordinate)."""
+    bucket = f"({_sql_hex_to_int('substr(h, 1, 4)')} % {dim})"
+    sign = f"CASE WHEN instr('{_ALPHA}', substr(h, 5, 1)) <= 8 THEN 1 ELSE -1 END"
+    return f"""
+emb_src AS (
+    SELECT {id_col} AS id, lower(trim({text_col})) AS t FROM {from_clause}
+),
+emb_gram AS (
+    SELECT id,
+           unnest(CASE WHEN t IS NOT NULL AND length(t) >= {n}
+                       THEN list_transform(range(1, length(t) - {n} + 2),
+                                           i -> md5('{SALT}:' || substr(t, i, {n})))
+                       ELSE CAST([] AS VARCHAR[]) END) AS h
+    FROM emb_src
+),
+emb_sum AS (
+    SELECT id, {bucket} AS b, CAST(SUM({sign}) AS BIGINT) AS v
+    FROM emb_gram GROUP BY 1, 2
+),
+emb_vec AS (
+    SELECT s.id,
+           list(COALESCE(e.v, 0) ORDER BY r.j) AS embedding
+    FROM emb_src s
+    CROSS JOIN (SELECT unnest(range(0, {dim})) AS j) r
+    LEFT JOIN emb_sum e ON e.id = s.id AND e.b = r.j
+    GROUP BY s.id
+)"""
+
+
+def duckdb_embedding_rows_sql(
+    from_clause: str,
+    id_col: str,
+    text_col: str = "text",
+    dim: int = DIM,
+    n: int = NGRAM,
+) -> str:
+    """Oracle for :func:`embedding_rows`."""
+    cte = duckdb_embedding_cte(from_clause, id_col, text_col, dim, n)
+    return f"""WITH {cte}
+SELECT id AS {id_col},
+       CAST(unnest(range(0, {dim})) AS INT) AS dim_idx,
+       unnest(embedding) AS val
+FROM emb_vec
+"""
+
+
+def duckdb_ann_from_text_sql(
+    from_clause: str,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    n_queries: int = 5,
+    dim: int = DIM,
+    n: int = NGRAM,
+) -> str:
+    """Oracle for :func:`ann_from_text` — integer-exact cosines make
+    the rank ordering engine-identical."""
+    cte = duckdb_embedding_cte(from_clause, id_col, text_col, dim, n)
+    return f"""WITH {cte},
+ann_nz AS (
+    SELECT id, embedding FROM emb_vec
+    WHERE len(list_filter(embedding, v -> v <> 0)) > 0
+),
+ann_q AS (
+    SELECT id AS query_id, embedding AS qv FROM ann_nz
+    ORDER BY id LIMIT {n_queries}
+),
+ann_scored AS (
+    SELECT q.query_id, e.id AS neighbor_id,
+           list_cosine_similarity(e.embedding, q.qv) AS cos
+    FROM ann_nz e, ann_q q WHERE e.id <> q.query_id
+),
+ann_ranked AS (
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id ASC)
+                AS INT) AS rank
+    FROM ann_scored
+)
+SELECT query_id, neighbor_id, rank FROM ann_ranked WHERE rank <= {k}
+"""

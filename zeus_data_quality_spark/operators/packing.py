@@ -44,12 +44,22 @@ def pack_sequences(
     text_col: str = "text",
     budget: int = DEFAULT_BUDGET,
     n_buckets: int = DEFAULT_BUCKETS,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Adds ``bucket``, ``n_tokens``, ``seq_id``, ``offset`` (token
     offset of the document inside its sequence). NULL texts count 0
-    tokens and pack like empty documents (position markers only)."""
+    tokens and pack like empty documents (position markers only).
+
+    ``n_tokens_col``: use a precomputed token-count column instead of
+    the whitespace default — e.g. ``functions.bpe.bpe_token_counts``
+    joined in, so the budget is real tokenizer tokens."""
     toks = F.coalesce(
-        textstats.n_tokens(F.col(text_col)).cast("long"), F.lit(0)
+        (
+            F.col(n_tokens_col)
+            if n_tokens_col is not None
+            else textstats.n_tokens(F.col(text_col))
+        ).cast("long"),
+        F.lit(0),
     )
     bucket = (_hex_to_int(_bucket_hex(F.col(id_col), SALT)) % n_buckets).cast(
         "int"

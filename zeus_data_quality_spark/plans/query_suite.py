@@ -1122,6 +1122,125 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_DIM, EMB_NGRAM = 16, 3
+
+
+def q_text_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine document embeddings (``functions/embed.py``): signed
+    hashed char-n-gram projection, pure Column algebra — integer
+    coordinates, so every downstream cosine is bit-identical across
+    engines. Exploded to (doc_id, dim_idx, val) for the oracle."""
+    from ..functions.embed import embedding_rows
+
+    return embedding_rows(
+        _read(spark, sf_dir, "documents"), "doc_id", "text",
+        dim=EMB_DIM, n=EMB_NGRAM,
+    )
+
+
+def _oracle_text_embeddings() -> str:
+    from ..functions.embed import duckdb_embedding_rows_sql
+
+    return duckdb_embedding_rows_sql(
+        "documents", "doc_id", "text", dim=EMB_DIM, n=EMB_NGRAM
+    )
+
+
+def q_ann_from_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The closed text→vector→ANN loop (r3 verdict item 3): embed raw
+    document text in-engine, then exact cosine top-k — no pre-supplied
+    embeddings table anywhere in the plan."""
+    from ..functions.embed import ann_from_text
+
+    return ann_from_text(
+        _read(spark, sf_dir, "documents"), "doc_id", "text",
+        k=5, n_queries=5, dim=EMB_DIM, n=EMB_NGRAM,
+    ).select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
+
+
+def _oracle_ann_from_text() -> str:
+    from ..functions.embed import duckdb_ann_from_text_sql
+
+    sql = duckdb_ann_from_text_sql(
+        "documents", "doc_id", "text", k=5, n_queries=5,
+        dim=EMB_DIM, n=EMB_NGRAM,
+    )
+    return f'SELECT query_id, neighbor_id, rank AS rnk FROM ({sql})'
+
+
+BPE_MERGES, BPE_MIN_COUNT = 24, 2
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine BPE tokenizer training (``functions/bpe.py``): one
+    corpus-sized pre-token count, then a vocab-sized top-pair merge
+    loop (pure Column algebra, no UDF). The oracle replays every
+    unrolled merge step relationally (gaps-and-islands greedy merge)
+    and lands on the identical merge table."""
+    from ..functions.bpe import fit_bpe
+
+    merges, _ = fit_bpe(
+        _read(spark, sf_dir, "documents"), "text", BPE_MERGES, BPE_MIN_COUNT
+    )
+    return merges
+
+
+def _oracle_bpe_vocab() -> str:
+    from ..functions.bpe import duckdb_fit_bpe_sql
+
+    return duckdb_fit_bpe_sql("documents", "text", BPE_MERGES, BPE_MIN_COUNT)
+
+
+def q_sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing with REAL tokenizer budgets: train BPE on the
+    corpus, count each document's BPE tokens (broadcast vocab join),
+    and pack on those counts — the end-to-end tokenizer→packing loop
+    (r3 verdict item 2). Tail twin of the in-window `sequence_packing`
+    (same packing operator, token source swapped) + `bpe_vocab`."""
+    from ..functions.bpe import bpe_token_counts, fit_bpe
+    from ..operators.packing import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents")
+    _, vocab = fit_bpe(docs, "text", BPE_MERGES, BPE_MIN_COUNT)
+    counts = bpe_token_counts(docs, "doc_id", "text", vocab)
+    return pack_sequences(
+        docs.join(counts, "doc_id", "left"),
+        "doc_id",
+        "text",
+        n_tokens_col="n_bpe_tokens",
+    ).select("doc_id", "bucket", "n_tokens", "seq_id", "offset")
+
+
+def _oracle_sequence_packing_bpe() -> str:
+    from ..functions.bpe import duckdb_bpe_counts_cte
+    from ..functions.sampling import _sql_bucket, _sql_hex_to_int
+    from ..operators.packing import DEFAULT_BUCKETS, DEFAULT_BUDGET, SALT
+
+    cte = duckdb_bpe_counts_cte(
+        "documents", "doc_id", "text", BPE_MERGES, BPE_MIN_COUNT
+    )
+    bucket = f"({_sql_hex_to_int(_sql_bucket('doc_id', SALT))} % {DEFAULT_BUCKETS})"
+    return f"""WITH {cte},
+pack_rows AS (
+    SELECT d.doc_id AS id, c.n_bpe_tokens AS n_tokens,
+           CAST({bucket} AS INT) AS bucket
+    FROM documents d JOIN bpe_counts c ON d.doc_id = c.id
+),
+pack_cum AS (
+    SELECT id, n_tokens, bucket,
+           SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY id
+                               ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS cum_before
+    FROM pack_rows
+)
+SELECT id AS doc_id, bucket, n_tokens,
+       CAST(floor(CAST(cum_before AS DOUBLE) / {DEFAULT_BUDGET}) AS BIGINT)
+           AS seq_id,
+       CAST(cum_before % {DEFAULT_BUDGET} AS BIGINT) AS offset
+FROM pack_cum
+"""
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-scale bigram LM training (``functions/lm.py``): the
     production path for the perplexity scorer's table — two compact-key
@@ -1714,9 +1833,7 @@ def queries():
         "column_profile": q_column_profile,
         "value_drift": q_value_drift,
         "ann_bruteforce": q_ann_bruteforce,
-        "ann_lsh": q_ann_lsh,
         "ann_ivf_probe": q_ann_ivf_probe,
-        "minhash_pairs": q_minhash_pairs,
         "minhash_dedup_labels": q_minhash_dedup_labels,
         "simhash": q_simhash,
         "langid": q_langid,
@@ -1725,7 +1842,6 @@ def queries():
         "monitor_daily_trend": q_monitor_daily_trend,
         "rollup_orders": q_rollup_orders,
         "window_running_total": q_window_running_total,
-        "setops_users": q_setops_users,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -1739,6 +1855,9 @@ def queries():
         "perplexity_trained": q_perplexity_trained,
         "loop_detection": q_loop_detection,
         "sequence_packing": q_sequence_packing,
+        "bpe_vocab": q_bpe_vocab,
+        "text_embeddings": q_text_embeddings,
+        "ann_from_text": q_ann_from_text,
         "quality_classifier": q_quality_classifier,
         # ---- tail: engine twins / derivative aggregates (see above) ----
         "tpch_q3": q_tpch_q3,
@@ -1754,6 +1873,10 @@ def queries():
         "daily_drift": q_daily_drift,
         "ann_ivf": q_ann_ivf,
         "monitor_kpis": q_monitor_kpis,
+        "minhash_pairs": q_minhash_pairs,
+        "ann_lsh": q_ann_lsh,
+        "setops_users": q_setops_users,
+        "sequence_packing_bpe": q_sequence_packing_bpe,
     }
 
 
@@ -1840,6 +1963,10 @@ def oracle_sql():
         "loop_detection": _oracle_loop_detection(),
         "sequence_packing": _oracle_sequence_packing(),
         "quality_classifier": _oracle_quality_classifier(),
+        "bpe_vocab": _oracle_bpe_vocab(),
+        "text_embeddings": _oracle_text_embeddings(),
+        "ann_from_text": _oracle_ann_from_text(),
+        "sequence_packing_bpe": _oracle_sequence_packing_bpe(),
         "minhash_pairs": _oracle_minhash_pairs(),
         "minhash_dedup_labels": ORACLE_MINHASH_LABELS,
         "simhash": duckdb_simhash_md5_sql("documents", "doc_id", "text"),
