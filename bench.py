@@ -141,6 +141,7 @@ HEADLINE = [
     "bpe_vocab",
     "text_embeddings",
     "ann_from_text",
+    "classifier_mix",
 ]
 
 

@@ -109,3 +109,116 @@ def test_feature_ranges(spark):
         assert 0.0 <= r["f1"] <= 1.0
         for k in ("f2", "f3", "f4", "f5"):
             assert r[k] is not None and r[k] >= 0.0, (k, r)
+
+
+def test_inline_score_matches_dataframe_path(spark):
+    """quality_score_col (the CLASSIFIER check predicate) is
+    bit-identical to score_quality over with_quality_features."""
+    from pyspark.sql import functions as F
+
+    from zeus_data_quality_spark.functions.classifier import (
+        fit_quality_classifier,
+        quality_score_col,
+        score_quality,
+        with_quality_features,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    feats = with_quality_features(docs, "text").select(
+        "doc_id", "f0", "f1", "f2", "f3", "f4", "f5", "y"
+    )
+    w = fit_quality_classifier(feats, steps=3, lr=2.0)
+    a = {
+        r["doc_id"]: r["quality_score"]
+        for r in score_quality(feats, w)
+        .select("doc_id", "quality_score")
+        .collect()
+    }
+    b = {
+        r["doc_id"]: r["qs"]
+        for r in docs.select(
+            "doc_id", quality_score_col(F.col("text"), w).alias("qs")
+        ).collect()
+    }
+    assert a == b
+
+
+def test_classifier_check_type_and_oracle(spark, sf_dir):
+    """CLASSIFIER check: stored weights gate rows; NULL text passes
+    (3VL); DuckDB oracle counts identical failures."""
+    import duckdb
+
+    from zeus_data_quality_spark.plans import oracle as osql
+    from zeus_data_quality_spark.plans.configs import (
+        classifier_transcript_checks,
+    )
+    from zeus_data_quality_spark.plans.runner import (
+        apply_checks,
+        failure_counts,
+    )
+    from zeus_data_quality_spark.sources.transcripts import (
+        load_transcripts,
+        oracle_with_transcripts,
+    )
+
+    t = load_transcripts(spark, sf_dir)
+    checks = classifier_transcript_checks()
+    labeled = apply_checks(t, checks)
+    # 3VL: NULL text never fails the classifier gate
+    nulls = labeled.filter("text IS NULL AND fail_text_quality_cls").count()
+    assert nulls == 0
+    fc = failure_counts(labeled, checks).first().asDict()
+    assert fc["fail_text_quality_cls"] > 0  # the gate actually gates
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    res = (
+        con.execute(
+            oracle_with_transcripts(osql.failure_counts_sql(checks))
+        )
+        .fetchdf()
+        .iloc[0]
+        .to_dict()
+    )
+    for k, v in fc.items():
+        assert int(res[k]) == int(v), k
+
+
+def test_train_score_mix_end_to_end(spark):
+    """The verdict's train → score → mix loop: weighted mix keeps a
+    subset of the unweighted mix, thins low scores harder, and every
+    kept row satisfies the hash-bucket rule."""
+    from pyspark.sql import functions as F
+
+    from zeus_data_quality_spark.functions.classifier import (
+        fit_quality_classifier,
+        quality_score_col,
+        with_quality_features,
+    )
+    from zeus_data_quality_spark.functions.sampling import (
+        corpus_mix,
+        quality_weighted_mix,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    feats = with_quality_features(docs, "text").select(
+        "doc_id", "f0", "f1", "f2", "f3", "f4", "f5", "y"
+    )
+    w = fit_quality_classifier(feats, steps=5, lr=2.0)
+    scored = docs.withColumn(
+        "quality_score", quality_score_col(F.col("text"), w)
+    )
+    shares = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    plain = corpus_mix(docs, "source", "doc_id", shares)
+    weighted = quality_weighted_mix(
+        scored, "source", "doc_id", shares, "quality_score"
+    )
+    kept_plain = {r["doc_id"] for r in plain.filter("mix_keep").collect()}
+    kept_w = {r["doc_id"] for r in weighted.filter("mix_keep").collect()}
+    # scores ≤ 1 ⇒ eff_rate ≤ mix_rate ⇒ weighted keeps ⊆ plain keeps
+    assert kept_w <= kept_plain
+    assert 0 < len(kept_w) < len(kept_plain)
+    rows = weighted.collect()
+    for r in rows:
+        assert r["eff_rate"] <= r["mix_rate"] + 1e-12

@@ -112,6 +112,8 @@ TAIL_TWINS = {
                           # pairs→CC→labels, same pair generator inside)
     "ann_lsh",            # family keeps ann_bruteforce + ann_ivf_probe
     "setops_users",       # generic-SQL demo; join/agg patterns in-window
+    "corpus_mix",         # family keeps hash_split + classifier_mix (the
+                          # same mix operator, quality-weighted)
 }
 
 # Derivative composites past the window: full value oracles (parity
@@ -137,7 +139,7 @@ def test_driver_window_covers_every_operator_family():
         "conv_features": {"conv_features"},
         "anomaly": {"row_count_anomaly", "freshness"},
         "spine": {"date_spine_daily", "monitor_daily_trend"},
-        "sampling": {"hash_split", "corpus_mix"},
+        "sampling": {"hash_split", "classifier_mix"},
         "joins": {"join_topk", "asof_join", "range_join"},
         "tpch": {"tpch_q1"},
         "dedup_exact": {"dedup_exact", "conversation_dedup"},
@@ -167,6 +169,7 @@ def test_driver_window_covers_every_operator_family():
         "classifier": {"quality_classifier"},
         "bpe": {"bpe_vocab"},
         "text_embeddings": {"text_embeddings", "ann_from_text"},
+        "classifier_mix": {"classifier_mix"},
     }
     for fam, members in families.items():
         assert members & in_window, f"family {fam} has no driver-window row"
@@ -174,7 +177,7 @@ def test_driver_window_covers_every_operator_family():
     assert families["multimodal"] <= in_window
     # the round-3 operators specifically must be FULLY in-window (r3 gap)
     for fam in ("lm_training", "loop_detection", "packing", "classifier",
-                "bpe", "text_embeddings"):
+                "bpe", "text_embeddings", "classifier_mix"):
         assert families[fam] <= in_window, fam
     # nothing novel hides in the tail
     assert out_window <= TAIL_TWINS | TAIL_OVERFLOW, (

@@ -1,0 +1,36 @@
+"""Regenerate plans/configs.DEFAULT_CLS_WEIGHTS: train the quality
+classifier in-engine on the sf0.001 transcript corpus (is_quality
+labels, 150 full-batch GD steps, lr 4.0) and print the vector.
+
+Usage: python tools/train_default_classifier.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from zeus_data_quality_spark.functions.classifier import (  # noqa: E402
+    fit_quality_classifier,
+    with_quality_features,
+)
+from zeus_data_quality_spark.session import get_spark  # noqa: E402
+from zeus_data_quality_spark.sources.transcripts import (  # noqa: E402
+    load_transcripts,
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("train_default_classifier", cpus=8)
+    t = load_transcripts(spark, sf_dir).filter("text IS NOT NULL")
+    feats = with_quality_features(t, "text").select(
+        "f0", "f1", "f2", "f3", "f4", "f5", "y"
+    ).persist()
+    print(fit_quality_classifier(feats, steps=150, lr=4.0))
+
+
+if __name__ == "__main__":
+    main()

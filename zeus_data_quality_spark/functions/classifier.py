@@ -268,3 +268,120 @@ SELECT f.id AS {id_col},
 FROM cls_feats f CROSS JOIN cls_w{steps} w
 """
     )
+
+
+# ---------------------------------------------- inline (check) form
+
+def quality_feature_cols(
+    text: Column, token_cap: int = TOKEN_CAP
+) -> list[Column]:
+    """f0..f5 as inline per-row Columns — value-identical to
+    :func:`with_quality_features` (pytest-pinned), so a trained weight
+    vector can be applied as a ROW PREDICATE inside the single fused
+    check Project (the CLASSIFIER check type) without the DataFrame
+    helpers. The 5-gram array is bound once through a lambda variable
+    (the ``dedup._shingles`` discipline) so the dup-fraction doesn't
+    re-build it per reference."""
+    from . import textstats
+    from .repetition import TOKEN_SPLIT as _REP_SPLIT
+    from .repetition import _char_sum, _frac, _ngrams
+
+    def ratio(num: Column, den: Column, scale: float) -> Column:
+        return F.when(
+            den > 0, num.cast("double") * scale / den.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    n_chars = F.length(text).cast("long")
+    n_tokens = textstats.n_tokens(text).cast("long")
+    n_punct = textstats.n_punct(text).cast("long")
+    n_stopwords = textstats.n_stopwords(text).cast("long")
+    toks = F.filter(
+        F.split(F.lower(text), _REP_SPLIT), lambda x: x != F.lit("")
+    )
+
+    def f4_of(g: Column) -> Column:
+        cs = _char_sum(g)
+        return _frac(cs - _char_sum(F.array_distinct(g)), cs)
+
+    f4 = F.get(F.transform(F.array(_ngrams(toks, 5)), f4_of), 0)
+    f5 = ratio(
+        F.length(text) - F.length(F.regexp_replace(text, "[{}]", "")),
+        n_chars,
+        1000.0,
+    )
+    return [
+        F.lit(1.0),
+        F.least(n_tokens, F.lit(token_cap)).cast("double") / float(token_cap),
+        ratio(n_punct, n_chars, 10.0),
+        ratio(n_stopwords, n_tokens, 2.0),
+        f4,
+        f5,
+    ]
+
+
+def quality_score_col(
+    text: Column, w: list[float], token_cap: int = TOKEN_CAP
+) -> Column:
+    """Rounded sigmoid score of a TRAINED weight vector applied
+    per-row — the CLASSIFIER check predicate's left-hand side and the
+    weight column for quality-weighted corpus mixing. Summation order
+    matches :func:`_z` exactly (0.0 + w0·f0 + …), so the value is
+    bit-identical to :func:`score_quality` on the same weights."""
+    feats = quality_feature_cols(text, token_cap)
+    z = F.lit(0.0)
+    for j, wj in enumerate(w[:N_FEATURES]):
+        z = z + F.lit(float(wj)) * feats[j]
+    return F.round(_sigmoid(z), SCORE_DP) + F.lit(0.0)
+
+
+def duckdb_quality_score_per_text_cte(
+    cte_name: str,
+    source: str,
+    text_col: str,
+    w: list[float],
+    token_cap: int = TOKEN_CAP,
+) -> str:
+    """CTE ``cte_name(tid, quality_score)`` scoring every DISTINCT
+    non-null ``text_col`` of ``source`` with FIXED weights — the
+    oracle twin of :func:`quality_score_col` for CLASSIFIER checks
+    (same join-back-per-text shape as the LANG_ID / PERPLEXITY
+    oracles in ``plans/oracle.py``)."""
+    from . import textstats
+    from .repetition import duckdb_repetition_sql
+
+    derived_rel = (
+        f"(SELECT DISTINCT {text_col} AS tid, {text_col} AS txt "
+        f"FROM {source} WHERE {text_col} IS NOT NULL)"
+    )
+    derived = f"{derived_rel} __qsrc"
+    z = " + ".join(
+        f"({float(w[j])!r}) * f{j}" for j in range(min(N_FEATURES, len(w)))
+    )
+    return f"""{cte_name} AS (
+    SELECT s.tid,
+           round(1.0 / (1.0 + exp(-(0.0 + {z}))), {SCORE_DP}) + 0.0
+               AS quality_score
+    FROM (
+        SELECT t.tid,
+            1.0 AS f0,
+            CAST(least(t.n_tokens, {token_cap}) AS DOUBLE) / {token_cap}.0
+                AS f1,
+            CASE WHEN t.n_chars > 0
+                 THEN CAST(t.n_punct AS DOUBLE) * 10.0 / t.n_chars
+                 ELSE 0.0 END AS f2,
+            CASE WHEN t.n_tokens > 0
+                 THEN CAST(t.n_stopwords AS DOUBLE) * 2.0 / t.n_tokens
+                 ELSE 0.0 END AS f3,
+            r.dup5gram_char_frac AS f4,
+            CASE WHEN t.n_chars > 0
+                 THEN CAST(length(t2.txt)
+                           - length(regexp_replace(t2.txt, '[{{}}]', '', 'g'))
+                           AS DOUBLE) * 1000.0 / t.n_chars
+                 ELSE 0.0 END AS f5
+        FROM {derived_rel} t2
+        JOIN ({textstats.duckdb_text_stats_sql(derived, 'tid', 'txt').strip()}) t
+          ON t2.tid = t.tid
+        JOIN ({duckdb_repetition_sql(f'{derived_rel} __qsrc3', 'tid', 'txt').strip()}) r
+          ON t2.tid = r.tid
+    ) s
+)"""

@@ -197,12 +197,19 @@ def detect_language_jvm(col) -> "F.Column":
         # s = the evaluated score array (lambda-bound — each score tree
         # runs ONCE per row; referencing the score expressions from
         # greatest() AND each when-branch would re-evaluate them 3-7×
-        # in this interpreted HOF context)
-        best = F.array_max(s)
-        out = F.when(best < F.lit(MIN_SCORE), F.lit("unknown"))
-        for i, lang in enumerate(_ALL_LANGS):  # alphabetical = idxmax order
-            out = out.when(F.element_at(s, i + 1) == best, F.lit(lang))
-        return out
+        # in this interpreted HOF context). The max is ALSO bound once:
+        # the former when-chain referenced array_max(s) from every
+        # branch condition (6× per row, r3 verdict CSE item); an
+        # array_position idxmax keeps the same first-max-wins =
+        # alphabetical tie-break as the pandas engine's idxmax.
+        langs = F.array(*[F.lit(lang) for lang in _ALL_LANGS])
+
+        def with_best(b):
+            return F.when(b < F.lit(MIN_SCORE), F.lit("unknown")).otherwise(
+                F.element_at(langs, F.array_position(s, b).cast("int"))
+            )
+
+        return F.get(F.transform(F.array(F.array_max(s)), with_best), 0)
 
     def label(t):
         scores = []

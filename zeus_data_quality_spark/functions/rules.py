@@ -231,6 +231,20 @@ def compile_row_check(check: Check) -> Column:
             else perplexity_nll(col)
         )
         return nll <= F.lit(max_nll)
+    if ctype == "CLASSIFIER":
+        # Trained-model gate: FIXED weights from PARAMS_JSON (trained
+        # by fit_quality_classifier or external), applied as a pure
+        # Column predicate — the config stores the model, exactly the
+        # reference's check-params data model (utils/meta.py:154).
+        from .classifier import TOKEN_CAP, quality_score_col
+
+        w = [float(x) for x in check.params.get("weights", [])]
+        min_score = float(check.params.get("min_score", 0.5))
+        token_cap = int(check.params.get("token_cap", TOKEN_CAP))
+        score = quality_score_col(col, w, token_cap)
+        return F.when(
+            col.isNull(), F.lit(None).cast("boolean")
+        ).otherwise(score >= F.lit(min_score))
     # Unknown check → permissive TRUE (checkdefs.py:97).
     return F.lit(True)
 

@@ -169,6 +169,36 @@ def corpus_mix(
     )
 
 
+def quality_weighted_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    target_shares: dict[str, float],
+    score_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """:func:`corpus_mix` with a per-row quality weight: the effective
+    acceptance rate is ``mix_rate · score`` (score ∈ [0,1] — e.g.
+    ``classifier.quality_score_col``), so low-quality rows thin out
+    first while the source-mix envelope still caps every source at its
+    target share. Adds ``mix_rate``, ``eff_rate``, ``mix_keep``.
+
+    Determinism: mix_rate and the score are identical doubles on both
+    engines (exact-integer ratios and a 6-dp-rounded sigmoid), their
+    product is one IEEE multiply, and the keep decision is the same
+    hash-bucket-vs-floor comparison as corpus_mix — no additional
+    rounding protocol needed. NULL scores count as 0 (dropped)."""
+    mixed = corpus_mix(df, source_col, id_col, target_shares, salt)
+    eff = F.col("mix_rate") * F.coalesce(
+        F.col(score_col).cast("double"), F.lit(0.0)
+    )
+    bucket = _hex_to_int(_bucket_hex(F.col(id_col), salt))
+    return mixed.withColumn("eff_rate", eff).withColumn(
+        "mix_keep",
+        bucket < F.floor(F.col("eff_rate") * RESOLUTION).cast("int"),
+    )
+
+
 # ------------------------------------------------------------- oracles
 
 def _sql_bucket(id_sql: str, salt: str) -> str:
@@ -217,6 +247,31 @@ def duckdb_hash_sample_sql(
         f"SELECT * FROM {from_clause} "
         f"WHERE {h} < '{_threshold_hex(fraction)}'"
     )
+
+
+def duckdb_quality_weighted_mix_sql(
+    from_clause: str,
+    source_col: str,
+    id_col: str,
+    target_shares: dict[str, float],
+    score_sql: str,
+    salt: str = "mix",
+) -> str:
+    """Oracle twin of :func:`quality_weighted_mix`; ``score_sql`` is a
+    scalar SQL expression over ``from_clause`` columns (e.g. a joined
+    quality_score)."""
+    inner = duckdb_corpus_mix_sql(
+        from_clause, source_col, id_col, target_shares, salt
+    )
+    bucket = _sql_hex_to_int(_sql_bucket(id_col, salt))
+    return f"""
+SELECT m.* EXCLUDE (mix_keep),
+       m.mix_rate * COALESCE(CAST({score_sql} AS DOUBLE), 0.0) AS eff_rate,
+       {bucket} < CAST(floor(m.mix_rate
+                  * COALESCE(CAST({score_sql} AS DOUBLE), 0.0)
+                  * {RESOLUTION}) AS INT) AS mix_keep
+FROM ({inner}) m
+"""
 
 
 def duckdb_corpus_mix_sql(

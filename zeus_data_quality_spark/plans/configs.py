@@ -119,6 +119,40 @@ def extended_transcript_checks(
     return checks
 
 
+def classifier_transcript_checks(
+    config_id: str = "transcripts_classifier",
+    weights: list[float] | None = None,
+    min_score: float = 0.66,
+    engine: str | None = None,
+) -> list[Check]:
+    """Extended config + a trained-model CLASSIFIER gate. ``weights``
+    default to :data:`DEFAULT_CLS_WEIGHTS` — a vector trained once
+    in-engine on the sf0.001 transcript corpus by
+    ``fit_quality_classifier`` (150 steps, lr 4.0, is_quality labels;
+    reproducible with tools/train_default_classifier.py) and stored
+    here exactly like the reference stores check params in PARAMS_JSON
+    (utils/meta.py:154): the CONFIG carries the model."""
+    w = DEFAULT_CLS_WEIGHTS if weights is None else list(weights)
+    return extended_transcript_checks(config_id, engine=engine) + [
+        Check(
+            "TEXT_QUALITY_CLS",
+            "CLASSIFIER",
+            "text",
+            {"weights": w, "min_score": min_score},
+            config_id=config_id,
+        ),
+    ]
+
+
+# Trained in-engine (fit_quality_classifier, sf0.001 transcripts,
+# 150 steps, lr 4.0) — see classifier_transcript_checks and
+# tools/train_default_classifier.py.
+DEFAULT_CLS_WEIGHTS = [
+    0.5880871207576375, 3.4003796687006087, 0.8889201812219965,
+    1.4384471820529536, 1.3802916892057018, 0.0,
+]
+
+
 def _extended_model_checks(config_id: str) -> list[Check]:
     return default_transcript_checks(config_id) + [
         Check(

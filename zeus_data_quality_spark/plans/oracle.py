@@ -46,6 +46,10 @@ def lang_col(check: Check) -> str:
     return f"__lang_{check.check_id.lower()}"
 
 
+def cls_col(check: Check) -> str:
+    return f"__cls_{check.check_id.lower()}"
+
+
 def nll_col(check: Check) -> str:
     return f"__nll_{check.check_id.lower()}"
 
@@ -111,6 +115,10 @@ def pass_predicate_sql(check: Check) -> str:
         # NULL text → NULL nll → NULL predicate → passes via 3VL.
         max_nll = float(check.params.get("max_nll", 10.0))
         return f"({nll_col(check)} <= {max_nll!r})"
+    if ctype == "CLASSIFIER":
+        # NULL text → NULL score → NULL predicate → passes via 3VL.
+        min_score = float(check.params.get("min_score", 0.5))
+        return f"({cls_col(check)} >= {min_score!r})"
     return "(TRUE)"
 
 
@@ -176,6 +184,24 @@ def labeled_cte(checks: list[Check], source: str = "transcripts") -> str:
                 f"ON {source}.{c.column or 'text'} = __pp.text"
             )
             cols.append(f"__pp.nll AS {nll_col(c)}")
+        elif c.check_type.upper() == "CLASSIFIER":
+            from ..functions.classifier import (
+                TOKEN_CAP,
+                duckdb_quality_score_per_text_cte,
+            )
+
+            cte = f"__ct_{c.check_id.lower()}"
+            w = [float(x) for x in c.params.get("weights", [])]
+            cap = int(c.params.get("token_cap", TOKEN_CAP))
+            pre_ctes.append(
+                duckdb_quality_score_per_text_cte(
+                    cte, source, c.column or "text", w, cap
+                )
+            )
+            joins.append(
+                f"LEFT JOIN {cte} ON {source}.{c.column or 'text'} = {cte}.tid"
+            )
+            cols.append(f"{cte}.quality_score AS {cls_col(c)}")
     extra = (", " + ", ".join(cols)) if cols else ""
     pre = "".join(p + ",\n" for p in pre_ctes)
     join_sql = ("\n" + "\n".join(joins)) if joins else ""

@@ -1122,6 +1122,52 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_classifier_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-weighted corpus mixing (r3 verdict item 6): the
+    config-stored trained weight vector (plans/configs.py
+    DEFAULT_CLS_WEIGHTS — the same PARAMS_JSON-style model a
+    CLASSIFIER check applies) scores every document, and
+    ``quality_weighted_mix`` thins low-quality rows first inside the
+    source-share envelope. Oracle replays the scoring per distinct
+    text and the mix arithmetic exactly."""
+    from ..functions.classifier import quality_score_col
+    from ..functions.sampling import quality_weighted_mix
+    from .configs import DEFAULT_CLS_WEIGHTS
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = docs.withColumn(
+        "quality_score", quality_score_col(F.col("text"), DEFAULT_CLS_WEIGHTS)
+    )
+    return quality_weighted_mix(
+        scored, "source", "doc_id", MIX_SHARES, "quality_score"
+    ).select(
+        "doc_id", "source", "quality_score", "mix_rate", "eff_rate",
+        "mix_keep",
+    )
+
+
+def _oracle_classifier_mix() -> str:
+    from ..functions.classifier import duckdb_quality_score_per_text_cte
+    from ..functions.sampling import duckdb_quality_weighted_mix_sql
+    from .configs import DEFAULT_CLS_WEIGHTS
+
+    cte = duckdb_quality_score_per_text_cte(
+        "__qs", "documents", "text", DEFAULT_CLS_WEIGHTS
+    )
+    from_clause = (
+        "(SELECT d.*, q.quality_score FROM documents d "
+        "LEFT JOIN __qs q ON d.text = q.tid)"
+    )
+    mix = duckdb_quality_weighted_mix_sql(
+        from_clause, "source", "doc_id", MIX_SHARES, "quality_score"
+    )
+    return (
+        f"WITH {cte}\n"
+        "SELECT doc_id, source, quality_score, mix_rate, eff_rate, mix_keep "
+        f"FROM ({mix})"
+    )
+
+
 EMB_DIM, EMB_NGRAM = 16, 3
 
 
@@ -1846,7 +1892,6 @@ def queries():
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
-        "corpus_mix": q_corpus_mix,
         "media_features": q_media_features,
         "media_resize_checksums": q_media_resize_checksums,
         "media_audio_frames": q_media_audio_frames,
@@ -1857,6 +1902,7 @@ def queries():
         "sequence_packing": q_sequence_packing,
         "bpe_vocab": q_bpe_vocab,
         "text_embeddings": q_text_embeddings,
+        "classifier_mix": q_classifier_mix,
         "ann_from_text": q_ann_from_text,
         "quality_classifier": q_quality_classifier,
         # ---- tail: engine twins / derivative aggregates (see above) ----
@@ -1876,6 +1922,7 @@ def queries():
         "minhash_pairs": q_minhash_pairs,
         "ann_lsh": q_ann_lsh,
         "setops_users": q_setops_users,
+        "corpus_mix": q_corpus_mix,
         "sequence_packing_bpe": q_sequence_packing_bpe,
     }
 
@@ -1965,6 +2012,7 @@ def oracle_sql():
         "quality_classifier": _oracle_quality_classifier(),
         "bpe_vocab": _oracle_bpe_vocab(),
         "text_embeddings": _oracle_text_embeddings(),
+        "classifier_mix": _oracle_classifier_mix(),
         "ann_from_text": _oracle_ann_from_text(),
         "sequence_packing_bpe": _oracle_sequence_packing_bpe(),
         "minhash_pairs": _oracle_minhash_pairs(),
