@@ -142,6 +142,7 @@ HEADLINE = [
     "text_embeddings",
     "ann_from_text",
     "classifier_mix",
+    "substring_dedup",
 ]
 
 

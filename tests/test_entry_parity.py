@@ -114,6 +114,8 @@ TAIL_TWINS = {
     "setops_users",       # generic-SQL demo; join/agg patterns in-window
     "corpus_mix",         # family keeps hash_split + classifier_mix (the
                           # same mix operator, quality-weighted)
+    "top_tokens",         # family keeps text_stats; the explode→count→
+                          # top-k physical pattern stays via monitor_topk
 }
 
 # Derivative composites past the window: full value oracles (parity
@@ -143,7 +145,7 @@ def test_driver_window_covers_every_operator_family():
         "joins": {"join_topk", "asof_join", "range_join"},
         "tpch": {"tpch_q1"},
         "dedup_exact": {"dedup_exact", "conversation_dedup"},
-        "textstats": {"text_stats", "top_tokens"},
+        "textstats": {"text_stats"},
         "decontaminate": {"decontaminate"},
         "fingerprints": {"doc_fingerprints"},
         "quality_filter": {"document_quality_filter"},
@@ -170,6 +172,7 @@ def test_driver_window_covers_every_operator_family():
         "bpe": {"bpe_vocab"},
         "text_embeddings": {"text_embeddings", "ann_from_text"},
         "classifier_mix": {"classifier_mix"},
+        "substring_dedup": {"substring_dedup"},
     }
     for fam, members in families.items():
         assert members & in_window, f"family {fam} has no driver-window row"
@@ -177,7 +180,8 @@ def test_driver_window_covers_every_operator_family():
     assert families["multimodal"] <= in_window
     # the round-3 operators specifically must be FULLY in-window (r3 gap)
     for fam in ("lm_training", "loop_detection", "packing", "classifier",
-                "bpe", "text_embeddings", "classifier_mix"):
+                "bpe", "text_embeddings", "classifier_mix",
+                "substring_dedup"):
         assert families[fam] <= in_window, fam
     # nothing novel hides in the tail
     assert out_window <= TAIL_TWINS | TAIL_OVERFLOW, (

@@ -1,0 +1,115 @@
+"""Substring-span dedup: span assembly, splice correctness, cut-all
+policy, idempotence, DuckDB replay parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from zeus_data_quality_spark.operators.spandedup import (
+    duckdb_remove_spans_sql,
+    duckdb_spans_sql,
+    remove_repeated_spans,
+    repeated_spans,
+)
+
+BOILER = (
+    "SUBSCRIBE TO OUR NEWSLETTER FOR DAILY UPDATES AND EXCLUSIVE "
+    "OFFERS TODAY! "
+)
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_spans_cover_every_occurrence(spark):
+    """Cut-all policy: the shared span is reported in BOTH documents,
+    and internal repetition within one document is caught too."""
+    texts = [
+        "Unique intro A. " + BOILER + "Unique tail A.",
+        "A different intro B! " + BOILER + "And tail B.",
+        BOILER + BOILER,
+        "Nothing shared here at all, completely original text body.",
+    ]
+    spans = repeated_spans(_df(spark, texts), "doc_id", "text")
+    by_doc = {r["doc_id"] for r in spans.collect()}
+    assert {0, 1, 2} <= by_doc
+    assert 3 not in by_doc
+
+
+def test_splice_removes_exactly_the_spans(spark):
+    texts = [
+        "keepA " + BOILER + "keepB",
+        "keepC " + BOILER + "keepD",
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_spans(_df(spark, texts), "doc_id", "text")
+        .collect()
+    }
+    for i in (0, 1):
+        r = out[i]
+        assert r["n_spans"] == 1
+        assert r["removed_chars"] >= len(BOILER) - 20
+        assert "SUBSCRIBE" not in r["cleaned_text"]
+        assert "keep" in r["cleaned_text"]
+    # every original char is either kept or counted removed
+    assert len(out[0]["cleaned_text"]) + out[0]["removed_chars"] == len(
+        texts[0]
+    )
+
+
+def test_short_null_and_unique_docs_pass_through(spark):
+    texts = ["short", "", None, "an original never-repeated sentence body"]
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_spans(_df(spark, texts), "doc_id", "text")
+        .collect()
+    }
+    assert len(out) == 4
+    for i, t in enumerate(texts):
+        assert out[i]["n_spans"] == 0
+        assert out[i]["cleaned_text"] == t
+
+
+def test_idempotent_on_fixture_and_corpus(spark):
+    """Running the pass on its own output changes nothing (the cut
+    text no longer contains any ≥min_span repeat)."""
+    texts = [
+        "Unique intro A. " + BOILER + "Unique tail A.",
+        "A different intro B! " + BOILER + "And tail B.",
+        BOILER + BOILER + "solo ending",
+    ]
+    once = remove_repeated_spans(_df(spark, texts), "doc_id", "text").select(
+        "doc_id", "cleaned_text"
+    )
+    again = remove_repeated_spans(once, "doc_id", "cleaned_text")
+    assert again.filter("n_spans > 0").count() == 0
+
+
+def test_duckdb_replay_parity(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        (r["doc_id"], r["n_spans"], r["removed_chars"], r["cleaned_text"])
+        for r in remove_repeated_spans(docs, "doc_id", "text").collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        (int(a), int(b), int(c), d)
+        for a, b, c, d in con.execute(
+            duckdb_remove_spans_sql("documents", "doc_id", "text")
+        ).fetchall()
+    )
+    assert got == want
+    got_spans = repeated_spans(docs, "doc_id", "text").count()
+    want_spans = len(
+        con.execute(duckdb_spans_sql("documents", "doc_id", "text")).fetchall()
+    )
+    assert got_spans == want_spans

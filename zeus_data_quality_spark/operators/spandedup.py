@@ -1,0 +1,275 @@
+"""Substring-span deduplication — cross-document repeated-span
+removal (the Lee et al. 2022 "Deduplicating Training Data Makes
+Language Models Better" ExactSubstr pass), fully relational.
+
+``functions/fingerprint.py`` (winnowing) finds candidate DOCUMENTS
+that share content; LLM pipelines additionally cut the repeated
+SPANS themselves out of every document. The suffix-array algorithm of
+the reference tool is sequential; this module reaches the same
+verdicts with shuffle-friendly relational algebra:
+
+1. **Seed pass** (the only corpus-sized explode): every character
+   k-gram start position emits ``(doc, pos, md5(gram))`` — O(len)
+   rows per document, 16-byte keys, linear like the suffix-array
+   build.
+2. **Repeated seeds**: two-phase groupBy on the hash; a hash seen at
+   more than one (doc, pos) marks all its positions as duplicated —
+   the cut-all-copies policy of the released ExactSubstr tool
+   (within-document repeats count too).
+3. **Span assembly**: a repeated span of length L ≥ k contributes
+   L−k+1 consecutive duplicated seed positions, so merging
+   overlapping/adjacent seed intervals (gaps-and-islands over one
+   per-doc window) reconstructs maximal repeated spans exactly; spans
+   under ``min_span`` chars are kept (short echoes are normal text).
+4. **Cut**: per-document complement splice via one Column fold over
+   the doc's sorted span array — no UDF, no second corpus shuffle.
+
+Scale: the seed table is ~16n bytes for n corpus chars — the same
+order as the corpus itself; at 10^12 turns, winnow first
+(``fingerprint.with_fingerprints`` → candidate doc set) and run this
+pass only on documents in fingerprint-sharing groups (the standard
+two-stage deployment; the operator composes unchanged). DuckDB
+oracle replays every step relationally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+K = 20
+MIN_SPAN = 50
+
+
+def _seed_positions(df: DataFrame, id_col: str, text_col: str, k: int):
+    """(id, pos, h): md5 of the k-gram starting at 1-based pos."""
+    t = F.col(text_col)
+    positions = F.sequence(F.lit(1), F.length(t) - (k - 1))
+    return (
+        df.filter(t.isNotNull() & (F.length(t) >= k))
+        .select(
+            F.col(id_col).alias("id"),
+            t.alias("__t"),
+            F.explode(positions).alias("pos"),
+        )
+        .select(
+            "id", "pos", F.md5(F.substr(F.col("__t"), F.col("pos"), F.lit(k))).alias("h")
+        )
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = K,
+    min_span: int = MIN_SPAN,
+) -> DataFrame:
+    """(id, span_start, span_end) — maximal repeated spans of length
+    ≥ ``min_span`` (1-based, inclusive). Deterministic; every
+    occurrence of a repeated span is reported (cut-all policy)."""
+    grams = _seed_positions(df, id_col, text_col, k)
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("h")
+    )
+    pos = grams.join(dup, "h").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    isl = (
+        pos.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__new",
+            (F.col("__prev").isNull() | (F.col("pos") > F.col("__prev") + k))
+            .cast("int"),
+        )
+        .withColumn(
+            "__isl",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        isl.groupBy("id", "__isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (k - 1)).cast("long").alias("span_end"),
+        )
+        .filter(F.col("span_end") - F.col("span_start") + 1 >= min_span)
+        .select(
+            F.col("id").alias(id_col), "span_start", "span_end"
+        )
+    )
+
+
+def _splice(text: Column, spans: Column) -> Column:
+    """Remove the (sorted, disjoint) 1-based inclusive spans from
+    ``text`` with one fold: carry (cursor, out), append the segment
+    before each span, jump the cursor past it, then append the tail."""
+    init = F.struct(
+        F.lit(1).cast("long").alias("cur"), F.lit("").alias("out")
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        seg = F.substr(
+            text, acc["cur"], F.greatest(s["s"] - acc["cur"], F.lit(0).cast("long"))
+        )
+        return F.struct(
+            (s["e"] + 1).alias("cur"),
+            F.concat(acc["out"], seg).alias("out"),
+        )
+
+    def fin(acc: Column) -> Column:
+        tail = F.substr(
+            text,
+            acc["cur"],
+            F.greatest(
+                F.length(text).cast("long") - acc["cur"] + 1,
+                F.lit(0).cast("long"),
+            ),
+        )
+        return F.concat(acc["out"], tail)
+
+    return F.aggregate(spans, init, step, fin)
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = K,
+    min_span: int = MIN_SPAN,
+) -> DataFrame:
+    """Every input row + ``n_spans``, ``removed_chars``,
+    ``cleaned_text`` (the text with all repeated spans cut; documents
+    without spans — including NULL/short texts — pass through
+    verbatim)."""
+    spans = repeated_spans(df, id_col, text_col, k, min_span)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("removed_chars"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"), F.col("span_end").alias("e")
+                )
+            )
+        ).alias("__spans"),
+    )
+    joined = df.join(per_doc, id_col, "left")
+    cleaned = F.when(
+        F.col("n_spans").isNull(), F.col(text_col)
+    ).otherwise(_splice(F.col(text_col), F.col("__spans")))
+    return joined.select(
+        *[F.col(c) for c in df.columns],
+        F.coalesce(F.col("n_spans"), F.lit(0).cast("long")).alias("n_spans"),
+        F.coalesce(F.col("removed_chars"), F.lit(0).cast("long")).alias(
+            "removed_chars"
+        ),
+        cleaned.alias("cleaned_text"),
+    )
+
+
+# ------------------------------------------------------------- oracle
+
+
+def duckdb_spans_cte(
+    from_clause: str,
+    id_col: str,
+    text_col: str = "text",
+    k: int = K,
+    min_span: int = MIN_SPAN,
+) -> str:
+    """CTE chain (no WITH) ending in ``ss_spans(id, span_start,
+    span_end)`` — an independent relational recomputation (DuckDB
+    windows instead of the Spark fold shapes)."""
+    return f"""
+ss_src AS (SELECT {id_col} AS id, {text_col} AS t FROM {from_clause}),
+ss_g AS (
+    SELECT id, pos, md5(substr(t, pos, {k})) AS h
+    FROM (SELECT id, t, unnest(range(1, length(t) - {k} + 2)) AS pos
+          FROM ss_src WHERE t IS NOT NULL AND length(t) >= {k})
+),
+ss_dup AS (SELECT h FROM ss_g GROUP BY h HAVING COUNT(*) > 1),
+ss_pos AS (SELECT id, pos FROM ss_g JOIN ss_dup USING (h)),
+ss_isl AS (
+    SELECT id, pos,
+           SUM(CASE WHEN prev IS NULL OR pos > prev + {k} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS isl
+    FROM (SELECT id, pos,
+                 LAG(pos) OVER (PARTITION BY id ORDER BY pos) AS prev
+          FROM ss_pos)
+),
+ss_spans AS (
+    SELECT id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {k - 1} AS BIGINT) AS span_end
+    FROM ss_isl GROUP BY id, isl
+    HAVING MAX(pos) + {k - 1} - MIN(pos) + 1 >= {min_span}
+)"""
+
+
+def duckdb_spans_sql(
+    from_clause: str,
+    id_col: str,
+    text_col: str = "text",
+    k: int = K,
+    min_span: int = MIN_SPAN,
+) -> str:
+    cte = duckdb_spans_cte(from_clause, id_col, text_col, k, min_span)
+    return (
+        f"WITH {cte}\nSELECT id AS {id_col}, span_start, span_end "
+        "FROM ss_spans"
+    )
+
+
+def duckdb_remove_spans_sql(
+    from_clause: str,
+    id_col: str,
+    text_col: str = "text",
+    k: int = K,
+    min_span: int = MIN_SPAN,
+) -> str:
+    """Oracle for :func:`remove_repeated_spans`: complement segments
+    via LAG over each doc's spans + a tail piece, spliced with an
+    ordered string_agg."""
+    cte = duckdb_spans_cte(from_clause, id_col, text_col, k, min_span)
+    return f"""WITH {cte},
+ss_segs AS (
+    SELECT id, COALESCE(LAG(span_end) OVER w, 0) + 1 AS seg_from,
+           span_start - COALESCE(LAG(span_end) OVER w, 0) - 1 AS seg_len
+    FROM ss_spans
+    WINDOW w AS (PARTITION BY id ORDER BY span_start)
+),
+ss_tail AS (
+    SELECT id, MAX(span_end) + 1 AS seg_from, 2147483647 AS seg_len,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(span_end - span_start + 1) AS BIGINT) AS removed_chars
+    FROM ss_spans GROUP BY id
+),
+ss_pieces AS (
+    SELECT id, seg_from, seg_len FROM ss_segs WHERE seg_len > 0
+    UNION ALL
+    SELECT id, seg_from, seg_len FROM ss_tail
+),
+ss_clean AS (
+    SELECT p.id,
+           string_agg(substr(s.t, CAST(p.seg_from AS BIGINT),
+                             CAST(p.seg_len AS BIGINT)), ''
+                      ORDER BY p.seg_from) AS cleaned
+    FROM ss_pieces p JOIN ss_src s ON s.id = p.id
+    GROUP BY p.id
+)
+SELECT s.id AS {id_col},
+       COALESCE(t.n_spans, 0) AS n_spans,
+       COALESCE(t.removed_chars, 0) AS removed_chars,
+       CASE WHEN t.id IS NULL THEN s.t ELSE COALESCE(c.cleaned, '') END
+           AS cleaned_text
+FROM ss_src s
+LEFT JOIN ss_tail t ON s.id = t.id
+LEFT JOIN ss_clean c ON s.id = c.id
+"""

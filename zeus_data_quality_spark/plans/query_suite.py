@@ -1122,6 +1122,26 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span removal
+    (``operators/spandedup.py``, the Lee-et-al ExactSubstr pass, r3
+    verdict item 5): hashed k-gram seeds → repeated-hash positions →
+    gaps-and-islands span assembly → per-doc complement splice.
+    Returns every document with its cut count and cleaned text; the
+    oracle recomputes spans and the splice relationally."""
+    from ..operators.spandedup import remove_repeated_spans
+
+    return remove_repeated_spans(
+        _read(spark, sf_dir, "documents"), "doc_id", "text"
+    ).select("doc_id", "n_spans", "removed_chars", "cleaned_text")
+
+
+def _oracle_substring_dedup() -> str:
+    from ..operators.spandedup import duckdb_remove_spans_sql
+
+    return duckdb_remove_spans_sql("documents", "doc_id", "text")
+
+
 def q_classifier_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-weighted corpus mixing (r3 verdict item 6): the
     config-stored trained weight vector (plans/configs.py
@@ -1872,7 +1892,6 @@ def queries():
         "dedup_exact": q_dedup_exact,
         "conversation_dedup": q_conversation_dedup,
         "text_stats": q_text_stats,
-        "top_tokens": q_top_tokens,
         "decontaminate": q_decontaminate,
         "doc_fingerprints": q_doc_fingerprints,
         "document_quality_filter": q_document_quality_filter,
@@ -1903,6 +1922,7 @@ def queries():
         "bpe_vocab": q_bpe_vocab,
         "text_embeddings": q_text_embeddings,
         "classifier_mix": q_classifier_mix,
+        "substring_dedup": q_substring_dedup,
         "ann_from_text": q_ann_from_text,
         "quality_classifier": q_quality_classifier,
         # ---- tail: engine twins / derivative aggregates (see above) ----
@@ -1923,6 +1943,7 @@ def queries():
         "ann_lsh": q_ann_lsh,
         "setops_users": q_setops_users,
         "corpus_mix": q_corpus_mix,
+        "top_tokens": q_top_tokens,
         "sequence_packing_bpe": q_sequence_packing_bpe,
     }
 
@@ -2013,6 +2034,7 @@ def oracle_sql():
         "bpe_vocab": _oracle_bpe_vocab(),
         "text_embeddings": _oracle_text_embeddings(),
         "classifier_mix": _oracle_classifier_mix(),
+        "substring_dedup": _oracle_substring_dedup(),
         "ann_from_text": _oracle_ann_from_text(),
         "sequence_packing_bpe": _oracle_sequence_packing_bpe(),
         "minhash_pairs": _oracle_minhash_pairs(),
