@@ -1,0 +1,121 @@
+"""Concurrent-writer protection for the metadata and lineage stores
+(r3 verdict item 7): OCC commits through sources/snapshots.py — one
+writer wins, the other retries, no update is lost."""
+
+from __future__ import annotations
+
+import pytest
+
+from zeus_data_quality_spark.plans.lineage import LineageStore
+from zeus_data_quality_spark.plans.meta import MetaStore
+from zeus_data_quality_spark.sources.snapshots import (
+    SnapshotConflict,
+    current_version,
+    write_snapshot,
+)
+
+
+def _cfg(cid, name="n"):
+    return {"config_id": cid, "name": name, "target_table_fqn": f"db.s.{cid}"}
+
+
+def test_expected_parent_pin_refuses_stale_commit(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.range(3)
+    v0 = write_snapshot(df, t, mode="overwrite", expected_parent=None)
+    assert v0 == 0
+    # a writer that derived its state from the EMPTY table must refuse
+    with pytest.raises(SnapshotConflict):
+        write_snapshot(df, t, mode="overwrite", expected_parent=None)
+    # pinned to the actual current version it commits
+    assert write_snapshot(df, t, mode="overwrite", expected_parent=0) == 1
+
+
+def test_meta_racing_upserts_both_survive(spark, tmp_path):
+    """Interleaved read-modify-write: writer A reads, writer B commits
+    in between, A's first attempt conflicts, A's retry lands — and
+    BOTH configs exist afterwards (the lost-update scenario the bare
+    parquet overwrite had)."""
+    store = MetaStore(spark, str(tmp_path / "meta"))
+    store.upsert_config(_cfg("base"))
+
+    raced = {"done": False}
+    orig_mutate = store._mutate
+    real_fn_calls = []
+
+    def mutate_with_race(path, schema, fn):
+        def wrapped(existing):
+            out = fn(existing)
+            if not raced["done"] and path == store._configs:
+                raced["done"] = True
+                # writer B commits AFTER A read its state but BEFORE
+                # A's commit — through the original path, so only A's
+                # attempt sees the conflict.
+                clean = MetaStore(store.spark, store.root)
+                clean.upsert_config(_cfg("writer_b"))
+            real_fn_calls.append(1)
+            return out
+
+        return orig_mutate(path, schema, wrapped)
+
+    store._mutate = mutate_with_race
+    store.upsert_config(_cfg("writer_a"))
+    store._mutate = orig_mutate
+
+    ids = {r["config_id"] for r in store.configs_df().collect()}
+    assert {"base", "writer_a", "writer_b"} <= ids  # nothing lost
+    assert len(real_fn_calls) >= 2  # first attempt + at least one retry
+
+
+def test_lineage_concurrent_appends_no_lost_rows(spark, tmp_path):
+    """Two stores over one lineage dir: interleaved appends all land
+    (the version-slot guard serializes them)."""
+    path = str(tmp_path / "lineage")
+    a, b = LineageStore(spark, path), LineageStore(spark, path)
+
+    def row(run, part):
+        return {
+            "run_id": run, "config_id": "c", "partition_id": part,
+            "rows_in": 1, "rows_kept": 1, "rows_dropped": 0,
+            "fail_counts": {}, "scrub_counts": {},
+        }
+
+    a.append([row("r1", "p0")])
+    b.append([row("r2", "p0")])
+    a.append([row("r1", "p1")])
+    assert a.read().count() == 3
+    assert a.completed_partitions("c", "r1") == {"p0", "p1"}
+    assert b.completed_partitions("c", "r2") == {"p0"}
+    assert current_version(spark, path) == 2  # one commit per append
+
+
+def test_legacy_store_migrates_on_first_mutation(spark, tmp_path):
+    """A pre-snapshot bare-parquet store reads as-is and upgrades to
+    the versioned layout on its first write, keeping every row."""
+    import os
+
+    meta_root = str(tmp_path / "legacy_meta")
+    store = MetaStore(spark, meta_root)
+    # fabricate the legacy layout: plain parquet at the table path
+    legacy = store.configs_df()  # empty
+    store.upsert_config(_cfg("old_row"))
+    # rewind to legacy: copy current table out as bare parquet
+    rows = store.configs_df().collect()
+    import shutil
+
+    shutil.rmtree(store._configs)
+    spark.createDataFrame(
+        rows, store.configs_df().schema
+    ).write.parquet(store._configs)
+    assert not os.path.isdir(os.path.join(store._configs, "manifests"))
+    # read path handles legacy
+    assert {r["config_id"] for r in store.configs_df().collect()} == {
+        "old_row"
+    }
+    # first mutation migrates and keeps the legacy row
+    store.upsert_config(_cfg("new_row"))
+    assert os.path.isdir(os.path.join(store._configs, "manifests"))
+    assert {r["config_id"] for r in store.configs_df().collect()} == {
+        "old_row",
+        "new_row",
+    }

@@ -50,18 +50,31 @@ LINEAGE_SCHEMA = (
 
 
 class LineageStore:
-    """Append-only lineage table (parquet directory)."""
+    """Append-only lineage table, committed through the snapshot OCC
+    layer (``sources/snapshots.py``): each batch's rows land in an
+    immutable data dir and become visible only when the versioned
+    manifest commits, so two concurrent ``run_config``s appending to
+    one lineage table can race on the version slot but never lose
+    rows — the loser retries on :class:`SnapshotConflict` and commits
+    on top (r3 verdict item 7). A crash mid-append leaves no manifest
+    → the rows are invisible → the slice reruns idempotently (a
+    strictly stronger guarantee than the bare parquet append it
+    replaces). Pre-snapshot lineage dirs are read as-is and migrated
+    on the first append."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
 
     def read(self) -> DataFrame:
-        if not os.path.exists(self.path):
-            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
-        return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.path)
+        from .meta import _read_versioned
+
+        return _read_versioned(self.spark, self.path, LINEAGE_SCHEMA)
 
     def append(self, rows: list[dict]) -> None:
+        from ..sources.snapshots import SnapshotConflict, write_snapshot
+        from .meta import _migrate_legacy
+
         df = self.spark.createDataFrame(
             [
                 (
@@ -79,7 +92,21 @@ class LineageStore:
             ],
             LINEAGE_SCHEMA,
         )
-        df.write.mode("append").parquet(self.path)
+        _migrate_legacy(self.spark, self.path, LINEAGE_SCHEMA)
+        last: Exception | None = None
+        for _ in range(10):
+            try:
+                # plain append: rows don't depend on current state, so
+                # the version-slot rename guard alone prevents lost
+                # rows; no expected_parent pin needed.
+                write_snapshot(df, self.path, mode="append")
+                return
+            except SnapshotConflict as exc:
+                last = exc
+                continue
+        raise SnapshotConflict(
+            f"lineage OCC retries exhausted for {self.path}"
+        ) from last
 
     def completed_partitions(self, config_id: str, run_id: str) -> set[str]:
         df = self.read().filter(

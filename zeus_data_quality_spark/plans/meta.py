@@ -5,12 +5,18 @@ DQ_CHECK tables with MERGE-style upsert, ordered listing, per-config
 fetch, delete, a duplicate-target guard, and case-insensitive search
 (reference operator rows #22-#28, #39 in SURVEY.md §2.4/2.6).
 
-Storage is a parquet-backed key overwrite (this sandbox has no Iceberg
-runtime); on a cluster ``_rewrite`` swaps for an Iceberg ``MERGE INTO``
-(reference ``utils/meta.py:160-184``) / ``DELETE FROM`` — the public
-API is unchanged. Config tables are tiny (thousands of rows), so a
-full-table rewrite per mutation is the honest equivalent of a
-copy-on-write MERGE commit.
+Storage commits through ``sources/snapshots.py`` (Iceberg-style OCC:
+immutable data dirs + versioned manifests), so two concurrent writers
+can't clobber each other: every mutation is a read-modify-write
+pinned to the version it read (``expected_parent``) and retried on
+:class:`SnapshotConflict` — the loser recomputes its merge against
+the winner's commit, exactly Iceberg's single-table OCC (r3 verdict
+item 7). Config tables are tiny (thousands of rows), so a full-table
+rewrite per mutation is the honest equivalent of a copy-on-write
+MERGE commit; on a cluster it swaps for Iceberg ``MERGE INTO``
+(reference ``utils/meta.py:160-184``) / ``DELETE FROM`` with the same
+API. Pre-snapshot stores (bare parquet directories) are migrated to
+the versioned layout on their first mutation.
 """
 
 from __future__ import annotations
@@ -64,53 +70,68 @@ class MetaStore:
 
     # -- raw table access -------------------------------------------------
     def configs_df(self) -> DataFrame:
-        if not os.path.exists(self._configs):
-            return self.spark.createDataFrame([], CONFIG_SCHEMA)
-        return self.spark.read.schema(CONFIG_SCHEMA).parquet(self._configs)
+        return _read_versioned(self.spark, self._configs, CONFIG_SCHEMA)
 
     def checks_df(self) -> DataFrame:
-        if not os.path.exists(self._checks):
-            return self.spark.createDataFrame([], CHECK_SCHEMA)
-        return self.spark.read.schema(CHECK_SCHEMA).parquet(self._checks)
+        return _read_versioned(self.spark, self._checks, CHECK_SCHEMA)
 
-    def _rewrite(self, df: DataFrame, path: str, schema: str) -> None:
-        # Tiny metadata tables: copy-on-write commit (stand-in for
-        # Iceberg MERGE). Stage to a temp dir then swap to keep the
-        # read path consistent; the staging dir is removed after the
-        # swap so repeated mutations leave no litter behind.
-        import shutil
+    def _mutate(self, path: str, schema: str, fn) -> None:
+        """OCC read-modify-write: ``fn(existing_df) -> merged_df`` is
+        recomputed from the CURRENT version on every attempt, and the
+        commit is pinned to that version — a racing writer's update
+        can delay this one (retry) but never be erased by it."""
+        from ..sources.snapshots import (
+            SnapshotConflict,
+            current_version,
+            write_snapshot,
+        )
 
-        tmp = path + ".staging"
-        df.write.mode("overwrite").parquet(tmp)
-        staged = self.spark.read.schema(schema).parquet(tmp)
-        staged.write.mode("overwrite").parquet(path)
-        shutil.rmtree(tmp, ignore_errors=True)
+        _migrate_legacy(self.spark, path, schema)
+        last: Exception | None = None
+        for _ in range(10):
+            v = current_version(self.spark, path)
+            merged = fn(_read_versioned(self.spark, path, schema))
+            try:
+                write_snapshot(
+                    merged, path, mode="overwrite", expected_parent=v
+                )
+                return
+            except SnapshotConflict as exc:
+                last = exc
+                continue
+        raise SnapshotConflict(
+            f"metadata OCC retries exhausted for {path}"
+        ) from last
 
     # -- reference ops ----------------------------------------------------
     def upsert_config(self, cfg: dict) -> None:
         """MERGE-by-config_id (reference utils/meta.py:160-184)."""
-        now = datetime.now(timezone.utc)
-        existing = self.configs_df()
-        old = existing.filter(F.col("config_id") == cfg["config_id"]).collect()
-        created = old[0]["created_at"] if old else now
-        row = (
-            cfg["config_id"],
-            cfg.get("name"),
-            cfg.get("description"),
-            cfg.get("target_table_fqn"),
-            cfg.get("status", "ACTIVE"),
-            cfg.get("owner"),
-            cfg.get("schedule_cron", "0 8 * * *"),
-            cfg.get("schedule_timezone", "Europe/Berlin"),
-            coerce_bool(cfg.get("schedule_enabled", False)),
-            created,
-            now,
-        )
-        new = self.spark.createDataFrame([row], CONFIG_SCHEMA)
-        merged = existing.filter(
-            F.col("config_id") != cfg["config_id"]
-        ).unionByName(new)
-        self._rewrite(merged, self._configs, CONFIG_SCHEMA)
+
+        def merge(existing: DataFrame) -> DataFrame:
+            now = datetime.now(timezone.utc)
+            old = existing.filter(
+                F.col("config_id") == cfg["config_id"]
+            ).collect()
+            created = old[0]["created_at"] if old else now
+            row = (
+                cfg["config_id"],
+                cfg.get("name"),
+                cfg.get("description"),
+                cfg.get("target_table_fqn"),
+                cfg.get("status", "ACTIVE"),
+                cfg.get("owner"),
+                cfg.get("schedule_cron", "0 8 * * *"),
+                cfg.get("schedule_timezone", "Europe/Berlin"),
+                coerce_bool(cfg.get("schedule_enabled", False)),
+                created,
+                now,
+            )
+            new = self.spark.createDataFrame([row], CONFIG_SCHEMA)
+            return existing.filter(
+                F.col("config_id") != cfg["config_id"]
+            ).unionByName(new)
+
+        self._mutate(self._configs, CONFIG_SCHEMA, merge)
 
     def replace_checks(self, config_id: str, checks: list[Check]) -> None:
         """DELETE WHERE config_id + batch insert (utils/meta.py:252-261)."""
@@ -129,10 +150,13 @@ class MetaStore:
             for c in checks
         ]
         new = self.spark.createDataFrame(rows, CHECK_SCHEMA)
-        merged = self.checks_df().filter(
-            F.col("config_id") != config_id
-        ).unionByName(new)
-        self._rewrite(merged, self._checks, CHECK_SCHEMA)
+        self._mutate(
+            self._checks,
+            CHECK_SCHEMA,
+            lambda existing: existing.filter(
+                F.col("config_id") != config_id
+            ).unionByName(new),
+        )
 
     def list_configs(self) -> DataFrame:
         """ORDER BY STATUS DESC, NAME (utils/meta.py:186-215)."""
@@ -166,15 +190,15 @@ class MetaStore:
 
     def delete_config(self, config_id: str) -> None:
         """Two deletes (utils/meta.py:247-250)."""
-        self._rewrite(
-            self.configs_df().filter(F.col("config_id") != config_id),
+        self._mutate(
             self._configs,
             CONFIG_SCHEMA,
+            lambda df: df.filter(F.col("config_id") != config_id),
         )
-        self._rewrite(
-            self.checks_df().filter(F.col("config_id") != config_id),
+        self._mutate(
             self._checks,
             CHECK_SCHEMA,
+            lambda df: df.filter(F.col("config_id") != config_id),
         )
 
     def duplicate_target_guard(self, config_id: str, target_fqn: str) -> bool:
@@ -210,6 +234,40 @@ class MetaStore:
             .select("config_id")
             .distinct()
         )
+
+
+def _is_versioned(path: str) -> bool:
+    return os.path.isdir(os.path.join(path, "manifests"))
+
+
+def _read_versioned(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read a snapshot-layout table (latest version), a pre-snapshot
+    bare parquet dir, or nothing — always with the declared schema."""
+    from ..sources.snapshots import current_version, read_snapshot
+
+    if _is_versioned(path):
+        if current_version(spark, path) is None:
+            return spark.createDataFrame([], schema)
+        df = read_snapshot(spark, path)
+        return df.to(spark.createDataFrame([], schema).schema)
+    if os.path.exists(path):
+        return spark.read.schema(schema).parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def _migrate_legacy(spark: SparkSession, path: str, schema: str) -> None:
+    """One-time upgrade of a pre-snapshot bare parquet dir to the
+    versioned layout: materialize the rows (metadata tables are tiny),
+    clear the dir, commit as version 0."""
+    import shutil
+
+    if _is_versioned(path) or not os.path.exists(path):
+        return
+    from ..sources.snapshots import write_snapshot
+
+    rows = spark.read.schema(schema).parquet(path).collect()
+    shutil.rmtree(path)
+    write_snapshot(spark.createDataFrame(rows, schema), path, mode="overwrite")
 
 
 # -- discovery (reference utils/meta.py:277-319 → Spark catalog) ----------

@@ -81,21 +81,39 @@ def current_version(spark: SparkSession, table_dir: str) -> int | None:
     return best
 
 
+_UNSET = object()
+
+
 def write_snapshot(
-    df: DataFrame, table_dir: str, mode: str = "append"
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    expected_parent: int | None | object = _UNSET,
 ) -> int:
     """Commit ``df`` as the next snapshot; returns the new version.
 
     Data lands under an immutable per-version directory first; the
     manifest write IS the commit. Raises :class:`SnapshotConflict` if
     a concurrent writer took the version (caller re-reads + retries).
-    """
+
+    ``expected_parent`` pins read-modify-write transactions: pass the
+    version the new table state was DERIVED from (None for "computed
+    against an empty table") and the commit refuses if anyone else
+    committed in between — without the pin, a racing writer's merge
+    would silently land on top of (and erase) the other's update even
+    though the version-slot rename succeeded. Plain appends whose rows
+    don't depend on current state can omit it; the rename-based slot
+    guard alone already prevents lost rows for them."""
     if mode not in ("append", "overwrite"):
         raise ValueError("mode must be 'append' or 'overwrite'")
     import uuid
 
     spark = df.sparkSession
     parent = current_version(spark, table_dir)
+    if expected_parent is not _UNSET and parent != expected_parent:
+        raise SnapshotConflict(
+            f"{table_dir}: expected parent {expected_parent}, found {parent}"
+        )
     version = 0 if parent is None else parent + 1
     # Unique per ATTEMPT, not per version: a writer racing on a stale
     # version must never touch a committed snapshot's files (losing
