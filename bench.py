@@ -198,6 +198,32 @@ def _extra_benches():
             spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", "text"
         )
 
+    def text_embeddings_xx(spark, sf_dir):
+        from zeus_data_quality_spark.functions.embed import (
+            with_text_embedding,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return with_text_embedding(
+            docs, "doc_id", "text", hash_fn="xxhash64"
+        )
+
+    def ann_from_text_xx(spark, sf_dir):
+        from zeus_data_quality_spark.functions.embed import ann_from_text
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return ann_from_text(docs, "doc_id", "text", hash_fn="xxhash64")
+
+    def substring_dedup_xx(spark, sf_dir):
+        from zeus_data_quality_spark.operators.spandedup import (
+            remove_repeated_spans,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return remove_repeated_spans(
+            docs, "doc_id", "text", hash_fn="xxhash64"
+        )
+
     def doc_fingerprints_xx(spark, sf_dir):
         from zeus_data_quality_spark.functions import fingerprint
 
@@ -209,6 +235,9 @@ def _extra_benches():
         )
 
     return {
+        "text_embeddings_xx": text_embeddings_xx,
+        "ann_from_text_xx": ann_from_text_xx,
+        "substring_dedup_xx": substring_dedup_xx,
         "doc_fingerprints_xx": doc_fingerprints_xx,
         "minhash_pairs": minhash_pairs,
         "minhash_pairs_md5_parity": minhash_pairs_md5_parity,

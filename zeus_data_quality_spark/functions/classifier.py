@@ -299,11 +299,20 @@ def quality_feature_cols(
         F.split(F.lower(text), _REP_SPLIT), lambda x: x != F.lit("")
     )
 
-    def f4_of(g: Column) -> Column:
-        cs = _char_sum(g)
-        return _frac(cs - _char_sum(F.array_distinct(g)), cs)
+    def f4_of_toks(tk: Column) -> Column:
+        # tk AND the gram array are lambda-bound: _ngrams references
+        # its token array ~5n times and the dup fraction reads the
+        # gram array twice — inlining the split expression there
+        # re-tokenized the row per reference (measured 10× slower on
+        # the documents corpus, the same trap with_repetition_stats
+        # avoids by materializing __toks as a column).
+        def f4_of_grams(g: Column) -> Column:
+            cs = _char_sum(g)
+            return _frac(cs - _char_sum(F.array_distinct(g)), cs)
 
-    f4 = F.get(F.transform(F.array(_ngrams(toks, 5)), f4_of), 0)
+        return F.get(F.transform(F.array(_ngrams(tk, 5)), f4_of_grams), 0)
+
+    f4 = F.get(F.transform(F.array(toks), f4_of_toks), 0)
     f5 = ratio(
         F.length(text) - F.length(F.regexp_replace(text, "[{}]", "")),
         n_chars,

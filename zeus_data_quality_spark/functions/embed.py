@@ -53,16 +53,42 @@ def _gram_pairs(text: Column, n: int) -> Column:
 
 
 def text_embedding(
-    text: Column, dim: int = DIM, n: int = NGRAM
+    text: Column, dim: int = DIM, n: int = NGRAM, hash_fn: str = "md5"
 ) -> Column:
     """array<long> of length ``dim``: signed hashed n-gram counts.
+
+    ``hash_fn``: "md5" is the oracle-parity mode (replayable in any
+    SQL engine); "xxhash64" is the PRODUCTION mode — one codegen'd
+    64-bit hash per n-gram instead of md5+hex-decode (measured ~2×
+    end-to-end on the documents corpus), same dual-mode discipline as
+    ``operators/dedup.py``. The two modes give different (equally
+    valid) projections.
 
     The (bucket, sign) struct array is bound ONCE through a lambda
     variable (``get(transform(array(pairs), ps -> ...), 0)`` — the
     same expression-binding idiom as ``dedup._shingles``): referencing
     the inline ``pairs`` expression from each of the ``dim``
-    coordinate aggregates would re-md5 every n-gram dim× per row
+    coordinate aggregates would re-hash every n-gram dim× per row
     (measured 16× slower on the documents corpus)."""
+    if hash_fn == "xxhash64":
+        t = F.lower(F.trim(text))
+        n_g = F.length(t) - (n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), n_g),
+            lambda i: F.xxhash64(F.lit(SALT), F.substr(t, i, F.lit(n))),
+        )
+        hashes = F.when(t.isNotNull() & (n_g >= 1), grams).otherwise(
+            F.array().cast("array<bigint>")
+        )
+        pairs = F.transform(
+            hashes,
+            lambda h: F.struct(
+                F.pmod(h, F.lit(dim)).alias("b"),
+                (F.lit(1) - (F.shiftright(h, 32) % 2 != 0).cast("int") * 2)
+                .alias("s"),
+            ),
+        )
+        return _sum_buckets(pairs, dim)
     pairs = F.transform(
         _gram_pairs(text, n),
         lambda h: F.struct(
@@ -76,6 +102,10 @@ def text_embedding(
         ),
     )
 
+    return _sum_buckets(pairs, dim)
+
+
+def _sum_buckets(pairs: Column, dim: int) -> Column:
     def vec(ps: Column) -> Column:
         return F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
@@ -99,11 +129,13 @@ def with_text_embedding(
     dim: int = DIM,
     n: int = NGRAM,
     out_col: str = "embedding",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, embedding array<long>) for every row; NULL/short texts get
     the zero vector (kept, so downstream joins stay total)."""
     return df.select(
-        F.col(id_col), text_embedding(F.col(text_col), dim, n).alias(out_col)
+        F.col(id_col),
+        text_embedding(F.col(text_col), dim, n, hash_fn).alias(out_col),
     )
 
 
@@ -135,6 +167,7 @@ def ann_from_text(
     n_queries: int = 5,
     dim: int = DIM,
     n: int = NGRAM,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Brute-force cosine top-k over IN-ENGINE embeddings of raw text:
     (query_id, neighbor_id, rank). Queries = the first ``n_queries``
@@ -143,16 +176,17 @@ def ann_from_text(
     Spark and SQL engines disagree."""
     from ..operators.similarity import brute_force_topk
 
-    emb = with_text_embedding(df, id_col, text_col, dim, n)
-    # Materialize BEFORE the topk join: Catalyst's projection collapse
-    # would otherwise inline the whole n-gram-hash expression into the
-    # per-pair cosine (measured 44 s vs 3 s at 500 docs × 5 queries —
-    # each pair re-hashed the full document). At corpus scale this is
-    # "write the embedding table once", the same shape as the minhash
-    # signature cache (operators/dedup.py).
-    nonzero = emb.filter(
-        F.exists("embedding", lambda v: v != 0)
-    ).localCheckpoint(eager=True)
+    emb = with_text_embedding(df, id_col, text_col, dim, n, hash_fn=hash_fn)
+    # Materialize BEFORE the zero-filter AND the topk join: the filter
+    # predicate on the aliased embedding column gets substituted with
+    # the full hash expression (evaluated twice per row), and
+    # Catalyst's projection collapse would inline it into the per-pair
+    # cosine (measured 44 s vs 3 s at 500 docs × 5 queries — each pair
+    # re-hashed the full document). At corpus scale this is "write the
+    # embedding table once", the same shape as the minhash signature
+    # cache (operators/dedup.py).
+    emb = emb.localCheckpoint(eager=True)
+    nonzero = emb.filter(F.exists("embedding", lambda v: v != 0))
     queries = nonzero.orderBy(F.col(id_col)).limit(n_queries)
     return brute_force_topk(nonzero, queries, id_col, "embedding", k=k)
 

@@ -41,10 +41,18 @@ K = 20
 MIN_SPAN = 50
 
 
-def _seed_positions(df: DataFrame, id_col: str, text_col: str, k: int):
-    """(id, pos, h): md5 of the k-gram starting at 1-based pos."""
+def _seed_positions(
+    df: DataFrame, id_col: str, text_col: str, k: int, hash_fn: str = "md5"
+):
+    """(id, pos, h): hash of the k-gram starting at 1-based pos.
+    ``hash_fn``: "md5" = oracle-parity mode; "xxhash64" = production
+    mode (one codegen'd 64-bit hash, 8-byte shuffle keys instead of
+    32-hex strings — the ``operators/dedup.py`` dual-mode
+    discipline)."""
     t = F.col(text_col)
     positions = F.sequence(F.lit(1), F.length(t) - (k - 1))
+    gram = F.substr(F.col("__t"), F.col("pos"), F.lit(k))
+    h = F.xxhash64(gram) if hash_fn == "xxhash64" else F.md5(gram)
     return (
         df.filter(t.isNotNull() & (F.length(t) >= k))
         .select(
@@ -52,9 +60,7 @@ def _seed_positions(df: DataFrame, id_col: str, text_col: str, k: int):
             t.alias("__t"),
             F.explode(positions).alias("pos"),
         )
-        .select(
-            "id", "pos", F.md5(F.substr(F.col("__t"), F.col("pos"), F.lit(k))).alias("h")
-        )
+        .select("id", "pos", h.alias("h"))
     )
 
 
@@ -64,11 +70,12 @@ def repeated_spans(
     text_col: str = "text",
     k: int = K,
     min_span: int = MIN_SPAN,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, span_start, span_end) — maximal repeated spans of length
     ≥ ``min_span`` (1-based, inclusive). Deterministic; every
     occurrence of a repeated span is reported (cut-all policy)."""
-    grams = _seed_positions(df, id_col, text_col, k)
+    grams = _seed_positions(df, id_col, text_col, k, hash_fn)
     dup = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -141,12 +148,13 @@ def remove_repeated_spans(
     text_col: str = "text",
     k: int = K,
     min_span: int = MIN_SPAN,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Every input row + ``n_spans``, ``removed_chars``,
     ``cleaned_text`` (the text with all repeated spans cut; documents
     without spans — including NULL/short texts — pass through
     verbatim)."""
-    spans = repeated_spans(df, id_col, text_col, k, min_span)
+    spans = repeated_spans(df, id_col, text_col, k, min_span, hash_fn)
     per_doc = spans.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum(F.col("span_end") - F.col("span_start") + 1)
