@@ -167,3 +167,48 @@ def test_cli_run_snapshot_commits(spark, sf_dir, tmp_path):
     assert v0 == s1["rows_in"]
     assert v1 == v0  # each version is that run's table, not a pile-up
     assert v2 == v0  # rerun over a reused --output dir: no doubling
+
+
+def test_cli_spandedup_tokenize_embed(spark, sf_dir, tmp_path):
+    """The round-4 standalone stages run end-to-end through the CLI:
+    span cutting, BPE training + counts, embedding materialization."""
+    docs = f"{sf_dir}/documents.parquet"
+
+    out = _cli(
+        "spandedup",
+        "--input", docs,
+        "--output", str(tmp_path / "sd"),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    sd = json.loads(out.stdout.strip().splitlines()[-1])
+    assert sd["rows"] > 0 and sd["spans_cut"] >= 0
+    cleaned = spark.read.parquet(str(tmp_path / "sd"))
+    assert "cleaned_text" in cleaned.columns
+    assert cleaned.count() == sd["rows"]
+
+    out = _cli(
+        "tokenize",
+        "--input", docs,
+        "--output", str(tmp_path / "tok"),
+        "--merges", "8",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    tk = json.loads(out.stdout.strip().splitlines()[-1])
+    assert tk["merges_learned"] > 0 and tk["total_tokens"] > 0
+    assert spark.read.parquet(str(tmp_path / "tok" / "merges")).count() == \
+        tk["merges_learned"]
+    assert spark.read.parquet(str(tmp_path / "tok" / "counts")).count() == \
+        tk["docs"]
+
+    out = _cli(
+        "embed",
+        "--input", docs,
+        "--output", str(tmp_path / "emb"),
+        "--dim", "8",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    em = json.loads(out.stdout.strip().splitlines()[-1])
+    emb = spark.read.parquet(str(tmp_path / "emb"))
+    assert emb.count() == em["rows"] > 0
+    first = emb.first()
+    assert len(first["embedding"]) == 8

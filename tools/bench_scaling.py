@@ -144,6 +144,13 @@ def main() -> None:
 
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    sustained_tail = ""
+    prev_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    if os.path.exists(prev_path):
+        prev = open(prev_path).read()
+        idx = prev.find("## Sustained")
+        if idx != -1:
+            sustained_tail = prev[idx:]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — throughput scaling evidence
 
@@ -197,6 +204,12 @@ is limited by the shared single box, not by the plan:
   batching for all Python compute, AQE skew handling for
   mega-conversation keys.
 """)
+        # Preserve the manually-recorded sustained-run history: carry
+        # over every section from "## Sustained" onward of the
+        # previous file (one-off CLI runs are not reproduced by this
+        # tool and must survive regeneration).
+        if sustained_tail:
+            f.write("\n" + sustained_tail)
     print("wrote BENCH/BASELINE.md")
 
 

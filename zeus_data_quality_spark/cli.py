@@ -161,6 +161,80 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_spandedup(args) -> int:
+    """Substring-span dedup (ExactSubstr repeated-span removal) as a
+    standalone stage: cut-list + cleaned text to parquet, summary
+    JSON to stdout. --hash xxhash64 is the production mode (8-byte
+    seed keys); md5 is the oracle-replayable mode."""
+    from .operators.spandedup import remove_repeated_spans
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    out = remove_repeated_spans(
+        df, args.id_col, args.text_col,
+        k=args.k, min_span=args.min_span, hash_fn=args.hash,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    res = spark.read.parquet(args.output)
+    agg = res.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_spans").alias("spans_cut"),
+        F.sum("removed_chars").alias("chars_removed"),
+        F.sum((F.col("n_spans") > 0).cast("long")).alias("docs_touched"),
+    ).first()
+    print(json.dumps({k: int(agg[k] or 0) for k in agg.asDict()}))
+    return 0
+
+
+def cmd_tokenize(args) -> int:
+    """Train a BPE merge table on the corpus and emit per-doc BPE
+    token counts — the real budgets for packing. Writes
+    <output>/merges and <output>/counts parquet."""
+    from .functions.bpe import bpe_token_counts, fit_bpe
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    merges, vocab = fit_bpe(
+        df, args.text_col, num_merges=args.merges, min_count=args.min_count
+    )
+    merges.write.mode("overwrite").parquet(f"{args.output}/merges")
+    counts = bpe_token_counts(df, args.id_col, args.text_col, vocab)
+    counts.write.mode("overwrite").parquet(f"{args.output}/counts")
+    stats = spark.read.parquet(f"{args.output}/counts").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_bpe_tokens").alias("total_tokens"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "merges_learned": spark.read.parquet(
+                    f"{args.output}/merges"
+                ).count(),
+                "docs": int(stats["docs"]),
+                "total_tokens": int(stats["total_tokens"] or 0),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_embed(args) -> int:
+    """Materialize in-engine text embeddings (hashed signed n-gram
+    projection) as a parquet table — the input surface for the ANN
+    family when no external embedding model exists."""
+    from .functions.embed import with_text_embedding
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    with_text_embedding(
+        df, args.id_col, args.text_col,
+        dim=args.dim, n=args.ngram, hash_fn=args.hash,
+    ).write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"rows": n, "dim": args.dim, "hash": args.hash}))
+    return 0
+
+
 def cmd_show_lineage(args) -> int:
     from .plans.lineage import LineageStore
 
@@ -322,6 +396,41 @@ def main(argv: list[str] | None = None) -> int:
     )
     d.add_argument("--checkpoint-dir", default=None)
     d.set_defaults(fn=cmd_dedup)
+
+    sd = sub.add_parser(
+        "spandedup", help="cut cross-document repeated spans (ExactSubstr)"
+    )
+    sd.add_argument("--input", required=True)
+    sd.add_argument("--output", required=True)
+    sd.add_argument("--id-col", default="doc_id")
+    sd.add_argument("--text-col", default="text")
+    sd.add_argument("--k", type=int, default=20)
+    sd.add_argument("--min-span", type=int, default=50)
+    sd.add_argument("--hash", choices=["md5", "xxhash64"], default="xxhash64")
+    sd.set_defaults(fn=cmd_spandedup)
+
+    tk = sub.add_parser(
+        "tokenize", help="train BPE merges + emit per-doc token counts"
+    )
+    tk.add_argument("--input", required=True)
+    tk.add_argument("--output", required=True)
+    tk.add_argument("--id-col", default="doc_id")
+    tk.add_argument("--text-col", default="text")
+    tk.add_argument("--merges", type=int, default=64)
+    tk.add_argument("--min-count", type=int, default=2)
+    tk.set_defaults(fn=cmd_tokenize)
+
+    em = sub.add_parser(
+        "embed", help="materialize hashed n-gram text embeddings"
+    )
+    em.add_argument("--input", required=True)
+    em.add_argument("--output", required=True)
+    em.add_argument("--id-col", default="doc_id")
+    em.add_argument("--text-col", default="text")
+    em.add_argument("--dim", type=int, default=16)
+    em.add_argument("--ngram", type=int, default=3)
+    em.add_argument("--hash", choices=["md5", "xxhash64"], default="xxhash64")
+    em.set_defaults(fn=cmd_embed)
 
     s = sub.add_parser("show-lineage", help="dump lineage rows as JSON lines")
     s.add_argument("--lineage", required=True)
