@@ -285,7 +285,12 @@ def main() -> None:
             _force(fn(spark, sf_dir))
             best = min(best, time.time() - t0)
             # minhash ops persist their signature tables; release them
-            # so later entries aren't measured under cache pressure
+            # so later entries aren't measured under cache pressure.
+            # NOTE: before round 4 this release was a no-op (weakref
+            # registry, ADVICE r3), so the r1-r3 minhash timings rode a
+            # leaked warm cache (~1.1 s vs the honest cold ~2 s at
+            # sf0.1); round-4 numbers are cold and comparable only to
+            # each other.
             release_signature_caches()
         return round(best, 3)
 
