@@ -147,15 +147,54 @@ def embedding_rows(
     n: int = NGRAM,
 ) -> DataFrame:
     """Exploded oracle-friendly form: (id, dim_idx int, val long) —
-    dim rows per input row, exact integers."""
-    emb = with_text_embedding(df, id_col, text_col, dim, n)
-    return emb.select(
-        id_col,
-        F.posexplode("embedding").alias("dim_idx", "val"),
-    ).select(
-        id_col,
-        F.col("dim_idx").cast("int").alias("dim_idx"),
-        F.col("val").cast("long").alias("val"),
+    dim rows per input row, exact integers.
+
+    Built RELATIONALLY (explode gram hashes → two-phase sum per
+    (id, bucket) → zero-filled spine join) rather than by exploding
+    :func:`with_text_embedding`'s per-row vector: the per-row form's
+    dim-pass coordinate aggregate runs in Spark's interpreted
+    higher-order-function evaluator (~dim·len ops per row outside
+    codegen; measured 4× slower for bulk materialization), while this
+    shape is whole-stage-codegen'd end to end — the identical values,
+    the bulk-materialization twin of the per-row Project."""
+    t = F.lower(F.trim(F.col(text_col)))
+    n_g = F.length(t) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_g), lambda i: F.substr(t, i, F.lit(n))
+    )
+    # Explode the n-char GRAMS (not positions-with-text: a position
+    # explode would copy the whole document into every generated row —
+    # measured 3× slower), then hash in the codegen'd Project: the
+    # interpreted transform only does cheap substrings, the md5 runs
+    # compiled (measured 2× vs md5-inside-transform on bulk runs).
+    exploded = df.filter(t.isNotNull() & (n_g >= 1)).select(
+        F.col(id_col), F.explode(grams).alias("__g")
+    )
+    h = F.md5(F.concat(F.lit(SALT + ":"), F.col("__g")))
+    hashed = exploded.select(
+        F.col(id_col),
+        (_hex_to_int(F.substring(h, 1, 4)) % dim).cast("int").alias("dim_idx"),
+        F.when(F.position(F.substring(h, 5, 1), F.lit(_ALPHA)) <= 8, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("__s"),
+    )
+    sums = hashed.groupBy(id_col, "dim_idx").agg(
+        F.sum("__s").cast("long").alias("val")
+    )
+    spine = df.select(F.col(id_col)).crossJoin(
+        F.broadcast(
+            df.sparkSession.range(dim).select(
+                F.col("id").cast("int").alias("dim_idx")
+            )
+        )
+    )
+    return (
+        spine.join(sums, [id_col, "dim_idx"], "left")
+        .select(
+            id_col,
+            "dim_idx",
+            F.coalesce(F.col("val"), F.lit(0).cast("long")).alias("val"),
+        )
     )
 
 
