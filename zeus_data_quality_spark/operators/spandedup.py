@@ -50,17 +50,24 @@ def _seed_positions(
     32-hex strings — the ``operators/dedup.py`` dual-mode
     discipline)."""
     t = F.col(text_col)
-    positions = F.sequence(F.lit(1), F.length(t) - (k - 1))
-    gram = F.substr(F.col("__t"), F.col("pos"), F.lit(k))
+    # posexplode the k-char GRAM ARRAY, not positions-with-text: a
+    # position explode would copy the whole document into every
+    # generated row (len × doc-size materialization); gram rows carry
+    # k chars. The hash then runs in the codegen'd Project, outside
+    # the interpreted transform (same shape as embed.embedding_rows).
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(t) - (k - 1)),
+        lambda i: F.substr(t, i, F.lit(k)),
+    )
+    gram = F.col("__g")
     h = F.xxhash64(gram) if hash_fn == "xxhash64" else F.md5(gram)
     return (
         df.filter(t.isNotNull() & (F.length(t) >= k))
         .select(
             F.col(id_col).alias("id"),
-            t.alias("__t"),
-            F.explode(positions).alias("pos"),
+            F.posexplode(grams).alias("__p0", "__g"),
         )
-        .select("id", "pos", h.alias("h"))
+        .select("id", (F.col("__p0") + 1).alias("pos"), h.alias("h"))
     )
 
 
@@ -75,7 +82,13 @@ def repeated_spans(
     """(id, span_start, span_end) — maximal repeated spans of length
     ≥ ``min_span`` (1-based, inclusive). Deterministic; every
     occurrence of a repeated span is reported (cut-all policy)."""
-    grams = _seed_positions(df, id_col, text_col, k, hash_fn)
+    # The seed table feeds BOTH the repeated-hash aggregate and the
+    # position join; materialize it once instead of re-generating the
+    # explode+hash for each branch (at corpus scale: write the seed
+    # table, the suffix-array-build analogue).
+    grams = _seed_positions(df, id_col, text_col, k, hash_fn).localCheckpoint(
+        eager=True
+    )
     dup = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("__n"))
