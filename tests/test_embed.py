@@ -115,3 +115,28 @@ def test_embedding_deterministic_across_runs(spark):
     a = with_text_embedding(df, "doc_id", "text").collect()
     b = with_text_embedding(df, "doc_id", "text").collect()
     assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_bulk_embeddings_equal_per_row_both_modes(spark):
+    """bulk_text_embeddings (relational, codegen) must reproduce the
+    per-row Projection exactly — md5 and xxhash64 modes."""
+    from zeus_data_quality_spark.functions.embed import (
+        bulk_text_embeddings,
+    )
+
+    texts = ["the cat sat", "", None, "punct!!! {x}  y", "zz" * 40]
+    df = _df(spark, texts)
+    for hf in ("md5", "xxhash64"):
+        a = sorted(
+            (r["doc_id"], tuple(r["embedding"]))
+            for r in with_text_embedding(
+                df, "doc_id", "text", hash_fn=hf
+            ).collect()
+        )
+        b = sorted(
+            (r["doc_id"], tuple(r["embedding"]))
+            for r in bulk_text_embeddings(
+                df, "doc_id", "text", hash_fn=hf
+            ).collect()
+        )
+        assert a == b, hf

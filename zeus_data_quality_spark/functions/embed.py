@@ -139,48 +139,71 @@ def with_text_embedding(
     )
 
 
+def _bucket_sign_sums(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int,
+    n: int,
+    hash_fn: str,
+) -> DataFrame:
+    """Relational core: (id, dim_idx, val) for NON-ZERO coordinates.
+
+    Explodes the n-char GRAMS (not positions-with-text: a position
+    explode would copy the whole document into every generated row —
+    measured 3× slower), then hashes in the codegen'd Project: the
+    interpreted transform only does cheap substrings, the hash runs
+    compiled (measured 2× vs hash-inside-transform on bulk runs);
+    two-phase (id, bucket) sum finishes it. Identical values to the
+    per-row :func:`text_embedding` Project — its bulk twin."""
+    t = F.lower(F.trim(F.col(text_col)))
+    n_g = F.length(t) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_g), lambda i: F.substr(t, i, F.lit(n))
+    )
+    exploded = df.filter(t.isNotNull() & (n_g >= 1)).select(
+        F.col(id_col), F.explode(grams).alias("__g")
+    )
+    if hash_fn == "xxhash64":
+        h64 = F.xxhash64(F.lit(SALT), F.col("__g"))
+        hashed = exploded.select(
+            F.col(id_col),
+            F.pmod(h64, F.lit(dim)).cast("int").alias("dim_idx"),
+            (
+                F.lit(1)
+                - (F.shiftright(h64, 32) % 2 != 0).cast("int") * 2
+            ).alias("__s"),
+        )
+    else:
+        h = F.md5(F.concat(F.lit(SALT + ":"), F.col("__g")))
+        hashed = exploded.select(
+            F.col(id_col),
+            (_hex_to_int(F.substring(h, 1, 4)) % dim)
+            .cast("int")
+            .alias("dim_idx"),
+            F.when(
+                F.position(F.substring(h, 5, 1), F.lit(_ALPHA)) <= 8,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("__s"),
+        )
+    return hashed.groupBy(id_col, "dim_idx").agg(
+        F.sum("__s").cast("long").alias("val")
+    )
+
+
 def embedding_rows(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     dim: int = DIM,
     n: int = NGRAM,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Exploded oracle-friendly form: (id, dim_idx int, val long) —
-    dim rows per input row, exact integers.
-
-    Built RELATIONALLY (explode gram hashes → two-phase sum per
-    (id, bucket) → zero-filled spine join) rather than by exploding
-    :func:`with_text_embedding`'s per-row vector: the per-row form's
-    dim-pass coordinate aggregate runs in Spark's interpreted
-    higher-order-function evaluator (~dim·len ops per row outside
-    codegen; measured 4× slower for bulk materialization), while this
-    shape is whole-stage-codegen'd end to end — the identical values,
-    the bulk-materialization twin of the per-row Project."""
-    t = F.lower(F.trim(F.col(text_col)))
-    n_g = F.length(t) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), n_g), lambda i: F.substr(t, i, F.lit(n))
-    )
-    # Explode the n-char GRAMS (not positions-with-text: a position
-    # explode would copy the whole document into every generated row —
-    # measured 3× slower), then hash in the codegen'd Project: the
-    # interpreted transform only does cheap substrings, the md5 runs
-    # compiled (measured 2× vs md5-inside-transform on bulk runs).
-    exploded = df.filter(t.isNotNull() & (n_g >= 1)).select(
-        F.col(id_col), F.explode(grams).alias("__g")
-    )
-    h = F.md5(F.concat(F.lit(SALT + ":"), F.col("__g")))
-    hashed = exploded.select(
-        F.col(id_col),
-        (_hex_to_int(F.substring(h, 1, 4)) % dim).cast("int").alias("dim_idx"),
-        F.when(F.position(F.substring(h, 5, 1), F.lit(_ALPHA)) <= 8, F.lit(1))
-        .otherwise(F.lit(-1))
-        .alias("__s"),
-    )
-    sums = hashed.groupBy(id_col, "dim_idx").agg(
-        F.sum("__s").cast("long").alias("val")
-    )
+    dim rows per input row, exact integers (zero-filled spine)."""
+    sums = _bucket_sign_sums(df, id_col, text_col, dim, n, hash_fn)
     spine = df.select(F.col(id_col)).crossJoin(
         F.broadcast(
             df.sparkSession.range(dim).select(
@@ -195,6 +218,29 @@ def embedding_rows(
             "dim_idx",
             F.coalesce(F.col("val"), F.lit(0).cast("long")).alias("val"),
         )
+    )
+
+
+def bulk_text_embeddings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    dim: int = DIM,
+    n: int = NGRAM,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(id, embedding array<long>) assembled from the relational core
+    — same values as :func:`with_text_embedding`, whole-stage-codegen
+    throughput for bulk materialization. The zero-filled spine of
+    :func:`embedding_rows` guarantees exactly ``dim`` entries per id
+    (zero vectors included), so assembly is one sort-by-coordinate
+    collect."""
+    rows = embedding_rows(df, id_col, text_col, dim, n, hash_fn)
+    return rows.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim_idx", "val"))),
+            lambda s: s["val"],
+        ).alias("embedding")
     )
 
 
@@ -215,7 +261,7 @@ def ann_from_text(
     Spark and SQL engines disagree."""
     from ..operators.similarity import brute_force_topk
 
-    emb = with_text_embedding(df, id_col, text_col, dim, n, hash_fn=hash_fn)
+    emb = bulk_text_embeddings(df, id_col, text_col, dim, n, hash_fn=hash_fn)
     # Materialize BEFORE the zero-filter AND the topk join: the filter
     # predicate on the aliased embedding column gets substituted with
     # the full hash expression (evaluated twice per row), and
