@@ -141,3 +141,67 @@ def test_pack_sequences_with_bpe_counts(spark):
     assert rows[0]["n_tokens"] == bpe_counts[0] != 0
     for r in rows.values():
         assert 0 <= r["offset"] < 64 or r["seq_id"] >= 0
+
+
+def test_oov_encoding_matches_python_reference(spark):
+    """bpe_token_counts_oov encodes unseen words with the learned
+    merges (not the char-count fallback) — pinned against a pure-
+    Python BPE encoder, and equal to the vocab-join path on the
+    training corpus itself."""
+    import re
+
+    from zeus_data_quality_spark.functions.bpe import (
+        bpe_token_counts,
+        bpe_token_counts_oov,
+    )
+    from zeus_data_quality_spark.functions.textstats import (
+        BPE_TOKEN_PATTERN,
+    )
+
+    train = _df(
+        spark,
+        [
+            "the cat sat on the mat",
+            "the cats sat",
+            "concatenate the catalog",
+            "sat sat the the",
+        ],
+    )
+    merges, vocab = fit_bpe(train, "text", num_merges=10, min_count=2)
+    a = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(train, "doc_id", "text", vocab).collect()
+    }
+    b = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts_oov(
+            train, "doc_id", "text", vocab, merges
+        ).collect()
+    }
+    assert a == b  # on the training corpus both paths agree exactly
+
+    test = _df(spark, ["the catalogue sat", None, ""])
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts_oov(
+            test, "doc_id", "text", vocab, merges
+        ).collect()
+    }
+    ml = [
+        (r["left"], r["right"]) for r in merges.orderBy("rank").collect()
+    ]
+
+    def enc(w):
+        s = list(w)
+        for left, right in ml:
+            out = []
+            for ch in s:
+                if out and out[-1] == left and ch == right:
+                    out[-1] = left + right
+                else:
+                    out.append(ch)
+            s = out
+        return len(s)
+
+    want = sum(enc(w) for w in re.findall(BPE_TOKEN_PATTERN, "the catalogue sat"))
+    assert got == {0: want, 1: 0, 2: 0}

@@ -113,3 +113,38 @@ def test_duckdb_replay_parity(spark, sf_dir):
         con.execute(duckdb_spans_sql("documents", "doc_id", "text")).fetchall()
     )
     assert got_spans == want_spans
+
+
+def test_winnowed_two_stage_matches_full_pass_cross_doc(spark):
+    """The winnow-first deployment finds every CROSS-document span the
+    full pass finds (the winnowing guarantee covers min_span ≥
+    w+k−1); only within-doc repeats of non-candidate docs differ —
+    none exist in this fixture, so outputs match exactly."""
+    from zeus_data_quality_spark.operators.spandedup import (
+        winnowed_remove_repeated_spans,
+    )
+
+    texts = [
+        "Unique intro A. " + BOILER + "Unique tail A.",
+        "A different intro B! " + BOILER + "And tail B.",
+        "Nothing shared here at all, completely original text body one.",
+        "Another fully original document with no repeats whatsoever ok.",
+        None,
+        "",
+    ]
+    df = _df(spark, texts)
+    full = {
+        r["doc_id"]: (r["n_spans"], r["removed_chars"], r["cleaned_text"])
+        for r in remove_repeated_spans(
+            df, "doc_id", "text", hash_fn="xxhash64"
+        ).collect()
+    }
+    two_stage = {
+        r["doc_id"]: (r["n_spans"], r["removed_chars"], r["cleaned_text"])
+        for r in winnowed_remove_repeated_spans(
+            df, "doc_id", "text"
+        ).collect()
+    }
+    assert two_stage == full
+    # and the non-candidates really did bypass the seed pass
+    assert two_stage[2][0] == 0 and two_stage[3][0] == 0

@@ -352,3 +352,86 @@ bpe_counts AS (
     FROM bpe_doc_tok d LEFT JOIN {final} v ON d.word = v.word
     GROUP BY d.id
 )"""
+
+
+def apply_bpe_merges(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+    out_col: str = "syms",
+    checkpoint_every: int = 12,
+) -> DataFrame:
+    """Tokenize arbitrary words with a TRAINED merge list: start from
+    characters and apply every merge in rank order (the standard BPE
+    encoder). Greedy left-to-right per pass — identical semantics to
+    the training-time fold, so training-corpus words reproduce their
+    final vocab symbols exactly (pytest-pinned).
+
+    Scale shape: the input is a WORD table (explode + distinct before
+    calling — vocabulary-sized, not corpus-sized); each merge is one
+    shuffle-free projection; ``checkpoint_every`` truncates the
+    otherwise |merges|-deep expression tree (a Catalyst analysis-time
+    cost, not a data cost)."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word_col)),
+        lambda i: F.substr(F.col(word_col), i, F.lit(1)),
+    )
+    out = words.withColumn(out_col, chars)
+    for i, (left, right) in enumerate(merges, 1):
+        out = out.withColumn(out_col, _apply_merge(F.col(out_col), left, right))
+        if i % checkpoint_every == 0:
+            out = out.localCheckpoint(eager=True)
+    return out
+
+
+def bpe_token_counts_oov(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    merges_df: DataFrame,
+) -> DataFrame:
+    """(id, n_bpe_tokens) like :func:`bpe_token_counts`, but words NOT
+    in the training vocab are ENCODED with the learned merges instead
+    of falling back to character counts — the faithful cross-corpus
+    scoring path (train on corpus A, budget corpus B).
+
+    The merge list is tiny (driver-collected, rank-ordered); unseen
+    words are distinct-deduplicated before encoding, so the encoder
+    runs on |new vocabulary|, not corpus tokens."""
+    merges = [
+        (r["left"], r["right"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    known = vocab.select("word", F.size("syms").cast("long").alias("__n_sym"))
+    per_tok = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.when(
+                F.col(text_col).isNotNull(),
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(BPE_TOKEN_PATTERN), F.lit(0)
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("word"),
+    )
+    joined = per_tok.join(F.broadcast(known), "word", "left")
+    unseen = (
+        joined.filter(F.col("__n_sym").isNull() & F.col("word").isNotNull())
+        .select("word")
+        .distinct()
+    )
+    encoded = apply_bpe_merges(unseen, merges).select(
+        "word", F.size("syms").cast("long").alias("__n_new")
+    )
+    return (
+        joined.join(F.broadcast(encoded), "word", "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("__n_sym"), F.col("__n_new"), F.lit(0).cast("long")
+            ).alias("__n"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__n").cast("long").alias("n_bpe_tokens"))
+    )

@@ -294,3 +294,63 @@ FROM ss_src s
 LEFT JOIN ss_tail t ON s.id = t.id
 LEFT JOIN ss_clean c ON s.id = c.id
 """
+
+
+def winnowed_remove_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = K,
+    min_span: int = MIN_SPAN,
+    hash_fn: str = "xxhash64",
+    winnow_w: int = 4,
+) -> DataFrame:
+    """The documented two-stage 100 TB deployment, composed: winnowing
+    fingerprints (``functions/fingerprint.py``) nominate CANDIDATE
+    documents (any doc sharing a fingerprint with another), and the
+    full seed pass runs only over that subset — documents with no
+    shared fingerprint pass through verbatim with ``n_spans = 0``.
+
+    Winnowing's guarantee makes the restriction safe at the
+    ``min_span`` threshold: two documents sharing a span of at least
+    ``winnow_w + k − 1`` characters are guaranteed a common window-min
+    fingerprint (Schleimer et al. 2003, theorem 1), and
+    ``winnow_w + k − 1 ≤ min_span`` holds for the defaults (4 + 20 − 1
+    = 23 ≤ 50) — so every cross-document span the full pass would cut
+    is found. WITHIN-document repetition in non-candidate docs is the
+    one intentional difference (ExactSubstr deployments run exactly
+    this trade; pytest pins it).
+
+    Same output schema as :func:`remove_repeated_spans`."""
+    from ..functions.fingerprint import fingerprint_dup_groups
+
+    groups = fingerprint_dup_groups(
+        df, id_col, text_col, k=k, w=winnow_w, hash_fn=hash_fn
+    )
+    # groups only carries min/max doc per fingerprint; recover FULL
+    # membership by probing docs against the duplicated fingerprints.
+    from ..functions.fingerprint import kgram_hash_sql, winnow_sql
+
+    fps = (
+        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) >= k))
+        .selectExpr(id_col, f"{kgram_hash_sql(text_col, k, hash_fn)} AS __h")
+        .selectExpr(id_col, f"{winnow_sql('__h', winnow_w)} AS __fps")
+        .select(F.col(id_col), F.explode_outer("__fps").alias("fingerprint"))
+    )
+    members = (
+        fps.join(groups.select("fingerprint"), "fingerprint")
+        .select(id_col)
+        .distinct()
+    )
+    cand = df.join(members, id_col, "left_semi")
+    rest = df.join(members, id_col, "left_anti")
+    cleaned = remove_repeated_spans(
+        cand, id_col, text_col, k=k, min_span=min_span, hash_fn=hash_fn
+    )
+    passthrough = rest.select(
+        *[F.col(c) for c in df.columns],
+        F.lit(0).cast("long").alias("n_spans"),
+        F.lit(0).cast("long").alias("removed_chars"),
+        F.col(text_col).alias("cleaned_text"),
+    )
+    return cleaned.unionByName(passthrough)
