@@ -174,3 +174,55 @@ def test_stream_extended_model_gates_match_batch(spark, sf_dir, tmp_path):
     }
     assert len(got) == len(want)
     assert got == want
+
+
+def test_stream_classifier_gate_matches_batch(spark, sf_dir, tmp_path):
+    """The CLASSIFIER check (config-stored trained weights as a pure
+    Column predicate) is stateless and streams unchanged — per-turn
+    verdicts match the batch run, including the quality-gate flag."""
+    from zeus_data_quality_spark.plans.configs import (
+        classifier_transcript_checks,
+    )
+
+    src = str(tmp_path / "in_cls")
+    t = _write_stream_input(spark, sf_dir, src)
+    stateless = stateless_checks(classifier_transcript_checks())
+    assert any(c.check_type == "CLASSIFIER" for c in stateless)
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp"
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    labeled = streaming_quality_filter(stream, stateless, scrub=False)
+    q = (
+        labeled.writeStream.format("memory")
+        .queryName("cls_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["conv_id"], r["turn_idx"], r["text"]): (
+            r["n_violations"],
+            r["keep"],
+            r["fail_text_quality_cls"],
+        )
+        for r in spark.sql("SELECT * FROM cls_stream").collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_idx"], r["text"]): (
+            r["n_violations"],
+            r["keep"],
+            r["fail_text_quality_cls"],
+        )
+        for r in apply_checks(t, stateless).collect()
+    }
+    assert len(got) == len(want)
+    assert got == want
+    assert any(v[2] for v in got.values())  # the gate actually fires
