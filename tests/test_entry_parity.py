@@ -125,6 +125,9 @@ TAIL_OVERFLOW: set = {
     # in-window `sequence_packing` with the token source swapped to
     # the in-window `bpe_vocab` tokenizer's counts
     "sequence_packing_bpe",
+    # in-window `ann_from_text` + `ann_ivf_probe` composed: the full
+    # text→embed→IVF stack, nprobe=all ⇒ same brute-force oracle
+    "ann_ivf_from_text",
 }
 
 

@@ -1234,6 +1234,34 @@ def _oracle_ann_from_text() -> str:
     return f'SELECT query_id, neighbor_id, rank AS rnk FROM ({sql})'
 
 
+def q_ann_ivf_from_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full in-engine retrieval stack from raw text: hashed n-gram
+    embeddings (bulk relational path) → spherical k-means coarse
+    quantizer → IVF probe → exact cosine rank. nprobe = n_centroids,
+    so the index must reproduce brute-force EXACTLY — the oracle is
+    the same ann_from_text rank replay, verifying embed + train +
+    assign + probe + rank end-to-end with no pre-supplied embeddings
+    table anywhere. Tail composite of in-window `ann_from_text` +
+    `ann_ivf_probe`."""
+    from ..functions.embed import bulk_text_embeddings
+    from ..operators import ivf
+
+    docs = _read(spark, sf_dir, "documents")
+    emb = bulk_text_embeddings(
+        docs, "doc_id", "text", dim=EMB_DIM, n=EMB_NGRAM
+    )
+    nonzero = emb.filter(
+        F.exists("embedding", lambda v: v != 0)
+    ).localCheckpoint(eager=True)
+    queries = nonzero.orderBy("doc_id").limit(5)
+    centroids = ivf.train_centroids(
+        nonzero, "embedding", "doc_id", n_centroids=4
+    )
+    return ivf.ivf_topk(
+        nonzero, queries, centroids, "doc_id", "embedding", k=5, nprobe=4
+    ).select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
+
+
 BPE_MERGES, BPE_MIN_COUNT = 24, 2
 
 
@@ -1945,6 +1973,7 @@ def queries():
         "corpus_mix": q_corpus_mix,
         "top_tokens": q_top_tokens,
         "sequence_packing_bpe": q_sequence_packing_bpe,
+        "ann_ivf_from_text": q_ann_ivf_from_text,
     }
 
 
@@ -2035,6 +2064,7 @@ def oracle_sql():
         "text_embeddings": _oracle_text_embeddings(),
         "classifier_mix": _oracle_classifier_mix(),
         "substring_dedup": _oracle_substring_dedup(),
+        "ann_ivf_from_text": _oracle_ann_from_text(),
         "ann_from_text": _oracle_ann_from_text(),
         "sequence_packing_bpe": _oracle_sequence_packing_bpe(),
         "minhash_pairs": _oracle_minhash_pairs(),
