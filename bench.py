@@ -214,14 +214,6 @@ def _extra_benches():
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return ann_from_text(docs, "doc_id", "text", hash_fn="xxhash64")
 
-    def substring_dedup_winnowed(spark, sf_dir):
-        from zeus_data_quality_spark.operators.spandedup import (
-            winnowed_remove_repeated_spans,
-        )
-
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return winnowed_remove_repeated_spans(docs, "doc_id", "text")
-
     def substring_dedup_xx(spark, sf_dir):
         from zeus_data_quality_spark.operators.spandedup import (
             remove_repeated_spans,
@@ -246,7 +238,6 @@ def _extra_benches():
         "text_embeddings_xx": text_embeddings_xx,
         "ann_from_text_xx": ann_from_text_xx,
         "substring_dedup_xx": substring_dedup_xx,
-        "substring_dedup_winnowed": substring_dedup_winnowed,
         "doc_fingerprints_xx": doc_fingerprints_xx,
         "minhash_pairs": minhash_pairs,
         "minhash_pairs_md5_parity": minhash_pairs_md5_parity,

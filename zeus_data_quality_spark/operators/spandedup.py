@@ -321,6 +321,15 @@ def winnowed_remove_repeated_spans(
     one intentional difference (ExactSubstr deployments run exactly
     this trade; pytest pins it).
 
+    When it wins: the two-stage pass pays the (cheap, ~len/w-row)
+    winnowing sweep to EXEMPT non-candidate documents from the
+    (corpus-sized) seed pass — a large win when duplication is sparse
+    (real web corpora: a few % of docs share content). On a corpus
+    where most documents ARE candidates (e.g. the synthetic test
+    corpus, which is built from repeated templates) it does strictly
+    more work than :func:`remove_repeated_spans` — measure the
+    candidate fraction first.
+
     Same output schema as :func:`remove_repeated_spans`."""
     from ..functions.fingerprint import fingerprint_dup_groups
 
