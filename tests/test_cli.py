@@ -212,3 +212,31 @@ def test_cli_spandedup_tokenize_embed(spark, sf_dir, tmp_path):
     assert emb.count() == em["rows"] > 0
     first = emb.first()
     assert len(first["embedding"]) == 8
+
+
+def test_cli_run_classifier_config(spark, sf_dir, tmp_path):
+    """--classifier runs the extended config plus the trained-model
+    gate end-to-end; drop count strictly exceeds the extended run's
+    (the gate only adds failures)."""
+    from zeus_data_quality_spark.sources.transcripts import load_transcripts
+
+    inp = str(tmp_path / "in.parquet")
+    load_transcripts(spark, sf_dir).write.parquet(inp)
+
+    def run(run_id, *flags):
+        out = _cli(
+            "run",
+            "--input", inp,
+            "--output", str(tmp_path / ("out_" + run_id)),
+            "--lineage", str(tmp_path / "lineage_cls"),
+            "--run-id", run_id,
+            "--buckets", "2",
+            *flags,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    ext = run("ext", "--extended")
+    cls = run("cls", "--classifier")
+    assert cls["rows_in"] == ext["rows_in"] == 1000
+    assert cls["rows_dropped"] > ext["rows_dropped"]

@@ -44,6 +44,12 @@ def cmd_run(args) -> int:
         if not checks:
             print(f"no checks found for config {args.config_id}", file=sys.stderr)
             return 2
+    elif getattr(args, "classifier", False):
+        from .plans.configs import classifier_transcript_checks
+
+        checks = classifier_transcript_checks(
+            args.config_id, engine=getattr(args, "model_engine", None)
+        )
     elif getattr(args, "extended", False):
         checks = extended_transcript_checks(
             args.config_id, engine=getattr(args, "model_engine", None)
@@ -340,6 +346,12 @@ def main(argv: list[str] | None = None) -> int:
         "--extended",
         action="store_true",
         help="full north-rule config (role alternation + langid + perplexity)",
+    )
+    r.add_argument(
+        "--classifier",
+        action="store_true",
+        help="extended config + the trained-model CLASSIFIER gate "
+        "(config-stored weight vector, plans/configs.py)",
     )
     r.add_argument(
         "--model-engine",
