@@ -282,9 +282,10 @@ def minhash_candidate_pairs(
     """
     r = num_hashes // bands
     # Signatures are expensive (k hashes × shingles); materialize ONCE.
-    # Downstream uses them 4× (banding, anchor agg, two verify joins) —
-    # without this, Spark recomputes the whole shingle+hash expression
-    # each time. persist() (not localCheckpoint: measured 65% slower
+    # Downstream reads them twice (the band explode feeds both the
+    # anchor aggregate and the bucket join's probe side) — without
+    # this, Spark recomputes the whole shingle+hash expression each
+    # time. persist() (not localCheckpoint: measured 65% slower
     # for this op — checkpoint serialization dominates at this row
     # size). Lifecycle: callers that run their own actions pass
     # ``sig_cache_out`` and unpersist the handle when done (see
@@ -297,10 +298,6 @@ def minhash_candidate_pairs(
     if sig_cache_out is not None:
         sig_cache_out.append(sig_nn)
     band_keys = _band_key_columns(bands, r, hash_mode)
-    exploded = sig_nn.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.array(*band_keys)).alias("key"),
-    )
     # Materialize the cache before any join is planned: after this
     # count the planner sees the InMemoryRelation's REAL byte size for
     # the signature table AND for the anchors aggregate built on it,
@@ -317,28 +314,47 @@ def minhash_candidate_pairs(
     # already-persisted computation's cache-fill barrier (~0.5-1 s at
     # sf0.1), paid once per signature table.
     sig_nn.count()
-    anchors = exploded.groupBy("key").agg(F.min("__id").alias("id_a"))
-    # Candidate pairs carry ids only — the distinct must not shuffle
-    # signature arrays.
-    pairs = (
-        exploded.join(anchors, on="key")
-        .filter(F.col("__id") > F.col("id_a"))
-        .select("id_a", F.col("__id").alias("id_b"))
-        .distinct()
+    # Verify WITHOUT the two post-hoc sig joins (the r4 fix for the
+    # 10M-turn run's disk blow-up): the anchor aggregate carries the
+    # anchor's OWN signature (min_by — deterministic, min id is
+    # unique), the bucket join re-attaches each member's signature
+    # from the exploded row itself, and the Jaccard estimate is
+    # computed MAP-SIDE on the per-band pair rows. The cross-band
+    # dedup then shuffles only (id_a, id_b, est) — ~50 bytes/row —
+    # instead of three shuffles dragging full signature arrays
+    # (observed ≥70 GB of cumulative shuffle/spill on a 10M-turn
+    # replica-heavy corpus, exceeding this sandbox's disk; the same
+    # volume is real network cost on a cluster). ``first(est)`` is
+    # deterministic: a pair's estimate is a pure function of its two
+    # signatures, identical in every band it collides in.
+    exploded_s = sig_nn.select(
+        F.col(id_col).alias("__id"),
+        F.col("sig").alias("__sig_b"),
+        F.explode(F.array(*band_keys)).alias("key"),
     )
-    sig_a = sig_nn.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
-    sig_b = sig_nn.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    anchors = exploded_s.groupBy("key").agg(
+        F.min("__id").alias("id_a"),
+        F.min_by("__sig_b", "__id").alias("__sig_a"),
+    )
     agree = F.size(
         F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            F.zip_with("__sig_a", "__sig_b", lambda x, y: x == y),
             lambda eq: eq,
         )
     )
-    est = (agree.cast("double") / F.lit(float(num_hashes))).alias("jaccard_est")
+    est = agree.cast("double") / F.lit(float(num_hashes))
+    per_band = (
+        exploded_s.join(anchors, on="key")
+        .filter(F.col("__id") > F.col("id_a"))
+        .select(
+            "id_a",
+            F.col("__id").alias("id_b"),
+            est.alias("jaccard_est"),
+        )
+    )
     return (
-        pairs.join(sig_a, on="id_a")
-        .join(sig_b, on="id_b")
-        .select("id_a", "id_b", est)
+        per_band.groupBy("id_a", "id_b")
+        .agg(F.first("jaccard_est").alias("jaccard_est"))
         .filter(F.col("jaccard_est") >= threshold)
     )
 
