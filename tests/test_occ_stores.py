@@ -119,3 +119,45 @@ def test_legacy_store_migrates_on_first_mutation(spark, tmp_path):
         "old_row",
         "new_row",
     }
+
+
+def test_migration_is_crash_safe_and_idempotent(spark, tmp_path):
+    """ADVICE r4: migration commits version 0 BEFORE deleting legacy
+    files, so a crash in the gap leaves a readable versioned table;
+    a re-run sweeps the leftover legacy files without data loss."""
+    import os
+
+    from zeus_data_quality_spark.plans.meta import _migrate_legacy
+    from zeus_data_quality_spark.sources.snapshots import read_snapshot
+
+    path = str(tmp_path / "crashy")
+    schema = "config_id string, v long"
+    spark.createDataFrame([("a", 1), ("b", 2)], schema).write.parquet(path)
+    legacy_parts = [
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    ]
+    assert legacy_parts
+
+    # Simulate "crashed after commit, before sweep": run the commit
+    # half by hand (what _migrate_legacy does first), leave legacy.
+    from zeus_data_quality_spark.sources.snapshots import write_snapshot
+
+    rows = spark.read.schema(schema).parquet(
+        *[os.path.join(path, f) for f in legacy_parts]
+    ).collect()
+    write_snapshot(
+        spark.createDataFrame(rows, schema), path, mode="overwrite"
+    )
+    assert os.path.isdir(os.path.join(path, "manifests"))
+    assert any(f.endswith(".parquet") for f in os.listdir(path))
+    # the versioned table is already fully readable despite leftovers
+    assert read_snapshot(spark, path).count() == 2
+
+    # the next migration call completes the sweep idempotently
+    _migrate_legacy(spark, path, schema)
+    assert not any(f.endswith(".parquet") for f in os.listdir(path))
+    assert read_snapshot(spark, path).count() == 2
+    assert {r["config_id"] for r in read_snapshot(spark, path).collect()} == {
+        "a",
+        "b",
+    }

@@ -91,13 +91,13 @@ def test_vacuum_orphans_and_retention(spark, tmp_path):
     write_snapshot(_df(spark, 50, 53), t, "overwrite")    # v2
     # orphan from a crashed attempt
     _df(spark, 99, 100).write.parquet(f"{t}/data/snap-9-deadbeef")
-    deleted = vacuum(spark, t)
+    deleted = vacuum(spark, t, grace_seconds=0)   # single-writer: eager
     assert any("snap-9-deadbeef" in d for d in deleted)
     # all committed versions still readable
     assert read_snapshot(spark, t, version=1).count() == 8
     assert read_snapshot(spark, t).count() == 3
     # retention: keep only the current version → v0/v1 data goes
-    deleted = vacuum(spark, t, keep_versions=1)
+    deleted = vacuum(spark, t, keep_versions=1, grace_seconds=0)
     assert len(deleted) == 2                              # v0 + v1 dirs
     assert read_snapshot(spark, t).count() == 3           # current intact
     assert [s["version"] for s in snapshots(spark, t)] == [2]
@@ -113,7 +113,7 @@ def test_vacuum_append_chain_keeps_shared_files(spark, tmp_path):
     t = str(tmp_path / "tbl6")
     write_snapshot(_df(spark, 0, 5), t)        # v0
     write_snapshot(_df(spark, 5, 8), t)        # v1 references v0 files
-    deleted = vacuum(spark, t, keep_versions=1)
+    deleted = vacuum(spark, t, keep_versions=1, grace_seconds=0)
     assert deleted == []                       # v1 needs v0's data dir
     assert read_snapshot(spark, t).count() == 8
 
@@ -136,6 +136,9 @@ def test_vacuum_grace_spares_recent_orphans(spark, tmp_path):
     deleted = vacuum(spark, t, grace_seconds=3600)
     assert any("snap-8-aaaaaaaa" in d for d in deleted)
     assert not any("snap-9-bbbbbbbb" in d for d in deleted)
-    # without grace, eager vacuum reclaims it
-    deleted = vacuum(spark, t)
+    # DEFAULT grace (3 days) also spares the fresh orphan (ADVICE r4:
+    # safe-under-concurrency is the default, eager is the opt-in)
+    assert vacuum(spark, t) == []
+    # explicit grace_seconds=0: eager single-writer vacuum reclaims it
+    deleted = vacuum(spark, t, grace_seconds=0)
     assert any("snap-9-bbbbbbbb" in d for d in deleted)

@@ -148,3 +148,34 @@ def test_winnowed_two_stage_matches_full_pass_cross_doc(spark):
     assert two_stage == full
     # and the non-candidates really did bypass the seed pass
     assert two_stage[2][0] == 0 and two_stage[3][0] == 0
+
+
+def test_superset_semantics_adjacent_independent_repeats(spark):
+    """Honesty pin for the documented superset approximation (ADVICE
+    r4): two INDEPENDENT 30-char repeats sitting adjacent in one doc
+    merge into a single >=min_span island and get cut, even though no
+    single >=min_span substring of that doc repeats anywhere. This is
+    the intended over-cut direction relative to suffix-array
+    ExactSubstr; under-cutting never happens (every true repeated
+    span's seeds are duplicated, so its island reaches at least the
+    span's length)."""
+    x = "aaaaaaaaaaaaaaaaaaaaaaaaaaaaa1"  # 30 chars, repeats vs doc 1
+    y = "bbbbbbbbbbbbbbbbbbbbbbbbbbbbb2"  # 30 chars, repeats vs doc 2
+    texts = [
+        x + y,                                         # doc 0: X then Y
+        "totally different prefix text here... " + x,  # doc 1: X only
+        y + " ...totally different suffix text here",  # doc 2: Y only
+    ]
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in repeated_spans(
+            _df(spark, texts), "doc_id", "text", k=20, min_span=50
+        ).collect()
+    }
+    # doc 0: X seeds cover pos 1..11, Y seeds 31..41; the 20-gap merge
+    # rule joins them into one island spanning 1..60 (>= 50) -> cut,
+    # although no 50-char substring of doc 0 occurs twice anywhere.
+    assert spans[0] == (1, 60)
+    # docs 1 and 2 each carry only a 30-char repeat -> below min_span,
+    # not cut: the approximation is per-document contiguous coverage.
+    assert 1 not in spans and 2 not in spans

@@ -32,9 +32,11 @@ DEFAULT_BANDS = 4  # rows_per_band = num_hashes // bands
 # without sig_cache_out drops its only strong reference when the pair
 # generator returns, the weakref dies immediately, and the persisted
 # table stays pinned in Spark's CacheManager forever; ADVICE r3).
-# Callers that manage their own lifecycle (sig_cache_out) are
-# deregistered by _deregister_sig_cache when they unpersist, so the
-# registry never double-releases or pins what a caller already freed.
+# Callers that manage their own lifecycle (sig_cache_out) must end it
+# with the public release_signature_cache(handle) — it unpersists AND
+# deregisters, so the registry never double-releases or pins what a
+# caller already freed (a bare unpersist() would leave the strong ref
+# behind; ADVICE r4).
 # Long-lived sessions that call the pair generators directly release
 # accumulated caches with release_signature_caches(). Spark's
 # CacheManager dedups by plan, so repeated calls on identical inputs
@@ -50,6 +52,20 @@ def _deregister_sig_cache(df: DataFrame) -> None:
         if cached is df:
             del _SIG_CACHES[i]
             return
+
+
+def release_signature_cache(df: DataFrame) -> None:
+    """PUBLIC lifecycle end for a ``sig_cache_out`` handle: unpersist
+    the signature table AND deregister it from the session registry in
+    one call (ADVICE r4). Callers who drive the pair generators
+    directly must release through here (or the bulk
+    :func:`release_signature_caches`) — a bare ``df.unpersist()``
+    frees executor storage but leaves a stale strong reference pinning
+    the plan in ``_SIG_CACHES`` for the driver's lifetime."""
+    try:
+        df.unpersist()
+    finally:
+        _deregister_sig_cache(df)
 
 
 def release_signature_caches() -> int:
@@ -288,8 +304,10 @@ def minhash_candidate_pairs(
     # time. persist() (not localCheckpoint: measured 65% slower
     # for this op — checkpoint serialization dominates at this row
     # size). Lifecycle: callers that run their own actions pass
-    # ``sig_cache_out`` and unpersist the handle when done (see
-    # minhash_dedup_labels); Spark's CacheManager dedups by plan, so
+    # ``sig_cache_out`` and release the handle when done via
+    # ``release_signature_cache(handle)`` (see minhash_dedup_labels) —
+    # NOT a bare unpersist(), which would strand the session-registry
+    # strong ref; Spark's CacheManager dedups by plan, so
     # repeated calls on the SAME input reuse one entry rather than
     # accumulating. At corpus scale this persist becomes "write the
     # signature table", same plan shape.
@@ -905,12 +923,10 @@ def minhash_dedup_labels(
     finally:
         # the checkpointed component labels no longer reference the
         # signature table — release its cache even on failure (a retry
-        # in the same session must not compound cached tables), and
-        # drop it from the session registry so release_signature_caches
-        # doesn't hold a stale strong ref to the freed plan.
+        # in the same session must not compound cached tables); the
+        # helper also drops the session-registry strong ref.
         for cached in sig_caches:
-            cached.unpersist()
-            _deregister_sig_cache(cached)
+            release_signature_cache(cached)
     if not converged:
         import logging
 

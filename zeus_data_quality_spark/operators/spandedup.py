@@ -5,8 +5,11 @@ Language Models Better" ExactSubstr pass), fully relational.
 ``functions/fingerprint.py`` (winnowing) finds candidate DOCUMENTS
 that share content; LLM pipelines additionally cut the repeated
 SPANS themselves out of every document. The suffix-array algorithm of
-the reference tool is sequential; this module reaches the same
-verdicts with shuffle-friendly relational algebra:
+the released ExactSubstr tool is sequential; this module computes a
+deterministic SUPERSET approximation of its verdicts with
+shuffle-friendly relational algebra — the precise semantics is **cut
+every region contiguously covered by duplicated k-grams whose covered
+length totals ≥ min_span** (see the honesty note below):
 
 1. **Seed pass** (the only corpus-sized explode): every character
    k-gram start position emits ``(doc, pos, md5(gram))`` — O(len)
@@ -19,8 +22,23 @@ verdicts with shuffle-friendly relational algebra:
 3. **Span assembly**: a repeated span of length L ≥ k contributes
    L−k+1 consecutive duplicated seed positions, so merging
    overlapping/adjacent seed intervals (gaps-and-islands over one
-   per-doc window) reconstructs maximal repeated spans exactly; spans
+   per-doc window) covers every maximal repeated substring; spans
    under ``min_span`` chars are kept (short echoes are normal text).
+
+   **Semantics honesty (ADVICE r4)**: island assembly merges seeds
+   that repeat against DIFFERENT partners, so an assembled span need
+   not itself occur twice verbatim anywhere — e.g. two independent
+   25-char repeats at adjacent positions merge into one ≥50-char
+   island and are cut although no single ≥50-char substring repeats.
+   Every true ExactSubstr span IS covered (each of its k-gram seeds
+   is duplicated, so the island containing it reaches at least the
+   span's length): the operator over-cuts, never under-cuts, relative
+   to suffix-array ExactSubstr at the same (k, min_span). For
+   training-data hygiene over-cutting boilerplate-adjacent text is
+   the conservative direction; callers needing exact maximal-repeat
+   spans should verify each assembled span against a second
+   occurrence before cutting. The DuckDB oracle replays THIS
+   algorithm, so it pins the implementation, not suffix-array parity.
 4. **Cut**: per-document complement splice via one Column fold over
    the doc's sorted span array — no UDF, no second corpus shuffle.
 
@@ -79,9 +97,12 @@ def repeated_spans(
     min_span: int = MIN_SPAN,
     hash_fn: str = "md5",
 ) -> DataFrame:
-    """(id, span_start, span_end) — maximal repeated spans of length
-    ≥ ``min_span`` (1-based, inclusive). Deterministic; every
-    occurrence of a repeated span is reported (cut-all policy)."""
+    """(id, span_start, span_end) — maximal regions contiguously
+    covered by duplicated k-grams, of covered length ≥ ``min_span``
+    (1-based, inclusive). Deterministic; every occurrence is reported
+    (cut-all policy). A superset of ExactSubstr's maximal repeated
+    spans — adjacent independent repeats can merge into one island
+    that repeats nowhere as a whole (module docstring, ADVICE r4)."""
     # The seed table feeds BOTH the repeated-hash aggregate and the
     # position join; materialize it once instead of re-generating the
     # explode+hash for each branch (at corpus scale: write the seed

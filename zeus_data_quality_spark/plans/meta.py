@@ -257,17 +257,58 @@ def _read_versioned(spark: SparkSession, path: str, schema: str) -> DataFrame:
 
 def _migrate_legacy(spark: SparkSession, path: str, schema: str) -> None:
     """One-time upgrade of a pre-snapshot bare parquet dir to the
-    versioned layout: materialize the rows (metadata tables are tiny),
-    clear the dir, commit as version 0."""
+    versioned layout, in the non-destructive order (ADVICE r4):
+    commit the version-0 snapshot FIRST — ``data/`` + ``manifests/``
+    land alongside the legacy part files — and only then remove the
+    now-shadowed legacy files. A crash between the two steps leaves a
+    fully readable versioned table plus inert legacy files, which the
+    next call sweeps; the old rmtree-then-commit order lost the whole
+    table to a crash in the gap.
+
+    Concurrent migrators race on the version-0 manifest: OCC rename
+    picks exactly one winner, the loser sees :class:`SnapshotConflict`
+    (or ``_is_versioned`` up front) and treats the winner's commit as
+    authoritative. Legacy rows are materialized on the driver —
+    metadata tables are tiny by design."""
+    import glob
+
+    if not os.path.exists(path):
+        return
+    # Legacy payload = everything except the snapshot layout. Read the
+    # parquet files explicitly: once data/ or manifests/ subdirs exist
+    # (this commit, or a crashed prior attempt), a bare
+    # ``read.parquet(path)`` would trip over partition discovery.
+    legacy = [
+        p
+        for p in glob.glob(os.path.join(path, "*"))
+        if os.path.basename(p) not in ("data", "manifests")
+    ]
+    if not _is_versioned(path):
+        part_files = [p for p in legacy if p.endswith(".parquet")]
+        rows = (
+            spark.read.schema(schema).parquet(*part_files).collect()
+            if part_files
+            else []
+        )
+        from ..sources.snapshots import SnapshotConflict, write_snapshot
+
+        try:
+            write_snapshot(
+                spark.createDataFrame(rows, schema), path, mode="overwrite"
+            )
+        except SnapshotConflict:
+            pass  # a concurrent migrator committed v0 first — use theirs
+    # Sweep legacy files only now that a committed manifest exists.
     import shutil
 
-    if _is_versioned(path) or not os.path.exists(path):
-        return
-    from ..sources.snapshots import write_snapshot
-
-    rows = spark.read.schema(schema).parquet(path).collect()
-    shutil.rmtree(path)
-    write_snapshot(spark.createDataFrame(rows, schema), path, mode="overwrite")
+    for p in legacy:
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
 
 
 # -- discovery (reference utils/meta.py:277-319 → Spark catalog) ----------

@@ -197,7 +197,7 @@ def vacuum(
     spark: SparkSession,
     table_dir: str,
     keep_versions: int | None = None,
-    grace_seconds: int = 0,
+    grace_seconds: int = DEFAULT_VACUUM_GRACE_S,
 ) -> list[str]:
     """Delete data directories referenced by NO retained manifest:
     orphans from lost OCC races or crashed writers, plus — when
@@ -210,11 +210,10 @@ def vacuum(
     last ``grace_seconds`` is NOT deleted — an in-flight writer
     between its data write and manifest commit looks exactly like an
     orphan, and deleting it would corrupt the version it is about to
-    commit (Iceberg's remove-orphan-files age threshold,
-    :data:`DEFAULT_VACUUM_GRACE_S`; ADVICE r3). The default 0 keeps
-    vacuum eager for single-writer use; pass
-    ``grace_seconds=DEFAULT_VACUUM_GRACE_S`` (or any positive window)
-    whenever writers may run concurrently with vacuum."""
+    commit (Iceberg's remove-orphan-files age threshold). The DEFAULT
+    is :data:`DEFAULT_VACUUM_GRACE_S` — safe under the concurrent
+    writers the OCC stores support (ADVICE r4); single-writer callers
+    that want eager reclamation opt into ``grace_seconds=0``."""
     cur = current_version(spark, table_dir)
     if cur is None:
         return []
