@@ -224,6 +224,33 @@ def _extra_benches():
             docs, "doc_id", "text", hash_fn="xxhash64"
         )
 
+    def bpe_vocab_batched_512(spark, sf_dir):
+        # the r4-verdict scale fix: 512 merges via batched parallel-BPE
+        # (~a dozen driver round-trips) instead of 512 sequential jobs;
+        # `bpe_vocab` above stays the 64-merge sequential driver-oracle
+        # mode, this entry tracks the realistic-vocab training path.
+        # The template-generated testdata texts hold only ~32 distinct
+        # pre-tokens (the corpus runs out of mergeable pairs at ~127),
+        # so this entry trains on a deterministic vocabulary-rich
+        # corpus sized off the documents table: 40 rows/doc × 8
+        # md5-derived 6-char words from a 40k-word vocabulary.
+        from zeus_data_quality_spark.functions.bpe import fit_bpe_batched
+
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        words = [
+            F.substring(
+                F.md5(((F.col("id") * 8 + j) % 40000).cast("string")), 1, 6
+            )
+            for j in range(8)
+        ]
+        corpus = spark.range(n_docs * 40).select(
+            F.concat_ws(" ", *words).alias("text")
+        )
+        merges, _ = fit_bpe_batched(
+            corpus, "text", num_merges=512, min_count=2, batch_size=64
+        )
+        return merges
+
     def doc_fingerprints_xx(spark, sf_dir):
         from zeus_data_quality_spark.functions import fingerprint
 
@@ -235,6 +262,7 @@ def _extra_benches():
         )
 
     return {
+        "bpe_vocab_batched_512": bpe_vocab_batched_512,
         "text_embeddings_xx": text_embeddings_xx,
         "ann_from_text_xx": ann_from_text_xx,
         "substring_dedup_xx": substring_dedup_xx,
@@ -323,6 +351,17 @@ def main() -> None:
     r3_comparable = round(
         sum(v for k, v in timings.items() if k in r3_keys), 3
     )
+    # the round-4 additions (the 8-query BENCH_r03→r04 set difference),
+    # pinned per the r4 verdict so round 5+ proves no regression on them
+    # under the r4 cold-cache discipline
+    r4_keys = {
+        "bpe_vocab", "text_embeddings", "ann_from_text", "classifier_mix",
+        "substring_dedup", "text_embeddings_xx", "ann_from_text_xx",
+        "substring_dedup_xx",
+    }
+    r4_comparable = round(
+        sum(v for k, v in timings.items() if k in r4_keys), 3
+    )
     print(
         json.dumps(
             {
@@ -339,6 +378,7 @@ def main() -> None:
                 "suite_seconds": total,
                 "r1_comparable_suite_seconds": comparable,
                 "r3_comparable_suite_seconds": r3_comparable,
+                "r4_comparable_suite_seconds": r4_comparable,
             }
         )
     )

@@ -195,13 +195,19 @@ def cmd_spandedup(args) -> int:
 def cmd_tokenize(args) -> int:
     """Train a BPE merge table on the corpus and emit per-doc BPE
     token counts — the real budgets for packing. Writes
-    <output>/merges and <output>/counts parquet."""
-    from .functions.bpe import bpe_token_counts, fit_bpe
+    <output>/merges and <output>/counts parquet.
+
+    Training uses the BATCHED parallel-BPE learner by default (up to
+    --batch-size conflict-free merges per driver round-trip), so a
+    realistic --merges 32000 is ~1000 Spark jobs, not 32000;
+    --batch-size 1 reproduces the exact sequential algorithm."""
+    from .functions.bpe import bpe_token_counts, fit_bpe_batched
 
     spark = _spark(args)
     df = spark.read.parquet(args.input)
-    merges, vocab = fit_bpe(
-        df, args.text_col, num_merges=args.merges, min_count=args.min_count
+    merges, vocab = fit_bpe_batched(
+        df, args.text_col, num_merges=args.merges,
+        min_count=args.min_count, batch_size=args.batch_size,
     )
     merges.write.mode("overwrite").parquet(f"{args.output}/merges")
     counts = bpe_token_counts(df, args.id_col, args.text_col, vocab)
@@ -430,6 +436,11 @@ def main(argv: list[str] | None = None) -> int:
     tk.add_argument("--text-col", default="text")
     tk.add_argument("--merges", type=int, default=64)
     tk.add_argument("--min-count", type=int, default=2)
+    tk.add_argument(
+        "--batch-size", type=int, default=32,
+        help="merges learned per driver round-trip (1 = exact "
+        "sequential BPE)",
+    )
     tk.set_defaults(fn=cmd_tokenize)
 
     em = sub.add_parser(
