@@ -143,6 +143,10 @@ HEADLINE = [
     "ann_from_text",
     "classifier_mix",
     "substring_dedup",
+    # r5 driver-window additions
+    "semantic_dedup",
+    "sequence_packing_bpe",
+    "ann_ivf_from_text",
 ]
 
 

@@ -116,19 +116,22 @@ TAIL_TWINS = {
                           # same mix operator, quality-weighted)
     "top_tokens",         # family keeps text_stats; the explode→count→
                           # top-k physical pattern stays via monitor_topk
+    # r5 rotation (per the r4 verdict): family-duplicate rows evicted
+    # so the two full-oracle composites and semantic_dedup get driver
+    # rows. Each family keeps at least one in-window row.
+    "conversation_dedup",       # family keeps dedup_exact
+    "media_resize_checksums",   # family keeps media_features +
+                                # media_audio_frames + media_video_frames
+    "ann_from_text",            # family keeps text_embeddings +
+                                # ann_ivf_from_text (same oracle)
 }
 
 # Derivative composites past the window: full value oracles (parity
 # below + tools/parity_check.py), semantics composed purely from
-# in-window rows' operators.
-TAIL_OVERFLOW: set = {
-    # in-window `sequence_packing` with the token source swapped to
-    # the in-window `bpe_vocab` tokenizer's counts
-    "sequence_packing_bpe",
-    # in-window `ann_from_text` + `ann_ivf_probe` composed: the full
-    # text→embed→IVF stack, nprobe=all ⇒ same brute-force oracle
-    "ann_ivf_from_text",
-}
+# in-window rows' operators. (r5: sequence_packing_bpe and
+# ann_ivf_from_text were PROMOTED into the window per the r4 verdict —
+# the set is empty until a future composite overflows again.)
+TAIL_OVERFLOW: set = set()
 
 
 def test_driver_window_covers_every_operator_family():
@@ -170,22 +173,32 @@ def test_driver_window_covers_every_operator_family():
         # round-3 operators, promoted by the r4 rotation
         "lm_training": {"bigram_lm", "perplexity_trained"},
         "loop_detection": {"loop_detection"},
-        "packing": {"sequence_packing"},
+        "packing": {"sequence_packing", "sequence_packing_bpe"},
         "classifier": {"quality_classifier"},
         "bpe": {"bpe_vocab"},
-        "text_embeddings": {"text_embeddings", "ann_from_text"},
+        "text_embeddings": {"text_embeddings", "ann_from_text",
+                            "ann_ivf_from_text"},
         "classifier_mix": {"classifier_mix"},
         "substring_dedup": {"substring_dedup"},
+        # r5: semantic (embedding-cluster) dedup — SemDeDup composition
+        "semantic_dedup": {"semantic_dedup"},
     }
     for fam, members in families.items():
         assert members & in_window, f"family {fam} has no driver-window row"
-    # the media family specifically must be FULLY in-window (r2 gap)
-    assert families["multimodal"] <= in_window
+    # the media family must keep its distinct operators in-window (r2
+    # gap); r5 evicted the resize twin (features/audio/video cover the
+    # mapInPandas decode/feature/frame surfaces, resize shares the
+    # image path with media_features)
+    assert {"media_features", "media_audio_frames",
+            "media_video_frames"} <= in_window
     # the round-3 operators specifically must be FULLY in-window (r3 gap)
     for fam in ("lm_training", "loop_detection", "packing", "classifier",
-                "bpe", "text_embeddings", "classifier_mix",
-                "substring_dedup"):
+                "bpe", "classifier_mix", "substring_dedup"):
         assert families[fam] <= in_window, fam
+    # r5 promotions: both former TAIL_OVERFLOW composites and the new
+    # semantic_dedup row must be driver-adjudicated (r4 verdict 2+3)
+    assert {"sequence_packing_bpe", "ann_ivf_from_text",
+            "semantic_dedup"} <= in_window
     # nothing novel hides in the tail
     assert out_window <= TAIL_TWINS | TAIL_OVERFLOW, (
         out_window - TAIL_TWINS - TAIL_OVERFLOW

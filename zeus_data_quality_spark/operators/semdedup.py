@@ -1,0 +1,165 @@
+"""SemDeDup — semantic (embedding-cluster) deduplication.
+
+MinHash (``operators/dedup.py``) catches near-verbatim duplicates —
+shared shingle sets. It is blind to PARAPHRASE-level duplication:
+reordered or lightly reworded text shares few word-shingles but maps
+to nearly the same point in embedding space. SemDeDup (Abbas et al.
+2023, "SemDeDup: Data-efficient learning at web-scale through
+semantic deduplication") closes that gap: embed every document,
+k-means-cluster the embeddings, call any intra-cluster pair with
+cosine ≥ threshold a semantic duplicate, and keep one document per
+duplicate group. This module composes the engine's existing pieces —
+nothing here is new math, which is exactly why it is trustworthy:
+
+1. **Embed**: ``functions/embed.bulk_text_embeddings`` (signed hashed
+   char-n-gram projection, integer coordinates ⇒ engine-exact
+   cosines). Char-n-gram bags are word-order-insensitive, so
+   paraphrase pairs that MinHash misses score high here
+   (complementarity is pytest-pinned).
+2. **Cluster**: ``operators/ivf.train_centroids`` (deterministic
+   spherical k-means — md5-seeded init, fixed Lloyd iterations) +
+   ``ivf_index`` assignment. Clustering bounds the pair search: the
+   published SemDeDup algorithm compares only WITHIN clusters,
+   turning O(n²) into O(Σ c_i²) — at corpus scale ``n_centroids``
+   is the knob that caps expected cluster size (SemDeDup used 50k
+   clusters for 1.3e9 LAION embeddings; the per-cluster self-join
+   below shuffles on the cluster id, and an AQE skew-join handles a
+   runaway cluster).
+3. **Prune**: intra-cluster self-join, ``round(cosine, 9) ≥
+   threshold`` edges (the 9-dp rounding is the repo's standard
+   cross-engine float protocol, ``similarity.embedding_near_dups``),
+   connected components (``dedup.connected_components`` — the same
+   fixpoint loop the MinHash verdict uses), canonical = min id per
+   component.
+
+Output shape matches ``minhash_dedup_labels`` exactly —
+``(id, component, is_canonical)`` — so a pipeline can run both passes
+and AND the keep columns.
+
+Semantics note: grouping by connected components (transitive closure
+of the ≥-threshold relation) rather than SemDeDup's
+per-cluster-centroid pruning makes the keep-one choice deterministic
+and engine-replayable (the DuckDB oracle resolves the same components
+with a recursive CTE); cosine is not transitive, so a component may
+contain pairs below threshold — the same documented behavior as the
+MinHash verdict path.
+
+The reference repo has no semantic dedup (SURVEY.md §2.8 — north-rule
+training-pipeline extension; r4 verdict task 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.embed import DIM, NGRAM, bulk_text_embeddings
+from .dedup import connected_components
+from .ivf import ivf_index, train_centroids
+from .similarity import cosine
+
+DEFAULT_THRESHOLD = 0.95
+
+
+def semantic_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """(id_a, id_b, cos) — intra-cluster pairs with
+    ``round(cosine, 9) ≥ threshold``, ``id_a < id_b``.
+
+    The self-join equi-joins on the cluster id, so pair generation is
+    per-inverted-list (the SemDeDup restriction), never all-pairs;
+    with ``n_centroids = 1`` it degenerates to the exact
+    ``embedding_near_dups`` pair set (pytest-pinned)."""
+    indexed = ivf_index(emb, centroids, id_col, vec_col).filter(
+        F.col("cluster").isNotNull()
+    )
+    a = indexed.select(
+        "cluster", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = indexed.select(
+        "cluster", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    cos = F.round(cosine(F.col("__va"), F.col("__vb")), 9)
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def semantic_dedup_from_embeddings(
+    df: DataFrame,
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_iters: int = 3,
+    threshold: float = DEFAULT_THRESHOLD,
+    init_mode: str = "md5",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Verdict over a PRE-MATERIALIZED embedding table (the corpus-
+    scale entry point: write the embedding table once, feed it here
+    and to the ANN index build). Zero vectors never enter clustering
+    (cosine undefined) — those rows come back as their own singleton
+    components via the final left join against ``df``."""
+    nonzero = emb.filter(F.exists(vec_col, lambda v: v != 0))
+    centroids = train_centroids(
+        nonzero, vec_col, id_col, n_centroids, n_iters, init_mode=init_mode
+    )
+    pairs = semantic_pairs(nonzero, id_col, vec_col, centroids, threshold)
+    comp = connected_components(pairs, "id_a", "id_b", max_iter=max_iter)
+    out = (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("component"), F.col("id")).alias("component"),
+        )
+    )
+    return out.withColumn(
+        "is_canonical", F.col(id_col) == F.col("component")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    dim: int = DIM,
+    n: int = NGRAM,
+    n_centroids: int = 8,
+    n_iters: int = 3,
+    threshold: float = DEFAULT_THRESHOLD,
+    hash_fn: str = "md5",
+    max_iter: int = 15,
+) -> DataFrame:
+    """End-to-end semantic near-dup verdict from raw text:
+    ``(id, component, is_canonical)``.
+
+    ``hash_fn``: "md5" = oracle-parity embeddings (and md5-seeded
+    k-means init so the DuckDB oracle replays the identical Lloyd
+    loop); "xxhash64" = production mode. The embedding table is
+    materialized before clustering (the ``ann_from_text``
+    projection-collapse trap — at corpus scale this is "write the
+    embedding table once", shared with the ANN index build)."""
+    emb = bulk_text_embeddings(
+        df, id_col, text_col, dim, n, hash_fn
+    ).localCheckpoint(eager=True)
+    return semantic_dedup_from_embeddings(
+        df,
+        emb,
+        id_col,
+        "embedding",
+        n_centroids,
+        n_iters,
+        threshold,
+        init_mode="md5" if hash_fn == "md5" else "xxhash64",
+        max_iter=max_iter,
+    )

@@ -434,33 +434,30 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
 
 
-def _oracle_ann_ivf_probe(
-    n_centroids: int = 8, n_iters: int = 3, nprobe: int = 3, k: int = 5
-) -> str:
-    """DuckDB replay of ``q_ann_ivf_probe``: the Lloyd loop unrolled
-    into one CTE chain per iteration. Float parity notes: both engines
-    do double math end to end (embeddings cast to DOUBLE before any
-    sum); per-dimension means may differ at ~1e-16 (partition-order vs
-    single-stream summation), which only matters if two centroids are
-    equidistant from a vector at that scale — the same tolerance the
-    brute-force ANN oracle already relies on for rank stability."""
-    sq = "list_reduce(list_transform({v}, y -> y * y), (a, b) -> a + b)"
+_SQ = "list_reduce(list_transform({v}, y -> y * y), (a, b) -> a + b)"
+
+
+def _lloyd_parts(n_centroids: int, n_iters: int) -> list[str]:
+    """CTE parts replaying ``ivf.train_centroids`` + final assignment
+    against an existing ``unit(id, raw, v)`` CTE: the md5-ordered seed
+    sample ``c0``, ``n_iters`` unrolled Lloyd iterations (assign =
+    per-vector argmax of centroid dots, update = per-dimension AVG
+    renormalized, empty clusters carried forward) ending in
+    ``c{n_iters}``, then ``asg(id, raw, cluster)``. Shared by the
+    IVF-probe and semantic-dedup oracles. Float parity: both engines
+    do double math end to end; per-dimension means may differ at
+    ~1e-16 (partition-order vs single-stream summation), which only
+    matters if two centroids are equidistant from a vector at that
+    scale — the same tolerance the brute-force ANN oracle already
+    relies on for rank stability."""
     parts = [
-        f"""unit AS (
-    SELECT vec_id AS id,
-           CAST(embedding AS DOUBLE[]) AS raw,
-           list_transform(CAST(embedding AS DOUBLE[]),
-                          x -> x / sqrt({sq.format(v='CAST(embedding AS DOUBLE[])')})) AS v
-    FROM embeddings
-    WHERE {sq.format(v='CAST(embedding AS DOUBLE[])')} > 0
-)""",
         f"""c0 AS (
     SELECT CAST(rn - 1 AS INT) AS cluster, vec FROM (
         SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn,
                v AS vec
         FROM unit
     ) WHERE rn <= {n_centroids}
-)""",
+)"""
     ]
     for i in range(1, n_iters + 1):
         parts.append(f"""a{i} AS (
@@ -480,8 +477,8 @@ m{i} AS (
 ),
 n{i} AS (
     SELECT cluster,
-           CASE WHEN sqrt({sq.format(v='mv')}) > 0
-                THEN list_transform(mv, x -> x / sqrt({sq.format(v='mv')}))
+           CASE WHEN sqrt({_SQ.format(v='mv')}) > 0
+                THEN list_transform(mv, x -> x / sqrt({_SQ.format(v='mv')}))
            END AS vec
     FROM (SELECT cluster, list(m ORDER BY pos) AS mv FROM m{i} GROUP BY cluster)
 ),
@@ -497,8 +494,30 @@ c{i} AS (
                             c.cluster ASC) AS rn
         FROM unit u CROSS JOIN c{n_iters} c
     ) WHERE rn = 1
-),
-q AS (SELECT id AS query_id, raw AS qv, v AS qu FROM unit WHERE id < 10),
+)""")
+    return parts
+
+
+def _oracle_ann_ivf_probe(
+    n_centroids: int = 8, n_iters: int = 3, nprobe: int = 3, k: int = 5
+) -> str:
+    """DuckDB replay of ``q_ann_ivf_probe``: the Lloyd loop unrolled
+    into one CTE chain per iteration (:func:`_lloyd_parts`), then
+    nprobe-cluster probing and exact cosine ranking in the probed
+    lists."""
+    sq = _SQ
+    parts = [
+        f"""unit AS (
+    SELECT vec_id AS id,
+           CAST(embedding AS DOUBLE[]) AS raw,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> x / sqrt({sq.format(v='CAST(embedding AS DOUBLE[])')})) AS v
+    FROM embeddings
+    WHERE {sq.format(v='CAST(embedding AS DOUBLE[])')} > 0
+)""",
+    ]
+    parts.extend(_lloyd_parts(n_centroids, n_iters))
+    parts.append(f"""q AS (SELECT id AS query_id, raw AS qv, v AS qu FROM unit WHERE id < 10),
 probe AS (
     SELECT query_id, cluster FROM (
         SELECT q.query_id, c.cluster,
@@ -561,6 +580,76 @@ def q_minhash_dedup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         threshold=0.7,
         hash_mode="md5",
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-dup verdict (operators/semdedup.py):
+    in-engine embeddings → md5-seeded spherical k-means →
+    intra-cluster cosine edges (round-9, ≥ 0.95) → connected
+    components → keep-one. The oracle replays EVERY stage in one SQL
+    statement: the embedding CTE chain, the unrolled Lloyd loop
+    (shared with `ann_ivf_probe`'s oracle), the per-cluster pair
+    prune, and a recursive-CTE transitive closure (shared pattern
+    with `minhash_dedup_labels`). Complements MinHash: char-n-gram
+    embeddings are word-order-insensitive, so paraphrase-level
+    duplicates that shingle Jaccard misses land here (pytest-pinned
+    complementarity fixture, tests/test_semdedup.py)."""
+    from ..operators.semdedup import semantic_dedup
+
+    return semantic_dedup(
+        _read(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def _oracle_semantic_dedup(
+    n_centroids: int = 8,
+    n_iters: int = 3,
+    threshold: float = 0.95,
+    dim: int = 16,
+    n: int = 3,
+) -> str:
+    """Full-replay oracle for ``q_semantic_dedup`` — embeddings +
+    Lloyd loop + intra-cluster cosine prune + recursive components."""
+    from ..functions.embed import duckdb_embedding_cte
+
+    sq = _SQ
+    parts = [
+        duckdb_embedding_cte("documents", "doc_id", "text", dim, n).strip(),
+        f"""unit AS (
+    SELECT id,
+           CAST(embedding AS DOUBLE[]) AS raw,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> x / sqrt({sq.format(v='CAST(embedding AS DOUBLE[])')})) AS v
+    FROM emb_vec
+    WHERE {sq.format(v='CAST(embedding AS DOUBLE[])')} > 0
+)""",
+    ]
+    parts.extend(_lloyd_parts(n_centroids, n_iters))
+    parts.append(f"""sp AS (
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(list_cosine_similarity(a.raw, b.raw), 9) AS cos
+    FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.id < b.id
+),
+sedges AS (
+    SELECT id_a AS src, id_b AS dst FROM sp WHERE cos >= {threshold}
+    UNION
+    SELECT id_b, id_a FROM sp WHERE cos >= {threshold}
+),
+snodes AS (SELECT DISTINCT src AS id FROM sedges),
+sreach(id, r) AS (
+    SELECT id, id FROM snodes
+    UNION
+    SELECT sreach.id, e.dst FROM sreach JOIN sedges e ON e.src = sreach.r
+),
+scomp AS (SELECT id, MIN(r) AS component FROM sreach GROUP BY id)""")
+    return (
+        "WITH RECURSIVE " + ",\n".join(parts) + """
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS component,
+       d.doc_id = COALESCE(c.component, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN scomp c ON c.id = d.doc_id
+"""
     )
 
 
@@ -1898,8 +1987,15 @@ def queries():
     `fingerprint_dup_groups` (keeps `doc_fingerprints`) — and the five
     round-3 operators (`bigram_lm`, `perplexity_trained`,
     `loop_detection`, `sequence_packing`, `quality_classifier`)
-    promoted into slots ≤50 so the driver adjudicates them. Tail rows
-    still run against their full oracles in
+    promoted into slots ≤50 so the driver adjudicates them. Round 5
+    (per the r4 verdict) promoted the two full-oracle composites
+    `sequence_packing_bpe` + `ann_ivf_from_text` and the new
+    `semantic_dedup`, evicting three family-duplicates to the tail:
+    `conversation_dedup` (family keeps `dedup_exact`),
+    `media_resize_checksums` (family keeps the other three media
+    rows), `ann_from_text` (family keeps `text_embeddings` +
+    `ann_ivf_from_text` — the same brute-force-from-text oracle).
+    Tail rows still run against their full oracles in
     tests/test_entry_parity.py, which also asserts every family stays
     in-window and nothing novel hides in the tail."""
     return {
@@ -1918,7 +2014,6 @@ def queries():
         "gopher_repetition": q_gopher_repetition,
         "c4_line_filter": q_c4_line_filter,
         "dedup_exact": q_dedup_exact,
-        "conversation_dedup": q_conversation_dedup,
         "text_stats": q_text_stats,
         "decontaminate": q_decontaminate,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1928,6 +2023,7 @@ def queries():
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf_probe": q_ann_ivf_probe,
         "minhash_dedup_labels": q_minhash_dedup_labels,
+        "semantic_dedup": q_semantic_dedup,
         "simhash": q_simhash,
         "langid": q_langid,
         "perplexity": q_perplexity,
@@ -1940,7 +2036,6 @@ def queries():
         "range_join": q_range_join,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "media_features": q_media_features,
-        "media_resize_checksums": q_media_resize_checksums,
         "media_audio_frames": q_media_audio_frames,
         "media_video_frames": q_media_video_frames,
         "bigram_lm": q_bigram_lm,
@@ -1951,8 +2046,9 @@ def queries():
         "text_embeddings": q_text_embeddings,
         "classifier_mix": q_classifier_mix,
         "substring_dedup": q_substring_dedup,
-        "ann_from_text": q_ann_from_text,
         "quality_classifier": q_quality_classifier,
+        "sequence_packing_bpe": q_sequence_packing_bpe,
+        "ann_ivf_from_text": q_ann_ivf_from_text,
         # ---- tail: engine twins / derivative aggregates (see above) ----
         "tpch_q3": q_tpch_q3,
         "cube_events": q_cube_events,
@@ -1972,8 +2068,9 @@ def queries():
         "setops_users": q_setops_users,
         "corpus_mix": q_corpus_mix,
         "top_tokens": q_top_tokens,
-        "sequence_packing_bpe": q_sequence_packing_bpe,
-        "ann_ivf_from_text": q_ann_ivf_from_text,
+        "conversation_dedup": q_conversation_dedup,
+        "media_resize_checksums": q_media_resize_checksums,
+        "ann_from_text": q_ann_from_text,
     }
 
 
@@ -2069,6 +2166,7 @@ def oracle_sql():
         "sequence_packing_bpe": _oracle_sequence_packing_bpe(),
         "minhash_pairs": _oracle_minhash_pairs(),
         "minhash_dedup_labels": ORACLE_MINHASH_LABELS,
+        "semantic_dedup": _oracle_semantic_dedup(),
         "simhash": duckdb_simhash_md5_sql("documents", "doc_id", "text"),
         "perplexity": oracle_with_transcripts(
             ", " + duckdb_perplexity_cte().strip() + "\n"
