@@ -581,3 +581,111 @@ def test_dedup_labels_deregisters_own_cache(spark):
     )
     dd.minhash_dedup_labels(df, "id").count()
     assert dd._SIG_CACHES == []
+
+
+def test_anchor_pair_cluster_recall_floor_under_id_permutations(spark):
+    """r4-verdict task 4: anchor-based pair generation prunes edges by
+    est >= threshold on ANCHOR pairs, and which edges exist depends on
+    the id ordering inside each bucket. This pins a cluster-recall
+    floor for the anchor path against the all-pairs-in-bucket ground
+    truth, across several id permutations: every ground-truth
+    same-cluster pair must stay same-cluster under the anchor path
+    (measured recall 1.0 on the organic corpus at sf0.001 and sf0.01;
+    floor asserted at >= 0.95), and the canonical count must be
+    id-ordering-stable."""
+    from collections import defaultdict
+
+    from zeus_data_quality_spark.operators.dedup import (
+        DEFAULT_NUM_HASHES,
+        minhash_band_keys,
+        minhash_dedup_labels,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    N = docs.count()
+    TH = 0.7
+
+    # ground truth: ALL pairs inside any shared LSH bucket, verified
+    # at the same threshold, resolved with a union-find
+    bk = minhash_band_keys(docs, "doc_id", "text")
+    cand = (
+        bk.alias("a")
+        .join(bk.alias("b"), "key")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .distinct()
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text").filter(
+        F.col("sig").isNotNull()
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                 lambda e: e)
+    )
+    gt_pairs = (
+        cand.join(
+            sigs.select(F.col("doc_id").alias("id_a"),
+                        F.col("sig").alias("sig_a")), "id_a")
+        .join(
+            sigs.select(F.col("doc_id").alias("id_b"),
+                        F.col("sig").alias("sig_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            (agree.cast("double") / DEFAULT_NUM_HASHES).alias("est"),
+        )
+        .filter(F.col("est") >= TH)
+        .collect()
+    )
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in gt_pairs:
+        ra, rb = find(r["id_a"]), find(r["id_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    gt_groups = defaultdict(set)
+    for x in list(parent):
+        gt_groups[find(x)].add(x)
+    gt_same = {
+        (a, b)
+        for grp in gt_groups.values()
+        for a in grp
+        for b in grp
+        if a < b
+    }
+    assert gt_same  # the fixture corpus must actually contain near-dups
+
+    canonical_counts = set()
+    for perm, inv in [
+        (F.col("doc_id"), lambda x: x),
+        (F.lit(N - 1) - F.col("doc_id"), lambda x: N - 1 - x),
+        ((F.col("doc_id") * 7 + 3) % N,
+         lambda x: ((x - 3) * pow(7, -1, N)) % N),
+    ]:
+        lab = minhash_dedup_labels(
+            docs.select(perm.alias("pid"), "text"), "pid", "text",
+            threshold=TH,
+        ).collect()
+        groups = defaultdict(set)
+        for r in lab:
+            groups[r["component"]].add(inv(r["pid"]))
+        same = {
+            (a, b)
+            for grp in groups.values()
+            for a in grp
+            for b in grp
+            if a < b
+        }
+        recall = len(gt_same & same) / len(gt_same)
+        assert recall >= 0.95, (recall, sorted(gt_same - same))
+        canonical_counts.add(sum(1 for r in lab if r["is_canonical"]))
+    # id-permutation stability of the headline count
+    assert len(canonical_counts) == 1, canonical_counts

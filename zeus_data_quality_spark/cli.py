@@ -230,6 +230,46 @@ def cmd_tokenize(args) -> int:
     return 0
 
 
+def cmd_train_classifier(args) -> int:
+    """Train the in-engine quality classifier and print the weight
+    vector (JSON) — optionally write per-row scores. --train-sample F
+    trains on a deterministic md5-bucket fraction of the corpus
+    (scoring, if requested, stays full) so per-step cost is
+    sample-bound and --steps can rise; at 10^12 rows this is the
+    production shape (r4 verdict task 5)."""
+    from .functions.classifier import (
+        fit_quality_classifier,
+        score_quality,
+        with_quality_features,
+    )
+    from .functions.sampling import hash_sample
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    feats = with_quality_features(df, args.text_col).select(
+        args.id_col, "f0", "f1", "f2", "f3", "f4", "f5", "y"
+    ).persist()
+    train = (
+        hash_sample(feats, args.id_col, args.train_sample)
+        if args.train_sample is not None
+        else feats
+    )
+    w = fit_quality_classifier(train, steps=args.steps, lr=args.lr)
+    n_scored = None
+    if args.output:
+        score_quality(feats, w).select(
+            args.id_col, "quality_score", "predicted_quality"
+        ).write.mode("overwrite").parquet(args.output)
+        n_scored = spark.read.parquet(args.output).count()
+    feats.unpersist()
+    out = {"weights": w, "steps": args.steps, "lr": args.lr,
+           "train_sample": args.train_sample}
+    if n_scored is not None:
+        out["rows_scored"] = int(n_scored)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_embed(args) -> int:
     """Materialize in-engine text embeddings (hashed signed n-gram
     projection) as a parquet table — the input surface for the ANN
@@ -442,6 +482,24 @@ def main(argv: list[str] | None = None) -> int:
         "sequential BPE)",
     )
     tk.set_defaults(fn=cmd_tokenize)
+
+    tc = sub.add_parser(
+        "train-classifier",
+        help="train the quality classifier (optionally sample-bound)",
+    )
+    tc.add_argument("--input", required=True)
+    tc.add_argument("--output", default=None,
+                    help="optional parquet of per-row scores")
+    tc.add_argument("--id-col", default="doc_id")
+    tc.add_argument("--text-col", default="text")
+    tc.add_argument("--steps", type=int, default=25)
+    tc.add_argument("--lr", type=float, default=2.0)
+    tc.add_argument(
+        "--train-sample", type=float, default=None,
+        help="train on this deterministic hash-sample fraction "
+        "(scores still cover every row)",
+    )
+    tc.set_defaults(fn=cmd_train_classifier)
 
     em = sub.add_parser(
         "embed", help="materialize hashed n-gram text embeddings"

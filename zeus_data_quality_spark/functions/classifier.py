@@ -110,6 +110,10 @@ def fit_quality_classifier(
     driver."""
     n_row = feats.select(F.count(F.lit(1)).alias("n")).first()
     n = n_row["n"]
+    if n == 0:
+        raise ValueError(
+            "empty training set (train_sample fraction too small?)"
+        )
     w = [0.0] * N_FEATURES
     scale = float(10 ** GRAD_DP)
     for _ in range(steps):
@@ -139,6 +143,9 @@ def score_quality(feats: DataFrame, w: list[float]) -> DataFrame:
     )
 
 
+SAMPLE_SALT = "clstrain"
+
+
 def train_and_score_quality(
     df: DataFrame,
     id_col: str,
@@ -147,13 +154,31 @@ def train_and_score_quality(
     lr: float = LR,
     label_col: str = "is_quality",
     token_cap: int = TOKEN_CAP,
+    train_sample: float | None = None,
+    sample_salt: str = SAMPLE_SALT,
 ) -> DataFrame:
+    """Train on the corpus (or a deterministic ``train_sample``
+    fraction of it — ``sampling.hash_split`` discipline, r4 verdict
+    task 5), score EVERY row. At 10^12 rows each GD step is a corpus
+    scan; with ``train_sample`` the per-step cost is sample-bound, so
+    the step count can rise without touching the corpus again (the
+    scoring pass stays full, one Project). Sampled weights converge to
+    the full-corpus weights as the sample grows (pytest-pinned
+    tolerance); the DuckDB oracle replays the SAME sample predicate,
+    so sampled training stays bit-replayable."""
+    from .sampling import hash_sample
+
     feats = with_quality_features(df, text_col, label_col, token_cap).select(
         id_col, "f0", "f1", "f2", "f3", "f4", "f5", "y"
     )
     feats = feats.persist()
     try:
-        w = fit_quality_classifier(feats, steps, lr)
+        train_feats = (
+            hash_sample(feats, id_col, train_sample, sample_salt)
+            if train_sample is not None
+            else feats
+        )
+        w = fit_quality_classifier(train_feats, steps, lr)
         out = score_quality(feats, w).select(
             F.col(id_col),
             "quality_score",
@@ -178,6 +203,8 @@ def duckdb_train_and_score_sql(
     label_subquery: str | None = None,
     label_col: str = "is_quality",
     token_cap: int = TOKEN_CAP,
+    train_sample: float | None = None,
+    sample_salt: str = SAMPLE_SALT,
 ) -> str:
     """Replays the exact training: the same features from the
     textstats + repetition oracle SQL, the unrolled GD steps with
@@ -185,8 +212,11 @@ def duckdb_train_and_score_sql(
 
     ``label_subquery`` (a SELECT yielding (id_col, label_col BOOLEAN))
     overrides the default ``is_quality`` label — e.g. the C4
-    ``page_keep`` verdict."""
+    ``page_keep`` verdict. ``train_sample`` applies the identical
+    md5-bucket sample predicate to the TRAINING rows only (scoring
+    stays full-corpus), mirroring :func:`train_and_score_quality`."""
     from .repetition import duckdb_repetition_sql
+    from .sampling import _sql_bucket, _threshold_hex
 
     scale = 10 ** GRAD_DP
     if label_subquery is None:
@@ -227,7 +257,13 @@ cls_feats AS MATERIALIZED (
     JOIN ({duckdb_repetition_sql(table, id_col, text_col).strip()}) r
       ON s.{id_col} = r.{id_col}{label_join}
 ),
-cls_n AS MATERIALIZED (SELECT COUNT(*) AS n FROM cls_feats),
+cls_train AS MATERIALIZED (SELECT * FROM cls_feats{
+        ""
+        if train_sample is None
+        else " WHERE " + _sql_bucket("id", sample_salt)
+        + f" < '{_threshold_hex(train_sample)}'"
+    }),
+cls_n AS MATERIALIZED (SELECT COUNT(*) AS n FROM cls_train),
 cls_w0 AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4, 0.0 AS w5)"""
     step_ctes = []
     for k in range(steps):
@@ -246,7 +282,7 @@ cls_w0 AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 A
             f"""
 cls_g{k} AS MATERIALIZED (
     SELECT {sums}
-    FROM cls_feats f CROSS JOIN cls_w{k} w
+    FROM cls_train f CROSS JOIN cls_w{k} w
 ),
 cls_w{k + 1} AS MATERIALIZED (
     SELECT {new_w}
