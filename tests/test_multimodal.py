@@ -25,7 +25,7 @@ def test_fake_codec_roundtrip():
     b = encode_fake_image(8, 4, seed=7)
     w, h, px = decode_image_bytes(b)
     assert (w, h) == (8, 4) and px.shape == (4, 8)
-    with pytest.raises(NotImplementedError, match="stubbed"):
+    with pytest.raises(NotImplementedError, match="Pillow|stubbed"):
         decode_image_bytes(b"\x89PNG\r\n\x1a\nxxxx")
 
 
@@ -101,3 +101,45 @@ def test_resize_checksum_single_python_stage(spark):
     resized = px[np.ix_(ys, xs)]
     assert rows[0]["px_sum"] == int(resized.sum())
     assert rows[0]["px_n"] == 64
+
+
+def test_real_png_roundtrip_when_pil_present(spark):
+    """Optional real-codec path (r4 verdict task 7): when Pillow is
+    installed, a genuine PNG decodes through the SAME mapInPandas
+    stages as the fake format (grayscale u8 grid contract). Skipped
+    in environments without Pillow — where real payloads raise the
+    clearly-marked NotImplementedError (pinned below in the suite)."""
+    import io
+
+    import numpy as np
+    import pytest
+
+    Image = pytest.importorskip(
+        "PIL.Image", reason="Pillow not installed in this environment"
+    )
+    from zeus_data_quality_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image_bytes,
+        image_features,
+        image_resize,
+    )
+
+    arr = (np.arange(256, dtype=np.uint8)).reshape(16, 16)
+    buf = io.BytesIO()
+    Image.fromarray(arr, "L").save(buf, "PNG")
+    png = buf.getvalue()
+
+    w, h, px = decode_image_bytes(png)
+    assert (w, h) == (16, 16)
+    assert (px == arr).all()
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png), 16, 16, None, None)], MEDIA_SCHEMA
+    )
+    out = image_resize(df, 8, 8, with_checksum=True).first()
+    ys = (np.arange(8) * 16 // 8).astype(np.int64)
+    want = arr[np.ix_(ys, ys)]
+    assert out["px_sum"] == int(want.astype(np.int64).sum())
+    assert out["px_n"] == 64
+    feats = image_features(df).first()
+    assert abs(sum(feats["features"]) - 1.0) < 1e-6

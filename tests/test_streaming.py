@@ -226,3 +226,52 @@ def test_stream_classifier_gate_matches_batch(spark, sf_dir, tmp_path):
     assert len(got) == len(want)
     assert got == want
     assert any(v[2] for v in got.values())  # the gate actually fires
+
+
+def test_stream_embedding_projection_matches_batch(spark, sf_dir, tmp_path):
+    """In-engine text embeddings are a pure per-row Project, so they
+    stream unchanged — the streaming side of the text→vector gate
+    (e.g. feeding a live ANN/semantic-dedup band state): per-turn
+    embedding vectors match the batch projection exactly."""
+    from zeus_data_quality_spark.functions.embed import text_embedding
+
+    src = str(tmp_path / "in_emb")
+    t = _write_stream_input(spark, sf_dir, src)
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp"
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    proj = stream.select(
+        "conv_id", "turn_idx",
+        text_embedding(F.col("text")).alias("embedding"),
+    )
+    q = (
+        proj.writeStream.format("memory")
+        .queryName("emb_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # key on the text too: the corpus injects duplicate
+    # (conv_id, turn_idx) rows with different texts
+    from collections import Counter
+
+    got = Counter(
+        (r["conv_id"], r["turn_idx"], tuple(r["embedding"]))
+        for r in spark.sql("SELECT * FROM emb_stream").collect()
+    )
+    want = Counter(
+        (r["conv_id"], r["turn_idx"], tuple(r["embedding"]))
+        for r in t.select(
+            "conv_id", "turn_idx",
+            text_embedding(F.col("text")).alias("embedding"),
+        ).collect()
+    )
+    assert sum(got.values()) == sum(want.values())
+    assert got == want
+    assert any(any(v) for _, _, v in got)  # non-trivial vectors

@@ -70,18 +70,45 @@ def encode_fake_video(
     )
 
 
+def _pil_image_module():
+    """Pillow, when installed — the OPTIONAL real-codec dependency
+    (r4 verdict task 7). Import-gated: this container ships no image
+    libraries, so the fake-codec oracles stay authoritative and the
+    real path activates only where Pillow exists."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image_bytes(b: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode the fake format; real codecs are explicitly stubbed."""
+    """Decode to a (width, height, u8 grayscale grid) triple.
+
+    FAKEIMG payloads decode natively (the oracle-verified path). Any
+    other payload is tried against Pillow when it is importable —
+    real PNG/JPEG decode to a grayscale grid with the SAME contract,
+    so every downstream mapInPandas stage (resize, features) runs
+    unchanged; without Pillow, real codecs stay a clearly-marked
+    NotImplementedError."""
     if b is None:
         raise ValueError("NULL payload")
-    if not b.startswith(_IMG_MAGIC):
-        raise NotImplementedError(
-            "real image codecs (JPEG/PNG) are stubbed in this environment; "
-            "payload is not FAKEIMG"
-        )
-    w, h = struct.unpack("<II", b[7:15])
-    px = np.frombuffer(b, dtype=np.uint8, offset=15, count=w * h)
-    return w, h, px.reshape(h, w)
+    if b.startswith(_IMG_MAGIC):
+        w, h = struct.unpack("<II", b[7:15])
+        px = np.frombuffer(b, dtype=np.uint8, offset=15, count=w * h)
+        return w, h, px.reshape(h, w)
+    Image = _pil_image_module()
+    if Image is not None:
+        import io
+
+        with Image.open(io.BytesIO(bytes(b))) as im:
+            px = np.asarray(im.convert("L"), dtype=np.uint8)
+        return px.shape[1], px.shape[0], px
+    raise NotImplementedError(
+        "real image codecs (JPEG/PNG) need Pillow, which this "
+        "environment does not ship; payload is not FAKEIMG"
+    )
 
 
 def synth_media_table(spark, n: int = 64) -> DataFrame:
