@@ -214,6 +214,27 @@ def test_cli_spandedup_tokenize_embed(spark, sf_dir, tmp_path):
     assert len(first["embedding"]) == 8
 
 
+def test_cli_semdedup(spark, sf_dir, tmp_path):
+    """The semdedup standalone stage: verdict parquet with the
+    minhash-shaped (id, component, is_canonical) schema, summary JSON
+    whose counts tie out against the written table."""
+    docs = f"{sf_dir}/documents.parquet"
+    out = _cli(
+        "semdedup",
+        "--input", docs,
+        "--output", str(tmp_path / "sem"),
+        "--centroids", "4",
+        "--threshold", "0.9",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    sm = json.loads(out.stdout.strip().splitlines()[-1])
+    res = spark.read.parquet(str(tmp_path / "sem"))
+    assert set(res.columns) == {"doc_id", "component", "is_canonical"}
+    assert res.count() == sm["rows"] > 0
+    assert sm["canonical"] + sm["semantic_dups_dropped"] == sm["rows"]
+    assert sm["canonical"] == res.filter("is_canonical").count()
+
+
 def test_cli_run_classifier_config(spark, sf_dir, tmp_path):
     """--classifier runs the extended config plus the trained-model
     gate end-to-end; drop count strictly exceeds the extended run's

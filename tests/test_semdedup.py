@@ -94,6 +94,37 @@ def test_single_cluster_equals_allpairs_baseline(spark):
     assert got == want and len(got) > 0
 
 
+def test_static_dot_expansion_bit_identical(spark):
+    """The dim-expanded codegen dot product (the hot-loop fast path)
+    must produce the identical round-9 pair set as the zip_with/
+    aggregate HOF — both sum left-to-right in doubles, so this pins
+    the bit-identical claim in semantic_pairs' docstring."""
+    from zeus_data_quality_spark.functions.embed import DIM
+    from zeus_data_quality_spark.operators.ivf import train_centroids
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = bulk_text_embeddings(docs, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    nonzero = emb.filter(F.exists("embedding", lambda v: v != 0))
+    cents = train_centroids(
+        nonzero, "embedding", "doc_id", n_centroids=4, init_mode="md5"
+    )
+    hof = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in semantic_pairs(
+            nonzero, "doc_id", "embedding", cents, threshold=0.8
+        ).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in semantic_pairs(
+            nonzero, "doc_id", "embedding", cents, threshold=0.8, dim=DIM
+        ).collect()
+    }
+    assert hof == fast and len(fast) > 0
+
+
 def test_minhash_vs_semantic_complementarity(spark):
     """The fixture the r4 verdict asked for: a word-order paraphrase
     pair shares almost no word-3-gram shingles (MinHash Jaccard ~0 →

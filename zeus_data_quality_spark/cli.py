@@ -230,6 +230,36 @@ def cmd_tokenize(args) -> int:
     return 0
 
 
+def cmd_semdedup(args) -> int:
+    """SemDeDup semantic near-dup verdict as a standalone stage:
+    (id, component, is_canonical) to parquet, summary JSON to stdout.
+    --centroids is THE scale knob — the published algorithm's pair
+    search is O(Σ cluster_size²), so size it to cap expected cluster
+    size (SemDeDup used 50k clusters at 1.3e9 docs); --hash xxhash64
+    is the production embedding/init mode, md5 the oracle-replayable
+    one."""
+    from .operators.semdedup import semantic_dedup
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    out = semantic_dedup(
+        df, args.id_col, args.text_col,
+        n_centroids=args.centroids, n_iters=args.iters,
+        threshold=args.threshold, hash_fn=args.hash,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    res = spark.read.parquet(args.output)
+    agg = res.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("is_canonical").cast("long")).alias("canonical"),
+        F.sum((~F.col("is_canonical")).cast("long")).alias(
+            "semantic_dups_dropped"
+        ),
+    ).first()
+    print(json.dumps({k: int(agg[k] or 0) for k in agg.asDict()}))
+    return 0
+
+
 def cmd_train_classifier(args) -> int:
     """Train the in-engine quality classifier and print the weight
     vector (JSON) — optionally write per-row scores. --train-sample F
@@ -482,6 +512,22 @@ def main(argv: list[str] | None = None) -> int:
         "sequential BPE)",
     )
     tk.set_defaults(fn=cmd_tokenize)
+
+    sm = sub.add_parser(
+        "semdedup", help="semantic (embedding-cluster) dedup verdicts"
+    )
+    sm.add_argument("--input", required=True)
+    sm.add_argument("--output", required=True)
+    sm.add_argument("--id-col", default="doc_id")
+    sm.add_argument("--text-col", default="text")
+    sm.add_argument("--centroids", type=int, default=64,
+                    help="k-means clusters — caps expected cluster "
+                    "size; the O(sum cluster^2) pair-search knob")
+    sm.add_argument("--iters", type=int, default=3)
+    sm.add_argument("--threshold", type=float, default=0.95)
+    sm.add_argument("--hash", choices=["md5", "xxhash64"],
+                    default="xxhash64")
+    sm.set_defaults(fn=cmd_semdedup)
 
     tc = sub.add_parser(
         "train-classifier",
