@@ -183,8 +183,17 @@ def ivf_topk(
     cosine with id tie-breaks — identical ranking semantics to
     brute_force_topk, restricted to the probed lists.
     """
-    indexed = ivf_index(df, centroids, id_col, vec_col).filter(
-        F.col("cluster").isNotNull()
+    # Drop zero vectors by filtering the INPUT (cluster IS NULL ⇔ the
+    # vector is all-zero): a filter on the computed cluster column gets
+    # pushed below the projection with the whole argmax expression —
+    # and the unit-vector transform — substituted into the predicate,
+    # re-evaluating the 64-dot assignment per row in interpreted mode
+    # (semdedup.semantic_pairs docstring has the measurements).
+    indexed = ivf_index(
+        df.filter(F.exists(vec_col, lambda v: v != 0)),
+        centroids,
+        id_col,
+        vec_col,
     )
     dots = F.array(
         *[_dot(F.col("__qu"), c) for c in _centroid_lits(centroids)]

@@ -81,19 +81,37 @@ def semantic_pairs(
     per-row norms are hoisted out of the join — ``similarity.cosine``
     would recompute both norms per PAIR — and with ``dim`` given the
     dot product is statically expanded into ``dim`` codegen'd
-    products instead of an interpreted zip_with/aggregate HOF
-    (measured 146 s → 9 s on a 50k-doc 64-cluster run). Both forms
-    sum left-to-right in doubles, so the value — and the round-9
-    protocol the oracle replays — is bit-identical."""
+    products instead of an interpreted zip_with/aggregate HOF. Both
+    forms sum left-to-right in doubles, so the value — and the round-9
+    protocol the oracle replays — is bit-identical.
+
+    Zero vectors are dropped by filtering the INPUT (one cheap
+    ``exists`` per row), never by ``filter(cluster.isNotNull())`` on
+    the computed column: predicate pushdown substitutes the alias into
+    the pushed filter, so a cluster-column filter re-evaluates the
+    whole per-row argmax assignment — with the unit-vector transform
+    and its norms inlined into EVERY dot — once more per row in
+    interpreted mode. ``cluster IS NULL ⇔ the vector is all-zero``,
+    so the input filter is semantically identical.
+
+    The (cluster, id, vec, norm) side is MATERIALIZED before the
+    self-join (the repo's projection-collapse discipline,
+    ``embed.py`` ann_from_text): left lazy, the optimizer's
+    alias substitution drags the interpreted norm/assignment HOFs
+    into per-PAIR evaluation — measured 79.4 s for the lazy plan vs
+    2.6 s (materialize) + 3.7 s (join) on a 50k-doc 64-cluster run.
+    At corpus scale the same move is ``ivf.write_ivf_index`` — write
+    the assignment once, partitioned by cluster."""
+    nonzero = emb.filter(F.exists(vec_col, lambda v: v != 0))
     indexed = (
-        ivf_index(emb, centroids, id_col, vec_col)
-        .filter(F.col("cluster").isNotNull())
+        ivf_index(nonzero, centroids, id_col, vec_col)
         .select(
             "cluster",
             F.col(id_col).alias("__id"),
             F.col(vec_col).alias("__v"),
             _norm(F.col(vec_col)).alias("__n"),
         )
+        .localCheckpoint(eager=True)
     )
     a = indexed.select(
         "cluster", F.col("__id").alias("id_a"),
