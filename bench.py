@@ -147,6 +147,7 @@ HEADLINE = [
     "semantic_dedup",
     "sequence_packing_bpe",
     "ann_ivf_from_text",
+    "dsir_select",
 ]
 
 

@@ -1,0 +1,130 @@
+"""DSIR importance resampling: λ math on a hand-checked corpus, the
+target-likeness property (target-looking docs outscore off-target
+docs), hash-mode twins, degenerate inputs, and top-k determinism."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.functions.dsir import (
+    bucket_counts,
+    dsir_log_weights,
+    dsir_select,
+    gram_buckets,
+)
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_gram_bag_unigrams_plus_bigrams(spark):
+    """'a b c' → bag {a, b, c, 'a b', 'b c'} (5 grams); single token →
+    1 gram; NULL/blank → 0 grams."""
+    df = _df(spark, ["a b c", "solo", None, "  ", "x y"])
+    sizes = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", F.size(gram_buckets(F.col("text"))).alias("n")
+        ).collect()
+    }
+    assert sizes == {0: 5, 1: 1, 2: 0, 3: 0, 4: 3}
+
+
+def test_log_weight_hand_computed(spark):
+    """One-bucket-per-gram corpus small enough to replay by hand.
+    With n_buckets large enough that the few grams land in distinct
+    buckets (checked), λ[b] = ln(ct+1) − ln(Tt+B) − ln(cr+1) +
+    ln(Tr+B) and logw = Σ c_b λ_b — verify a doc's score exactly."""
+    raw = _df(spark, ["aaa bbb", "ccc ddd"])
+    target = _df(spark, ["aaa bbb"])
+    B = 1024
+    # distinct-bucket precondition
+    rb = raw.select(
+        F.explode(gram_buckets(F.col("text"), B)).alias("b")
+    ).collect()
+    buckets = [r["b"] for r in rb]
+    assert len(set(buckets)) == len(set(["aaa", "bbb", "ccc", "ddd",
+                                         "aaa bbb", "ccc ddd"]))
+    got = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_log_weights(
+            raw, target, "doc_id", "text", n_buckets=B
+        ).collect()
+    }
+    tt, rt = 3 + B, 6 + B  # target grams + B, raw grams + B
+    lam_hit = math.log(2) - math.log(tt) - math.log(2) + math.log(rt)
+    lam_miss = math.log(1) - math.log(tt) - math.log(2) + math.log(rt)
+    assert got[0] == round(3 * lam_hit, 6)
+    assert got[1] == round(3 * lam_miss, 6)
+    assert got[0] > got[1]
+
+
+def test_target_likeness_orders_scores(spark):
+    """The paper's point: raw docs sharing the target's vocabulary
+    outscore raw docs that don't, even when neither is IN the
+    target."""
+    target_vocab = [
+        "the theorem follows from the lemma by induction on n",
+        "we prove the bound by a counting argument on the lemma",
+        "the induction hypothesis gives the theorem for n minus one",
+    ]
+    mathy = "a lemma and a theorem joined by induction"
+    webby = "click here for amazing deals buy now limited offer"
+    raw = _df(spark, [mathy, webby])
+    target = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(target_vocab)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_log_weights(raw, target, "doc_id", "text").collect()
+    }
+    assert got[0] > got[1]
+
+
+def test_hash_modes_and_bucket_range(spark):
+    """Both hash modes bucket every gram into [0, B); the two modes
+    are different (equally valid) projections."""
+    df = _df(spark, ["alpha beta gamma delta epsilon"])
+    for mode in ("md5", "xxhash64"):
+        rows = df.select(
+            F.explode(gram_buckets(F.col("text"), 32, mode)).alias("b")
+        ).collect()
+        assert rows and all(0 <= r["b"] < 32 for r in rows)
+    cnt_md5 = {
+        (r["bucket"], r["cnt"])
+        for r in bucket_counts(df, "text", 32, "md5").collect()
+    }
+    cnt_xx = {
+        (r["bucket"], r["cnt"])
+        for r in bucket_counts(df, "text", 32, "xxhash64").collect()
+    }
+    assert sum(c for _, c in cnt_md5) == sum(c for _, c in cnt_xx) == 9
+
+
+def test_select_top_k_total_and_deterministic(spark):
+    """Every raw doc gets a verdict row, exactly k are selected, and
+    two runs pick the identical sample (hash-Gumbel, no RNG state).
+    Empty-text docs score logw = 0."""
+    texts = [f"token{i} filler common words here" for i in range(20)]
+    texts += [None, ""]
+    raw = _df(spark, texts)
+    target = raw.filter(F.col("doc_id") < 5)
+    a = dsir_select(raw, target, "doc_id", "text", k=7, n_buckets=64)
+    b = dsir_select(raw, target, "doc_id", "text", k=7, n_buckets=64)
+    rows_a = sorted(
+        (r["doc_id"], r["logw"], r["selected"]) for r in a.collect()
+    )
+    rows_b = sorted(
+        (r["doc_id"], r["logw"], r["selected"]) for r in b.collect()
+    )
+    assert rows_a == rows_b
+    assert len(rows_a) == 22
+    assert sum(1 for r in rows_a if r[2]) == 7
+    null_logw = {r[0]: r[1] for r in rows_a}
+    assert null_logw[20] == 0.0 and null_logw[21] == 0.0

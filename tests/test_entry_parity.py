@@ -124,6 +124,11 @@ TAIL_TWINS = {
                                 # media_audio_frames + media_video_frames
     "ann_from_text",            # family keeps text_embeddings +
                                 # ann_ivf_from_text (same oracle)
+    # r5b rotation: evicted so dsir_select (a new operator family) gets
+    # a driver row. Same fused-counts emitter as the in-window
+    # rule_failure_counts; the extended config's verdict surface stays
+    # in-window via keep_drop_labels_ext (identical check set).
+    "rule_failure_counts_ext",
 }
 
 # Derivative composites past the window: full value oracles (parity
@@ -182,6 +187,8 @@ def test_driver_window_covers_every_operator_family():
         "substring_dedup": {"substring_dedup"},
         # r5: semantic (embedding-cluster) dedup — SemDeDup composition
         "semantic_dedup": {"semantic_dedup"},
+        # r5b: DSIR importance-resampling data selection
+        "dsir": {"dsir_select"},
     }
     for fam, members in families.items():
         assert members & in_window, f"family {fam} has no driver-window row"
@@ -198,7 +205,7 @@ def test_driver_window_covers_every_operator_family():
     # r5 promotions: both former TAIL_OVERFLOW composites and the new
     # semantic_dedup row must be driver-adjudicated (r4 verdict 2+3)
     assert {"sequence_packing_bpe", "ann_ivf_from_text",
-            "semantic_dedup"} <= in_window
+            "semantic_dedup", "dsir_select"} <= in_window
     # nothing novel hides in the tail
     assert out_window <= TAIL_TWINS | TAIL_OVERFLOW, (
         out_window - TAIL_TWINS - TAIL_OVERFLOW

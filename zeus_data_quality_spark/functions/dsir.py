@@ -1,0 +1,311 @@
+"""DSIR — Data Selection via Importance Resampling.
+
+Selects raw-corpus documents whose hashed-n-gram distribution looks
+like a TARGET corpus (Xie et al. 2023, "Data Selection for Language
+Models via Importance Resampling"): fit two bag-of-hashed-n-grams
+bucket distributions — target p and raw q, add-one smoothed — score
+every raw document with the importance log-weight
+
+    log w(x) = Σ_b c_b(x) · (ln p[b] − ln q[b])
+
+(c_b(x) = the document's count in bucket b), then resample with
+Gumbel top-k: the classic trick that sampling-without-replacement
+∝ w(x) is exactly "take the k largest log w(x) + g_x" for standard
+Gumbel noise g_x. Here the noise is DERIVED FROM md5(salt‖id) — no
+RNG state, every engine draws the identical sample (the repo's
+reproducible-sampling discipline, ``functions/sampling.py``).
+
+Feature space is the paper's: lowercase whitespace unigrams +
+bigrams, hashed into ``n_buckets`` buckets. Tokenization is the
+engine-portable ``textstats.TOKEN_SPLIT``; hashing is the standard
+dual mode — "md5" (first-4-hex bucket, replayable in any SQL engine;
+``duckdb_dsir_sql`` below is the oracle twin) or "xxhash64"
+(production: one codegen'd 64-bit hash per gram).
+
+Scale shape (100 TB): two corpus scans (one per distribution), each a
+map-side-combined count into ≤ n_buckets rows; the per-document score
+is explode → broadcast join against the n_buckets-row λ table → one
+(id, bucket)-keyed partial sum; selection is a distributed
+TakeOrdered top-k (never a single-partition window). The only driver
+state is the two scalar gram totals and the n_buckets λ rows. In the
+paper n_buckets = 10k; the bucket table stays broadcast-size at any
+corpus scale.
+
+Float protocol: per-doc log-weights round to 6 dp (the perplexity/LM
+precedent — partial-sum order differs between engines at ~1e-15
+rel); the selection key rounds again after the Gumbel add, ties break
+on id, so the chosen sample is engine-identical.
+
+The reference has no data-selection operator (SURVEY.md §2.8 —
+training-pipeline extension family, same tier as dedup/decontam).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import _hex_to_int, _sql_hex_to_int
+from .textstats import TOKEN_SPLIT
+
+DEFAULT_BUCKETS = 256
+SALT = "dsir"
+GUMBEL_SALT = "gumbel"
+_U_DENOM = 16 ** 4 + 1  # 4-hex uniform → u ∈ (0, 1) exclusive
+
+
+def _word_grams(text: Column) -> Column:
+    """array<string>: lowercase whitespace unigrams + ``"a b"``
+    bigrams; NULL/blank text → empty array."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(text)), TOKEN_SPLIT), lambda x: x != ""
+    )
+    toks = F.when(text.isNotNull(), toks).otherwise(
+        F.array().cast("array<string>")
+    )
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, F.lit(1), F.size(toks) - 1),
+            F.slice(toks, F.lit(2), F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def gram_buckets(
+    text: Column, n_buckets: int = DEFAULT_BUCKETS, hash_fn: str = "md5"
+) -> Column:
+    """array<int> of hashed-gram bucket ids (one per gram, with
+    multiplicity — the bag, not the set)."""
+    grams = _word_grams(text)
+    if hash_fn == "xxhash64":
+        return F.transform(
+            grams,
+            lambda g: F.pmod(
+                F.xxhash64(F.lit(SALT), g), F.lit(n_buckets)
+            ).cast("int"),
+        )
+    return F.transform(
+        grams,
+        lambda g: (
+            _hex_to_int(
+                F.substring(F.md5(F.concat(F.lit(SALT + ":"), g)), 1, 4)
+            )
+            % n_buckets
+        ).cast("int"),
+    )
+
+
+def bucket_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(bucket, cnt) — the corpus's hashed-gram distribution. One
+    scan; map-side partial aggregation collapses each task to
+    ≤ n_buckets rows before the shuffle."""
+    return (
+        df.select(
+            F.explode(gram_buckets(F.col(text_col), n_buckets, hash_fn)).alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(id, logw) for every raw document.
+
+    λ[b] = ln(ct[b]+1) − ln(Tt+B) − (ln(cr[b]+1) − ln(Tr+B)) with
+    target counts ct (total Tt), raw counts cr (total Tr), B buckets
+    (add-one smoothing over the bucket space, per the paper);
+    logw(x) = round(Σ_b c_b(x)·λ[b], 6). Documents with no grams get
+    logw = 0 (empty product). The λ table is n_buckets rows —
+    broadcast to the scoring join; the two totals are the only values
+    that touch the driver."""
+    spark = raw.sparkSession
+    tc = bucket_counts(target, text_col, n_buckets, hash_fn)
+    rc = bucket_counts(raw, text_col, n_buckets, hash_fn)
+    t_total = (tc.agg(F.sum("cnt")).first()[0] or 0) + n_buckets
+    r_total = (rc.agg(F.sum("cnt")).first()[0] or 0) + n_buckets
+    spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    lam = (
+        spine.join(tc.withColumnRenamed("cnt", "__ct"), "bucket", "left")
+        .join(rc.withColumnRenamed("cnt", "__cr"), "bucket", "left")
+        .select(
+            "bucket",
+            (
+                F.log(F.coalesce(F.col("__ct"), F.lit(0)) + 1)
+                - F.log(F.lit(float(t_total)))
+                - F.log(F.coalesce(F.col("__cr"), F.lit(0)) + 1)
+                + F.log(F.lit(float(r_total)))
+            ).alias("lam"),
+        )
+    )
+    doc_buckets = (
+        raw.select(
+            F.col(id_col).alias("id"),
+            F.explode(gram_buckets(F.col(text_col), n_buckets, hash_fn)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = (
+        doc_buckets.join(F.broadcast(lam), "bucket")
+        .groupBy("id")
+        .agg(F.round(F.sum(F.col("c") * F.col("lam")), 6).alias("logw"))
+    )
+    return (
+        raw.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw"),
+        )
+    )
+
+
+def _gumbel(id_col: Column, salt: str) -> Column:
+    """Deterministic standard-Gumbel draw from md5(salt‖id):
+    u = (hex4+1)/65537 ∈ (0,1), g = −ln(−ln u). Identical doubles in
+    every engine (the division and the hex decode are exact; ln is
+    within 1 ulp, absorbed by the round-6 key protocol)."""
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), id_col.cast("string"))), 1, 4
+    )
+    u = (_hex_to_int(h) + 1) / F.lit(float(_U_DENOM))
+    return -F.log(-F.log(u))
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 100,
+    n_buckets: int = DEFAULT_BUCKETS,
+    hash_fn: str = "md5",
+    salt: str = GUMBEL_SALT,
+) -> DataFrame:
+    """(id, logw, selected) — Gumbel top-k importance resampling.
+
+    key = round(logw + gumbel(id), 6); the k largest keys (ties →
+    smaller id) are selected. The top-k is a distributed
+    ``orderBy(...).limit(k)`` (TakeOrdered — each partition offers
+    its local top k, the driver merges k·partitions candidate rows),
+    NEVER a single-partition global window; the verdict join back is
+    a broadcast of k ids."""
+    scored = dsir_log_weights(
+        raw, target, id_col, text_col, n_buckets, hash_fn
+    ).withColumn(
+        "__key", F.round(F.col("logw") + _gumbel(F.col(id_col), salt), 6)
+    )
+    top = (
+        scored.orderBy(F.col("__key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(F.col(id_col).alias("__sel_id"))
+    )
+    return (
+        scored.join(
+            F.broadcast(top), scored[id_col] == top["__sel_id"], "left"
+        )
+        .select(
+            id_col,
+            "logw",
+            F.col("__sel_id").isNotNull().alias("selected"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twin
+# ---------------------------------------------------------------------------
+
+
+def duckdb_dsir_sql(
+    raw_from: str,
+    target_where: str,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 100,
+    n_buckets: int = DEFAULT_BUCKETS,
+    salt: str = GUMBEL_SALT,
+) -> str:
+    """Full replay of :func:`dsir_select` (md5 mode) over a raw table
+    with ``target = raw WHERE target_where``: grams, buckets, both
+    smoothed distributions, λ, per-doc log-weights, Gumbel keys, and
+    the top-k verdict."""
+    toks = (
+        f"list_filter(regexp_split_to_array(lower(trim({text_col})), "
+        f"'{TOKEN_SPLIT}'), x -> x <> '')"
+    )
+    gram_hex = f"substr(md5('{SALT}:' || g), 1, 4)"
+    bucket = f"({_sql_hex_to_int(gram_hex)} % {n_buckets})"
+    gum_hex = f"substr(md5('{salt}:' || CAST(id AS VARCHAR)), 1, 4)"
+    gumbel = f"-ln(-ln(({_sql_hex_to_int(gum_hex)} + 1) / {float(_U_DENOM)}))"
+    return f"""
+WITH dsir_tok AS (
+    SELECT {id_col} AS id, ({target_where}) AS is_target,
+           CASE WHEN {text_col} IS NOT NULL THEN {toks}
+                ELSE CAST([] AS VARCHAR[]) END AS t
+    FROM {raw_from}
+),
+dsir_gram AS (
+    SELECT id, is_target, unnest(
+        t || CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i + 1])
+                  ELSE CAST([] AS VARCHAR[]) END) AS g
+    FROM dsir_tok
+),
+dsir_b AS (SELECT id, is_target, {bucket} AS bucket FROM dsir_gram),
+dsir_tc AS (SELECT bucket, COUNT(*) AS ct FROM dsir_b WHERE is_target GROUP BY bucket),
+dsir_rc AS (SELECT bucket, COUNT(*) AS cr FROM dsir_b GROUP BY bucket),
+dsir_tot AS (
+    SELECT (SELECT COALESCE(SUM(ct), 0) FROM dsir_tc) + {n_buckets} AS tt,
+           (SELECT COALESCE(SUM(cr), 0) FROM dsir_rc) + {n_buckets} AS rt
+),
+dsir_lam AS (
+    SELECT s.bucket,
+           ln(COALESCE(t.ct, 0) + 1) - ln(CAST(tot.tt AS DOUBLE))
+           - ln(COALESCE(r.cr, 0) + 1) + ln(CAST(tot.rt AS DOUBLE)) AS lam
+    FROM (SELECT unnest(range(0, {n_buckets})) AS bucket) s
+    CROSS JOIN dsir_tot tot
+    LEFT JOIN dsir_tc t ON t.bucket = s.bucket
+    LEFT JOIN dsir_rc r ON r.bucket = s.bucket
+),
+dsir_docb AS (
+    SELECT id, bucket, COUNT(*) AS c FROM dsir_b GROUP BY id, bucket
+),
+dsir_w AS (
+    SELECT d.id, round(SUM(d.c * l.lam), 6) AS logw
+    FROM dsir_docb d JOIN dsir_lam l ON l.bucket = d.bucket
+    GROUP BY d.id
+),
+dsir_scored AS (
+    SELECT id, logw, round(logw + {gumbel}, 6) AS key FROM (
+        SELECT k.id AS id, COALESCE(w.logw, 0.0) AS logw
+        FROM dsir_tok k LEFT JOIN dsir_w w ON w.id = k.id
+    )
+),
+dsir_rank AS (
+    SELECT id, logw,
+           ROW_NUMBER() OVER (ORDER BY key DESC, id ASC) AS rn
+    FROM dsir_scored
+)
+SELECT id AS {id_col}, logw, rn <= {k} AS selected FROM dsir_rank
+"""

@@ -88,23 +88,44 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _duckdb_stat_exprs(text_col: str = "text") -> dict[str, str]:
+    """The per-column DuckDB expressions shared by the stats oracle
+    and :func:`duckdb_is_quality_expr`."""
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return {
+        "ntok": (
+            f"CASE WHEN length(trim({text_col})) = 0 THEN 0 "
+            f"ELSE len(regexp_split_to_array(trim({text_col}), '{TOKEN_SPLIT}')) END"
+        ),
+        "nsw": (
+            f"CASE WHEN length(trim({text_col})) = 0 THEN 0 "
+            f"ELSE len(list_filter(regexp_split_to_array(lower(trim({text_col})), "
+            f"'{TOKEN_SPLIT}'), x -> x IN ({sw}))) END"
+        ),
+        "npunct": (
+            f"length({text_col}) - "
+            f"length(regexp_replace({text_col}, '{PUNCT_CLASS}', '', 'g'))"
+        ),
+        "nbpe": f"len(regexp_extract_all({text_col}, '{BPE_TOKEN_PATTERN}'))",
+    }
+
+
+def duckdb_is_quality_expr(text_col: str = "text") -> str:
+    """The ``is_quality`` boolean of :func:`with_text_stats` as one
+    DuckDB expression — reused by oracles that FILTER on quality
+    (e.g. DSIR's target subset) rather than reporting the stats."""
+    e = _duckdb_stat_exprs(text_col)
+    return (
+        f"({e['ntok']} >= {MIN_TOKENS} AND {e['ntok']} <= {MAX_TOKENS}"
+        f" AND {e['npunct']} * 10 <= length({text_col})"
+        f" AND {e['nsw']} * 2 <= {e['ntok']})"
+    )
+
+
 def duckdb_text_stats_sql(table: str, id_col: str, text_col: str = "text") -> str:
     """The same stats as DuckDB SQL for the correctness oracle."""
-    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
-    ntok = (
-        f"CASE WHEN length(trim({text_col})) = 0 THEN 0 "
-        f"ELSE len(regexp_split_to_array(trim({text_col}), '{TOKEN_SPLIT}')) END"
-    )
-    nsw = (
-        f"CASE WHEN length(trim({text_col})) = 0 THEN 0 "
-        f"ELSE len(list_filter(regexp_split_to_array(lower(trim({text_col})), "
-        f"'{TOKEN_SPLIT}'), x -> x IN ({sw}))) END"
-    )
-    npunct = (
-        f"length({text_col}) - "
-        f"length(regexp_replace({text_col}, '{PUNCT_CLASS}', '', 'g'))"
-    )
-    nbpe = f"len(regexp_extract_all({text_col}, '{BPE_TOKEN_PATTERN}'))"
+    e = _duckdb_stat_exprs(text_col)
+    ntok, nsw, npunct, nbpe = e["ntok"], e["nsw"], e["npunct"], e["nbpe"]
     return f"""
 SELECT {id_col},
        CAST(length({text_col}) AS BIGINT) AS n_chars,

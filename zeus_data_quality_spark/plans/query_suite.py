@@ -735,6 +735,44 @@ FROM stats s JOIN canon c USING (doc_id)
 """
 
 
+DSIR_K, DSIR_BUCKETS = 100, 256
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (functions/dsir.py; Xie et al.
+    2023): resample raw documents toward the hashed-n-gram
+    distribution of the quality subset (target = rows passing the
+    ``with_text_stats`` quality gate — the same predicate
+    `document_quality_filter` applies). Output: every raw doc's
+    round-6 importance log-weight plus the deterministic
+    Gumbel-top-k selection verdict. The oracle replays grams,
+    buckets, both smoothed distributions, λ, scores, the md5-Gumbel
+    noise, and the top-k rank in one SQL statement."""
+    from ..functions import dsir
+
+    docs = _read(spark, sf_dir, "documents")
+    target = (
+        textstats.with_text_stats(docs, "text")
+        .filter("is_quality")
+        .select("doc_id", "text")
+    )
+    return dsir.dsir_select(
+        docs, target, "doc_id", "text", k=DSIR_K, n_buckets=DSIR_BUCKETS
+    )
+
+
+def _oracle_dsir_select() -> str:
+    from ..functions import dsir
+
+    return dsir.duckdb_dsir_sql(
+        "documents",
+        textstats.duckdb_is_quality_expr("text"),
+        "doc_id",
+        k=DSIR_K,
+        n_buckets=DSIR_BUCKETS,
+    )
+
+
 DRIFT_BINS, DRIFT_LO, DRIFT_HI = 10, 0.0, 400.0
 DRIFT_WINDOW_DAYS, DRIFT_THRESHOLD = 7, 0.2
 
@@ -1995,12 +2033,16 @@ def queries():
     `media_resize_checksums` (family keeps the other three media
     rows), `ann_from_text` (family keeps `text_embeddings` +
     `ann_ivf_from_text` — the same brute-force-from-text oracle).
+    Round 5b added `dsir_select` (DSIR importance resampling — a new
+    operator family) and evicted `rule_failure_counts_ext` (same
+    fused-counts emitter as the in-window `rule_failure_counts`;
+    the extended config's verdict surface stays in-window via
+    `keep_drop_labels_ext` with the identical check set).
     Tail rows still run against their full oracles in
     tests/test_entry_parity.py, which also asserts every family stays
     in-window and nothing novel hides in the tail."""
     return {
         "rule_failure_counts": q_rule_failure_counts,
-        "rule_failure_counts_ext": q_rule_failure_counts_ext,
         "keep_drop_labels_ext": q_keep_drop_labels_ext,
         "keep_drop_labels": q_keep_drop_labels,
         "scrubbed_text": q_scrubbed_text,
@@ -2049,7 +2091,9 @@ def queries():
         "quality_classifier": q_quality_classifier,
         "sequence_packing_bpe": q_sequence_packing_bpe,
         "ann_ivf_from_text": q_ann_ivf_from_text,
+        "dsir_select": q_dsir_select,
         # ---- tail: engine twins / derivative aggregates (see above) ----
+        "rule_failure_counts_ext": q_rule_failure_counts_ext,
         "tpch_q3": q_tpch_q3,
         "cube_events": q_cube_events,
         "rule_failure_counts_alt": q_rule_failure_counts_alt,
@@ -2164,6 +2208,7 @@ def oracle_sql():
         "ann_ivf_from_text": _oracle_ann_from_text(),
         "ann_from_text": _oracle_ann_from_text(),
         "sequence_packing_bpe": _oracle_sequence_packing_bpe(),
+        "dsir_select": _oracle_dsir_select(),
         "minhash_pairs": _oracle_minhash_pairs(),
         "minhash_dedup_labels": ORACLE_MINHASH_LABELS,
         "semantic_dedup": _oracle_semantic_dedup(),
