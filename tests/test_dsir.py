@@ -11,7 +11,9 @@ from pyspark.sql import functions as F
 from zeus_data_quality_spark.functions.dsir import (
     bucket_counts,
     dsir_log_weights,
+    dsir_score_col,
     dsir_select,
+    fit_dsir_lambda,
     gram_buckets,
 )
 
@@ -128,3 +130,99 @@ def test_select_top_k_total_and_deterministic(spark):
     assert sum(1 for r in rows_a if r[2]) == 7
     null_logw = {r[0]: r[1] for r in rows_a}
     assert null_logw[20] == 0.0 and null_logw[21] == 0.0
+
+
+def test_score_col_matches_relational_path(spark, sf_dir):
+    """The shuffle-free λ-array scorer (pure Project: array-literal
+    lookup folded over the gram bag) must produce the same round-6
+    log-weights as the relational explode→join→sum path the oracle
+    replays — on the organic sf corpus, both hash modes."""
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    target = raw.filter("doc_id % 3 = 0")
+    for mode in ("md5", "xxhash64"):
+        lam = fit_dsir_lambda(raw, target, "text", 64, mode)
+        assert len(lam) == 64
+        got = {
+            r["doc_id"]: r["logw"]
+            for r in raw.select(
+                "doc_id",
+                dsir_score_col(F.col("text"), lam, mode).alias("logw"),
+            ).collect()
+        }
+        want = {
+            r["doc_id"]: r["logw"]
+            for r in dsir_log_weights(
+                raw, target, "doc_id", "text", 64, mode
+            ).collect()
+        }
+        assert got == want, mode
+
+
+def test_streaming_dsir_gate_matches_batch(spark, sf_dir, tmp_path):
+    """Stream ≡ batch: the fitted-λ gate scores a readStream feed with
+    the identical round-6 log-weights and keep verdicts as one batch
+    pass (stateless Project — no watermark or state needed)."""
+    from zeus_data_quality_spark.streaming.dsir_gate import (
+        streaming_dsir_gate,
+    )
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    target = raw.filter("doc_id % 3 = 0")
+    lam = fit_dsir_lambda(raw, target, "text", 64)
+    batch = streaming_dsir_gate(raw, lam, "text", threshold=0.0)
+    want = {
+        r["doc_id"]: (r["dsir_logw"], r["dsir_keep"])
+        for r in batch.collect()
+    }
+    assert any(v[1] for v in want.values())
+    assert not all(v[1] for v in want.values())
+
+    src = str(tmp_path / "dsir_in")
+    raw.repartition(4).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        streaming_dsir_gate(stream, lam, "text", threshold=0.0)
+        .writeStream.format("memory")
+        .queryName("dsir_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["dsir_logw"], r["dsir_keep"])
+        for r in spark.sql("SELECT * FROM dsir_stream").collect()
+    }
+    assert got == want
+
+
+def test_cli_dsir_stage(spark, sf_dir, tmp_path):
+    """The standalone CLI stage writes verdict parquet and a summary
+    line; default target = the built-in quality gate, k selected."""
+    import json as _json
+
+    from zeus_data_quality_spark.cli import main
+
+    out = str(tmp_path / "dsir_out")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(
+            [
+                "--cpus", "4",
+                "dsir",
+                "--input", f"{sf_dir}/documents.parquet",
+                "--output", out,
+                "--k", "25",
+                "--buckets", "128",
+                "--hash", "xxhash64",
+            ]
+        )
+    assert rc == 0
+    summary = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["selected"] == 25
+    res = spark.read.parquet(out)
+    assert res.count() == summary["rows"] > 25
+    assert {f.name for f in res.schema} == {"doc_id", "logw", "selected"}

@@ -260,6 +260,59 @@ def cmd_semdedup(args) -> int:
     return 0
 
 
+def cmd_dsir(args) -> int:
+    """DSIR data selection as a standalone stage: fit the λ table on
+    raw-vs-target, write every raw doc's importance log-weight + the
+    deterministic Gumbel top-k verdict to parquet, summary JSON to
+    stdout. Target = --target parquet if given, else the rows of
+    --input passing --target-where (a Spark SQL predicate; default is
+    the built-in text-quality gate)."""
+    from .functions.dsir import dsir_select
+    from .functions.textstats import with_text_stats
+
+    spark = _spark(args)
+    raw = spark.read.parquet(args.input)
+    if args.target:
+        target = spark.read.parquet(args.target)
+    elif args.target_where:
+        target = raw.filter(args.target_where)
+    else:
+        target = (
+            with_text_stats(raw, args.text_col)
+            .filter("is_quality")
+            .select(args.id_col, args.text_col)
+        )
+    out = dsir_select(
+        raw, target, args.id_col, args.text_col,
+        k=args.k, n_buckets=args.buckets, hash_fn=args.hash,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    res = spark.read.parquet(args.output)
+    agg = res.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("selected").cast("long")).alias("selected"),
+        F.round(F.min(F.when(F.col("selected"), F.col("logw"))), 6).alias(
+            "min_selected_logw"
+        ),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "rows": int(agg["rows"] or 0),
+                "selected": int(agg["selected"] or 0),
+                "min_selected_logw": (
+                    float(agg["min_selected_logw"])
+                    if agg["min_selected_logw"] is not None
+                    else None
+                ),
+                "buckets": args.buckets,
+                "hash": args.hash,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_train_classifier(args) -> int:
     """Train the in-engine quality classifier and print the weight
     vector (JSON) — optionally write per-row scores. --train-sample F
@@ -558,6 +611,28 @@ def main(argv: list[str] | None = None) -> int:
     em.add_argument("--ngram", type=int, default=3)
     em.add_argument("--hash", choices=["md5", "xxhash64"], default="xxhash64")
     em.set_defaults(fn=cmd_embed)
+
+    ds = sub.add_parser(
+        "dsir", help="DSIR importance-resampling data selection"
+    )
+    ds.add_argument("--input", required=True)
+    ds.add_argument("--output", required=True)
+    ds.add_argument("--target", default=None,
+                    help="target-corpus parquet; default derives the "
+                    "target from --input via --target-where")
+    ds.add_argument("--target-where", default=None,
+                    help="SQL predicate over --input selecting the "
+                    "target subset (default: built-in quality gate)")
+    ds.add_argument("--id-col", default="doc_id")
+    ds.add_argument("--text-col", default="text")
+    ds.add_argument("--k", type=int, default=1000)
+    ds.add_argument("--buckets", type=int, default=10000,
+                    help="hashed-n-gram buckets (the paper uses 10k); "
+                    "the λ table stays broadcast-size at any corpus "
+                    "scale")
+    ds.add_argument("--hash", choices=["md5", "xxhash64"],
+                    default="xxhash64")
+    ds.set_defaults(fn=cmd_dsir)
 
     s = sub.add_parser("show-lineage", help="dump lineage rows as JSON lines")
     s.add_argument("--lineage", required=True)

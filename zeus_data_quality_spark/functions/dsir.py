@@ -118,6 +118,89 @@ def bucket_counts(
     )
 
 
+def _lambda_df(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(bucket, lam) — the fitted importance log-ratio table.
+
+    λ[b] = ln(ct[b]+1) − ln(Tt+B) − (ln(cr[b]+1) − ln(Tr+B)) with
+    target counts ct (total Tt), raw counts cr (total Tr), B buckets
+    (add-one smoothing over the bucket space, per the paper). Two
+    corpus scans (one per distribution), each map-side-combined to
+    ≤ n_buckets rows. The totals are derived IN-PLAN with a global
+    window over the joined bucket spine (vocab-bound: ≤ n_buckets
+    rows in one partition — never corpus rows), so one evaluation of
+    this frame costs exactly one scan per corpus; the earlier shape
+    (two driver ``first()`` totals + the λ computation) re-derived
+    each corpus scan three times."""
+    from pyspark.sql import Window
+
+    spark = raw.sparkSession
+    tc = bucket_counts(target, text_col, n_buckets, hash_fn)
+    rc = bucket_counts(raw, text_col, n_buckets, hash_fn)
+    spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    w = Window.partitionBy(F.lit(1))
+    ct = F.coalesce(F.col("__ct"), F.lit(0))
+    cr = F.coalesce(F.col("__cr"), F.lit(0))
+    return (
+        spine.join(tc.withColumnRenamed("cnt", "__ct"), "bucket", "left")
+        .join(rc.withColumnRenamed("cnt", "__cr"), "bucket", "left")
+        .select(
+            "bucket",
+            (
+                F.log(ct + 1)
+                - F.log((F.sum(ct).over(w) + n_buckets).cast("double"))
+                - F.log(cr + 1)
+                + F.log((F.sum(cr).over(w) + n_buckets).cast("double"))
+            ).alias("lam"),
+        )
+    )
+
+
+def fit_dsir_lambda(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    hash_fn: str = "md5",
+) -> list:
+    """Collect the fitted λ table as ``n_buckets`` doubles ordered by
+    bucket — the portable model artifact for :func:`dsir_score_col`
+    (per-row scoring with no shuffle) and the streaming gate. The
+    collect is vocab-bound (n_buckets rows — 10k in the paper),
+    never corpus-bound."""
+    rows = _lambda_df(raw, target, text_col, n_buckets, hash_fn).collect()
+    lam = [0.0] * n_buckets
+    for r in rows:
+        lam[r["bucket"]] = float(r["lam"])
+    return lam
+
+
+def dsir_score_col(
+    text: Column, lam_values: list, hash_fn: str = "md5"
+) -> Column:
+    """Per-row importance log-weight against a fitted λ array: a pure
+    Project (array literal lookup folded over the gram bag — no
+    explode, no shuffle, no UDF). This is the scale/streaming scoring
+    path; :func:`dsir_log_weights` keeps the relational
+    explode→join→sum twin the SQL oracle replays. Same round-6
+    protocol, so the two paths agree exactly (pytest-pinned)."""
+    arr = F.array(*[F.lit(float(v)) for v in lam_values])
+    buckets = gram_buckets(text, len(lam_values), hash_fn)
+    return F.round(
+        F.aggregate(
+            buckets,
+            F.lit(0.0),
+            lambda acc, b: acc + F.element_at(arr, b + F.lit(1)),
+        ),
+        6,
+    )
+
+
 def dsir_log_weights(
     raw: DataFrame,
     target: DataFrame,
@@ -126,34 +209,11 @@ def dsir_log_weights(
     n_buckets: int = DEFAULT_BUCKETS,
     hash_fn: str = "md5",
 ) -> DataFrame:
-    """(id, logw) for every raw document.
-
-    λ[b] = ln(ct[b]+1) − ln(Tt+B) − (ln(cr[b]+1) − ln(Tr+B)) with
-    target counts ct (total Tt), raw counts cr (total Tr), B buckets
-    (add-one smoothing over the bucket space, per the paper);
-    logw(x) = round(Σ_b c_b(x)·λ[b], 6). Documents with no grams get
-    logw = 0 (empty product). The λ table is n_buckets rows —
-    broadcast to the scoring join; the two totals are the only values
-    that touch the driver."""
-    spark = raw.sparkSession
-    tc = bucket_counts(target, text_col, n_buckets, hash_fn)
-    rc = bucket_counts(raw, text_col, n_buckets, hash_fn)
-    t_total = (tc.agg(F.sum("cnt")).first()[0] or 0) + n_buckets
-    r_total = (rc.agg(F.sum("cnt")).first()[0] or 0) + n_buckets
-    spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
-    lam = (
-        spine.join(tc.withColumnRenamed("cnt", "__ct"), "bucket", "left")
-        .join(rc.withColumnRenamed("cnt", "__cr"), "bucket", "left")
-        .select(
-            "bucket",
-            (
-                F.log(F.coalesce(F.col("__ct"), F.lit(0)) + 1)
-                - F.log(F.lit(float(t_total)))
-                - F.log(F.coalesce(F.col("__cr"), F.lit(0)) + 1)
-                + F.log(F.lit(float(r_total)))
-            ).alias("lam"),
-        )
-    )
+    """(id, logw) for every raw document:
+    logw(x) = round(Σ_b c_b(x)·λ[b], 6) over :func:`_lambda_df`'s
+    table (broadcast to the scoring join). Documents with no grams
+    get logw = 0 (empty product)."""
+    lam = _lambda_df(raw, target, text_col, n_buckets, hash_fn)
     doc_buckets = (
         raw.select(
             F.col(id_col).alias("id"),
@@ -200,6 +260,7 @@ def dsir_select(
     n_buckets: int = DEFAULT_BUCKETS,
     hash_fn: str = "md5",
     salt: str = GUMBEL_SALT,
+    scorer: str = "auto",
 ) -> DataFrame:
     """(id, logw, selected) — Gumbel top-k importance resampling.
 
@@ -208,10 +269,30 @@ def dsir_select(
     ``orderBy(...).limit(k)`` (TakeOrdered — each partition offers
     its local top k, the driver merges k·partitions candidate rows),
     NEVER a single-partition global window; the verdict join back is
-    a broadcast of k ids."""
-    scored = dsir_log_weights(
-        raw, target, id_col, text_col, n_buckets, hash_fn
-    ).withColumn(
+    a broadcast of k ids.
+
+    ``scorer``: "project" fits λ once (:func:`fit_dsir_lambda`) and
+    scores per-row with the shuffle-free array-literal fold — the
+    scored relation is one narrow scan, so the top-k branch and the
+    verdict branch re-derive it cheaply. "relational" scores via the
+    explode→broadcast-join→sum path (the shape the SQL oracle
+    replays; pytest pins the two equal under the round-6 protocol).
+    "auto" picks "project" up to 1024 buckets — past that the literal
+    λ array outgrows codegen method limits, while the broadcast join
+    is happy at the paper's 10k buckets."""
+    if scorer == "auto":
+        scorer = "project" if n_buckets <= 1024 else "relational"
+    if scorer == "project":
+        lam = fit_dsir_lambda(raw, target, text_col, n_buckets, hash_fn)
+        scored = raw.select(
+            F.col(id_col),
+            dsir_score_col(F.col(text_col), lam, hash_fn).alias("logw"),
+        )
+    else:
+        scored = dsir_log_weights(
+            raw, target, id_col, text_col, n_buckets, hash_fn
+        )
+    scored = scored.withColumn(
         "__key", F.round(F.col("logw") + _gumbel(F.col(id_col), salt), 6)
     )
     top = (

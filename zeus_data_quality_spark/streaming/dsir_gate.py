@@ -1,0 +1,43 @@
+"""Streaming DSIR gate — importance-weight scoring over readStream.
+
+DSIR's global Gumbel top-k needs the full corpus and stays batch
+(``functions/dsir.py::dsir_select``); the streaming recast is the
+standard production shape: FIT the λ table offline on a batch corpus
+(``fit_dsir_lambda`` — n_buckets doubles, a vocab-bound artifact),
+then score the live feed per-row with ``dsir_score_col`` — a pure
+stateless Project (array-literal lookup folded over the gram bag; no
+explode, no shuffle, no UDF), so it streams unchanged in append mode.
+The gate threshold replaces top-k: at 10^12 turns you calibrate the
+threshold to the acceptance rate you want (e.g. the batch sample's
+k-th score) and the stream keeps rows with logw ≥ threshold.
+
+Stream ≡ batch is pinned in tests/test_dsir.py (same λ, same rows,
+identical scores and verdicts per micro-batch as in one batch pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.dsir import dsir_score_col
+
+
+def streaming_dsir_gate(
+    stream: DataFrame,
+    lam_values: list,
+    text_col: str = "text",
+    threshold: float = 0.0,
+    hash_fn: str = "md5",
+    keep_only: bool = False,
+) -> DataFrame:
+    """Label (and optionally filter) a streaming DataFrame with the
+    DSIR importance log-weight against a fitted λ array.
+
+    Adds ``dsir_logw`` (round-6, identical to the batch scorer) and
+    ``dsir_keep`` (logw ≥ threshold); ``keep_only=True`` drops the
+    rejected rows instead of labeling them."""
+    out = stream.withColumn(
+        "dsir_logw", dsir_score_col(F.col(text_col), lam_values, hash_fn)
+    ).withColumn("dsir_keep", F.col("dsir_logw") >= F.lit(float(threshold)))
+    return out.filter("dsir_keep") if keep_only else out
