@@ -226,3 +226,45 @@ def test_cli_dsir_stage(spark, sf_dir, tmp_path):
     res = spark.read.parquet(out)
     assert res.count() == summary["rows"] > 25
     assert {f.name for f in res.schema} == {"doc_id", "logw", "selected"}
+
+
+def test_flagged_one_scan_fit_matches_two_frame_fit(spark, sf_dir):
+    """The one-scan flagged fit (target = boolean Column over raw)
+    must produce the identical λ table — and dsir_select the
+    identical verdicts — as the two-frame fit on the equivalent
+    filtered target. Counts are exact integers so equality is
+    bit-level, not tolerance."""
+    from zeus_data_quality_spark.functions.textstats import (
+        is_quality_col,
+        with_text_stats,
+    )
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    flag = is_quality_col(F.col("text"))
+    target = (
+        with_text_stats(raw, "text").filter("is_quality").select("doc_id", "text")
+    )
+    lam_two = fit_dsir_lambda(raw, target, "text", 64)
+    lam_one = fit_dsir_lambda(raw, None, "text", 64, target_flag=flag)
+    assert lam_one == lam_two
+
+    a = {
+        tuple(r)
+        for r in dsir_select(raw, target, "doc_id", "text", k=20, n_buckets=64).collect()
+    }
+    b = {
+        tuple(r)
+        for r in dsir_select(
+            raw, None, "doc_id", "text", k=20, n_buckets=64, target_flag=flag
+        ).collect()
+    }
+    assert a == b
+    # the relational scorer honors target_flag too (target=None)
+    c = {
+        tuple(r)
+        for r in dsir_select(
+            raw, None, "doc_id", "text", k=20, n_buckets=64,
+            target_flag=flag, scorer="relational",
+        ).collect()
+    }
+    assert c == a

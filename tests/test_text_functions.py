@@ -253,3 +253,40 @@ def test_jvm_model_engines_match_pandas(spark, sf_dir):
     )
     assert d.filter(~F.col("a").eqNullSafe(F.col("b"))).count() == 0
     assert d.filter(~F.col("pa").eqNullSafe(F.col("pb"))).count() == 0
+
+
+def test_is_quality_col_matches_with_text_stats(spark, sf_dir):
+    """The standalone bound-once quality predicate must equal
+    with_text_stats's is_quality column row-for-row — organic corpus
+    plus NULL/blank/short/stopword-heavy edge rows."""
+    from zeus_data_quality_spark.functions.textstats import is_quality_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    edge = spark.createDataFrame(
+        [
+            (1000001, None),
+            (1000002, ""),
+            (1000003, "   "),
+            (1000004, "one two"),
+            (1000005, "the of and to a in is it you that " * 3),
+            (1000006, "word " * 2000),
+            (1000007, "!!!! .... ;;;; %%%% ???"),
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(edge)
+    got = {
+        r["doc_id"]: r["q"]
+        for r in both.select(
+            "doc_id", is_quality_col(F.col("text")).alias("q")
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["is_quality"]
+        for r in with_text_stats(both, "text")
+        .select("doc_id", "is_quality")
+        .collect()
+    }
+    assert got == want

@@ -268,23 +268,21 @@ def cmd_dsir(args) -> int:
     --input passing --target-where (a Spark SQL predicate; default is
     the built-in text-quality gate)."""
     from .functions.dsir import dsir_select
-    from .functions.textstats import with_text_stats
+    from .functions.textstats import is_quality_col
 
     spark = _spark(args)
     raw = spark.read.parquet(args.input)
+    target, flag = None, None
     if args.target:
         target = spark.read.parquet(args.target)
     elif args.target_where:
-        target = raw.filter(args.target_where)
+        flag = F.expr(args.target_where)
     else:
-        target = (
-            with_text_stats(raw, args.text_col)
-            .filter("is_quality")
-            .select(args.id_col, args.text_col)
-        )
+        flag = is_quality_col(F.col(args.text_col))
     out = dsir_select(
         raw, target, args.id_col, args.text_col,
         k=args.k, n_buckets=args.buckets, hash_fn=args.hash,
+        target_flag=flag,
     )
     out.write.mode("overwrite").parquet(args.output)
     res = spark.read.parquet(args.output)

@@ -56,22 +56,34 @@ _U_DENOM = 16 ** 4 + 1  # 4-hex uniform → u ∈ (0, 1) exclusive
 
 def _word_grams(text: Column) -> Column:
     """array<string>: lowercase whitespace unigrams + ``"a b"``
-    bigrams; NULL/blank text → empty array."""
+    bigrams; NULL/blank text → empty array.
+
+    The token array is BOUND ONCE through a single-element
+    ``transform`` lambda before the bigram algebra touches it: HOF
+    expressions evaluate interpreted (no codegen subexpression
+    elimination), so naming ``toks`` via a lambda variable instead
+    of repeating the split+filter subtree six times cuts the gram
+    scan 2.3× cold / ~16% warm at sf0.1 (same trap class as the
+    SemDeDup alias-substitution fixes, BENCH/BASELINE.md round 5)."""
     toks = F.filter(
         F.split(F.lower(F.trim(text)), TOKEN_SPLIT), lambda x: x != ""
     )
     toks = F.when(text.isNotNull(), toks).otherwise(
         F.array().cast("array<string>")
     )
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.zip_with(
-            F.slice(toks, F.lit(1), F.size(toks) - 1),
-            F.slice(toks, F.lit(2), F.size(toks) - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.concat(toks, bigrams)
+
+    def grams_of(t: Column) -> Column:
+        bigrams = F.when(
+            F.size(t) >= 2,
+            F.zip_with(
+                F.slice(t, F.lit(1), F.size(t) - 1),
+                F.slice(t, F.lit(2), F.size(t) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(t, bigrams)
+
+    return F.element_at(F.transform(F.array(toks), grams_of), 1)
 
 
 def gram_buckets(
@@ -118,6 +130,32 @@ def bucket_counts(
     )
 
 
+def _lam_select(joined: DataFrame, n_buckets: int) -> DataFrame:
+    """(bucket, lam) from a spine-complete frame carrying nullable
+    ``__ct``/``__cr`` counts: λ[b] = ln(ct[b]+1) − ln(Tt+B) −
+    (ln(cr[b]+1) − ln(Tr+B)) — add-one smoothing over the bucket
+    space, per the paper. The totals are derived IN-PLAN with a
+    global window over the bucket spine (vocab-bound: ≤ n_buckets
+    rows in one partition — never corpus rows), so one evaluation
+    costs exactly one pass over the upstream counts; the earlier
+    shape (two driver ``first()`` totals + the λ computation)
+    re-derived each corpus scan three times."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(1))
+    ct = F.coalesce(F.col("__ct"), F.lit(0))
+    cr = F.coalesce(F.col("__cr"), F.lit(0))
+    return joined.select(
+        "bucket",
+        (
+            F.log(ct + 1)
+            - F.log((F.sum(ct).over(w) + n_buckets).cast("double"))
+            - F.log(cr + 1)
+            + F.log((F.sum(cr).over(w) + n_buckets).cast("double"))
+        ).alias("lam"),
+    )
+
+
 def _lambda_df(
     raw: DataFrame,
     target: DataFrame,
@@ -125,55 +163,87 @@ def _lambda_df(
     n_buckets: int = DEFAULT_BUCKETS,
     hash_fn: str = "md5",
 ) -> DataFrame:
-    """(bucket, lam) — the fitted importance log-ratio table.
-
-    λ[b] = ln(ct[b]+1) − ln(Tt+B) − (ln(cr[b]+1) − ln(Tr+B)) with
-    target counts ct (total Tt), raw counts cr (total Tr), B buckets
-    (add-one smoothing over the bucket space, per the paper). Two
-    corpus scans (one per distribution), each map-side-combined to
-    ≤ n_buckets rows. The totals are derived IN-PLAN with a global
-    window over the joined bucket spine (vocab-bound: ≤ n_buckets
-    rows in one partition — never corpus rows), so one evaluation of
-    this frame costs exactly one scan per corpus; the earlier shape
-    (two driver ``first()`` totals + the λ computation) re-derived
-    each corpus scan three times."""
-    from pyspark.sql import Window
-
+    """(bucket, lam) — the fitted importance log-ratio table from two
+    independent corpora: two scans (one per distribution), each
+    map-side-combined to ≤ n_buckets rows."""
     spark = raw.sparkSession
     tc = bucket_counts(target, text_col, n_buckets, hash_fn)
     rc = bucket_counts(raw, text_col, n_buckets, hash_fn)
     spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
-    w = Window.partitionBy(F.lit(1))
-    ct = F.coalesce(F.col("__ct"), F.lit(0))
-    cr = F.coalesce(F.col("__cr"), F.lit(0))
-    return (
-        spine.join(tc.withColumnRenamed("cnt", "__ct"), "bucket", "left")
-        .join(rc.withColumnRenamed("cnt", "__cr"), "bucket", "left")
-        .select(
-            "bucket",
-            (
-                F.log(ct + 1)
-                - F.log((F.sum(ct).over(w) + n_buckets).cast("double"))
-                - F.log(cr + 1)
-                + F.log((F.sum(cr).over(w) + n_buckets).cast("double"))
-            ).alias("lam"),
+    joined = spine.join(
+        tc.withColumnRenamed("cnt", "__ct"), "bucket", "left"
+    ).join(rc.withColumnRenamed("cnt", "__cr"), "bucket", "left")
+    return _lam_select(joined, n_buckets)
+
+
+def _lambda_df_flagged(
+    raw: DataFrame,
+    target_flag: Column,
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(bucket, lam) when the target is a FLAGGED SUBSET of raw
+    (``target_flag`` = a boolean Column over raw's rows — the common
+    production shape: "resample toward the rows passing the quality
+    gate"). Both distributions come out of ONE corpus scan: every
+    gram counts toward raw, grams of flagged rows also count toward
+    target (exactly the counts the two-frame fit produces on
+    ``raw.filter(target_flag)`` — pytest-pinned equal). Halves the
+    fit's scan cost and evaluates the flag predicate once per row
+    in-line instead of re-deriving the target frame."""
+    spark = raw.sparkSession
+    # Bind the flag in its own Project BELOW the explode: a select
+    # that mixes the flag with the generator compiles to
+    # Project-over-Generate, re-evaluating the (multi-split) flag
+    # predicate once per exploded GRAM instead of once per row —
+    # measured 45 s vs 4 s at sf0.1 (the SemDeDup trap class,
+    # BENCH/BASELINE.md round 5).
+    flagged = raw.select(
+        F.coalesce(target_flag.cast("boolean"), F.lit(False)).alias(
+            "__is_t"
+        ),
+        F.col(text_col),
+    )
+    counts = (
+        flagged.select(
+            "__is_t",
+            F.explode(
+                gram_buckets(F.col(text_col), n_buckets, hash_fn)
+            ).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("__cr"),
+            F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("__ct"),
         )
     )
+    spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    return _lam_select(spine.join(counts, "bucket", "left"), n_buckets)
 
 
 def fit_dsir_lambda(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     text_col: str = "text",
     n_buckets: int = DEFAULT_BUCKETS,
     hash_fn: str = "md5",
+    target_flag: Column | None = None,
 ) -> list:
     """Collect the fitted λ table as ``n_buckets`` doubles ordered by
     bucket — the portable model artifact for :func:`dsir_score_col`
     (per-row scoring with no shuffle) and the streaming gate. The
     collect is vocab-bound (n_buckets rows — 10k in the paper),
-    never corpus-bound."""
-    rows = _lambda_df(raw, target, text_col, n_buckets, hash_fn).collect()
+    never corpus-bound. Pass ``target_flag`` (a boolean Column over
+    raw) instead of ``target`` when the target is a subset of raw —
+    the fit then costs ONE corpus scan instead of two."""
+    if target_flag is not None:
+        lam_df = _lambda_df_flagged(
+            raw, target_flag, text_col, n_buckets, hash_fn
+        )
+    else:
+        lam_df = _lambda_df(raw, target, text_col, n_buckets, hash_fn)
+    rows = lam_df.collect()
     lam = [0.0] * n_buckets
     for r in rows:
         lam[r["bucket"]] = float(r["lam"])
@@ -253,7 +323,7 @@ def _gumbel(id_col: Column, salt: str) -> Column:
 
 def dsir_select(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     id_col: str,
     text_col: str = "text",
     k: int = 100,
@@ -261,6 +331,7 @@ def dsir_select(
     hash_fn: str = "md5",
     salt: str = GUMBEL_SALT,
     scorer: str = "auto",
+    target_flag: Column | None = None,
 ) -> DataFrame:
     """(id, logw, selected) — Gumbel top-k importance resampling.
 
@@ -279,16 +350,31 @@ def dsir_select(
     replays; pytest pins the two equal under the round-6 protocol).
     "auto" picks "project" up to 1024 buckets — past that the literal
     λ array outgrows codegen method limits, while the broadcast join
-    is happy at the paper's 10k buckets."""
+    is happy at the paper's 10k buckets.
+
+    ``target_flag``: a boolean Column over raw marking the target
+    subset — the fit collapses to ONE corpus scan
+    (:func:`_lambda_df_flagged`) instead of scanning raw and a
+    separately-derived target frame.
+
+    The project-path scored relation is localCheckpoint'ed so the
+    top-k branch and the verdict join read the (id, logw) rows once
+    instead of re-hashing every gram twice; at cluster scale the
+    equivalent durable move is writing the scored table to parquet
+    before selection (the ann_from_text precedent, embed.py)."""
     if scorer == "auto":
         scorer = "project" if n_buckets <= 1024 else "relational"
     if scorer == "project":
-        lam = fit_dsir_lambda(raw, target, text_col, n_buckets, hash_fn)
+        lam = fit_dsir_lambda(
+            raw, target, text_col, n_buckets, hash_fn, target_flag
+        )
         scored = raw.select(
             F.col(id_col),
             dsir_score_col(F.col(text_col), lam, hash_fn).alias("logw"),
-        )
+        ).localCheckpoint(eager=True)
     else:
+        if target is None:
+            target = raw.filter(target_flag).select(id_col, text_col)
         scored = dsir_log_weights(
             raw, target, id_col, text_col, n_buckets, hash_fn
         )

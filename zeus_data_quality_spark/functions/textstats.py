@@ -88,6 +88,38 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def is_quality_col(text: Column) -> Column:
+    """:func:`with_text_stats`'s ``is_quality`` boolean as one
+    standalone Column — for callers that need the gate as a per-row
+    predicate over the original frame (e.g. DSIR's one-scan flagged
+    fit) without materializing the stat columns.
+
+    The token array is split ONCE and bound through a single-element
+    ``transform`` lambda (the dsir._word_grams trick): the stopword
+    HOF filter makes the surrounding Project interpreted, where each
+    textual repeat of the n_tokens/n_stopwords subtree would re-split
+    the text. Equality with ``with_text_stats``'s column (including
+    NULL/blank rows) is pytest-pinned."""
+    blank = F.length(F.trim(text)) == 0
+    toks = F.split(F.lower(F.trim(text)), TOKEN_SPLIT)
+
+    def verdict(tk: Column) -> Column:
+        nt = F.when(blank, F.lit(0)).otherwise(F.size(tk)).cast("long")
+        nsw = (
+            F.when(blank, F.lit(0))
+            .otherwise(F.size(F.filter(tk, lambda t: t.isin(*STOPWORDS))))
+            .cast("long")
+        )
+        return (
+            (nt >= MIN_TOKENS)
+            & (nt <= MAX_TOKENS)
+            & (n_punct(text).cast("long") * 10 <= F.length(text).cast("long"))
+            & (nsw * 2 <= nt)
+        )
+
+    return F.element_at(F.transform(F.array(toks), verdict), 1)
+
+
 def _duckdb_stat_exprs(text_col: str = "text") -> dict[str, str]:
     """The per-column DuckDB expressions shared by the stats oracle
     and :func:`duckdb_is_quality_expr`."""

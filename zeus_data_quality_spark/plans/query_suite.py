@@ -751,13 +751,14 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import dsir
 
     docs = _read(spark, sf_dir, "documents")
-    target = (
-        textstats.with_text_stats(docs, "text")
-        .filter("is_quality")
-        .select("doc_id", "text")
-    )
     return dsir.dsir_select(
-        docs, target, "doc_id", "text", k=DSIR_K, n_buckets=DSIR_BUCKETS
+        docs,
+        None,
+        "doc_id",
+        "text",
+        k=DSIR_K,
+        n_buckets=DSIR_BUCKETS,
+        target_flag=textstats.is_quality_col(F.col("text")),
     )
 
 
