@@ -148,6 +148,8 @@ HEADLINE = [
     "sequence_packing_bpe",
     "ann_ivf_from_text",
     "dsir_select",
+    "bm25_topk",
+    "hybrid_retrieval",
 ]
 
 

@@ -129,6 +129,14 @@ TAIL_TWINS = {
     # rule_failure_counts; the extended config's verdict surface stays
     # in-window via keep_drop_labels_ext (identical check set).
     "rule_failure_counts_ext",
+    # r5c rotation: evicted so bm25_topk + hybrid_retrieval (the new
+    # lexical/hybrid retrieval family) get driver rows. keep_drop_labels'
+    # verdict emitter stays in-window via keep_drop_labels_ext (superset
+    # check set, equality pytest-pinned); ann_bruteforce's exact-cosine
+    # ranking stays in-window via ann_ivf_probe and hybrid_retrieval's
+    # dense branch (same brute_force_topk operator).
+    "keep_drop_labels",
+    "ann_bruteforce",
 }
 
 # Derivative composites past the window: full value oracles (parity
@@ -189,6 +197,8 @@ def test_driver_window_covers_every_operator_family():
         "semantic_dedup": {"semantic_dedup"},
         # r5b: DSIR importance-resampling data selection
         "dsir": {"dsir_select"},
+        # r5c: lexical BM25 + RRF hybrid retrieval
+        "retrieval": {"bm25_topk", "hybrid_retrieval"},
     }
     for fam, members in families.items():
         assert members & in_window, f"family {fam} has no driver-window row"
@@ -200,7 +210,7 @@ def test_driver_window_covers_every_operator_family():
             "media_video_frames"} <= in_window
     # the round-3 operators specifically must be FULLY in-window (r3 gap)
     for fam in ("lm_training", "loop_detection", "packing", "classifier",
-                "bpe", "classifier_mix", "substring_dedup"):
+                "bpe", "classifier_mix", "substring_dedup", "retrieval"):
         assert families[fam] <= in_window, fam
     # r5 promotions: both former TAIL_OVERFLOW composites and the new
     # semantic_dedup row must be driver-adjudicated (r4 verdict 2+3)

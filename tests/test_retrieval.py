@@ -1,0 +1,152 @@
+"""BM25 + RRF semantic pins (operators/retrieval.py).
+
+Cross-engine value parity is covered by test_entry_parity.py /
+tools/parity_check.py (`bm25_topk`, `hybrid_retrieval` oracles); these
+tests pin the SEMANTICS against hand-computed references so a
+same-bug-both-engines regression can't hide behind the oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from zeus_data_quality_spark.operators.retrieval import (
+    bm25_topk,
+    hybrid_retrieval,
+    rrf_fuse,
+)
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bm25_ref(corpus: dict[int, str], query: str, k1=1.2, b=0.75):
+    """Plain-Python Okapi BM25 (Lucene idf) over a token dict."""
+    toks = {d: t.lower().split() for d, t in corpus.items()}
+    toks = {d: t for d, t in toks.items() if t}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df: dict[str, int] = {}
+    for t in toks.values():
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+    scores = {}
+    for d, t in toks.items():
+        s = 0.0
+        for term in set(query.lower().split()):
+            tf = t.count(term)
+            if tf == 0 or term not in df:
+                continue
+            idf = math.log((n - df[term] + 0.5) / (df[term] + 0.5) + 1.0)
+            s += round(
+                idf
+                * tf
+                * (k1 + 1)
+                / (tf + k1 * (1 - b + b * len(t) / avgdl)),
+                9,
+            )
+        if s:
+            scores[d] = round(s, 6)
+    return scores
+
+
+def test_bm25_matches_hand_reference(spark):
+    corpus = {
+        0: "spark shuffle join broadcast join",
+        1: "spark filter scan",
+        2: "join join join shuffle",
+        3: "unrelated words entirely here",
+        4: "",  # empty: excluded from N/avgdl, matches nothing
+    }
+    docs = _mk_docs(spark, list(corpus.items()))
+    q = spark.createDataFrame([(100, "spark join")], "qid long, qt string")
+    got = {
+        (r.query_id, r.doc_id): (r.rank, r.score)
+        for r in bm25_topk(
+            docs, q, "doc_id", "text", "qid", "qt", k=10
+        ).collect()
+    }
+    want = _bm25_ref(corpus, "spark join")
+    assert {d for (_, d) in got} == set(want)
+    for (qid, d), (rank, score) in got.items():
+        assert qid == 100
+        assert score == pytest.approx(want[d], abs=2e-6)
+    # ranking follows the reference scores, ties by doc_id
+    order = [d for (_, d), _ in sorted(got.items(), key=lambda kv: kv[1][0])]
+    assert order == sorted(want, key=lambda d: (-want[d], d))
+
+
+def test_bm25_rare_term_outweighs_common(spark):
+    # "rare" appears in 1 of 5 docs, "common" in all 5 -> a doc
+    # matching only "rare" must outrank a doc matching only "common".
+    rows = [
+        (0, "rare alpha"),
+        (1, "common beta"),
+        (2, "common gamma"),
+        (3, "common delta"),
+        (4, "common epsilon"),
+    ]
+    q = spark.createDataFrame([(9, "rare common")], "qid long, qt string")
+    res = bm25_topk(
+        _mk_docs(spark, rows), q, "doc_id", "text", "qid", "qt", k=5
+    ).collect()
+    rank_of = {r.doc_id: r.rank for r in res}
+    assert rank_of[0] == 1
+
+
+def test_bm25_exclude_self_and_query_tf_binary(spark):
+    rows = [(0, "a b"), (1, "a b"), (2, "a c")]
+    q = _mk_docs(spark, rows[:1])
+    res = bm25_topk(
+        _mk_docs(spark, rows), q, "doc_id", "text", "doc_id", "text",
+        k=5, exclude_self=True,
+    ).collect()
+    assert all(r.doc_id != r.query_id for r in res)
+    # duplicated query terms add nothing (distinct query terms)
+    q2 = spark.createDataFrame([(7, "a a b b")], "qid long, qt string")
+    q1 = spark.createDataFrame([(7, "a b")], "qid long, qt string")
+    docs = _mk_docs(spark, rows)
+    s2 = {r.doc_id: r.score
+          for r in bm25_topk(docs, q2, "doc_id", "text", "qid", "qt").collect()}
+    s1 = {r.doc_id: r.score
+          for r in bm25_topk(docs, q1, "doc_id", "text", "qid", "qt").collect()}
+    assert s1 == s2
+
+
+def test_rrf_rewards_cross_list_consensus(spark):
+    # doc 5 is mid-rank in BOTH lists; doc 1/9 top of only one.
+    # 1/(60+2)+1/(60+2) > 1/(60+1) -> consensus wins.
+    a = spark.createDataFrame(
+        [(0, 1, 1), (0, 5, 2), (0, 3, 3)], "query_id long, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(0, 9, 1), (0, 5, 2), (0, 4, 3)], "query_id long, doc_id long, rank int"
+    )
+    res = rrf_fuse([a, b], k=10).collect()
+    top = min(res, key=lambda r: r.rank)
+    assert top.doc_id == 5 and top.rank == 1
+    # every fused rank is dense 1..n per query
+    assert sorted(r.rank for r in res) == list(range(1, len(res) + 1))
+
+
+def test_rrf_single_list_preserves_order(spark):
+    a = spark.createDataFrame(
+        [(0, 3, 1), (0, 8, 2), (0, 2, 3)], "query_id long, doc_id long, rank int"
+    )
+    res = sorted(rrf_fuse([a], k=3).collect(), key=lambda r: r.rank)
+    assert [r.doc_id for r in res] == [3, 8, 2]
+
+
+def test_hybrid_retrieval_shape_and_bounds(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res = hybrid_retrieval(docs, n_queries=3, k_each=5, k=4).collect()
+    assert res
+    per_q: dict[int, list[int]] = {}
+    for r in res:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 4

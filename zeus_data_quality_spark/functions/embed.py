@@ -334,7 +334,7 @@ FROM emb_vec
 """
 
 
-def duckdb_ann_from_text_sql(
+def duckdb_ann_cte(
     from_clause: str,
     id_col: str,
     text_col: str = "text",
@@ -343,10 +343,11 @@ def duckdb_ann_from_text_sql(
     dim: int = DIM,
     n: int = NGRAM,
 ) -> str:
-    """Oracle for :func:`ann_from_text` — integer-exact cosines make
-    the rank ordering engine-identical."""
+    """CTE chain (no WITH) ending in ``ann_topk(query_id, neighbor_id,
+    rank)`` — the embedding chain plus the brute-force cosine ranking,
+    reusable by composite oracles (hybrid retrieval)."""
     cte = duckdb_embedding_cte(from_clause, id_col, text_col, dim, n)
-    return f"""WITH {cte},
+    return f"""{cte},
 ann_nz AS (
     SELECT id, embedding FROM emb_vec
     WHERE len(list_filter(embedding, v -> v <> 0)) > 0
@@ -360,12 +361,29 @@ ann_scored AS (
            list_cosine_similarity(e.embedding, q.qv) AS cos
     FROM ann_nz e, ann_q q WHERE e.id <> q.query_id
 ),
-ann_ranked AS (
-    SELECT query_id, neighbor_id,
-           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY cos DESC, neighbor_id ASC)
-                AS INT) AS rank
-    FROM ann_scored
-)
-SELECT query_id, neighbor_id, rank FROM ann_ranked WHERE rank <= {k}
+ann_topk AS (
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id ASC)
+                    AS INT) AS rank
+        FROM ann_scored)
+    WHERE rank <= {k}
+)"""
+
+
+def duckdb_ann_from_text_sql(
+    from_clause: str,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    n_queries: int = 5,
+    dim: int = DIM,
+    n: int = NGRAM,
+) -> str:
+    """Oracle for :func:`ann_from_text` — integer-exact cosines make
+    the rank ordering engine-identical."""
+    cte = duckdb_ann_cte(from_clause, id_col, text_col, k, n_queries, dim, n)
+    return f"""WITH {cte}
+SELECT query_id, neighbor_id, rank FROM ann_topk
 """

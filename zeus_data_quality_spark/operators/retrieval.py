@@ -1,0 +1,409 @@
+"""Lexical retrieval: Okapi BM25 top-k and reciprocal-rank fusion.
+
+The ANN family (functions/embed.py, operators/similarity.py,
+operators/ivf.py) covers the dense half of retrieval; this module adds
+the sparse half — BM25 over an inverted-postings shape — plus RRF so
+the two can be fused into one hybrid ranking. In an LLM-data pipeline
+these drive dedup/decontamination candidate mining and retrieval-based
+data selection, the lexical complement of SemDeDup/DSIR.
+
+Scale design (100 TB corpus, small query set):
+
+* postings = explode(tokens) → groupBy(doc_id, term) — one shuffle,
+  map-side combined, keyed on (doc_id, term) so hot terms do NOT
+  hotspot a single reducer (the dreaded "the" key only concentrates
+  in the later df aggregate, which is count-only and combiner-crushed).
+* Scoring joins the corpus-sized postings against the BROADCAST query
+  term set first, so every downstream join/aggregate runs on the
+  candidate subset (docs sharing >= 1 query term), not the corpus.
+* Per-term statistics (df) are computed on postings and joined to the
+  candidate rows by term AFTER the query-term semi-reduction — the
+  query-vocabulary slice of df is tiny and broadcast.
+* Corpus scalars (N, avgdl) ride a broadcast 1-row cross join.
+* The only corpus-scale shuffles are the two postings aggregates and
+  one doc-length join keyed on doc_id.
+
+Cross-engine determinism (the oracle hash gate): per-term
+contributions are rounded to 9 dp, summed by a fold over the
+VALUE-SORTED contribution array (IEEE addition is commutative, so
+equal-value tie order cannot change the fold), and the final score is
+rounded to 6 dp before ranking — both engines execute the identical
+sequence of double additions. Ranking ties break on doc_id.
+
+Reference has no retrieval surface; semantics follow Robertson &
+Zaragoza 2009 (BM25, Lucene's +1 idf so weights stay nonnegative) and
+Cormack et al. 2009 (RRF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textstats import TOKEN_SPLIT
+
+K1_DEFAULT = 1.2
+B_DEFAULT = 0.75
+RRF_K_DEFAULT = 60
+
+
+def _tokens(text: Column) -> Column:
+    """Lowercased ASCII-whitespace tokens; NULL/blank → empty array.
+    Identical byte-level semantics in Spark and the DuckDB oracle
+    (TOKEN_SPLIT — see textstats.py's engine-portability note)."""
+    return F.when(
+        text.isNotNull(),
+        F.filter(
+            F.split(F.lower(F.trim(text)), TOKEN_SPLIT), lambda x: x != ""
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def doc_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, term, tf) inverted postings — the corpus-side scan.
+    One explode + one map-side-combined aggregate keyed on
+    (doc_id, term); no term-only hotspot."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    exclude_self: bool = False,
+    materialize_postings: bool = True,
+) -> DataFrame:
+    """Okapi BM25 top-k: (query_id, doc_id, rank, score).
+
+    idf(t)   = ln((N - df + 0.5) / (df + 0.5) + 1)   [Lucene, >= 0]
+    w(t, d)  = idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    score    = sum over DISTINCT query terms (classic binary query
+               weighting; query-side tf is ignored)
+
+    N and avgdl are computed over docs with >= 1 token — empty docs
+    can match nothing and would only dilute avgdl. ``exclude_self``
+    drops doc_id == query_id pairs for corpus-as-queries setups.
+    """
+    postings = doc_postings(docs, id_col, text_col)
+    if materialize_postings:
+        # Three consumers (matches, doc lengths, df) would otherwise
+        # each re-scan + re-shuffle the raw corpus — "build the
+        # inverted index once" (same shape as embed.py's materialized
+        # embedding table before the top-k join).
+        postings = postings.localCheckpoint(eager=True)
+    dls = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    corpus = dls.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(_tokens(F.col(query_text_col))).alias("term"),
+        )
+        .distinct()
+    )
+
+    # Corpus-scale side reduced FIRST by the broadcast query-term set;
+    # df is then joined on the query-vocabulary slice only.
+    matches = postings.join(F.broadcast(qterms), "term")
+    if exclude_self:
+        matches = matches.filter(F.col("doc_id") != F.col("query_id"))
+    dfs = (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+    )
+    scored = (
+        matches.join(F.broadcast(dfs), "term")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+    )
+
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(float(k1)) * (
+        F.lit(1.0 - float(b))
+        + F.lit(float(b)) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    contrib = F.round(idf * tf_d * F.lit(float(k1) + 1.0) / denom, 9)
+
+    # Value-sorted fold: the one double-summation order both engines
+    # can reproduce bit-for-bit (see module docstring).
+    scores = (
+        scored.select("query_id", "doc_id", contrib.alias("w"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list("w")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "score")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    k_rrf: int = RRF_K_DEFAULT,
+) -> DataFrame:
+    """Reciprocal-rank fusion of (query_id, doc_id, rank) lists →
+    (query_id, doc_id, rank). rrf = sum over lists of 1/(k_rrf+rank);
+    contributions are value-sorted before the fold (same determinism
+    argument as bm25_topk), rounded to 9 dp, ties break on doc_id.
+    Each input list is typically top-k-bounded (tiny vs the corpus),
+    so the union + one aggregate is candidate-scale, not corpus-scale.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            "query_id",
+            "doc_id",
+            (
+                F.lit(1.0)
+                / (F.lit(float(k_rrf)) + F.col("rank").cast("double"))
+            ).alias("w"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("w")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        ).alias("rrf")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank")
+    )
+
+
+def hybrid_retrieval(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_queries: int = 5,
+    k_each: int = 20,
+    k: int = 10,
+    k_rrf: int = RRF_K_DEFAULT,
+    hash_fn: str = "md5",
+    dim: int | None = None,
+    n: int | None = None,
+) -> DataFrame:
+    """Sparse + dense hybrid: BM25 top-``k_each`` fused with in-engine
+    embedding cosine top-``k_each`` by RRF → (query_id, doc_id, rank).
+
+    Each modality keeps its own query convention (BM25: first
+    ``n_queries`` ids; ANN: first ``n_queries`` ids with a nonzero
+    embedding — identical sets except for empty/short texts, which
+    have no lexical matches either). Both branches share the single
+    corpus scan lineage; the fusion itself is candidate-scale.
+    """
+    from ..functions import embed
+
+    q = docs.orderBy(F.col(id_col)).limit(n_queries)
+    bm = bm25_topk(
+        docs, q, id_col, text_col, id_col, text_col,
+        k=k_each, exclude_self=True,
+    )
+    ann = embed.ann_from_text(
+        docs, id_col, text_col, k=k_each, n_queries=n_queries,
+        dim=dim if dim is not None else embed.DIM,
+        n=n if n is not None else embed.NGRAM,
+        hash_fn=hash_fn,
+    )
+    return rrf_fuse(
+        [
+            bm.select("query_id", "doc_id", "rank"),
+            ann.select(
+                "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+            ),
+        ],
+        k=k,
+        k_rrf=k_rrf,
+    )
+
+
+# ------------------------------------------------------------- oracle
+
+
+def duckdb_bm25_cte(
+    from_clause: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_queries: int = 5,
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> str:
+    """CTE chain (no WITH) ending in ``bm25_topk(query_id, doc_id,
+    rank, score)`` — the DuckDB twin of :func:`bm25_topk` with queries
+    = the first ``n_queries`` ids of the same table (exclude_self),
+    mirroring the value-sorted fold and both roundings exactly."""
+    toks = (
+        f"list_filter(regexp_split_to_array(lower(trim({text_col})), "
+        f"'{TOKEN_SPLIT}'), x -> x <> '')"
+    )
+    denom = (
+        f"(CAST(tf AS DOUBLE) + {float(k1)} * "
+        f"({1.0 - float(b)} + {float(b)} * CAST(dl AS DOUBLE) / avgdl))"
+    )
+    contrib = (
+        f"round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) "
+        f"* CAST(tf AS DOUBLE) * {float(k1) + 1.0} / {denom}, 9)"
+    )
+    return f"""
+bm_tok AS (
+    SELECT {id_col} AS doc_id,
+           CASE WHEN {text_col} IS NOT NULL THEN {toks}
+                ELSE CAST([] AS VARCHAR[]) END AS t
+    FROM {from_clause}
+),
+bm_post AS (
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(t) AS term FROM bm_tok)
+    GROUP BY doc_id, term
+),
+bm_dl AS (SELECT doc_id, SUM(tf) AS dl FROM bm_post GROUP BY doc_id),
+bm_corpus AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+    FROM bm_dl
+),
+bm_df AS (
+    SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM bm_post
+    GROUP BY term
+),
+bm_q AS (
+    SELECT DISTINCT query_id, term FROM (
+        SELECT doc_id AS query_id, unnest(t) AS term
+        FROM (SELECT doc_id, t FROM bm_tok ORDER BY doc_id LIMIT {n_queries}))
+),
+bm_w AS (
+    SELECT q.query_id, p.doc_id, {contrib} AS w
+    FROM bm_post p
+    JOIN bm_q q ON q.term = p.term AND p.doc_id <> q.query_id
+    JOIN bm_df f ON f.term = p.term
+    JOIN bm_dl d ON d.doc_id = p.doc_id
+    CROSS JOIN bm_corpus
+),
+bm_score AS (
+    SELECT query_id, doc_id,
+           round(list_reduce(list_prepend(0.0, list_sort(list(w))),
+                             (acc, x) -> acc + x), 6) AS score
+    FROM bm_w GROUP BY query_id, doc_id
+),
+bm25_topk AS (
+    SELECT query_id, doc_id, rank, score FROM (
+        SELECT query_id, doc_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, doc_id ASC)
+                    AS INT) AS rank
+        FROM bm_score)
+    WHERE rank <= {k}
+)"""
+
+
+def duckdb_bm25_sql(
+    from_clause: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_queries: int = 5,
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> str:
+    """Oracle for the corpus-as-queries :func:`bm25_topk` suite query."""
+    cte = duckdb_bm25_cte(from_clause, id_col, text_col, n_queries, k, k1, b)
+    return (
+        f"WITH {cte}\n"
+        "SELECT query_id, doc_id, rank, score FROM bm25_topk"
+    )
+
+
+def duckdb_hybrid_sql(
+    from_clause: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_queries: int = 5,
+    k_each: int = 20,
+    k: int = 10,
+    k_rrf: int = RRF_K_DEFAULT,
+    dim: int | None = None,
+    n: int | None = None,
+) -> str:
+    """Oracle for :func:`hybrid_retrieval` — composes the BM25 chain,
+    the embedding/ANN chain (functions/embed.py), and the RRF fold."""
+    from ..functions import embed
+
+    bm = duckdb_bm25_cte(from_clause, id_col, text_col, n_queries, k_each)
+    ann = embed.duckdb_ann_cte(
+        from_clause, id_col, text_col, k_each, n_queries,
+        dim=dim if dim is not None else embed.DIM,
+        n=n if n is not None else embed.NGRAM,
+    )
+    w = f"1.0 / ({float(k_rrf)} + CAST(rank AS DOUBLE))"
+    return f"""WITH {bm},
+{ann},
+hy_u AS (
+    SELECT query_id, doc_id, {w} AS w FROM bm25_topk
+    UNION ALL
+    SELECT query_id, neighbor_id AS doc_id, {w} AS w FROM ann_topk
+),
+hy_s AS (
+    SELECT query_id, doc_id,
+           round(list_reduce(list_prepend(0.0, list_sort(list(w))),
+                             (acc, x) -> acc + x), 9) AS rrf
+    FROM hy_u GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, doc_id ASC)
+                AS INT) AS rank
+    FROM hy_s)
+WHERE rank <= {k}
+"""

@@ -1362,6 +1362,51 @@ def _oracle_ann_from_text() -> str:
     return f'SELECT query_id, neighbor_id, rank AS rnk FROM ({sql})'
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical top-10 (operators/retrieval.py; Robertson &
+    Zaragoza 2009, Lucene idf) with the first five documents as
+    queries, self-matches excluded. The oracle replays postings, doc
+    lengths, df/idf, the 9-dp per-term contributions, the value-sorted
+    score fold, and the (score desc, doc_id) ranking exactly."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    q = docs.orderBy("doc_id").limit(5)
+    return bm25_topk(
+        docs, q, "doc_id", "text", "doc_id", "text",
+        k=10, exclude_self=True,
+    )
+
+
+def _oracle_bm25_topk() -> str:
+    from ..operators.retrieval import duckdb_bm25_sql
+
+    return duckdb_bm25_sql("documents", "doc_id", "text", n_queries=5, k=10)
+
+
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse+dense hybrid retrieval: BM25 top-20 fused with in-engine
+    embedding-cosine top-20 by reciprocal-rank fusion (Cormack et al.
+    2009) → top-10 per query. Composes the lexical chain with the
+    in-window text_embeddings relational core; the oracle composes
+    both CTE chains plus the RRF fold in one statement."""
+    from ..operators.retrieval import hybrid_retrieval
+
+    return hybrid_retrieval(
+        _read(spark, sf_dir, "documents"), "doc_id", "text",
+        n_queries=5, k_each=20, k=10, dim=EMB_DIM, n=EMB_NGRAM,
+    )
+
+
+def _oracle_hybrid_retrieval() -> str:
+    from ..operators.retrieval import duckdb_hybrid_sql
+
+    return duckdb_hybrid_sql(
+        "documents", "doc_id", "text", n_queries=5, k_each=20, k=10,
+        dim=EMB_DIM, n=EMB_NGRAM,
+    )
+
+
 def q_ann_ivf_from_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full in-engine retrieval stack from raw text: hashed n-gram
     embeddings (bulk relational path) → spherical k-means coarse
@@ -2045,7 +2090,6 @@ def queries():
     return {
         "rule_failure_counts": q_rule_failure_counts,
         "keep_drop_labels_ext": q_keep_drop_labels_ext,
-        "keep_drop_labels": q_keep_drop_labels,
         "scrubbed_text": q_scrubbed_text,
         "unique_turnkey": q_unique_turnkey,
         "conv_features": q_conv_features,
@@ -2063,7 +2107,6 @@ def queries():
         "document_quality_filter": q_document_quality_filter,
         "column_profile": q_column_profile,
         "value_drift": q_value_drift,
-        "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf_probe": q_ann_ivf_probe,
         "minhash_dedup_labels": q_minhash_dedup_labels,
         "semantic_dedup": q_semantic_dedup,
@@ -2093,7 +2136,16 @@ def queries():
         "sequence_packing_bpe": q_sequence_packing_bpe,
         "ann_ivf_from_text": q_ann_ivf_from_text,
         "dsir_select": q_dsir_select,
+        # r5c: lexical + hybrid retrieval (operators/retrieval.py)
+        "bm25_topk": q_bm25_topk,
+        "hybrid_retrieval": q_hybrid_retrieval,
         # ---- tail: engine twins / derivative aggregates (see above) ----
+        # r5c rotation: keep_drop_labels' verdict surface stays
+        # in-window via keep_drop_labels_ext (superset config, same
+        # emitter); ann_bruteforce's exact-cosine ranking stays via
+        # ann_ivf_probe + the hybrid_retrieval dense branch.
+        "keep_drop_labels": q_keep_drop_labels,
+        "ann_bruteforce": q_ann_bruteforce,
         "rule_failure_counts_ext": q_rule_failure_counts_ext,
         "tpch_q3": q_tpch_q3,
         "cube_events": q_cube_events,
@@ -2210,6 +2262,8 @@ def oracle_sql():
         "ann_from_text": _oracle_ann_from_text(),
         "sequence_packing_bpe": _oracle_sequence_packing_bpe(),
         "dsir_select": _oracle_dsir_select(),
+        "bm25_topk": _oracle_bm25_topk(),
+        "hybrid_retrieval": _oracle_hybrid_retrieval(),
         "minhash_pairs": _oracle_minhash_pairs(),
         "minhash_dedup_labels": ORACLE_MINHASH_LABELS,
         "semantic_dedup": _oracle_semantic_dedup(),
