@@ -150,6 +150,7 @@ HEADLINE = [
     "dsir_select",
     "bm25_topk",
     "hybrid_retrieval",
+    "perplexity_kn",
 ]
 
 

@@ -1,0 +1,164 @@
+"""Interpolated Kneser-Ney trigram pins (functions/kn.py).
+
+Cross-engine parity is covered by test_entry_parity.py (`perplexity_kn`,
+`kn_trigram_lm` oracles); here the SEMANTICS are pinned against an
+independent pure-Python KN implementation plus the two classic KN
+properties (per-context normalization; continuation-count preference).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from zeus_data_quality_spark.functions.kn import (
+    DISCOUNT,
+    fit_kn_trigram,
+    kn_train_and_score,
+    score_with_kn,
+)
+
+D = DISCOUNT
+
+
+def _py_kn(corpus: list[str]):
+    """Independent KN reference: returns (stats, p3 function)."""
+    rows = [["<s>", "<s>"] + t.lower().split() + ["</s>"] for t in corpus]
+    tri = Counter()
+    for toks in rows:
+        for i in range(len(toks) - 2):
+            tri[(toks[i], toks[i + 1], toks[i + 2])] += 1
+    c2 = Counter()
+    n1a = Counter()
+    cont2 = Counter()
+    for (w1, w2, w3), n in tri.items():
+        c2[(w1, w2)] += n
+        n1a[(w1, w2)] += 1
+        cont2[(w2, w3)] += 1
+    mid = Counter()
+    n1b = Counter()
+    uni = Counter()
+    for (w2, w3), c in cont2.items():
+        mid[w2] += c
+        n1b[w2] += 1
+        uni[w3] += 1
+    B = len(cont2)
+
+    def p3(w1, w2, w3):
+        p1 = uni[w3] / B
+        p2 = (max(cont2[(w2, w3)] - D, 0.0) + D * n1b[w2] * p1) / mid[w2]
+        return (max(tri[(w1, w2, w3)] - D, 0.0) + D * n1a[(w1, w2)] * p2) / c2[
+            (w1, w2)
+        ]
+
+    return tri, p3
+
+
+CORPUS = [
+    "the dog ran home",
+    "the dog ate food",
+    "the cat ran home",
+    "a dog ran fast",
+    "san francisco is foggy",
+    "san francisco is big",
+    "the dog ran home",
+]
+
+
+def _mk(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+
+def test_model_matches_python_reference(spark):
+    tri, p3 = _py_kn(CORPUS)
+    model = {
+        (r.w1, r.w2, r.w3): (r.n, r.nll)
+        for r in fit_kn_trigram(_mk(spark, CORPUS)).collect()
+    }
+    assert set(model) == set(tri)
+    for (w1, w2, w3), (n, nll) in model.items():
+        assert n == tri[(w1, w2, w3)]
+        assert nll == pytest.approx(
+            round(-math.log(p3(w1, w2, w3)), 6), abs=2e-6
+        )
+
+
+def test_doc_mean_matches_python_reference(spark):
+    _, p3 = _py_kn(CORPUS)
+    got = {
+        r.doc_id: r.kn_nll_mean
+        for r in kn_train_and_score(
+            _mk(spark, CORPUS), "doc_id"
+        ).collect()
+    }
+    for doc_id, text in enumerate(CORPUS):
+        toks = ["<s>", "<s>"] + text.lower().split() + ["</s>"]
+        nlls = [
+            round(-math.log(p3(toks[i], toks[i + 1], toks[i + 2])), 6)
+            for i in range(len(toks) - 2)
+        ]
+        micro = sum(round(v * 1e6) for v in nlls)
+        want = round(micro / len(nlls) / 1e6, 6)
+        assert got[doc_id] == pytest.approx(want, abs=2e-6), doc_id
+
+
+def test_per_context_normalization(spark):
+    """Interpolated KN must sum to 1 over the continuation vocabulary
+    for every observed context — the property raw discounting without
+    the interpolation term would break."""
+    tri, p3 = _py_kn(CORPUS)
+    vocab = {w3 for (_, _, w3) in tri}
+    for ctx in {("the", "dog"), ("<s>", "<s>"), ("san", "francisco")}:
+        total = sum(p3(ctx[0], ctx[1], w) for w in vocab)
+        assert total == pytest.approx(1.0, abs=1e-9), ctx
+
+
+def test_continuation_preference(spark):
+    """The KN signature: a singleton trigram whose w3 is a versatile
+    continuation (many distinct predecessors) outscores a singleton
+    whose w3 only ever follows one word — MLE would tie them."""
+    # "home" follows ran/walked/strolled/saw (4 predecessor types);
+    # "francisco" only ever follows san/saw (2) — same trigram count,
+    # same context stats, only the continuation statistics differ.
+    corpus = CORPUS + [
+        "a cat saw home",
+        "a cat saw francisco",
+        "the cat walked home",
+        "a dog strolled home",
+    ]
+    model = {
+        (r.w1, r.w2, r.w3): r.nll
+        for r in fit_kn_trigram(_mk(spark, corpus)).collect()
+    }
+    # both singletons in the same context ("cat", "saw"): same c3, c2,
+    # n1a — only the continuation stats differ. "home" follows ran
+    # (x3)+saw, "francisco" only ever follows san/saw.
+    assert model[("cat", "saw", "home")] < model[("cat", "saw", "francisco")]
+
+
+def test_score_with_pretrained_model_oov(spark):
+    docs = _mk(spark, CORPUS)
+    model = fit_kn_trigram(docs)
+    held_out = spark.createDataFrame(
+        [(100, "the dog ran home"), (101, "zebra quantum flux"), (102, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.kn_nll_mean for r in
+           score_with_kn(held_out, model, "doc_id").collect()}
+    from zeus_data_quality_spark.functions.perplexity import OOV_NLL
+
+    assert got[100] < OOV_NLL  # fully in-model
+    # every trigram OOV -> exactly the OOV penalty
+    assert got[101] == pytest.approx(float(OOV_NLL), abs=1e-6)
+    assert got[102] is None
+
+
+def test_empty_text_scores_bos_eos_trigram(spark):
+    # "" tokenizes to [<s>, <s>, </s>] — one trigram, still scored
+    got = {r.doc_id: r.kn_nll_mean for r in
+           kn_train_and_score(_mk(spark, CORPUS + [""]), "doc_id").collect()}
+    assert got[len(CORPUS)] is not None

@@ -1,0 +1,335 @@
+"""Interpolated Kneser-Ney trigram LM — the KenLM-style scorer.
+
+``functions/lm.py`` trains the raw-MLE bigram model (the production
+path for functions/perplexity.py's broadcast table). This module is
+the KenLM-style upgrade the quality-filter stack actually ships in
+CCNet-like pipelines: a TRIGRAM model with absolute discounting and
+Kneser-Ney continuation smoothing (Kneser & Ney 1995; Chen & Goodman
+1999's interpolated variant), trained as a distributed aggregation and
+scored with one join.
+
+    p1(w3)        = cont1(w3) / B
+    p2(w3|w2)     = (max(cont2(w2,w3) - D, 0) + D·n1b(w2)·p1) / mid(w2)
+    p3(w3|w1,w2)  = (max(c3 - D, 0) + D·n1a(w1,w2)·p2) / c2(w1,w2)
+
+with D = 0.75 and the standard type statistics
+    cont2(w2,w3) = |{w1 : c3(w1,w2,w3) > 0}|   (continuation bigram)
+    mid(w2)      = |{(w1,w3) : c3(·) > 0}|      (= Σ_w3 cont2)
+    n1b(w2)      = |{w3 : cont2(w2,w3) > 0}|
+    cont1(w3)    = |{w2 : cont2(w2,w3) > 0}|
+    B            = total distinct (w2,w3) types
+    n1a(w1,w2)   = |{w3 : c3(w1,w2,w3) > 0}|
+    c2(w1,w2)    = Σ_w3 c3                       (context token count)
+
+Rows are padded ``[<s>, <s>] + tokens + [</s>]`` (trigrams never cross
+rows; the first predicted position is the first real token). EVERY
+statistic above derives from the trigram TYPE table — the corpus is
+scanned once (tokenize → trigram explode → two-phase (w1,w2,w3)
+count); all smoothing statistics are aggregations of that type table,
+orders of magnitude smaller than the corpus. The only bigram type the
+suffix derivation misses is (<s>,<s>), which is never predicted.
+
+Scale design: the per-TYPE probability is fully determined by the type
+row, so the model ships as ``(w1, w2, w3, n, nll)`` and scoring is a
+single (w1,w2,w3)-keyed join (AQE broadcasts small models, shuffle-join
+past broadcast size) followed by the integer micro-nat mean — exactly
+the lm.py scoring shape. No per-row Python anywhere.
+
+Cross-engine determinism: probabilities are built from exact integer
+type counts with a mirrored operation sequence (both engines evaluate
+the identical IEEE expression tree), ln absorbs its 1-ulp divergence
+in the 6-dp round, and document means use the order-free integer
+micro-nat sum (see lm.py's boundary-row note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .lm import BOS, EOS, NLL_DP, WS, _token_array
+from .perplexity import OOV_NLL
+
+DISCOUNT = 0.75
+
+
+def _trigram_array(toks):
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.struct(
+            F.get(toks, i).alias("w1"),
+            F.get(toks, i + F.lit(1)).alias("w2"),
+            F.get(toks, i + F.lit(2)).alias("w3"),
+        ),
+    )
+
+
+def _padded_tokens(text):
+    # [<s>, <s>] + tokens + [</s>] — one extra BOS on top of lm.py's
+    # single-BOS padding so every predicted position has a full
+    # trigram context.
+    return F.concat(F.array(F.lit(BOS)), _token_array(text))
+
+
+def _trigram_stream(df: DataFrame, id_cols: list[str], text_col: str):
+    """(…id_cols, w1, w2, w3) — one row per trigram occurrence. The
+    token array is staged as a column first (the expression-inlining
+    trap documented in lm.py::score_with_lm)."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            *id_cols, _padded_tokens(F.col(text_col)).alias("__toks")
+        )
+        .select(
+            *id_cols, F.explode(_trigram_array(F.col("__toks"))).alias("tg")
+        )
+        .select(*id_cols, "tg.w1", "tg.w2", "tg.w3")
+    )
+
+
+def _model_from_tri(tri: DataFrame, discount: float) -> DataFrame:
+    """(w1,w2,w3,n) type table → (w1,w2,w3,n,nll) model. The caller
+    materializes ``tri`` first: six consumers (ctx2/cont2/mid/uni/
+    btypes/the join base) would otherwise each re-scan the corpus —
+    without the checkpoint ReuseExchange MAY collapse the identical
+    shuffles, but AQE re-plans per consumer and the guarantee is
+    gone (same move as retrieval.py's postings)."""
+    ctx2 = tri.groupBy("w1", "w2").agg(
+        F.sum("n").alias("c2"), F.count(F.lit(1)).cast("long").alias("n1a")
+    )
+    cont2 = tri.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("cont")
+    )
+    mid = cont2.groupBy("w2").agg(
+        F.sum("cont").alias("midden"),
+        F.count(F.lit(1)).cast("long").alias("n1b"),
+    )
+    uni = cont2.groupBy("w3").agg(
+        F.count(F.lit(1)).cast("long").alias("ucont")
+    )
+    btypes = cont2.agg(
+        F.count(F.lit(1)).cast("double").alias("btypes")
+    )
+
+    d = F.lit(float(discount))
+    joined = (
+        tri.join(ctx2, ["w1", "w2"])
+        .join(cont2, ["w2", "w3"])
+        .join(mid, "w2")
+        .join(uni, "w3")
+        .crossJoin(F.broadcast(btypes))
+    )
+    p1 = F.col("ucont").cast("double") / F.col("btypes")
+    p2 = (
+        F.greatest(F.col("cont").cast("double") - d, F.lit(0.0))
+        + d * F.col("n1b").cast("double") * p1
+    ) / F.col("midden").cast("double")
+    p3 = (
+        F.greatest(F.col("n").cast("double") - d, F.lit(0.0))
+        + d * F.col("n1a").cast("double") * p2
+    ) / F.col("c2").cast("double")
+    return joined.select(
+        "w1",
+        "w2",
+        "w3",
+        "n",
+        (F.round(-F.log(p3), NLL_DP) + F.lit(0.0)).alias("nll"),
+    )
+
+
+def _tri_types(df: DataFrame, text_col: str) -> DataFrame:
+    """Materialized trigram TYPE table — the one corpus scan."""
+    tri = (
+        _trigram_stream(df, [], text_col)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return tri.localCheckpoint(eager=True)
+
+
+def fit_kn_trigram(
+    df: DataFrame, text_col: str = "text", discount: float = DISCOUNT
+) -> DataFrame:
+    """``(w1, w2, w3, n, nll)`` — the interpolated-KN trigram model.
+    One corpus scan; every smoothing statistic is an aggregation of
+    the materialized trigram type table (module docstring)."""
+    return _model_from_tri(_tri_types(df, text_col), discount)
+
+
+def kn_train_and_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    out_col: str = "kn_nll_mean",
+    discount: float = DISCOUNT,
+) -> DataFrame:
+    """Self-train-and-score in ONE trigram pass: the per-id trigram
+    stream IS the training stream, so build it once, aggregate the
+    model from it, and join back — the type aggregate and the scoring
+    join share the (w1,w2,w3) partitioning (the lm.py
+    train_and_score shape). Every scored trigram is in-model by
+    construction (inner join). Rows with NULL text score NULL."""
+    ids = _trigram_stream(df, [id_col], text_col)
+    # model derives from the id-stream's own aggregate (NOT a second
+    # fit-side tokenize): corpus is scanned twice total — once into
+    # the materialized type table, once for the scoring join stream.
+    tri = (
+        ids.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    model = _model_from_tri(tri, discount)
+    scored = ids.join(model.select("w1", "w2", "w3", "nll"),
+                      ["w1", "w2", "w3"])
+    micro = F.round(F.col("nll") * 1e6, 0).cast("long")
+    agg = scored.groupBy(id_col).agg(
+        (
+            F.round(
+                F.sum(micro).cast("double") / F.count(F.lit(1)) / 1e6,
+                NLL_DP,
+            )
+            + F.lit(0.0)
+        ).alias(out_col)
+    )
+    return df.join(agg, id_col, "left")
+
+
+def score_with_kn(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    out_col: str = "kn_nll_mean",
+) -> DataFrame:
+    """Score against a PRE-TRAINED model (left join; trigrams unseen
+    at training time cost ``OOV_NLL``, the lm.py convention)."""
+    ids = _trigram_stream(df, [id_col], text_col)
+    scored = ids.join(
+        model.select("w1", "w2", "w3", "nll"), ["w1", "w2", "w3"], "left"
+    )
+    micro = F.round(
+        F.coalesce(F.col("nll"), F.lit(float(OOV_NLL))) * 1e6, 0
+    ).cast("long")
+    agg = scored.groupBy(id_col).agg(
+        (
+            F.round(
+                F.sum(micro).cast("double") / F.count(F.lit(1)) / 1e6,
+                NLL_DP,
+            )
+            + F.lit(0.0)
+        ).alias(out_col)
+    )
+    return df.join(agg, id_col, "left")
+
+
+# ------------------------------------------------------------- oracle
+
+
+def _sql_trigrams(from_clause: str, text_col: str, id_col: str | None = None) -> str:
+    """Subquery producing (…, w1, w2, w3) per trigram occurrence; with
+    ``id_col`` the stream carries it aliased as ``id``."""
+    inner = f"{id_col} AS id, " if id_col else ""
+    outer = "id, " if id_col else ""
+    return f"""
+    SELECT {outer}tg['w1'] AS w1, tg['w2'] AS w2, tg['w3'] AS w3
+    FROM (
+        SELECT {outer}unnest(list_transform(range(1, len(toks) - 1),
+               i -> {{'w1': toks[i], 'w2': toks[i+1], 'w3': toks[i+2]}})) AS tg
+        FROM (
+            SELECT {inner}list_concat(list_concat(
+                ['{BOS}', '{BOS}'],
+                list_filter(regexp_split_to_array(lower({text_col}), '{WS}'),
+                            x -> x <> '')),
+                ['{EOS}']) AS toks
+            FROM {from_clause}
+            WHERE {text_col} IS NOT NULL
+        )
+    )"""
+
+
+def duckdb_kn_model_cte(
+    from_clause: str, text_col: str = "text", discount: float = DISCOUNT
+) -> str:
+    """CTE chain (no WITH) ending in ``kn_model(w1, w2, w3, n, nll)``
+    — mirrors :func:`fit_kn_trigram`'s expression tree exactly."""
+    d = float(discount)
+    return f"""
+kn_tri AS (
+    SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ({_sql_trigrams(from_clause, text_col)})
+    GROUP BY w1, w2, w3
+),
+kn_ctx2 AS (
+    SELECT w1, w2, SUM(n) AS c2, CAST(COUNT(*) AS BIGINT) AS n1a
+    FROM kn_tri GROUP BY w1, w2
+),
+kn_cont2 AS (
+    SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS cont
+    FROM kn_tri GROUP BY w2, w3
+),
+kn_mid AS (
+    SELECT w2, SUM(cont) AS midden, CAST(COUNT(*) AS BIGINT) AS n1b
+    FROM kn_cont2 GROUP BY w2
+),
+kn_uni AS (
+    SELECT w3, CAST(COUNT(*) AS BIGINT) AS ucont
+    FROM kn_cont2 GROUP BY w3
+),
+kn_b AS (SELECT CAST(COUNT(*) AS DOUBLE) AS btypes FROM kn_cont2),
+-- staged BINARY joins: a single 5-way FROM made DuckDB's join-order
+-- optimizer fall back to CROSS_PRODUCT plans (66 s at sf0.01 vs
+-- 0.2 s staged); the arithmetic tree is unchanged, so the doubles
+-- stay bit-identical to the Spark side.
+kn_p2 AS (
+    SELECT c.w2, c.w3,
+           (greatest(CAST(c.cont AS DOUBLE) - {d}, 0.0)
+            + {d} * CAST(m.n1b AS DOUBLE)
+              * (CAST(u.ucont AS DOUBLE) / (SELECT btypes FROM kn_b)))
+           / CAST(m.midden AS DOUBLE) AS p2
+    FROM kn_cont2 c
+    JOIN kn_mid m ON m.w2 = c.w2
+    JOIN kn_uni u ON u.w3 = c.w3
+),
+kn_model AS (
+    SELECT t.w1, t.w2, t.w3, t.n,
+           round(-ln((greatest(CAST(t.n AS DOUBLE) - {d}, 0.0)
+                      + {d} * CAST(x.n1a AS DOUBLE) * p.p2)
+                     / CAST(x.c2 AS DOUBLE)), {NLL_DP}) + 0.0 AS nll
+    FROM kn_tri t
+    JOIN kn_ctx2 x ON x.w1 = t.w1 AND x.w2 = t.w2
+    JOIN kn_p2 p ON p.w2 = t.w2 AND p.w3 = t.w3
+)"""
+
+
+def duckdb_fit_kn_sql(
+    from_clause: str, text_col: str = "text", discount: float = DISCOUNT
+) -> str:
+    """Oracle for :func:`fit_kn_trigram`."""
+    cte = duckdb_kn_model_cte(from_clause, text_col, discount)
+    return f"WITH {cte}\nSELECT w1, w2, w3, n, nll FROM kn_model"
+
+
+def duckdb_kn_score_sql(
+    from_clause: str,
+    id_col: str,
+    text_col: str = "text",
+    out_col: str = "kn_nll_mean",
+    discount: float = DISCOUNT,
+) -> str:
+    """Oracle for :func:`kn_train_and_score` (self-train-and-score)."""
+    cte = duckdb_kn_model_cte(from_clause, text_col, discount)
+    tris = _sql_trigrams(from_clause, text_col, id_col)
+    return f"""WITH {cte},
+kn_ids AS ({tris}),
+kn_scores AS (
+    SELECT p.id,
+           round(CAST(SUM(CAST(round(m.nll * 1000000, 0) AS BIGINT))
+                      AS DOUBLE) / COUNT(*) / 1000000, {NLL_DP}) + 0.0
+               AS {out_col}
+    FROM kn_ids p
+    JOIN kn_model m ON m.w1 = p.w1 AND m.w2 = p.w2 AND m.w3 = p.w3
+    GROUP BY p.id
+)
+SELECT s.{id_col}, sc.{out_col}
+FROM {from_clause} s LEFT JOIN kn_scores sc ON s.{id_col} = sc.id
+"""

@@ -1362,6 +1362,43 @@ def _oracle_ann_from_text() -> str:
     return f'SELECT query_id, neighbor_id, rank AS rnk FROM ({sql})'
 
 
+def q_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style interpolated Kneser-Ney TRIGRAM perplexity
+    (functions/kn.py; Kneser & Ney 1995, Chen & Goodman 1999):
+    self-train-and-score over documents in one trigram pass — the
+    north-star "n-gram perplexity scorer via batched n-gram hashing"
+    upgraded from the raw-MLE bigram path (`perplexity_trained`,
+    which stays in-window). The oracle replays trigram counts, all
+    five continuation statistics, the interpolated probability tree,
+    and the micro-nat document mean in one SQL statement."""
+    from ..functions.kn import kn_train_and_score
+
+    return kn_train_and_score(
+        _read(spark, sf_dir, "documents"), "doc_id", "text"
+    ).select("doc_id", "kn_nll_mean")
+
+
+def _oracle_perplexity_kn() -> str:
+    from ..functions.kn import duckdb_kn_score_sql
+
+    return duckdb_kn_score_sql("documents", "doc_id", "text")
+
+
+def q_kn_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained KN trigram model table itself (w1, w2, w3, n, nll)
+    — tail feeder of the in-window `perplexity_kn` (same fit, scored
+    there); full model-table oracle."""
+    from ..functions.kn import fit_kn_trigram
+
+    return fit_kn_trigram(_read(spark, sf_dir, "documents"), "text")
+
+
+def _oracle_kn_trigram_lm() -> str:
+    from ..functions.kn import duckdb_fit_kn_sql
+
+    return duckdb_fit_kn_sql("documents", "text")
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 lexical top-10 (operators/retrieval.py; Robertson &
     Zaragoza 2009, Lucene idf) with the first five documents as
@@ -2112,7 +2149,6 @@ def queries():
         "semantic_dedup": q_semantic_dedup,
         "simhash": q_simhash,
         "langid": q_langid,
-        "perplexity": q_perplexity,
         "monitor_topk": q_monitor_topk,
         "monitor_daily_trend": q_monitor_daily_trend,
         "rollup_orders": q_rollup_orders,
@@ -2139,7 +2175,17 @@ def queries():
         # r5c: lexical + hybrid retrieval (operators/retrieval.py)
         "bm25_topk": q_bm25_topk,
         "hybrid_retrieval": q_hybrid_retrieval,
+        # r5d: interpolated Kneser-Ney trigram perplexity (functions/kn.py)
+        "perplexity_kn": q_perplexity_kn,
         # ---- tail: engine twins / derivative aggregates (see above) ----
+        # r5d rotation: the static broadcast-table bigram scorer rotates
+        # to the tail; the perplexity family keeps perplexity_trained
+        # (corpus-trained bigram join) and perplexity_kn (KN trigram)
+        # in-window, and this row keeps its full oracle here.
+        "perplexity": q_perplexity,
+        # tail feeder of perplexity_kn: the model table with its own
+        # full oracle (TAIL_OVERFLOW in test_entry_parity.py)
+        "kn_trigram_lm": q_kn_trigram_lm,
         # r5c rotation: keep_drop_labels' verdict surface stays
         # in-window via keep_drop_labels_ext (superset config, same
         # emitter); ann_bruteforce's exact-cosine ranking stays via
@@ -2264,6 +2310,8 @@ def oracle_sql():
         "dsir_select": _oracle_dsir_select(),
         "bm25_topk": _oracle_bm25_topk(),
         "hybrid_retrieval": _oracle_hybrid_retrieval(),
+        "perplexity_kn": _oracle_perplexity_kn(),
+        "kn_trigram_lm": _oracle_kn_trigram_lm(),
         "minhash_pairs": _oracle_minhash_pairs(),
         "minhash_dedup_labels": ORACLE_MINHASH_LABELS,
         "semantic_dedup": _oracle_semantic_dedup(),
