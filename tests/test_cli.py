@@ -261,3 +261,55 @@ def test_cli_run_classifier_config(spark, sf_dir, tmp_path):
     cls = run("cls", "--classifier")
     assert cls["rows_in"] == ext["rows_in"] == 1000
     assert cls["rows_dropped"] > ext["rows_dropped"]
+
+
+def test_cli_kn_and_bm25_stages(spark, sf_dir, tmp_path):
+    """The round-5 retrieval/LM standalone stages run end-to-end:
+    KN self-train-and-score (+ model table), BM25 and hybrid rankings,
+    with summary JSON tying out against the written parquet."""
+    docs = f"{sf_dir}/documents.parquet"
+
+    out = _cli(
+        "kn-score",
+        "--input", docs,
+        "--output", str(tmp_path / "kn"),
+        "--model-out", str(tmp_path / "kn_model"),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    kn = json.loads(out.stdout.strip().splitlines()[-1])
+    res = spark.read.parquet(str(tmp_path / "kn"))
+    assert set(res.columns) == {"doc_id", "kn_nll_mean"}
+    assert res.count() == kn["rows"] > 0
+    assert kn["mean_nll"] is not None and kn["mean_nll"] > 0
+    model = spark.read.parquet(str(tmp_path / "kn_model"))
+    assert set(model.columns) == {"w1", "w2", "w3", "n", "nll"}
+    assert model.count() > 0
+
+    out = _cli(
+        "bm25",
+        "--input", docs,
+        "--output", str(tmp_path / "bm"),
+        "--k", "5",
+        "--n-queries", "3",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    bm = json.loads(out.stdout.strip().splitlines()[-1])
+    res = spark.read.parquet(str(tmp_path / "bm"))
+    assert set(res.columns) == {"query_id", "doc_id", "rank", "score"}
+    assert res.count() == bm["rows"] > 0
+    assert bm["queries"] <= 3 and bm["mode"] == "bm25"
+    assert res.filter("rank > 5").count() == 0
+
+    out = _cli(
+        "bm25",
+        "--input", docs,
+        "--output", str(tmp_path / "hy"),
+        "--hybrid",
+        "--k", "4",
+        "--n-queries", "3",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    hy = json.loads(out.stdout.strip().splitlines()[-1])
+    res = spark.read.parquet(str(tmp_path / "hy"))
+    assert set(res.columns) == {"query_id", "doc_id", "rank"}
+    assert res.count() == hy["rows"] > 0 and hy["mode"] == "hybrid"

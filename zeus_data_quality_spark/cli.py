@@ -311,6 +311,94 @@ def cmd_dsir(args) -> int:
     return 0
 
 
+def cmd_kn(args) -> int:
+    """KenLM-style KN trigram stage: train on --train (default: the
+    input itself), score --input, write (id, kn_nll_mean) parquet +
+    optionally the model table; summary JSON to stdout."""
+    from .functions.kn import fit_kn_trigram, kn_train_and_score, score_with_kn
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    if args.train:
+        model = fit_kn_trigram(
+            spark.read.parquet(args.train), args.text_col
+        )
+        out = score_with_kn(docs, model, args.id_col, args.text_col)
+    else:
+        out = kn_train_and_score(docs, args.id_col, args.text_col)
+        model = None
+    out = out.select(args.id_col, "kn_nll_mean")
+    out.write.mode("overwrite").parquet(args.output)
+    if args.model_out:
+        (model if model is not None
+         else fit_kn_trigram(docs, args.text_col)).write.mode(
+            "overwrite"
+        ).parquet(args.model_out)
+    res = spark.read.parquet(args.output)
+    agg = res.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.round(F.avg("kn_nll_mean"), 6).alias("mean_nll"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "rows": int(agg["rows"] or 0),
+                "mean_nll": (
+                    float(agg["mean_nll"])
+                    if agg["mean_nll"] is not None
+                    else None
+                ),
+                "trained_on": args.train or args.input,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_bm25(args) -> int:
+    """Lexical/hybrid retrieval stage: BM25 top-k of --queries against
+    --input (adding the RRF-fused dense branch with --hybrid); writes
+    the ranking parquet, summary JSON to stdout."""
+    from .operators.retrieval import bm25_topk, hybrid_retrieval
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    if args.hybrid:
+        out = hybrid_retrieval(
+            docs, args.id_col, args.text_col,
+            n_queries=args.n_queries, k_each=args.k_each, k=args.k,
+            hash_fn="xxhash64",
+        )
+    else:
+        if args.queries:
+            q = spark.read.parquet(args.queries)
+            qid, qtext = args.query_id_col, args.query_text_col
+        else:
+            q = docs.orderBy(args.id_col).limit(args.n_queries)
+            qid, qtext = args.id_col, args.text_col
+        out = bm25_topk(
+            docs, q, args.id_col, args.text_col, qid, qtext,
+            k=args.k, exclude_self=not args.queries,
+        )
+    out.write.mode("overwrite").parquet(args.output)
+    res = spark.read.parquet(args.output)
+    agg = res.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("query_id").alias("queries"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "rows": int(agg["rows"] or 0),
+                "queries": int(agg["queries"] or 0),
+                "k": args.k,
+                "mode": "hybrid" if args.hybrid else "bm25",
+            }
+        )
+    )
+    return 0
+
+
 def cmd_train_classifier(args) -> int:
     """Train the in-engine quality classifier and print the weight
     vector (JSON) — optionally write per-row scores. --train-sample F
@@ -631,6 +719,41 @@ def main(argv: list[str] | None = None) -> int:
     ds.add_argument("--hash", choices=["md5", "xxhash64"],
                     default="xxhash64")
     ds.set_defaults(fn=cmd_dsir)
+
+    kn = sub.add_parser(
+        "kn-score", help="Kneser-Ney trigram perplexity scoring"
+    )
+    kn.add_argument("--input", required=True)
+    kn.add_argument("--output", required=True)
+    kn.add_argument("--train", default=None,
+                    help="training-corpus parquet; default trains on "
+                    "--input itself (self-train-and-score, one "
+                    "trigram pass)")
+    kn.add_argument("--model-out", default=None,
+                    help="also write the (w1,w2,w3,n,nll) model table")
+    kn.add_argument("--id-col", default="doc_id")
+    kn.add_argument("--text-col", default="text")
+    kn.set_defaults(fn=cmd_kn)
+
+    bm = sub.add_parser(
+        "bm25", help="BM25 lexical (or RRF hybrid) retrieval"
+    )
+    bm.add_argument("--input", required=True)
+    bm.add_argument("--output", required=True)
+    bm.add_argument("--queries", default=None,
+                    help="query-table parquet; default uses the first "
+                    "--n-queries docs as queries (self excluded)")
+    bm.add_argument("--hybrid", action="store_true",
+                    help="fuse BM25 with the in-engine embedding "
+                    "cosine ranking via RRF (xxhash64 embeddings)")
+    bm.add_argument("--id-col", default="doc_id")
+    bm.add_argument("--text-col", default="text")
+    bm.add_argument("--query-id-col", default="query_id")
+    bm.add_argument("--query-text-col", default="text")
+    bm.add_argument("--k", type=int, default=10)
+    bm.add_argument("--k-each", type=int, default=20)
+    bm.add_argument("--n-queries", type=int, default=5)
+    bm.set_defaults(fn=cmd_bm25)
 
     s = sub.add_parser("show-lineage", help="dump lineage rows as JSON lines")
     s.add_argument("--lineage", required=True)
