@@ -162,3 +162,85 @@ def test_empty_text_scores_bos_eos_trigram(spark):
     got = {r.doc_id: r.kn_nll_mean for r in
            kn_train_and_score(_mk(spark, CORPUS + [""]), "doc_id").collect()}
     assert got[len(CORPUS)] is not None
+
+
+def test_broadcast_udf_matches_join_path(spark, sf_dir):
+    """The Arrow-batched broadcast-model scorer must be
+    verdict-identical to the shuffle-join scorer — same micro-nat
+    fold, same OOV penalty, same NULL handling — on a mix of
+    in-model, partially-OOV, fully-OOV, and NULL texts."""
+    from zeus_data_quality_spark.functions.kn import make_broadcast_kn_udf
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    model = fit_kn_trigram(docs)
+    held = docs.limit(40).unionByName(
+        spark.createDataFrame(
+            [(9001, "zebra quantum flux"), (9002, None), (9003, "")],
+            "doc_id long, text string",
+        )
+    )
+    want = {
+        r["doc_id"]: r["kn_nll_mean"]
+        for r in score_with_kn(held, model, "doc_id").collect()
+    }
+    udf = make_broadcast_kn_udf(spark, model)
+    got = {
+        r["doc_id"]: r["nll"]
+        for r in held.select(
+            "doc_id", udf(F.col("text")).alias("nll")
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        if w is None:
+            assert g is None or math.isnan(g), k
+        else:
+            assert g == pytest.approx(w, abs=1e-6), k
+
+
+def test_streaming_kn_gate_matches_batch(spark, sf_dir, tmp_path):
+    """Stream ≡ batch: the broadcast-model gate scores a readStream
+    feed with identical round-6 NLLs and keep verdicts as one batch
+    pass (stateless pandas-UDF Project — no state, no watermark)."""
+    from zeus_data_quality_spark.functions.kn import make_broadcast_kn_udf
+    from zeus_data_quality_spark.streaming.kn_gate import streaming_kn_gate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    udf = make_broadcast_kn_udf(spark, fit_kn_trigram(docs))
+    from pyspark.sql import functions as F
+
+    # data-derived threshold (median score) so the gate provably
+    # splits the corpus regardless of the self-trained NLL level
+    thresh = docs.select(udf(F.col("text")).alias("s")).approxQuantile(
+        "s", [0.5], 0.0
+    )[0]
+    batch = streaming_kn_gate(docs, udf, thresh)
+    want = {
+        r["doc_id"]: (r["kn_nll"], r["kn_keep"]) for r in batch.collect()
+    }
+    assert any(v[1] for v in want.values())
+    assert not all(v[1] for v in want.values())
+
+    src = str(tmp_path / "kn_in")
+    docs.repartition(4).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        streaming_kn_gate(stream, udf, thresh)
+        .writeStream.format("memory")
+        .queryName("kn_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["kn_nll"], r["kn_keep"])
+        for r in spark.sql("SELECT * FROM kn_stream").collect()
+    }
+    assert got == want

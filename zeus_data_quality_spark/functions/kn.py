@@ -222,6 +222,69 @@ def score_with_kn(
     return df.join(agg, id_col, "left")
 
 
+def _kn_batch(s, table: dict, oov: float):
+    """Vectorized batch scorer against a broadcast {key: nll} dict
+    (key = w1\\x00w2\\x00w3). Mirrors perplexity.perplexity_batch's
+    flat-list + bincount shape; the per-row mean replays the join
+    path's integer micro-nat fold so the two scorers are
+    verdict-identical (pytest-pinned)."""
+    import numpy as np
+    import pandas as pd
+
+    from .perplexity import _WS
+
+    out_idx = s.index
+    vals = s.tolist()
+    keys: list[str] = []
+    rows: list[int] = []
+    for pos, txt in enumerate(vals):
+        if not isinstance(txt, str):
+            continue
+        ws = [BOS, BOS, *[w for w in _WS.split(txt.lower()) if w], EOS]
+        keys.extend(map("\x00".join, zip(ws, ws[1:], ws[2:])))
+        rows.extend([pos] * (len(ws) - 2))
+    if not keys:
+        return pd.Series(float("nan"), index=out_idx, dtype="float64")
+    nll = pd.Series(keys).map(table).fillna(oov).to_numpy()
+    micro = np.round(nll * 1e6)  # exact ints (6-dp model values)
+    ridx = np.asarray(rows)
+    sums = np.bincount(ridx, weights=micro, minlength=len(vals))
+    cnts = np.bincount(ridx, minlength=len(vals))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        means = np.round(sums / cnts / 1e6, NLL_DP) + 0.0
+    return pd.Series(means, index=out_idx, dtype="float64")
+
+
+def make_broadcast_kn_udf(spark, model, oov_nll: float | None = None):
+    """The north-rule pattern for a REAL KenLM-sized model: collect
+    the (w1,w2,w3,nll) table once on the driver, ``sc.broadcast`` it,
+    and score per-row inside an Arrow-batched pandas UDF — each
+    executor deserializes the blob once via the torrent broadcast.
+    ``model`` is the fit_kn_trigram DataFrame (or a pre-built
+    {(w1,w2,w3): nll} dict). Verdict-identical to the join path
+    (:func:`score_with_kn`), pinned in tests/test_kn.py; unlike the
+    join it is a stateless per-row Project, so it streams unchanged
+    (streaming/kn_gate.py)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    if isinstance(model, DataFrame):
+        table = {
+            "\x00".join((r["w1"], r["w2"], r["w3"])): r["nll"]
+            for r in model.select("w1", "w2", "w3", "nll").toLocalIterator()
+        }
+    else:
+        table = {"\x00".join(k): float(v) for k, v in model.items()}
+    oov = float(OOV_NLL if oov_nll is None else oov_nll)
+    bc = spark.sparkContext.broadcast(table)
+
+    @pandas_udf(DoubleType())
+    def _udf(s):
+        return _kn_batch(s, bc.value, oov)
+
+    return _udf
+
+
 # ------------------------------------------------------------- oracle
 
 

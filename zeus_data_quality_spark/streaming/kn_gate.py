@@ -1,0 +1,45 @@
+"""Streaming Kneser-Ney perplexity gate — fluency filtering over
+readStream.
+
+Training needs the full corpus and stays batch
+(``functions/kn.py::fit_kn_trigram``); the streaming recast is the
+standard production shape: FIT offline, broadcast the model table into
+an Arrow-batched pandas UDF (``make_broadcast_kn_udf`` — the real-
+KenLM deployment pattern), then score the live feed per-row. The UDF
+is a stateless per-row Project (no join, no shuffle, no state), so it
+streams unchanged in append mode; ``max_nll`` plays the same role as
+the batch extended-config PERPLEXITY gate's threshold.
+
+Stream ≡ batch is pinned in tests/test_kn.py (same broadcast model,
+identical round-6 scores and keep verdicts as one batch pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_kn_gate(
+    stream: DataFrame,
+    kn_udf,
+    max_nll: float,
+    text_col: str = "text",
+    keep_only: bool = False,
+) -> DataFrame:
+    """Label (and optionally filter) a streaming DataFrame with the
+    broadcast-model KN score. ``kn_udf`` comes from
+    ``make_broadcast_kn_udf`` (build it ONCE per model — each call
+    collects and re-broadcasts the table). Adds ``kn_nll`` and
+    ``kn_keep`` (non-NULL and ≤ max_nll; NULL/NaN text fails the
+    gate); ``keep_only=True`` drops rejected rows instead."""
+    nll = kn_udf(F.col(text_col))
+    out = stream.withColumn("kn_nll", nll).withColumn(
+        "kn_keep",
+        F.coalesce(
+            ~F.isnan(F.col("kn_nll"))
+            & (F.col("kn_nll") <= F.lit(float(max_nll))),
+            F.lit(False),
+        ),
+    )
+    return out.filter("kn_keep") if keep_only else out
