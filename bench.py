@@ -151,6 +151,8 @@ HEADLINE = [
     "bm25_topk",
     "hybrid_retrieval",
     "perplexity_kn",
+    "token_budget_pack",
+    "temperature_mix",
 ]
 
 

@@ -143,6 +143,13 @@ TAIL_TWINS = {
     # twin in test_text_functions.py, and the perplexity
     # family keeps perplexity_trained + perplexity_kn in-window.
     "perplexity",
+    # r5e rotation: evicted so the budgeted-selection family
+    # (token_budget_pack, temperature_mix) gets driver rows.
+    # hash_split's md5-bucket primitive rides in-window inside
+    # classifier_mix and temperature_mix; freshness' family keeps
+    # row_count_anomaly. Both keep full oracles.
+    "hash_split",
+    "freshness",
 }
 
 # Derivative composites past the window: full value oracles (parity
@@ -211,6 +218,8 @@ def test_driver_window_covers_every_operator_family():
         "dsir": {"dsir_select"},
         # r5c: lexical BM25 + RRF hybrid retrieval
         "retrieval": {"bm25_topk", "hybrid_retrieval"},
+        # r5e: budgeted corpus selection
+        "selection": {"token_budget_pack", "temperature_mix"},
     }
     for fam, members in families.items():
         assert members & in_window, f"family {fam} has no driver-window row"
@@ -222,7 +231,8 @@ def test_driver_window_covers_every_operator_family():
             "media_video_frames"} <= in_window
     # the round-3 operators specifically must be FULLY in-window (r3 gap)
     for fam in ("lm_training", "loop_detection", "packing", "classifier",
-                "bpe", "classifier_mix", "substring_dedup", "retrieval"):
+                "bpe", "classifier_mix", "substring_dedup", "retrieval",
+                "selection"):
         assert families[fam] <= in_window, fam
     # r5 promotions: both former TAIL_OVERFLOW composites and the new
     # semantic_dedup row must be driver-adjudicated (r4 verdict 2+3)

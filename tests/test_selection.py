@@ -1,0 +1,137 @@
+"""Budgeted-selection pins (functions/selection.py).
+
+Oracle parity (`token_budget_pack`, `temperature_mix`) runs in
+test_entry_parity.py; here the semantics and the scalable-path
+equality are pinned directly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.functions.selection import (
+    temperature_mix,
+    token_budget_select,
+    token_budget_select_scalable,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+
+
+def _scored(df):
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f\x0b]+"),
+        lambda x: x != "",
+    )
+    return df.withColumn(
+        "score",
+        F.when(
+            F.col("text").isNotNull() & (F.size(toks) > 0),
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def test_budget_baseline_semantics(spark, sf_dir):
+    docs = _scored(_docs(spark, sf_dir))
+    budget = 2000
+    rows = token_budget_select(docs, "doc_id", "score", budget).collect()
+    sel = [r for r in rows if r["selected"]]
+    un = [r for r in rows if not r["selected"]]
+    assert sel and un, "budget must split the corpus"
+    # selected token total fits; adding the best unselected row would not
+    assert max(r["cum_tok"] for r in sel) <= budget
+    best_un = max(un, key=lambda r: (r["score"], -r["doc_id"]))
+    assert max(r["cum_tok"] for r in sel) + best_un["n_tok"] > budget
+    # selection is score-downward: every selected score >= the highest
+    # unselected score (modulo the id tie-break at the boundary score)
+    lo = min(r["score"] for r in sel)
+    hi = max(r["score"] for r in un)
+    assert lo >= hi or lo == pytest.approx(hi)
+
+
+@pytest.mark.parametrize("budget", [1, 1500, 2000, 10**9])
+def test_scalable_equals_baseline(spark, sf_dir, budget):
+    docs = _scored(_docs(spark, sf_dir))
+    want = {
+        r["doc_id"]: r["selected"]
+        for r in token_budget_select(docs, "doc_id", "score", budget).collect()
+    }
+    got = {
+        r["doc_id"]: r["selected"]
+        for r in token_budget_select_scalable(
+            docs, "doc_id", "score", budget
+        ).collect()
+    }
+    assert got == want
+
+
+def test_scalable_handles_null_scores(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", 0.9), (2, "d e", None), (3, "f g h i", 0.5)],
+        "doc_id long, text string, score double",
+    )
+    got = {
+        r["doc_id"]: r["selected"]
+        for r in token_budget_select_scalable(
+            df, "doc_id", "score", 7
+        ).collect()
+    }
+    assert len(got) == 3  # NULL-score row is not silently dropped
+    assert got[1] and got[3] and not got[2]  # nulls sort last
+
+
+def test_temperature_mix_flattens_head(spark):
+    # the sf corpora have UNIFORM source counts (temperature is a
+    # no-op there — pinned by parity); skew is synthesized here
+    counts = {"web": 6400, "books": 400, "code": 100}
+    rows = [
+        (s_i * 10000 + i, src, "t")
+        for s_i, (src, n) in enumerate(sorted(counts.items()))
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    head = max(counts, key=counts.get)
+    tail = min(counts, key=counts.get)
+    assert counts[head] > counts[tail]
+    res = temperature_mix(docs, "source", "doc_id", alpha=0.5)
+    rates = {
+        r["source"]: r["mix_rate"]
+        for r in res.select("source", "mix_rate").distinct().collect()
+    }
+    # alpha<1: the smallest source binds at rate 1, the biggest is
+    # thinned hardest
+    assert rates[tail] == pytest.approx(1.0)
+    assert rates[head] < rates[tail]
+    # expected kept share ∝ n^0.5: kept counts should ORDER like
+    # sqrt(n) even though raw counts order like n
+    kept = {
+        r["source"]: r["k"]
+        for r in res.filter("mix_keep")
+        .groupBy("source")
+        .agg(F.count("*").alias("k"))
+        .collect()
+    }
+    import math
+
+    exp = {s: math.sqrt(n) for s, n in counts.items()}
+    scale = kept[tail] / exp[tail]
+    for s in counts:
+        assert kept[s] == pytest.approx(exp[s] * scale, rel=0.25), s
+
+
+def test_temperature_alpha_one_is_natural(spark, sf_dir):
+    """alpha=1 reproduces natural sampling: every source rate 1."""
+    res = temperature_mix(
+        _docs(spark, sf_dir), "source", "doc_id", alpha=1.0
+    )
+    assert res.filter("mix_rate < 0.999999999").count() == 0
+    assert res.filter("NOT mix_keep").count() == 0

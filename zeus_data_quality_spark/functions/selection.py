@@ -1,0 +1,246 @@
+"""Budgeted corpus selection: token-budget packing + temperature mix.
+
+The mix operators in ``functions/sampling.py`` thin sources to
+user-specified shares; this module covers the two selection shapes a
+pretraining-data curator actually asks for:
+
+* **token-budget packing** — "fill a 10B-token budget with the
+  best-scoring documents": rank by (score desc, id) and keep rows
+  while the running token total fits. :func:`token_budget_select` is
+  the exactness baseline (one global ordered window — fine to ~10M
+  rows, single-reducer beyond); :func:`token_budget_select_scalable`
+  is the production path: a coarse score-bucket histogram (one
+  map-side-combined aggregate, driver cumsum over the tiny histogram)
+  fully selects every bucket above the boundary and runs the exact
+  ordered window ONLY inside the boundary bucket (~corpus/buckets
+  rows). Equality to the baseline is pytest-pinned; adversarially
+  constant scores degenerate the boundary bucket to the full corpus
+  (documented, same caveat as any exact budget cut).
+
+* **temperature rebalancing** — multilingual-BERT / UniMax-style
+  source shares ∝ n_s^alpha (alpha < 1 flattens head sources, 1 keeps
+  natural, 0 equalizes): the shares come from the corpus itself, then
+  the same largest-feasible-corpus rate computation and deterministic
+  hash-bucket keep as ``corpus_mix``. One |sources|-row aggregate,
+  broadcast back; rates are rounded to 9 dp before the bucket
+  comparison so the one non-rational step (pow) cannot flip the
+  floor between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import RESOLUTION, _bucket_hex, _hex_to_int, _sql_bucket, \
+    _sql_hex_to_int
+from .textstats import TOKEN_SPLIT
+
+SCORE_DP = 2  # histogram bucket = round(score, SCORE_DP)
+
+
+def _ntok(text):
+    return F.when(
+        text.isNotNull(),
+        F.size(
+            F.filter(
+                F.split(F.trim(text), TOKEN_SPLIT), lambda x: x != ""
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+
+
+def token_budget_select(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    budget_tokens: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exactness baseline: adds ``n_tok``, ``cum_tok``, ``selected``
+    — rows ranked by (score desc, id asc), selected while the running
+    token total (including the row itself) fits the budget. The
+    global ordered window runs on ONE reducer; use the _scalable
+    variant past ~10M rows."""
+    w = (
+        Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("n_tok", _ntok(F.col(text_col)))
+    return out.withColumn("cum_tok", F.sum("n_tok").over(w)).withColumn(
+        "selected", F.col("cum_tok") <= F.lit(int(budget_tokens))
+    )
+
+
+def token_budget_select_scalable(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    budget_tokens: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Production path, verdict-identical to
+    :func:`token_budget_select` (pytest-pinned): the global sort is
+    replaced by a histogram threshold + an ordered window over the
+    boundary bucket only. Output schema matches the baseline minus
+    ``cum_tok`` (a global running total is exactly what we refuse to
+    materialize at scale)."""
+    budget = int(budget_tokens)
+    base = df.withColumn("n_tok", _ntok(F.col(text_col))).withColumn(
+        # NULL scores sort last under (score DESC) in both engines;
+        # -inf keeps them equality-joinable into the bucket algebra
+        "__b",
+        F.coalesce(
+            F.round(F.col(score_col), SCORE_DP), F.lit(float("-inf"))
+        ),
+    )
+    # tiny histogram: one map-side-combined aggregate, driver cumsum
+    hist = (
+        base.groupBy("__b")
+        .agg(F.sum("n_tok").alias("__t"))
+        .orderBy(F.col("__b").desc())
+        .collect()
+    )
+    run, boundary, above_budget = 0, None, 0
+    for r in hist:
+        if run + r["__t"] <= budget:
+            run += r["__t"]
+        else:
+            boundary, above_budget = r["__b"], run
+            break
+    if boundary is None:  # everything fits
+        return base.drop("__b").withColumn("selected", F.lit(True))
+    # buckets strictly above the boundary: fully selected, no sort.
+    # boundary bucket: the exact (score desc, id) window on ~1/10^SCORE_DP
+    # of the corpus fills the remaining budget.
+    wb = (
+        Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bnd = (
+        base.filter(F.col("__b") == F.lit(boundary))
+        .withColumn("__cum", F.sum("n_tok").over(wb))
+        .withColumn(
+            "selected", F.col("__cum") <= F.lit(budget - above_budget)
+        )
+        .drop("__cum")
+    )
+    rest = base.filter(F.col("__b") != F.lit(boundary)).withColumn(
+        "selected", F.col("__b") > F.lit(boundary)
+    )
+    return rest.unionByName(bnd).drop("__b")
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Adds ``mix_rate`` and ``mix_keep``: source shares ∝ n_s^alpha
+    derived from the corpus itself, then the corpus_mix
+    largest-feasible-corpus rates (the binding source keeps rate 1)
+    and the deterministic hash-bucket keep."""
+    a = float(alpha)
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    tot = counts.agg(
+        F.sum(F.pow(F.col("__n").cast("double"), F.lit(a))).alias("__z")
+    )
+    shared = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "__share", F.pow(F.col("__n").cast("double"), F.lit(a)) / F.col("__z")
+    )
+    c = shared.agg(
+        F.min(F.col("__n").cast("double") / F.col("__share")).alias("__c")
+    )
+    rates = shared.crossJoin(F.broadcast(c)).select(
+        source_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("__share") * F.col("__c") / F.col("__n").cast("double"),
+            ),
+            9,
+        ).alias("mix_rate"),
+    )
+    bucket = _hex_to_int(_bucket_hex(F.col(id_col), salt))
+    return (
+        df.join(F.broadcast(rates), on=source_col, how="left")
+        .withColumn("mix_rate", F.coalesce(F.col("mix_rate"), F.lit(0.0)))
+        .withColumn(
+            "mix_keep",
+            bucket < F.floor(F.col("mix_rate") * RESOLUTION).cast("int"),
+        )
+    )
+
+
+# ------------------------------------------------------------- oracle
+
+
+def duckdb_token_budget_sql(
+    from_clause: str,
+    id_col: str,
+    score_sql: str,
+    budget_tokens: int,
+    text_col: str = "text",
+) -> str:
+    """Oracle for :func:`token_budget_select` (and, by the pinned
+    equality, the scalable path): window cumsum over (score desc,
+    id)."""
+    ntok = (
+        f"CASE WHEN {text_col} IS NOT NULL THEN CAST(len(list_filter("
+        f"regexp_split_to_array(trim({text_col}), '{TOKEN_SPLIT}'), "
+        f"x -> x <> '')) AS BIGINT) ELSE 0 END"
+    )
+    return f"""
+WITH tb_base AS (
+    SELECT {id_col}, ({score_sql}) AS __score, {ntok} AS n_tok
+    FROM {from_clause}
+),
+tb_cum AS (
+    SELECT {id_col}, n_tok,
+           SUM(n_tok) OVER (ORDER BY __score DESC, {id_col} ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum_tok
+    FROM tb_base
+)
+SELECT {id_col}, n_tok, cum_tok,
+       cum_tok <= {int(budget_tokens)} AS selected
+FROM tb_cum
+"""
+
+
+def duckdb_temperature_mix_sql(
+    from_clause: str,
+    source_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    salt: str = "tmix",
+) -> str:
+    """Oracle for :func:`temperature_mix`."""
+    a = float(alpha)
+    bucket = _sql_hex_to_int(_sql_bucket(id_col, salt))
+    return f"""
+WITH tm_counts AS (
+    SELECT {source_col}, CAST(COUNT(*) AS BIGINT) AS n
+    FROM {from_clause} GROUP BY {source_col}
+),
+tm_z AS (SELECT SUM(pow(CAST(n AS DOUBLE), {a})) AS z FROM tm_counts),
+tm_share AS (
+    SELECT {source_col}, n,
+           pow(CAST(n AS DOUBLE), {a}) / (SELECT z FROM tm_z) AS share
+    FROM tm_counts
+),
+tm_c AS (SELECT MIN(CAST(n AS DOUBLE) / share) AS c FROM tm_share),
+tm_rates AS (
+    SELECT {source_col},
+           round(least(1.0, share * (SELECT c FROM tm_c)
+                            / CAST(n AS DOUBLE)), 9) AS mix_rate
+    FROM tm_share
+)
+SELECT s.*, coalesce(r.mix_rate, 0.0) AS mix_rate,
+       {bucket} < CAST(floor(coalesce(r.mix_rate, 0.0) * {RESOLUTION})
+                       AS INT) AS mix_keep
+FROM {from_clause} s LEFT JOIN tm_rates r USING ({source_col})
+"""

@@ -1362,6 +1362,86 @@ def _oracle_ann_from_text() -> str:
     return f'SELECT query_id, neighbor_id, rank AS rnk FROM ({sql})'
 
 
+TB_BUDGET = 20_000  # tokens
+
+
+def _diversity_score(text):
+    """Lexical-diversity score (distinct/total tokens) — an
+    exact-rational per-doc quality proxy (one double division of
+    integers, bit-identical cross-engine; no rounding protocol
+    needed). NULL/empty → 0.0."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(text)), textstats.TOKEN_SPLIT),
+        lambda x: x != "",
+    )
+    return F.when(
+        text.isNotNull() & (F.size(toks) > 0),
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.size(toks).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+_DIVERSITY_SQL = (
+    "CASE WHEN text IS NOT NULL AND len(list_filter("
+    "regexp_split_to_array(lower(trim(text)), '{ws}'), x -> x <> '')) > 0 "
+    "THEN CAST(len(list_distinct(list_filter(regexp_split_to_array("
+    "lower(trim(text)), '{ws}'), x -> x <> ''))) AS DOUBLE) "
+    "/ CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), "
+    "'{ws}'), x -> x <> '')) AS DOUBLE) ELSE 0.0 END"
+)
+
+
+def q_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus packing (functions/selection.py): fill a
+    fixed token budget with the best documents by lexical-diversity
+    score — rank (score desc, doc_id), running token total ≤ budget.
+    This is the exactness baseline the oracle replays (window cumsum);
+    the histogram-threshold production path is equality-pinned in
+    tests/test_selection.py."""
+    from ..functions.selection import token_budget_select
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "__score", _diversity_score(F.col("text"))
+    )
+    return token_budget_select(
+        docs, "doc_id", "__score", TB_BUDGET, "text"
+    ).select("doc_id", "n_tok", "cum_tok", "selected")
+
+
+def _oracle_token_budget_pack() -> str:
+    from ..functions.selection import duckdb_token_budget_sql
+
+    return duckdb_token_budget_sql(
+        "documents",
+        "doc_id",
+        _DIVERSITY_SQL.format(ws=textstats.TOKEN_SPLIT),
+        TB_BUDGET,
+        "text",
+    )
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature source rebalancing (functions/selection.py):
+    shares ∝ n_s^0.5 derived from the corpus itself (multilingual-BERT
+    / UniMax-style head flattening), largest-feasible-corpus rates,
+    deterministic hash-bucket keep. Oracle replays counts → pow
+    shares → rates → bucket compare."""
+    from ..functions.selection import temperature_mix
+
+    return temperature_mix(
+        _read(spark, sf_dir, "documents"), "source", "doc_id", alpha=0.5
+    ).select("doc_id", "source", "mix_rate", "mix_keep")
+
+
+def _oracle_temperature_mix() -> str:
+    from ..functions.selection import duckdb_temperature_mix_sql
+
+    sql = duckdb_temperature_mix_sql("documents", "source", "doc_id", 0.5)
+    return (
+        f"SELECT doc_id, source, mix_rate, mix_keep FROM ({sql})"
+    )
+
+
 def q_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KenLM-style interpolated Kneser-Ney TRIGRAM perplexity
     (functions/kn.py; Kneser & Ney 1995, Chen & Goodman 1999):
@@ -2131,8 +2211,6 @@ def queries():
         "unique_turnkey": q_unique_turnkey,
         "conv_features": q_conv_features,
         "row_count_anomaly": q_row_count_anomaly,
-        "freshness": q_freshness,
-        "hash_split": q_hash_split,
         "join_topk": q_join_topk,
         "tpch_q1": q_tpch_q1,
         "gopher_repetition": q_gopher_repetition,
@@ -2177,6 +2255,9 @@ def queries():
         "hybrid_retrieval": q_hybrid_retrieval,
         # r5d: interpolated Kneser-Ney trigram perplexity (functions/kn.py)
         "perplexity_kn": q_perplexity_kn,
+        # r5e: budgeted corpus selection (functions/selection.py)
+        "token_budget_pack": q_token_budget_pack,
+        "temperature_mix": q_temperature_mix,
         # ---- tail: engine twins / derivative aggregates (see above) ----
         # r5d rotation: the static broadcast-table bigram scorer rotates
         # to the tail; the perplexity family keeps perplexity_trained
@@ -2186,6 +2267,12 @@ def queries():
         # tail feeder of perplexity_kn: the model table with its own
         # full oracle (TAIL_OVERFLOW in test_entry_parity.py)
         "kn_trigram_lm": q_kn_trigram_lm,
+        # r5e rotation: hash_split's md5-bucket gate is the same
+        # primitive inside the in-window classifier_mix (and the new
+        # temperature_mix); freshness' timestamp-age comparison stays
+        # family-covered by row_count_anomaly. Both keep full oracles.
+        "hash_split": q_hash_split,
+        "freshness": q_freshness,
         # r5c rotation: keep_drop_labels' verdict surface stays
         # in-window via keep_drop_labels_ext (superset config, same
         # emitter); ann_bruteforce's exact-cosine ranking stays via
@@ -2312,6 +2399,8 @@ def oracle_sql():
         "hybrid_retrieval": _oracle_hybrid_retrieval(),
         "perplexity_kn": _oracle_perplexity_kn(),
         "kn_trigram_lm": _oracle_kn_trigram_lm(),
+        "token_budget_pack": _oracle_token_budget_pack(),
+        "temperature_mix": _oracle_temperature_mix(),
         "minhash_pairs": _oracle_minhash_pairs(),
         "minhash_dedup_labels": ORACLE_MINHASH_LABELS,
         "semantic_dedup": _oracle_semantic_dedup(),
