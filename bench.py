@@ -271,8 +271,22 @@ def _extra_benches():
             hash_fn="xxhash64",
         )
 
+    def hybrid_retrieval_xx(spark, sf_dir):
+        # the driver row runs md5 oracle-parity embeddings; this is
+        # the xxhash64 production mode of the dense branch
+        from zeus_data_quality_spark.operators.retrieval import (
+            hybrid_retrieval,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return hybrid_retrieval(
+            docs, "doc_id", "text", n_queries=5, k_each=20, k=10,
+            hash_fn="xxhash64",
+        )
+
     return {
         "bpe_vocab_batched_512": bpe_vocab_batched_512,
+        "hybrid_retrieval_xx": hybrid_retrieval_xx,
         "text_embeddings_xx": text_embeddings_xx,
         "ann_from_text_xx": ann_from_text_xx,
         "substring_dedup_xx": substring_dedup_xx,

@@ -201,8 +201,9 @@ WITH tb_base AS (
 ),
 tb_cum AS (
     SELECT {id_col}, n_tok,
-           SUM(n_tok) OVER (ORDER BY __score DESC, {id_col} ASC
-                            ROWS UNBOUNDED PRECEDING) AS cum_tok
+           CAST(SUM(n_tok) OVER (ORDER BY __score DESC, {id_col} ASC
+                                 ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_tok
     FROM tb_base
 )
 SELECT {id_col}, n_tok, cum_tok,
