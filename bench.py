@@ -153,6 +153,7 @@ HEADLINE = [
     "perplexity_kn",
     "token_budget_pack",
     "temperature_mix",
+    "incremental_dedup",
 ]
 
 

@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 import json
+
+from pyspark.sql import functions as F
 import os
 import subprocess
 import sys
@@ -313,3 +315,72 @@ def test_cli_kn_and_bm25_stages(spark, sf_dir, tmp_path):
     res = spark.read.parquet(str(tmp_path / "hy"))
     assert set(res.columns) == {"query_id", "doc_id", "rank"}
     assert res.count() == hy["rows"] > 0 and hy["mode"] == "hybrid"
+
+
+def test_cli_incremental_dedup_cycle(spark, sf_dir, tmp_path):
+    """Two-ingest cycle: run 1 self-dedups and bootstraps the
+    signature index; run 2 dedups a batch (half overlapping run 1)
+    against it and merges survivors into the next index."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    first = str(tmp_path / "first.parquet")
+    docs.filter("doc_id % 2 = 0").write.parquet(first)
+    batch = str(tmp_path / "batch.parquet")
+    # the new batch: all odd docs + 5 EXACT copies of even (indexed)
+    # docs under fresh ids
+    dups = (
+        docs.filter("doc_id % 2 = 0")
+        .limit(5)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    docs.filter("doc_id % 2 = 1").unionByName(dups).write.parquet(batch)
+
+    out = _cli(
+        "dedup",
+        "--input", first,
+        "--output", str(tmp_path / "out1"),
+        "--threshold", "0.7",
+        "--index-out", str(tmp_path / "idx1"),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    r1 = json.loads(out.stdout.strip().splitlines()[-1])
+    idx1 = spark.read.parquet(str(tmp_path / "idx1"))
+    assert set(idx1.columns) == {"doc_id", "sig"}
+    assert idx1.count() <= r1["canonical"]  # sig-less docs excluded
+
+    out = _cli(
+        "dedup",
+        "--input", batch,
+        "--output", str(tmp_path / "out2"),
+        "--threshold", "0.7",
+        "--index", str(tmp_path / "idx1"),
+        "--index-out", str(tmp_path / "idx2"),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    r2 = json.loads(out.stdout.strip().splitlines()[-1])
+    # the 5 injected copies of indexed docs must be caught
+    assert r2["dup_of_index"] >= 5
+    assert r2["new_unique"] > 0
+    res = spark.read.parquet(str(tmp_path / "out2"))
+    caught = {
+        r["doc_id"]
+        for r in res.filter("verdict = 'dup_of_index'").collect()
+    }
+    assert {d["doc_id"] for d in dups.collect()} <= caught
+    idx2 = spark.read.parquet(str(tmp_path / "idx2"))
+    from zeus_data_quality_spark.operators.dedup import minhash_signatures
+
+    expected_new = (
+        minhash_signatures(
+            spark.read.parquet(batch).join(
+                res.filter("verdict = 'new_unique'").select("doc_id"),
+                "doc_id",
+            ),
+            "doc_id",
+            "text",
+        )
+        .filter("sig IS NOT NULL")
+        .count()
+    )
+    assert idx2.count() == idx1.count() + expected_new

@@ -150,6 +150,11 @@ TAIL_TWINS = {
     # row_count_anomaly. Both keep full oracles.
     "hash_split",
     "freshness",
+    # r5f rotation: evicted so incremental_dedup (ingest-batch dedup
+    # vs a persisted signature index) gets a driver row. The
+    # running-total window's physical shape stays in-window via
+    # token_budget_pack's budget cumsum; olap keeps rollup_orders.
+    "window_running_total",
 }
 
 # Derivative composites past the window: full value oracles (parity
@@ -220,6 +225,8 @@ def test_driver_window_covers_every_operator_family():
         "retrieval": {"bm25_topk", "hybrid_retrieval"},
         # r5e: budgeted corpus selection
         "selection": {"token_budget_pack", "temperature_mix"},
+        # r5f: incremental ingest dedup vs a persisted index
+        "incremental_dedup": {"incremental_dedup"},
     }
     for fam, members in families.items():
         assert members & in_window, f"family {fam} has no driver-window row"

@@ -1,0 +1,93 @@
+"""Incremental ingest dedup pins (operators/dedup.py::incremental_dedup).
+
+Oracle parity (`incremental_dedup`) runs in test_entry_parity.py; here
+the verdict semantics are pinned on constructed fixtures plus the
+empty-index ≡ batch-labels consistency law.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.operators.dedup import (
+    incremental_dedup,
+    minhash_dedup_labels,
+    minhash_signatures,
+)
+
+LONG_A = "the quick brown fox jumps over the lazy dog again and again today"
+LONG_B = "completely different content about spark shuffles and parquet files"
+LONG_C = "a third unrelated document mentioning broadcast joins and skew salting"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_three_way_verdicts(spark):
+    index = _df(spark, [(0, LONG_A), (2, LONG_B)])
+    batch = _df(
+        spark,
+        [
+            (11, LONG_A),   # identical to index doc 0
+            (13, LONG_C),   # novel, duplicated inside the batch
+            (15, LONG_C),
+            (17, "totally novel text with nothing shared at all here"),
+            (19, None),     # NULL text: no signature, never a dup
+        ],
+    )
+    isigs = minhash_signatures(index, "doc_id", "text", hash_mode="md5")
+    got = {
+        r.doc_id: (r.verdict, r.dup_of)
+        for r in incremental_dedup(
+            batch, isigs, "doc_id", "text", threshold=0.7, hash_mode="md5"
+        ).collect()
+    }
+    assert got[11] == ("dup_of_index", 0)
+    assert got[13] == ("new_unique", None)  # smaller id leads the cluster
+    assert got[15] == ("dup_in_batch", 13)
+    assert got[17] == ("new_unique", None)
+    assert got[19] == ("new_unique", None)
+    assert len(got) == 5
+
+
+def test_best_match_prefers_higher_estimate_then_lower_id(spark):
+    # batch doc identical to TWO index docs -> dup_of = min index id
+    index = _df(spark, [(4, LONG_A), (2, LONG_A), (6, LONG_B)])
+    batch = _df(spark, [(11, LONG_A)])
+    isigs = minhash_signatures(index, "doc_id", "text", hash_mode="md5")
+    got = incremental_dedup(
+        batch, isigs, "doc_id", "text", threshold=0.7, hash_mode="md5"
+    ).collect()[0]
+    assert (got.verdict, got.dup_of) == ("dup_of_index", 2)
+
+
+def test_empty_index_reduces_to_batch_labels(spark, sf_dir):
+    """With an empty index the verdicts must coincide with
+    minhash_dedup_labels on the batch alone: dup_in_batch ⇔ not
+    canonical, dup_of ⇔ component."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    empty = minhash_signatures(
+        docs.filter("doc_id < 0"), "doc_id", "text", hash_mode="md5"
+    )
+    inc = {
+        r.doc_id: (r.verdict, r.dup_of)
+        for r in incremental_dedup(
+            docs, empty, "doc_id", "text", threshold=0.7, hash_mode="md5"
+        ).collect()
+    }
+    labels = {
+        r["doc_id"]: (r["component"], r["is_canonical"])
+        for r in minhash_dedup_labels(
+            docs, "doc_id", "text", threshold=0.7, hash_mode="md5"
+        ).collect()
+    }
+    assert set(inc) == set(labels)
+    assert not any(v == "dup_of_index" for v, _ in inc.values())
+    for did, (comp, canonical) in labels.items():
+        if canonical:
+            assert inc[did] == ("new_unique", None), did
+        else:
+            assert inc[did] == ("dup_in_batch", comp), did

@@ -126,9 +126,54 @@ def cmd_dedup(args) -> int:
     driver lifetime — the in-session durability rung below
     ``--state-dir``.
     """
-    from .operators.dedup import minhash_dedup_labels
+    from .operators.dedup import (
+        incremental_dedup,
+        minhash_dedup_labels,
+        minhash_signatures,
+    )
 
     spark = _spark(args)
+    if args.index:
+        # incremental mode: dedup the batch against a persisted
+        # (id, sig) index; survivors' signatures optionally merge into
+        # --index-out for the next ingest.
+        df = spark.read.parquet(args.input)
+        isigs = spark.read.parquet(args.index)
+        out = incremental_dedup(
+            df, isigs, args.id_col, args.text_col,
+            threshold=args.threshold, hash_mode=args.hash,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        res = spark.read.parquet(args.output)
+        counts = {
+            r["verdict"]: r["n"]
+            for r in res.groupBy("verdict")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if args.index_out:
+            keep_ids = res.filter("verdict = 'new_unique'").select(
+                F.col(args.id_col)
+            )
+            new_sigs = minhash_signatures(
+                df.join(keep_ids, args.id_col), args.id_col,
+                args.text_col, hash_mode=args.hash,
+            ).filter(F.col("sig").isNotNull())
+            isigs.unionByName(new_sigs).write.mode("overwrite").parquet(
+                args.index_out
+            )
+        print(
+            json.dumps(
+                {
+                    "rows": int(res.count()),
+                    "new_unique": int(counts.get("new_unique", 0)),
+                    "dup_of_index": int(counts.get("dup_of_index", 0)),
+                    "dup_in_batch": int(counts.get("dup_in_batch", 0)),
+                    "index_out": args.index_out,
+                }
+            )
+        )
+        return 0
     if args.reliable_checkpoints:
         ckpt = args.checkpoint_dir or (
             f"{args.state_dir}/spark_ckpt" if args.state_dir else None
@@ -152,6 +197,16 @@ def cmd_dedup(args) -> int:
     )
     labels.write.mode("overwrite").parquet(args.output)
     out = spark.read.parquet(args.output)
+    if args.index_out:
+        # bootstrap the incremental index: signatures of this run's
+        # canonical docs become the --index of the next ingest
+        canon_ids = out.filter(F.col("is_canonical")).select(args.id_col)
+        minhash_signatures(
+            df.join(canon_ids, args.id_col), args.id_col, args.text_col,
+            hash_mode=args.hash,
+        ).filter(F.col("sig").isNotNull()).write.mode(
+            "overwrite"
+        ).parquet(args.index_out)
     n = out.count()
     canon = out.filter(F.col("is_canonical")).count()
     print(
@@ -622,6 +677,15 @@ def main(argv: list[str] | None = None) -> int:
         help="CC rounds via reliable Spark checkpoints (executor-loss safe)",
     )
     d.add_argument("--checkpoint-dir", default=None)
+    d.add_argument("--index", default=None,
+                   help="(id, sig) parquet from a previous run: dedup "
+                   "the input BATCH against it instead of itself "
+                   "(incremental ingest mode)")
+    d.add_argument("--index-out", default=None,
+                   help="write the merged index (old + new_unique "
+                   "signatures) for the next ingest")
+    d.add_argument("--hash", choices=["md5", "xxhash64"],
+                   default="xxhash64")
     d.set_defaults(fn=cmd_dedup)
 
     sd = sub.add_parser(

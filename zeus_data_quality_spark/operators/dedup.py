@@ -443,6 +443,125 @@ def minhash_dedup(
     )
 
 
+def incremental_dedup(
+    batch: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Dedup a NEW ingest batch against a persisted signature index —
+    the incremental-corpus-growth path: at 100 TB you never re-dedup
+    the historical corpus; you band-join the new batch's signatures
+    against the stored (id, sig) table and only the batch deduplicates
+    internally.
+
+    ``index_sigs`` is a (id, sig) relation — ``minhash_signatures``
+    output written to parquet by a previous run (the batch side of
+    the streaming ``band_dedup`` gate's state, made durable).
+
+    Output, one row per batch doc: (id, verdict, dup_of) with
+    verdict ∈ {'dup_of_index', 'dup_in_batch', 'new_unique'}:
+
+    * ``dup_of_index`` — ≥ 1 index doc shares an LSH bucket with
+      estimated Jaccard ≥ threshold; ``dup_of`` = the best match
+      (max estimate, min index id on ties — deterministic).
+    * ``dup_in_batch`` — no index match, but a smaller-id batch doc
+      leads its near-dup component (the minhash_dedup_labels
+      semantics restricted to the batch); ``dup_of`` = the component
+      canonical. A member whose canonical itself matched the index
+      still points at the batch canonical (single-hop vs index — the
+      same property as streaming band_dedup, documented there).
+    * ``new_unique`` — survives both; its signature is what a caller
+      appends to the index.
+
+    Scale shape: the index is touched ONCE by the band-key join (band
+    keys are derived from the stored sigs — cheap Column algebra, no
+    re-hash of text); the Jaccard estimate rides map-side on the
+    joined row exactly like minhash_candidate_pairs' r4 fix, so
+    pair-level shuffles stay (new_id, idx_id, est)-narrow.
+    """
+    r = num_hashes // bands
+    new_sigs = (
+        minhash_signatures(
+            batch, id_col, text_col, num_hashes, hash_mode=hash_mode
+        )
+        .filter(F.col("sig").isNotNull())
+        .localCheckpoint(eager=True)  # 3 consumers: index join,
+        # batch-internal pairs, final verdict join
+    )
+    band_keys = _band_key_columns(bands, r, hash_mode)
+
+    def exploded(sigs, idc, sigc):
+        return sigs.select(
+            F.col(id_col).alias(idc),
+            F.col("sig").alias(sigc),
+            F.explode(F.array(*band_keys)).alias("key"),
+        )
+
+    nb = exploded(new_sigs, "__nid", "__nsig")
+    ib = exploded(index_sigs.filter(F.col("sig").isNotNull()),
+                  "__iid", "__isig")
+    agree = F.size(
+        F.filter(
+            F.zip_with("__nsig", "__isig", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    cand = (
+        nb.join(ib, on="key")
+        .select(
+            "__nid",
+            "__iid",
+            (agree.cast("double") / F.lit(float(num_hashes))).alias("est"),
+        )
+        .groupBy("__nid", "__iid")
+        .agg(F.first("est").alias("est"))  # est is pure f(sig_a, sig_b)
+        .filter(F.col("est") >= threshold)
+    )
+    best_est = cand.groupBy("__nid").agg(F.max("est").alias("__best"))
+    idx_match = (
+        cand.join(best_est, "__nid")
+        .filter(F.col("est") == F.col("__best"))
+        .groupBy("__nid")
+        .agg(F.min("__iid").alias("__dup_idx"))
+    )
+
+    handle: list = []
+    pairs = minhash_candidate_pairs(
+        new_sigs, id_col, num_hashes, bands, threshold, hash_mode,
+        sig_cache_out=handle,
+    )
+    # connected_components localCheckpoints its labels (lineage cut),
+    # so the pair generator's internal signature cache can be released
+    # here instead of pinning the session registry (ADVICE r4).
+    comp = connected_components(pairs)
+    for h in handle:
+        release_signature_cache(h)
+
+    out = (
+        batch.select(F.col(id_col).alias("__id"))
+        .join(idx_match, F.col("__id") == F.col("__nid"), "left")
+        .drop("__nid")
+        .join(comp, F.col("__id") == F.col("id"), "left")
+        .drop("id")
+    )
+    canonical = F.coalesce(F.col("component"), F.col("__id"))
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.when(F.col("__dup_idx").isNotNull(), F.lit("dup_of_index"))
+        .when(canonical != F.col("__id"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("new_unique"))
+        .alias("verdict"),
+        F.when(F.col("__dup_idx").isNotNull(), F.col("__dup_idx"))
+        .when(canonical != F.col("__id"), canonical)
+        .alias("dup_of"),
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """64-bit SimHash from whitespace tokens, pure Column algebra.
 
@@ -597,17 +716,15 @@ def ngram_jaccard(
     )
 
 
-def duckdb_minhash_pairs_cte(
+def duckdb_minhash_sig_band_cte(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
-    threshold: float = 0.5,
     shingle_n: int = 3,
 ) -> str:
-    """DuckDB CTE chain re-computing the ENTIRE md5-mode MinHash
-    pipeline (shingles → seeded minima → band keys → bucket anchors →
-    candidate pairs → signature-agreement estimate) from a relation
-    ``__mh_in(id, txt)`` the caller must define. Ends in
-    ``__mh_pairs(id_a, id_b, jaccard_est)``."""
+    """CTE chain (no leading WITH) computing md5-mode signatures and
+    LSH band keys from a caller-defined relation ``__mh_in(id, txt)``:
+    ends with ``__mh_sig(id, sig)`` and ``__mh_band(id, key)``.
+    Shared by the pairs oracle and the incremental-dedup oracle."""
     r = num_hashes // bands
     gram = " || ' ' || ".join(f"t[CAST(i + {j} AS INT)]" for j in range(shingle_n))
     return f"""
@@ -632,7 +749,21 @@ __mh_band AS (
                sig[CAST(b * {r} + 1 AS INT):CAST(b * {r} + {r} AS INT)], '|')
                AS key
     FROM __mh_sig, range({bands}) rb(b)
-),
+)"""
+
+
+def duckdb_minhash_pairs_cte(
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> str:
+    """DuckDB CTE chain re-computing the ENTIRE md5-mode MinHash
+    pipeline (shingles → seeded minima → band keys → bucket anchors →
+    candidate pairs → signature-agreement estimate) from a relation
+    ``__mh_in(id, txt)`` the caller must define. Ends in
+    ``__mh_pairs(id_a, id_b, jaccard_est)``."""
+    return f"""{duckdb_minhash_sig_band_cte(num_hashes, bands, shingle_n)},
 __mh_anchor AS (SELECT key, MIN(id) AS id_a FROM __mh_band GROUP BY key),
 __mh_cand AS (
     SELECT DISTINCT a.id_a, m.id AS id_b
@@ -651,6 +782,94 @@ __mh_pairs AS (
               i -> sa.sig[CAST(i + 1 AS INT)] = sb.sig[CAST(i + 1 AS INT)]))
               / {float(num_hashes)!r} >= {threshold!r}
 )
+"""
+
+
+def duckdb_incremental_dedup_sql(
+    from_clause: str,
+    id_col: str,
+    text_col: str,
+    index_where: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> str:
+    """Oracle for :func:`incremental_dedup` with the index = rows of
+    ``from_clause`` matching ``index_where`` and the batch = the rest:
+    replays signatures, band keys, the batch→index bucket join with
+    best-match selection, the batch-internal anchor pairs, and the
+    recursive-CTE components behind the three-way verdict."""
+    agree = (
+        f"len(list_filter(range({num_hashes}), "
+        f"i -> sa.sig[CAST(i + 1 AS INT)] = sb.sig[CAST(i + 1 AS INT)])) "
+        f"/ {float(num_hashes)!r}"
+    )
+    sig_band = duckdb_minhash_sig_band_cte(num_hashes, bands, shingle_n)
+    return f"""WITH RECURSIVE
+__mh_in AS (SELECT {id_col} AS id, {text_col} AS txt FROM {from_clause}),
+inc_flag AS (
+    SELECT {id_col} AS id, ({index_where}) AS is_idx FROM {from_clause}
+),
+{sig_band.lstrip()},
+inc_cand AS (
+    SELECT DISTINCT nb.id AS nid, ib.id AS iid, {agree} AS est
+    FROM __mh_band nb
+    JOIN inc_flag nf ON nf.id = nb.id AND NOT nf.is_idx
+    JOIN __mh_band ib ON ib.key = nb.key
+    JOIN inc_flag jf ON jf.id = ib.id AND jf.is_idx
+    JOIN __mh_sig sa ON sa.id = nb.id
+    JOIN __mh_sig sb ON sb.id = ib.id
+    WHERE {agree} >= {threshold!r}
+),
+inc_best AS (SELECT nid, MAX(est) AS best FROM inc_cand GROUP BY nid),
+inc_match AS (
+    SELECT c.nid, MIN(c.iid) AS dup_idx
+    FROM inc_cand c JOIN inc_best b ON b.nid = c.nid AND c.est = b.best
+    GROUP BY c.nid
+),
+binc_anchor AS (
+    SELECT key, MIN(nb.id) AS id_a
+    FROM __mh_band nb JOIN inc_flag f ON f.id = nb.id AND NOT f.is_idx
+    GROUP BY key
+),
+binc_cand AS (
+    SELECT DISTINCT a.id_a, m.id AS id_b
+    FROM __mh_band m
+    JOIN inc_flag f ON f.id = m.id AND NOT f.is_idx
+    JOIN binc_anchor a USING (key)
+    WHERE m.id > a.id_a
+),
+binc_pairs AS (
+    SELECT c.id_a, c.id_b FROM binc_cand c
+    JOIN __mh_sig sa ON sa.id = c.id_a
+    JOIN __mh_sig sb ON sb.id = c.id_b
+    WHERE {agree} >= {threshold!r}
+),
+binc_edges AS (
+    SELECT id_a AS src, id_b AS dst FROM binc_pairs
+    UNION
+    SELECT id_b, id_a FROM binc_pairs
+),
+binc_nodes AS (SELECT DISTINCT src AS id FROM binc_edges),
+binc_reach(id, r) AS (
+    SELECT id, id FROM binc_nodes
+    UNION
+    SELECT binc_reach.id, e.dst FROM binc_reach
+    JOIN binc_edges e ON e.src = binc_reach.r
+),
+binc_comp AS (SELECT id, MIN(r) AS component FROM binc_reach GROUP BY id)
+SELECT f.id AS {id_col},
+       CASE WHEN m.dup_idx IS NOT NULL THEN 'dup_of_index'
+            WHEN COALESCE(c.component, f.id) <> f.id THEN 'dup_in_batch'
+            ELSE 'new_unique' END AS verdict,
+       CASE WHEN m.dup_idx IS NOT NULL THEN m.dup_idx
+            WHEN COALESCE(c.component, f.id) <> f.id THEN c.component
+            END AS dup_of
+FROM inc_flag f
+LEFT JOIN inc_match m ON m.nid = f.id
+LEFT JOIN binc_comp c ON c.id = f.id
+WHERE NOT f.is_idx
 """
 
 

@@ -583,6 +583,36 @@ def q_minhash_dedup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (operators/dedup.py): the even-id half
+    of documents plays the previously-ingested corpus (its persisted
+    (id, sig) MinHash index), the odd-id half is the new batch —
+    band-join vs the index plus batch-internal anchor pairs → CC
+    gives each new doc a three-way verdict (dup_of_index /
+    dup_in_batch / new_unique) with a deterministic best-match
+    dup_of. md5 parity mode; the oracle replays signatures, the
+    bucket join, best-match selection, and the recursive components
+    in one statement."""
+    from ..operators.dedup import incremental_dedup, minhash_signatures
+
+    docs = _read(spark, sf_dir, "documents")
+    isigs = minhash_signatures(
+        docs.filter("doc_id % 2 = 0"), "doc_id", "text", hash_mode="md5"
+    )
+    return incremental_dedup(
+        docs.filter("doc_id % 2 = 1"), isigs, "doc_id", "text",
+        threshold=0.7, hash_mode="md5",
+    )
+
+
+def _oracle_incremental_dedup() -> str:
+    from ..operators.dedup import duckdb_incremental_dedup_sql
+
+    return duckdb_incremental_dedup_sql(
+        "documents", "doc_id", "text", "doc_id % 2 = 0", threshold=0.7
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic near-dup verdict (operators/semdedup.py):
     in-engine embeddings → md5-seeded spherical k-means →
@@ -2230,7 +2260,6 @@ def queries():
         "monitor_topk": q_monitor_topk,
         "monitor_daily_trend": q_monitor_daily_trend,
         "rollup_orders": q_rollup_orders,
-        "window_running_total": q_window_running_total,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -2258,6 +2287,8 @@ def queries():
         # r5e: budgeted corpus selection (functions/selection.py)
         "token_budget_pack": q_token_budget_pack,
         "temperature_mix": q_temperature_mix,
+        # r5f: incremental ingest dedup vs a persisted signature index
+        "incremental_dedup": q_incremental_dedup,
         # ---- tail: engine twins / derivative aggregates (see above) ----
         # r5d rotation: the static broadcast-table bigram scorer rotates
         # to the tail; the perplexity family keeps perplexity_trained
@@ -2273,6 +2304,10 @@ def queries():
         # family-covered by row_count_anomaly. Both keep full oracles.
         "hash_split": q_hash_split,
         "freshness": q_freshness,
+        # r5f rotation: the running-total window pattern stays
+        # in-window via token_budget_pack's budget cumsum (same
+        # physical shape); olap family keeps rollup_orders.
+        "window_running_total": q_window_running_total,
         # r5c rotation: keep_drop_labels' verdict surface stays
         # in-window via keep_drop_labels_ext (superset config, same
         # emitter); ann_bruteforce's exact-cosine ranking stays via
@@ -2401,6 +2436,7 @@ def oracle_sql():
         "kn_trigram_lm": _oracle_kn_trigram_lm(),
         "token_budget_pack": _oracle_token_budget_pack(),
         "temperature_mix": _oracle_temperature_mix(),
+        "incremental_dedup": _oracle_incremental_dedup(),
         "minhash_pairs": _oracle_minhash_pairs(),
         "minhash_dedup_labels": ORACLE_MINHASH_LABELS,
         "semantic_dedup": _oracle_semantic_dedup(),
