@@ -466,9 +466,16 @@ def incremental_dedup(
     Output, one row per batch doc: (id, verdict, dup_of) with
     verdict ∈ {'dup_of_index', 'dup_in_batch', 'new_unique'}:
 
-    * ``dup_of_index`` — ≥ 1 index doc shares an LSH bucket with
-      estimated Jaccard ≥ threshold; ``dup_of`` = the best match
-      (max estimate, min index id on ties — deterministic).
+    * ``dup_of_index`` — the batch doc shares an LSH bucket whose
+      INDEX-side anchor (min index id in the bucket — the same
+      anchor discipline as :func:`minhash_candidate_pairs`) has
+      estimated Jaccard ≥ threshold; ``dup_of`` = the best such
+      anchor (max estimate, min id on ties — deterministic). Joining
+      each batch doc against every index member of its bucket would
+      be quadratic on boilerplate cliques (a 10^5-member bucket of
+      near-identical docs × a duplicate-heavy batch must not emit
+      10^9 pairs — observed: the member-join shape ran >8 min where
+      the anchor shape takes seconds on the 10M-turn corpus).
     * ``dup_in_batch`` — no index match, but a smaller-id batch doc
       leads its near-dup component (the minhash_dedup_labels
       semantics restricted to the batch); ``dup_of`` = the component
@@ -503,8 +510,18 @@ def incremental_dedup(
         )
 
     nb = exploded(new_sigs, "__nid", "__nsig")
-    ib = exploded(index_sigs.filter(F.col("sig").isNotNull()),
-                  "__iid", "__isig")
+    # index side reduced to ONE anchor row per bucket before the join
+    # (min id + its signature via min_by): the join is then linear in
+    # batch band rows, never quadratic on index cliques.
+    ib = (
+        exploded(index_sigs.filter(F.col("sig").isNotNull()),
+                 "__iid", "__isig")
+        .groupBy("key")
+        .agg(
+            F.min("__iid").alias("__iid"),
+            F.min_by("__isig", "__iid").alias("__isig"),
+        )
+    )
     agree = F.size(
         F.filter(
             F.zip_with("__nsig", "__isig", lambda x, y: x == y),
@@ -812,14 +829,18 @@ inc_flag AS (
     SELECT {id_col} AS id, ({index_where}) AS is_idx FROM {from_clause}
 ),
 {sig_band.lstrip()},
+inc_idx_anchor AS (
+    SELECT ib.key, MIN(ib.id) AS iid
+    FROM __mh_band ib JOIN inc_flag jf ON jf.id = ib.id AND jf.is_idx
+    GROUP BY ib.key
+),
 inc_cand AS (
-    SELECT DISTINCT nb.id AS nid, ib.id AS iid, {agree} AS est
+    SELECT DISTINCT nb.id AS nid, a.iid, {agree} AS est
     FROM __mh_band nb
     JOIN inc_flag nf ON nf.id = nb.id AND NOT nf.is_idx
-    JOIN __mh_band ib ON ib.key = nb.key
-    JOIN inc_flag jf ON jf.id = ib.id AND jf.is_idx
+    JOIN inc_idx_anchor a ON a.key = nb.key
     JOIN __mh_sig sa ON sa.id = nb.id
-    JOIN __mh_sig sb ON sb.id = ib.id
+    JOIN __mh_sig sb ON sb.id = a.iid
     WHERE {agree} >= {threshold!r}
 ),
 inc_best AS (SELECT nid, MAX(est) AS best FROM inc_cand GROUP BY nid),
