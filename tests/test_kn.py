@@ -244,3 +244,91 @@ def test_streaming_kn_gate_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM kn_stream").collect()
     }
     assert got == want
+
+def test_perplexity_kn_check_type(spark, sf_dir, tmp_path):
+    """PERPLEXITY_KN check: a persisted model TABLE (parquet path in
+    params — a 1M-type model doesn't embed in PARAMS_JSON) gates rows
+    through the broadcast-model UDF; verdicts replay score_with_kn's
+    join path exactly; NULL text → NULL predicate (passes, 3VL); the
+    per-path UDF cache builds the broadcast once per model."""
+    from pyspark.sql import functions as F
+
+    from zeus_data_quality_spark.functions import kn as knmod
+    from zeus_data_quality_spark.functions.rules import (
+        Check,
+        compile_row_check,
+        passes,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    model_path = str(tmp_path / "kn_model")
+    fit_kn_trigram(docs).write.parquet(model_path)
+
+    # held-out rows: real text (seen distribution), gibberish (all-OOV
+    # trigrams → OOV_NLL mean → fails), NULL (3VL pass)
+    held = docs.limit(6).select("doc_id", "text").union(
+        spark.createDataFrame(
+            [(9001, "zqx vvk wjj qqq zzz xxy"), (9002, None)],
+            "doc_id long, text string",
+        )
+    )
+
+    # data-derived threshold: median of the join-path scores, so the
+    # gate provably splits the real rows
+    ref = score_with_kn(
+        held.filter(F.col("text").isNotNull()),
+        spark.read.parquet(model_path),
+        "doc_id",
+    )
+    thresh = ref.approxQuantile("kn_nll_mean", [0.5], 0.0)[0]
+    want = {
+        r["doc_id"]: bool(r["kn_nll_mean"] <= thresh)
+        for r in ref.collect()
+    }
+    want[9002] = True  # NULL text → NULL pred → passes
+
+    knmod._UDF_CACHE.clear()
+    check = Check(
+        "KN1",
+        "PERPLEXITY_KN",
+        "text",
+        {"model_path": model_path, "max_nll": thresh},
+    )
+    got = {
+        r["doc_id"]: r["ok"]
+        for r in held.withColumn(
+            "ok", passes(compile_row_check(check))
+        ).collect()
+    }
+    assert got == want
+    assert got[9001] is False  # all-OOV gibberish fails any sane gate
+
+    # cache: a second check against the same path reuses the UDF
+    n_entries = len(knmod._UDF_CACHE)
+    compile_row_check(check)
+    assert len(knmod._UDF_CACHE) == n_entries
+
+
+def test_preflight_knows_all_compiled_check_types(spark):
+    """Every check type compile_row_check dispatches on is 'known' to
+    preflight — no spurious unknown-type warning for a supported
+    type."""
+    from zeus_data_quality_spark.functions.rules import Check
+    from zeus_data_quality_spark.plans.meta import preflight_checks
+
+    checks = [
+        Check(f"C{i}", t, "text", params)
+        for i, (t, params) in enumerate(
+            [
+                ("TOOL_CONSISTENCY", {}),
+                ("CLASSIFIER", {"weights": [0.1] * 7}),
+                ("PERPLEXITY_KN", {"model_path": "/nope", "max_nll": 9.0}),
+                ("LANG_ID", {}),
+                ("PERPLEXITY", {}),
+            ]
+        )
+    ]
+    problems = preflight_checks(checks, ["text"])
+    assert not [p for p in problems if "unknown check type" in p], problems

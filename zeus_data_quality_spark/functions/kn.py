@@ -285,6 +285,32 @@ def make_broadcast_kn_udf(spark, model, oov_nll: float | None = None):
     return _udf
 
 
+_UDF_CACHE: dict[str, object] = {}
+
+
+def broadcast_kn_udf_for_path(path: str, oov_nll: float | None = None):
+    """Session-cached :func:`make_broadcast_kn_udf` keyed by model
+    path — the PERPLEXITY_KN check predicate builder (functions/
+    rules.py) calls this once per distinct model across a config's
+    whole plan build instead of re-collecting + re-broadcasting the
+    table per check instance. Uses the active session (plan-build
+    time always has one)."""
+    from pyspark.sql import SparkSession
+
+    key = f"{path}|{oov_nll}"
+    if key not in _UDF_CACHE:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "PERPLEXITY_KN needs an active SparkSession to load "
+                f"the model table {path!r}"
+            )
+        _UDF_CACHE[key] = make_broadcast_kn_udf(
+            spark, spark.read.parquet(path), oov_nll
+        )
+    return _UDF_CACHE[key]
+
+
 # ------------------------------------------------------------- oracle
 
 

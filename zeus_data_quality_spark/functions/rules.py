@@ -231,6 +231,24 @@ def compile_row_check(check: Check) -> Column:
             else perplexity_nll(col)
         )
         return nll <= F.lit(max_nll)
+    if ctype == "PERPLEXITY_KN":
+        # Trained Kneser-Ney trigram gate: the config stores the model
+        # TABLE's path (a 1M-type model doesn't embed in PARAMS_JSON
+        # the way CLASSIFIER weights do); the broadcast-model UDF is
+        # built once per path (functions/kn.py cache). NULL text →
+        # NULL predicate (passes — 3VL contract); no-trigram/all-OOV
+        # texts score OOV_NLL and fail any sane max_nll.
+        from .kn import broadcast_kn_udf_for_path
+
+        max_nll = float(check.params.get("max_nll", 10.0))
+        udf = broadcast_kn_udf_for_path(
+            check.params["model_path"],
+            check.params.get("oov_nll"),
+        )
+        nll = udf(col)
+        return F.when(
+            col.isNull(), F.lit(None).cast("boolean")
+        ).otherwise(~F.isnan(nll) & (nll <= F.lit(max_nll)))
     if ctype == "CLASSIFIER":
         # Trained-model gate: FIXED weights from PARAMS_JSON (trained
         # by fit_quality_classifier or external), applied as a pure

@@ -356,6 +356,9 @@ def preflight_checks(checks: list["Check"], df_columns: list[str]) -> list[str]:
     known = set(SUPPORTED_COLUMN_CHECKS) | set(SUPPORTED_TABLE_CHECKS) | {
         "LANG_ID",
         "PERPLEXITY",
+        "PERPLEXITY_KN",
+        "TOOL_CONSISTENCY",
+        "CLASSIFIER",
     }
     problems = []
     seen_ids = set()
