@@ -154,6 +154,9 @@ HEADLINE = [
     "token_budget_pack",
     "temperature_mix",
     "incremental_dedup",
+    # r5g: tokenizer encode-to-ids + materialized token windows
+    "tokenize_ids",
+    "token_shards",
 ]
 
 

@@ -1,0 +1,118 @@
+"""Semantic pins for BPE encode-to-ids + token shards
+(functions/encode.py). Cross-engine value parity is covered by
+test_entry_parity.py / tools/parity_check.py (`tokenize_ids`,
+`token_shards` oracles); here the SEMANTICS are pinned: id-assignment
+convention, count consistency with bpe_token_counts, OOV behavior,
+and shard-window reconstruction invariants.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.functions.bpe import (
+    bpe_token_counts,
+    fit_bpe,
+)
+from zeus_data_quality_spark.functions.encode import (
+    UNK_ID,
+    encode_token_ids,
+    pack_token_shards,
+    token_id_table,
+)
+
+MERGES, MIN_COUNT = 8, 2
+
+
+@pytest.fixture(scope="module")
+def trained(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    merges, vocab = fit_bpe(docs, "text", MERGES, MIN_COUNT)
+    return docs, merges, vocab
+
+
+def test_token_id_convention(spark, trained):
+    """Alphabet chars take 0..A-1 in lexicographic order; merge k takes
+    A + k - 1 (its concatenation string), the standard BPE layout."""
+    _, merges, vocab = trained
+    tid = {r["token"]: r["token_id"] for r in
+           token_id_table(vocab, merges).collect()}
+    mrows = sorted(
+        ((r["rank"], r["left"], r["right"]) for r in merges.collect())
+    )
+    n_alpha = len(tid) - len({l + r for _, l, r in mrows})
+    alpha = sorted(t for t in tid if tid[t] < n_alpha)
+    assert [tid[t] for t in alpha] == list(range(n_alpha))
+    assert all(len(t) == 1 for t in alpha)
+    for rank, left, right in mrows:
+        assert tid[left + right] == n_alpha + rank - 1
+
+
+def test_n_ids_matches_bpe_token_counts(spark, trained):
+    """len(ids) per doc == bpe_token_counts' budget for the training
+    corpus — the id sequence IS the thing the budget counted."""
+    docs, merges, vocab = trained
+    enc = encode_token_ids(docs, "doc_id", "text", vocab, merges)
+    counts = bpe_token_counts(docs, "doc_id", "text", vocab)
+    diff = (
+        enc.join(counts, "doc_id")
+        .filter(F.col("n_ids") != F.col("n_bpe_tokens"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_oov_words_encode_with_merges_and_unk(spark, trained):
+    """Cross-corpus scoring: a word unseen at training time is encoded
+    with the learned merges (not char-fallback-counted); characters
+    outside the training alphabet map to UNK_ID; NULL text → []."""
+    docs, merges, vocab = trained
+    tid = {r["token"]: r["token_id"] for r in
+           token_id_table(vocab, merges).collect()}
+    other = spark.createDataFrame(
+        [(1, "the the ÿÿ"), (2, None)], "id long, text string"
+    )
+    enc = {r["id"]: r["ids"] for r in
+           encode_token_ids(other, "id", "text", vocab, merges).collect()}
+    assert enc[2] == []
+    # 'ÿ' is outside the ascii-ish synthetic corpus alphabet
+    assert "ÿ" not in tid
+    assert enc[1].count(UNK_ID) == 2
+    known = [i for i in enc[1] if i != UNK_ID]
+    assert known and all(i in tid.values() for i in known)
+
+
+def test_shards_reconstruct_bucket_streams(spark, trained):
+    """Within a bucket, concatenating windows in seq_id order equals
+    concatenating doc id-arrays in doc-id order (packing's contract);
+    every window except the bucket's last holds exactly `budget`
+    tokens; n_docs counts contributing docs."""
+    docs, merges, vocab = trained
+    budget, n_buckets = 128, 4
+    enc = encode_token_ids(docs, "doc_id", "text", vocab, merges)
+    shards = pack_token_shards(enc, "doc_id", budget, n_buckets)
+    rows = shards.orderBy("bucket", "seq_id").collect()
+    # recompute the per-bucket streams from pack_sequences' own bucket
+    from zeus_data_quality_spark.operators.packing import pack_sequences
+
+    packed = pack_sequences(
+        enc, "doc_id", n_tokens_col="n_ids", budget=budget,
+        n_buckets=n_buckets,
+    )
+    streams: dict[int, list[int]] = {}
+    for r in packed.orderBy("bucket", "doc_id").collect():
+        streams.setdefault(r["bucket"], []).extend(r["ids"])
+    got: dict[int, list[int]] = {}
+    last_seq = {}
+    for r in rows:
+        got.setdefault(r["bucket"], []).extend(r["ids"])
+        last_seq[r["bucket"]] = (r["seq_id"], r["n_tokens"])
+        assert r["n_docs"] >= 1
+    assert got == streams
+    for b, (seq, n_tok) in last_seq.items():
+        full = [r for r in rows if r["bucket"] == b and r["seq_id"] != seq]
+        assert all(r["n_tokens"] == budget for r in full)
+        assert 0 < n_tok <= budget

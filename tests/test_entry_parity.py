@@ -155,6 +155,16 @@ TAIL_TWINS = {
     # running-total window's physical shape stays in-window via
     # token_budget_pack's budget cumsum; olap keeps rollup_orders.
     "window_running_total",
+    # r5g rotation: evicted so the token_ids family (tokenize_ids +
+    # token_shards — BPE encode-to-ids and materialized token windows)
+    # gets driver rows. The packing family keeps sequence_packing_bpe
+    # (the same operator with real BPE budgets) plus token_shards
+    # (which materializes the windows the budgets describe); the
+    # multimodal family keeps media_features + media_video_frames
+    # (decode, feature-extract, and frame-sample surfaces), and the
+    # audio row keeps its full oracle here.
+    "sequence_packing",
+    "media_audio_frames",
 }
 
 # Derivative composites past the window: full value oracles (parity
@@ -227,20 +237,25 @@ def test_driver_window_covers_every_operator_family():
         "selection": {"token_budget_pack", "temperature_mix"},
         # r5f: incremental ingest dedup vs a persisted index
         "incremental_dedup": {"incremental_dedup"},
+        # r5g: BPE encode-to-ids + packed token shards
+        "token_ids": {"tokenize_ids", "token_shards"},
     }
     for fam, members in families.items():
         assert members & in_window, f"family {fam} has no driver-window row"
-    # the media family must keep its distinct operators in-window (r2
-    # gap); r5 evicted the resize twin (features/audio/video cover the
-    # mapInPandas decode/feature/frame surfaces, resize shares the
-    # image path with media_features)
-    assert {"media_features", "media_audio_frames",
-            "media_video_frames"} <= in_window
-    # the round-3 operators specifically must be FULLY in-window (r3 gap)
-    for fam in ("lm_training", "loop_detection", "packing", "classifier",
+    # the media family must keep its distinct operator surfaces
+    # in-window (r2 gap); r5 evicted the resize twin (shares the image
+    # decode path with media_features), r5g the audio twin (shares the
+    # mapInPandas frame-sampling shape with media_video_frames) — both
+    # keep full oracles in the tail
+    assert {"media_features", "media_video_frames"} <= in_window
+    # the round-3 operators specifically must be FULLY in-window (r3
+    # gap); packing is covered by sequence_packing_bpe + token_shards
+    # after the r5g rotation (sequence_packing itself is a tail twin)
+    for fam in ("lm_training", "loop_detection", "classifier",
                 "bpe", "classifier_mix", "substring_dedup", "retrieval",
-                "selection"):
+                "selection", "token_ids"):
         assert families[fam] <= in_window, fam
+    assert "sequence_packing_bpe" in in_window
     # r5 promotions: both former TAIL_OVERFLOW composites and the new
     # semantic_dedup row must be driver-adjudicated (r4 verdict 2+3)
     assert {"sequence_packing_bpe", "ann_ivf_from_text",

@@ -255,8 +255,15 @@ def cmd_tokenize(args) -> int:
     Training uses the BATCHED parallel-BPE learner by default (up to
     --batch-size conflict-free merges per driver round-trip), so a
     realistic --merges 32000 is ~1000 Spark jobs, not 32000;
-    --batch-size 1 reproduces the exact sequential algorithm."""
+    --batch-size 1 reproduces the exact sequential algorithm.
+
+    --emit-ids additionally writes <output>/ids (doc_id, ids, n_ids)
+    — every doc's token-ID sequence; --shards writes
+    <output>/shards, the materialized fixed-budget training windows
+    (partitioned by bucket: the shard-file boundary at cluster
+    scale)."""
     from .functions.bpe import bpe_token_counts, fit_bpe_batched
+    from .functions.encode import encode_token_ids, pack_token_shards
 
     spark = _spark(args)
     df = spark.read.parquet(args.input)
@@ -271,17 +278,46 @@ def cmd_tokenize(args) -> int:
         F.count(F.lit(1)).alias("docs"),
         F.sum("n_bpe_tokens").alias("total_tokens"),
     ).first()
-    print(
-        json.dumps(
-            {
-                "merges_learned": spark.read.parquet(
-                    f"{args.output}/merges"
-                ).count(),
-                "docs": int(stats["docs"]),
-                "total_tokens": int(stats["total_tokens"] or 0),
-            }
+    summary = {
+        "merges_learned": spark.read.parquet(
+            f"{args.output}/merges"
+        ).count(),
+        "docs": int(stats["docs"]),
+        "total_tokens": int(stats["total_tokens"] or 0),
+    }
+    if args.emit_ids or args.shards:
+        enc = encode_token_ids(
+            df, args.id_col, args.text_col, vocab,
+            spark.read.parquet(f"{args.output}/merges"),
         )
-    )
+        enc.write.mode("overwrite").parquet(f"{args.output}/ids")
+        enc = spark.read.parquet(f"{args.output}/ids")
+        summary["ids_docs"] = enc.count()
+        if args.shards:
+            shards = pack_token_shards(
+                enc, args.id_col, budget=args.budget,
+                n_buckets=args.n_buckets,
+            )
+            (
+                shards.repartition("bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{args.output}/shards")
+            )
+            sh = spark.read.parquet(f"{args.output}/shards")
+            agg = sh.agg(
+                F.count(F.lit(1)).alias("n_seqs"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.sum(
+                    (F.col("n_tokens") == args.budget).cast("long")
+                ).alias("full_seqs"),
+            ).first()
+            summary.update(
+                n_seqs=int(agg["n_seqs"]),
+                shard_tokens=int(agg["n_tokens"] or 0),
+                full_seqs=int(agg["full_seqs"] or 0),
+            )
+    print(json.dumps(summary))
     return 0
 
 
@@ -714,6 +750,17 @@ def main(argv: list[str] | None = None) -> int:
         help="merges learned per driver round-trip (1 = exact "
         "sequential BPE)",
     )
+    tk.add_argument(
+        "--emit-ids", action="store_true",
+        help="also write <output>/ids: per-doc token-ID sequences",
+    )
+    tk.add_argument(
+        "--shards", action="store_true",
+        help="also write <output>/shards: materialized fixed-budget "
+        "token windows, partitioned by bucket (implies --emit-ids)",
+    )
+    tk.add_argument("--budget", type=int, default=2048)
+    tk.add_argument("--n-buckets", type=int, default=8)
     tk.set_defaults(fn=cmd_tokenize)
 
     sm = sub.add_parser(

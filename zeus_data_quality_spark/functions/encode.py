@@ -1,0 +1,371 @@
+"""BPE encode-to-token-IDs and packed token-shard emission.
+
+Completes the in-engine tokenizer loop (``functions/bpe.py`` trains the
+merge table; ``operators/packing.py`` budgets sequences): assign every
+vocabulary token a deterministic integer id, encode each document to
+its id sequence, and materialize fixed-budget training sequences whose
+token windows are the actual ids — the artifact a pretraining run
+reads, not just its size. The reference repo has no tokenizer (north-
+rule training-data extension; check-semantics lineage: SURVEY.md §2.8).
+
+Id assignment is the standard BPE convention, made engine-portable:
+the base alphabet (every distinct character of the training corpus's
+pre-tokens) takes ids ``0..A-1`` in lexicographic (binary UTF-8) order,
+and each learned merge takes ``A + rank - 1`` — one ``row_number``
+window over an alphabet+merges-sized table, no collect. A merge whose
+concatenation collides with an earlier merge's string keeps the
+smaller id (the later one is unreachable at encode time anyway).
+Characters unseen at training time encode to ``UNK_ID`` (-1).
+
+Scale shape, in pipeline order:
+
+1. **Encode** (:func:`encode_token_ids`): the corpus is touched by one
+   pre-token posexplode; everything token-identity-shaped happens on
+   VOCABULARY-sized tables (seen words ride the training vocab's final
+   symbol arrays; unseen words are distinct-deduplicated and encoded
+   once with :func:`~.bpe.apply_bpe_merges`). The per-word id arrays
+   broadcast back onto the corpus stream, and the only corpus-sized
+   shuffle is the per-document reassembly groupBy — the same single
+   shuffle any per-doc aggregation pays.
+2. **Shard** (:func:`pack_token_shards`): document ids are NOT
+   re-exploded per token. Each doc computes which sequences it spans
+   (``ceil(n/budget)+1`` rows at most), slices its id array once per
+   spanned sequence, and the (bucket, seq_id) groupBy reassembles
+   windows from ordered slices — token bytes cross the wire exactly
+   once, as arrays. This is the pipeline's materialization step (every
+   pretraining pipeline pays it once to write shards); at cluster
+   scale the output partitions by ``bucket`` so shard files stream out
+   of executors without a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .bpe import apply_bpe_merges
+from .textstats import BPE_TOKEN_PATTERN
+
+UNK_ID = -1
+
+
+def token_id_table(vocab: DataFrame, merges_df: DataFrame) -> DataFrame:
+    """(token, token_id) for a trained tokenizer: alphabet chars (from
+    the training vocab's words) sorted lexicographically get
+    ``0..A-1``, merges get ``A + rank - 1``. Pure relational — one
+    window over an (alphabet + merges)-sized table."""
+    chars = (
+        vocab.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.substr(F.col("word"), i, F.lit(1)),
+                )
+            ).alias("token")
+        )
+        .distinct()
+        .select("token", F.lit(0).alias("is_merge"), F.lit(0).alias("mrank"))
+    )
+    merged = merges_df.select(
+        F.concat("left", "right").alias("token"),
+        F.lit(1).alias("is_merge"),
+        F.col("rank").alias("mrank"),
+    )
+    w = Window.orderBy("is_merge", "mrank", "token")
+    return (
+        chars.unionByName(merged)
+        .withColumn("token_id", (F.row_number().over(w) - 1).cast("int"))
+        .groupBy("token")
+        .agg(F.min("token_id").alias("token_id"))
+    )
+
+
+def _word_id_arrays(
+    words: DataFrame, id_table: DataFrame, syms_col: str = "syms"
+) -> DataFrame:
+    """(word, ids) from (word, syms): explode symbols with position,
+    broadcast-join the id table, reassemble in order. Vocabulary-sized
+    throughout; unknown symbols map to :data:`UNK_ID`."""
+    exploded = words.select(
+        "word", F.posexplode(syms_col).alias("__sp", "token")
+    )
+    return (
+        exploded.join(F.broadcast(id_table), "token", "left")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__sp").alias("p"),
+                            F.coalesce(
+                                F.col("token_id"), F.lit(UNK_ID)
+                            ).alias("i"),
+                        )
+                    )
+                ),
+                lambda x: x["i"],
+            ).alias("ids")
+        )
+    )
+
+
+def encode_token_ids(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    merges_df: DataFrame,
+    id_table: DataFrame | None = None,
+) -> DataFrame:
+    """(id, ids array<int>, n_ids) for every input row — the document's
+    BPE token-id sequence under the trained tokenizer.
+
+    Words seen at training time reuse the vocab's final symbol arrays
+    (zero re-derivation); unseen words (cross-corpus scoring) are
+    distinct-deduplicated and encoded with the learned merges — the
+    :func:`~.bpe.bpe_token_counts_oov` discipline, here returning the
+    ids themselves. NULL/empty texts yield an empty array."""
+    if id_table is None:
+        id_table = token_id_table(vocab, merges_df)
+    per_tok = df.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            F.when(
+                F.col(text_col).isNotNull(),
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(BPE_TOKEN_PATTERN), F.lit(0)
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("__pos", "word"),
+    )
+    seen_ids = _word_id_arrays(
+        vocab.select("word", "syms"), id_table
+    ).withColumnRenamed("ids", "__seen")
+    joined = per_tok.join(F.broadcast(seen_ids), "word", "left")
+    unseen = (
+        joined.filter(F.col("__seen").isNull() & F.col("word").isNotNull())
+        .select("word")
+        .distinct()
+    )
+    merges = [
+        (r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()
+    ]
+    new_ids = _word_id_arrays(
+        apply_bpe_merges(unseen, merges), id_table
+    ).withColumnRenamed("ids", "__new")
+    word_ids = F.coalesce(
+        F.col("__seen"), F.col("__new"), F.array().cast("array<int>")
+    )
+    return (
+        joined.join(F.broadcast(new_ids), "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__pos").alias("p"),
+                                word_ids.alias("w"),
+                            )
+                        )
+                    ),
+                    lambda x: x["w"],
+                )
+            ).alias("ids")
+        )
+        .withColumn("n_ids", F.size("ids").cast("long"))
+    )
+
+
+def pack_token_shards(
+    encoded: DataFrame,
+    id_col: str,
+    budget: int = 2048,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """(bucket, seq_id, n_docs, n_tokens, ids) — materialized fixed-
+    budget training sequences from :func:`encode_token_ids` output.
+
+    Reuses :func:`~..operators.packing.pack_sequences` for sequence
+    assignment (md5-bucketed independent streams, id-ascending order
+    inside a bucket — byte-identical re-runs), then slices each doc's
+    id array once per SPANNED sequence (``seq_id`` .. the sequence
+    holding its last token) instead of exploding per token: a doc adds
+    ``ceil(n/budget)+1`` rows at most, and token bytes shuffle exactly
+    once, inside array chunks. ``n_docs`` counts docs contributing at
+    least one token to the window (continuations included); the final
+    sequence per bucket is naturally partial (``n_tokens < budget``).
+    Zero-token docs occupy a packing position but emit no chunk."""
+    from ..operators.packing import pack_sequences
+
+    rows = pack_sequences(
+        encoded, id_col, n_tokens_col="n_ids", budget=budget,
+        n_buckets=n_buckets,
+    )
+    cb = F.col("seq_id") * budget + F.col("offset")
+    last = cb + F.col("n_tokens") - 1
+    spans = rows.filter(F.col("n_tokens") > 0).select(
+        "bucket",
+        "ids",
+        cb.alias("__cb"),
+        last.alias("__last"),
+        F.explode(
+            F.sequence(F.col("seq_id"), F.floor(last / budget))
+        ).alias("seq_id"),
+    )
+    g0 = F.greatest(F.col("seq_id") * budget, F.col("__cb"))
+    g1 = F.least((F.col("seq_id") + 1) * budget - 1, F.col("__last"))
+    chunks = spans.select(
+        "bucket",
+        "seq_id",
+        g0.alias("__g0"),
+        F.slice(
+            "ids",
+            (g0 - F.col("__cb") + 1).cast("int"),
+            (g1 - g0 + 1).cast("int"),
+        ).alias("__chunk"),
+    )
+    return chunks.groupBy("bucket", "seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__g0").alias("g"),
+                            F.col("__chunk").alias("c"),
+                        )
+                    )
+                ),
+                lambda x: x["c"],
+            )
+        ).alias("ids"),
+    ).withColumn("n_tokens", F.size("ids").cast("long"))
+
+
+def ids_csv(col: str = "ids") -> Column:
+    """Engine-portable scalar rendering of an int-id array — the
+    driver's value-hash compares scalars, so queries emit the id
+    sequence as a comma-joined string (empty array → '')."""
+    return F.array_join(
+        F.transform(F.col(col), lambda x: x.cast("string")), ","
+    )
+
+
+# ------------------------------------------------------------- oracle
+
+
+def duckdb_token_ids_cte(
+    from_clause: str,
+    id_col: str,
+    text_col: str = "text",
+    num_merges: int = 24,
+    min_count: int = 2,
+) -> str:
+    """CTE chain (no WITH) ending in ``tok_doc_ids(id, ids)`` — the
+    DuckDB twin of training + :func:`encode_token_ids` over the SAME
+    corpus (every word is in-vocab, so encoding reuses the trained
+    final symbol arrays ``bpe_w{num_merges}``, exactly like the Spark
+    seen-word path). Composes on :func:`~.bpe.duckdb_bpe_ctes`."""
+    from .bpe import duckdb_bpe_ctes
+
+    chain = duckdb_bpe_ctes(from_clause, text_col, num_merges, min_count)
+    final = f"bpe_w{num_merges}"
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT l || r AS token, 1 AS is_merge, {k} AS mrank FROM bpe_b{k}"
+        for k in range(1, num_merges + 1)
+    )
+    return f"""{chain},
+tok_alpha AS (
+    SELECT DISTINCT word[i] AS token
+    FROM (SELECT word, unnest(range(1, length(word) + 1)) AS i FROM bpe_w0)
+),
+tok_idrows AS (
+    SELECT token, 0 AS is_merge, 0 AS mrank FROM tok_alpha
+    UNION ALL
+    {merge_rows}
+),
+tok_table AS (
+    SELECT token, CAST(MIN(tid) AS INT) AS token_id
+    FROM (SELECT token,
+                 ROW_NUMBER() OVER (ORDER BY is_merge, mrank, token) - 1
+                     AS tid
+          FROM tok_idrows)
+    GROUP BY token
+),
+tok_word_ids AS (
+    SELECT s.word, list(COALESCE(t.token_id, -1) ORDER BY s.i) AS ids
+    FROM (SELECT word, i, syms[i] AS sym
+          FROM (SELECT word, syms, unnest(range(1, len(syms) + 1)) AS i
+                FROM {final})) s
+    LEFT JOIN tok_table t ON s.sym = t.token
+    GROUP BY s.word
+),
+tok_doc_tok AS (
+    SELECT id, pos, toks[pos] AS word
+    FROM (SELECT id, toks, unnest(range(1, len(toks) + 1)) AS pos
+          FROM (SELECT {id_col} AS id,
+                       regexp_extract_all({text_col},
+                                          '{BPE_TOKEN_PATTERN}') AS toks
+                FROM {from_clause} WHERE {text_col} IS NOT NULL))
+),
+tok_doc_ids AS (
+    SELECT base.{id_col} AS id,
+           COALESCE(agg.ids, CAST([] AS INT[])) AS ids
+    FROM {from_clause} base
+    LEFT JOIN (
+        SELECT d.id, flatten(list(wi.ids ORDER BY d.pos)) AS ids
+        FROM tok_doc_tok d JOIN tok_word_ids wi ON d.word = wi.word
+        GROUP BY d.id
+    ) agg ON base.{id_col} = agg.id
+)"""
+
+
+def duckdb_token_shards_cte(
+    budget: int = 2048,
+    n_buckets: int = 8,
+) -> str:
+    """CTE chain (no WITH, composes after :func:`duckdb_token_ids_cte`)
+    ending in ``tok_shards(bucket, seq_id, n_docs, ids)`` — the DuckDB
+    twin of :func:`pack_token_shards` over ``tok_doc_ids``: the same
+    md5-bucketed window sums, spanned-sequence slicing (DuckDB list
+    slices are 1-based inclusive, matching Spark's ``F.slice``), and
+    ordered-chunk reassembly."""
+    from .sampling import _sql_bucket, _sql_hex_to_int
+    from ..operators.packing import SALT
+
+    bucket = f"({_sql_hex_to_int(_sql_bucket('id', SALT))} % {n_buckets})"
+    return f"""
+tok_pack AS (
+    SELECT id, ids, CAST(len(ids) AS BIGINT) AS n,
+           CAST({bucket} AS INT) AS bucket
+    FROM tok_doc_ids
+),
+tok_cum AS (
+    SELECT *, SUM(n) OVER (PARTITION BY bucket ORDER BY id
+                           ROWS UNBOUNDED PRECEDING) - n AS cb
+    FROM tok_pack
+),
+tok_spans AS (
+    SELECT bucket, ids, cb, cb + n - 1 AS last_tok,
+           unnest(range(CAST(floor(CAST(cb AS DOUBLE) / {budget}) AS BIGINT),
+                        CAST(floor(CAST(cb + n - 1 AS DOUBLE)
+                                   / {budget}) AS BIGINT) + 1)) AS seq_id
+    FROM tok_cum WHERE n > 0
+),
+tok_chunks AS (
+    SELECT bucket, seq_id, g0,
+           ids[CAST(g0 - cb + 1 AS BIGINT):CAST(g1 - cb + 1 AS BIGINT)]
+               AS chunk
+    FROM (SELECT *, GREATEST(seq_id * {budget}, cb) AS g0,
+                 LEAST((seq_id + 1) * {budget} - 1, last_tok) AS g1
+          FROM tok_spans)
+),
+tok_shards AS (
+    SELECT bucket, CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           flatten(list(chunk ORDER BY g0)) AS ids
+    FROM tok_chunks GROUP BY bucket, seq_id
+)"""

@@ -1655,6 +1655,79 @@ FROM pack_cum
 """
 
 
+ENC_MERGES, ENC_BUDGET, ENC_BUCKETS = 16, 256, 4
+
+
+def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document to its BPE token-ID sequence
+    (``functions/encode.py``): train the merge table, assign the
+    standard alphabet-then-merge-rank integer ids (one window over an
+    alphabet+merges-sized table), and reassemble per-doc id arrays
+    with a single corpus shuffle. Emitted as (n_ids, csv) scalars —
+    the driver's value hash compares scalars, and the csv IS the full
+    id sequence, so the oracle match is token-for-token exact."""
+    from ..functions.bpe import fit_bpe
+    from ..functions.encode import encode_token_ids, ids_csv
+
+    docs = _read(spark, sf_dir, "documents")
+    merges, vocab = fit_bpe(docs, "text", ENC_MERGES, BPE_MIN_COUNT)
+    enc = encode_token_ids(docs, "doc_id", "text", vocab, merges)
+    return enc.select("doc_id", "n_ids", ids_csv().alias("ids_csv"))
+
+
+def _oracle_tokenize_ids() -> str:
+    from ..functions.encode import duckdb_token_ids_cte
+
+    cte = duckdb_token_ids_cte(
+        "documents", "doc_id", "text", ENC_MERGES, BPE_MIN_COUNT
+    )
+    return f"""WITH {cte}
+SELECT id AS doc_id, CAST(len(ids) AS BIGINT) AS n_ids,
+       array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), ',')
+           AS ids_csv
+FROM tok_doc_ids"""
+
+
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's materialization step end-to-end: train BPE →
+    encode docs to ids → emit fixed-budget training sequences whose
+    windows hold the ACTUAL token ids (md5-bucketed packing order,
+    spanned-sequence array slicing — token bytes shuffle once, as
+    chunks, never per-token). Composes `tokenize_ids` +
+    `sequence_packing`'s bucketing; the csv column pins every window
+    token-for-token against the oracle's replay."""
+    from ..functions.bpe import fit_bpe
+    from ..functions.encode import (
+        encode_token_ids,
+        ids_csv,
+        pack_token_shards,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    merges, vocab = fit_bpe(docs, "text", ENC_MERGES, BPE_MIN_COUNT)
+    enc = encode_token_ids(docs, "doc_id", "text", vocab, merges)
+    return pack_token_shards(
+        enc, "doc_id", budget=ENC_BUDGET, n_buckets=ENC_BUCKETS
+    ).select("bucket", "seq_id", "n_docs", "n_tokens", ids_csv().alias("ids_csv"))
+
+
+def _oracle_token_shards() -> str:
+    from ..functions.encode import (
+        duckdb_token_ids_cte,
+        duckdb_token_shards_cte,
+    )
+
+    cte = duckdb_token_ids_cte(
+        "documents", "doc_id", "text", ENC_MERGES, BPE_MIN_COUNT
+    )
+    shards = duckdb_token_shards_cte(ENC_BUDGET, ENC_BUCKETS)
+    return f"""WITH {cte},{shards}
+SELECT bucket, seq_id, n_docs, CAST(len(ids) AS BIGINT) AS n_tokens,
+       array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), ',')
+           AS ids_csv
+FROM tok_shards"""
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-scale bigram LM training (``functions/lm.py``): the
     production path for the perplexity scorer's table — two compact-key
@@ -2265,12 +2338,21 @@ def queries():
         "range_join": q_range_join,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "media_features": q_media_features,
-        "media_audio_frames": q_media_audio_frames,
         "media_video_frames": q_media_video_frames,
         "bigram_lm": q_bigram_lm,
         "perplexity_trained": q_perplexity_trained,
         "loop_detection": q_loop_detection,
-        "sequence_packing": q_sequence_packing,
+        # r5g: tokenizer encode-to-ids + packed token shards
+        # (functions/encode.py) — the new token_ids family, promoted
+        # in-window; evicted `sequence_packing` (the packing family
+        # keeps sequence_packing_bpe, the same operator with real BPE
+        # budgets, plus token_shards which materializes the windows)
+        # and `media_audio_frames` (the multimodal family keeps
+        # media_features + media_video_frames in-window — decode,
+        # feature-extract, and frame-sample surfaces all covered; the
+        # audio row keeps its full oracle in the tail).
+        "tokenize_ids": q_tokenize_ids,
+        "token_shards": q_token_shards,
         "bpe_vocab": q_bpe_vocab,
         "text_embeddings": q_text_embeddings,
         "classifier_mix": q_classifier_mix,
@@ -2304,6 +2386,10 @@ def queries():
         # family-covered by row_count_anomaly. Both keep full oracles.
         "hash_split": q_hash_split,
         "freshness": q_freshness,
+        # r5g rotation (see the token_ids block above): both rows keep
+        # their full oracles here and in tests/test_entry_parity.py.
+        "sequence_packing": q_sequence_packing,
+        "media_audio_frames": q_media_audio_frames,
         # r5f rotation: the running-total window pattern stays
         # in-window via token_budget_pack's budget cumsum (same
         # physical shape); olap family keeps rollup_orders.
@@ -2421,6 +2507,8 @@ def oracle_sql():
         "perplexity_trained": _oracle_perplexity_trained(),
         "loop_detection": _oracle_loop_detection(),
         "sequence_packing": _oracle_sequence_packing(),
+        "tokenize_ids": _oracle_tokenize_ids(),
+        "token_shards": _oracle_token_shards(),
         "quality_classifier": _oracle_quality_classifier(),
         "bpe_vocab": _oracle_bpe_vocab(),
         "text_embeddings": _oracle_text_embeddings(),
