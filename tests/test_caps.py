@@ -1,0 +1,78 @@
+"""Semantic pins for per-source contribution caps
+(operators/caps.py). Cross-engine parity is covered by
+test_entry_parity.py (`source_caps` oracle); here the two-phase salted
+top-K is pinned EQUAL to the naive single-window rank on a skewed
+corpus — the exactness claim the scale design rests on — plus NULL
+score ordering and per-source keep counts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.operators.caps import (
+    _order_cols,
+    cap_per_source,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """One mega-source (3000 rows) next to tiny ones (7, 40, 0-pad) —
+    the shape that serializes a naive per-source window."""
+    rows = [(i, "mega", float(i % 97)) for i in range(3000)]
+    rows += [(10_000 + i, "small", float(i)) for i in range(7)]
+    rows += [(20_000 + i, "mid", None if i % 3 == 0 else float(i))
+             for i in range(40)]
+    return spark.createDataFrame(
+        rows, "id long, source string, score double"
+    ).cache()
+
+
+def _naive(df, cap, score_col):
+    w = Window.partitionBy("source").orderBy(*_order_cols("id", score_col))
+    rn = F.row_number().over(w).cast("long")
+    return {
+        r["id"]: (r["src_rank"], r["kept"])
+        for r in df.withColumn("__rn", rn)
+        .select(
+            "id",
+            F.when(F.col("__rn") <= cap, F.col("__rn")).alias("src_rank"),
+            (F.col("__rn") <= cap).alias("kept"),
+        )
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("score_col", ["score", None])
+@pytest.mark.parametrize("cap", [5, 64])
+def test_two_phase_equals_single_window(spark, skewed, cap, score_col):
+    got = {
+        r["id"]: (r["src_rank"], r["kept"])
+        for r in cap_per_source(
+            skewed, "source", "id", cap, score_col, n_salts=8
+        ).select("id", "src_rank", "kept").collect()
+    }
+    assert got == _naive(skewed, cap, score_col)
+
+
+def test_keep_counts_and_null_scores(spark, skewed):
+    out = cap_per_source(skewed, "source", "id", 16, "score").cache()
+    kept = {
+        r["source"]: r["n"]
+        for r in out.filter("kept").groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert kept == {"mega": 16, "small": 7, "mid": 16}
+    # NULL scores order last: with 40 mid rows (14 NULL-score) and
+    # cap 16 > 26 non-NULL rows, the 16 kept are all non-NULL... no:
+    # 26 non-NULL > 16, so every kept mid row has a score.
+    mid_kept_null = out.filter(
+        (F.col("source") == "mid") & F.col("kept") & F.col("score").isNull()
+    ).count()
+    assert mid_kept_null == 0
+    # rows above the cap surface NULL ranks, never values > cap
+    assert out.filter(F.col("src_rank") > 16).count() == 0
+    assert out.filter(~F.col("kept") & F.col("src_rank").isNotNull()).count() == 0

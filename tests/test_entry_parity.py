@@ -165,6 +165,12 @@ TAIL_TWINS = {
     # audio row keeps its full oracle here.
     "sequence_packing",
     "media_audio_frames",
+    # r5h rotation: evicted so source_caps (per-source contribution
+    # caps — a new operator family) gets a driver row. The joins
+    # family keeps asof_join + range_join in-window; the plain
+    # equi-join + agg + top-N physical shape stays via monitor_topk
+    # and tpch_q1. Full oracle kept here.
+    "join_topk",
 }
 
 # Derivative composites past the window: full value oracles (parity
@@ -239,6 +245,8 @@ def test_driver_window_covers_every_operator_family():
         "incremental_dedup": {"incremental_dedup"},
         # r5g: BPE encode-to-ids + packed token shards
         "token_ids": {"tokenize_ids", "token_shards"},
+        # r5h: per-source contribution caps (two-phase salted top-K)
+        "source_caps": {"source_caps"},
     }
     for fam, members in families.items():
         assert members & in_window, f"family {fam} has no driver-window row"
@@ -253,7 +261,7 @@ def test_driver_window_covers_every_operator_family():
     # after the r5g rotation (sequence_packing itself is a tail twin)
     for fam in ("lm_training", "loop_detection", "classifier",
                 "bpe", "classifier_mix", "substring_dedup", "retrieval",
-                "selection", "token_ids"):
+                "selection", "token_ids", "source_caps"):
         assert families[fam] <= in_window, fam
     assert "sequence_packing_bpe" in in_window
     # r5 promotions: both former TAIL_OVERFLOW composites and the new

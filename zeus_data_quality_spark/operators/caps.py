@@ -1,0 +1,116 @@
+"""Per-source contribution caps — bound any single source/domain's
+share of the output corpus.
+
+A standard web-corpus defense (cf. C4's per-URL dedup and the
+source-mixing caps in Gopher/MassiveText §A1.2): without a cap, one
+crawler-friendly domain can dominate training data. ``cap_per_source``
+keeps at most ``cap`` documents per source under a DETERMINISTIC total
+order — quality-descending when a score column is given (keep the best
+N per domain), md5-hash order otherwise (an unbiased per-domain
+subsample; the ``functions/sampling.py`` portable-hash discipline) —
+and emits the full verdict table so downstream joins can filter or
+audit.
+
+Scale design — the naive shape is a window rank partitioned by source,
+and a mega-source (half the web corpus is always *somebody's* blog
+platform) serializes its whole partition through one task. This
+implementation is two-phase salted top-K, the same discipline as the
+MinHash anchor reduction (operators/dedup.py): phase 1 ranks within
+(source, salt) — ``n_salts`` parallel tasks per source, each keeping
+its local top-``cap`` — and phase 2 ranks the ≤ ``n_salts × cap``
+survivors per source exactly. Any global per-source top-K element is
+necessarily in its salt slice's top-K (the order is total), so the
+two-phase result is IDENTICAL to the single-window rank: the DuckDB
+oracle replays one plain window and matches row-for-row. Phase-2
+partitions are capped at ``n_salts × cap`` rows regardless of source
+skew; dropped rows leave phase 1 early, so the big shuffle carries at
+most ``n_salts × cap`` rows per source, not the source's corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.sampling import _bucket_hex, _sql_bucket
+
+SALT = "srccap"
+DEFAULT_SALTS = 16
+
+
+def _order_cols(
+    id_col: str, score_col: str | None
+) -> list[Column]:
+    """The deterministic total order: score DESC (NULLs last) when
+    given, then the portable md5 hex of the id, then the id itself
+    (md5 prefixes could collide at HEX_CHARS width)."""
+    tie = [_bucket_hex(F.col(id_col), SALT).asc(), F.col(id_col).asc()]
+    if score_col is None:
+        return tie
+    return [F.col(score_col).desc_nulls_last()] + tie
+
+
+def cap_per_source(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    cap: int,
+    score_col: str | None = None,
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """(input columns…, src_rank, kept) — ``src_rank`` is the row's
+    1-based position in its source's deterministic order, ``kept``
+    is ``src_rank <= cap``. Rows cut in the salted phase (provably
+    rank > cap) return with ``src_rank = NULL, kept = false``."""
+    order = _order_cols(id_col, score_col)
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_salts))
+    w1 = Window.partitionBy(source_col, salt).orderBy(*order)
+    local = df.withColumn("__lr", F.row_number().over(w1))
+    survivors = local.filter(F.col("__lr") <= cap).drop("__lr")
+    w2 = Window.partitionBy(source_col).orderBy(*order)
+    rn = F.row_number().over(w2).cast("long")
+    ranked = (
+        survivors.withColumn("__rn", rn)
+        # phase-2 survivors beyond the cap (rank in (cap, n_salts×cap])
+        # report NULL like phase-1 cuts — rank values above the cap are
+        # an artifact of how far the salted pre-prune let them ride
+        .withColumn(
+            "src_rank", F.when(F.col("__rn") <= cap, F.col("__rn"))
+        )
+        .withColumn("kept", F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+    cut = (
+        local.filter(F.col("__lr") > cap)
+        .drop("__lr")
+        .withColumn("src_rank", F.lit(None).cast("long"))
+        .withColumn("kept", F.lit(False))
+    )
+    return ranked.unionByName(cut)
+
+
+def duckdb_cap_per_source_sql(
+    from_clause: str,
+    source_col: str,
+    id_col: str,
+    cap: int,
+    score_col: str | None = None,
+    select_cols: str | None = None,
+) -> str:
+    """Single-window oracle twin: the two-phase salted top-K must
+    equal one plain ROW_NUMBER per source (phase-1 cuts are provably
+    rank > cap). Ranks above the cap surface as NULL to mirror the
+    salted path's early exit."""
+    hexpr = _sql_bucket(id_col, SALT)
+    order = f"{hexpr} ASC, {id_col} ASC"
+    if score_col is not None:
+        order = f"{score_col} DESC NULLS LAST, " + order
+    cols = select_cols if select_cols is not None else "*"
+    return f"""
+SELECT {cols},
+       CASE WHEN rn <= {cap} THEN rn END AS src_rank,
+       rn <= {cap} AS kept
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+          PARTITION BY {source_col} ORDER BY {order}) AS BIGINT) AS rn
+      FROM {from_clause})
+"""

@@ -233,6 +233,33 @@ def q_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SRC_CAP = 10
+
+
+def q_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contribution caps (operators/caps.py): keep the
+    top-``SRC_CAP`` docs per source by quality (n_chars DESC, portable
+    md5 tie-break) via two-phase salted top-K — mega-source skew never
+    serializes one window partition. The oracle replays ONE plain
+    window rank; matching it row-for-row proves the salted pre-prune
+    is exact, not approximate."""
+    from ..operators.caps import cap_per_source
+
+    docs = _read(spark, sf_dir, "documents")
+    return cap_per_source(
+        docs, "source", "doc_id", cap=SRC_CAP, score_col="n_chars"
+    ).select("doc_id", "source", "src_rank", "kept")
+
+
+def _oracle_source_caps() -> str:
+    from ..operators.caps import duckdb_cap_per_source_sql
+
+    return duckdb_cap_per_source_sql(
+        "documents", "source", "doc_id", SRC_CAP, "n_chars",
+        select_cols="doc_id, source",
+    )
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary; exact DECIMAL accumulation then
     cast to DOUBLE so both engines agree bitwise."""
@@ -2314,7 +2341,12 @@ def queries():
         "unique_turnkey": q_unique_turnkey,
         "conv_features": q_conv_features,
         "row_count_anomaly": q_row_count_anomaly,
-        "join_topk": q_join_topk,
+        # r5h: per-source contribution caps (operators/caps.py) — the
+        # new source_caps family; evicted `join_topk` (the joins
+        # family keeps asof_join + range_join; the plain equi-join +
+        # agg + top-N physical shape stays in-window via monitor_topk
+        # and tpch_q1).
+        "source_caps": q_source_caps,
         "tpch_q1": q_tpch_q1,
         "gopher_repetition": q_gopher_repetition,
         "c4_line_filter": q_c4_line_filter,
@@ -2390,6 +2422,9 @@ def queries():
         # their full oracles here and in tests/test_entry_parity.py.
         "sequence_packing": q_sequence_packing,
         "media_audio_frames": q_media_audio_frames,
+        # r5h rotation (see the source_caps block above): full oracle
+        # kept here and in tests/test_entry_parity.py.
+        "join_topk": q_join_topk,
         # r5f rotation: the running-total window pattern stays
         # in-window via token_budget_pack's budget cumsum (same
         # physical shape); olap family keeps rollup_orders.
@@ -2508,6 +2543,7 @@ def oracle_sql():
         "loop_detection": _oracle_loop_detection(),
         "sequence_packing": _oracle_sequence_packing(),
         "tokenize_ids": _oracle_tokenize_ids(),
+        "source_caps": _oracle_source_caps(),
         "token_shards": _oracle_token_shards(),
         "quality_classifier": _oracle_quality_classifier(),
         "bpe_vocab": _oracle_bpe_vocab(),
