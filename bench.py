@@ -159,6 +159,8 @@ HEADLINE = [
     "token_shards",
     # r5h: per-source contribution caps
     "source_caps",
+    # r5i: corpus-internal n-gram novelty
+    "gram_novelty",
 ]
 
 

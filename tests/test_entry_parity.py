@@ -171,6 +171,13 @@ TAIL_TWINS = {
     # equi-join + agg + top-N physical shape stays via monitor_topk
     # and tpch_q1. Full oracle kept here.
     "join_topk",
+    # r5i rotation: evicted so gram_novelty (corpus-internal n-gram
+    # novelty — a new quality-signal family) gets a driver row. The
+    # exact n-gram Jaccard verify surface stays in-window inside
+    # minhash_dedup_labels (its candidate-verify stage is this same
+    # operator, replayed by that oracle); the standalone pair query
+    # keeps its full oracle here.
+    "ngram_jaccard_pairs",
 }
 
 # Derivative composites past the window: full value oracles (parity
@@ -219,7 +226,10 @@ def test_driver_window_covers_every_operator_family():
         "perplexity": {"perplexity", "perplexity_trained", "perplexity_kn"},
         "monitor": {"monitor_topk", "monitor_daily_trend"},
         "olap": {"rollup_orders", "window_running_total"},
-        "jaccard": {"ngram_jaccard_pairs"},
+        # r5i: the exact-Jaccard verify surface rides in-window inside
+        # minhash_dedup_labels' candidate-verify stage (same operator,
+        # same oracle replay); the standalone pair query is a tail twin
+        "jaccard": {"ngram_jaccard_pairs", "minhash_dedup_labels"},
         "embedding_dups": {"embedding_near_dups_lsh"},
         "multimodal": {"media_features", "media_resize_checksums",
                        "media_audio_frames", "media_video_frames"},
@@ -247,6 +257,8 @@ def test_driver_window_covers_every_operator_family():
         "token_ids": {"tokenize_ids", "token_shards"},
         # r5h: per-source contribution caps (two-phase salted top-K)
         "source_caps": {"source_caps"},
+        # r5i: corpus-internal n-gram novelty
+        "novelty": {"gram_novelty"},
     }
     for fam, members in families.items():
         assert members & in_window, f"family {fam} has no driver-window row"
@@ -261,7 +273,7 @@ def test_driver_window_covers_every_operator_family():
     # after the r5g rotation (sequence_packing itself is a tail twin)
     for fam in ("lm_training", "loop_detection", "classifier",
                 "bpe", "classifier_mix", "substring_dedup", "retrieval",
-                "selection", "token_ids", "source_caps"):
+                "selection", "token_ids", "source_caps", "novelty"):
         assert families[fam] <= in_window, fam
     assert "sequence_packing_bpe" in in_window
     # r5 promotions: both former TAIL_OVERFLOW composites and the new

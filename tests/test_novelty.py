@@ -1,0 +1,71 @@
+"""Semantic pins for corpus-internal n-gram novelty
+(functions/novelty.py). Cross-engine parity: test_entry_parity.py
+(`gram_novelty` oracle). Here: hand-computable fixture semantics,
+hashed-mode equality, and edge cases (NULL/short texts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.functions.novelty import gram_novelty
+
+
+def test_fixture_semantics(spark):
+    """Duplicated docs share every gram (novel = 0); a unique doc's
+    grams are df=1 throughout (permille = 1000); short/NULL texts
+    report zeros with NULL permille."""
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),          # exact dup of 1
+        (3, "completely different unique words here"),
+        (4, "too short"),                        # < 3 tokens → no grams
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r.asDict() for r in gram_novelty(df, "id").collect()}
+    # docs 1/2: 4 distinct grams, each in both docs → df=2, none novel
+    for i in (1, 2):
+        assert got[i]["n_distinct_grams"] == 4
+        assert got[i]["novel_grams"] == 0
+        assert got[i]["novelty_permille"] == 0
+        assert got[i]["max_doc_freq"] == 2
+        assert got[i]["sum_doc_freq"] == 8
+    # doc 3: 3 grams, all unique to it
+    assert got[3]["n_distinct_grams"] == 3
+    assert got[3]["novel_grams"] == 3
+    assert got[3]["novelty_permille"] == 1000
+    assert got[3]["max_doc_freq"] == 1
+    # gram-less docs
+    for i in (4, 5):
+        assert got[i]["n_distinct_grams"] == 0
+        assert got[i]["novel_grams"] == 0
+        assert got[i]["novelty_permille"] is None
+        assert got[i]["sum_doc_freq"] == 0
+
+
+def test_hashed_mode_equals_string_mode(spark, sf_dir):
+    """Production 8-byte gram keys produce identical statistics to the
+    oracle-replayable string mode on the real corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cols = ["doc_id", "n_distinct_grams", "novel_grams",
+            "novelty_permille", "max_doc_freq", "sum_doc_freq"]
+    a = {tuple(r) for r in gram_novelty(docs).select(cols).collect()}
+    b = {tuple(r) for r in
+         gram_novelty(docs, hashed=True).select(cols).collect()}
+    assert a == b
+
+
+def test_repeated_gram_within_doc_counts_once(spark):
+    """Distinct-per-doc semantics: repeating a gram inside one doc
+    neither inflates its own stats nor other docs' df."""
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "x y z")],
+        "id long, text string",
+    )
+    got = {r["id"]: r.asDict() for r in gram_novelty(df, "id").collect()}
+    # grams of doc 1: "a b c","b c a","c a b" ×2 more cycles → distinct 3
+    assert got[1]["n_distinct_grams"] == 3
+    assert got[1]["novel_grams"] == 3
+    assert got[2]["n_distinct_grams"] == 1
+    assert got[2]["max_doc_freq"] == 1

@@ -1,0 +1,133 @@
+"""Corpus-internal n-gram novelty — how much of a document is shared
+with the REST of the corpus.
+
+Complements the intra-document repetition signals
+(``functions/repetition.py``) and the external eval-set probe
+(``operators/decontam.py``): here every document's distinct word
+n-grams are scored by their DOCUMENT FREQUENCY in the corpus itself
+(the inter-document duplication signal used by RefinedWeb/Dolma-style
+template and boilerplate hunts — a page whose grams all appear in
+thousands of other docs is a template; one whose grams are mostly
+unique is novel prose).
+
+Per document, over its distinct word ``n``-grams:
+
+- ``n_distinct_grams`` — how many;
+- ``novel_grams`` — grams appearing in NO other document (df = 1);
+- ``novelty_permille`` — ``floor(1000 · novel / n_distinct)``
+  (integer, engine-portable; NULL for gram-less docs);
+- ``max_doc_freq`` / ``sum_doc_freq`` — skyline and mass of sharing.
+
+Tokenization reuses ``dedup._shingles`` (lowercase, whitespace split)
+so dedup, decontamination, and novelty agree on what an n-gram is.
+
+Spark shape at 100 TB: (id, gram)-distinct explode → two-phase count
+per gram (the document-frequency table) → join back → per-doc
+aggregate. Three shuffles, every shuffled row a narrow (id, gram) or
+(gram, df) pair. With ``hashed=True`` grams shuffle as 8-byte
+xxhash64 keys instead of strings (the MinHash production-mode
+discipline; collision odds at 64 bits are negligible against corpus
+gram counts) — the md5-free string mode exists so the DuckDB oracle
+can replay values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.decontam import _exploded_shingles
+from .textstats import TOKEN_SPLIT
+
+
+def gram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    hashed: bool = False,
+) -> DataFrame:
+    """(id, n_distinct_grams, novel_grams, novelty_permille,
+    max_doc_freq, sum_doc_freq) for every input row (gram-less docs —
+    NULL/short texts — report zeros and a NULL permille)."""
+    sh = _exploded_shingles(df, [F.col(id_col)], text_col, n)
+    if hashed:
+        sh = sh.select(id_col, F.xxhash64("ngram").alias("ngram"))
+    sh = sh.distinct()
+    dfreq = sh.groupBy("ngram").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    per_doc = (
+        sh.join(dfreq, "ngram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),
+            F.sum((F.col("__df") == 1).cast("long"))
+            .cast("long")
+            .alias("novel_grams"),
+            F.max("__df").cast("long").alias("max_doc_freq"),
+            F.sum("__df").cast("long").alias("sum_doc_freq"),
+        )
+    )
+    z = F.lit(0).cast("long")
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_distinct_grams", z).alias("n_distinct_grams"),
+            F.coalesce("novel_grams", z).alias("novel_grams"),
+            F.floor(
+                F.col("novel_grams") * 1000 / F.col("n_distinct_grams")
+            )
+            .cast("long")
+            .alias("novelty_permille"),
+            F.coalesce("max_doc_freq", z).alias("max_doc_freq"),
+            F.coalesce("sum_doc_freq", z).alias("sum_doc_freq"),
+        )
+    )
+
+
+def duckdb_gram_novelty_sql(
+    docs_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> str:
+    """DuckDB twin of :func:`gram_novelty` (string-gram mode): same
+    shingling as ``duckdb_contamination_sql``, document frequency over
+    the (id, gram)-distinct set, zeros for gram-less docs."""
+    gram = " || ' ' || ".join(f"t[CAST(i + {j} AS INT)]" for j in range(n))
+    return f"""
+WITH nov_sh AS (
+    SELECT DISTINCT {id_col},
+           unnest(list_distinct(list_transform(
+               range(1, len(t) - {n - 2}), i -> {gram}))) AS ngram
+    FROM (SELECT {id_col},
+                 regexp_split_to_array(lower(trim({text_col})),
+                                       '{TOKEN_SPLIT}') AS t
+          FROM {docs_table}) q
+    WHERE len(t) >= {n}
+),
+nov_df AS (
+    SELECT ngram, CAST(COUNT(*) AS BIGINT) AS df FROM nov_sh GROUP BY ngram
+),
+nov_doc AS (
+    SELECT s.{id_col},
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+           CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS novel_grams,
+           CAST(MAX(f.df) AS BIGINT) AS max_doc_freq,
+           CAST(SUM(f.df) AS BIGINT) AS sum_doc_freq
+    FROM nov_sh s JOIN nov_df f USING (ngram)
+    GROUP BY s.{id_col}
+)
+SELECT d.{id_col},
+       COALESCE(v.n_distinct_grams, 0) AS n_distinct_grams,
+       COALESCE(v.novel_grams, 0) AS novel_grams,
+       CAST(floor(v.novel_grams * 1000 / v.n_distinct_grams) AS BIGINT)
+           AS novelty_permille,
+       COALESCE(v.max_doc_freq, 0) AS max_doc_freq,
+       COALESCE(v.sum_doc_freq, 0) AS sum_doc_freq
+FROM {docs_table} d LEFT JOIN nov_doc v ON v.{id_col} = d.{id_col}
+"""

@@ -381,6 +381,24 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.top_tokens(_read(spark, sf_dir, "documents"), "text", 50)
 
 
+def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal n-gram novelty (functions/novelty.py): every
+    doc's distinct 3-grams scored by document frequency — the
+    inter-document duplication signal (template/boilerplate pages have
+    near-zero novel grams). Two-phase df count + join-back; the driver
+    runs the string-gram oracle mode, production shuffles 8-byte
+    xxhash64 gram keys (equality pytest-pinned)."""
+    from ..functions.novelty import gram_novelty
+
+    return gram_novelty(_read(spark, sf_dir, "documents"))
+
+
+def _oracle_gram_novelty() -> str:
+    from ..functions.novelty import duckdb_gram_novelty_sql
+
+    return duckdb_gram_novelty_sql("documents")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs with doc_id < 25 play the eval
     set; every document is flagged by shared word-3-gram count."""
@@ -2365,7 +2383,13 @@ def queries():
         "monitor_topk": q_monitor_topk,
         "monitor_daily_trend": q_monitor_daily_trend,
         "rollup_orders": q_rollup_orders,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        # r5i: corpus-internal n-gram novelty (functions/novelty.py) —
+        # the inter-document duplication quality signal; evicted
+        # `ngram_jaccard_pairs` (the exact n-gram Jaccard verify stage
+        # stays in-window INSIDE minhash_dedup_labels, whose oracle
+        # replays it on every candidate pair; the standalone pair query
+        # keeps its full oracle in the tail).
+        "gram_novelty": q_gram_novelty,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
@@ -2425,6 +2449,8 @@ def queries():
         # r5h rotation (see the source_caps block above): full oracle
         # kept here and in tests/test_entry_parity.py.
         "join_topk": q_join_topk,
+        # r5i rotation (see the gram_novelty block above).
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         # r5f rotation: the running-total window pattern stays
         # in-window via token_budget_pack's budget cumsum (same
         # physical shape); olap family keeps rollup_orders.
@@ -2544,6 +2570,7 @@ def oracle_sql():
         "sequence_packing": _oracle_sequence_packing(),
         "tokenize_ids": _oracle_tokenize_ids(),
         "source_caps": _oracle_source_caps(),
+        "gram_novelty": _oracle_gram_novelty(),
         "token_shards": _oracle_token_shards(),
         "quality_classifier": _oracle_quality_classifier(),
         "bpe_vocab": _oracle_bpe_vocab(),
