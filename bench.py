@@ -161,6 +161,8 @@ HEADLINE = [
     "source_caps",
     # r5i: corpus-internal n-gram novelty
     "gram_novelty",
+    # r5j: ANN recall evaluation (IVF vs brute force + set recall)
+    "ann_recall_eval",
 ]
 
 

@@ -178,6 +178,12 @@ TAIL_TWINS = {
     # operator, replayed by that oracle); the standalone pair query
     # keeps its full oracle here.
     "ngram_jaccard_pairs",
+    # r5j rotation: evicted so ann_recall_eval gets a driver row. Its
+    # oracle is a strict superset of this row's (full Lloyd + probe
+    # replay + brute-force rank + set recall), so the ann family's
+    # in-window oracle coverage strictly grows; the probe row keeps
+    # its own full oracle here.
+    "ann_ivf_probe",
 }
 
 # Derivative composites past the window: full value oracles (parity
@@ -219,7 +225,7 @@ def test_driver_window_covers_every_operator_family():
         "boilerplate": {"c4_line_filter"},
         "profile": {"column_profile"},
         "drift": {"value_drift"},
-        "ann": {"ann_bruteforce", "ann_ivf_probe"},
+        "ann": {"ann_bruteforce", "ann_ivf_probe", "ann_recall_eval"},
         "minhash": {"minhash_dedup_labels"},
         "simhash": {"simhash"},
         "langid": {"langid"},
@@ -259,6 +265,8 @@ def test_driver_window_covers_every_operator_family():
         "source_caps": {"source_caps"},
         # r5i: corpus-internal n-gram novelty
         "novelty": {"gram_novelty"},
+        # r5j: in-engine ANN recall evaluation (IVF vs brute force)
+        "ann_eval": {"ann_recall_eval"},
     }
     for fam, members in families.items():
         assert members & in_window, f"family {fam} has no driver-window row"
@@ -273,7 +281,8 @@ def test_driver_window_covers_every_operator_family():
     # after the r5g rotation (sequence_packing itself is a tail twin)
     for fam in ("lm_training", "loop_detection", "classifier",
                 "bpe", "classifier_mix", "substring_dedup", "retrieval",
-                "selection", "token_ids", "source_caps", "novelty"):
+                "selection", "token_ids", "source_caps", "novelty",
+        "ann_eval"):
         assert families[fam] <= in_window, fam
     assert "sequence_packing_bpe" in in_window
     # r5 promotions: both former TAIL_OVERFLOW composites and the new

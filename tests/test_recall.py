@@ -1,0 +1,61 @@
+"""Semantic pins for recall_at_k (operators/similarity.py).
+Cross-engine parity: test_entry_parity.py (`ann_recall_eval` oracle).
+"""
+
+from __future__ import annotations
+
+from zeus_data_quality_spark.operators.similarity import recall_at_k
+
+
+def test_recall_set_semantics(spark):
+    """Recall counts neighbor-id set intersection per query: ranks
+    are irrelevant, extra approx rows don't help, queries missing
+    from approx score 0, queries missing from exact are absent."""
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (3, 30)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        # q1: 2/3 right (order scrambled); q2: none right plus noise;
+        # q3 missing entirely
+        [(1, 12), (1, 10), (1, 99), (2, 98), (2, 97)],
+        "query_id long, neighbor_id long",
+    )
+    got = {r["query_id"]: (r["n_exact"], r["n_hits"], r["recall_permille"])
+           for r in recall_at_k(approx, exact).collect()}
+    assert got == {1: (3, 2, 666), 2: (2, 0, 0), 3: (1, 0, 0)}
+
+
+def test_recall_perfect_and_bounds(spark, sf_dir):
+    """An approximate result equal to exact scores 1000 everywhere;
+    recall is monotone in nprobe on the real embeddings (more probed
+    lists can only add candidates)."""
+    from pyspark.sql import functions as F
+
+    from zeus_data_quality_spark.operators import ivf
+    from zeus_data_quality_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    perfect = recall_at_k(exact, exact)
+    assert perfect.filter("recall_permille != 1000").count() == 0
+
+    cents = ivf.train_centroids(
+        emb, "embedding", "vec_id", n_centroids=8, init_mode="md5"
+    )
+
+    def mean_recall(nprobe):
+        approx = ivf.ivf_topk(
+            emb, queries, cents, "vec_id", "embedding", k=5, nprobe=nprobe
+        )
+        row = recall_at_k(approx, exact).agg(
+            F.avg("recall_permille").alias("m")
+        ).first()
+        return row["m"]
+
+    r1, r3, r8 = mean_recall(1), mean_recall(3), mean_recall(8)
+    assert r1 <= r3 <= r8
+    assert r8 == 1000.0  # probing every list IS brute force

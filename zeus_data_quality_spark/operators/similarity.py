@@ -77,6 +77,39 @@ def brute_force_topk(
     )
 
 
+def recall_at_k(
+    approx: DataFrame, exact: DataFrame
+) -> DataFrame:
+    """(query_id, n_exact, n_hits, recall_permille) — per-query recall
+    of an approximate ANN result against the exact top-k, the metric a
+    pipeline tunes ``nprobe``/``n_tables`` against. Both inputs carry
+    (query_id, neighbor_id) rows; recall is measured over neighbor-id
+    SETS, so float rank jitter between engines cannot move it. Queries
+    with no exact neighbors are absent (recall undefined). Scale: both
+    sides are top-k-bounded (k × |queries| rows) — the join and
+    aggregates are driver-trivial at any corpus size."""
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    base = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+        F.floor(
+            F.coalesce("n_hits", F.lit(0)) * 1000 / F.col("n_exact")
+        )
+        .cast("long")
+        .alias("recall_permille"),
+    )
+
+
 def _bucket_key(vec_col, planes: list[list[float]]):
     """Sign-of-projection bit string for fixed hyperplanes."""
     bits = []

@@ -543,13 +543,12 @@ c{i} AS (
     return parts
 
 
-def _oracle_ann_ivf_probe(
-    n_centroids: int = 8, n_iters: int = 3, nprobe: int = 3, k: int = 5
-) -> str:
-    """DuckDB replay of ``q_ann_ivf_probe``: the Lloyd loop unrolled
-    into one CTE chain per iteration (:func:`_lloyd_parts`), then
-    nprobe-cluster probing and exact cosine ranking in the probed
-    lists."""
+def _ivf_probe_parts(
+    n_centroids: int = 8, n_iters: int = 3, nprobe: int = 3
+) -> list[str]:
+    """CTE parts ending in ``scored(query_id, neighbor_id, cos)`` —
+    the shared IVF replay (unit vectors, Lloyd loop, nprobe probing)
+    used by the probe oracle and the recall-eval oracle."""
     sq = _SQ
     parts = [
         f"""unit AS (
@@ -580,6 +579,17 @@ scored AS (
     JOIN q ON q.query_id = p.query_id
     WHERE a.id <> p.query_id
 )""")
+    return parts
+
+
+def _oracle_ann_ivf_probe(
+    n_centroids: int = 8, n_iters: int = 3, nprobe: int = 3, k: int = 5
+) -> str:
+    """DuckDB replay of ``q_ann_ivf_probe``: the Lloyd loop unrolled
+    into one CTE chain per iteration (:func:`_lloyd_parts`), then
+    nprobe-cluster probing and exact cosine ranking in the probed
+    lists."""
+    parts = _ivf_probe_parts(n_centroids, n_iters, nprobe)
     return (
         "WITH " + ",\n".join(parts) + f"""
 SELECT query_id, neighbor_id,
@@ -587,6 +597,64 @@ SELECT query_id, neighbor_id,
             ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rnk
 FROM scored
 QUALIFY rnk <= {k}
+"""
+    )
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN tuning loop in-engine: run the SAME IVF index as
+    `ann_ivf_probe` AND the exact brute-force ranking, measure
+    per-query recall@5 over neighbor-id sets (rank-jitter-proof).
+    This is the evaluation a pipeline sweeps nprobe against; the
+    oracle replays BOTH sides (Lloyd + probe, exact rank) and the
+    identical set-intersection recall."""
+    from ..operators.similarity import brute_force_topk, recall_at_k
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    centroids = ivf.train_centroids(
+        emb, "embedding", "vec_id", n_centroids=8, init_mode="md5"
+    )
+    approx = ivf.ivf_topk(
+        emb, queries, centroids, "vec_id", "embedding", k=5, nprobe=3
+    )
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    return recall_at_k(approx, exact)
+
+
+def _oracle_ann_recall_eval(
+    n_centroids: int = 8, n_iters: int = 3, nprobe: int = 3, k: int = 5
+) -> str:
+    parts = _ivf_probe_parts(n_centroids, n_iters, nprobe)
+    parts.append(f"""ivf_k AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= {k}
+),
+bf_k AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, u.id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(u.raw, q.qv) DESC,
+                            u.id ASC) AS rnk
+        FROM unit u, q WHERE u.id <> q.query_id
+    ) WHERE rnk <= {k}
+),
+hits AS (
+    SELECT b.query_id, CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(*) AS BIGINT) AS n_exact
+    FROM bf_k b LEFT JOIN ivf_k i
+        ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+)""")
+    return (
+        "WITH " + ",\n".join(parts) + """
+SELECT query_id, n_exact, n_hits,
+       CAST(floor(n_hits * 1000 / n_exact) AS BIGINT) AS recall_permille
+FROM hits
 """
     )
 
@@ -2375,7 +2443,13 @@ def queries():
         "document_quality_filter": q_document_quality_filter,
         "column_profile": q_column_profile,
         "value_drift": q_value_drift,
-        "ann_ivf_probe": q_ann_ivf_probe,
+        # r5j: in-engine ANN recall evaluation — the tuning loop. Its
+        # oracle is a strict SUPERSET of ann_ivf_probe's (full Lloyd +
+        # probe replay, plus the exact brute-force rank, plus the
+        # set-intersection recall), so the probe row rotates to the
+        # tail with its oracle intact and the ann family's in-window
+        # coverage strictly grows.
+        "ann_recall_eval": q_ann_recall_eval,
         "minhash_dedup_labels": q_minhash_dedup_labels,
         "semantic_dedup": q_semantic_dedup,
         "simhash": q_simhash,
@@ -2451,6 +2525,8 @@ def queries():
         "join_topk": q_join_topk,
         # r5i rotation (see the gram_novelty block above).
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        # r5j rotation (see the ann_recall_eval block above).
+        "ann_ivf_probe": q_ann_ivf_probe,
         # r5f rotation: the running-total window pattern stays
         # in-window via token_budget_pack's budget cumsum (same
         # physical shape); olap family keeps rollup_orders.
@@ -2544,6 +2620,7 @@ def oracle_sql():
         "ann_ivf": ORACLE_ANN_BRUTEFORCE,
         # the pruned path replays the full k-means + probe in SQL
         "ann_ivf_probe": _oracle_ann_ivf_probe(),
+        "ann_recall_eval": _oracle_ann_recall_eval(),
         "embedding_near_dups_lsh": _oracle_embedding_near_dups_lsh(),
         "monitor_topk": ORACLE_MONITOR_TOPK,
         "monitor_kpis": ORACLE_MONITOR_KPIS,
