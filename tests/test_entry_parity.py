@@ -184,6 +184,19 @@ TAIL_TWINS = {
     # in-window oracle coverage strictly grows; the probe row keeps
     # its own full oracle here.
     "ann_ivf_probe",
+    # r5k rotation: evicted so the three new transcript/pipeline
+    # families (prefix_dedup, response_stats, corpus_diff) get driver
+    # rows. range_join's bucket-prune non-equi physical shape stays
+    # in-window via asof_join; embedding_near_dups_lsh's
+    # cosine-threshold near-dup verdict stays via semantic_dedup (the
+    # same cosine prune, cluster-bucketed instead of LSH-bucketed)
+    # with LSH bucketing itself in-window via ann_recall_eval's
+    # family; bigram_lm's training counts are fit IDENTICALLY inside
+    # the in-window perplexity_trained (train_and_score shares the
+    # fit), whose oracle replays them. All three keep full oracles.
+    "range_join",
+    "embedding_near_dups_lsh",
+    "bigram_lm",
 }
 
 # Derivative composites past the window: full value oracles (parity
@@ -236,7 +249,10 @@ def test_driver_window_covers_every_operator_family():
         # minhash_dedup_labels' candidate-verify stage (same operator,
         # same oracle replay); the standalone pair query is a tail twin
         "jaccard": {"ngram_jaccard_pairs", "minhash_dedup_labels"},
-        "embedding_dups": {"embedding_near_dups_lsh"},
+        # r5k: the cosine-threshold near-dup verdict surface; the
+        # cluster-bucketed semantic_dedup carries it in-window, the
+        # LSH-bucketed twin is a tail row with its full oracle
+        "embedding_dups": {"embedding_near_dups_lsh", "semantic_dedup"},
         "multimodal": {"media_features", "media_resize_checksums",
                        "media_audio_frames", "media_video_frames"},
         # round-3 operators, promoted by the r4 rotation
@@ -267,6 +283,12 @@ def test_driver_window_covers_every_operator_family():
         "novelty": {"gram_novelty"},
         # r5j: in-engine ANN recall evaluation (IVF vs brute force)
         "ann_eval": {"ann_recall_eval"},
+        # r5k: conversation shared-prefix regeneration collapse
+        "prefix_dedup": {"prefix_dedup"},
+        # r5k: assistant refusal/boilerplate response heuristics
+        "response_quality": {"response_stats"},
+        # r5k: corpus snapshot diff (added/removed/changed by hash)
+        "snapshot_diff": {"corpus_diff"},
     }
     for fam, members in families.items():
         assert members & in_window, f"family {fam} has no driver-window row"
@@ -278,12 +300,18 @@ def test_driver_window_covers_every_operator_family():
     assert {"media_features", "media_video_frames"} <= in_window
     # the round-3 operators specifically must be FULLY in-window (r3
     # gap); packing is covered by sequence_packing_bpe + token_shards
-    # after the r5g rotation (sequence_packing itself is a tail twin)
-    for fam in ("lm_training", "loop_detection", "classifier",
+    # after the r5g rotation (sequence_packing itself is a tail twin);
+    # lm_training is covered by perplexity_trained after the r5k
+    # rotation (train_and_score fits the identical bigram model
+    # in-pipeline and its oracle replays the training counts —
+    # bigram_lm itself is a tail twin with its full oracle)
+    for fam in ("loop_detection", "classifier",
                 "bpe", "classifier_mix", "substring_dedup", "retrieval",
                 "selection", "token_ids", "source_caps", "novelty",
-        "ann_eval"):
+                "ann_eval", "prefix_dedup", "response_quality",
+                "snapshot_diff"):
         assert families[fam] <= in_window, fam
+    assert "perplexity_trained" in in_window
     assert "sequence_packing_bpe" in in_window
     # r5 promotions: both former TAIL_OVERFLOW composites and the new
     # semantic_dedup row must be driver-adjudicated (r4 verdict 2+3)

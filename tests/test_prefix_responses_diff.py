@@ -1,0 +1,204 @@
+"""Semantic pins for the three r5k transcript/pipeline operators:
+conversation shared-prefix dedup (operators/prefixdedup.py),
+assistant-response quality heuristics (functions/responses.py), and
+corpus snapshot diff (operators/diff.py). Cross-engine parity runs in
+test_entry_parity.py (`prefix_dedup`, `response_stats`, `corpus_diff`
+oracles); here: hand-computable fixtures and edge cases.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.functions.responses import (
+    conversation_response_stats,
+    response_flag,
+)
+from zeus_data_quality_spark.operators.diff import (
+    diff_summary,
+    snapshot_diff,
+)
+from zeus_data_quality_spark.operators.prefixdedup import prefix_dedup
+
+TURN_SCHEMA = "conv_id string, turn_idx int, role string, text string"
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(rows, TURN_SCHEMA)
+
+
+class TestPrefixDedup:
+    def test_regeneration_collapse(self, spark):
+        """Three regenerations share a 2-turn prefix; the longest
+        conversation wins, ties break to the smallest conv_id."""
+        rows = []
+        for cid, suffix_turns in (("a", 2), ("b", 3), ("c", 3)):
+            rows += [
+                (cid, 0, "system", "you are helpful"),
+                (cid, 1, "user", "write a poem"),
+            ]
+            rows += [
+                (cid, 2 + i, "assistant", f"{cid} line {i}")
+                for i in range(suffix_turns)
+            ]
+        rows += [("z", 0, "user", "unrelated"), ("z", 1, "assistant", "ok")]
+        got = {
+            r["conv_id"]: r.asDict()
+            for r in prefix_dedup(
+                _turns(spark, rows), verdict_depth=2
+            ).collect()
+        }
+        # shared depth: a/b/c share turns 1-2 exactly; their 3rd turns
+        # differ (text embeds conv_id)
+        assert got["a"]["shared_prefix_depth"] == 2
+        assert got["b"]["shared_prefix_depth"] == 2
+        assert got["c"]["shared_prefix_depth"] == 2
+        assert got["z"]["shared_prefix_depth"] == 0
+        # verdict at depth 2: group {a,b,c}; b and c are longest (5
+        # turns), b wins on conv_id
+        assert got["a"]["prefix_group_size"] == 3
+        assert not got["a"]["is_prefix_canonical"]
+        assert got["b"]["is_prefix_canonical"]
+        assert not got["c"]["is_prefix_canonical"]
+        # z is its own depth-2 group of size 1 → canonical
+        assert got["z"]["prefix_group_size"] == 1
+        assert got["z"]["is_prefix_canonical"]
+
+    def test_short_conversations_never_grouped(self, spark):
+        """Conversations shorter than verdict_depth keep a NULL group
+        size and stay canonical (whole-conv dedup is another op)."""
+        rows = [
+            ("s1", 0, "user", "hi"),
+            ("s2", 0, "user", "hi"),
+        ]
+        got = {
+            r["conv_id"]: r.asDict()
+            for r in prefix_dedup(
+                _turns(spark, rows), verdict_depth=2
+            ).collect()
+        }
+        for cid in ("s1", "s2"):
+            assert got[cid]["prefix_group_size"] is None
+            assert got[cid]["is_prefix_canonical"]
+            # but the depth-1 share is still diagnosed
+            assert got[cid]["shared_prefix_depth"] == 1
+
+    def test_role_is_part_of_the_prefix(self, spark):
+        """Same texts under different roles are different prefixes."""
+        rows = [
+            ("r1", 0, "user", "hello"),
+            ("r2", 0, "assistant", "hello"),
+        ]
+        got = {
+            r["conv_id"]: r.asDict()
+            for r in prefix_dedup(
+                _turns(spark, rows), verdict_depth=1
+            ).collect()
+        }
+        assert got["r1"]["shared_prefix_depth"] == 0
+        assert got["r1"]["is_prefix_canonical"]
+        assert got["r2"]["is_prefix_canonical"]
+
+    def test_null_conv_id_excluded_and_null_fields_sentineled(self, spark):
+        rows = [
+            (None, 0, "user", "ghost"),
+            ("n1", None, None, None),
+            ("n2", None, None, None),
+        ]
+        out = prefix_dedup(_turns(spark, rows), verdict_depth=1)
+        got = {r["conv_id"]: r.asDict() for r in out.collect()}
+        assert set(got) == {"n1", "n2"}
+        # NULL turn_idx/role/text hash deterministically → shared
+        assert got["n1"]["shared_prefix_depth"] == 1
+        assert got["n1"]["is_prefix_canonical"]
+        assert not got["n2"]["is_prefix_canonical"]
+
+    def test_verdict_depth_bounds(self, spark):
+        with pytest.raises(ValueError):
+            prefix_dedup(_turns(spark, []), max_depth=4, verdict_depth=5)
+
+
+class TestResponseStats:
+    def test_flags_and_stats(self, spark):
+        rows = [
+            ("c1", 0, "user", "please do the thing"),
+            ("c1", 1, "assistant", "I'm sorry, but I cannot help."),
+            ("c1", 2, "assistant", "Here is a poem instead, friend."),
+            ("c2", 0, "assistant", None),
+            ("c2", 1, "assistant", "   "),
+            ("c2", 2, "Assistant", "damaged role is NOT counted"),
+            (None, 0, "assistant", "null conv excluded"),
+        ]
+        got = {
+            r["conv_id"]: r.asDict()
+            for r in conversation_response_stats(_turns(spark, rows)).collect()
+        }
+        assert set(got) == {"c1", "c2"}
+        c1 = got["c1"]
+        assert c1["n_assistant_turns"] == 2
+        assert c1["n_flagged"] == 1
+        assert c1["flag_permille"] == 500
+        assert c1["n_blank"] == 0
+        # mean over the two non-NULL texts: (29 + 31) // 2 = 30
+        assert c1["mean_resp_chars"] == 30
+        c2 = got["c2"]
+        assert c2["n_assistant_turns"] == 2  # damaged-role row excluded
+        assert c2["n_flagged"] == 0
+        assert c2["n_blank"] == 2
+        assert c2["mean_resp_chars"] == 3  # only the whitespace text
+
+    def test_all_null_texts_mean_is_null(self, spark):
+        rows = [("c", 0, "assistant", None)]
+        r = conversation_response_stats(_turns(spark, rows)).collect()[0]
+        assert r["mean_resp_chars"] is None
+        assert r["n_blank"] == 1
+
+    def test_response_flag_is_case_insensitive_and_null_safe(self, spark):
+        df = spark.createDataFrame(
+            [("AS AN AI model...",), ("fine answer",), (None,)],
+            "text string",
+        )
+        got = [
+            r["f"]
+            for r in df.select(
+                response_flag(F.col("text")).alias("f")
+            ).collect()
+        ]
+        assert got == [True, False, False]
+
+
+class TestSnapshotDiff:
+    def test_four_statuses(self, spark):
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (None, "ghost")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(1, "a"), (2, "B2"), (4, "d")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["status"]
+            for r in snapshot_diff(old, new, "doc_id", ("text",)).collect()
+        }
+        assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+    def test_null_content_vs_sentinel_distinct(self, spark):
+        """A NULL column and the literal sentinel text hash the same by
+        construction — but across two columns the separator keeps
+        (NULL, 'x') distinct from ('x', NULL)."""
+        old = spark.createDataFrame(
+            [(1, None, "x")], "doc_id long, a string, b string"
+        )
+        new = spark.createDataFrame(
+            [(1, "x", None)], "doc_id long, a string, b string"
+        )
+        got = snapshot_diff(old, new, "doc_id", ("a", "b")).collect()[0]
+        assert got["status"] == "changed"
+
+    def test_summary(self, spark):
+        old = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+        new = spark.createDataFrame([(2, "b"), (3, "c")], "doc_id long, text string")
+        d = snapshot_diff(old, new)
+        got = {r["status"]: r["n"] for r in diff_summary(d).collect()}
+        assert got == {"removed": 1, "unchanged": 1, "added": 1}

@@ -1,0 +1,132 @@
+"""Assistant-response quality heuristics for transcript corpora.
+
+Fine-tuning sets degrade measurably when they are heavy with refusal
+boilerplate ("I'm sorry, but I cannot ..."), placeholder filler, or
+truncated replies — the filtering recipe used on public chat-SFT sets
+drops or down-weights conversations whose assistant turns are mostly
+boilerplate. This module gives the engine that signal natively:
+
+- :func:`response_flag` — a per-turn boolean Column: does the
+  lowercased text contain any of a LITERAL phrase list? Literal
+  ``contains`` on purpose: no regex (the Java-vs-RE2 dialect trap the
+  corpus synthesis template documents), engine-portable, and at scale
+  a handful of ``Contains`` predicates stay inside whole-stage
+  codegen — no UDF, no shuffle.
+- :func:`conversation_response_stats` — per-conversation aggregate
+  over ASSISTANT turns only (exact role match; the corpus's damaged
+  roles like ``'Assistant'`` / ``' user'`` are deliberately NOT
+  counted — role hygiene is the WHITESPACE/VALUE_DISTRIBUTION rules'
+  job, and a quality scorer must not silently forgive them):
+  turn counts, flagged counts + permille, blank counts, and an
+  integer mean response length.
+
+All outputs are integers/booleans (no float formatting) so DuckDB
+replays them bit-identically.
+
+Spark shape at 100 TB: one scan; the per-turn flag is a codegen'd
+predicate over the text column; the aggregate is a single two-phase
+``conv_id`` groupBy whose carried state is five counters — text never
+rides the shuffle. Skew-proof by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Literal refusal / boilerplate markers, matched case-insensitively.
+#: Deliberately phrase-literal (not regex); extend per-corpus.
+DEFAULT_FLAG_PHRASES: tuple[str, ...] = (
+    "i cannot",
+    "i can't",
+    "i'm sorry",
+    "as an ai",
+    "do not share",
+    "lorem ipsum",
+)
+
+
+def response_flag(
+    text: Column, phrases: Sequence[str] = DEFAULT_FLAG_PHRASES
+) -> Column:
+    """Boolean Column: lowercased ``text`` contains any phrase
+    (NULL text → false)."""
+    low = F.lower(text)
+    hit = None
+    for p in phrases:
+        c = low.contains(p.lower())
+        hit = c if hit is None else (hit | c)
+    return F.coalesce(hit, F.lit(False))
+
+
+def conversation_response_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    assistant_role: str = "assistant",
+    phrases: Sequence[str] = DEFAULT_FLAG_PHRASES,
+) -> DataFrame:
+    """One row per conversation with >= 1 exact-role assistant turn
+    (NULL ``conv_id`` excluded): ``(conv_id, n_assistant_turns,
+    n_flagged, flag_permille, n_blank, mean_resp_chars)``.
+
+    ``n_blank`` counts NULL or whitespace-only texts;
+    ``mean_resp_chars`` is ``floor(sum(len) / count)`` over non-NULL
+    texts (NULL if every text is NULL) — integer division keeps the
+    value engine-portable.
+    """
+    t = F.col(text_col)
+    flagged = response_flag(t, phrases)
+    blank = t.isNull() | (F.trim(t) == "")
+    a = df.filter(
+        F.col(conv_col).isNotNull() & (F.col(role_col) == assistant_role)
+    )
+    return a.groupBy(conv_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_assistant_turns"),
+        F.sum(flagged.cast("long")).cast("long").alias("n_flagged"),
+        F.floor(
+            F.sum(flagged.cast("long")) * 1000 / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("flag_permille"),
+        F.sum(blank.cast("long")).cast("long").alias("n_blank"),
+        F.floor(F.sum(F.length(t)) / F.count(t))
+        .cast("long")
+        .alias("mean_resp_chars"),
+    )
+
+
+def duckdb_response_stats_sql(
+    turns_rel: str = "transcripts",
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    assistant_role: str = "assistant",
+    phrases: Sequence[str] = DEFAULT_FLAG_PHRASES,
+) -> str:
+    """DuckDB twin of :func:`conversation_response_stats`."""
+    hit = " OR ".join(
+        "position('{}' IN lower({})) > 0".format(
+            p.lower().replace("'", "''"), text_col
+        )
+        for p in phrases
+    )
+    return f"""
+SELECT {conv_col},
+       CAST(COUNT(*) AS BIGINT) AS n_assistant_turns,
+       CAST(SUM(CASE WHEN COALESCE({hit}, FALSE) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged,
+       CAST(floor(SUM(CASE WHEN COALESCE({hit}, FALSE) THEN 1 ELSE 0 END)
+                  * 1000.0 / COUNT(*)) AS BIGINT) AS flag_permille,
+       CAST(SUM(CASE WHEN {text_col} IS NULL
+                       OR trim({text_col}) = '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_blank,
+       CAST(floor(SUM(length({text_col})) * 1.0 / COUNT({text_col}))
+            AS BIGINT) AS mean_resp_chars
+FROM {turns_rel}
+WHERE {conv_col} IS NOT NULL AND {role_col} = '{assistant_role}'
+GROUP BY {conv_col}
+""".strip()

@@ -1,0 +1,112 @@
+"""Corpus snapshot diff — added / removed / changed / unchanged by id.
+
+Incremental training-data pipelines re-crawl and re-filter; before
+re-tokenizing 100 TB you want to know WHAT moved between snapshot v1
+and v2: which documents appeared, vanished, or changed content. This
+operator complements ``operators/dedup.incremental_dedup`` (which
+answers "is the new batch duplicated against the index") by answering
+"what is the delta between two corpus versions" — the input to
+incremental re-sharding and to audit dashboards.
+
+Semantics: full outer join of the two snapshots on ``id_col``;
+content equality is md5 over the ``content_cols`` (NULL-sentineled,
+field-separated so column boundaries can't alias). Status:
+
+- ``added`` — id only in ``new``;
+- ``removed`` — id only in ``old``;
+- ``changed`` — id in both, content hash differs;
+- ``unchanged`` — id in both, content hash equal.
+
+Duplicate ids within a snapshot are the caller's bug (UNIQUE check /
+exact dedup run first); the join would multiply them, so we fail fast
+with a count check only in tests — at scale the operator trusts its
+contract.
+
+Spark shape at 100 TB: each side collapses map-side to
+``(id, 32-hex md5)`` — content never rides the shuffle — then one
+sort-merge full outer join on the id. Two scans, one shuffle, ~50 B
+per shuffled row. If both snapshots are written bucketed by id, the
+shuffle disappears entirely; AQE handles the skewless residual.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SEP = "\x1f"
+_NULL = "<NULL>"
+
+
+def _content_hash(content_cols: Sequence[str]):
+    return F.md5(
+        F.concat_ws(
+            _SEP,
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit(_NULL))
+                for c in content_cols
+            ],
+        )
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_cols: Sequence[str] = ("text",),
+) -> DataFrame:
+    """(id, status, old_hash, new_hash) for every id in either
+    snapshot; NULL-id rows are excluded (an id-less row cannot be
+    tracked across versions)."""
+    o = old.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), _content_hash(content_cols).alias("old_hash")
+    )
+    n = new.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), _content_hash(content_cols).alias("new_hash")
+    )
+    return o.join(n, "__id", "full_outer").select(
+        F.col("__id").alias(id_col),
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+        "old_hash",
+        "new_hash",
+    )
+
+
+def diff_summary(diff: DataFrame) -> DataFrame:
+    """(status, n) — the four-row dashboard aggregate."""
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def duckdb_snapshot_diff_sql(
+    old_rel: str,
+    new_rel: str,
+    id_col: str = "doc_id",
+    content_cols: Sequence[str] = ("text",),
+) -> str:
+    """DuckDB twin of :func:`snapshot_diff` (same hash, same statuses)."""
+    h = " || chr(31) || ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), '{_NULL}')" for c in content_cols
+    )
+    return f"""
+SELECT COALESCE(o.__id, n.__id) AS {id_col},
+       CASE WHEN o.old_hash IS NULL THEN 'added'
+            WHEN n.new_hash IS NULL THEN 'removed'
+            WHEN o.old_hash = n.new_hash THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       o.old_hash, n.new_hash
+FROM (SELECT {id_col} AS __id, md5({h}) AS old_hash FROM {old_rel}
+      WHERE {id_col} IS NOT NULL) o
+FULL OUTER JOIN
+     (SELECT {id_col} AS __id, md5({h}) AS new_hash FROM {new_rel}
+      WHERE {id_col} IS NOT NULL) n
+ON o.__id = n.__id
+""".strip()

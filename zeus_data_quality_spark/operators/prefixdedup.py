@@ -1,0 +1,267 @@
+"""Conversation shared-prefix detection and regeneration collapse.
+
+Chat-transcript corpora are full of conversations that share an
+identical PREFIX without being whole-conversation duplicates:
+regenerations (same prompt, resampled completion), template spam
+(same system prompt + opening turn fanned out to many users), and
+A/B resume branches. Whole-dialogue exact dedup
+(``dedup.conversation_dedup``) misses all of these — the suffixes
+differ — yet keeping every regeneration of one prompt teaches a
+model that prompt's distribution, not the corpus's. The standard
+pipeline move (used on conversational fine-tuning sets the way
+RefinedWeb-style URL dedup is used on web text) is: group
+conversations by an exact hash of their first ``verdict_depth``
+turns and keep one representative per group.
+
+Two surfaces per conversation:
+
+- ``shared_prefix_depth`` — the deepest ``d ≤ max_depth`` at which at
+  least one OTHER conversation has the identical (role, text) turn
+  sequence for turns ``1..d`` (0 = no shared prefix at any probed
+  depth). Diagnostic: a corpus whose mass sits at high depths is
+  regeneration-heavy.
+- ``is_prefix_canonical`` — keep-one verdict over the fixed-depth
+  groups: conversations with ``n_turns ≥ verdict_depth`` are grouped
+  by their depth-``verdict_depth`` prefix key; the longest
+  conversation wins (most novel suffix mass), ties broken by smallest
+  ``conv_id``. Shorter conversations are never prefix-grouped (their
+  whole content IS the prefix — that is ``conversation_dedup``'s
+  job) and stay canonical here, with a NULL ``prefix_group_size``.
+
+Canonical turn order is ``(turn_idx NULLs-first, per-turn md5)`` —
+the same total order as ``conversation_dedup`` — so verdicts are
+deterministic under any physical row order; NULL roles/texts hash as
+sentinels.
+
+Spark shape at 100 TB: every turn collapses map-side to a 32-hex md5
+of (role, text) BEFORE the ``conv_id`` shuffle — conversation text
+never rides a shuffle. The per-conversation aggregate yields a
+``≤ max_depth``-element hash array; depth keys explode to at most
+``max_depth`` 36-byte rows per conversation; the group counts are
+two-phase aggregates on 32-hex keys. Three shuffles total, all
+narrow. Mega-conversation skew is bounded exactly as in
+``conversation_dedup``: a 10^5-turn conversation is a ~3.6 MB hash
+array in one reducer, and only its first ``max_depth`` hashes feed
+the depth explode.
+
+Reference semantics context: the reference engine has no transcript
+prefix operator (its dedup surface is the UNIQUE check,
+streamlit_app.py:96-117); this family extends the engine for the
+LLM-pipeline tier alongside ``dedup.py``/``spandedup.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Probe depths 1..MAX_DEPTH for the shared-prefix diagnostic.
+DEFAULT_MAX_DEPTH = 6
+#: Fixed grouping depth for the keep-one verdict.
+DEFAULT_VERDICT_DEPTH = 2
+
+_MIN_INT = -2147483648
+_SEP = "\x1f"
+_NULL = "<NULL>"
+
+
+def _turn_hash_array(
+    df: DataFrame, conv_col: str, turn_col: str, role_col: str, text_col: str
+):
+    """(conv_id, n_turns, hs) — per-conversation canonically ordered
+    array of per-turn md5(role, text) hashes."""
+    key = F.struct(
+        F.coalesce(F.col(turn_col), F.lit(_MIN_INT)).alias("k1"),
+        F.md5(
+            F.concat_ws(
+                _SEP,
+                F.coalesce(F.col(role_col), F.lit(_NULL)),
+                F.coalesce(F.col(text_col), F.lit(_NULL)),
+            )
+        ).alias("k2"),
+    )
+    return (
+        df.filter(F.col(conv_col).isNotNull())
+        .groupBy(conv_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.transform(
+                F.array_sort(F.collect_list(key)), lambda s: s["k2"]
+            ).alias("hs"),
+        )
+    )
+
+
+def prefix_dedup(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    max_depth: int = DEFAULT_MAX_DEPTH,
+    verdict_depth: int = DEFAULT_VERDICT_DEPTH,
+    materialize: bool = True,
+) -> DataFrame:
+    """One row per conversation (NULL ``conv_id`` rows excluded):
+    ``(conv_id, n_turns, shared_prefix_depth, prefix_group_size,
+    is_prefix_canonical)``.
+
+    ``materialize`` eagerly localCheckpoints the per-conversation hash
+    table (one ~40·max_depth-byte row per conversation) so the FOUR
+    downstream branches (depth keys, counts, verdict sizes, final
+    join-back) don't each re-scan and re-aggregate the corpus — the
+    same projection-collapse trap ``functions/embed.py`` documents for
+    ann_from_text. localCheckpoint is executor-local (lost on executor
+    failure); at cluster scale write the hash table to parquet once
+    and read it back instead.
+    """
+    if not 1 <= verdict_depth <= max_depth:
+        raise ValueError("need 1 <= verdict_depth <= max_depth")
+    per_conv = _turn_hash_array(df, conv_col, turn_col, role_col, text_col)
+    if materialize:
+        per_conv = per_conv.localCheckpoint(eager=True)
+
+    # Depth keys: md5 of the joined first-d turn hashes, for every
+    # probed depth the conversation actually reaches.
+    depth_keys = per_conv.select(
+        conv_col,
+        F.explode(
+            F.sequence(F.lit(1), F.least(F.lit(max_depth), F.col("n_turns")))
+        ).alias("d"),
+        F.col("hs"),
+    ).select(
+        conv_col,
+        "d",
+        F.md5(F.concat_ws(_SEP, F.slice("hs", 1, F.col("d")))).alias("pkey"),
+    )
+
+    counts = depth_keys.groupBy("d", "pkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    keyed = depth_keys.join(counts, ["d", "pkey"])
+
+    # Diagnostic: deepest probed depth shared with >= 1 other conv.
+    shared = (
+        keyed.filter(F.col("cnt") >= 2)
+        .groupBy(conv_col)
+        .agg(F.max("d").cast("long").alias("shared_prefix_depth"))
+    )
+
+    # Verdict: fixed-depth groups; longest conversation wins, ties by
+    # smallest conv_id. max_by on the (n_turns, conv_id) struct is
+    # deterministic because conv_id is unique within the group — but
+    # "longest wins, tie smallest id" needs an ORDER-style extremum,
+    # so invert conv_id into the struct via a descending-safe trick:
+    # take the max of struct(n_turns, neg_rank) where neg_rank orders
+    # smaller conv_ids higher. conv_id is a string, so instead pick
+    # via two-field comparison: max n_turns first, then min conv_id
+    # among those with max n_turns.
+    vkeys = keyed.filter(F.col("d") == verdict_depth).select(
+        conv_col, "pkey", "cnt"
+    )
+    sizes = per_conv.join(vkeys, conv_col).select(
+        conv_col, "pkey", "cnt", "n_turns"
+    )
+    winners_len = sizes.groupBy("pkey").agg(
+        F.max("n_turns").alias("__max_len")
+    )
+    winners = (
+        sizes.join(winners_len, "pkey")
+        .filter(F.col("n_turns") == F.col("__max_len"))
+        .groupBy("pkey")
+        .agg(F.min(conv_col).alias("__keep"))
+    )
+    verdicts = sizes.join(winners, "pkey").select(
+        conv_col,
+        F.col("cnt").alias("prefix_group_size"),
+        (F.col(conv_col) == F.col("__keep")).alias("is_prefix_canonical"),
+    )
+
+    z = F.lit(0).cast("long")
+    return (
+        per_conv.select(conv_col, "n_turns")
+        .join(shared, conv_col, "left")
+        .join(verdicts, conv_col, "left")
+        .select(
+            conv_col,
+            "n_turns",
+            F.coalesce("shared_prefix_depth", z).alias("shared_prefix_depth"),
+            "prefix_group_size",
+            F.coalesce("is_prefix_canonical", F.lit(True)).alias(
+                "is_prefix_canonical"
+            ),
+        )
+    )
+
+
+def duckdb_prefix_dedup_sql(
+    turns_rel: str = "transcripts",
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    max_depth: int = DEFAULT_MAX_DEPTH,
+    verdict_depth: int = DEFAULT_VERDICT_DEPTH,
+) -> str:
+    """DuckDB twin of :func:`prefix_dedup` over ``turns_rel``. Same
+    canonical order, same md5 chain, same tie-breaks."""
+    turn_hash = (
+        f"md5(COALESCE({role_col}, '{_NULL}') || chr(31) "
+        f"|| COALESCE({text_col}, '{_NULL}'))"
+    )
+    return f"""
+pfx_conv AS (
+    SELECT {conv_col},
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           list({turn_hash}
+                ORDER BY COALESCE({turn_col}, {_MIN_INT}), {turn_hash})
+               AS hs
+    FROM {turns_rel}
+    WHERE {conv_col} IS NOT NULL
+    GROUP BY {conv_col}
+),
+pfx_depth AS (
+    SELECT {conv_col}, d,
+           md5(array_to_string(hs[1:CAST(d AS INT)], chr(31))) AS pkey
+    FROM pfx_conv,
+         unnest(range(1, CAST(least({max_depth}, n_turns) AS INT) + 1))
+             AS u(d)
+),
+pfx_cnt AS (
+    SELECT d, pkey, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM pfx_depth GROUP BY d, pkey
+),
+pfx_shared AS (
+    SELECT k.{conv_col}, CAST(MAX(k.d) AS BIGINT) AS shared_prefix_depth
+    FROM pfx_depth k JOIN pfx_cnt c USING (d, pkey)
+    WHERE c.cnt >= 2
+    GROUP BY k.{conv_col}
+),
+pfx_sizes AS (
+    SELECT p.{conv_col}, k.pkey, c.cnt, p.n_turns
+    FROM pfx_conv p
+    JOIN pfx_depth k ON k.{conv_col} = p.{conv_col}
+        AND k.d = {verdict_depth}
+    JOIN pfx_cnt c ON c.d = k.d AND c.pkey = k.pkey
+),
+pfx_keep AS (
+    SELECT pkey, MIN({conv_col}) AS keep_id
+    FROM pfx_sizes s
+    WHERE n_turns = (SELECT MAX(n_turns) FROM pfx_sizes m
+                     WHERE m.pkey = s.pkey)
+    GROUP BY pkey
+),
+pfx_verdict AS (
+    SELECT s.{conv_col}, s.cnt AS prefix_group_size,
+           s.{conv_col} = k.keep_id AS is_prefix_canonical
+    FROM pfx_sizes s JOIN pfx_keep k USING (pkey)
+)
+SELECT p.{conv_col},
+       p.n_turns,
+       COALESCE(sh.shared_prefix_depth, 0) AS shared_prefix_depth,
+       v.prefix_group_size,
+       COALESCE(v.is_prefix_canonical, TRUE) AS is_prefix_canonical
+FROM pfx_conv p
+LEFT JOIN pfx_shared sh ON sh.{conv_col} = p.{conv_col}
+LEFT JOIN pfx_verdict v ON v.{conv_col} = p.{conv_col}
+""".strip()
