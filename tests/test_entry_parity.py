@@ -197,6 +197,13 @@ TAIL_TWINS = {
     "range_join",
     "embedding_near_dups_lsh",
     "bigram_lm",
+    # r5l rotation: evicted so tool_call_stats (tool-call JSON payload
+    # hygiene — a new operator family) gets a driver row. The monitor
+    # family keeps monitor_daily_trend in-window; the results-join +
+    # filters + top-N surface keeps its full oracle here, and the
+    # equi-join + top-N physical shape stays in-window via
+    # hybrid_retrieval and incremental_dedup's join stages.
+    "monitor_topk",
 }
 
 # Derivative composites past the window: full value oracles (parity
@@ -289,6 +296,8 @@ def test_driver_window_covers_every_operator_family():
         "response_quality": {"response_stats"},
         # r5k: corpus snapshot diff (added/removed/changed by hash)
         "snapshot_diff": {"corpus_diff"},
+        # r5l: tool-call JSON payload hygiene
+        "tool_hygiene": {"tool_call_stats"},
     }
     for fam, members in families.items():
         assert members & in_window, f"family {fam} has no driver-window row"
@@ -309,7 +318,7 @@ def test_driver_window_covers_every_operator_family():
                 "bpe", "classifier_mix", "substring_dedup", "retrieval",
                 "selection", "token_ids", "source_caps", "novelty",
                 "ann_eval", "prefix_dedup", "response_quality",
-                "snapshot_diff"):
+                "snapshot_diff", "tool_hygiene"):
         assert families[fam] <= in_window, fam
     assert "perplexity_trained" in in_window
     assert "sequence_packing_bpe" in in_window

@@ -1,0 +1,176 @@
+"""Semantic pins for the r5l tool-call JSON payload hygiene operator
+(functions/tooljson.py). Cross-engine parity runs in
+test_entry_parity.py (the `tool_call_stats` oracle); here:
+hand-computable fixtures, the probed Spark↔DuckDB JSON-validity
+contract, and the corpus-level payload synthesis invariants.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.functions.tooljson import (
+    K0_SQL,
+    TOOL_ARGS_CASE_SQL,
+    duckdb_tool_call_stats_sql,
+    synthesize_tool_args,
+    tool_call_stats,
+    with_tool_json,
+)
+
+SCHEMA = "tool string, tool_args string"
+
+
+def _calls(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+class TestWithToolJson:
+    def test_validity_and_extraction_contract(self, spark):
+        """The per-turn parse surface on every probed payload shape:
+        objects parse, unterminated/empty/non-JSON don't, `$.k` is
+        case-sensitive, JSON null extracts as SQL NULL."""
+        rows = [
+            ("t", '{"k": 69}'),
+            ("t", '{"query": "q12"}'),
+            ("t", '{"k": 12'),
+            ("t", ""),
+            ("t", "   "),
+            ("t", "notjson"),
+            ("t", '{"k": null}'),
+            ("t", '{"K": 1}'),
+            ("t", None),
+        ]
+        got = {
+            (r.tool_args if r.tool_args is not None else "<null>"): (
+                r.args_valid,
+                r.args_k,
+                r.args_query,
+            )
+            for r in with_tool_json(_calls(spark, rows)).collect()
+        }
+        assert got['{"k": 69}'] == (True, 69, None)
+        assert got['{"query": "q12"}'] == (True, None, "q12")
+        assert got['{"k": 12'] == (False, None, None)
+        assert got[""] == (False, None, None)
+        assert got["   "] == (False, None, None)
+        assert got["notjson"] == (False, None, None)
+        assert got['{"k": null}'] == (True, None, None)  # JSON null → SQL NULL
+        assert got['{"K": 1}'] == (True, None, None)  # path is case-sensitive
+        assert got["<null>"] == (False, None, None)
+
+
+class TestToolCallStats:
+    def test_hand_computed_fixture(self, spark):
+        rows = [
+            ("search", '{"k": 3}'),  # valid with k
+            ("search", '{"k": 7}'),  # valid with k
+            ("search", '{"query": "x"}'),  # valid, missing k
+            ("search", '{"k": 9'),  # malformed
+            ("search", None),  # missing args
+            ("exec", ""),  # malformed (empty string)
+            (None, '{"k": 1}'),  # orphan payload
+            (None, None),  # not on the tool-call surface: excluded
+        ]
+        got = {
+            r.tool_name: r.asDict()
+            for r in tool_call_stats(_calls(spark, rows)).collect()
+        }
+        assert set(got) == {"search", "exec", "(none)"}
+        s = got["search"]
+        assert s["n_rows"] == 5
+        assert s["n_missing_args"] == 1
+        assert s["n_malformed"] == 1
+        assert s["n_valid_json"] == 3
+        assert s["n_with_k"] == 2
+        assert s["sum_k"] == 10
+        assert s["max_k"] == 7
+        assert s["n_with_query"] == 1
+        assert s["n_orphan_args"] == 0
+        e = got["exec"]
+        assert (e["n_rows"], e["n_malformed"], e["n_valid_json"]) == (1, 1, 0)
+        assert e["sum_k"] is None and e["max_k"] is None
+        o = got["(none)"]
+        assert o["n_rows"] == 1
+        assert o["n_orphan_args"] == 1
+        assert o["n_with_k"] == 1
+
+    def test_corpus_synthesis_covers_every_arm(self, spark, sf_dir):
+        """On the synthesized corpus every defect arm fires: missing,
+        malformed, valid-without-k, valid-with-k, and orphan payloads
+        all have nonzero counts somewhere."""
+        from zeus_data_quality_spark.sources.transcripts import load_transcripts
+
+        t = synthesize_tool_args(load_transcripts(spark, sf_dir))
+        rows = tool_call_stats(t).collect()
+        tot = {
+            c: sum(r[c] or 0 for r in rows)
+            for c in (
+                "n_rows",
+                "n_missing_args",
+                "n_malformed",
+                "n_valid_json",
+                "n_with_k",
+                "n_with_query",
+                "n_orphan_args",
+            )
+        }
+        assert tot["n_malformed"] > 0
+        assert tot["n_valid_json"] > 0
+        assert tot["n_with_k"] > 0
+        assert tot["n_with_query"] > 0
+        assert tot["n_orphan_args"] > 0
+        # per-row accounting: args-bearing rows are valid xor malformed
+        probe = with_tool_json(t).filter(F.col("tool_args").isNotNull())
+        n_args = probe.count()
+        n_valid = probe.filter("args_valid").count()
+        assert tot["n_malformed"] == n_args - n_valid
+
+    def test_duckdb_twin_same_fixture(self, spark):
+        """The DuckDB stats SQL replays the Spark aggregate on an
+        identical literal relation (the oracle path minus the corpus
+        synthesis, which test_entry_parity covers end-to-end)."""
+        rows = [
+            ("search", '{"k": 3}'),
+            ("search", '{"k": 9'),
+            ("search", None),
+            (None, '{"k": 1}'),
+            (None, None),
+        ]
+        spark_rows = {
+            r.tool_name: tuple(r)[1:]
+            for r in tool_call_stats(_calls(spark, rows)).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE tool_calls AS SELECT * FROM (VALUES "
+            + ", ".join(
+                "({}, {})".format(
+                    "NULL" if t is None else f"'{t}'",
+                    "NULL" if a is None else "'" + a.replace("'", "''") + "'",
+                )
+                for t, a in rows
+            )
+            + ") AS v(tool, tool_args)"
+        )
+        # reuse only the probed/stats tail: rebuild it over the literal
+        # relation by splicing the shared column contract
+        sql = duckdb_tool_call_stats_sql(turns_rel="__unused__")
+        probed_tail = sql.split("probed AS", 1)[1]
+        duck_sql = (
+            "WITH probed AS"
+            + probed_tail.replace("FROM tool_calls", "FROM tool_calls", 1)
+        )
+        duck_rows = {
+            r[0]: tuple(r)[1:] for r in con.execute(duck_sql).fetchall()
+        }
+        assert spark_rows == duck_rows
+
+    def test_k0_and_case_sql_are_engine_shared(self):
+        """The payload synthesis is ONE SQL text: the oracle must embed
+        the exact constants the Spark builder expands."""
+        sql = duckdb_tool_call_stats_sql()
+        assert K0_SQL in sql
+        assert TOOL_ARGS_CASE_SQL in sql

@@ -1,0 +1,223 @@
+"""Tool-call JSON argument hygiene for agent transcripts.
+
+Agent-transcript corpora carry tool invocations whose arguments are
+JSON payloads; malformed or schema-violating payloads are a
+first-class quality defect (a fine-tune set teaching a model to emit
+broken tool calls is worse than a smaller clean one). The reference's
+per-row checks stop at role/tool consistency
+(`streamlit_app.py` check builders; recast in
+``functions/rules.py::tool_consistency``); this module adds the
+payload-level signal a production transcript pipeline needs:
+
+- :func:`with_tool_json` — per-turn validity + typed field
+  extraction via ``get_json_object`` (JVM-side Jackson parse inside
+  whole-stage codegen; no UDF, no shuffle — parse cost rides the
+  scan, exactly where a 100 TB pass wants it).
+- :func:`tool_call_stats` — per-tool aggregate over the tool-call
+  surface (rows with a tool name or an argument payload): call
+  counts, missing/malformed payload counts, required-key presence,
+  integer field stats, and orphan payloads on non-tool turns. The
+  group key set is |distinct tools| — a two-phase aggregate whose
+  reduce side is a handful of rows at any corpus size.
+
+Engine-parity contract (probed shape-by-shape against DuckDB's
+``json_valid``/``json_extract_string`` before this module was
+written): validity agrees on objects, unterminated objects, empty /
+whitespace-only / non-JSON strings, and NULLs; ``$.k`` extraction is
+case-sensitive and returns SQL NULL for JSON null in both engines.
+All outputs are BIGINT (no float formatting), so the DuckDB oracle
+replays bit-identically.
+
+The corpus synthesis (``TOOL_ARGS_CASE_SQL``) injects the defect mix
+deterministically from the transcript row itself (text length +
+turn index — no RNG), sharing ONE SQL text between the Spark input
+builder and the DuckDB oracle so both engines score the identical
+payload table; the same discipline as
+``sources/transcripts.py::TRANSCRIPTS_CTE``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Deterministic per-row defect key: engine-portable integer derived
+#: from columns both engines already agree on byte-for-byte.
+K0_SQL = "(length(coalesce(text, '')) * 7 + coalesce(turn_idx, 3))"
+
+#: Payload synthesis over a relation carrying (tool, text, turn_idx)
+#: plus a precomputed integer `k0`. Arms (first match wins):
+#: unterminated object (malformed), empty string (malformed),
+#: query-only object (valid, missing the required `k`), valid object
+#: with `k`, and a rare orphan payload on a non-tool turn. No
+#: backslash escapes, no regex, integer-only string building — the
+#: portability rules of the transcripts template.
+TOOL_ARGS_CASE_SQL = """
+CASE
+    WHEN tool IS NOT NULL AND k0 % 13 = 0
+        THEN '{"query": "q' || CAST(k0 AS STRING) || '"'
+    WHEN tool IS NOT NULL AND k0 % 7 = 1 THEN ''
+    WHEN tool IS NOT NULL AND k0 % 5 = 2
+        THEN '{"query": "q' || CAST(k0 AS STRING) || '"}'
+    WHEN tool IS NOT NULL
+        THEN '{"k": ' || CAST(k0 % 100 AS STRING) || '}'
+    WHEN tool IS NULL AND k0 % 97 = 5 THEN '{"k": 1}'
+    ELSE NULL
+END
+""".strip()
+
+
+def synthesize_tool_args(df: DataFrame, out_col: str = "tool_args") -> DataFrame:
+    """Attach the deterministic payload column to a transcript frame.
+
+    Runs ``TOOL_ARGS_CASE_SQL`` through Spark so the engine input is
+    byte-identical to what the DuckDB oracle derives from the same
+    text."""
+    return (
+        df.withColumn("k0", F.expr(K0_SQL))
+        .withColumn(out_col, F.expr(TOOL_ARGS_CASE_SQL))
+        .drop("k0")
+    )
+
+
+def json_valid_col(args: Column) -> Column:
+    """Boolean Column: does ``args`` parse as JSON? (NULL → false.)
+
+    ``get_json_object(x, '$')`` returns NULL exactly when the payload
+    does not parse — the engine-portable validity probe (DuckDB twin:
+    ``coalesce(json_valid(x), false)``)."""
+    return F.get_json_object(args, "$").isNotNull()
+
+
+def with_tool_json(
+    df: DataFrame,
+    args_col: str = "tool_args",
+    int_key: str = "k",
+    str_key: str = "query",
+) -> DataFrame:
+    """Adds ``args_valid`` (boolean), ``args_<int_key>`` (bigint) and
+    ``args_<str_key>`` (string) — the per-turn parse/extract surface
+    for downstream checks. Invalid or NULL payloads yield NULL
+    extractions; a JSON ``null`` field also yields SQL NULL (parity
+    probed)."""
+    a = F.col(args_col)
+    return (
+        df.withColumn("args_valid", json_valid_col(a))
+        .withColumn(
+            f"args_{int_key}",
+            F.get_json_object(a, f"$.{int_key}").cast("long"),
+        )
+        .withColumn(f"args_{str_key}", F.get_json_object(a, f"$.{str_key}"))
+    )
+
+
+def tool_call_stats(
+    df: DataFrame,
+    tool_col: str = "tool",
+    args_col: str = "tool_args",
+    int_key: str = "k",
+    str_key: str = "query",
+) -> DataFrame:
+    """Per-tool payload hygiene: one row per distinct tool name (the
+    exact stored string — damaged names like ``'code_exec  '`` are
+    deliberately distinct keys; name hygiene is the WHITESPACE rules'
+    job) plus a ``'(none)'`` row for orphan payloads on tool-less
+    turns.
+
+    Output: ``(tool_name, n_rows, n_missing_args, n_malformed,
+    n_valid_json, n_with_k, sum_k, max_k, n_with_query,
+    n_orphan_args)``, all counters BIGINT; ``sum_k``/``max_k`` are
+    NULL for groups with no extracted key (engine-portable).
+
+    Scale shape: one scan; parse + extraction are codegen'd
+    expressions on the scan, the aggregate carries eight integer
+    counters per |tools| group — nothing else rides the shuffle.
+    """
+    tool = F.col(tool_col)
+    a = F.col(args_col)
+    valid = json_valid_col(a)
+    k = F.get_json_object(a, f"$.{int_key}").cast("long")
+    q = F.get_json_object(a, f"$.{str_key}")
+    surface = df.filter(tool.isNotNull() | a.isNotNull())
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    return surface.groupBy(
+        F.coalesce(tool, F.lit("(none)")).alias("tool_name")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(tool.isNotNull() & a.isNull(), one).otherwise(zero))
+        .cast("long")
+        .alias("n_missing_args"),
+        F.sum(F.when(a.isNotNull() & ~valid, one).otherwise(zero))
+        .cast("long")
+        .alias("n_malformed"),
+        F.sum(F.when(valid, one).otherwise(zero))
+        .cast("long")
+        .alias("n_valid_json"),
+        F.sum(F.when(k.isNotNull(), one).otherwise(zero))
+        .cast("long")
+        .alias("n_with_k"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).cast("long").alias("max_k"),
+        F.sum(F.when(q.isNotNull(), one).otherwise(zero))
+        .cast("long")
+        .alias("n_with_query"),
+        F.sum(F.when(tool.isNull() & a.isNotNull(), one).otherwise(zero))
+        .cast("long")
+        .alias("n_orphan_args"),
+    )
+
+
+def duckdb_tool_call_stats_sql(
+    turns_rel: str = "transcripts",
+    int_key: str = "k",
+    str_key: str = "query",
+) -> str:
+    """DuckDB twin of ``synthesize_tool_args`` + :func:`tool_call_stats`
+    over ``turns_rel``: same shared payload-synthesis SQL, then the
+    stats replayed with ``json_valid``/``json_extract_string``.
+
+    Emitted as a CTE CONTINUATION (leading ``,``) so callers can
+    splice it after ``sources/transcripts.py``'s WITH list via
+    ``oracle_with_transcripts(", " ...)``-style composition."""
+    return f"""
+, keyed AS (
+    SELECT *, {K0_SQL} AS k0 FROM {turns_rel}
+),
+tool_calls AS (
+    SELECT tool, {TOOL_ARGS_CASE_SQL} AS tool_args FROM keyed
+),
+probed AS (
+    SELECT
+        tool,
+        tool_args,
+        COALESCE(json_valid(tool_args), FALSE) AS args_valid,
+        CASE WHEN json_valid(tool_args)
+             THEN TRY_CAST(json_extract_string(tool_args, '$.{int_key}')
+                           AS BIGINT) END AS args_k,
+        CASE WHEN json_valid(tool_args)
+             THEN json_extract_string(tool_args, '$.{str_key}')
+             END AS args_q
+    FROM tool_calls
+    WHERE tool IS NOT NULL OR tool_args IS NOT NULL
+)
+SELECT
+    COALESCE(tool, '(none)') AS tool_name,
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(CASE WHEN tool IS NOT NULL AND tool_args IS NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_args,
+    CAST(SUM(CASE WHEN tool_args IS NOT NULL AND NOT args_valid
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
+    CAST(SUM(CASE WHEN args_valid THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_valid_json,
+    CAST(SUM(CASE WHEN args_k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_with_k,
+    CAST(SUM(args_k) AS BIGINT) AS sum_k,
+    CAST(MAX(args_k) AS BIGINT) AS max_k,
+    CAST(SUM(CASE WHEN args_q IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_with_query,
+    CAST(SUM(CASE WHEN tool IS NULL AND tool_args IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_args
+FROM probed
+GROUP BY COALESCE(tool, '(none)')
+""".strip()

@@ -2413,6 +2413,24 @@ def _oracle_response_stats() -> str:
     return oracle_with_transcripts(duckdb_response_stats_sql())
 
 
+def q_tool_call_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-call JSON payload hygiene (``functions/tooljson.py``):
+    per-tool parse-validity, missing/malformed payloads, required-key
+    presence, integer field stats, orphan payloads. Payloads are
+    synthesized deterministically from the transcript rows through
+    ONE SQL text shared with the oracle."""
+    from ..functions.tooljson import synthesize_tool_args, tool_call_stats
+
+    t = synthesize_tool_args(load_transcripts(spark, sf_dir))
+    return tool_call_stats(t)
+
+
+def _oracle_tool_call_stats() -> str:
+    from ..functions.tooljson import duckdb_tool_call_stats_sql
+
+    return oracle_with_transcripts(duckdb_tool_call_stats_sql())
+
+
 #: Deterministic "v2" snapshot of the documents table, derivable
 #: bit-identically in Spark and DuckDB: drop ids ≡ 3 (mod 7), revise
 #: the text of ids ≡ 1 (mod 5), add fresh ids (+10,000,000) for ids
@@ -2540,7 +2558,14 @@ def queries():
         "semantic_dedup": q_semantic_dedup,
         "simhash": q_simhash,
         "langid": q_langid,
-        "monitor_topk": q_monitor_topk,
+        # r5l: tool-call JSON payload hygiene (functions/tooljson.py)
+        # — the new tool_hygiene family; evicted `monitor_topk` (the
+        # monitor family keeps monitor_daily_trend in-window; the
+        # results-join + filters + top-N surface keeps its full
+        # oracle in the tail, and the equi-join + top-N physical
+        # shape stays in-window via hybrid_retrieval and
+        # incremental_dedup's join stages).
+        "tool_call_stats": q_tool_call_stats,
         "monitor_daily_trend": q_monitor_daily_trend,
         "rollup_orders": q_rollup_orders,
         # r5i: corpus-internal n-gram novelty (functions/novelty.py) —
@@ -2652,6 +2677,9 @@ def queries():
         "ann_ivf": q_ann_ivf,
         "monitor_kpis": q_monitor_kpis,
         "minhash_pairs": q_minhash_pairs,
+        # r5l rotation (see the tool_call_stats block above): full
+        # oracle kept here and in tests/test_entry_parity.py.
+        "monitor_topk": q_monitor_topk,
         "ann_lsh": q_ann_lsh,
         "setops_users": q_setops_users,
         "corpus_mix": q_corpus_mix,
@@ -2756,6 +2784,7 @@ def oracle_sql():
         "prefix_dedup": _oracle_prefix_dedup(),
         "response_stats": _oracle_response_stats(),
         "corpus_diff": _oracle_corpus_diff(),
+        "tool_call_stats": _oracle_tool_call_stats(),
         "token_shards": _oracle_token_shards(),
         "quality_classifier": _oracle_quality_classifier(),
         "bpe_vocab": _oracle_bpe_vocab(),
