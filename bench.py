@@ -163,6 +163,17 @@ HEADLINE = [
     "gram_novelty",
     # r5j: ANN recall evaluation (IVF vs brute force + set recall)
     "ann_recall_eval",
+    # r5k: conversation prefix dedup, response quality heuristics,
+    # corpus snapshot diff
+    "prefix_dedup",
+    "response_stats",
+    "corpus_diff",
+    # r5l: tool-call JSON payload hygiene
+    "tool_call_stats",
+    # r5l: seeded epoch shuffle + shard assignment (one TeraSort-shape
+    # distributed sort — the emission-order stage a pretraining
+    # pipeline ends with)
+    "training_order",
 ]
 
 

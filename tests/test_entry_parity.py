@@ -217,7 +217,14 @@ every (w1,w2,w3,n,nll) row."""
 # in-window rows' operators. (r5: sequence_packing_bpe and
 # ann_ivf_from_text were PROMOTED into the window per the r4 verdict —
 # the set is empty until a future composite overflows again.)
-TAIL_OVERFLOW: set = {"kn_trigram_lm"}
+TAIL_OVERFLOW: set = {
+    "kn_trigram_lm",
+    # r5l: seeded epoch shuffle + shard assignment — a composite of
+    # the in-window md5-rank primitive (classifier_mix /
+    # temperature_mix) and the row_number window shape
+    # (token_budget_pack); full oracle, parity-checked here.
+    "training_order",
+}
 
 
 def test_driver_window_covers_every_operator_family():

@@ -1,0 +1,86 @@
+"""Semantic pins for the seeded training-order shuffle
+(functions/ordering.py). Cross-engine parity is covered by
+test_entry_parity.py (`training_order` tail oracle); here the
+properties a pretraining pipeline relies on are pinned directly:
+determinism, seed re-draw, permutation validity, shard/position
+consistency, shard uniformity, and NULL-id dropping.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.functions.ordering import training_order
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(f"doc{i:04d}", f"src{i % 3}") for i in range(500)]
+    rows.append((None, "srcN"))  # NULL id must be dropped
+    return spark.createDataFrame(rows, "id string, source string").cache()
+
+
+def _collect(df):
+    return {
+        r["id"]: (r["order_key"], r["shard"], r["epoch_pos"], r["shard_pos"])
+        for r in df.collect()
+    }
+
+
+def test_deterministic_and_valid_permutation(corpus):
+    a = _collect(training_order(corpus, "id", seed="epoch0", n_shards=8))
+    b = _collect(training_order(corpus, "id", seed="epoch0", n_shards=8))
+    assert a == b  # byte-identical across runs
+    assert None not in a and len(a) == 500  # NULL id dropped
+    # epoch_pos is a bijection onto 1..N ordered by order_key
+    by_pos = sorted(a.values(), key=lambda v: v[2])
+    assert [v[2] for v in by_pos] == list(range(1, 501))
+    assert [v[0] for v in by_pos] == sorted(v[0] for v in a.values())
+
+
+def test_seed_redraws_permutation_and_shards(corpus):
+    e0 = _collect(training_order(corpus, "id", seed="epoch0", n_shards=8))
+    e1 = _collect(training_order(corpus, "id", seed="epoch1", n_shards=8))
+    moved = sum(1 for k in e0 if e0[k][2] != e1[k][2])
+    resharded = sum(1 for k in e0 if e0[k][1] != e1[k][1])
+    assert moved > 450  # essentially the whole permutation re-drawn
+    assert resharded > 300  # shard assignment is seed-dependent too
+
+
+def test_shard_positions_consistent(corpus):
+    out = _collect(training_order(corpus, "id", seed="epoch0", n_shards=8))
+    # within each shard, shard_pos is 1..n_s in epoch_pos order
+    shards = {}
+    for key, shard, epos, spos in sorted(out.values(), key=lambda v: v[2]):
+        shards.setdefault(shard, []).append(spos)
+    for shard, positions in shards.items():
+        assert positions == list(range(1, len(positions) + 1)), shard
+    # shards are roughly balanced (uniform hash fold): 500/8 = 62.5
+    sizes = [len(v) for v in shards.values()]
+    assert len(shards) == 8 and min(sizes) > 30 and max(sizes) < 95
+
+
+def test_interleaving_breaks_source_runs(corpus):
+    """The point of the shuffle: no long same-source runs. With 3
+    round-robin sources, the seeded order's longest same-source run
+    must be far below a sorted-by-source emission's 167."""
+    ordered = (
+        training_order(corpus, "id", seed="epoch0", n_shards=4)
+        .orderBy("epoch_pos")
+        .select("source")
+        .collect()
+    )
+    longest = run = 1
+    for prev, cur in zip(ordered, ordered[1:]):
+        run = run + 1 if cur["source"] == prev["source"] else 1
+        longest = max(longest, run)
+    assert longest <= 12
+
+
+def test_n_shards_one_and_validation(corpus):
+    out = training_order(corpus, "id", seed="s", n_shards=1)
+    assert out.filter(F.col("shard") != 0).count() == 0
+    assert out.filter(F.col("epoch_pos") != F.col("shard_pos")).count() == 0
+    with pytest.raises(ValueError):
+        training_order(corpus, "id", n_shards=0)

@@ -1,0 +1,130 @@
+"""Seeded deterministic training-order shuffle and shard assignment.
+
+A pretraining pipeline's last mile: the selected/packed corpus must be
+emitted in a SHUFFLED order (long runs of same-source or same-topic
+documents destabilize training), re-drawable per epoch, and
+reproducible across re-runs and engines — no RNG state, no
+``rand()``. The standard trick (same as ``functions/sampling.py``'s
+holdout splits): the order key IS a keyed hash.
+
+- order key: ``md5(seed || ':' || id)`` — changing the seed re-draws
+  the whole permutation (epoch 2 = seed "epoch2"), the same seed is
+  byte-identical everywhere; ties (impossible on distinct ids, but
+  NULL-safe) break on the id itself.
+- shard: the order key's leading hex chars modulo ``n_shards`` — a
+  uniform, seed-dependent assignment, so shards are themselves
+  shuffled samples (any shard prefix is an unbiased corpus sample;
+  the property curriculum/restart tooling relies on).
+- positions: global epoch position (``row_number`` over the order
+  key) and within-shard position.
+
+Scale shape: the shard assignment and order key are pure map-side
+Column algebra on the scan. The global position is ONE distributed
+sort — Spark's range-partitioned exchange (the TeraSort shape, the
+thing Spark is best at); at 100 TB you'd skip the global position and
+keep only ``(shard, shard_pos)`` — per-shard windows after a hash
+exchange on ``shard``, no global total order needed — which is why
+the two positions are separate columns instead of one.
+
+Engine parity: fixed-width lowercase hex compares lexicographically
+as its numeric value in both Spark and DuckDB, and the hex→int
+conversion is the shared position-weighted ``instr`` lookup from
+``functions/sampling.py`` — the oracle replays the permutation
+bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import HEX_CHARS, _hex_to_int
+
+# Shard assignment folds the order key's leading HEX_CHARS hex chars
+# (65536 buckets) modulo n_shards — per-shard bias ≤ 1/65536 when
+# n_shards doesn't divide 65536; negligible, identical in both engines.
+
+
+def seeded_order_key(id_col: str, seed: str) -> "F.Column":
+    """The full md5 order key for one epoch draw. Distinct ids give
+    distinct keys with probability 1 - 2^-128; the id itself is the
+    deterministic tiebreak everywhere it is used."""
+    return F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "epoch0",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Adds ``order_key`` (hex string), ``shard`` (int), ``epoch_pos``
+    (global 1-based position in the shuffled epoch) and ``shard_pos``
+    (1-based position inside the shard's stream).
+
+    NULL ids are DROPPED (md5(NULL) is NULL — an unordered row has no
+    place in a training stream; the upstream rules flag them).
+
+    Contract: for a fixed (corpus, seed) the output is byte-identical
+    across runs and engines; changing ``seed`` re-draws both the
+    permutation and the shard assignment.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = seeded_order_key(id_col, seed)
+    out = (
+        df.filter(F.col(id_col).isNotNull())
+        .withColumn("order_key", key)
+        .withColumn(
+            "shard",
+            (
+                _hex_to_int(F.substring(F.col("order_key"), 1, HEX_CHARS))
+                % F.lit(n_shards)
+            ).cast("int"),
+        )
+    )
+    epoch_w = Window.orderBy("order_key", id_col)
+    shard_w = Window.partitionBy("shard").orderBy("order_key", id_col)
+    return out.withColumn(
+        "epoch_pos", F.row_number().over(epoch_w).cast("long")
+    ).withColumn("shard_pos", F.row_number().over(shard_w).cast("long"))
+
+
+def duckdb_training_order_sql(
+    rel: str,
+    id_col: str,
+    seed: str = "epoch0",
+    n_shards: int = 8,
+    select_cols: str = "",
+) -> str:
+    """DuckDB twin of :func:`training_order` over ``rel``.
+
+    ``select_cols``: extra passthrough columns, comma-prefixed by the
+    caller. The hex→int replay is the shared position-weighted
+    ``position()`` fold from ``functions/sampling.py`` (no
+    engine-specific hex cast)."""
+    key = f"md5('{seed}:' || CAST({id_col} AS STRING))"
+    # position-weighted fold over the leading HEX_CHARS digits
+    terms = [
+        f"(position(substring({key}, {i + 1}, 1) IN "
+        f"'0123456789abcdef') - 1) * {16 ** (HEX_CHARS - 1 - i)}"
+        for i in range(HEX_CHARS)
+    ]
+    hex_int = "(" + " + ".join(terms) + ")"
+    return f"""
+keyed AS (
+    SELECT {id_col}{select_cols},
+           {key} AS order_key,
+           CAST(({hex_int}) % {n_shards} AS INTEGER)
+               AS shard
+    FROM {rel}
+    WHERE {id_col} IS NOT NULL
+)
+SELECT {id_col}{select_cols}, order_key, shard,
+       CAST(ROW_NUMBER() OVER (ORDER BY order_key, {id_col}) AS BIGINT)
+           AS epoch_pos,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                               ORDER BY order_key, {id_col}) AS BIGINT)
+           AS shard_pos
+FROM keyed
+""".strip()

@@ -2413,6 +2413,31 @@ def _oracle_response_stats() -> str:
     return oracle_with_transcripts(duckdb_response_stats_sql())
 
 
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic epoch shuffle + shard assignment
+    (``functions/ordering.py``): md5 order key, hash-folded shard,
+    global epoch position and within-shard position. Tail composite:
+    the md5-rank primitive is driver-adjudicated in-window via
+    classifier_mix/temperature_mix and the row_number window shape
+    via token_budget_pack; full oracle here."""
+    from ..functions.ordering import training_order
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return training_order(
+        docs.select("doc_id", "source"), "doc_id", seed="epoch0", n_shards=8
+    )
+
+
+def _oracle_training_order() -> str:
+    from ..functions.ordering import duckdb_training_order_sql
+
+    body = duckdb_training_order_sql(
+        "documents", "doc_id", seed="epoch0", n_shards=8,
+        select_cols=", source",
+    )
+    return f"WITH {body}"
+
+
 def q_tool_call_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tool-call JSON payload hygiene (``functions/tooljson.py``):
     per-tool parse-validity, missing/malformed payloads, required-key
@@ -2692,6 +2717,11 @@ def queries():
         "range_join": q_range_join,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "bigram_lm": q_bigram_lm,
+        # r5l tail composite: seeded epoch shuffle + shard assignment
+        # (functions/ordering.py) — md5-rank primitive in-window via
+        # classifier_mix/temperature_mix, row_number window shape via
+        # token_budget_pack; full oracle (TAIL_OVERFLOW).
+        "training_order": q_training_order,
     }
 
 
@@ -2785,6 +2815,7 @@ def oracle_sql():
         "response_stats": _oracle_response_stats(),
         "corpus_diff": _oracle_corpus_diff(),
         "tool_call_stats": _oracle_tool_call_stats(),
+        "training_order": _oracle_training_order(),
         "token_shards": _oracle_token_shards(),
         "quality_classifier": _oracle_quality_classifier(),
         "bpe_vocab": _oracle_bpe_vocab(),
