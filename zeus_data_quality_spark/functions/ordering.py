@@ -11,26 +11,33 @@ holdout splits): the order key IS a keyed hash.
   the whole permutation (epoch 2 = seed "epoch2"), the same seed is
   byte-identical everywhere; ties (impossible on distinct ids, but
   NULL-safe) break on the id itself.
-- shard: the order key's leading hex chars modulo ``n_shards`` — a
-  uniform, seed-dependent assignment, so shards are themselves
-  shuffled samples (any shard prefix is an unbiased corpus sample;
-  the property curriculum/restart tooling relies on).
-- positions: global epoch position (``row_number`` over the order
-  key) and within-shard position.
+- shard: a RANGE bucket of the order key — shard s covers the s-th
+  contiguous slice of the 65536-bucket key space. Because the key is
+  md5-uniform, a contiguous key range is just as much an unbiased,
+  seed-dependent random sample as a hash fold would be — but range
+  bucketing buys the scale property below: shard order IS global
+  order, so the global position decomposes per-shard.
+- positions: global epoch position and within-shard position, with
+  ``epoch_pos = shard_offset(shard) + shard_pos`` by construction.
 
-Scale shape: the shard assignment and order key are pure map-side
-Column algebra on the scan. The global position is ONE distributed
-sort — Spark's range-partitioned exchange (the TeraSort shape, the
-thing Spark is best at); at 100 TB you'd skip the global position and
-keep only ``(shard, shard_pos)`` — per-shard windows after a hash
-exchange on ``shard``, no global total order needed — which is why
-the two positions are separate columns instead of one.
+Scale shape (the reason shard is a range bucket, not ``% n``): the
+order key and shard are pure map-side Column algebra on the scan.
+``shard_pos`` is a window after ONE hash exchange on ``shard``.
+``shard_offset`` is an ``n_shards``-row aggregate cumulated on the
+driver-side-sized result and broadcast back — so ``epoch_pos`` is a
+TOTAL global order with NO single-partition exchange anywhere (the
+naive ``row_number() OVER (ORDER BY key)`` funnels the corpus through
+one task; this shape never does). At 100 TB you'd raise ``n_shards``
+to the emission parallelism (e.g. 4096) and each shard's stream sorts
+independently.
 
 Engine parity: fixed-width lowercase hex compares lexicographically
 as its numeric value in both Spark and DuckDB, and the hex→int
 conversion is the shared position-weighted ``instr`` lookup from
-``functions/sampling.py`` — the oracle replays the permutation
-bit-identically.
+``functions/sampling.py``. The oracle replays ``epoch_pos`` as a
+plain global ``ROW_NUMBER`` — the decomposed two-phase Spark plan
+must land on exactly those values, which is itself the consistency
+proof (range-bucket shard order ≡ global key order).
 """
 
 from __future__ import annotations
@@ -38,11 +45,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .sampling import HEX_CHARS, _hex_to_int
+from .sampling import HEX_CHARS, RESOLUTION, _hex_to_int
 
-# Shard assignment folds the order key's leading HEX_CHARS hex chars
-# (65536 buckets) modulo n_shards — per-shard bias ≤ 1/65536 when
-# n_shards doesn't divide 65536; negligible, identical in both engines.
+# Range bucketing folds the order key's leading HEX_CHARS hex chars
+# (65536 buckets) into n_shards contiguous slices — per-shard size
+# bias ≤ 1 part in 65536/n_shards; negligible, identical in both
+# engines (integer floor division).
 
 
 def seeded_order_key(id_col: str, seed: str) -> "F.Column":
@@ -67,27 +75,64 @@ def training_order(
 
     Contract: for a fixed (corpus, seed) the output is byte-identical
     across runs and engines; changing ``seed`` re-draws both the
-    permutation and the shard assignment.
+    permutation and the shard assignment; sorting by ``epoch_pos`` ≡
+    sorting by ``order_key`` ≡ sorting by ``(shard, shard_pos)``.
     """
-    if n_shards < 1:
-        raise ValueError("n_shards must be >= 1")
+    if not 1 <= n_shards <= RESOLUTION:
+        raise ValueError(f"n_shards must be in [1, {RESOLUTION}]")
     key = seeded_order_key(id_col, seed)
     out = (
         df.filter(F.col(id_col).isNotNull())
         .withColumn("order_key", key)
         .withColumn(
             "shard",
-            (
-                _hex_to_int(F.substring(F.col("order_key"), 1, HEX_CHARS))
-                % F.lit(n_shards)
+            F.floor(
+                (
+                    _hex_to_int(F.substring(F.col("order_key"), 1, HEX_CHARS))
+                    * F.lit(n_shards)
+                )
+                / F.lit(RESOLUTION)
             ).cast("int"),
         )
     )
-    epoch_w = Window.orderBy("order_key", id_col)
     shard_w = Window.partitionBy("shard").orderBy("order_key", id_col)
-    return out.withColumn(
-        "epoch_pos", F.row_number().over(epoch_w).cast("long")
-    ).withColumn("shard_pos", F.row_number().over(shard_w).cast("long"))
+    out = out.withColumn(
+        "shard_pos", F.row_number().over(shard_w).cast("long")
+    )
+    # n_shards-row cumulative offsets, broadcast back: epoch_pos is a
+    # total global order with no single-partition exchange.
+    offsets = (
+        out.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("shard").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("__n")
+    )
+    return (
+        out.join(F.broadcast(offsets), "shard")
+        .withColumn(
+            "epoch_pos", (F.col("__offset") + F.col("shard_pos")).cast("long")
+        )
+        .drop("__offset")
+        # column order: passthrough, then the four added columns with
+        # epoch_pos before shard_pos (the join moved shard first)
+        .select(
+            *df.columns,
+            "order_key",
+            "shard",
+            "epoch_pos",
+            "shard_pos",
+        )
+    )
 
 
 def duckdb_training_order_sql(
@@ -100,9 +145,11 @@ def duckdb_training_order_sql(
     """DuckDB twin of :func:`training_order` over ``rel``.
 
     ``select_cols``: extra passthrough columns, comma-prefixed by the
-    caller. The hex→int replay is the shared position-weighted
-    ``position()`` fold from ``functions/sampling.py`` (no
-    engine-specific hex cast)."""
+    caller. ``epoch_pos`` is replayed as a plain global ROW_NUMBER —
+    agreeing with Spark's decomposed per-shard computation is the
+    range-bucket consistency proof. The hex→int replay is the shared
+    position-weighted ``position()`` fold from
+    ``functions/sampling.py`` (no engine-specific hex cast)."""
     key = f"md5('{seed}:' || CAST({id_col} AS STRING))"
     # position-weighted fold over the leading HEX_CHARS digits
     terms = [
@@ -115,7 +162,7 @@ def duckdb_training_order_sql(
 keyed AS (
     SELECT {id_col}{select_cols},
            {key} AS order_key,
-           CAST(({hex_int}) % {n_shards} AS INTEGER)
+           CAST((({hex_int}) * {n_shards}) // {RESOLUTION} AS INTEGER)
                AS shard
     FROM {rel}
     WHERE {id_col} IS NOT NULL
