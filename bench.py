@@ -174,6 +174,8 @@ HEADLINE = [
     # distributed sort — the emission-order stage a pretraining
     # pipeline ends with)
     "training_order",
+    # r5m: SFT chat-template rendering with loss-mask spans
+    "chat_render",
 ]
 
 

@@ -1,0 +1,120 @@
+"""Semantic pins for chat-template rendering with loss-mask spans
+(operators/chatrender.py). Cross-engine parity is covered by
+test_entry_parity.py (`chat_render` oracle); here the mask/template
+contracts are pinned directly: span-covers-exactly-the-assistant-text,
+NULL role/text rendering, deterministic ordering, and the
+dropped-rows contract.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from zeus_data_quality_spark.operators.chatrender import (
+    render_conversations,
+)
+
+TS = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def convs(spark):
+    rows = [
+        # well-formed 3-turn conversation
+        ("c1", 0, "user", "hi there", None, TS),
+        ("c1", 1, "assistant", "hello!", None, TS),
+        ("c1", 2, "user", "bye", None, TS),
+        # NULL text assistant turn (empty span), NULL role turn
+        ("c2", 0, "assistant", None, None, TS),
+        ("c2", 1, None, "mystery", None, TS),
+        # duplicate turn_idx (corrupt) — ts then text disambiguate
+        ("c3", 0, "user", "a", None, TS),
+        ("c3", 0, "assistant", "b", None, TS),
+        # dropped rows
+        (None, 0, "user", "no conv", None, TS),
+        ("c4", None, "user", "no idx", None, TS),
+        # tool turn is context (masked), not loss
+        ("c5", 0, "user", "calc 2+2", None, TS),
+        ("c5", 1, "assistant", "4", "calc", TS),
+        ("c5", 2, "tool", '{"out": 4}', "calc", TS),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    ).cache()
+
+
+def _by_conv(df):
+    return {r["conv_id"]: r.asDict() for r in df.collect()}
+
+
+def _spans(s):
+    return [tuple(map(int, p.split("-"))) for p in s.split(";") if p]
+
+
+def test_template_and_span_exactness(convs):
+    out = _by_conv(render_conversations(convs))
+    c1 = out["c1"]
+    assert c1["rendered_text"] == (
+        "<|user|>\nhi there\n<|assistant|>\nhello!\n<|user|>\nbye\n"
+    )
+    assert c1["n_turns"] == 3 and c1["n_loss_turns"] == 1
+    assert c1["loss_chars"] == len("hello!")
+    [(s, e)] = _spans(c1["loss_spans"])
+    assert c1["rendered_text"][s:e] == "hello!"
+    assert c1["rendered_len"] == len(c1["rendered_text"])
+
+
+def test_every_span_covers_exactly_the_loss_text(convs):
+    for row in render_conversations(convs).collect():
+        text = row["rendered_text"]
+        spans = _spans(row["loss_spans"])
+        assert len(spans) == row["n_loss_turns"]
+        assert sum(e - s for s, e in spans) == row["loss_chars"]
+        for s, e in spans:
+            # the span is the text between a marker's newline and the
+            # segment's closing newline — assistant bytes, nothing else
+            assert text[s - 1] == "\n" and text[e] == "\n"
+            assert "<|" not in text[s:e]
+
+
+def test_null_role_and_text_contracts(convs):
+    c2 = _by_conv(render_conversations(convs))["c2"]
+    assert c2["rendered_text"] == "<|assistant|>\n\n<|unknown|>\nmystery\n"
+    # NULL assistant text: empty span kept, not skipped
+    assert _spans(c2["loss_spans"]) == [(14, 14)]
+    assert c2["n_loss_turns"] == 1 and c2["loss_chars"] == 0
+
+
+def test_duplicate_turn_idx_is_deterministic(convs):
+    a = _by_conv(render_conversations(convs))["c3"]
+    b = _by_conv(render_conversations(convs))["c3"]
+    assert a == b
+    # ties break on role then text: assistant 'b' sorts before user 'a'
+    assert a["rendered_text"] == "<|assistant|>\nb\n<|user|>\na\n"
+
+
+def test_drop_and_loss_role_contracts(convs):
+    out = _by_conv(render_conversations(convs))
+    assert None not in out and "c4" not in out
+    c5 = out["c5"]
+    assert c5["n_turns"] == 3 and c5["n_loss_turns"] == 1
+    [(s, e)] = _spans(c5["loss_spans"])
+    assert c5["rendered_text"][s:e] == "4"
+    # alternative loss role: tool turns become the loss target
+    tool = _by_conv(render_conversations(convs, loss_role="tool"))["c5"]
+    [(s, e)] = _spans(tool["loss_spans"])
+    assert tool["rendered_text"][s:e] == '{"out": 4}'
+
+
+def test_no_loss_turns_gives_empty_spans(spark):
+    df = spark.createDataFrame(
+        [("c9", 0, "user", "only user", None, TS)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    row = render_conversations(df).collect()[0]
+    assert row["loss_spans"] == "" and row["n_loss_turns"] == 0

@@ -197,6 +197,12 @@ TAIL_TWINS = {
     "range_join",
     "embedding_near_dups_lsh",
     "bigram_lm",
+    # r5m rotation: evicted so chat_render (SFT chat-template emission
+    # with loss-mask spans — a new operator family) gets a driver row.
+    # The embedding projection stays in-window strictly inside
+    # ann_ivf_from_text (same embedding_rows core, oracle replays the
+    # full projection); this row keeps its full oracle here.
+    "text_embeddings",
     # r5l rotation: evicted so tool_call_stats (tool-call JSON payload
     # hygiene — a new operator family) gets a driver row. The monitor
     # family keeps monitor_daily_trend in-window; the results-join +
@@ -305,6 +311,8 @@ def test_driver_window_covers_every_operator_family():
         "snapshot_diff": {"corpus_diff"},
         # r5l: tool-call JSON payload hygiene
         "tool_hygiene": {"tool_call_stats"},
+        # r5m: SFT chat-template rendering with loss-mask spans
+        "chat_render": {"chat_render"},
     }
     for fam, members in families.items():
         assert members & in_window, f"family {fam} has no driver-window row"
@@ -325,7 +333,7 @@ def test_driver_window_covers_every_operator_family():
                 "bpe", "classifier_mix", "substring_dedup", "retrieval",
                 "selection", "token_ids", "source_caps", "novelty",
                 "ann_eval", "prefix_dedup", "response_quality",
-                "snapshot_diff", "tool_hygiene"):
+                "snapshot_diff", "tool_hygiene", "chat_render"):
         assert families[fam] <= in_window, fam
     assert "perplexity_trained" in in_window
     assert "sequence_packing_bpe" in in_window

@@ -1,0 +1,184 @@
+"""Chat-template rendering with loss-mask spans — the SFT emission
+step.
+
+After filtering/scrubbing, a supervised-fine-tuning pipeline
+serializes each multi-turn conversation into ONE training string and
+needs to know which character ranges are assistant output (loss is
+computed there) versus prompt/user/tool context (masked). This
+operator renders the canonical template
+
+    <|role|>\\n{text}\\n
+
+per turn, concatenated in deterministic turn order, and emits the
+assistant text spans as half-open character offsets ``start-end``
+(0-based, ``;``-joined) — the downstream tokenizer maps char spans to
+token masks.
+
+Contracts (all pinned in tests/test_chatrender.py):
+
+* rows with NULL conv_id or turn_idx are dropped (they have no place
+  in a training stream; the upstream rules flag them);
+* NULL role renders as ``unknown``, NULL text as the empty string
+  (its span is then ``start-start`` — empty, not skipped, so span
+  count always equals the assistant turn count);
+* turn order is ``(turn_idx, ts, role, text)`` ascending with NULLs
+  first — a total order up to fully-identical renderings, so the
+  output is deterministic even on corrupt duplicate-turn_idx rows;
+* ``substring(rendered_text, start+1, end-start) == text`` for every
+  span (the mask really covers the assistant bytes, nothing else).
+
+Scale shape: one hash exchange on ``conv_id`` feeds both the offset
+window and the aggregation (Catalyst reuses the partitioning; the
+window sort is per-conversation, bounded by the mega-conv projection
+argument of ``operators/convfeat.py``). Segments are assembled with
+pure Column algebra — ``collect_list(struct(seg_start, seg))`` →
+``array_sort`` → ``array_join`` — no UDF anywhere; the per-group
+state is exactly the rendered conversation, which is the output row
+itself, so memory is output-bounded.
+
+Cross-engine parity: character (not byte) ``length`` in both engines;
+``ASC NULLS FIRST`` spelled explicitly (DuckDB defaults NULLS LAST);
+the oracle's ``string_agg(... ORDER BY seg_start)`` replays the same
+order because seg_start is the cumulative sum OF that order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+NL = "\n"
+
+
+def _order_cols():
+    return [
+        F.col("turn_idx").asc_nulls_first(),
+        F.col("ts").asc_nulls_first(),
+        F.col("role").asc_nulls_first(),
+        F.col("text").asc_nulls_first(),
+    ]
+
+
+def render_conversations(
+    df: DataFrame,
+    loss_role: str = "assistant",
+) -> DataFrame:
+    """One row per conversation: ``(conv_id, n_turns, n_loss_turns,
+    rendered_len, loss_chars, loss_spans, rendered_text)``.
+
+    ``loss_spans``: ``;``-joined ``start-end`` half-open 0-based char
+    offsets of each ``loss_role`` turn's text inside
+    ``rendered_text``, in emission order; ``''`` when the
+    conversation has no such turn.
+    """
+    role = F.coalesce(F.col("role"), F.lit("unknown"))
+    text = F.coalesce(F.col("text"), F.lit(""))
+    seg = F.concat(F.lit("<|"), role, F.lit("|>" + NL), text, F.lit(NL))
+    marker_len = F.length(role) + F.lit(5)  # <| |> \n = 5 chars
+    text_len = F.length(text)
+
+    base = df.filter(
+        F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
+    ).select(
+        "conv_id",
+        F.col("role").alias("_raw_role"),
+        seg.alias("seg"),
+        marker_len.alias("marker_len"),
+        text_len.alias("text_len"),
+        "turn_idx",
+        "ts",
+        "role",
+        "text",
+    )
+    w = Window.partitionBy("conv_id").orderBy(*_order_cols())
+    pos = base.withColumn(
+        "seg_start",
+        F.coalesce(
+            F.sum(F.length("seg")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )
+    is_loss = F.col("_raw_role") == F.lit(loss_role)
+    span_start = F.col("seg_start") + F.col("marker_len")
+    span = F.concat(
+        span_start.cast("string"),
+        F.lit("-"),
+        (span_start + F.col("text_len")).cast("string"),
+    )
+    out = pos.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(is_loss, 1).otherwise(0)).alias("n_loss_turns"),
+        F.sum(F.when(is_loss, F.col("text_len")).otherwise(0)).alias(
+            "loss_chars"
+        ),
+        F.array_sort(
+            F.collect_list(F.struct("seg_start", "seg"))
+        ).alias("_segs"),
+        F.array_sort(
+            F.collect_list(
+                F.when(is_loss, F.struct(F.col("seg_start"), span.alias("s")))
+            )
+        ).alias("_spans"),
+    )
+    rendered = F.array_join(
+        F.transform(F.col("_segs"), lambda x: x["seg"]), ""
+    )
+    return out.select(
+        "conv_id",
+        "n_turns",
+        "n_loss_turns",
+        F.length(rendered).cast("long").alias("rendered_len"),
+        F.col("loss_chars").cast("long"),
+        F.array_join(
+            F.transform(F.col("_spans"), lambda x: x["s"]), ";"
+        ).alias("loss_spans"),
+        rendered.alias("rendered_text"),
+    )
+
+
+def duckdb_render_sql(rel: str, loss_role: str = "assistant") -> str:
+    """DuckDB twin of :func:`render_conversations` over ``rel``.
+
+    Returns a CTE-chain fragment (leading ``,``) for composition after
+    an opening ``WITH`` (the `transcripts` CTE convention). The
+    ``string_agg(... ORDER BY seg_start)`` outer aggregate reproduces
+    the window order by construction."""
+    order = ("turn_idx ASC, ts ASC NULLS FIRST, "
+             "role ASC NULLS FIRST, text ASC NULLS FIRST")
+    return f"""
+, seg AS (
+    SELECT conv_id, turn_idx, ts, role, text,
+           '<|' || COALESCE(role, 'unknown') || '|>' || chr(10)
+                || COALESCE(text, '') || chr(10) AS seg,
+           length(COALESCE(role, 'unknown')) + 5 AS marker_len,
+           length(COALESCE(text, '')) AS text_len
+    FROM {rel}
+    WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+),
+pos AS (
+    SELECT *,
+           COALESCE(SUM(length(seg)) OVER (
+               PARTITION BY conv_id ORDER BY {order}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS seg_start
+    FROM seg
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN role = '{loss_role}' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_loss_turns,
+       CAST(length(string_agg(seg, '' ORDER BY seg_start)) AS BIGINT)
+           AS rendered_len,
+       CAST(SUM(CASE WHEN role = '{loss_role}' THEN text_len ELSE 0 END)
+            AS BIGINT) AS loss_chars,
+       COALESCE(string_agg(
+           CASE WHEN role = '{loss_role}' THEN
+               CAST(seg_start + marker_len AS VARCHAR) || '-' ||
+               CAST(seg_start + marker_len + text_len AS VARCHAR)
+           END, ';' ORDER BY seg_start), '') AS loss_spans,
+       string_agg(seg, '' ORDER BY seg_start) AS rendered_text
+FROM pos
+GROUP BY conv_id
+""".strip()

@@ -2438,6 +2438,22 @@ def _oracle_training_order() -> str:
     return f"WITH {body}"
 
 
+def q_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering with loss-mask spans
+    (``operators/chatrender.py``): one training string per
+    conversation plus the assistant-text char spans the tokenizer
+    turns into a token loss mask — the SFT emission step."""
+    from ..operators.chatrender import render_conversations
+
+    return render_conversations(load_transcripts(spark, sf_dir))
+
+
+def _oracle_chat_render() -> str:
+    from ..operators.chatrender import duckdb_render_sql
+
+    return oracle_with_transcripts(duckdb_render_sql("transcripts"))
+
+
 def q_tool_call_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tool-call JSON payload hygiene (``functions/tooljson.py``):
     per-tool parse-validity, missing/malformed payloads, required-key
@@ -2634,7 +2650,15 @@ def queries():
         "tokenize_ids": q_tokenize_ids,
         "token_shards": q_token_shards,
         "bpe_vocab": q_bpe_vocab,
-        "text_embeddings": q_text_embeddings,
+        # r5m rotation: text_embeddings evicted to the tail so
+        # chat_render (SFT chat-template emission with loss-mask
+        # spans — a new operator family) gets a driver row. The
+        # embedding surface stays in-window STRICTLY inside
+        # ann_ivf_from_text (the same embedding_rows core feeds its
+        # quantizer/probe/rank chain and its oracle replays the full
+        # projection); text_embeddings keeps its full oracle in the
+        # tail and in tests/test_entry_parity.py.
+        "chat_render": q_chat_render,
         "classifier_mix": q_classifier_mix,
         "substring_dedup": q_substring_dedup,
         "quality_classifier": q_quality_classifier,
@@ -2722,6 +2746,9 @@ def queries():
         # classifier_mix/temperature_mix, row_number window shape via
         # token_budget_pack; full oracle (TAIL_OVERFLOW).
         "training_order": q_training_order,
+        # r5m rotation (see the chat_render block above): full oracle
+        # kept here and in tests/test_entry_parity.py.
+        "text_embeddings": q_text_embeddings,
     }
 
 
@@ -2815,6 +2842,7 @@ def oracle_sql():
         "response_stats": _oracle_response_stats(),
         "corpus_diff": _oracle_corpus_diff(),
         "tool_call_stats": _oracle_tool_call_stats(),
+        "chat_render": _oracle_chat_render(),
         "training_order": _oracle_training_order(),
         "token_shards": _oracle_token_shards(),
         "quality_classifier": _oracle_quality_classifier(),
