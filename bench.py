@@ -176,6 +176,8 @@ HEADLINE = [
     "training_order",
     # r5m: SFT chat-template rendering with loss-mask spans
     "chat_render",
+    # r5m: CCNet perplexity-tertile sampling
+    "ccnet_buckets",
 ]
 
 

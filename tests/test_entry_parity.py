@@ -230,6 +230,11 @@ TAIL_OVERFLOW: set = {
     # temperature_mix) and the row_number window shape
     # (token_budget_pack); full oracle, parity-checked here.
     "training_order",
+    # r5m: CCNet perplexity-tertile sampling — a composite of the
+    # in-window NLL chain (perplexity family) and the md5-keep
+    # primitive (classifier_mix / temperature_mix); full oracle,
+    # parity-checked here.
+    "ccnet_buckets",
 }
 
 

@@ -1,0 +1,205 @@
+"""CCNet-style perplexity-bucket corpus sampling.
+
+CCNet (Wenzek et al., 2020) splits each language's documents into
+perplexity tertiles — head (most fluent), middle, tail — and keeps
+each bucket at a different rate, the standard recipe for trading
+corpus size against LM-fluency quality. This module re-expresses it
+in-engine:
+
+- score: the repo's hashed-bigram NLL (``functions/perplexity.py``
+  JVM Column path — whole-stage codegen, no Python worker), rounded
+  to 6 dp so the cross-engine hash compare is robust;
+- bucket: ``NTILE(3)`` per language over ``(nll ASC, doc_id ASC)`` —
+  standard SQL NTILE semantics in both engines (first tiles take the
+  remainder rows);
+- keep: the deterministic md5-bucket compare from
+  ``functions/sampling.py`` against an INTEGER threshold computed in
+  Python (``round(rate × 65536)``) and embedded as a literal in both
+  engines — no float-repr divergence can flip a verdict.
+
+Scale shape: the exact NTILE needs a per-language total order — at
+100 TB one language dominates and that window partition is the whole
+corpus. The production path is :func:`ccnet_bucket_sample_scalable`:
+fit two per-language NLL cut points on a sample (or exact
+percentiles), broadcast the tiny thresholds table, and assign buckets
+map-side — a pure Project, no window. NTILE splits a TIE RUN at the
+tile boundary by rank, which a value threshold cannot; the pytest
+pins the precise claim — disagreements occur ONLY on rows whose nll
+equals a tile-boundary value, never two buckets apart. The exact
+path stays the oracle surface.
+
+Contract: rows with NULL id or NULL text are dropped (an unscorable
+document has no bucket). NULL language partitions as its own group
+(both engines treat NULL as one window partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .perplexity import perplexity_nll_jvm
+from .sampling import HEX_CHARS, RESOLUTION, _bucket_hex, _hex_to_int
+
+BUCKET_LABELS = ("head", "middle", "tail")
+DEFAULT_RATES = {"head": 1.0, "middle": 0.5, "tail": 0.1}
+DEFAULT_SALT = "ccnet"
+
+
+def _thresholds(rates: dict[str, float]) -> dict[str, int]:
+    for label in BUCKET_LABELS:
+        if not 0.0 <= rates[label] <= 1.0:
+            raise ValueError(f"rate for {label} must be in [0, 1]")
+    return {k: int(round(rates[k] * RESOLUTION)) for k in BUCKET_LABELS}
+
+
+def _scored(df: DataFrame, id_col: str, text_col: str, part_col: str):
+    nll = F.round(perplexity_nll_jvm(F.col(text_col)), 6)
+    return df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(id_col, part_col, nll.alias("nll"))
+
+
+def _kept(id_col: str, tile_col: str, thresholds: dict[str, int], salt: str):
+    thr = (
+        F.when(F.col(tile_col) == 1, F.lit(thresholds["head"]))
+        .when(F.col(tile_col) == 2, F.lit(thresholds["middle"]))
+        .otherwise(F.lit(thresholds["tail"]))
+    )
+    bucket_int = _hex_to_int(_bucket_hex(F.col(id_col), salt))
+    return bucket_int < thr
+
+
+def _labeled(tile_col: str):
+    return (
+        F.when(F.col(tile_col) == 1, F.lit("head"))
+        .when(F.col(tile_col) == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+
+
+def ccnet_bucket_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    part_col: str = "lang",
+    rates: dict[str, float] | None = None,
+    salt: str = DEFAULT_SALT,
+) -> DataFrame:
+    """Exact CCNet tertile sampling. One row per scorable document:
+    ``(id, part, nll, bucket, kept)``."""
+    thresholds = _thresholds(rates or DEFAULT_RATES)
+    scored = _scored(df, id_col, text_col, part_col)
+    w = Window.partitionBy(part_col).orderBy(
+        F.col("nll").asc(), F.col(id_col).asc()
+    )
+    tiled = scored.withColumn("__tile", F.ntile(3).over(w))
+    return tiled.select(
+        id_col,
+        part_col,
+        "nll",
+        _labeled("__tile").alias("bucket"),
+        _kept(id_col, "__tile", thresholds, salt).alias("kept"),
+    )
+
+
+def fit_bucket_cuts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    part_col: str = "lang",
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Per-language (cut1, cut2) NLL thresholds at the 1/3 and 2/3
+    quantiles — the tiny table the scalable path broadcasts. Uses
+    ``percentile_approx`` (Greenwald-Khanna, one aggregation, no
+    sort); tighten ``relative_error`` or swap in exact ``percentile``
+    if boundary agreement matters more than the fit pass cost."""
+    scored = _scored(df, id_col, text_col, part_col)
+    acc = int(1.0 / relative_error)
+    return scored.groupBy(part_col).agg(
+        F.percentile_approx("nll", 1.0 / 3.0, acc).alias("cut1"),
+        F.percentile_approx("nll", 2.0 / 3.0, acc).alias("cut2"),
+    )
+
+
+def ccnet_bucket_sample_scalable(
+    df: DataFrame,
+    cuts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    part_col: str = "lang",
+    rates: dict[str, float] | None = None,
+    salt: str = DEFAULT_SALT,
+) -> DataFrame:
+    """Threshold-assignment path: broadcast-join the per-language cut
+    points and bucket map-side — no window, no per-language total
+    order; the shape that survives one language owning the corpus.
+
+    ``nll <= cut1`` → head, ``<= cut2`` → middle, else tail (ties at a
+    cut go to the better bucket; exact NTILE splits ties by rank, so
+    rows whose nll EQUALS a boundary value may land one bucket off —
+    never two; pinned in tests/test_ccnet.py)."""
+    thresholds = _thresholds(rates or DEFAULT_RATES)
+    scored = _scored(df, id_col, text_col, part_col)
+    joined = scored.join(F.broadcast(cuts), on=part_col, how="left")
+    tile = (
+        F.when(F.col("nll") <= F.col("cut1"), F.lit(1))
+        .when(F.col("nll") <= F.col("cut2"), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    tiled = joined.withColumn("__tile", tile)
+    return tiled.select(
+        id_col,
+        part_col,
+        "nll",
+        _labeled("__tile").alias("bucket"),
+        _kept(id_col, "__tile", thresholds, salt).alias("kept"),
+    )
+
+
+def duckdb_ccnet_sql(
+    rel: str,
+    per_text_rel: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    part_col: str = "lang",
+    rates: dict[str, float] | None = None,
+    salt: str = DEFAULT_SALT,
+) -> str:
+    """DuckDB twin of :func:`ccnet_bucket_sample`. ``per_text_rel`` is
+    the ``__ppl_per_text(text, nll)`` CTE from
+    ``functions.perplexity.duckdb_perplexity_cte`` (scored per
+    distinct text, joined back — NLL is a pure function of the text).
+    Returns a CTE-chain fragment (leading ``,``)."""
+    thresholds = _thresholds(rates or DEFAULT_RATES)
+    key = f"md5('{salt}:' || CAST({id_col} AS VARCHAR))"
+    terms = [
+        f"(position(substring({key}, {i + 1}, 1) IN "
+        f"'0123456789abcdef') - 1) * {16 ** (HEX_CHARS - 1 - i)}"
+        for i in range(HEX_CHARS)
+    ]
+    bucket_int = "(" + " + ".join(terms) + ")"
+    thr = (
+        f"CASE __tile WHEN 1 THEN {thresholds['head']} "
+        f"WHEN 2 THEN {thresholds['middle']} "
+        f"ELSE {thresholds['tail']} END"
+    )
+    return f"""
+, __cc_base AS (
+    SELECT d.{id_col}, d.{part_col}, p.nll
+    FROM {rel} d JOIN {per_text_rel} p ON d.{text_col} = p.text
+    WHERE d.{id_col} IS NOT NULL AND d.{text_col} IS NOT NULL
+),
+__cc_tile AS (
+    SELECT *,
+           NTILE(3) OVER (PARTITION BY {part_col}
+                          ORDER BY nll ASC, {id_col} ASC) AS __tile
+    FROM __cc_base
+)
+SELECT {id_col}, {part_col}, nll,
+       CASE __tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       {bucket_int} < {thr} AS kept
+FROM __cc_tile
+""".strip()

@@ -2438,6 +2438,31 @@ def _oracle_training_order() -> str:
     return f"WITH {body}"
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity-tertile sampling (``functions/ccnet.py``):
+    per-language NTILE(3) over the hashed-bigram NLL, head/middle/tail
+    kept at 1.0/0.5/0.1 via the deterministic md5 bucket. Tail
+    composite: the NLL chain is driver-adjudicated via the perplexity
+    family, the md5-keep primitive via classifier_mix/temperature_mix;
+    full oracle here."""
+    from ..functions.ccnet import ccnet_bucket_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ccnet_bucket_sample(docs)
+
+
+def _oracle_ccnet_buckets() -> str:
+    from ..functions.ccnet import duckdb_ccnet_sql
+    from ..functions.perplexity import duckdb_perplexity_cte
+
+    return (
+        "WITH "
+        + duckdb_perplexity_cte("documents", "text").strip()
+        + "\n"
+        + duckdb_ccnet_sql("documents", "__ppl_per_text")
+    )
+
+
 def q_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chat-template rendering with loss-mask spans
     (``operators/chatrender.py``): one training string per
@@ -2749,6 +2774,11 @@ def queries():
         # r5m rotation (see the chat_render block above): full oracle
         # kept here and in tests/test_entry_parity.py.
         "text_embeddings": q_text_embeddings,
+        # r5m tail composite: CCNet perplexity-tertile sampling
+        # (functions/ccnet.py) — NLL chain in-window via the
+        # perplexity family, md5-keep via classifier_mix; full oracle
+        # (TAIL_OVERFLOW).
+        "ccnet_buckets": q_ccnet_buckets,
     }
 
 
@@ -2843,6 +2873,7 @@ def oracle_sql():
         "corpus_diff": _oracle_corpus_diff(),
         "tool_call_stats": _oracle_tool_call_stats(),
         "chat_render": _oracle_chat_render(),
+        "ccnet_buckets": _oracle_ccnet_buckets(),
         "training_order": _oracle_training_order(),
         "token_shards": _oracle_token_shards(),
         "quality_classifier": _oracle_quality_classifier(),
