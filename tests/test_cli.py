@@ -384,3 +384,55 @@ def test_cli_incremental_dedup_cycle(spark, sf_dir, tmp_path):
         .count()
     )
     assert idx2.count() == idx1.count() + expected_new
+
+
+def test_cli_render_order_ccnet(spark, sf_dir, tmp_path):
+    """The r5m emission stages run end-to-end through the CLI:
+    chat-template rendering, training-order shuffle (shard-partitioned
+    out), and CCNet bucket sampling in both modes."""
+    from zeus_data_quality_spark.sources.transcripts import load_transcripts
+
+    turns = str(tmp_path / "turns.parquet")
+    load_transcripts(spark, sf_dir).write.parquet(turns)
+    docs = f"{sf_dir}/documents.parquet"
+
+    out = _cli("render", "--input", turns, "--output", str(tmp_path / "r"))
+    assert out.returncode == 0, out.stderr[-2000:]
+    rd = json.loads(out.stdout.strip().splitlines()[-1])
+    rendered = spark.read.parquet(str(tmp_path / "r"))
+    assert rendered.count() == rd["conversations"] > 0
+    assert rd["loss_chars"] > 0 and rd["rendered_chars"] > rd["loss_chars"]
+
+    out = _cli(
+        "order", "--input", docs, "--output", str(tmp_path / "o"),
+        "--n-shards", "4", "--seed", "epoch1",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    od = json.loads(out.stdout.strip().splitlines()[-1])
+    ordered = spark.read.parquet(str(tmp_path / "o"))
+    assert ordered.count() == od["rows"] == od["max_epoch_pos"] > 0
+    assert od["shards"] == 4
+    # shard-partitioned layout on disk
+    names = {p for p in os.listdir(str(tmp_path / "o")) if "shard=" in p}
+    assert len(names) == 4
+
+    for mode_args, mode in ((["--scalable"], "scalable"), ([], "exact")):
+        out = _cli(
+            "ccnet", "--input", docs,
+            "--output", str(tmp_path / f"cc_{mode}"), *mode_args,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        cc = json.loads(out.stdout.strip().splitlines()[-1])
+        assert cc["mode"] == mode
+        if mode == "exact":
+            # NTILE always splits three ways when a lang has >= 3 docs
+            assert set(cc["buckets"]) == {"head", "middle", "tail"}
+        else:
+            # value thresholds can merge a tiny tied corpus's tail
+            # into middle (ties at the cut go to the better bucket)
+            assert {"head"} <= set(cc["buckets"]) <= {
+                "head", "middle", "tail"
+            }
+        head_n, head_k = cc["buckets"]["head"]
+        assert head_n == head_k  # head rate 1.0
+        assert 0 < cc["kept"] < cc["rows"]

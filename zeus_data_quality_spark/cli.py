@@ -547,6 +547,117 @@ def cmd_embed(args) -> int:
     return 0
 
 
+def cmd_render(args) -> int:
+    """SFT chat-template emission as a standalone stage: one training
+    string per conversation with loss-mask char spans, written to
+    parquet; summary JSON to stdout."""
+    from .operators.chatrender import render_conversations
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    render_conversations(df, loss_role=args.loss_role).write.mode(
+        "overwrite"
+    ).parquet(args.output)
+    res = spark.read.parquet(args.output)
+    agg = res.agg(
+        F.count(F.lit(1)).alias("conversations"),
+        F.sum("n_turns").alias("turns"),
+        F.sum("rendered_len").alias("rendered_chars"),
+        F.sum("loss_chars").alias("loss_chars"),
+        F.sum("n_loss_turns").alias("loss_turns"),
+    ).first()
+    print(json.dumps({k: int(agg[k] or 0) for k in agg.asDict()}))
+    return 0
+
+
+def cmd_order(args) -> int:
+    """Seeded training-order emission: shard-partitioned parquet,
+    each shard's stream sorted by its within-shard position (the
+    epoch read order); summary JSON to stdout."""
+    from .functions.ordering import training_order
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    out = training_order(
+        df, args.id_col, seed=args.seed, n_shards=args.n_shards
+    )
+    (
+        out.repartition("shard")
+        .sortWithinPartitions("shard", "shard_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(args.output)
+    )
+    res = spark.read.parquet(args.output)
+    agg = res.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("shard").alias("shards"),
+        F.max("epoch_pos").alias("max_epoch_pos"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "rows": int(agg["rows"]),
+                "shards": int(agg["shards"]),
+                "max_epoch_pos": int(agg["max_epoch_pos"] or 0),
+                "seed": args.seed,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_ccnet(args) -> int:
+    """CCNet perplexity-bucket sampling as a standalone stage.
+    Default is the exact NTILE path; --scalable fits per-language
+    quantile cut points and assigns buckets map-side (the shape for
+    a corpus one language dominates)."""
+    from .functions.ccnet import (
+        ccnet_bucket_sample,
+        ccnet_bucket_sample_scalable,
+        fit_bucket_cuts,
+    )
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    rates = {"head": args.head, "middle": args.middle, "tail": args.tail}
+    kw = dict(
+        id_col=args.id_col,
+        text_col=args.text_col,
+        part_col=args.lang_col,
+        rates=rates,
+    )
+    if args.scalable:
+        cuts = fit_bucket_cuts(
+            df, args.id_col, args.text_col, args.lang_col
+        )
+        out = ccnet_bucket_sample_scalable(df, cuts, **kw)
+    else:
+        out = ccnet_bucket_sample(df, **kw)
+    out.write.mode("overwrite").parquet(args.output)
+    res = spark.read.parquet(args.output)
+    rows = {
+        r["bucket"]: (int(r["n"]), int(r["k"]))
+        for r in res.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("kept").cast("long")).alias("k"),
+        )
+        .collect()
+    }
+    print(
+        json.dumps(
+            {
+                "mode": "scalable" if args.scalable else "exact",
+                "buckets": rows,
+                "rows": sum(n for n, _ in rows.values()),
+                "kept": sum(k for _, k in rows.values()),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_show_lineage(args) -> int:
     from .plans.lineage import LineageStore
 
@@ -865,6 +976,38 @@ def main(argv: list[str] | None = None) -> int:
     bm.add_argument("--k-each", type=int, default=20)
     bm.add_argument("--n-queries", type=int, default=5)
     bm.set_defaults(fn=cmd_bm25)
+
+    rd = sub.add_parser(
+        "render", help="SFT chat-template emission with loss-mask spans"
+    )
+    rd.add_argument("--input", required=True)
+    rd.add_argument("--output", required=True)
+    rd.add_argument("--loss-role", default="assistant")
+    rd.set_defaults(fn=cmd_render)
+
+    od = sub.add_parser(
+        "order", help="seeded training-order shuffle → shard-partitioned out"
+    )
+    od.add_argument("--input", required=True)
+    od.add_argument("--output", required=True)
+    od.add_argument("--id-col", default="doc_id")
+    od.add_argument("--seed", default="epoch0")
+    od.add_argument("--n-shards", type=int, default=8)
+    od.set_defaults(fn=cmd_order)
+
+    cc = sub.add_parser(
+        "ccnet", help="CCNet perplexity-bucket sampling (exact or --scalable)"
+    )
+    cc.add_argument("--input", required=True)
+    cc.add_argument("--output", required=True)
+    cc.add_argument("--id-col", default="doc_id")
+    cc.add_argument("--text-col", default="text")
+    cc.add_argument("--lang-col", default="lang")
+    cc.add_argument("--head", type=float, default=1.0)
+    cc.add_argument("--middle", type=float, default=0.5)
+    cc.add_argument("--tail", type=float, default=0.1)
+    cc.add_argument("--scalable", action="store_true")
+    cc.set_defaults(fn=cmd_ccnet)
 
     s = sub.add_parser("show-lineage", help="dump lineage rows as JSON lines")
     s.add_argument("--lineage", required=True)
