@@ -178,6 +178,8 @@ HEADLINE = [
     "chat_render",
     # r5m: CCNet perplexity-tertile sampling
     "ccnet_buckets",
+    # r5m: DPO preference pairs from regeneration groups
+    "preference_pairs",
 ]
 
 

@@ -235,6 +235,10 @@ TAIL_OVERFLOW: set = {
     # primitive (classifier_mix / temperature_mix); full oracle,
     # parity-checked here.
     "ccnet_buckets",
+    # r5m: DPO preference pairs — a composite of the in-window
+    # prefix-hash grouping (prefix_dedup) and response aggregates
+    # (response_stats); full oracle, parity-checked here.
+    "preference_pairs",
 }
 
 

@@ -1,0 +1,100 @@
+"""Semantic pins for DPO preference-pair prep
+(operators/preference.py). Cross-engine parity is covered by
+test_entry_parity.py (`preference_pairs` tail oracle); here the
+pairing semantics are pinned on a regeneration fixture: refusal
+retries lose, substance breaks quality ties, tied groups and
+singletons emit nothing, and the score override plugs in.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.operators.preference import preference_pairs
+
+TS = dt.datetime(2026, 1, 1)
+
+
+def _conv(cid, opener, reply):
+    return [
+        (cid, 0, "user", opener, None, TS),
+        (cid, 1, "assistant", reply, None, TS),
+    ]
+
+
+@pytest.fixture(scope="module")
+def regen(spark):
+    rows = []
+    # group A: three regenerations of the same prompt — one refusal,
+    # one short answer, one substantive answer
+    rows += _conv("a1", "how do I sort a list?",
+                  "I'm sorry, but I cannot help with that.")
+    rows += _conv("a2", "how do I sort a list?", "Use sorted().")
+    rows += _conv("a3", "how do I sort a list?",
+                  "Use sorted(xs) for a new list or xs.sort() in place; "
+                  "pass key= for custom orders.")
+    # group B: two identical-quality retries → tied scores, no pair
+    rows += _conv("b1", "what is 2+2?", "It is 4.")
+    rows += _conv("b2", "what is 2+2?", "It is 4.")
+    # group C: singleton — nothing to pair
+    rows += _conv("c1", "unique prompt", "unique answer")
+    # group D: blank retry loses to real one
+    rows += _conv("d1", "tell me a joke", "   ")
+    rows += _conv("d2", "tell me a joke", "Why did the DAG commit? "
+                  "To get a clean lineage.")
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def pairs(regen):
+    return {
+        r["chosen_conv_id"]: r.asDict()
+        for r in preference_pairs(regen, verdict_depth=1).collect()
+    }
+
+
+def test_refusal_loses_substance_wins(pairs):
+    # group A: a3 (substantive) chosen; a1 (refusal) rejected
+    assert "a3" in pairs
+    row = pairs["a3"]
+    assert row["rejected_conv_id"] == "a1"
+    assert row["group_size"] == 3
+    assert row["chosen_score"] > row["rejected_score"]
+    assert row["margin"] == row["chosen_score"] - row["rejected_score"]
+
+
+def test_blank_retry_loses(pairs):
+    assert "d2" in pairs and pairs["d2"]["rejected_conv_id"] == "d1"
+
+
+def test_tied_and_singleton_groups_emit_nothing(pairs):
+    ids = {v["rejected_conv_id"] for v in pairs.values()} | set(pairs)
+    assert not ids & {"b1", "b2", "c1"}
+    assert len(pairs) == 2
+
+
+def test_score_override_plugs_in(spark, regen):
+    # an external "reward model" that inverts the heuristic verdicts
+    score_df = spark.createDataFrame(
+        [("a1", 100), ("a2", 50), ("a3", 10)],
+        "conv_id string, score long",
+    )
+    out = preference_pairs(regen, verdict_depth=1, score_df=score_df)
+    rows = {r["chosen_conv_id"]: r.asDict() for r in out.collect()}
+    assert set(rows) == {"a1"}
+    assert rows["a1"]["rejected_conv_id"] == "a3"
+    # convs with no score row don't count toward group_size
+    assert rows["a1"]["group_size"] == 3
+
+
+def test_deterministic(regen):
+    a = sorted(map(str, preference_pairs(regen, verdict_depth=1).collect()))
+    b = sorted(map(str, preference_pairs(regen, verdict_depth=1).collect()))
+    assert a == b

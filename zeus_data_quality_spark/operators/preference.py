@@ -1,0 +1,218 @@
+"""Preference-pair preparation (DPO/RLHF data prep) from
+regeneration groups.
+
+Transcript corpora carry natural preference signal: when the same
+opening prompt was answered several times (regenerations, A/B
+resamples — exactly the groups ``operators/prefixdedup.py`` detects),
+the retries can be RANKED and emitted as (chosen, rejected) pairs for
+direct-preference training, instead of keep-one-discard-rest.
+
+Composition (every primitive already oracle-verified elsewhere):
+
+- group key: the depth-``verdict_depth`` prefix hash of
+  ``prefixdedup`` — md5 chain over canonically-ordered per-turn
+  md5(role, text) hashes, so conversation text never rides a shuffle;
+- ranking score: ``functions/responses.py``'s conversation response
+  stats folded into ONE integer —
+  ``(1000 − bad_permille) × 100000 + min(mean_resp_chars, 99999)``
+  where ``bad = flagged ∪ blank`` assistant turns. Primary signal:
+  the retry that didn't refuse/go blank; tiebreak: the more
+  substantive one. Integer arithmetic end-to-end (engine-portable);
+  swap in a trained classifier/RM score via ``score_df`` when one
+  exists;
+- pair: per group with ≥ 2 SCORED conversations and a strict score
+  gap, chosen = highest score (ties → smallest conv_id), rejected =
+  lowest score (ties → largest conv_id). Tied-top-to-bottom groups
+  emit nothing — no signal, no pair.
+
+Scale shape: the prefix key and per-conv score are one conv_id
+exchange each (shared scan); groups are 32-hex keys with tiny
+payloads; the extremum picks are two-phase aggregates (max/min then
+join-back), never a window over the corpus. Mega-group skew is
+bounded: a 10^5-regeneration prompt is 10^5 40-byte rows in one
+reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.responses import (
+    DEFAULT_FLAG_PHRASES,
+    conversation_response_stats,
+    duckdb_response_stats_sql,
+)
+from .prefixdedup import (
+    DEFAULT_VERDICT_DEPTH,
+    _MIN_INT,
+    _NULL,
+    _SEP,
+    _turn_hash_array,
+)
+
+
+def response_score(stats: DataFrame) -> DataFrame:
+    """Adds the integer ranking ``score`` to a
+    :func:`conversation_response_stats` result."""
+    bad = F.col("n_flagged") + F.col("n_blank")
+    primary = F.lit(1000) - F.floor(
+        bad * 1000 / F.col("n_assistant_turns")
+    )
+    return stats.withColumn(
+        "score",
+        (
+            primary * 100000
+            + F.least(F.coalesce("mean_resp_chars", F.lit(0)), F.lit(99999))
+        ).cast("long"),
+    )
+
+
+def preference_pairs(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    verdict_depth: int = DEFAULT_VERDICT_DEPTH,
+    assistant_role: str = "assistant",
+    score_df: DataFrame | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """One row per regeneration group with usable signal:
+    ``(pkey, group_size, chosen_conv_id, rejected_conv_id,
+    chosen_score, rejected_score, margin)``.
+
+    ``score_df``: optional ``(conv_col, score)`` override (a trained
+    classifier / reward model); default is the heuristic response
+    score. Conversations without a score row (e.g. no assistant turn)
+    can't be ranked and don't count toward ``group_size``.
+
+    ``materialize`` eagerly localCheckpoints the ~50 B/conversation
+    scored-keys table so its THREE consumers (bounds, chosen,
+    rejected) don't each re-scan and re-aggregate the corpus — the
+    projection-collapse trap ``prefixdedup.prefix_dedup`` documents.
+    At cluster scale write it to parquet once instead
+    (localCheckpoint is executor-local, lost on executor failure).
+    """
+    per_conv = _turn_hash_array(df, conv_col, turn_col, role_col, text_col)
+    keys = per_conv.filter(F.col("n_turns") >= verdict_depth).select(
+        conv_col,
+        F.md5(
+            F.concat_ws(_SEP, F.slice("hs", 1, verdict_depth))
+        ).alias("pkey"),
+    )
+    if score_df is None:
+        score_df = response_score(
+            conversation_response_stats(
+                df, conv_col, role_col, text_col, assistant_role
+            )
+        ).select(conv_col, "score")
+    scored = keys.join(score_df.select(conv_col, "score"), conv_col)
+    if materialize:
+        scored = scored.localCheckpoint(eager=True)
+
+    bounds = scored.groupBy("pkey").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.max("score").alias("__hi"),
+        F.min("score").alias("__lo"),
+    )
+    usable = bounds.filter(
+        (F.col("group_size") >= 2) & (F.col("__hi") > F.col("__lo"))
+    )
+    chosen = (
+        scored.join(usable, "pkey")
+        .filter(F.col("score") == F.col("__hi"))
+        .groupBy("pkey")
+        .agg(F.min(conv_col).alias("chosen_conv_id"))
+    )
+    rejected = (
+        scored.join(usable, "pkey")
+        .filter(F.col("score") == F.col("__lo"))
+        .groupBy("pkey")
+        .agg(F.max(conv_col).alias("rejected_conv_id"))
+    )
+    return (
+        usable.join(chosen, "pkey")
+        .join(rejected, "pkey")
+        .select(
+            "pkey",
+            "group_size",
+            "chosen_conv_id",
+            "rejected_conv_id",
+            F.col("__hi").alias("chosen_score"),
+            F.col("__lo").alias("rejected_score"),
+            (F.col("__hi") - F.col("__lo")).alias("margin"),
+        )
+    )
+
+
+def duckdb_preference_pairs_sql(
+    turns_rel: str = "transcripts",
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    verdict_depth: int = DEFAULT_VERDICT_DEPTH,
+    assistant_role: str = "assistant",
+) -> str:
+    """DuckDB twin of :func:`preference_pairs` over ``turns_rel``
+    (CTE-chain fragment, leading ``,``). Same md5 prefix chain as
+    ``duckdb_prefix_dedup_sql``, same response-stats aggregates, same
+    integer score and tie-breaks."""
+    turn_hash = (
+        f"md5(COALESCE({role_col}, '{_NULL}') || chr(31) "
+        f"|| COALESCE({text_col}, '{_NULL}'))"
+    )
+    stats = duckdb_response_stats_sql(
+        turns_rel, conv_col, role_col, text_col, assistant_role,
+        DEFAULT_FLAG_PHRASES,
+    )
+    return f"""
+, pp_conv AS (
+    SELECT {conv_col},
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           list({turn_hash}
+                ORDER BY COALESCE({turn_col}, {_MIN_INT}), {turn_hash})
+               AS hs
+    FROM {turns_rel}
+    WHERE {conv_col} IS NOT NULL
+    GROUP BY {conv_col}
+),
+pp_keys AS (
+    SELECT {conv_col},
+           md5(array_to_string(hs[1:{verdict_depth}], chr(31))) AS pkey
+    FROM pp_conv WHERE n_turns >= {verdict_depth}
+),
+pp_stats AS (
+    {stats}
+),
+pp_scored AS (
+    SELECT k.{conv_col}, k.pkey,
+           CAST((1000 - floor((s.n_flagged + s.n_blank) * 1000.0
+                              / s.n_assistant_turns)) * 100000
+                + least(COALESCE(s.mean_resp_chars, 0), 99999)
+                AS BIGINT) AS score
+    FROM pp_keys k JOIN pp_stats s USING ({conv_col})
+),
+pp_bounds AS (
+    SELECT pkey,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           MAX(score) AS hi, MIN(score) AS lo
+    FROM pp_scored GROUP BY pkey
+    HAVING COUNT(*) >= 2 AND MAX(score) > MIN(score)
+)
+SELECT b.pkey, b.group_size,
+       c.chosen_conv_id, r.rejected_conv_id,
+       b.hi AS chosen_score, b.lo AS rejected_score,
+       b.hi - b.lo AS margin
+FROM pp_bounds b
+JOIN (SELECT s.pkey, MIN(s.{conv_col}) AS chosen_conv_id
+      FROM pp_scored s JOIN pp_bounds b ON b.pkey = s.pkey
+          AND s.score = b.hi
+      GROUP BY s.pkey) c ON c.pkey = b.pkey
+JOIN (SELECT s.pkey, MAX(s.{conv_col}) AS rejected_conv_id
+      FROM pp_scored s JOIN pp_bounds b ON b.pkey = s.pkey
+          AND s.score = b.lo
+      GROUP BY s.pkey) r ON r.pkey = b.pkey
+""".strip()

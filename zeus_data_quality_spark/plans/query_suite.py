@@ -2438,6 +2438,27 @@ def _oracle_training_order() -> str:
     return f"WITH {body}"
 
 
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair prep (``operators/preference.py``):
+    regeneration groups by depth-1 prefix hash, ranked by the integer
+    response score, (chosen, rejected) per group with strict margin.
+    Tail composite: the prefix-hash primitive is driver-adjudicated
+    via prefix_dedup, the response aggregates via response_stats;
+    full oracle here."""
+    from ..operators.preference import preference_pairs
+
+    return preference_pairs(load_transcripts(spark, sf_dir),
+                            verdict_depth=1)
+
+
+def _oracle_preference_pairs() -> str:
+    from ..operators.preference import duckdb_preference_pairs_sql
+
+    return oracle_with_transcripts(
+        duckdb_preference_pairs_sql("transcripts", verdict_depth=1)
+    )
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet perplexity-tertile sampling (``functions/ccnet.py``):
     per-language NTILE(3) over the hashed-bigram NLL, head/middle/tail
@@ -2779,6 +2800,11 @@ def queries():
         # perplexity family, md5-keep via classifier_mix; full oracle
         # (TAIL_OVERFLOW).
         "ccnet_buckets": q_ccnet_buckets,
+        # r5m tail composite: DPO preference pairs from regeneration
+        # groups (operators/preference.py) — prefix-hash primitive
+        # in-window via prefix_dedup, response aggregates via
+        # response_stats; full oracle (TAIL_OVERFLOW).
+        "preference_pairs": q_preference_pairs,
     }
 
 
@@ -2874,6 +2900,7 @@ def oracle_sql():
         "tool_call_stats": _oracle_tool_call_stats(),
         "chat_render": _oracle_chat_render(),
         "ccnet_buckets": _oracle_ccnet_buckets(),
+        "preference_pairs": _oracle_preference_pairs(),
         "training_order": _oracle_training_order(),
         "token_shards": _oracle_token_shards(),
         "quality_classifier": _oracle_quality_classifier(),
