@@ -180,6 +180,8 @@ HEADLINE = [
     "ccnet_buckets",
     # r5m: DPO preference pairs from regeneration groups
     "preference_pairs",
+    # r5m: quality-weighted multi-epoch repetition plan
+    "epoch_plan",
 ]
 
 

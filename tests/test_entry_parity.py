@@ -239,6 +239,11 @@ TAIL_OVERFLOW: set = {
     # prefix-hash grouping (prefix_dedup) and response aggregates
     # (response_stats); full oracle, parity-checked here.
     "preference_pairs",
+    # r5m: quality-weighted multi-epoch repetition plan — a composite
+    # of the in-window ccnet constituents (perplexity family) and the
+    # md5 slot/order primitives (classifier_mix / training_order's
+    # shared hash algebra); full oracle, parity-checked here.
+    "epoch_plan",
 }
 
 

@@ -1,0 +1,110 @@
+"""Semantic pins for quality-weighted multi-epoch scheduling
+(functions/epochs.py). Cross-engine parity is covered by
+test_entry_parity.py (`epoch_plan` tail oracle); here the recipe
+properties are pinned: repetition counts per bucket, per-epoch load
+balance, consecutive-window assignment, fresh per-epoch permutations,
+and the drop contracts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.functions.epochs import epoch_schedule
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark):
+    rows = [
+        (f"d{i:04d}", ("head", "middle", "tail")[i % 3]) for i in range(600)
+    ]
+    rows.append((None, "head"))          # NULL id dropped
+    rows.append(("dx", "quarantine"))    # unknown bucket dropped
+    return spark.createDataFrame(rows, "doc_id string, bucket string").cache()
+
+
+@pytest.fixture(scope="module")
+def plan(bucketed):
+    return epoch_schedule(bucketed).cache()
+
+
+def test_repetition_counts_per_bucket(plan):
+    per_doc = {
+        (r["bucket"], r["n"]) for r in
+        plan.groupBy("doc_id", "bucket").count()
+        .withColumnRenamed("count", "n").select("bucket", "n").collect()
+    }
+    assert per_doc == {("head", 3), ("middle", 2), ("tail", 1)}
+    assert plan.filter(F.col("doc_id").isNull()).count() == 0
+    assert plan.filter(F.col("bucket") == "quarantine").count() == 0
+
+
+def test_epochs_balanced_and_mixed(plan):
+    # total appearances: 200*(3+2+1) = 1200 over 3 epochs → ~400 each
+    loads = {r["epoch"]: r["n"] for r in
+             plan.groupBy("epoch").count()
+             .withColumnRenamed("count", "n").collect()}
+    assert set(loads) == {0, 1, 2}
+    assert all(330 < n < 470 for n in loads.values())
+    # every epoch sees every bucket (no all-head / all-tail epoch)
+    mix = plan.groupBy("epoch").agg(
+        F.countDistinct("bucket").alias("b")
+    ).collect()
+    assert all(r["b"] == 3 for r in mix)
+
+
+def test_consecutive_window_assignment(plan):
+    # a head doc's 3 epochs are (h, h+1, h+2) mod 3 = all epochs;
+    # a middle doc's 2 are consecutive mod 3
+    mids = (
+        plan.filter(F.col("bucket") == "middle")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("epoch")).alias("es"))
+        .collect()
+    )
+    for r in mids:
+        es = r["es"]
+        assert len(es) == 2
+        assert (es[1] - es[0]) % 3 in (1, 2)  # distinct epochs
+    heads = plan.filter(F.col("bucket") == "head").groupBy("doc_id").agg(
+        F.countDistinct("epoch").alias("k")
+    )
+    assert heads.filter(F.col("k") != 3).count() == 0
+
+
+def test_fresh_permutation_per_epoch(plan):
+    # the same doc's order keys differ across its epochs
+    dup_keys = (
+        plan.groupBy("doc_id")
+        .agg(
+            F.countDistinct("order_key").alias("k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("k") != F.col("n"))
+        .count()
+    )
+    assert dup_keys == 0
+    # and within one epoch, key order is uncorrelated with doc order:
+    # the first 10 docs by id land scattered, not clustered
+    e0 = (
+        plan.filter(F.col("epoch") == 0)
+        .orderBy("order_key")
+        .select("doc_id")
+        .collect()
+    )
+    first_ids = {f"d{i:04d}" for i in range(10)}
+    positions = [i for i, r in enumerate(e0) if r["doc_id"] in first_ids]
+    assert positions and (max(positions) - min(positions)) > len(e0) // 4
+
+
+def test_validation(bucketed):
+    with pytest.raises(ValueError):
+        epoch_schedule(bucketed, repeats={"head": 4}, n_epochs=3)
+    with pytest.raises(ValueError):
+        epoch_schedule(bucketed, repeats={"head": -1})
+    # zero-repeat bucket = explicit drop verdict
+    none_kept = epoch_schedule(
+        bucketed, repeats={"head": 1, "middle": 0, "tail": 0}, n_epochs=1
+    )
+    assert none_kept.filter(F.col("bucket") != "head").count() == 0

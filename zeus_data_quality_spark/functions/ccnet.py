@@ -166,12 +166,15 @@ def duckdb_ccnet_sql(
     part_col: str = "lang",
     rates: dict[str, float] | None = None,
     salt: str = DEFAULT_SALT,
+    cte_name: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`ccnet_bucket_sample`. ``per_text_rel`` is
     the ``__ppl_per_text(text, nll)`` CTE from
     ``functions.perplexity.duckdb_perplexity_cte`` (scored per
     distinct text, joined back — NLL is a pure function of the text).
-    Returns a CTE-chain fragment (leading ``,``)."""
+    Returns a CTE-chain fragment (leading ``,``); with ``cte_name``
+    the final SELECT is wrapped as one more CTE for further
+    composition (e.g. the epoch schedule)."""
     thresholds = _thresholds(rates or DEFAULT_RATES)
     key = f"md5('{salt}:' || CAST({id_col} AS VARCHAR))"
     terms = [
@@ -185,7 +188,14 @@ def duckdb_ccnet_sql(
         f"WHEN 2 THEN {thresholds['middle']} "
         f"ELSE {thresholds['tail']} END"
     )
-    return f"""
+    select = f"""
+SELECT {id_col}, {part_col}, nll,
+       CASE __tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       {bucket_int} < {thr} AS kept
+FROM __cc_tile
+""".strip()
+    chain = f"""
 , __cc_base AS (
     SELECT d.{id_col}, d.{part_col}, p.nll
     FROM {rel} d JOIN {per_text_rel} p ON d.{text_col} = p.text
@@ -197,9 +207,7 @@ __cc_tile AS (
                           ORDER BY nll ASC, {id_col} ASC) AS __tile
     FROM __cc_base
 )
-SELECT {id_col}, {part_col}, nll,
-       CASE __tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
-            ELSE 'tail' END AS bucket,
-       {bucket_int} < {thr} AS kept
-FROM __cc_tile
 """.strip()
+    if cte_name is None:
+        return f"{chain}\n{select}"
+    return f"{chain},\n{cte_name} AS (\n{select}\n)"

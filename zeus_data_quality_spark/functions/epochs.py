@@ -1,0 +1,138 @@
+"""Quality-weighted multi-epoch repetition scheduling.
+
+Modern pretraining recipes don't show every document the same number
+of times: high-quality data is repeated for several epochs while tail
+data is seen once (the up-to-4-epochs-for-curated-sources pattern in
+the Llama/Gopher data recipes, and the principled version in
+Muennighoff et al., "Scaling Data-Constrained Language Models").
+Given a per-document quality ``bucket`` (e.g.
+``functions/ccnet.py``'s head/middle/tail) this module emits the
+FULL multi-epoch training plan: one row per (document, epoch
+appearance), each carrying its seeded within-epoch order key.
+
+Epoch assignment must be deterministic AND balanced: a document
+repeated k times out of ``n_epochs`` appears in epochs
+``(h + j) mod n_epochs`` for ``j < k``, where ``h`` is the
+document's md5 slot — consecutive-epoch windows with hash-random
+phase, so every epoch receives ≈ the same mix of each bucket (no
+epoch is all-head or all-tail) and the whole plan replays
+bit-identically in SQL. The order key inside each epoch is
+``functions/ordering.py``'s seeded draw with seed ``epoch{e}`` — a
+fresh permutation per epoch, as a training loop expects.
+
+Scale shape: pure map-side Column algebra plus one explode whose
+fan-out is the repetition factor (≤ max repeats, a small constant) —
+the plan is emitted at scan speed; per-epoch emission then sorts by
+``(epoch, order_key)`` which decomposes exactly as
+``training_order`` does (range-bucket shards, no single-partition
+exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import HEX_CHARS, _bucket_hex, _hex_to_int
+
+DEFAULT_REPEATS = {"head": 3, "middle": 2, "tail": 1}
+SLOT_SALT = "slot"
+
+
+def epoch_schedule(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bucket_col: str = "bucket",
+    repeats: dict[str, int] | None = None,
+    n_epochs: int | None = None,
+) -> DataFrame:
+    """One row per (document, epoch appearance):
+    ``(id, bucket, n_repeats, epoch, order_key)``.
+
+    ``repeats`` maps bucket → appearance count; ``n_epochs`` defaults
+    to ``max(repeats.values())``. Rows with NULL id are dropped
+    (unordered rows have no place in a training stream); rows whose
+    bucket is missing from ``repeats`` get 0 appearances (dropped) —
+    an explicit "don't train on this" verdict.
+    """
+    repeats = dict(repeats or DEFAULT_REPEATS)
+    if any(k < 0 for k in repeats.values()):
+        raise ValueError("repeat counts must be >= 0")
+    n_epochs = n_epochs or max(repeats.values(), default=0)
+    if n_epochs < 1:
+        raise ValueError("n_epochs must be >= 1")
+    if max(repeats.values(), default=0) > n_epochs:
+        raise ValueError("a bucket repeats more often than n_epochs")
+
+    k = F.lit(0)
+    for label, count in sorted(repeats.items()):
+        k = F.when(F.col(bucket_col) == label, F.lit(count)).otherwise(k)
+    h = _hex_to_int(_bucket_hex(F.col(id_col), SLOT_SALT)) % F.lit(n_epochs)
+
+    base = (
+        df.filter(F.col(id_col).isNotNull())
+        .withColumn("n_repeats", k.cast("int"))
+        .filter(F.col("n_repeats") >= 1)
+        .withColumn("__h", h.cast("int"))
+    )
+    exploded = base.select(
+        id_col,
+        bucket_col,
+        "n_repeats",
+        "__h",
+        F.explode(F.sequence(F.lit(0), F.col("n_repeats") - 1)).alias("__j"),
+    ).select(
+        id_col,
+        bucket_col,
+        "n_repeats",
+        ((F.col("__h") + F.col("__j")) % F.lit(n_epochs))
+        .cast("int")
+        .alias("epoch"),
+    )
+    key = F.md5(
+        F.concat(
+            F.lit("epoch"),
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    return exploded.withColumn("order_key", key)
+
+
+def duckdb_epoch_schedule_sql(
+    rel: str,
+    id_col: str = "doc_id",
+    bucket_col: str = "bucket",
+    repeats: dict[str, int] | None = None,
+    n_epochs: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`epoch_schedule` over ``rel``
+    (CTE-chain fragment, leading ``,``)."""
+    repeats = dict(repeats or DEFAULT_REPEATS)
+    n_epochs = n_epochs or max(repeats.values(), default=0)
+    slot_key = f"md5('{SLOT_SALT}:' || CAST({id_col} AS VARCHAR))"
+    terms = [
+        f"(position(substring({slot_key}, {i + 1}, 1) IN "
+        f"'0123456789abcdef') - 1) * {16 ** (HEX_CHARS - 1 - i)}"
+        for i in range(HEX_CHARS)
+    ]
+    h = "((" + " + ".join(terms) + f") % {n_epochs})"
+    k = "CASE " + " ".join(
+        f"WHEN {bucket_col} = '{label}' THEN {count}"
+        for label, count in sorted(repeats.items())
+    ) + " ELSE 0 END"
+    return f"""
+, ep_base AS (
+    SELECT {id_col}, {bucket_col},
+           CAST({k} AS INTEGER) AS n_repeats,
+           CAST({h} AS INTEGER) AS __h
+    FROM {rel}
+    WHERE {id_col} IS NOT NULL AND {k} >= 1
+)
+SELECT {id_col}, {bucket_col}, n_repeats,
+       CAST((__h + j) % {n_epochs} AS INTEGER) AS epoch,
+       md5('epoch' || CAST((__h + j) % {n_epochs} AS VARCHAR)
+           || ':' || CAST({id_col} AS VARCHAR)) AS order_key
+FROM ep_base, unnest(range(0, n_repeats)) AS u(j)
+""".strip()

@@ -2438,6 +2438,35 @@ def _oracle_training_order() -> str:
     return f"WITH {body}"
 
 
+def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted multi-epoch plan (``functions/epochs.py``
+    over ``functions/ccnet.py`` buckets): head docs appear in 3
+    epochs, middle 2, tail 1, consecutive-window assignment with
+    md5-random phase, per-epoch seeded order keys. Tail composite:
+    buckets via the ccnet chain (perplexity family in-window), slot
+    hash via the sampling primitives; full oracle here."""
+    from ..functions.ccnet import ccnet_bucket_sample
+    from ..functions.epochs import epoch_schedule
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return epoch_schedule(ccnet_bucket_sample(docs))
+
+
+def _oracle_epoch_plan() -> str:
+    from ..functions.ccnet import duckdb_ccnet_sql
+    from ..functions.epochs import duckdb_epoch_schedule_sql
+    from ..functions.perplexity import duckdb_perplexity_cte
+
+    return (
+        "WITH "
+        + duckdb_perplexity_cte("documents", "text").strip()
+        + "\n"
+        + duckdb_ccnet_sql("documents", "__ppl_per_text", cte_name="__cc")
+        + "\n"
+        + duckdb_epoch_schedule_sql("__cc")
+    )
+
+
 def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DPO preference-pair prep (``operators/preference.py``):
     regeneration groups by depth-1 prefix hash, ranked by the integer
@@ -2805,6 +2834,10 @@ def queries():
         # in-window via prefix_dedup, response aggregates via
         # response_stats; full oracle (TAIL_OVERFLOW).
         "preference_pairs": q_preference_pairs,
+        # r5m tail composite: quality-weighted multi-epoch repetition
+        # plan (functions/epochs.py over ccnet buckets); full oracle
+        # (TAIL_OVERFLOW).
+        "epoch_plan": q_epoch_plan,
     }
 
 
@@ -2901,6 +2934,7 @@ def oracle_sql():
         "chat_render": _oracle_chat_render(),
         "ccnet_buckets": _oracle_ccnet_buckets(),
         "preference_pairs": _oracle_preference_pairs(),
+        "epoch_plan": _oracle_epoch_plan(),
         "training_order": _oracle_training_order(),
         "token_shards": _oracle_token_shards(),
         "quality_classifier": _oracle_quality_classifier(),
