@@ -157,6 +157,8 @@ HEADLINE = [
     # r5g: tokenizer encode-to-ids + materialized token windows
     "tokenize_ids",
     "token_shards",
+    # r5n: Unicode text normalization (dirty-corpus inject + cleanup)
+    "normalize_text",
     # r5h: per-source contribution caps
     "source_caps",
     # r5i: corpus-internal n-gram novelty

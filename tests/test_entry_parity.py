@@ -210,6 +210,12 @@ TAIL_TWINS = {
     # equi-join + top-N physical shape stays in-window via
     # hybrid_retrieval and incremental_dedup's join stages.
     "monitor_topk",
+    # r5n rotation: evicted so normalize_text (Unicode normalization —
+    # a new operator family) gets a driver row. The token_ids family
+    # keeps token_shards in-window, whose oracle replays the SAME
+    # merge-rank → per-word ids chain and materializes those ids into
+    # budget windows; this row keeps its full encode-to-ids oracle here.
+    "tokenize_ids",
 }
 
 # Derivative composites past the window: full value oracles (parity
@@ -327,6 +333,9 @@ def test_driver_window_covers_every_operator_family():
         "tool_hygiene": {"tool_call_stats"},
         # r5m: SFT chat-template rendering with loss-mask spans
         "chat_render": {"chat_render"},
+        # r5n: Unicode text normalization (zero-width/control/smart-
+        # punct/space-variant cleanup + per-class damage counts)
+        "normalize": {"normalize_text"},
     }
     for fam, members in families.items():
         assert members & in_window, f"family {fam} has no driver-window row"
@@ -343,11 +352,15 @@ def test_driver_window_covers_every_operator_family():
     # rotation (train_and_score fits the identical bigram model
     # in-pipeline and its oracle replays the training counts —
     # bigram_lm itself is a tail twin with its full oracle)
+    # (token_ids left the fully-in-window list in r5n: token_shards
+    # carries the encode surface in-window — its oracle replays the
+    # same merge-rank → ids chain; tokenize_ids is a tail twin.)
     for fam in ("loop_detection", "classifier",
                 "bpe", "classifier_mix", "substring_dedup", "retrieval",
-                "selection", "token_ids", "source_caps", "novelty",
+                "selection", "source_caps", "novelty",
                 "ann_eval", "prefix_dedup", "response_quality",
-                "snapshot_diff", "tool_hygiene", "chat_render"):
+                "snapshot_diff", "tool_hygiene", "chat_render",
+                "normalize"):
         assert families[fam] <= in_window, fam
     assert "perplexity_trained" in in_window
     assert "sequence_packing_bpe" in in_window

@@ -1,0 +1,113 @@
+"""Unicode normalization pins (functions/normalize.py).
+
+Cross-engine byte-equality is the driver oracle's job
+(`normalize_text` row); these pin the TRANSFORM SEMANTICS themselves
+against hand-written expectations, the NULL contract, idempotence,
+and the count definitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.functions import normalize as N
+
+
+def _norm_one(spark, s):
+    row = (
+        spark.createDataFrame([(s,)], "text string")
+        .select(N.normalize_text(F.col("text")).alias("t"))
+        .first()
+    )
+    return row["t"]
+
+
+def _counts_one(spark, s):
+    df = spark.createDataFrame([("c", 0, s)], "conv_id string, turn_idx int, text string")
+    return N.with_normalized_text(df).first().asDict()
+
+
+def test_pinned_transforms(spark):
+    cases = [
+        # zero-width deleted
+        ("a​b‌c‍d﻿e", "abcde"),
+        # space variants → ASCII space (runs then collapse)
+        ("a b  c　d", "a b c d"),
+        # smart punctuation → ASCII
+        ("“x” ‘y’ a–b c—d", "\"x\" 'y' a-b c-d"),
+        # ellipsis expands
+        ("wait… what", "wait... what"),
+        # CRLF → one LF; lone CR → LF; controls deleted
+        ("l1\r\nl2\rl3\x07\x1b\x7f", "l1\nl2\nl3"),
+        # tab and LF survive; space runs collapse, newlines never do
+        ("a\tb  c\n\n\nd", "a\tb c\n\n\nd"),
+        # clean ASCII is a fixed point
+        ("already clean text.", "already clean text."),
+    ]
+    for dirty, want in cases:
+        assert _norm_one(spark, dirty) == want, repr(dirty)
+
+
+def test_idempotent(spark):
+    dirty = "“l1…”\r\n  x​\x07 done"
+    once = _norm_one(spark, dirty)
+    assert _norm_one(spark, once) == once
+
+
+def test_null_contract(spark):
+    got = _counts_one(spark, None)
+    assert got["text_norm"] is None
+    for k in N.CLASS_COUNTS:
+        assert got[k] == 0
+
+
+def test_counts_are_per_class_on_original(spark):
+    got = _counts_one(spark, "​a​    ’… \r\x07")
+    assert got["n_zero_width"] == 2
+    assert got["n_unicode_space"] == 2
+    assert got["n_unicode_punct"] == 2
+    assert got["n_control"] == 2  # CR counts as control damage
+
+
+def test_dirty_injection_spark_matches_duckdb(spark):
+    """The two dirt generators (Column algebra vs chr() SQL) derive the
+    identical corpus — the premise of the driver oracle. Verified here
+    on a hand-built micro relation so failures localize."""
+    import duckdb
+
+    rows = [
+        ("c1", 0, "hello world"),
+        ("c1", 1, "an apple"),
+        ("c1", 2, None),
+        ("c1", None, "keyed via coalesce"),
+        ("c1", -1, ""),  # negative key → ELSE arm in both engines
+        ("c2", 3, "eee"),
+        ("c2", 4, "x"),
+        ("c2", 5, "yz"),
+        ("c2", 6, "abcdef"),
+        ("c2", 7, "abcdefg"),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string"
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in N.inject_dirt(sdf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE transcripts (conv_id VARCHAR, turn_idx INT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO transcripts VALUES (?, ?, ?)", rows)
+    want = {
+        (cid, tix): txt
+        for cid, tix, txt in con.execute(
+            f"WITH {N.DIRTY_CTE} SELECT conv_id, turn_idx, text FROM dirty"
+        ).fetchall()
+    }
+    assert got == want
+    # and the injected damage is real: at least one of each class
+    joined = "".join(v for v in got.values() if v)
+    assert any(chr(c) in joined for c in N.ZERO_WIDTH)
+    assert any(chr(c) in joined for c in N.UNICODE_SPACES)
+    assert "’" in joined or "“" in joined

@@ -1,0 +1,262 @@
+"""Unicode text normalization — the ftfy/clean-text tier of a web
+pipeline, as pure Column algebra.
+
+Web-scraped and model-generated text carries a standard set of
+non-semantic Unicode damage: zero-width characters (invisible,
+breaking exact dedup and tokenizer merges), non-ASCII space variants
+(breaking whitespace rules and word splits), "smart" punctuation
+(curly quotes / long dashes / ellipsis — spurious vocabulary entries),
+C0 control characters, and CR/CRLF line endings. Every serious
+training-data pipeline canonicalizes these before dedup, rules, and
+tokenization (the reference has no engine at all, so this tier is a
+north-rule extension like `functions/scrub.py`, which it precedes in a
+real pipeline: scrub patterns assume ASCII spaces and quotes).
+
+Engine-exactness design (same discipline as scrub.py):
+
+* One codepoint table below drives BOTH engines — the Spark side
+  builds `translate`/`replace` Columns from it, the DuckDB oracle side
+  builds the identical expression with `chr()` concatenation (no raw
+  control characters and no backslash escapes in SQL text).
+* `translate` has identical semantics in Spark SQL and DuckDB
+  (Postgres heritage): positional 1:1 mapping, `from` characters
+  beyond `len(to)` are DELETED. 1:1 maps go first, deletions at the
+  tail. Verified cross-engine by the driver oracle on every row.
+* The only regex is the final `' {2,}' → ' '` space-run collapse —
+  an ASCII-only pattern with identical meaning in Java regex and RE2.
+* `length()` counts codepoints in both engines, so the per-class
+  damage counts (length minus length-after-delete) are comparable.
+
+Canonical transform order (each step's output feeds the next):
+
+1. CRLF → LF (`replace`, so a Windows line ending becomes ONE newline
+   — the later CR→LF map alone would leave two).
+2. One `translate`: lone CR → LF; curly quotes → ASCII quote/apostrophe;
+   en/em dash → '-'; Unicode space variants → ' '; zero-width
+   characters and C0 controls (except tab/LF) deleted.
+3. Ellipsis (U+2026) → '...' (`replace`; 1→3 chars, not translate-able).
+4. Collapse runs of 2+ ASCII spaces → one space (`regexp_replace`).
+   Newlines are never collapsed — line structure is load-bearing for
+   the C4 line filter (`functions/boilerplate.py`).
+
+Damage counts are computed on the ORIGINAL string per class, so they
+are independent of transform order.
+
+Scale: every step is a per-row Project inside whole-stage codegen —
+no shuffle, no UDF, no Python. At 10^12 turns this runs at scan speed,
+exactly like the JVM scrub chain it precedes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# The codepoint table (drives both engines).
+
+# Invisible zero-width characters: deleted.
+ZERO_WIDTH = [0x200B, 0x200C, 0x200D, 0xFEFF]
+
+# Space variants mapped to ASCII space: NBSP, en-quad..hair-space,
+# narrow NBSP, math space, ideographic space.
+UNICODE_SPACES = [0x00A0, *range(0x2000, 0x200B), 0x202F, 0x205F, 0x3000]
+
+# Smart punctuation mapped 1:1 to ASCII.
+PUNCT_MAP = {
+    0x2018: ord("'"),  # left single quote
+    0x2019: ord("'"),  # right single quote / apostrophe
+    0x201C: ord('"'),  # left double quote
+    0x201D: ord('"'),  # right double quote
+    0x2013: ord("-"),  # en dash
+    0x2014: ord("-"),  # em dash
+}
+ELLIPSIS = 0x2026  # -> '...' via replace
+
+# C0 controls deleted: everything below 0x20 except tab (0x09) and
+# LF (0x0A), plus DEL (0x7F). CR (0x0D) is NOT here — it maps to LF.
+# NUL (0x00) is excluded from the table entirely: it cannot appear in
+# a parquet/UTF-8 string column and chr(0) is not portable SQL.
+CONTROL_DELETE = [
+    *range(0x01, 0x09), 0x0B, 0x0C, *range(0x0E, 0x20), 0x7F,
+]
+CR, LF = 0x0D, 0x0A
+
+# translate(): 1:1 maps first, deletions at the tail.
+_MAP_FROM = [CR, *PUNCT_MAP.keys(), *UNICODE_SPACES]
+_MAP_TO = [LF, *PUNCT_MAP.values(), *([ord(" ")] * len(UNICODE_SPACES))]
+_DELETE = [*ZERO_WIDTH, *CONTROL_DELETE]
+
+TRANSLATE_FROM = "".join(map(chr, _MAP_FROM + _DELETE))
+TRANSLATE_TO = "".join(map(chr, _MAP_TO))
+
+
+# ---------------------------------------------------------------------------
+# Spark side.
+
+def normalize_text(col: Column) -> Column:
+    """The canonical 4-step normalization as one codegen'd expression."""
+    s = F.replace(col, F.lit(chr(CR) + chr(LF)), F.lit(chr(LF)))
+    s = F.translate(s, TRANSLATE_FROM, TRANSLATE_TO)
+    s = F.replace(s, F.lit(chr(ELLIPSIS)), F.lit("..."))
+    return F.regexp_replace(s, " {2,}", " ")
+
+
+def _count_class(col: Column, chars: list[int]) -> Column:
+    """Occurrences of any codepoint in `chars` = length drop after
+    deleting the class (translate with empty `to`)."""
+    gone = F.translate(col, "".join(map(chr, chars)), "")
+    return F.coalesce(
+        (F.length(col) - F.length(gone)).cast("long"), F.lit(0).cast("long")
+    )
+
+
+def with_normalized_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_norm"
+) -> DataFrame:
+    """Normalized text + per-class damage counts (counted on the
+    original string, so counts are transform-order-independent)."""
+    c = F.col(text_col)
+    return df.withColumns({
+        out_col: normalize_text(c),
+        "n_zero_width": _count_class(c, ZERO_WIDTH),
+        "n_control": _count_class(c, [CR, *CONTROL_DELETE]),
+        "n_unicode_space": _count_class(c, UNICODE_SPACES),
+        "n_unicode_punct": _count_class(c, [*PUNCT_MAP, ELLIPSIS]),
+    })
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle side: the identical expressions, built from the same
+# table as chr() concatenations (no raw control chars in SQL text).
+
+def _sql_chars(codes: list[int]) -> str:
+    """A SQL expression producing the string of the given codepoints."""
+    return " || ".join(f"chr({c})" for c in codes) if codes else "''"
+
+
+def duckdb_normalize_expr(col_sql: str) -> str:
+    """DuckDB expression equal to :func:`normalize_text`."""
+    crlf = f"chr({CR}) || chr({LF})"
+    s = f"replace({col_sql}, {crlf}, chr({LF}))"
+    s = (
+        f"translate({s}, {_sql_chars(_MAP_FROM + _DELETE)}, "
+        f"{_sql_chars(_MAP_TO)})"
+    )
+    s = f"replace({s}, chr({ELLIPSIS}), '...')"
+    return f"regexp_replace({s}, ' {{2,}}', ' ', 'g')"
+
+
+def duckdb_count_expr(col_sql: str, chars: list[int]) -> str:
+    """DuckDB expression equal to :func:`_count_class`."""
+    return (
+        f"coalesce(length({col_sql}) - "
+        f"length(translate({col_sql}, {_sql_chars(chars)}, '')), 0)"
+    )
+
+
+CLASS_COUNTS: dict[str, list[int]] = {
+    "n_zero_width": ZERO_WIDTH,
+    "n_control": [CR, *CONTROL_DELETE],
+    "n_unicode_space": UNICODE_SPACES,
+    "n_unicode_punct": [*PUNCT_MAP, ELLIPSIS],
+}
+
+
+# ---------------------------------------------------------------------------
+# Deterministic dirty-corpus synthesis: the synthesized transcripts are
+# clean ASCII, so the normalization query injects Unicode damage keyed
+# on (turn_idx + length(text)).
+#
+# UNLIKE sources/transcripts.py this is NOT one shared SQL template:
+# Spark SQL's chr() is ASCII-mod-256 (chr(8203) = chr(11)!) while
+# DuckDB's chr() is a full Unicode codepoint constructor, so any
+# codepoint > 255 must be a Python string literal on the Spark side
+# and a chr() call on the DuckDB side. Both arms below are generated
+# from the SAME arm table, so the corpora stay bit-identical (the
+# driver oracle verifies exactly that on every row).
+#
+# Arm semantics (key = (coalesce(turn_idx,0) + length(text)) % 8;
+# negative keys — possible via the injected turn_idx=-1 defect — take
+# the ELSE arm in both engines, whose % keeps the dividend sign):
+#   0: zero-width wrap   1: all spaces → NBSP   2: curly quotes + …
+#   3: CRLF + extra line 4: ZWNJ after every e  5: C0 controls wrap
+#   6: a → curly apostrophe                     7: em-dash aside + ideographic space
+
+_ARMS: list[tuple[str, ...]] = [
+    ("wrap", chr(ZERO_WIDTH[0]), chr(ZERO_WIDTH[3])),
+    ("subst", " ", chr(UNICODE_SPACES[0])),
+    ("wrap", "“", "”" + chr(ELLIPSIS)),
+    ("wrap", "", chr(CR) + chr(LF) + "next line"),
+    ("subst", "e", "e" + chr(0x200C)),
+    ("wrap", chr(0x07), chr(0x1B) + chr(0x7F)),
+    ("subst", "a", "’"),
+    ("wrap", "", "—aside　end"),
+]
+
+
+def inject_dirt(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Spark side of the dirty corpus (Column algebra, no SQL chr)."""
+    c = F.col(text_col)
+    key = (F.coalesce(F.col("turn_idx"), F.lit(0)) + F.length(c)) % 8
+    expr = F.when(c.isNull(), F.lit(None).cast("string"))
+    for i, (kind, a, b) in enumerate(_ARMS[:-1]):
+        val = (
+            F.concat(F.lit(a), c, F.lit(b))
+            if kind == "wrap"
+            else F.replace(c, F.lit(a), F.lit(b))
+        )
+        expr = expr.when(key == i, val)
+    kind, a, b = _ARMS[-1]
+    expr = expr.otherwise(F.concat(F.lit(a), c, F.lit(b)))
+    return df.select("conv_id", "turn_idx", expr.alias("text"))
+
+
+def _sql_lit(s: str) -> str:
+    """Render a string as DuckDB SQL: ASCII runs as quoted literals,
+    non-ASCII codepoints as chr() calls (no escapes, no raw controls)."""
+    parts: list[str] = []
+    run = ""
+    for ch in s:
+        if 0x20 <= ord(ch) < 0x7F and ch != "'":
+            run += ch
+        else:
+            if run:
+                parts.append(f"'{run}'")
+                run = ""
+            parts.append(f"chr({ord(ch)})")
+    if run:
+        parts.append(f"'{run}'")
+    return " || ".join(parts) if parts else "''"
+
+
+def _dirty_cte_sql() -> str:
+    whens = []
+    for i, (kind, a, b) in enumerate(_ARMS[:-1]):
+        val = (
+            f"{_sql_lit(a)} || text || {_sql_lit(b)}"
+            if kind == "wrap"
+            else f"replace(text, {_sql_lit(a)}, {_sql_lit(b)})"
+        )
+        whens.append(f"WHEN {i} THEN {val}")
+    kind, a, b = _ARMS[-1]
+    else_val = f"{_sql_lit(a)} || text || {_sql_lit(b)}"
+    arms = "\n                ".join(whens)
+    return f"""
+dirty AS (
+    SELECT
+        conv_id,
+        turn_idx,
+        CASE
+            WHEN text IS NULL THEN NULL
+            ELSE CASE (coalesce(turn_idx, 0) + length(text)) % 8
+                {arms}
+                ELSE {else_val}
+            END
+        END AS text
+    FROM transcripts
+)
+""".strip()
+
+
+DIRTY_CTE = _dirty_cte_sql()

@@ -44,7 +44,11 @@ from ..operators.multimodal import (
     video_frame_sample,
 )
 from ..sources.run_results import load_run_results, oracle_with_run_results
-from ..sources.transcripts import load_transcripts, oracle_with_transcripts
+from ..sources.transcripts import (
+    TRANSCRIPTS_CTE,
+    load_transcripts,
+    oracle_with_transcripts,
+)
 from . import monitor
 from . import profile
 from . import oracle as osql
@@ -156,6 +160,37 @@ def q_scrubbed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "turn_idx",
         "text",
         scrub_text(F.col("text")).alias("text_scrubbed"),
+    )
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization (functions/normalize.py): the synthesized
+    corpus is clean ASCII, so the shared dual-dialect `dirty` CTE
+    injects deterministic zero-width/control/smart-punct/NBSP damage
+    first; the engine then normalizes with the codegen'd
+    translate/replace chain and counts per-class damage. The oracle
+    derives the identical dirty corpus and normalizes with the same
+    codepoint table rendered as chr() SQL."""
+    from ..functions import normalize as N
+
+    dirty = N.inject_dirt(load_transcripts(spark, sf_dir))
+    return N.with_normalized_text(dirty)
+
+
+def _oracle_normalize() -> str:
+    from ..functions import normalize as N
+
+    counts = ",\n  ".join(
+        f"CAST({N.duckdb_count_expr('text', chars)} AS BIGINT) AS {name}"
+        for name, chars in N.CLASS_COUNTS.items()
+    )
+    return oracle_with_transcripts(
+        f""",
+{N.DIRTY_CTE}
+SELECT conv_id, turn_idx, text,
+  {N.duckdb_normalize_expr('text')} AS text_norm,
+  {counts}
+FROM dirty"""
     )
 
 
@@ -2722,7 +2757,15 @@ def queries():
         # media_features + media_video_frames in-window — decode,
         # feature-extract, and frame-sample surfaces all covered; the
         # audio row keeps its full oracle in the tail).
-        "tokenize_ids": q_tokenize_ids,
+        # r5n rotation: tokenize_ids evicted to the tail so
+        # normalize_text (Unicode normalization — a new operator
+        # family) gets a driver row. The token_ids family keeps
+        # token_shards in-window: its oracle replays the SAME
+        # merge-rank → per-word ids chain and then materializes those
+        # very ids into budget windows, so the encode surface stays
+        # driver-adjudicated; tokenize_ids keeps its full oracle in
+        # the tail and in tests/test_entry_parity.py.
+        "normalize_text": q_normalize_text,
         "token_shards": q_token_shards,
         "bpe_vocab": q_bpe_vocab,
         # r5m rotation: text_embeddings evicted to the tail so
@@ -2767,6 +2810,9 @@ def queries():
         "freshness": q_freshness,
         # r5g rotation (see the token_ids block above): both rows keep
         # their full oracles here and in tests/test_entry_parity.py.
+        # r5n rotation (see the normalize_text block above): the
+        # encode-to-ids row keeps its full oracle here.
+        "tokenize_ids": q_tokenize_ids,
         "sequence_packing": q_sequence_packing,
         "media_audio_frames": q_media_audio_frames,
         # r5h rotation (see the source_caps block above): full oracle
@@ -2925,6 +2971,7 @@ def oracle_sql():
         "loop_detection": _oracle_loop_detection(),
         "sequence_packing": _oracle_sequence_packing(),
         "tokenize_ids": _oracle_tokenize_ids(),
+        "normalize_text": _oracle_normalize(),
         "source_caps": _oracle_source_caps(),
         "gram_novelty": _oracle_gram_novelty(),
         "prefix_dedup": _oracle_prefix_dedup(),
