@@ -159,6 +159,8 @@ HEADLINE = [
     "token_shards",
     # r5n: Unicode text normalization (dirty-corpus inject + cleanup)
     "normalize_text",
+    # r5n: checksum-gated PII scrub (Luhn cards + octet-exact IPv4)
+    "pii_validated",
     # r5h: per-source contribution caps
     "source_caps",
     # r5i: corpus-internal n-gram novelty

@@ -216,6 +216,13 @@ TAIL_TWINS = {
     # merge-rank → per-word ids chain and materializes those ids into
     # budget windows; this row keeps its full encode-to-ids oracle here.
     "tokenize_ids",
+    # r5n rotation: evicted so pii_validated (checksum-gated PII scrub
+    # — a new operator family) gets a driver row. hybrid_retrieval's
+    # oracle is a strict SUPERSET of this row's (the identical
+    # postings→idf→fold→rank chain is its lexical branch), so the
+    # retrieval family's in-window oracle coverage does not shrink;
+    # the standalone BM25 row keeps its full oracle here.
+    "bm25_topk",
 }
 
 # Derivative composites past the window: full value oracles (parity
@@ -336,6 +343,8 @@ def test_driver_window_covers_every_operator_family():
         # r5n: Unicode text normalization (zero-width/control/smart-
         # punct/space-variant cleanup + per-class damage counts)
         "normalize": {"normalize_text"},
+        # r5n: checksum-gated PII scrub (Luhn cards + octet-exact IPv4)
+        "pii_validated": {"pii_validated"},
     }
     for fam, members in families.items():
         assert members & in_window, f"family {fam} has no driver-window row"
@@ -354,14 +363,17 @@ def test_driver_window_covers_every_operator_family():
     # bigram_lm itself is a tail twin with its full oracle)
     # (token_ids left the fully-in-window list in r5n: token_shards
     # carries the encode surface in-window — its oracle replays the
-    # same merge-rank → ids chain; tokenize_ids is a tail twin.)
+    # same merge-rank → ids chain; tokenize_ids is a tail twin.
+    # retrieval likewise: hybrid_retrieval's oracle strictly contains
+    # bm25_topk's chain, so the lexical surface stays in-window.)
     for fam in ("loop_detection", "classifier",
-                "bpe", "classifier_mix", "substring_dedup", "retrieval",
+                "bpe", "classifier_mix", "substring_dedup",
                 "selection", "source_caps", "novelty",
                 "ann_eval", "prefix_dedup", "response_quality",
                 "snapshot_diff", "tool_hygiene", "chat_render",
-                "normalize"):
+                "normalize", "pii_validated"):
         assert families[fam] <= in_window, fam
+    assert "hybrid_retrieval" in in_window
     assert "perplexity_trained" in in_window
     assert "sequence_packing_bpe" in in_window
     # r5 promotions: both former TAIL_OVERFLOW composites and the new

@@ -1,0 +1,116 @@
+"""Checksum-gated PII tier pins (functions/pii.py).
+
+Cross-engine byte-equality is the driver oracle's job
+(`pii_validated` row); these pin the VALIDATION semantics — the part
+a shape-only regex tier cannot express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.functions import pii
+
+
+def _scrub_one(spark, s):
+    df = spark.createDataFrame([("c", 0, s)], "conv_id string, turn_idx int, text string")
+    return pii.with_validated_scrub(df).first().asDict()
+
+
+def test_valid_cards_masked_all_shapes(spark):
+    got = _scrub_one(
+        spark,
+        "visa 4111111111111111, spaced 4111 1111 1111 1111, "
+        "dashed 5555-5555-5555-4444, amex 378282246310005.",
+    )
+    assert got["text_clean"] == (
+        "visa <CARD>, spaced <CARD>, dashed <CARD>, amex <CARD>."
+    )
+    assert got["n_card"] == 4
+
+
+def test_luhn_invalid_survives(spark):
+    got = _scrub_one(spark, "order 4111111111111112 ref 1234567890123456")
+    assert got["text_clean"] == "order 4111111111111112 ref 1234567890123456"
+    assert got["n_card"] == 0
+
+
+def test_long_digit_runs_never_half_masked(spark):
+    # 20 digits: no 13-19-digit window has a word boundary on both
+    # ends, so nothing matches — a hash fragment stays intact even if
+    # some prefix would pass Luhn.
+    got = _scrub_one(spark, "hash 41111111111111110000 end")
+    assert got["text_clean"] == "hash 41111111111111110000 end"
+    assert got["n_card"] == 0
+
+
+def test_ipv4_octet_validation(spark):
+    got = _scrub_one(spark, "from 10.0.254.7 not 999.12.34.56 nor 1.2.3")
+    assert got["text_clean"] == "from <IP> not 999.12.34.56 nor 1.2.3"
+    assert got["n_ip"] == 1
+
+
+def test_null_contract(spark):
+    got = _scrub_one(spark, None)
+    assert got["text_clean"] is None
+    assert got["n_card"] == 0 and got["n_ip"] == 0
+
+
+def test_luhn_reference_cross_check(spark):
+    """The HOF Luhn fold equals a textbook Python implementation over
+    a sweep of digit strings (every 14-digit prefix + check digit)."""
+
+    def py_luhn(d: str) -> bool:
+        total = 0
+        for i, ch in enumerate(reversed(d), start=1):
+            v = int(ch)
+            if i % 2 == 0:
+                v *= 2
+                if v > 9:
+                    v -= 9
+            total += v
+        return 13 <= len(d) <= 19 and total % 10 == 0
+
+    cands = [f"4{n:012d}{c}" for n in (0, 7, 123456, 999999999999) for c in range(10)]
+    df = spark.createDataFrame([(s,) for s in cands], "cand string")
+    got = {
+        r["cand"]: r["ok"]
+        for r in df.select(
+            "cand",
+            (F.size(F.filter(F.array(F.col("cand")), pii._luhn_ok)) == 1)
+            .alias("ok"),
+        ).collect()
+    }
+    for s in cands:
+        assert got[s] == py_luhn(s), s
+
+
+def test_dirty_cte_is_dual_dialect(spark):
+    """The shared PII dirt template parses and agrees in both engines
+    on a micro corpus (same premise the driver oracle rides)."""
+    import duckdb
+
+    rows = [("c1", i, f"text body {'x' * i}") for i in range(9)] + [
+        ("c1", 9, None)
+    ]
+    sdf = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    sdf.createOrReplaceTempView("transcripts")
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in spark.sql(
+            f"WITH {pii.PII_DIRTY_CTE} SELECT * FROM pii_dirty"
+        ).collect()
+    }
+    spark.catalog.dropTempView("transcripts")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE transcripts (conv_id VARCHAR, turn_idx INT, text VARCHAR)")
+    con.executemany("INSERT INTO transcripts VALUES (?, ?, ?)", rows)
+    want = {
+        (a, b): t
+        for a, b, t in con.execute(
+            f"WITH {pii.PII_DIRTY_CTE} SELECT * FROM pii_dirty"
+        ).fetchall()
+    }
+    assert got == want
+    joined = " ".join(v for v in got.values() if v)
+    assert "4111 1111 1111 1111" in joined  # valid arms present
+    assert "4111111111111112" in joined     # invalid arm present

@@ -1,0 +1,202 @@
+"""Validated PII scrubbing — checksum-gated credit cards + IPv4.
+
+The compiled-regex tier (`functions/scrub.py`) handles PII whose SHAPE
+is the whole signal (emails, SSNs, phones, key prefixes). Payment-card
+numbers are different: a 16-digit run is only a card if its Luhn
+checksum holds — masking every long digit run would destroy order ids,
+timestamps, and hashes, while masking none leaks real PANs. So this
+tier extracts candidates by shape and VALIDATES each one before
+replacing it, which is exactly why it cannot be a plain
+`regexp_replace` chain entry in SCRUB_PATTERNS.
+
+Pipeline (canonical order, each step feeding the next):
+
+1. Card candidates: ``\\b(?:[0-9][ -]?){12,18}[0-9]\\b`` — 13-19
+   digits, optionally single-space/dash separated. The boundary guards
+   make runs longer than 19 digits match NOWHERE (every interior end
+   position is digit-digit, so no start offset yields a match) — a
+   20-digit hash fragment is never half-masked.
+2. Luhn gate per candidate, as a higher-order fold (no UDF): strip
+   separators, then sum right-to-left with every second digit doubled
+   (−9 when >9); valid iff length 13-19 and sum % 10 == 0.
+3. Replace each VALID candidate (all its occurrences) with <CARD> via
+   an `aggregate` fold over the validated list.
+4. IPv4: octet-exact pattern (0-255 per octet, boundary-guarded —
+   ``999.12.34.56`` stays untouched) → <IP> via plain regexp_replace;
+   shape alone is the signal here, but the octet-range validation
+   lives in the pattern, so it rides the same "validated" tier.
+
+Engine-exactness: candidate extraction, the Luhn fold, and the
+replacement fold are expressed with the same semantics in Spark
+(regexp_extract_all / filter / aggregate Columns) and DuckDB
+(regexp_extract_all / list_filter / list_reduce-free replace chain via
+list fold ≡ the same left fold). Patterns use only constructs with
+identical meaning in Java regex and RE2 (no backrefs, no lookaround,
+ASCII classes). The driver oracle (`pii_validated`) verifies
+byte-equality per row.
+
+Scale: everything is a per-row Project over array HOFs — no shuffle,
+no Python, no collect. Candidate lists are tiny (matches per turn),
+so the nested fold is O(len(text)) per row; at 10^12 turns this runs
+at scan speed beside the regex scrub chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CARD_RE = r"\b(?:[0-9][ -]?){12,18}[0-9]\b"
+IP_RE = (
+    r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+    r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b"
+)
+CARD_TOKEN, IP_TOKEN = "<CARD>", "<IP>"
+
+
+def _digits(c: Column) -> Column:
+    return F.replace(F.replace(c, F.lit(" "), F.lit("")), F.lit("-"), F.lit(""))
+
+
+def _luhn_ok(c: Column) -> Column:
+    """Luhn checksum over a separator-stripped candidate (Column in,
+    boolean Column out — usable as a `filter` lambda)."""
+    d = _digits(c)
+    n = F.length(d)
+
+    def term(i: Column) -> Column:
+        dig = F.substring(d, (n - i + 1).cast("int"), 1).cast("int")
+        dbl = dig * 2
+        return F.when(
+            i % 2 == 0, F.when(dbl > 9, dbl - 9).otherwise(dbl)
+        ).otherwise(dig)
+
+    total = F.aggregate(
+        F.sequence(F.lit(1), n), F.lit(0), lambda acc, i: acc + term(i)
+    )
+    return n.between(13, 19) & (total % 10 == 0)
+
+
+def valid_cards(col: Column) -> Column:
+    """Array of Luhn-valid card candidates in `col` (match order)."""
+    return F.filter(
+        F.regexp_extract_all(col, F.lit(CARD_RE), F.lit(0)), _luhn_ok
+    )
+
+
+def scrub_validated(col: Column) -> Column:
+    """<CARD>-mask every Luhn-valid candidate, then <IP>-mask IPv4."""
+    carded = F.aggregate(
+        valid_cards(col),
+        col,
+        lambda acc, c: F.replace(acc, c, F.lit(CARD_TOKEN)),
+    )
+    return F.regexp_replace(carded, IP_RE, IP_TOKEN)
+
+
+def with_validated_scrub(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_clean"
+) -> DataFrame:
+    """Scrubbed text + per-class counts. ``n_card`` counts VALIDATED
+    candidates (the invalid 4111111111111112 never counts); ``n_ip``
+    counts octet-valid IPv4 matches. NULL text → NULL out, counts 0."""
+    c = F.col(text_col)
+    carded = F.aggregate(
+        valid_cards(c), c, lambda acc, x: F.replace(acc, x, F.lit(CARD_TOKEN))
+    )
+    return df.withColumns({
+        out_col: F.regexp_replace(carded, IP_RE, IP_TOKEN),
+        "n_card": F.when(c.isNull(), F.lit(0))
+        .otherwise(F.size(valid_cards(c)))
+        .cast("long"),
+        "n_ip": F.when(c.isNull(), F.lit(0))
+        .otherwise(F.size(F.regexp_extract_all(carded, F.lit(IP_RE), F.lit(0))))
+        .cast("long"),
+    })
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins (the oracle side; same fold semantics via list HOFs).
+
+def _dk_digits(v: str) -> str:
+    return f"replace(replace({v}, ' ', ''), '-', '')"
+
+
+def _dk_luhn(v: str) -> str:
+    d = _dk_digits(v)
+    dig = f"CAST(substring({d}, length({d}) - i + 1, 1) AS INT)"
+    term = (
+        f"CASE WHEN i % 2 = 0 THEN "
+        f"CASE WHEN {dig} * 2 > 9 THEN {dig} * 2 - 9 ELSE {dig} * 2 END "
+        f"ELSE {dig} END"
+    )
+    return (
+        f"(length({d}) BETWEEN 13 AND 19 AND "
+        f"list_sum(list_transform(range(1, length({d}) + 1), i -> {term}))"
+        f" % 10 = 0)"
+    )
+
+
+def duckdb_valid_cards(col_sql: str) -> str:
+    return (
+        f"list_filter(regexp_extract_all({col_sql}, '{CARD_RE}'), "
+        f"c -> {_dk_luhn('c')})"
+    )
+
+
+def duckdb_scrub_expr(col_sql: str) -> str:
+    carded = (
+        f"list_reduce(list_prepend({col_sql}, "
+        f"{duckdb_valid_cards(col_sql)}), "
+        f"(acc, c) -> replace(acc, c, '{CARD_TOKEN}'))"
+    )
+    return f"regexp_replace({carded}, '{IP_RE}', '{IP_TOKEN}', 'g')"
+
+
+def duckdb_count_exprs(col_sql: str) -> tuple[str, str]:
+    carded = (
+        f"list_reduce(list_prepend({col_sql}, "
+        f"{duckdb_valid_cards(col_sql)}), "
+        f"(acc, c) -> replace(acc, c, '{CARD_TOKEN}'))"
+    )
+    n_card = (
+        f"CASE WHEN {col_sql} IS NULL THEN 0 ELSE "
+        f"len({duckdb_valid_cards(col_sql)}) END"
+    )
+    n_ip = (
+        f"CASE WHEN {col_sql} IS NULL THEN 0 ELSE "
+        f"len(regexp_extract_all({carded}, '{IP_RE}')) END"
+    )
+    return n_card, n_ip
+
+
+# ---------------------------------------------------------------------------
+# Deterministic dirty-corpus arms (ASCII-only, so this IS one shared
+# dual-dialect SQL template like sources/transcripts.py — no chr()
+# above 127, no escapes, no regex, integer arithmetic only). Arms 0-3
+# inject VALID cards (incl. spaced/dashed/amex shapes), arm 4 an
+# INVALID-Luhn run and arm 6 an out-of-range IP (both must survive
+# untouched — that is the validation half of the oracle), arm 5 a
+# valid IP with a text-length-keyed octet.
+
+PII_DIRTY_CTE = """
+pii_dirty AS (
+    SELECT
+        conv_id,
+        turn_idx,
+        CASE
+            WHEN text IS NULL THEN NULL
+            ELSE CASE (coalesce(turn_idx, 0) + length(text)) % 8
+                WHEN 0 THEN text || ' card 4111 1111 1111 1111 thanks'
+                WHEN 1 THEN text || ' pan 4111111111111111 now'
+                WHEN 2 THEN text || ' mc 5555-5555-5555-4444 exp 11/27'
+                WHEN 3 THEN text || ' amex 378282246310005 ok'
+                WHEN 4 THEN text || ' ref 4111111111111112 not a card'
+                WHEN 5 THEN text || ' from 10.0.' || CAST(length(text) % 256 AS STRING) || '.77'
+                WHEN 6 THEN text || ' bad ip 999.12.34.56'
+                ELSE text
+            END
+        END AS text
+    FROM transcripts
+)
+""".strip()

@@ -194,6 +194,39 @@ FROM dirty"""
     )
 
 
+def q_pii_validated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-gated PII tier (functions/pii.py): inject valid AND
+    invalid card/IP shapes via the shared ASCII dual-dialect CTE, then
+    Luhn-gate card candidates with a HOF fold and octet-gate IPv4 in
+    the pattern. The invalid arms (4111111111111112, 999.12.34.56)
+    must survive untouched — that's the validation half of the
+    oracle's byte-equality check."""
+    from ..functions import pii
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.createOrReplaceTempView("events")
+    dirty = spark.sql(
+        f"WITH {TRANSCRIPTS_CTE},\n{pii.PII_DIRTY_CTE}"
+        "\nSELECT * FROM pii_dirty"
+    )
+    return pii.with_validated_scrub(dirty)
+
+
+def _oracle_pii_validated() -> str:
+    from ..functions import pii
+
+    n_card, n_ip = pii.duckdb_count_exprs("text")
+    return oracle_with_transcripts(
+        f""",
+{pii.PII_DIRTY_CTE}
+SELECT conv_id, turn_idx, text,
+  {pii.duckdb_scrub_expr('text')} AS text_clean,
+  CAST({n_card} AS BIGINT) AS n_card,
+  CAST({n_ip} AS BIGINT) AS n_ip
+FROM pii_dirty"""
+    )
+
+
 def q_scrubbed_text_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The default (JVM regexp_replace chain) scrub path under the same
     byte-exact oracle as the pandas-UDF path — both engines are
@@ -2783,8 +2816,15 @@ def queries():
         "sequence_packing_bpe": q_sequence_packing_bpe,
         "ann_ivf_from_text": q_ann_ivf_from_text,
         "dsir_select": q_dsir_select,
-        # r5c: lexical + hybrid retrieval (operators/retrieval.py)
-        "bm25_topk": q_bm25_topk,
+        # r5c: lexical + hybrid retrieval (operators/retrieval.py).
+        # r5n rotation: bm25_topk evicted to the tail so pii_validated
+        # (checksum-gated PII scrub — a new operator family) gets a
+        # driver row. hybrid_retrieval's oracle is a strict SUPERSET
+        # of bm25_topk's (the full postings→idf→fold→rank chain is its
+        # lexical branch, plus the dense branch and the RRF fold), so
+        # the retrieval family's in-window oracle coverage does not
+        # shrink; bm25_topk keeps its full oracle in the tail.
+        "pii_validated": q_pii_validated,
         "hybrid_retrieval": q_hybrid_retrieval,
         # r5d: interpolated Kneser-Ney trigram perplexity (functions/kn.py)
         "perplexity_kn": q_perplexity_kn,
@@ -2813,6 +2853,9 @@ def queries():
         # r5n rotation (see the normalize_text block above): the
         # encode-to-ids row keeps its full oracle here.
         "tokenize_ids": q_tokenize_ids,
+        # r5n rotation (see the pii_validated block above): the
+        # standalone BM25 row keeps its full oracle here.
+        "bm25_topk": q_bm25_topk,
         "sequence_packing": q_sequence_packing,
         "media_audio_frames": q_media_audio_frames,
         # r5h rotation (see the source_caps block above): full oracle
@@ -2972,6 +3015,7 @@ def oracle_sql():
         "sequence_packing": _oracle_sequence_packing(),
         "tokenize_ids": _oracle_tokenize_ids(),
         "normalize_text": _oracle_normalize(),
+        "pii_validated": _oracle_pii_validated(),
         "source_caps": _oracle_source_caps(),
         "gram_novelty": _oracle_gram_novelty(),
         "prefix_dedup": _oracle_prefix_dedup(),
