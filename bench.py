@@ -161,6 +161,8 @@ HEADLINE = [
     "normalize_text",
     # r5n: checksum-gated PII scrub (Luhn cards + octet-exact IPv4)
     "pii_validated",
+    # r5n: CCNet corpus-wide duplicate-line removal (keep-first)
+    "line_dedup",
     # r5h: per-source contribution caps
     "source_caps",
     # r5i: corpus-internal n-gram novelty

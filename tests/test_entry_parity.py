@@ -223,6 +223,13 @@ TAIL_TWINS = {
     # retrieval family's in-window oracle coverage does not shrink;
     # the standalone BM25 row keeps its full oracle here.
     "bm25_topk",
+    # r5n rotation: evicted so line_dedup (CCNet corpus-wide
+    # duplicate-line removal — a new operator family) gets a driver
+    # row. The selection family keeps token_budget_pack in-window and
+    # both of this row's physical primitives (the |sources|-row share
+    # aggregate, the md5-bucket rate compare) stay in-window via
+    # classifier_mix; full oracle kept here.
+    "temperature_mix",
 }
 
 # Derivative composites past the window: full value oracles (parity
@@ -345,6 +352,8 @@ def test_driver_window_covers_every_operator_family():
         "normalize": {"normalize_text"},
         # r5n: checksum-gated PII scrub (Luhn cards + octet-exact IPv4)
         "pii_validated": {"pii_validated"},
+        # r5n: CCNet corpus-wide duplicate-line removal (keep-first)
+        "line_dedup": {"line_dedup"},
     }
     for fam, members in families.items():
         assert members & in_window, f"family {fam} has no driver-window row"
@@ -368,12 +377,16 @@ def test_driver_window_covers_every_operator_family():
     # bm25_topk's chain, so the lexical surface stays in-window.)
     for fam in ("loop_detection", "classifier",
                 "bpe", "classifier_mix", "substring_dedup",
-                "selection", "source_caps", "novelty",
+                "source_caps", "novelty",
                 "ann_eval", "prefix_dedup", "response_quality",
                 "snapshot_diff", "tool_hygiene", "chat_render",
-                "normalize", "pii_validated"):
+                "normalize", "pii_validated", "line_dedup"):
         assert families[fam] <= in_window, fam
     assert "hybrid_retrieval" in in_window
+    # r5n: selection family keeps the budget-pack row in-window
+    # (temperature_mix is a tail twin, primitives in-window via
+    # classifier_mix)
+    assert "token_budget_pack" in in_window
     assert "perplexity_trained" in in_window
     assert "sequence_packing_bpe" in in_window
     # r5 promotions: both former TAIL_OVERFLOW composites and the new

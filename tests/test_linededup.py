@@ -1,0 +1,84 @@
+"""CCNet-style corpus-wide line dedup pins (operators/linededup.py).
+
+Cross-engine value equality is the driver oracle's job (`line_dedup`
+row over the page corpus); these pin the keep-first semantics on
+hand-built fixtures where the right answer is computable by eye."""
+
+from __future__ import annotations
+
+from zeus_data_quality_spark.operators.linededup import line_dedup
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "page_id long, text string")
+    return {
+        r["page_id"]: (r["n_lines"], r["n_removed"], r["text_clean"])
+        for r in line_dedup(df, "text", "page_id", **kw).collect()
+    }
+
+
+def test_keep_first_across_documents(spark):
+    got = _run(
+        spark,
+        [
+            (1, "unique alpha\nsubscribe now\nunique beta"),
+            (2, "subscribe now\nunique gamma"),
+            (3, "unique delta\nsubscribe now"),
+        ],
+    )
+    # first occurrence is (page 1, idx 1); all later copies drop
+    assert got[1] == (3, 0, "unique alpha\nsubscribe now\nunique beta")
+    assert got[2] == (2, 1, "unique gamma")
+    assert got[3] == (2, 1, "unique delta")
+
+
+def test_duplicates_within_one_document(spark):
+    got = _run(spark, [(1, "x\ny\nx\nx")])
+    assert got[1] == (4, 2, "x\ny")
+
+
+def test_blank_lines_are_structure_not_candidates(spark):
+    got = _run(
+        spark,
+        [(1, "para one\n\npara two"), (2, "other\n\nmore")],
+    )
+    # the blank line repeats corpus-wide but always survives
+    assert got[1] == (3, 0, "para one\n\npara two")
+    assert got[2] == (3, 0, "other\n\nmore")
+
+
+def test_min_count_threshold(spark):
+    rows = [(1, "twice\nonce"), (2, "twice")]
+    # min_count=3: a line needs >= 3 copies to dedup; 2 copies survive
+    got = _run(spark, rows, min_count=3)
+    assert got[1] == (2, 0, "twice\nonce")
+    assert got[2] == (1, 0, "twice")
+
+
+def test_ordering_is_lexicographic_on_id_then_idx(spark):
+    # same line at (2, 0) and (1, 5): (1, 5) is first
+    rows = [
+        (2, "dup line\nfiller a"),
+        (1, "a\nb\nc\nd\ne\ndup line"),
+    ]
+    got = _run(spark, rows)
+    assert got[1][1] == 0
+    assert got[2] == (2, 1, "filler a")
+
+
+def test_page_corpus_boilerplate_collapses_corpus_wide(spark, sf_dir):
+    """On the synthesized page corpus the injected nav boilerplate
+    (every 7th slot on every page) keeps exactly ONE copy corpus-wide."""
+    from zeus_data_quality_spark.sources.pages import (
+        BOILER_LINE,
+        synthesize_pages,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = synthesize_pages(docs)
+    out = line_dedup(pages, "text", "page_id").collect()
+    before = "\n".join(r["text"] for r in pages.collect())
+    joined = "\n".join(r["text_clean"] for r in out)
+    assert before.count(BOILER_LINE) > 1  # injected on every page
+    assert joined.count(BOILER_LINE) == 1  # one survivor corpus-wide
+    assert sum(r["n_removed"] for r in out) > 0

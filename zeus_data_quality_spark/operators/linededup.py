@@ -1,0 +1,135 @@
+"""Corpus-wide duplicate-line removal (CCNet-style, keep-first).
+
+CCNet (Wenzek et al. 2020, "CCNet: Extracting High Quality
+Monolingual Datasets from Web Crawl Data") deduplicates Common Crawl
+at the PARAGRAPH level before any model sees the text: every line's
+hash is counted across the whole corpus and all copies of a repeated
+line except one are dropped. This removes the header/footer/nav
+boilerplate that per-document filters (C4's static phrase list,
+`functions/boilerplate.py`) can't know about — the signal is corpus
+frequency, not content. It complements the repo's other dedup tiers:
+exact/MinHash/semantic dedup drop whole documents; span dedup cuts
+repeated character ranges within the corpus; THIS tier rewrites
+documents line-by-line against corpus-wide line counts.
+
+Semantics (keep-first, CCNet's):
+
+* A line is a duplicate candidate when its corpus-wide occurrence
+  count ≥ ``min_count`` (default 2). Blank lines are paragraph
+  structure, never candidates.
+* Of a duplicated line's occurrences, exactly ONE survives: the
+  lexicographically first ``(id, line_idx)`` — deterministic across
+  runs and engines.
+* Surviving lines reassemble in original order; removed lines take
+  their line break with them.
+
+Scale design:
+
+* Lines explode per-row (no shuffle), then ONE partial-aggregated
+  groupBy on ``xxhash64(line)`` computes each line's corpus count and
+  first occurrence — hashing the key keeps shuffle rows at 8 bytes +
+  a 12-byte first-occurrence struct instead of the full line text.
+  CCNet itself dedups on a 64-bit hash (first 8 bytes of SHA-1), so
+  hash-keyed equality IS the reference semantics, not a shortcut; the
+  oracle replays with exact line equality, which agrees unless a
+  64-bit collision lands inside one corpus (~n²/2⁶⁵).
+* The join back is line-hash-keyed, 1:N against the tiny agg row;
+  the nav/footer hot keys (a real corpus repeats "subscribe …"
+  billions of times) are exactly what AQE skew-join splitting
+  handles — and the count+min_by agg above them is map-side combined.
+* Reassembly is one groupBy on the document id: ``array_sort`` over
+  ``(idx, line)`` structs, filter kept, ``array_join`` — compact
+  because only (idx, line, keep) rides the shuffle.
+
+Reference semantics recast: jebjergk/zeus_data_quality has no engine
+(it emits Snowflake SQL from Streamlit); this operator extends the
+quality-filter family the north rule mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_MIN_COUNT = 2
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "page_id",
+    min_count: int = DEFAULT_MIN_COUNT,
+) -> DataFrame:
+    """``(id, text)`` → ``(id, n_lines, n_removed, text_clean)``."""
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_idx", "_line"),
+    )
+    cand = lines.filter(F.col("_line") != "")
+    firsts = cand.groupBy(F.xxhash64("_line").alias("_h")).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min(F.struct("_id", "_idx")).alias("_first"),
+    )
+    flagged = lines.join(
+        firsts, F.xxhash64(lines["_line"]) == firsts["_h"], "left"
+    ).select(
+        "_id",
+        "_idx",
+        "_line",
+        (
+            F.col("_line").eqNullSafe("")  # blank: structure, always kept
+            | (F.col("_cnt") < min_count)
+            | (F.struct("_id", "_idx") == F.col("_first"))
+        ).alias("_keep"),
+    )
+    collected = F.array_sort(
+        F.collect_list(F.struct("_idx", "_line", "_keep"))
+    )
+    kept = F.filter(collected, lambda x: x["_keep"])
+    return flagged.groupBy(F.col("_id").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("_keep"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(kept, lambda x: x["_line"]), "\n"
+        ).alias("text_clean"),
+    )
+
+
+def duckdb_line_dedup_sql(
+    pages_rel: str = "pages",
+    id_col: str = "page_id",
+    min_count: int = DEFAULT_MIN_COUNT,
+) -> str:
+    """DuckDB body replaying the same verdicts with EXACT line
+    equality (one window) — agreeing with the engine's xxhash64 keys
+    unless a 64-bit collision occurs. Expects ``{pages_rel}(id, text)``
+    in scope; returns the same output shape."""
+    return f"""
+WITH lines AS (
+    SELECT {id_col} AS _id,
+           generate_subscripts(l, 1) AS _idx,
+           unnest(l) AS _line
+    FROM (SELECT {id_col}, string_split(text, chr(10)) AS l
+          FROM {pages_rel})
+),
+flagged AS (
+    SELECT _id, _idx, _line,
+           (_line = ''
+            OR COUNT(*) OVER (PARTITION BY _line) < {min_count}
+            OR ROW_NUMBER() OVER (
+                 PARTITION BY _line ORDER BY _id, _idx) = 1
+           ) AS _keep
+    FROM lines
+)
+SELECT _id AS {id_col},
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN _keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       coalesce(
+         string_agg(CASE WHEN _keep THEN _line END, chr(10)
+                    ORDER BY _idx),
+         '') AS text_clean
+FROM flagged
+GROUP BY _id
+""".strip()

@@ -1346,6 +1346,22 @@ def _oracle_c4_line_filter() -> str:
     return _oracle_pages(duckdb_c4_sql("pages", "page_id", "text"))
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide duplicate-line removal (keep-first)
+    over the synthesized page corpus — the nav boilerplate repeated
+    every 7th slot and the concentrated spam lines collapse to one
+    surviving copy each, corpus-wide (operators/linededup.py)."""
+    from ..operators.linededup import line_dedup
+
+    return line_dedup(_pages(spark, sf_dir), "text", "page_id")
+
+
+def _oracle_line_dedup() -> str:
+    from ..operators.linededup import duckdb_line_dedup_sql
+
+    return _oracle_pages(duckdb_line_dedup_sql("pages", "page_id"))
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition rules (Rae et al. 2021) over the synthesized
     page corpus (``sources/pages.py``): duplicate line/paragraph
@@ -2828,9 +2844,17 @@ def queries():
         "hybrid_retrieval": q_hybrid_retrieval,
         # r5d: interpolated Kneser-Ney trigram perplexity (functions/kn.py)
         "perplexity_kn": q_perplexity_kn,
-        # r5e: budgeted corpus selection (functions/selection.py)
+        # r5e: budgeted corpus selection (functions/selection.py).
+        # r5n rotation: temperature_mix evicted to the tail so
+        # line_dedup (CCNet corpus-wide duplicate-line removal — a new
+        # operator family) gets a driver row. The selection family
+        # keeps token_budget_pack in-window; temperature_mix's two
+        # physical primitives both stay in-window elsewhere (the
+        # |sources|-row share aggregate via classifier_mix, the
+        # md5-bucket rate compare via classifier_mix/training-order
+        # hash algebra). Full oracle kept in the tail.
         "token_budget_pack": q_token_budget_pack,
-        "temperature_mix": q_temperature_mix,
+        "line_dedup": q_line_dedup,
         # r5f: incremental ingest dedup vs a persisted signature index
         "incremental_dedup": q_incremental_dedup,
         # ---- tail: engine twins / derivative aggregates (see above) ----
@@ -2856,6 +2880,9 @@ def queries():
         # r5n rotation (see the pii_validated block above): the
         # standalone BM25 row keeps its full oracle here.
         "bm25_topk": q_bm25_topk,
+        # r5n rotation (see the line_dedup block above): the
+        # temperature-mix row keeps its full oracle here.
+        "temperature_mix": q_temperature_mix,
         "sequence_packing": q_sequence_packing,
         "media_audio_frames": q_media_audio_frames,
         # r5h rotation (see the source_caps block above): full oracle
@@ -3016,6 +3043,7 @@ def oracle_sql():
         "tokenize_ids": _oracle_tokenize_ids(),
         "normalize_text": _oracle_normalize(),
         "pii_validated": _oracle_pii_validated(),
+        "line_dedup": _oracle_line_dedup(),
         "source_caps": _oracle_source_caps(),
         "gram_novelty": _oracle_gram_novelty(),
         "prefix_dedup": _oracle_prefix_dedup(),
