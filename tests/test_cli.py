@@ -436,3 +436,45 @@ def test_cli_render_order_ccnet(spark, sf_dir, tmp_path):
         head_n, head_k = cc["buckets"]["head"]
         assert head_n == head_k  # head rate 1.0
         assert 0 < cc["kept"] < cc["rows"]
+
+
+def test_cli_clean_stage(spark, sf_dir, tmp_path):
+    """The r5n text-hygiene stage end-to-end: normalize → line dedup →
+    validated PII scrub over the synthesized page corpus, with a
+    planted dirty page proving each tier fired."""
+    from zeus_data_quality_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("page_id", "text")
+    dirty = spark.createDataFrame(
+        [(
+            9901,
+            "pay 4111 1111 1111 1111 via 10.0.0.7​ now please\r\n"
+            "subscribe to our weekly digest\n"
+            "subscribe to our weekly digest",
+        )],
+        "page_id long, text string",
+    )
+    inp = str(tmp_path / "pages.parquet")
+    pages.unionByName(dirty).write.parquet(inp)
+
+    out = _cli(
+        "clean", "--input", inp, "--output", str(tmp_path / "clean"),
+        "--line-dedup", "--id-col", "page_id",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    s = json.loads(out.stdout.strip().splitlines()[-1])
+    assert s["rows"] == pages.count() + 1
+    assert s["n_zero_width"] >= 1 and s["n_unicode_space"] >= 1
+    assert s["lines_removed"] > 0 and s["cards_masked"] >= 1
+    assert s["ips_masked"] >= 1
+
+    cleaned = {
+        r["page_id"]: r["text"]
+        for r in spark.read.parquet(str(tmp_path / "clean")).collect()
+    }
+    t = cleaned[9901]
+    assert "<CARD>" in t and "<IP>" in t
+    assert "​" not in t and " " not in t and "\r" not in t
+    assert t.count("subscribe to our weekly digest") == 1

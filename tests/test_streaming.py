@@ -275,3 +275,52 @@ def test_stream_embedding_projection_matches_batch(spark, sf_dir, tmp_path):
     assert sum(got.values()) == sum(want.values())
     assert got == want
     assert any(any(v) for _, _, v in got)  # non-trivial vectors
+
+
+def test_stream_hygiene_tiers_match_batch(spark, sf_dir, tmp_path):
+    """Normalization + validated PII scrub are stateless Projects, so
+    they stream in append mode with verdicts identical to batch (the
+    same guarantee the rule/scrub gates carry)."""
+    from zeus_data_quality_spark.functions.normalize import (
+        inject_dirt,
+        with_normalized_text,
+    )
+    from zeus_data_quality_spark.functions.pii import with_validated_scrub
+
+    src = str(tmp_path / "in")
+    t = _write_stream_input(spark, sf_dir, src)
+
+    def tiers(df):
+        dirty = inject_dirt(df)
+        return with_validated_scrub(
+            with_normalized_text(dirty), "text_norm", out_col="text_clean"
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp"
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        tiers(stream)
+        .writeStream.format("memory")
+        .queryName("hygiene_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    cols = [
+        "conv_id", "turn_idx", "text_clean",
+        "n_zero_width", "n_control", "n_card", "n_ip",
+    ]
+    got = sorted(
+        map(tuple, spark.table("hygiene_stream").select(*cols).collect()),
+        key=str,
+    )
+    want = sorted(map(tuple, tiers(t).select(*cols).collect()), key=str)
+    assert got == want and len(got) > 0

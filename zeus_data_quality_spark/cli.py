@@ -547,6 +547,63 @@ def cmd_embed(args) -> int:
     return 0
 
 
+def cmd_clean(args) -> int:
+    """Text-hygiene stage: Unicode normalization → (optional) CCNet
+    corpus-wide line dedup → checksum-gated PII scrub, in that order
+    (normalize first so NBSP/zero-width variants of the same line
+    collapse before the corpus-frequency count, and card/IP shapes are
+    ASCII before the validated scrub). Writes the cleaned corpus to
+    parquet; per-class damage totals as summary JSON to stdout.
+
+    Normalization and the validated scrub are pure per-row Projects
+    (scan speed at any corpus size); line dedup adds the one
+    hash-keyed count aggregate documented in operators/linededup.py.
+    """
+    from .functions.normalize import CLASS_COUNTS, with_normalized_text
+    from .functions.pii import with_validated_scrub
+    from .operators.linededup import line_dedup
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    tc = args.text_col
+
+    norm = with_normalized_text(df, tc, out_col="__norm")
+    summary: dict[str, int] = {}
+    agg = norm.agg(
+        F.count(F.lit(1)).alias("rows"),
+        *[F.sum(k).alias(k) for k in CLASS_COUNTS],
+    ).first()
+    summary.update({k: int(agg[k] or 0) for k in agg.asDict()})
+
+    if args.line_dedup:
+        base = line_dedup(
+            norm.select(F.col(args.id_col), F.col("__norm").alias("text")),
+            "text",
+            args.id_col,
+            min_count=args.min_count,
+        )
+        lagg = base.agg(
+            F.sum("n_lines").alias("lines"),
+            F.sum("n_removed").alias("lines_removed"),
+        ).first()
+        summary.update({k: int(lagg[k] or 0) for k in lagg.asDict()})
+        cur = base.select(args.id_col, F.col("text_clean").alias("__cur"))
+    else:
+        keep = [c for c in df.columns if c != tc]
+        cur = norm.select(*keep, F.col("__norm").alias("__cur"))
+
+    out = with_validated_scrub(cur, "__cur", out_col=tc).drop("__cur")
+    out.write.mode("overwrite").parquet(args.output)
+    res = spark.read.parquet(args.output)
+    pagg = res.agg(
+        F.sum("n_card").alias("cards_masked"),
+        F.sum("n_ip").alias("ips_masked"),
+    ).first()
+    summary.update({k: int(pagg[k] or 0) for k in pagg.asDict()})
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_render(args) -> int:
     """SFT chat-template emission as a standalone stage: one training
     string per conversation with loss-mask char spans, written to
@@ -976,6 +1033,21 @@ def main(argv: list[str] | None = None) -> int:
     bm.add_argument("--k-each", type=int, default=20)
     bm.add_argument("--n-queries", type=int, default=5)
     bm.set_defaults(fn=cmd_bm25)
+
+    cl = sub.add_parser(
+        "clean",
+        help="text hygiene: normalize → optional line dedup → PII scrub",
+    )
+    cl.add_argument("--input", required=True)
+    cl.add_argument("--output", required=True)
+    cl.add_argument("--text-col", default="text")
+    cl.add_argument(
+        "--line-dedup", action="store_true",
+        help="also remove corpus-wide duplicate lines (keep-first)",
+    )
+    cl.add_argument("--id-col", default="doc_id")
+    cl.add_argument("--min-count", type=int, default=2)
+    cl.set_defaults(fn=cmd_clean)
 
     rd = sub.add_parser(
         "render", help="SFT chat-template emission with loss-mask spans"
