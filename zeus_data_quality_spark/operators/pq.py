@@ -1,0 +1,351 @@
+"""Product quantization (PQ) — compressed-vector ANN.
+
+The fourth ANN path beside brute force (exact), LSH (hash buckets),
+and IVF (coarse partitions): Jégou et al. 2011, "Product Quantization
+for Nearest Neighbor Search" — the compression layer of FAISS's
+IVF-PQ, the standard billion-vector index. Split each D-dim vector
+into ``m`` subvectors; k-means each subspace independently (k codes);
+a vector is then ``m`` small integers (m=16, k=16 → 16 nibble codes
+≈ 8 bytes vs 256 bytes of floats — the reason a 10^11-vector corpus
+fits a cluster's RAM; the synthetic near-random test embeddings need
+this finer grid — real text embeddings cluster, random ones don't). Queries stay uncompressed: ADC (asymmetric distance)
+approximates L2²(q, x) by Σ_s L2²(q_s, centroid_s[code_s(x)]).
+
+Spark-first shapes (every stage distributed, only the m×k codebook
+reaches the driver):
+
+* **Training** is the same distributed Lloyd loop as the IVF coarse
+  quantizer (`operators/ivf.py::train_centroids`, whose design this
+  cites) run per subspace on `slice`d columns — plain L2 means, NOT
+  spherical: subvector magnitudes carry information, so there is no
+  renormalization step here.
+* **Encoding** is a per-row Project: argmin over k literal centroids
+  per subspace — whole-stage codegen, no shuffle, no UDF.
+* **ADC search is relational**: instead of per-query lookup arrays
+  carried in closures, build the lookup TABLE — queries × (subspace,
+  code) partial distances (|Q|·m·k tiny rows, broadcast) — join it to
+  the exploded code table on (subspace, code), and one partial-
+  aggregated groupBy (query, neighbor) sums the m partials. At corpus
+  scale that is a broadcast join + map-side-combined sum over n·m
+  compact rows; composes with IVF by pre-filtering the code table to
+  probed clusters.
+
+Determinism (the same contract the IVF replay relies on): md5-ordered
+seed sample, fixed iteration count, argmin ties to the lowest code id,
+ascending-index double folds on both engines; ADC scores are rounded
+to 9 dp before ranking (the repo's cross-engine float protocol), ties
+break on neighbor id.
+
+The reference has no similarity search (SURVEY.md §2.8); north-rule /
+training-pipeline extension like ivf.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_M = 16
+DEFAULT_K = 16
+DEFAULT_ITERS = 2
+
+
+def _l2sq(vec, cent_lit):
+    """Σ (a-b)² with an ascending-index left fold — the same
+    summation order the DuckDB replay uses."""
+    return F.aggregate(
+        F.zip_with(vec, cent_lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cent_lits(cents: list[list[float]]):
+    return [F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+
+
+def _argmin_code(vec, cents: list[list[float]]):
+    """Index of the nearest centroid (L2); ties → lowest code id."""
+    d2s = F.array(*[_l2sq(vec, c) for c in _cent_lits(cents)])
+    return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+
+
+def _sub(vec, s: int, sub_dim: int):
+    return F.slice(vec, s * sub_dim + 1, sub_dim)
+
+
+def train_pq(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = DEFAULT_M,
+    k: int = DEFAULT_K,
+    n_iters: int = DEFAULT_ITERS,
+    dim: int | None = None,
+) -> list[list[list[float]]]:
+    """Per-subspace L2 Lloyd; returns ``m`` codebooks of ``k``
+    centroids each. Seeds = the k vectors with the smallest
+    md5(id) — one deterministic sample shared by every subspace (so
+    the oracle derives it once). Each iteration is one distributed
+    assign + per-(code, pos) mean; empty codes keep their previous
+    centroid. Train on a hash_sample at corpus scale — the codebook
+    is m·k·(D/m) floats regardless of corpus size."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    sub_dim = dim // m
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    base = base.persist()
+    seed_rows = (
+        base.orderBy(
+            F.md5(F.col("__id").cast("string").cast("binary")), F.col("__id")
+        )
+        .limit(k)
+        .collect()
+    )
+    books = [
+        [list(r["__v"])[s * sub_dim : (s + 1) * sub_dim] for r in seed_rows]
+        for s in range(m)
+    ]
+    # ALL subspaces advance together: each Lloyd iteration is ONE
+    # distributed job — per row, an array of (s, code, subvector)
+    # structs (the m argmin Projects fused), exploded to (s, code,
+    # pos, x), then one partial-aggregated (s, code, pos) mean. The
+    # driver sees m·k·sub_dim tiny rows per iteration instead of
+    # m·n_iters sequential jobs (the BPE-merge-loop anti-pattern).
+    for _ in range(n_iters):
+        v = F.col("__v")
+        per_s = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    _argmin_code(_sub(v, s, sub_dim), books[s]).alias("code"),
+                    _sub(v, s, sub_dim).alias("sv"),
+                )
+                for s in range(m)
+            ]
+        )
+        means = (
+            base.select(F.explode(per_s).alias("e"))
+            .select(
+                F.col("e.s").alias("__s"),
+                F.col("e.code").alias("__c"),
+                F.posexplode("e.sv").alias("__pos", "__x"),
+            )
+            .groupBy("__s", "__c", "__pos")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy("__s", "__c")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__m"))
+                ).alias("__ms")
+            )
+            .select(
+                "__s",
+                "__c",
+                F.transform("__ms", lambda x: x["__m"]).alias("__mean"),
+            )
+            .collect()
+        )
+        new = [list(b) for b in books]  # empty codes keep previous
+        for r in means:
+            new[r["__s"]][r["__c"]] = list(r["__mean"])
+        books = new
+    base.unpersist()
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>) — m small ints per vector. Pure Project."""
+    sub_dim = len(books[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    codes = F.array(
+        *[_argmin_code(_sub(v, s, sub_dim), books[s]) for s in range(len(books))]
+    )
+    return df.select(F.col(id_col).alias("id"), codes.alias("codes"))
+
+
+def _centroid_rows(books: list[list[list[float]]]):
+    return [
+        (s, c, list(map(float, books[s][c])))
+        for s in range(len(books))
+        for c in range(len(books[s]))
+    ]
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_queries: int = 10,
+    k_top: int = 5,
+) -> DataFrame:
+    """(query_id, neighbor_id, rnk) — ADC top-k of every id <
+    ``n_queries`` against the PQ-coded corpus (self excluded).
+
+    Relational ADC: ``lut(query_id, s, code, d2)`` (|Q|·m·k rows,
+    broadcast) ⋈ exploded codes on (s, code) → partial-aggregated sum
+    over the m subspace terms → per-query rank window. The score is
+    the COMPRSSED-domain distance — recall vs exact top-k is the
+    pq_recall pytest's floor, not equality."""
+    spark = df.sparkSession
+    sub_dim = len(books[0][0])
+    m = len(books)
+    codes = pq_encode(df, books, vec_col, id_col)
+    expl = codes.select(
+        "id", F.posexplode("codes").alias("s", "code")
+    )
+    cents = spark.createDataFrame(
+        _centroid_rows(books), "s int, code int, cent array<double>"
+    )
+    q = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    lut = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "s",
+        "code",
+        _l2sq(
+            F.slice(F.col("qv"), F.col("s") * sub_dim + 1, sub_dim),
+            F.col("cent"),
+        ).alias("d2"),
+    )
+    scored = (
+        expl.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.round(F.sum("d2"), 9).alias("adc"))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("adc").asc(), F.col("neighbor_id").asc()
+        )
+    )
+    return (
+        scored.select("query_id", "neighbor_id", rnk.alias("rnk"))
+        .filter(F.col("rnk") <= k_top)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle: the ENTIRE pipeline replayed in SQL — md5 seed
+# sample, per-subspace unrolled L2 Lloyd, encode, relational ADC,
+# rank. Same pattern as the IVF probe oracle (plans/query_suite.py
+# `_lloyd_parts`), with per-subspace CTE prefixes and no
+# renormalization (plain L2 means).
+
+def _dk_d2(a: str, b: str, n: int) -> str:
+    """Σ (a[i]-b[i])² with ascending index — the fold order the Spark
+    side uses (zip_with + left aggregate)."""
+    return (
+        f"list_sum(list_transform(range(1, {n} + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def duckdb_pq_sql(
+    m: int = DEFAULT_M,
+    k: int = DEFAULT_K,
+    n_iters: int = DEFAULT_ITERS,
+    dim: int = 64,
+    n_queries: int = 10,
+    k_top: int = 5,
+) -> str:
+    sd = dim // m
+    parts = [
+        """base AS (
+    SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE embedding IS NOT NULL
+)""",
+        f"""seed AS (
+    SELECT rn, v FROM (
+        SELECT ROW_NUMBER() OVER (
+            ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn, v
+        FROM base
+    ) WHERE rn <= {k}
+)""",
+    ]
+    for s in range(m):
+        lo, hi = s * sd + 1, (s + 1) * sd
+        p = f"s{s}"
+        parts.append(
+            f"{p}u AS (SELECT id, list_slice(v, {lo}, {hi}) AS sv FROM base)"
+        )
+        parts.append(
+            f"{p}c0 AS (SELECT CAST(rn - 1 AS INT) AS code, "
+            f"list_slice(v, {lo}, {hi}) AS cent FROM seed)"
+        )
+        for i in range(1, n_iters + 1):
+            d2 = _dk_d2("u.sv", "c.cent", sd)
+            parts.append(f"""{p}a{i} AS (
+    SELECT id, sv, code FROM (
+        SELECT u.id, u.sv, c.code,
+               ROW_NUMBER() OVER (PARTITION BY u.id
+                   ORDER BY {d2} ASC, c.code ASC) AS rn
+        FROM {p}u u CROSS JOIN {p}c{i - 1} c
+    ) WHERE rn = 1
+),
+{p}m{i} AS (
+    SELECT code, pos, AVG(x) AS mu FROM (
+        SELECT code, generate_subscripts(sv, 1) AS pos, unnest(sv) AS x
+        FROM {p}a{i}
+    ) GROUP BY code, pos
+),
+{p}n{i} AS (
+    SELECT code, list(mu ORDER BY pos) AS cent FROM {p}m{i} GROUP BY code
+),
+{p}c{i} AS (
+    SELECT pr.code, COALESCE(n.cent, pr.cent) AS cent
+    FROM {p}c{i - 1} pr LEFT JOIN {p}n{i} n ON n.code = pr.code
+)""")
+        d2f = _dk_d2("u.sv", "c.cent", sd)
+        parts.append(f"""{p}code AS (
+    SELECT id, {s} AS s, code FROM (
+        SELECT u.id, c.code,
+               ROW_NUMBER() OVER (PARTITION BY u.id
+                   ORDER BY {d2f} ASC, c.code ASC) AS rn
+        FROM {p}u u CROSS JOIN {p}c{n_iters} c
+    ) WHERE rn = 1
+)""")
+    codes_union = " UNION ALL ".join(
+        f"SELECT * FROM s{s}code" for s in range(m)
+    )
+    cents_union = " UNION ALL ".join(
+        f"SELECT {s} AS s, code, cent FROM s{s}c{n_iters}" for s in range(m)
+    )
+    qd2 = _dk_d2(
+        f"list_slice(q.v, c.s * {sd} + 1, (c.s + 1) * {sd})", "c.cent", sd
+    )
+    parts.append(f"codes AS ({codes_union})")
+    parts.append(f"cents AS ({cents_union})")
+    parts.append(
+        f"q AS (SELECT id AS query_id, v FROM base WHERE id < {n_queries})"
+    )
+    parts.append(f"""lut AS (
+    SELECT q.query_id, c.s, c.code, {qd2} AS d2
+    FROM q CROSS JOIN cents c
+)""")
+    parts.append("""scored AS (
+    SELECT l.query_id, cd.id AS neighbor_id, round(SUM(l.d2), 9) AS adc
+    FROM codes cd JOIN lut l ON l.s = cd.s AND l.code = cd.code
+    WHERE cd.id <> l.query_id
+    GROUP BY l.query_id, cd.id
+)""")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY adc ASC, neighbor_id ASC) AS INT) AS rnk
+FROM scored
+QUALIFY rnk <= {k_top}
+"""
+    )

@@ -669,6 +669,25 @@ QUALIFY rnk <= {k}
     )
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/pq.py): per-subspace
+    L2 Lloyd codebooks → per-row code Project → relational ADC
+    (broadcast LUT join + partial-aggregated subspace sum) → rank.
+    The oracle replays ALL of it — md5 seed, every Lloyd iteration per
+    subspace, encode, LUT, ADC — in one SQL statement."""
+    from ..operators import pq
+
+    emb = _read(spark, sf_dir, "embeddings")
+    books = pq.train_pq(emb)
+    return pq.pq_adc_topk(emb, books)
+
+
+def _oracle_pq() -> str:
+    from ..operators.pq import duckdb_pq_sql
+
+    return duckdb_pq_sql()
+
+
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN tuning loop in-engine: run the SAME IVF index as
     `ann_ivf_probe` AND the exact brute-force ranking, measure
@@ -2737,7 +2756,14 @@ def queries():
         # agg + top-N physical shape stays in-window via monitor_topk
         # and tpch_q1).
         "source_caps": q_source_caps,
-        "tpch_q1": q_tpch_q1,
+        # r5n rotation: tpch_q1 evicted to the tail so pq_topk
+        # (product-quantization compressed-vector ANN — a new operator
+        # family) gets a driver row. tpch_q1 is a generic-SQL demo
+        # like the tail's tpch_q3/cube_events/setops_users; its
+        # scan → hash-agg → sort physical shape is the most-covered
+        # shape in the whole suite (rule_failure_counts, monitor
+        # family, every counts oracle). Full oracle kept in the tail.
+        "pq_topk": q_pq_topk,
         "gopher_repetition": q_gopher_repetition,
         "c4_line_filter": q_c4_line_filter,
         "dedup_exact": q_dedup_exact,
@@ -2883,6 +2909,9 @@ def queries():
         # r5n rotation (see the line_dedup block above): the
         # temperature-mix row keeps its full oracle here.
         "temperature_mix": q_temperature_mix,
+        # r5n rotation (see the pq_topk block above): the generic-SQL
+        # demo keeps its full oracle here.
+        "tpch_q1": q_tpch_q1,
         "sequence_packing": q_sequence_packing,
         "media_audio_frames": q_media_audio_frames,
         # r5h rotation (see the source_caps block above): full oracle
@@ -3044,6 +3073,7 @@ def oracle_sql():
         "normalize_text": _oracle_normalize(),
         "pii_validated": _oracle_pii_validated(),
         "line_dedup": _oracle_line_dedup(),
+        "pq_topk": _oracle_pq(),
         "source_caps": _oracle_source_caps(),
         "gram_novelty": _oracle_gram_novelty(),
         "prefix_dedup": _oracle_prefix_dedup(),
