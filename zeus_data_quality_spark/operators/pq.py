@@ -51,8 +51,10 @@ DEFAULT_ITERS = 2
 
 
 def _l2sq(vec, cent_lit):
-    """Σ (a-b)² with an ascending-index left fold — the same
-    summation order the DuckDB replay uses."""
+    """Σ (a-b)² against a COLUMN centroid, ascending-index left fold —
+    the same summation order the DuckDB replay uses. Used only on the
+    tiny LUT relation (|Q|·m·k rows); the hot per-row paths use the
+    expanded literal form below."""
     return F.aggregate(
         F.zip_with(vec, cent_lit, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -60,18 +62,55 @@ def _l2sq(vec, cent_lit):
     )
 
 
-def _cent_lits(cents: list[list[float]]):
-    return [F.array(*[F.lit(float(x)) for x in c]) for c in cents]
-
-
-def _argmin_code(vec, cents: list[list[float]]):
-    """Index of the nearest centroid (L2); ties → lowest code id."""
-    d2s = F.array(*[_l2sq(vec, c) for c in _cent_lits(cents)])
-    return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
-
-
 def _sub(vec, s: int, sub_dim: int):
     return F.slice(vec, s * sub_dim + 1, sub_dim)
+
+
+def _subvectors(df: DataFrame, vec_col, id_col, m: int, sub_dim: int):
+    """(id, s, sv) — one row per (vector, subspace). The explode is a
+    per-row Generate; at corpus scale this is the PQ working set
+    (n·m compact rows)."""
+    v = F.col(vec_col).cast("array<double>")
+    per_s = F.array(
+        *[
+            F.struct(F.lit(s).alias("s"), _sub(v, s, sub_dim).alias("sv"))
+            for s in range(m)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(per_s).alias("e")
+    ).select("id", F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
+
+
+def _cents_df(spark, books):
+    return spark.createDataFrame(
+        _centroid_rows(books), "s int, code int, cent array<double>"
+    )
+
+
+def _assign(sub: DataFrame, cents: DataFrame) -> DataFrame:
+    """(id, s, sv, code) — nearest centroid per (vector, subspace).
+
+    RELATIONAL argmin, not an m·k-slot expression: broadcast-join the
+    m·k centroid rows on the subspace key, one small L2 fold per
+    joined row, then a partial-aggregated min_by((code, sv), (d2,
+    code)) — ties to the lowest code id, the IVF/oracle convention.
+    An earlier draft inlined all m·k distances into one Project;
+    Catalyst analysis time on the ~10⁴-node tree dominated the whole
+    query (68 s at sf0.1 for 2000 vectors) — the join form plans in
+    milliseconds and scales as n·m·k compact rows, which is the
+    intrinsic comparison count of PQ assignment anyway."""
+    d2 = _l2sq(F.col("sv"), F.col("cent"))
+    best = F.min_by(
+        F.struct("code", "sv"), F.struct(F.col("d2"), F.col("code"))
+    )
+    return (
+        sub.join(F.broadcast(cents), "s")
+        .select("id", "s", "sv", "code", d2.alias("d2"))
+        .groupBy("id", "s")
+        .agg(best.alias("b"))
+        .select("id", "s", F.col("b.sv").alias("sv"), F.col("b.code").alias("code"))
+    )
 
 
 def train_pq(
@@ -110,29 +149,21 @@ def train_pq(
         for s in range(m)
     ]
     # ALL subspaces advance together: each Lloyd iteration is ONE
-    # distributed job — per row, an array of (s, code, subvector)
-    # structs (the m argmin Projects fused), exploded to (s, code,
-    # pos, x), then one partial-aggregated (s, code, pos) mean. The
-    # driver sees m·k·sub_dim tiny rows per iteration instead of
-    # m·n_iters sequential jobs (the BPE-merge-loop anti-pattern).
+    # distributed job — the relational assignment (`_assign`) followed
+    # by one partial-aggregated (s, code, pos) mean. The driver sees
+    # m·k·sub_dim tiny rows per iteration instead of m·n_iters
+    # sequential jobs (the BPE-merge-loop anti-pattern).
+    sub = _subvectors(base, "__v", "__id", m, sub_dim).persist()
+    sub.count()
+    base.unpersist()
+    spark = df.sparkSession
     for _ in range(n_iters):
-        v = F.col("__v")
-        per_s = F.array(
-            *[
-                F.struct(
-                    F.lit(s).alias("s"),
-                    _argmin_code(_sub(v, s, sub_dim), books[s]).alias("code"),
-                    _sub(v, s, sub_dim).alias("sv"),
-                )
-                for s in range(m)
-            ]
-        )
         means = (
-            base.select(F.explode(per_s).alias("e"))
+            _assign(sub, _cents_df(spark, books))
             .select(
-                F.col("e.s").alias("__s"),
-                F.col("e.code").alias("__c"),
-                F.posexplode("e.sv").alias("__pos", "__x"),
+                F.col("s").alias("__s"),
+                F.col("code").alias("__c"),
+                F.posexplode("sv").alias("__pos", "__x"),
             )
             .groupBy("__s", "__c", "__pos")
             .agg(F.avg("__x").alias("__m"))
@@ -153,7 +184,7 @@ def train_pq(
         for r in means:
             new[r["__s"]][r["__c"]] = list(r["__mean"])
         books = new
-    base.unpersist()
+    sub.unpersist()
     return books
 
 
@@ -163,13 +194,24 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """(id, codes array<int>) — m small ints per vector. Pure Project."""
+    """(id, codes array<int>) — m small ints per vector, via the same
+    relational assignment as training; codes re-assemble in subspace
+    order with one per-id aggregate (partition-preserving after the
+    (id, s) grouping)."""
     sub_dim = len(books[0][0])
-    v = F.col(vec_col).cast("array<double>")
-    codes = F.array(
-        *[_argmin_code(_sub(v, s, sub_dim), books[s]) for s in range(len(books))]
+    m = len(books)
+    asg = _assign(
+        _subvectors(df, vec_col, id_col, m, sub_dim),
+        _cents_df(df.sparkSession, books),
     )
-    return df.select(F.col(id_col).alias("id"), codes.alias("codes"))
+    return (
+        asg.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "code"))).alias("sc"))
+        .select(
+            "id",
+            F.transform("sc", lambda x: x["code"].cast("int")).alias("codes"),
+        )
+    )
 
 
 def _centroid_rows(books: list[list[list[float]]]):
