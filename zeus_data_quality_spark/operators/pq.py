@@ -391,3 +391,109 @@ FROM scored
 QUALIFY rnk <= {k_top}
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the FAISS composition — coarse clusters restrict WHICH codes
+# are scored, PQ codes compress HOW they are scored.
+
+def ivfpq_topk(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_queries: int = 10,
+    k_top: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ADC top-k restricted to each query's ``nprobe`` nearest coarse
+    clusters (`operators/ivf.py` quantizer). Restriction-only law
+    (pytest-pinned, the ivf_topk contract): with nprobe = n_centroids
+    this equals :func:`pq_adc_topk` EXACTLY — the coarse index prunes
+    candidates, scoring stays the same ADC.
+
+    At corpus scale the codes table is written partitioned by
+    ``cluster`` (ivf.write_ivf_index's layout, codes instead of raw
+    vectors): probing = partition pruning over n·(8 + m) bytes/row,
+    the full FAISS IVF-PQ storage story."""
+    from . import ivf as _ivf
+
+    spark = df.sparkSession
+    sub_dim = len(books[0][0])
+    m = len(books)
+
+    clustered = _ivf.ivf_index(df, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("id"), "cluster"
+    )
+    codes = pq_encode(df, books, vec_col, id_col).join(clustered, "id")
+    expl = codes.select(
+        "id", "cluster", F.posexplode("codes").alias("s", "code")
+    )
+
+    q_raw = df.filter(F.col(id_col) < n_queries)
+    # nprobe nearest coarse centroids per query (cosine, ties → lowest
+    # cluster id — the ivf_topk convention)
+    qu = q_raw.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        _ivf._unit(F.col(vec_col).cast("array<double>")).alias("qu"),
+    )
+    dots = F.array(
+        *[
+            F.aggregate(
+                F.zip_with("qu", F.array(*[F.lit(float(x)) for x in c]),
+                           lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+    probes = qu.select(
+        "query_id",
+        "qv",
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.transform(
+                        dots,
+                        lambda d, i: F.struct((-d).alias("nd"), i.alias("c")),
+                    )
+                ),
+                lambda x: x["c"],
+            ),
+            1,
+            nprobe,
+        ).alias("probed"),
+    )
+
+    cents = _cents_df(spark, books)
+    lut = probes.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "probed",
+        "s",
+        "code",
+        _l2sq(
+            F.slice(F.col("qv"), F.col("s") * sub_dim + 1, sub_dim),
+            F.col("cent"),
+        ).alias("d2"),
+    )
+    scored = (
+        expl.join(F.broadcast(lut), ["s", "code"])
+        .filter(
+            (F.col("id") != F.col("query_id"))
+            & F.array_contains(F.col("probed"), F.col("cluster"))
+        )
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.round(F.sum("d2"), 9).alias("adc"))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("adc").asc(), F.col("neighbor_id").asc()
+        )
+    )
+    return (
+        scored.select("query_id", "neighbor_id", rnk.alias("rnk"))
+        .filter(F.col("rnk") <= k_top)
+    )
