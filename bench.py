@@ -165,6 +165,8 @@ HEADLINE = [
     "line_dedup",
     # r5n: product-quantization ADC ANN (train+encode+search)
     "pq_topk",
+    # r5n: per-language tokenizer fertility (bpe chain + permille agg)
+    "bpe_fertility",
     # r5h: per-source contribution caps
     "source_caps",
     # r5i: corpus-internal n-gram novelty

@@ -270,6 +270,10 @@ TAIL_OVERFLOW: set = {
     # md5 slot/order primitives (classifier_mix / training_order's
     # shared hash algebra); full oracle, parity-checked here.
     "epoch_plan",
+    # r5n: per-language tokenizer fertility — a composite of the
+    # in-window bpe_vocab merge chain and a plain integer-permille
+    # GROUP BY; full oracle, parity-checked here.
+    "bpe_fertility",
 }
 
 

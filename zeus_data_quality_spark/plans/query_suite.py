@@ -1871,6 +1871,92 @@ FROM pack_cum
 """
 
 
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — the metric that tells you a
+    vocab under-serves a language (tokens/char and tokens/pre-token
+    blow up where merges don't cover the script; the multilingual-
+    tokenizer tuning loop). Composes the oracle-verified BPE chain:
+    train on the corpus, count per-doc BPE tokens, aggregate per lang
+    with pure-integer permille arithmetic (engine-exact)."""
+    from ..functions.bpe import (
+        BPE_TOKEN_PATTERN,
+        bpe_token_counts,
+        fit_bpe,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    _, vocab = fit_bpe(docs, "text", BPE_MERGES, BPE_MIN_COUNT)
+    counts = bpe_token_counts(docs, "doc_id", "text", vocab)
+    per_doc = docs.join(counts, "doc_id", "left").select(
+        "lang",
+        F.coalesce("n_bpe_tokens", F.lit(0)).alias("t"),
+        F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("c"),
+        F.coalesce(
+            F.size(
+                F.regexp_extract_all(
+                    F.col("text"), F.lit(BPE_TOKEN_PATTERN), F.lit(0)
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("t").alias("sum_tokens"),
+        F.sum("c").alias("sum_chars"),
+        F.sum("w").alias("sum_words"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "sum_tokens",
+        F.expr(
+            "CASE WHEN sum_chars > 0 THEN (1000 * sum_tokens) div sum_chars"
+            " ELSE 0 END"
+        ).alias("tok_per_kchar"),
+        F.expr(
+            "CASE WHEN sum_words > 0 THEN (1000 * sum_tokens) div sum_words"
+            " ELSE 0 END"
+        ).alias("tok_per_kword"),
+    )
+
+
+def _oracle_bpe_fertility() -> str:
+    from ..functions.bpe import (
+        BPE_TOKEN_PATTERN,
+        duckdb_bpe_counts_cte,
+    )
+
+    cte = duckdb_bpe_counts_cte(
+        "documents", "doc_id", "text", BPE_MERGES, BPE_MIN_COUNT
+    )
+    return f"""WITH {cte},
+fert_docs AS (
+    SELECT d.lang,
+           coalesce(c.n_bpe_tokens, 0) AS t,
+           CAST(coalesce(length(d.text), 0) AS BIGINT) AS ch,
+           CAST(coalesce(
+               len(regexp_extract_all(d.text, '{BPE_TOKEN_PATTERN}')), 0)
+               AS BIGINT) AS w
+    FROM documents d LEFT JOIN bpe_counts c ON d.doc_id = c.id
+),
+fert AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t) AS BIGINT) AS sum_tokens,
+           SUM(ch) AS sum_chars, SUM(w) AS sum_words
+    FROM fert_docs GROUP BY lang
+)
+SELECT lang, n_docs, sum_tokens,
+       CAST(CASE WHEN sum_chars > 0 THEN (1000 * sum_tokens) // sum_chars
+                 ELSE 0 END AS BIGINT) AS tok_per_kchar,
+       CAST(CASE WHEN sum_words > 0 THEN (1000 * sum_tokens) // sum_words
+                 ELSE 0 END AS BIGINT) AS tok_per_kword
+FROM fert
+"""
+
+
 ENC_MERGES, ENC_BUDGET, ENC_BUCKETS = 16, 256, 4
 
 
@@ -2983,6 +3069,10 @@ def queries():
         # plan (functions/epochs.py over ccnet buckets); full oracle
         # (TAIL_OVERFLOW).
         "epoch_plan": q_epoch_plan,
+        # r5n tail composite: per-language tokenizer fertility — the
+        # in-window bpe_vocab merge chain + bpe-counts join + one
+        # integer-permille GROUP BY; full oracle (TAIL_OVERFLOW).
+        "bpe_fertility": q_bpe_fertility,
     }
 
 
@@ -3074,6 +3164,7 @@ def oracle_sql():
         "pii_validated": _oracle_pii_validated(),
         "line_dedup": _oracle_line_dedup(),
         "pq_topk": _oracle_pq(),
+        "bpe_fertility": _oracle_bpe_fertility(),
         "source_caps": _oracle_source_caps(),
         "gram_novelty": _oracle_gram_novelty(),
         "prefix_dedup": _oracle_prefix_dedup(),
