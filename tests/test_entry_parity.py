@@ -274,6 +274,11 @@ TAIL_OVERFLOW: set = {
     # in-window bpe_vocab merge chain and a plain integer-permille
     # GROUP BY; full oracle, parity-checked here.
     "bpe_fertility",
+    # r5o: quality-aware keep-one — a composite of the in-window
+    # minhash_dedup_labels verdict and the in-window classifier_mix
+    # scoring, re-canonicalized by one struct-min aggregate; full
+    # oracle, parity-checked here.
+    "dedup_keep_best",
 }
 
 

@@ -1,0 +1,103 @@
+"""keep_best: quality-aware canonical re-selection over dedup
+verdicts — max score wins, ties break to min id, unscored rows rank
+as 0.0, exactly one canonical per component, and composition with
+minhash_dedup_labels preserves the component partition."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.operators.dedup import (
+    keep_best,
+    minhash_dedup_labels,
+)
+
+
+def _verdicts(spark, rows):
+    return spark.createDataFrame(rows, "id long, component long")
+
+
+def _scores(spark, rows):
+    return spark.createDataFrame(rows, "id long, quality_score double")
+
+
+def test_max_score_wins(spark):
+    v = _verdicts(spark, [(1, 1), (2, 1), (3, 1), (9, 9)])
+    s = _scores(spark, [(1, 0.2), (2, 0.9), (3, 0.5), (9, 0.1)])
+    out = {
+        r["id"]: (r["is_canonical"], r["quality_score"])
+        for r in keep_best(v, s, "id").collect()
+    }
+    assert out[2] == (True, 0.9)  # not min id — best score
+    assert out[1] == (False, 0.2)
+    assert out[3] == (False, 0.5)
+    assert out[9] == (True, 0.1)  # singleton keeps itself
+
+
+def test_tie_breaks_to_min_id(spark):
+    v = _verdicts(spark, [(5, 5), (7, 5), (6, 5)])
+    s = _scores(spark, [(5, 0.5), (6, 0.5), (7, 0.5)])
+    out = {r["id"]: r["is_canonical"] for r in keep_best(v, s, "id").collect()}
+    assert out == {5: True, 6: False, 7: False}
+
+
+def test_unscored_rows_rank_zero(spark):
+    # id 1 missing from scores, id 2 has NULL — both rank 0.0, so the
+    # scored id 3 wins; a fully-unscored component keeps its min id
+    v = _verdicts(spark, [(1, 1), (2, 1), (3, 1), (8, 8), (9, 8)])
+    s = spark.createDataFrame(
+        [(2, None), (3, 0.1)], "id long, quality_score double"
+    )
+    rows = keep_best(v, s, "id").collect()
+    out = {r["id"]: (r["is_canonical"], r["quality_score"]) for r in rows}
+    assert out[3] == (True, 0.1)
+    assert out[1] == (False, 0.0)
+    assert out[2] == (False, 0.0)
+    assert out[8][0] and not out[9][0]  # unscored tie → min id
+
+
+def test_exactly_one_canonical_per_component(spark):
+    v = _verdicts(
+        spark, [(i, i % 4) for i in range(40)]
+    )
+    s = _scores(spark, [(i, float((i * 7) % 11) / 11.0) for i in range(40)])
+    agg = (
+        keep_best(v, s, "id")
+        .groupBy("component")
+        .agg(F.sum(F.col("is_canonical").cast("int")).alias("n"))
+        .collect()
+    )
+    assert all(r["n"] == 1 for r in agg)
+
+
+def test_composes_with_minhash_verdict(spark):
+    # near-identical pair: longer copy scores higher (length feature),
+    # so keep_best flips the kept row vs the min-id default
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " phi chi"),
+            (3, "totally different content about submarine volcanoes"),
+        ],
+        "doc_id long, text string",
+    )
+    verd = minhash_dedup_labels(
+        docs, "doc_id", "text", threshold=0.5, hash_mode="md5"
+    )
+    # min-id default keeps doc 1
+    assert {
+        r["doc_id"]: r["is_canonical"] for r in verd.collect()
+    } == {1: True, 2: False, 3: True}
+    scored = docs.select(
+        "doc_id",
+        (F.length("text").cast("double") / 1000.0).alias("quality_score"),
+    )
+    out = {
+        r["doc_id"]: r["is_canonical"]
+        for r in keep_best(verd, scored, "doc_id").collect()
+    }
+    assert out == {1: False, 2: True, 3: True}

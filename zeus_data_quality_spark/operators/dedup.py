@@ -1185,3 +1185,56 @@ def minhash_dedup_labels(
     return out.withColumn(
         "is_canonical", F.col(id_col) == F.col("component")
     )
+
+
+def keep_best(
+    verdicts: DataFrame,
+    scored: DataFrame,
+    id_col: str,
+    score_col: str = "quality_score",
+    component_col: str = "component",
+) -> DataFrame:
+    """Quality-aware canonical re-selection over any dedup verdict:
+    ``(id, component, score, is_canonical)`` where the kept row per
+    duplicate component is the HIGHEST-scoring member (ties broken by
+    min id) instead of the min-id default the verdict emitters use.
+
+    Production dedup pipelines rarely want "keep the smallest id" —
+    they want "keep the best copy" (longest, highest classifier score,
+    least boilerplate). This post-pass composes with every verdict
+    shape in the engine (``minhash_dedup_labels``,
+    ``semantic_dedup``, ``exact_dedup`` after renaming ``__keep_id``'s
+    view, ``incremental_dedup`` components): anything exposing
+    ``(id, component)``.
+
+    Scale shape: best-per-component is ONE partial-aggregable
+    two-phase aggregate — ``min`` of a ``(-score, id)`` struct, so the
+    argmax rides an 8+8-byte struct through map-side combine — plus a
+    1:N broadcast-able join-back on the component key. Never a
+    per-component window sort (a mega-component would serialize a
+    window partition; the struct-min stays balanced under AQE).
+    IEEE negation is exact, so ``-score`` loses nothing; rows missing
+    from ``scored`` (or NULL scores) rank as 0.0 so a fully-unscored
+    component still deterministically keeps its min id.
+    """
+    j = verdicts.select(id_col, component_col).join(
+        scored.select(id_col, score_col), id_col, "left"
+    ).withColumn(score_col, F.coalesce(F.col(score_col), F.lit(0.0)))
+    best = (
+        j.groupBy(component_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col(score_col)).alias("n"),
+                    F.col(id_col).alias("i"),
+                )
+            ).alias("__b")
+        )
+        .select(component_col, F.col("__b.i").alias("__best_id"))
+    )
+    return j.join(best, component_col).select(
+        F.col(id_col),
+        F.col(component_col),
+        F.col(score_col),
+        (F.col(id_col) == F.col("__best_id")).alias("is_canonical"),
+    )

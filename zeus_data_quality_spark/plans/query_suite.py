@@ -1957,6 +1957,79 @@ FROM fert
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keep-one (``operators/dedup.keep_best``): the
+    ``minhash_dedup_labels`` verdict re-canonicalized so each near-dup
+    cluster keeps its HIGHEST classifier-scored member (tie → min id)
+    instead of the min-id default — "keep the best copy", the policy
+    production dedup actually wants. Composite of two in-window rows'
+    operators (minhash_dedup_labels' pairs→CC chain + classifier_mix's
+    config-stored scoring); one extra two-phase struct-min aggregate
+    and a component-key join-back, no window sort."""
+    from ..functions.classifier import quality_score_col
+    from ..operators.dedup import keep_best
+    from .configs import DEFAULT_CLS_WEIGHTS
+
+    docs = _read(spark, sf_dir, "documents")
+    verd = minhash_dedup_labels(
+        docs, "doc_id", "text", threshold=0.7, hash_mode="md5"
+    )
+    scored = docs.select(
+        "doc_id",
+        quality_score_col(F.col("text"), DEFAULT_CLS_WEIGHTS).alias(
+            "quality_score"
+        ),
+    )
+    return keep_best(verd, scored, "doc_id")
+
+
+def _oracle_dedup_keep_best() -> str:
+    """Pairs → recursive components → per-text score → argmax with the
+    identical (score DESC, id ASC) tie-break, replayed in one
+    statement. Scores are round-9 sigmoid values pinned bit-identical
+    cross-engine by the classifier_mix oracle, so the DESC order — and
+    therefore the kept row — cannot diverge."""
+    from ..functions.classifier import duckdb_quality_score_per_text_cte
+    from .configs import DEFAULT_CLS_WEIGHTS
+
+    qcte = duckdb_quality_score_per_text_cte(
+        "__qs", "documents", "text", DEFAULT_CLS_WEIGHTS
+    )
+    return f"""
+WITH RECURSIVE
+__mh_in AS (SELECT doc_id AS id, text AS txt FROM documents),
+{duckdb_minhash_pairs_cte(threshold=0.7).strip()},
+__mh_edges AS (
+    SELECT id_a AS src, id_b AS dst FROM __mh_pairs
+    UNION
+    SELECT id_b, id_a FROM __mh_pairs
+),
+__mh_nodes AS (SELECT DISTINCT src AS id FROM __mh_edges),
+__mh_reach(id, r) AS (
+    SELECT id, id FROM __mh_nodes
+    UNION
+    SELECT __mh_reach.id, e.dst
+    FROM __mh_reach JOIN __mh_edges e ON e.src = __mh_reach.r
+),
+__mh_comp AS (SELECT id, MIN(r) AS component FROM __mh_reach GROUP BY id),
+{qcte},
+__kb AS (
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS component,
+           COALESCE(q.quality_score, 0.0) AS quality_score
+    FROM documents d
+    LEFT JOIN __mh_comp c ON c.id = d.doc_id
+    LEFT JOIN __qs q ON q.tid = d.text
+)
+SELECT doc_id, component, quality_score,
+       row_number() OVER (
+           PARTITION BY component
+           ORDER BY quality_score DESC, doc_id ASC
+       ) = 1 AS is_canonical
+FROM __kb
+"""
+
+
 ENC_MERGES, ENC_BUDGET, ENC_BUCKETS = 16, 256, 4
 
 
@@ -3073,6 +3146,11 @@ def queries():
         # in-window bpe_vocab merge chain + bpe-counts join + one
         # integer-permille GROUP BY; full oracle (TAIL_OVERFLOW).
         "bpe_fertility": q_bpe_fertility,
+        # r5o tail composite: quality-aware keep-one — the in-window
+        # minhash_dedup_labels verdict re-canonicalized by the
+        # in-window classifier_mix scoring (keep the best copy per
+        # cluster, tie → min id); full oracle (TAIL_OVERFLOW).
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 
@@ -3165,6 +3243,7 @@ def oracle_sql():
         "line_dedup": _oracle_line_dedup(),
         "pq_topk": _oracle_pq(),
         "bpe_fertility": _oracle_bpe_fertility(),
+        "dedup_keep_best": _oracle_dedup_keep_best(),
         "source_caps": _oracle_source_caps(),
         "gram_novelty": _oracle_gram_novelty(),
         "prefix_dedup": _oracle_prefix_dedup(),
