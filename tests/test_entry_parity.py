@@ -236,6 +236,16 @@ TAIL_TWINS = {
     # here; its scan → hash-agg → sort shape is the most-covered
     # physical shape in the suite. Full oracle kept here.
     "tpch_q1",
+    # r5o rotation: evicted so training_order + ccnet_buckets (the
+    # seeded-shuffle/shard and CCNet-tertile-sampling families) get
+    # driver rows. rollup_orders is a generic-SQL OLAP demo like
+    # tpch_q1/tpch_q3/cube_events already here (the grouping-sets
+    # Expand shape is a demo, not an operator family);
+    # media_video_frames' frame-sample mapInPandas shape is shared
+    # with media_audio_frames (already here) while the multimodal
+    # family keeps media_features in-window. Both keep full oracles.
+    "rollup_orders",
+    "media_video_frames",
 }
 
 # Derivative composites past the window: full value oracles (parity
@@ -251,16 +261,9 @@ every (w1,w2,w3,n,nll) row."""
 # the set is empty until a future composite overflows again.)
 TAIL_OVERFLOW: set = {
     "kn_trigram_lm",
-    # r5l: seeded epoch shuffle + shard assignment — a composite of
-    # the in-window md5-rank primitive (classifier_mix /
-    # temperature_mix) and the row_number window shape
-    # (token_budget_pack); full oracle, parity-checked here.
-    "training_order",
-    # r5m: CCNet perplexity-tertile sampling — a composite of the
-    # in-window NLL chain (perplexity family) and the md5-keep
-    # primitive (classifier_mix / temperature_mix); full oracle,
-    # parity-checked here.
-    "ccnet_buckets",
+    # (r5o: training_order and ccnet_buckets were PROMOTED into the
+    # window — the seeded-shuffle and CCNet-sampling families now have
+    # driver rows.)
     # r5m: DPO preference pairs — a composite of the in-window
     # prefix-hash grouping (prefix_dedup) and response aggregates
     # (response_stats); full oracle, parity-checked here.
@@ -279,6 +282,23 @@ TAIL_OVERFLOW: set = {
     # scoring, re-canonicalized by one struct-min aggregate; full
     # oracle, parity-checked here.
     "dedup_keep_best",
+    # r5p: bloom-sketch decontamination — the constant-broadcast-size
+    # scale path of the in-window decontaminate row (same gram
+    # synthesis; flags pinned a SUPERSET of exact in
+    # test_bloom.py); full oracle, parity-checked here.
+    "decontaminate_bloom",
+    # r5p: HLL cardinality sketch — a 64-row relational sketch next to
+    # the exact distinct count (merge/accuracy laws in
+    # test_cardinality.py); full oracle, parity-checked here.
+    "cardinality_sketch",
+    # r5p: per-doc char entropy + TTR — per-row HOF quality signals in
+    # the in-window text_stats family's physical shape (hand-computed
+    # pins in test_entropy.py); full oracle, parity-checked here.
+    "char_entropy",
+    # r5p: key-skew diagnosis — top keys + rank-selection group-size
+    # quantiles (the salting/AQE decision table; mega-key detection
+    # pinned in test_skewreport.py); full oracle, parity-checked here.
+    "skew_report",
 }
 
 
@@ -314,7 +334,10 @@ def test_driver_window_covers_every_operator_family():
         "langid": {"langid"},
         "perplexity": {"perplexity", "perplexity_trained", "perplexity_kn"},
         "monitor": {"monitor_topk", "monitor_daily_trend"},
-        "olap": {"rollup_orders", "window_running_total"},
+        # (olap left the family map in r5o: rollup_orders and
+        # window_running_total are generic-SQL demos like tpch_q1 —
+        # the tail twins notes cover both; the budget cumsum window
+        # shape stays in-window via token_budget_pack)
         # r5i: the exact-Jaccard verify surface rides in-window inside
         # minhash_dedup_labels' candidate-verify stage (same operator,
         # same oracle replay); the standalone pair query is a tail twin
@@ -372,15 +395,18 @@ def test_driver_window_covers_every_operator_family():
         "line_dedup": {"line_dedup"},
         # r5n: product-quantization compressed-vector ANN (ADC)
         "pq": {"pq_topk"},
+        # r5o: seeded training-order shuffle + shard assignment
+        "training_order": {"training_order"},
+        # r5o: CCNet perplexity-tertile sampling
+        "ccnet_sampling": {"ccnet_buckets"},
     }
     for fam, members in families.items():
         assert members & in_window, f"family {fam} has no driver-window row"
-    # the media family must keep its distinct operator surfaces
-    # in-window (r2 gap); r5 evicted the resize twin (shares the image
-    # decode path with media_features), r5g the audio twin (shares the
-    # mapInPandas frame-sampling shape with media_video_frames) — both
-    # keep full oracles in the tail
-    assert {"media_features", "media_video_frames"} <= in_window
+    # the media family must keep a driver row (r2 gap); r5 evicted the
+    # resize twin (shares the image decode path with media_features),
+    # r5g the audio twin and r5o the video twin (both frame-sample
+    # mapInPandas shapes) — all keep full oracles in the tail
+    assert "media_features" in in_window
     # the round-3 operators specifically must be FULLY in-window (r3
     # gap); packing is covered by sequence_packing_bpe + token_shards
     # after the r5g rotation (sequence_packing itself is a tail twin);
@@ -411,6 +437,9 @@ def test_driver_window_covers_every_operator_family():
     # semantic_dedup row must be driver-adjudicated (r4 verdict 2+3)
     assert {"sequence_packing_bpe", "ann_ivf_from_text",
             "semantic_dedup", "dsir_select"} <= in_window
+    # r5o promotions: the seeded-shuffle and CCNet-sampling families
+    # must be driver-adjudicated
+    assert {"training_order", "ccnet_buckets"} <= in_window
     # nothing novel hides in the tail
     assert out_window <= TAIL_TWINS | TAIL_OVERFLOW, (
         out_window - TAIL_TWINS - TAIL_OVERFLOW

@@ -1957,6 +1957,106 @@ FROM fert
 """
 
 
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sketch decontamination (``operators/bloom.py``): the same
+    eval-set carve-out as the in-window `decontaminate`, probed through
+    a 65536-bit / 2-hash packed filter instead of the exact gram set —
+    the constant-broadcast-size scale path (8 KiB regardless of eval
+    corpus size). Build = one ``bit_or`` aggregate; probe = two
+    broadcast word-joins, zero corpus shuffle. Flags are a pinned
+    SUPERSET of the exact path's (no false negatives)."""
+    from ..operators.bloom import bloom_build, bloom_contamination_flags
+    from ..operators.decontam import benchmark_ngrams
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = benchmark_ngrams(docs.filter(F.col("doc_id") < 25))
+    words = bloom_build(bench, hash_mode="md5")
+    return bloom_contamination_flags(
+        docs, words, "doc_id", "text", hash_mode="md5"
+    )
+
+
+def _oracle_decontaminate_bloom() -> str:
+    from ..operators.bloom import duckdb_bloom_contamination_sql
+
+    return duckdb_bloom_contamination_sql("documents", "doc_id < 25")
+
+
+def q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-cardinality sketch (``functions/cardinality.py``)
+    over the corpus's word 3-shingles, next to the exact count it
+    approximates: one row (n_exact, n_buckets_seen, harmonic_scaled,
+    est_milli). The sketch groupBy shuffles ≤ 64 rows regardless of
+    corpus size (map-side-combined max), vs the exact count's
+    all-shingles distinct shuffle — the 100 TB shape for "how many
+    distinct n-grams / URLs / users does this corpus have"."""
+    from ..functions.cardinality import hll_estimate, hll_sketch
+    from ..operators.decontam import _exploded_shingles
+
+    docs = _read(spark, sf_dir, "documents")
+    grams = _exploded_shingles(docs, [], "text", 3)
+    est = hll_estimate(hll_sketch(grams, "ngram", hash_mode="md5"))
+    exact = grams.agg(
+        F.countDistinct("ngram").cast("long").alias("n_exact")
+    )
+    return exact.crossJoin(est)
+
+
+def _oracle_cardinality_sketch() -> str:
+    from ..functions.cardinality import duckdb_hll_sql
+    from ..functions.textstats import TOKEN_SPLIT
+
+    gram = " || ' ' || ".join(f"t[CAST(i + {j} AS INT)]" for j in range(3))
+    grams = f"""
+    SELECT unnest(list_transform(range(1, len(t) - 1), i -> {gram})) AS ngram
+    FROM (SELECT regexp_split_to_array(lower(trim(text)), '{TOKEN_SPLIT}') AS t
+          FROM documents) q
+    WHERE len(t) >= 3
+    """
+    hll = duckdb_hll_sql(grams, "ngram")
+    return f"""
+SELECT e.n_exact, h.n_buckets_seen, h.harmonic_scaled, h.est_milli
+FROM (SELECT CAST(COUNT(DISTINCT ngram) AS BIGINT) AS n_exact
+      FROM ({grams})) e
+CROSS JOIN ({hll}) h
+"""
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy + lexical-diversity signals
+    (``functions/entropy.py``): per-doc Shannon entropy in micro-nats
+    (the spam/compressibility proxy) and type-token ratio — pure
+    per-row HOF Project, zero shuffle, zero UDF."""
+    from ..functions.entropy import entropy_stats
+
+    return entropy_stats(_read(spark, sf_dir, "documents"), "doc_id")
+
+
+def _oracle_char_entropy() -> str:
+    from ..functions.entropy import duckdb_entropy_sql
+
+    return duckdb_entropy_sql("documents", "doc_id")
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis (``operators/skewreport.py``) on the events
+    table's user_id — the decision table (top keys + group-size
+    quantiles) behind every salting / AQE-threshold / broadcast call
+    this engine's scale notes make. Exact quantile mode here so the
+    oracle replays it; production uses the percentile_approx sketch."""
+    from ..operators.skewreport import skew_report
+
+    return skew_report(
+        _read(spark, sf_dir, "events"), "user_id", top_k=10, exact=True
+    )
+
+
+def _oracle_skew_report() -> str:
+    from ..operators.skewreport import duckdb_skew_report_sql
+
+    return duckdb_skew_report_sql("events", "user_id", top_k=10)
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware keep-one (``operators/dedup.keep_best``): the
     ``minhash_dedup_labels`` verdict re-canonicalized so each near-dup
@@ -2952,7 +3052,15 @@ def queries():
         # incremental_dedup's join stages).
         "tool_call_stats": q_tool_call_stats,
         "monitor_daily_trend": q_monitor_daily_trend,
-        "rollup_orders": q_rollup_orders,
+        # r5o rotation: seeded training-order shuffle + shard
+        # assignment (functions/ordering.py) promoted — the
+        # decomposed-global-position two-phase plan (epoch_pos =
+        # shard_offset + shard_pos, no single-partition exchange) is a
+        # physical shape nothing else in the window carries. Evicted
+        # `rollup_orders`: a generic-SQL OLAP demo like
+        # tpch_q1/tpch_q3/cube_events (already tail twins); full
+        # oracle kept in the tail.
+        "training_order": q_training_order,
         # r5i: corpus-internal n-gram novelty (functions/novelty.py) —
         # the inter-document duplication quality signal; evicted
         # `ngram_jaccard_pairs` (the exact n-gram Jaccard verify stage
@@ -2979,7 +3087,15 @@ def queries():
         "response_stats": q_response_stats,
         "corpus_diff": q_corpus_diff,
         "media_features": q_media_features,
-        "media_video_frames": q_media_video_frames,
+        # r5o rotation: CCNet perplexity-tertile sampling
+        # (functions/ccnet.py) promoted — per-language NTILE cut
+        # points + threshold-bucket keeps, a sampling shape nothing
+        # else in the window carries. Evicted `media_video_frames`:
+        # the multimodal family keeps media_features in-window (the
+        # decode + feature-extract surface); the frame-sample
+        # mapInPandas shape it shares with media_audio_frames keeps
+        # both full oracles in the tail.
+        "ccnet_buckets": q_ccnet_buckets,
         "perplexity_trained": q_perplexity_trained,
         "loop_detection": q_loop_detection,
         # r5g: tokenizer encode-to-ids + packed token shards
@@ -3120,19 +3236,15 @@ def queries():
         "range_join": q_range_join,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "bigram_lm": q_bigram_lm,
-        # r5l tail composite: seeded epoch shuffle + shard assignment
-        # (functions/ordering.py) — md5-rank primitive in-window via
-        # classifier_mix/temperature_mix, row_number window shape via
-        # token_budget_pack; full oracle (TAIL_OVERFLOW).
-        "training_order": q_training_order,
+        # r5o rotation (see the training_order block above): the
+        # generic-SQL ROLLUP demo's full oracle kept here.
+        "rollup_orders": q_rollup_orders,
+        # r5o rotation (see the ccnet_buckets block above): the
+        # frame-sample surface's full oracle kept here.
+        "media_video_frames": q_media_video_frames,
         # r5m rotation (see the chat_render block above): full oracle
         # kept here and in tests/test_entry_parity.py.
         "text_embeddings": q_text_embeddings,
-        # r5m tail composite: CCNet perplexity-tertile sampling
-        # (functions/ccnet.py) — NLL chain in-window via the
-        # perplexity family, md5-keep via classifier_mix; full oracle
-        # (TAIL_OVERFLOW).
-        "ccnet_buckets": q_ccnet_buckets,
         # r5m tail composite: DPO preference pairs from regeneration
         # groups (operators/preference.py) — prefix-hash primitive
         # in-window via prefix_dedup, response aggregates via
@@ -3151,6 +3263,22 @@ def queries():
         # in-window classifier_mix scoring (keep the best copy per
         # cluster, tie → min id); full oracle (TAIL_OVERFLOW).
         "dedup_keep_best": q_dedup_keep_best,
+        # r5p tail: bloom-sketch scale path of the in-window
+        # decontaminate row (same gram synthesis, packed-filter probe;
+        # superset law pytest-pinned); full oracle (TAIL_OVERFLOW).
+        "decontaminate_bloom": q_decontaminate_bloom,
+        # r5p tail: HLL cardinality sketch next to the exact distinct
+        # count it approximates (merge law + accuracy floor
+        # pytest-pinned); full oracle (TAIL_OVERFLOW).
+        "cardinality_sketch": q_cardinality_sketch,
+        # r5p tail: per-doc char entropy + TTR quality signals —
+        # per-row HOF algebra in the text_stats family's physical
+        # shape; full oracle (TAIL_OVERFLOW).
+        "char_entropy": q_char_entropy,
+        # r5p tail: key-skew diagnosis (top keys + group-size
+        # quantiles — the salting/AQE decision table); full oracle
+        # (TAIL_OVERFLOW).
+        "skew_report": q_skew_report,
     }
 
 
@@ -3244,6 +3372,10 @@ def oracle_sql():
         "pq_topk": _oracle_pq(),
         "bpe_fertility": _oracle_bpe_fertility(),
         "dedup_keep_best": _oracle_dedup_keep_best(),
+        "decontaminate_bloom": _oracle_decontaminate_bloom(),
+        "cardinality_sketch": _oracle_cardinality_sketch(),
+        "char_entropy": _oracle_char_entropy(),
+        "skew_report": _oracle_skew_report(),
         "source_caps": _oracle_source_caps(),
         "gram_novelty": _oracle_gram_novelty(),
         "prefix_dedup": _oracle_prefix_dedup(),
