@@ -1,0 +1,111 @@
+"""Bloom-filter decontamination (operators/bloom.py) semantics.
+Cross-engine parity: test_entry_parity.py (`decontaminate_bloom`).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.operators.bloom import (
+    BITS_PER_WORD,
+    bloom_build,
+    bloom_contamination_flags,
+)
+from zeus_data_quality_spark.operators.decontam import (
+    benchmark_ngrams,
+    contamination_flags,
+)
+
+
+def _docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.mark.parametrize("hash_mode", ["md5", "xxhash64"])
+def test_no_false_negatives_superset_of_exact(spark, hash_mode):
+    """The load-bearing bloom guarantee: a gram that went INTO the
+    filter always probes all-bits-set, so per-doc bloom hit counts
+    dominate exact hit counts and the bloom flag is a superset of the
+    exact contamination flag — in both hash modes."""
+    docs = _docs(spark)
+    bench = benchmark_ngrams(docs.filter(F.col("doc_id") < 25))
+    words = bloom_build(bench, hash_mode=hash_mode)
+    bloom = {
+        r["doc_id"]: (r["n_bloom_hits"], r["is_contaminated"])
+        for r in bloom_contamination_flags(
+            docs, words, hash_mode=hash_mode
+        ).collect()
+    }
+    exact = {
+        r["doc_id"]: (r["n_contaminated_ngrams"], r["is_contaminated"])
+        for r in contamination_flags(docs, bench).collect()
+    }
+    assert set(bloom) == set(exact)
+    for d, (n_ex, flag_ex) in exact.items():
+        n_bl, flag_bl = bloom[d]
+        assert n_bl >= n_ex, d
+        if flag_ex:
+            assert flag_bl, d
+
+
+def test_false_positive_rate_sane_at_default_size(spark):
+    """With m=65536 / k=2 and this corpus's ~thousands of bench grams,
+    over-flagging must stay a small fraction: the bloom path may flag
+    more docs than exact, but not 2× more."""
+    docs = _docs(spark)
+    bench = benchmark_ngrams(docs.filter(F.col("doc_id") < 25))
+    words = bloom_build(bench, hash_mode="md5")
+    n_bloom = (
+        bloom_contamination_flags(docs, words, hash_mode="md5")
+        .filter("is_contaminated")
+        .count()
+    )
+    n_exact = contamination_flags(docs, bench).filter("is_contaminated").count()
+    assert n_exact <= n_bloom <= max(2 * n_exact, n_exact + 10)
+
+
+def test_filter_is_constant_size(spark):
+    """The whole point of the sketch: the packed filter is at most
+    ceil(m / 62) rows regardless of how many grams went in."""
+    docs = _docs(spark)
+    small = benchmark_ngrams(docs.filter(F.col("doc_id") < 5))
+    big = benchmark_ngrams(docs.filter(F.col("doc_id") < 200))
+    m = 1 << 16
+    cap = -(-m // BITS_PER_WORD)
+    assert bloom_build(small, m_bits=m).count() <= cap
+    assert bloom_build(big, m_bits=m).count() <= cap
+    # and words only use the 62 portable bits: every stored word is a
+    # bit_or of shiftleft(1, b<=61) values, so none is negative
+    assert (
+        bloom_build(big, m_bits=m).filter(F.col("word") < 0).count() == 0
+    )
+
+
+def test_empty_benchmark_flags_nothing(spark):
+    docs = _docs(spark)
+    bench = benchmark_ngrams(docs.filter(F.lit(False)))
+    words = bloom_build(bench)
+    out = bloom_contamination_flags(docs, words)
+    assert out.filter("is_contaminated").count() == 0
+    assert out.count() == docs.count()
+
+
+def test_min_hits_threshold(spark):
+    """min_hits gates the flag on the (maybe-)hit count, exactly as
+    the exact path gates on true hits."""
+    docs = _docs(spark)
+    bench = benchmark_ngrams(docs.filter(F.col("doc_id") < 25))
+    words = bloom_build(bench, hash_mode="md5")
+    loose = bloom_contamination_flags(docs, words, hash_mode="md5")
+    tight = bloom_contamination_flags(
+        docs, words, min_hits=10, hash_mode="md5"
+    )
+    n_loose = loose.filter("is_contaminated").count()
+    n_tight = tight.filter("is_contaminated").count()
+    assert n_tight < n_loose
+    flagged_tight = {
+        r["doc_id"] for r in tight.filter("is_contaminated").collect()
+    }
+    by_id = {r["doc_id"]: r["n_bloom_hits"] for r in loose.collect()}
+    assert flagged_tight == {d for d, n in by_id.items() if n >= 10}

@@ -1,0 +1,99 @@
+"""HLL cardinality sketch (functions/cardinality.py) semantics.
+Cross-engine parity: test_entry_parity.py (`cardinality_sketch`).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.functions.cardinality import (
+    DEFAULT_M,
+    hll_estimate,
+    hll_sketch,
+)
+
+
+def _vals(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+
+
+@pytest.mark.parametrize("hash_mode", ["md5", "xxhash64"])
+def test_accuracy_within_three_sigma(spark, hash_mode):
+    """Standard HLL error is 1.04/sqrt(m); 3σ over 10k distinct values
+    must hold in both hash modes (deterministic corpus → this is a
+    fixed fact, not a flaky sample)."""
+    n = 10_000
+    est = (
+        hll_estimate(hll_sketch(_vals(spark, 0, n), "v", hash_mode=hash_mode))
+        .collect()[0]["est_milli"]
+        / 1000.0
+    )
+    sigma = 1.04 / math.sqrt(DEFAULT_M)
+    assert abs(est - n) / n < 3 * sigma, est
+
+
+def test_merge_law(spark):
+    """Sketch(A ∪ B) == merge(sketch(A), sketch(B)) by bucket-max —
+    the property that lets per-partition sketches live in the lineage
+    table and fold at read time."""
+    a, b = _vals(spark, 0, 3000), _vals(spark, 2000, 6000)  # overlap
+    whole = hll_sketch(a.union(b), "v", hash_mode="md5")
+    merged = (
+        hll_sketch(a, "v", hash_mode="md5")
+        .union(hll_sketch(b, "v", hash_mode="md5"))
+        .groupBy("bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    lhs = {(r["bucket"], r["max_rank"]) for r in whole.collect()}
+    rhs = {(r["bucket"], r["max_rank"]) for r in merged.collect()}
+    assert lhs == rhs
+    # and therefore identical estimates
+    e1 = hll_estimate(whole).collect()[0]
+    e2 = hll_estimate(merged).collect()[0]
+    assert e1 == e2
+
+
+def test_duplicates_do_not_move_the_estimate(spark):
+    """Cardinality, not count: replicating every value 50× leaves the
+    sketch bit-identical."""
+    base = _vals(spark, 0, 500)
+    dup = base.crossJoin(spark.range(50).select(F.lit(1).alias("__x"))).select(
+        "v"
+    )
+    s1 = sorted(map(tuple, hll_sketch(base, "v", hash_mode="md5").collect()))
+    s2 = sorted(map(tuple, hll_sketch(dup, "v", hash_mode="md5").collect()))
+    assert s1 == s2
+
+
+def test_nulls_skipped_and_empty_input(spark):
+    df = spark.createDataFrame([("a",), (None,), ("b",), (None,)], "v string")
+    sk = hll_sketch(df, "v", hash_mode="md5")
+    assert sk.count() <= 2  # only non-null values hash
+    empty = hll_estimate(
+        hll_sketch(df.filter(F.col("v").isNull()), "v", hash_mode="md5")
+    ).collect()[0]
+    assert empty["n_buckets_seen"] == 0
+    assert empty["est_milli"] == 0  # linear counting: m·ln(m/m) = 0
+
+
+def test_small_range_linear_counting(spark):
+    """At tiny cardinality the linear-counting branch engages and is
+    near-exact: 5 distinct values estimate within ±1."""
+    est = (
+        hll_estimate(hll_sketch(_vals(spark, 0, 5), "v", hash_mode="md5"))
+        .collect()[0]["est_milli"]
+        / 1000.0
+    )
+    assert abs(est - 5) <= 1.0, est
+
+
+def test_m_validation(spark):
+    with pytest.raises(ValueError):
+        hll_sketch(_vals(spark, 0, 10), "v", m=63)
+    with pytest.raises(ValueError):
+        hll_sketch(_vals(spark, 0, 10), "v", m=8192)

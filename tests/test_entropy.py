@@ -1,0 +1,66 @@
+"""Char-entropy / lexical-diversity (functions/entropy.py) semantics.
+Cross-engine parity: test_entry_parity.py (`char_entropy`).
+"""
+
+from __future__ import annotations
+
+import math
+
+from zeus_data_quality_spark.functions.entropy import entropy_stats
+
+
+def _one(spark, text):
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    return entropy_stats(df, "id").collect()[0]
+
+
+def test_uniform_alphabet_entropy_is_ln_k(spark):
+    """'abcd' — 4 equiprobable chars — must score ln(4) micro-nats."""
+    r = _one(spark, "abcd")
+    assert r["n_chars"] == 4 and r["n_char_types"] == 4
+    assert abs(r["char_entropy_micro"] - round(math.log(4) * 1e6)) <= 1
+
+
+def test_constant_text_scores_zero(spark):
+    """The degenerate spam case: one repeated char has zero entropy."""
+    r = _one(spark, "aaaaaaaaaa")
+    assert r["char_entropy_micro"] == 0
+    assert r["n_char_types"] == 1
+
+
+def test_hand_computed_mixed_distribution(spark):
+    """'aab': p = (2/3, 1/3) → H = ln3 - (2/3)ln2."""
+    want = math.log(3) - (2 / 3) * math.log(2)
+    r = _one(spark, "aab")
+    assert abs(r["char_entropy_micro"] - round(want * 1e6)) <= 1
+
+
+def test_null_and_empty_contract(spark):
+    for t in (None, ""):
+        r = _one(spark, t)
+        assert (
+            r["n_chars"],
+            r["n_char_types"],
+            r["char_entropy_micro"],
+            r["n_tokens"],
+            r["ttr_permille"],
+        ) == (0, 0, 0, 0, 0)
+
+
+def test_ttr_and_token_types(spark):
+    """'The the CAT cat dog' lowercases to 3 types / 5 tokens →
+    TTR 600‰; repetitive text scores lower than diverse text."""
+    r = _one(spark, "The the CAT cat dog")
+    assert r["n_tokens"] == 5 and r["n_token_types"] == 3
+    assert r["ttr_permille"] == 600
+    diverse = _one(spark, "one two three four five")
+    assert diverse["ttr_permille"] == 1000
+
+
+def test_entropy_orders_spam_below_prose(spark):
+    """The signal does its job: keyboard-mash repetition scores below
+    a real sentence."""
+    spam = _one(spark, "buy buy buy buy buy buy buy buy")
+    prose = _one(spark, "A quick brown fox jumps over the lazy dog.")
+    assert spam["char_entropy_micro"] < prose["char_entropy_micro"]
+    assert spam["ttr_permille"] < prose["ttr_permille"]

@@ -1,0 +1,90 @@
+"""Key-skew diagnosis (operators/skewreport.py) semantics.
+Cross-engine parity: test_entry_parity.py (`skew_report`).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.operators.skewreport import skew_report
+
+
+def _df(spark, rows):
+    return spark.createDataFrame([(k,) for k in rows], "k string")
+
+
+def test_hand_computed_report(spark):
+    """9 'a', 3 'b', 1 'c', 1 NULL: shares, ranks, quantiles at
+    ⌈q·4⌉ over sorted group sizes [1, 1, 3, 9]."""
+    rows = ["a"] * 9 + ["b"] * 3 + ["c"] + [None]
+    out = {r["rank"]: r for r in skew_report(_df(spark, rows), "k", exact=True).collect()}
+    assert len(out) == 4
+    r1 = out[1]
+    assert (r1["key"], r1["n_rows"]) == ("a", 9)
+    assert r1["share_permille"] == 1000 * 9 // 14 == 642
+    assert (r1["n_keys"], r1["total_rows"]) == (4, 14)
+    # sorted sizes [1,1,3,9]: p50 at ceil(.5*4)=2 → 1,
+    # p90 at ceil(.9*4)=4 → 9, p99 at 4 → 9
+    assert (r1["p50_group"], r1["p90_group"], r1["p99_group"]) == (1, 9, 9)
+    assert r1["max_group"] == 9
+    assert out[2]["key"] == "b"
+    # NULL keys group and report like any key (stringified key is None)
+    null_rows = [r for r in out.values() if r["key"] is None]
+    assert len(null_rows) == 1 and null_rows[0]["n_rows"] == 1
+
+
+def test_tie_break_deterministic(spark):
+    """Equal counts rank by key ascending."""
+    out = skew_report(_df(spark, ["x", "y", "z"]), "k", exact=True).collect()
+    assert [r["key"] for r in sorted(out, key=lambda r: r["rank"])] == [
+        "x",
+        "y",
+        "z",
+    ]
+
+
+def test_top_k_truncates(spark):
+    rows = [c for i, c in enumerate("abcdefghij") for _ in range(i + 1)]
+    out = skew_report(_df(spark, rows), "k", top_k=3, exact=True).collect()
+    assert len(out) == 3
+    assert {r["key"] for r in out} == {"j", "i", "h"}
+    # global stats still describe ALL keys, not just the reported top
+    assert out[0]["n_keys"] == 10
+
+
+@pytest.mark.parametrize("exact", [True, False])
+def test_uniform_keys_show_no_skew(spark, exact):
+    """A flat distribution: every group the same size, max == p50."""
+    rows = [c for c in "abcde" for _ in range(4)]
+    out = skew_report(_df(spark, rows), "k", exact=exact).collect()
+    r = out[0]
+    assert r["max_group"] == r["p50_group"] == 4
+    assert r["share_permille"] == 200
+
+
+def test_approx_mode_agrees_on_structure(spark):
+    """The production (sketch) mode returns the same schema, ranks,
+    counts and max — only the mid quantiles may use the sketch."""
+    rows = ["a"] * 9 + ["b"] * 3 + ["c"]
+    exact = skew_report(_df(spark, rows), "k", exact=True).collect()
+    approx = skew_report(_df(spark, rows), "k", exact=False).collect()
+    pick = lambda rs: sorted(  # noqa: E731
+        (r["rank"], r["key"], r["n_rows"], r["max_group"]) for r in rs
+    )
+    assert pick(exact) == pick(approx)
+
+
+def test_detects_planted_mega_key(spark):
+    """The operator's actual job: a mega-conversation (80% of rows on
+    one key) surfaces as rank 1 with share >= 750‰ and a max_group
+    far above p50."""
+    rows = ["mega"] * 800 + [f"k{i}" for i in range(200)]
+    r1 = [
+        r
+        for r in skew_report(_df(spark, rows), "k", exact=True).collect()
+        if r["rank"] == 1
+    ][0]
+    assert r1["key"] == "mega"
+    assert r1["share_permille"] >= 750
+    assert r1["max_group"] >= 100 * r1["p50_group"]

@@ -1,0 +1,202 @@
+"""HyperLogLog-style distinct-cardinality sketch, fully relational.
+
+Counting distinct tokens / shingles / URLs over a 100 TB corpus with
+``COUNT(DISTINCT x)`` shuffles every distinct value; Spark's own
+``approx_count_distinct`` solves that but its HLL++ register layout is
+JVM-internal — not replayable by another engine, not versionable as
+data. This module builds the classic Flajolet HLL sketch (public:
+Flajolet et al. 2007; the probabilistic-counting idea the reference
+has no analogue of) out of plain relational algebra so the sketch
+itself is a 64-row DataFrame any engine can recompute, merge, store in
+the lineage table, and verify:
+
+* hash each value once to a 60-bit integer ``h``; ``bucket = h % m``,
+  ``suffix = h // m`` (a ``w = 60 - log2(m)``-bit value);
+* ``rank`` = leading zeros of the suffix within ``w`` bits, + 1 —
+  computed with INTEGER algebra: minimal-length ``bin()`` gives
+  ``floor(log2)+1`` identically in Spark and DuckDB, so
+  ``rank = w - length(bin(suffix)) + 1`` (suffix 0 → ``w + 1``);
+* sketch = ``groupBy(bucket).agg(max(rank))`` — the shuffle is at most
+  ``m`` rows regardless of corpus size, and ``max`` is
+  map-side-combinable, so the scan emits ≤ ``m`` rows per task. Two
+  sketches over disjoint corpora MERGE by the same ``max`` — the
+  property that makes the sketch storable per-partition in the
+  lineage table and folded at read time (the checkpoint-resume shape).
+
+The estimate avoids float-sum nondeterminism entirely: the harmonic
+term ``Σ 2^(-M_j)`` is kept as the EXACT integer ``Σ 2^(SCALE - M_j)``
+(every addend a power of two, total < 2^62 for m ≤ 64), so partial
+aggregation order cannot change it. The final α·m²/Z division happens
+once, on exact integer inputs, with one fixed expression shape — both
+engines' IEEE doubles round it identically.
+
+Hash modes per the engine convention (operators/dedup.py:201): ``md5``
+(15 hex chars → 60 bits; byte-identical cross-engine, the oracle mode)
+and ``xxhash64`` (production; ``pmod`` to 60 bits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import _ALPHA
+
+HASH_BITS = 60
+DEFAULT_M = 64  # bucket count; must be a power of two <= 4096
+# integer scale for the harmonic sum: rank <= w + 1 <= 55 for m=64,
+# so 2^(SCALE - rank) stays positive and the m-term sum < 2^62
+SCALE = 56
+# alpha_m for m = 64 (Flajolet et al. 2007, table for m >= 64)
+ALPHA_64 = 0.709
+
+
+def _hex15_to_int(h: Column) -> Column:
+    """First 15 hex chars → exact 60-bit non-negative BIGINT, via the
+    position-weighted lookup (engine-portable; 16 chars would overflow
+    the signed 64-bit range)."""
+    out = F.lit(0).cast("long")
+    for i in range(15):
+        digit = (
+            F.position(F.substring(h, i + 1, 1), F.lit(_ALPHA)) - 1
+        ).cast("long")
+        out = out + digit * F.lit(16 ** (15 - 1 - i)).cast("long")
+    return out
+
+
+def _sql_hex15_to_int(hex_sql: str) -> str:
+    terms = " + ".join(
+        f"(instr('{_ALPHA}', substr({hex_sql}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (15 - 1 - i)}::BIGINT"
+        for i in range(15)
+    )
+    return f"({terms})"
+
+
+def _hash60(value: Column, hash_mode: str) -> Column:
+    if hash_mode == "md5":
+        return _hex15_to_int(F.md5(value.cast("string")))
+    return F.pmod(F.xxhash64(value), F.lit(1 << HASH_BITS))
+
+
+def hll_sketch(
+    df: DataFrame,
+    value_col: str,
+    m: int = DEFAULT_M,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """(bucket, max_rank) sketch rows — at most ``m``, only buckets
+    that saw a value. NULL values are skipped (SQL COUNT(DISTINCT)
+    semantics). Merge two sketches with
+    ``union → groupBy(bucket).agg(max(max_rank))``."""
+    if m & (m - 1) or not 0 < m <= 4096:
+        raise ValueError("m must be a power of two in (0, 4096]")
+    w = HASH_BITS - m.bit_length() + 1  # suffix bits: 60 - log2(m)
+    h = _hash60(F.col(value_col), hash_mode)
+    suffix = F.floor(h / m).cast("long")
+    rank = F.when(suffix == 0, F.lit(w + 1)).otherwise(
+        F.lit(w) - F.length(F.bin(suffix)) + 1
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select((h % m).alias("bucket"), rank.alias("__rank"))
+        .groupBy("bucket")
+        .agg(F.max("__rank").cast("int").alias("max_rank"))
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame, m: int = DEFAULT_M, alpha: float = ALPHA_64
+) -> DataFrame:
+    """One row from a sketch: (n_buckets_seen, harmonic_scaled,
+    est_milli). ``harmonic_scaled`` = Σ 2^(SCALE − M_j) over all m
+    buckets (unseen buckets contribute rank 0 → 2^SCALE) — an EXACT
+    integer, immune to aggregation order. ``est_milli`` =
+    ⌊1000·α·m²·2^SCALE / harmonic⌋, with the small-range
+    linear-counting correction (est ≤ 2.5m and empty buckets exist →
+    m·ln(m/V)) applied exactly as published."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_buckets_seen"),
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT),"
+                f" CAST({SCALE} - max_rank AS INT))"
+            )
+        ).alias("__seen_sum"),
+    )
+    seen = F.coalesce(F.col("n_buckets_seen"), F.lit(0))
+    harmonic = F.coalesce(F.col("__seen_sum"), F.lit(0)).cast("long") + (
+        m - seen
+    ) * F.lit(1 << SCALE).cast("long")
+    raw = (
+        F.lit(float(alpha * m * m))
+        * F.lit(float(1 << SCALE))
+        / harmonic.cast("double")
+    )
+    v_empty = (m - seen).cast("double")
+    est = F.when(
+        (raw <= 2.5 * m) & (seen < m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty),
+    ).otherwise(raw)
+    return agg.select(
+        seen.cast("long").alias("n_buckets_seen"),
+        harmonic.alias("harmonic_scaled"),
+        F.floor(est * 1000).cast("long").alias("est_milli"),
+    )
+
+
+def duckdb_hll_sql(
+    values_sql: str,
+    value_col: str,
+    m: int = DEFAULT_M,
+    alpha: float = ALPHA_64,
+) -> str:
+    """DuckDB twin of ``hll_sketch`` + ``hll_estimate`` over
+    ``values_sql`` (a query producing one ``value_col`` column), md5
+    mode — replays the 60-bit hash, bucket/suffix split, bin()-length
+    rank, max-rank sketch, exact integer harmonic sum, and the same
+    fixed-shape final division."""
+    w = HASH_BITS - m.bit_length() + 1
+    h60 = _sql_hex15_to_int(f"md5(CAST({value_col} AS VARCHAR))")
+    return f"""
+WITH vals AS ({values_sql}),
+hashed AS (
+    SELECT {h60} AS h FROM vals WHERE {value_col} IS NOT NULL
+),
+ranked AS (
+    SELECT h % {m} AS bucket,
+           CASE WHEN h // {m} = 0 THEN {w + 1}
+                ELSE {w} - length(bin(h // {m})) + 1 END AS rank
+    FROM hashed
+),
+sketch AS (
+    SELECT bucket, CAST(MAX(rank) AS INT) AS max_rank
+    FROM ranked GROUP BY bucket
+),
+agg AS (
+    SELECT COUNT(*) AS n_buckets_seen,
+           SUM(CAST(1 AS BIGINT) << CAST({SCALE} - max_rank AS INT))
+               AS seen_sum
+    FROM sketch
+)
+SELECT CAST(n_buckets_seen AS BIGINT) AS n_buckets_seen,
+       CAST(COALESCE(seen_sum, 0)
+            + ({m} - n_buckets_seen) * ({(1 << SCALE)}::BIGINT)
+            AS BIGINT) AS harmonic_scaled,
+       CAST(FLOOR(1000 * (
+           CASE WHEN ({float(alpha * m * m)} * {float(1 << SCALE)}
+                      / CAST(COALESCE(seen_sum, 0)
+                             + ({m} - n_buckets_seen)
+                               * ({(1 << SCALE)}::BIGINT) AS DOUBLE))
+                     <= {2.5 * m}
+                AND n_buckets_seen < {m}
+                THEN CAST({m} AS DOUBLE)
+                     * ln(CAST({m} AS DOUBLE)
+                          / CAST({m} - n_buckets_seen AS DOUBLE))
+                ELSE {float(alpha * m * m)} * {float(1 << SCALE)}
+                     / CAST(COALESCE(seen_sum, 0)
+                            + ({m} - n_buckets_seen)
+                              * ({(1 << SCALE)}::BIGINT) AS DOUBLE)
+           END)) AS BIGINT) AS est_milli
+FROM agg
+"""

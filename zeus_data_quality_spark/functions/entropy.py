@@ -1,0 +1,135 @@
+"""Character-entropy and lexical-diversity quality signals.
+
+Low character entropy is the classic cheap spam/repetition signal
+(public: Gopher §A2 and CCNet both gate on repetition; entropy is the
+information-theoretic version — a doc of "aaaa…" scores ~0 nats, real
+prose ~3-4.5) and type-token ratio (TTR) is the standard lexical
+diversity heuristic. Entropy also bounds the doc's compressibility
+(Shannon), so ``char_entropy`` doubles as a compression-ratio proxy
+without running a compressor in the pipeline.
+
+Spark shape at 100 TB: everything is per-row higher-order-function
+Column algebra — char frequencies are computed INSIDE each row
+(``transform(array_distinct(chars), c -> count in chars)``; distinct
+chars are ≤ alphabet-size, so the inner scan is O(alphabet × len)) —
+a pure Project, zero shuffle, zero UDF, scan-speed.
+
+Cross-engine determinism: per-char contributions ``-p·ln(p)`` are
+rounded to 9 dp and summed in VALUE-SORTED order (the bm25 fold
+pattern, operators/retrieval.py:151 — the one double-summation order
+both engines reproduce bit-for-bit), and every emitted stat is an
+integer (micro-nats, permille).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import TOKEN_SPLIT
+
+
+def _chars(text: Column) -> Column:
+    """1-char substrings via positions — ``split(s, '')`` edge
+    semantics differ between engines, position+substr do not. The
+    CASE keeps ``sequence(1, 0)`` unevaluated on empty text (it would
+    DESCEND — the minhash_signatures trap, operators/dedup.py:256)."""
+    return F.when(
+        F.length(text) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text)),
+            lambda i: text.substr(i, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def entropy_stats(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """(id, n_chars, n_char_types, char_entropy_micro, n_tokens,
+    n_token_types, ttr_permille) per row.
+
+    ``char_entropy_micro`` = ⌊Shannon entropy in micro-nats⌉ over the
+    raw character distribution (NULL/empty text → 0);
+    ``ttr_permille`` = ⌊1000 · distinct tokens / tokens⌋ over the
+    lowercased whitespace tokenization (0 tokens → 0).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    chars = _chars(text)
+    n = F.length(text)
+    distinct_chars = F.array_distinct(chars)
+    counts = F.transform(
+        distinct_chars,
+        lambda c: F.size(F.filter(chars, lambda x: x == c)),
+    )
+    p = lambda c: c.cast("double") / n.cast("double")  # noqa: E731
+    contribs = F.transform(
+        counts, lambda c: F.round(-p(c) * F.log(p(c)), 9)
+    )
+    entropy = F.aggregate(
+        F.array_sort(contribs), F.lit(0.0), lambda acc, x: acc + x
+    )
+    toks = F.filter(
+        F.split(F.lower(F.trim(text)), TOKEN_SPLIT), lambda t: t != ""
+    )
+    n_tok = F.size(toks)
+    n_typ = F.size(F.array_distinct(toks))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        F.size(distinct_chars).cast("long").alias("n_char_types"),
+        F.when(n > 0, F.round(entropy * 1e6).cast("long"))
+        .otherwise(F.lit(0))
+        .alias("char_entropy_micro"),
+        n_tok.cast("long").alias("n_tokens"),
+        n_typ.cast("long").alias("n_token_types"),
+        F.when(n_tok > 0, F.floor(1000 * n_typ / n_tok))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ttr_permille"),
+    )
+
+
+def duckdb_entropy_sql(
+    table: str, id_col: str, text_col: str = "text"
+) -> str:
+    """DuckDB twin: identical char extraction, 9-dp contributions,
+    value-sorted fold, and integer emission."""
+    return f"""
+WITH base AS (
+    SELECT {id_col}, COALESCE({text_col}, '') AS s FROM {table}
+),
+prep AS (
+    SELECT {id_col}, s, length(s) AS n,
+           list_transform(range(1, length(s) + 1),
+                          i -> s[CAST(i AS INT)]) AS chars,
+           list_filter(regexp_split_to_array(lower(trim(s)),
+                                             '{TOKEN_SPLIT}'),
+                       t -> t <> '') AS toks
+    FROM base
+),
+stats AS (
+    SELECT {id_col}, n,
+           list_distinct(chars) AS dchars,
+           list_transform(list_distinct(chars),
+               c -> len(list_filter(chars, x -> x = c))) AS counts,
+           toks
+    FROM prep
+)
+SELECT {id_col},
+       CAST(n AS BIGINT) AS n_chars,
+       CAST(len(dchars) AS BIGINT) AS n_char_types,
+       CASE WHEN n > 0 THEN CAST(round(list_reduce(
+                list_prepend(0.0, list_sort(list_transform(counts,
+                    c -> round(-(CAST(c AS DOUBLE) / n)
+                               * ln(CAST(c AS DOUBLE) / n), 9)))),
+                (acc, x) -> acc + x) * 1e6, 0) AS BIGINT)
+            ELSE 0 END AS char_entropy_micro,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_token_types,
+       CASE WHEN len(toks) > 0
+            THEN CAST(FLOOR(1000 * len(list_distinct(toks))
+                            / len(toks)) AS BIGINT)
+            ELSE 0 END AS ttr_permille
+FROM stats
+"""

@@ -1,0 +1,250 @@
+"""Bloom-filter decontamination — the sketch scale path for the exact
+eval-set n-gram probe in :mod:`.decontam`.
+
+The exact path broadcasts the benchmark n-gram SET (8-byte hashes —
+megabytes for thousands of eval items). When the eval suite grows to
+tens of millions of n-grams (every test split of every benchmark,
+paragraph-level), the set itself becomes the broadcast bottleneck. The
+standard fix (public: Bloom 1970; CCNet / Dolma / RedPajama-v2 use
+bloom filters for exactly this probe) is a bit-array sketch: ``m`` bits,
+``k`` seeded hash positions per key. Membership answers are one-sided —
+a gram IN the filter always hits (no false negatives, so nothing
+contaminated ever slips through), an absent gram hits with probability
+≈ (1 - e^(-kn/m))^k (false positives only ever OVER-flag).
+
+Spark shape at 100 TB: the built filter is ``m/62`` BIGINT words — a
+65536-bit filter is ~1k rows / 8 KiB regardless of how many grams went
+in, vs megabytes-to-gigabytes for the exact set. Build is one tiny
+aggregation over the (small) benchmark grams: ``bit_or`` of
+single-bit words, map-side combinable. The probe is ``k``
+BROADCAST hash joins on the word index — a pure map-side pipeline, NO
+shuffle of the corpus's gram stream at all; only per-doc hit counts
+(a vanishing fraction) aggregate at the end. The exact path's inner
+join is also broadcast, so the win is purely the broadcast SIZE — the
+sketch is constant-size in the eval corpus.
+
+Words are 62 bits, not 64: both Spark and DuckDB must evaluate
+``shiftleft(1, b)`` with identical results, and DuckDB's ``<<`` raises
+on signed overflow at bit 63 while Spark wraps — capping the in-word
+bit index at 61 keeps every intermediate positive and bit-identical in
+both engines.
+
+Two hash modes, the engine-wide convention (operators/dedup.py:201):
+
+* ``xxhash64`` (production): bit index = ``pmod(xxhash64(seed, gram),
+  m)`` — one JVM hash per (gram, seed), whole-stage codegen.
+* ``md5`` (parity): bit index = ``hex4(md5(seed || ':' || gram)) %
+  m`` — Spark and DuckDB produce byte-identical md5 hex, so the
+  DuckDB oracle replays the ENTIRE sketch (build bits, packed words,
+  probes, per-doc counts) value-exactly.
+
+Reference scope: the reference repo has no decontamination surface at
+all (it validates warehouse tables); this module extends the same
+keep/drop verdict shape its rules emit to the eval-leak axis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.sampling import _hex_to_int
+from .decontam import _exploded_shingles
+
+# 62-bit words: see module docstring (DuckDB << overflow at bit 63).
+BITS_PER_WORD = 62
+DEFAULT_M_BITS = 1 << 16  # 65536 bits = ~1058 words = ~8.3 KiB
+DEFAULT_K = 2
+
+
+def _bit_index(gram: Column, seed: int, m_bits: int, hash_mode: str) -> Column:
+    """Position of (gram, seed) in the m-bit array, engine-portable in
+    md5 mode (hex4 is uniform over [0, 65536); % m keeps uniformity
+    when m divides 65536 — the supported parity-m values)."""
+    if hash_mode == "md5":
+        h = F.md5(F.concat(F.lit(f"{seed}:"), gram))
+        return _hex_to_int(F.substring(h, 1, 4)) % m_bits
+    return F.pmod(F.xxhash64(F.lit(seed), gram), F.lit(m_bits))
+
+
+def bloom_build(
+    bench_ngrams: DataFrame,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+    hash_mode: str = "xxhash64",
+    gram_col: str = "ngram",
+) -> DataFrame:
+    """Pack the benchmark grams into ``(word_idx, word)`` BIGINT rows —
+    only words with at least one set bit materialize, so an empty
+    benchmark yields an empty (still valid) filter. One two-phase
+    ``bit_or`` aggregate; the output is at most ``ceil(m/62)`` rows no
+    matter how many grams went in."""
+    probes = bench_ngrams.select(
+        F.explode(
+            F.array(
+                *[
+                    _bit_index(F.col(gram_col), s, m_bits, hash_mode)
+                    for s in range(k)
+                ]
+            )
+        ).alias("__idx")
+    )
+    # F.shiftleft only takes a literal shift amount; the SQL builtin
+    # accepts a column, so the per-row shift goes through expr().
+    return (
+        probes.select(
+            F.floor(F.col("__idx") / BITS_PER_WORD).alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(__idx % {BITS_PER_WORD} AS INT))"
+            ).alias("__bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__bit").alias("word"))
+    )
+
+
+def bloom_contamination_flags(
+    docs: DataFrame,
+    bloom_words: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_hits: int = 1,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """(id, n_bloom_hits, is_contaminated) per document, probing the
+    packed filter instead of the exact gram set.
+
+    Per distinct (doc, gram): ``k`` bit probes, each a BROADCAST join
+    on its word index followed by a shift-and-mask — the corpus never
+    shuffles, and a gram counts as a (maybe-)hit only when ALL ``k``
+    bits are set. Guarantees, given the same ``shingle_n``/``m``/``k``
+    the filter was built with: every gram in the filter hits, so
+    ``is_contaminated`` here is a SUPERSET of the exact path's flag
+    (pinned by tests/test_bloom.py); false positives over-flag at the
+    classic ≈(1-e^(-kn/m))^k rate."""
+    sh = _exploded_shingles(
+        docs, [F.col(id_col)], text_col, shingle_n
+    ).distinct()
+    probed = sh
+    hit_cols = []
+    for s in range(k):
+        idx = _bit_index(F.col("ngram"), s, m_bits, hash_mode)
+        w = F.broadcast(
+            bloom_words.select(
+                F.col("word_idx").alias(f"__w{s}"),
+                F.col("word").alias(f"__word{s}"),
+            )
+        )
+        probed = (
+            probed.withColumn(f"__w{s}", F.floor(idx / BITS_PER_WORD))
+            .withColumn(f"__b{s}", (idx % BITS_PER_WORD).cast("int"))
+            .join(w, f"__w{s}", "left")
+        )
+        hit_cols.append(
+            F.coalesce(
+                F.expr(
+                    f"(__word{s} & shiftleft(CAST(1 AS BIGINT), __b{s}))"
+                    " != 0"
+                ),
+                F.lit(False),
+            )
+        )
+    all_hit = hit_cols[0]
+    for h in hit_cols[1:]:
+        all_hit = all_hit & h
+    hits = (
+        probed.filter(all_hit)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__n"), F.lit(0))
+            .cast("long")
+            .alias("n_bloom_hits"),
+            (F.coalesce(F.col("__n"), F.lit(0)) >= min_hits).alias(
+                "is_contaminated"
+            ),
+        )
+    )
+
+
+def duckdb_bloom_contamination_sql(
+    docs_table: str,
+    bench_predicate: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_hits: int = 1,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> str:
+    """DuckDB twin (md5 mode): replays gram synthesis, the seeded bit
+    indexes, the 62-bit word packing, every probe, and the per-doc hit
+    fold — value-exact against the Spark md5 path."""
+    from ..functions.sampling import _sql_hex_to_int
+    from ..functions.textstats import TOKEN_SPLIT
+
+    gram = " || ' ' || ".join(
+        f"t[CAST(i + {j} AS INT)]" for j in range(shingle_n)
+    )
+    shingles = f"""
+    SELECT {id_col},
+           unnest(list_distinct(list_transform(
+               range(1, len(t) - {shingle_n - 2}), i -> {gram}))) AS ngram
+    FROM (SELECT {id_col},
+                 regexp_split_to_array(lower(trim({text_col})), '{TOKEN_SPLIT}') AS t
+          FROM {docs_table}) q
+    WHERE len(t) >= {shingle_n}
+    """
+    bit_idx = (
+        _sql_hex_to_int(
+            "substr(md5(CAST(s AS VARCHAR) || ':' || ngram), 1, 4)"
+        )
+        + f" % {m_bits}"
+    )
+    return f"""
+WITH sh AS ({shingles}),
+bench AS (SELECT DISTINCT ngram FROM sh WHERE {bench_predicate}),
+bench_bits AS (
+    SELECT ({bit_idx}) AS idx
+    FROM bench, range({k}) r(s)
+),
+words AS (
+    SELECT CAST(idx // {BITS_PER_WORD} AS BIGINT) AS word_idx,
+           bit_or(CAST(1 AS BIGINT) << CAST(idx % {BITS_PER_WORD} AS INT)) AS word
+    FROM bench_bits GROUP BY 1
+),
+probe AS (
+    SELECT sh.{id_col}, sh.ngram, r.s, ({bit_idx}) AS idx
+    FROM (SELECT DISTINCT {id_col}, ngram FROM sh) sh, range({k}) r(s)
+),
+probe_hits AS (
+    SELECT p.{id_col}, p.ngram,
+           COALESCE(
+               (w.word & (CAST(1 AS BIGINT)
+                          << CAST(p.idx % {BITS_PER_WORD} AS INT))) <> 0,
+               FALSE) AS hit
+    FROM probe p
+    LEFT JOIN words w ON w.word_idx = CAST(p.idx // {BITS_PER_WORD} AS BIGINT)
+),
+gram_hits AS (
+    SELECT {id_col}, ngram
+    FROM probe_hits GROUP BY {id_col}, ngram
+    HAVING bool_and(hit)
+),
+doc_hits AS (
+    SELECT {id_col}, COUNT(*) AS n FROM gram_hits GROUP BY {id_col}
+)
+SELECT d.{id_col},
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_bloom_hits,
+       COALESCE(h.n, 0) >= {min_hits} AS is_contaminated
+FROM {docs_table} d LEFT JOIN doc_hits h ON h.{id_col} = d.{id_col}
+"""

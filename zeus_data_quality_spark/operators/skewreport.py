@@ -1,0 +1,179 @@
+"""Key-skew diagnosis — the pre-join/pre-aggregate planning surface.
+
+Every shuffle in this engine partitions by a key (conv_id windows,
+dedup components, join keys); one mega-key serializes its reducer and
+stalls the stage. Before launching a 100 TB job you want to KNOW:
+how concentrated is this key? what share of rows do the top keys
+carry? how big is the largest group vs the p50/p99 group? That answer
+decides salting (``conv_features``' mega-conversation note), AQE skew
+thresholds, or a broadcast instead of a shuffle join.
+
+This operator emits the decision table: the top-K heaviest keys with
+their counts, per-key share (permille), and the group-size
+distribution quantiles (p50/p90/p99/max) alongside each row so one
+result answers "is key X an outlier or just the head of a smooth
+Zipf?".
+
+Scale shape: pass 1 is a two-phase ``groupBy(key).count()`` — the one
+aggregation whose SKEW is bounded by map-side combine (every task
+emits ≤ distinct-keys-per-task rows, the hot key's count arrives as
+one partial per task, never as raw rows). Pass 2 ranks the KEY table
+(|keys| rows, not |rows|): top-K via ``ORDER BY count`` TakeOrdered
+(distributed, no global sort materialization), quantiles via
+``percentile_approx`` on the group sizes — sketch-based and
+map-combinable. For the cross-engine oracle, quantiles use the exact
+rank-selection form (``row_number``-at-⌈q·n⌉, the inverse-CDF /
+"lower" interpolation both engines can replay); at 10^9 distinct keys
+swap ``exact=False`` (the default) for the approx sketch — same
+output columns, documented swap, the column_profile convention
+(plans/profile.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+QUANTS = (0.5, 0.9, 0.99)
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+    exact: bool = False,
+) -> DataFrame:
+    """Top-``top_k`` heaviest keys with corpus-level skew context:
+    (key, n_rows, share_permille, rank, n_keys, total_rows,
+    p50_group, p90_group, p99_group, max_group).
+
+    NULL keys group together (SQL GROUP BY semantics) and are
+    reported like any key — a NULL-heavy corpus IS a skew fact.
+    ``exact=True`` computes the quantiles by rank selection
+    (inverse-CDF at ⌈q·n⌉ — one extra |keys|-row window; the
+    oracle-replayable mode); the default uses the
+    ``percentile_approx`` sketch, the right call at real key counts.
+    Ties on count break by key ascending so the report is
+    deterministic.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    if exact:
+        # whole-frame count, NOT orderBy'd (an ordered count window is
+        # a RUNNING count); exact mode is |keys|-bounded by contract
+        n_keys_w = Window.partitionBy()
+        rn = Window.orderBy(F.col("n_rows").asc(), F.col("key").asc())
+        ranked = counts.select(
+            "key",
+            "n_rows",
+            F.row_number().over(rn).alias("__rn"),
+            F.count(F.lit(1)).over(n_keys_w).alias("__n"),
+        )
+        qcols = [
+            F.max(
+                F.when(
+                    F.col("__rn")
+                    == F.ceil(F.lit(q) * F.col("__n")).cast("int"),
+                    F.col("n_rows"),
+                )
+            ).alias(f"p{int(q * 100)}_group")
+            for q in QUANTS
+        ]
+        stats = ranked.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            *qcols,
+            F.max("n_rows").cast("long").alias("max_group"),
+        )
+    else:
+        stats = counts.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            *[
+                F.percentile_approx("n_rows", q)
+                .cast("long")
+                .alias(f"p{int(q * 100)}_group")
+                for q in QUANTS
+            ],
+            F.max("n_rows").cast("long").alias("max_group"),
+        )
+    top = (
+        counts.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        .limit(top_k)
+        .select(
+            "key",
+            "n_rows",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("n_rows").desc(), F.col("key").asc()
+                )
+            )
+            .alias("rank"),
+        )
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        F.col("key").cast("string").alias("key"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.floor(1000 * F.col("n_rows") / F.col("total_rows"))
+        .cast("long")
+        .alias("share_permille"),
+        F.col("rank").cast("int").alias("rank"),
+        "n_keys",
+        "total_rows",
+        F.col("p50_group").cast("long").alias("p50_group"),
+        F.col("p90_group").cast("long").alias("p90_group"),
+        F.col("p99_group").cast("long").alias("p99_group"),
+        "max_group",
+    )
+
+
+def duckdb_skew_report_sql(
+    table: str, key_col: str, top_k: int = 10
+) -> str:
+    """DuckDB twin of ``skew_report(..., exact=True)``: the same
+    count table, rank-selection quantiles at ⌈q·n⌉, top-K with the
+    identical (count DESC, key ASC) tie-break."""
+    qexprs = ",\n           ".join(
+        f"MAX(CASE WHEN rn = CAST(CEIL({q} * n) AS INT)"
+        f" THEN n_rows END) AS p{int(q * 100)}_group"
+        for q in QUANTS
+    )
+    return f"""
+WITH counts AS (
+    SELECT {key_col} AS key, COUNT(*) AS n_rows
+    FROM {table} GROUP BY {key_col}
+),
+ranked AS (
+    SELECT key, n_rows,
+           ROW_NUMBER() OVER (ORDER BY n_rows ASC, key ASC) AS rn,
+           COUNT(*) OVER () AS n
+    FROM counts
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+           {qexprs},
+           CAST(MAX(n_rows) AS BIGINT) AS max_group
+    FROM ranked
+),
+top AS (
+    SELECT key, n_rows,
+           ROW_NUMBER() OVER (ORDER BY n_rows DESC, key ASC) AS rank
+    FROM counts
+    ORDER BY n_rows DESC, key ASC LIMIT {top_k}
+)
+SELECT CAST(t.key AS VARCHAR) AS key,
+       CAST(t.n_rows AS BIGINT) AS n_rows,
+       CAST(FLOOR(1000 * t.n_rows / s.total_rows) AS BIGINT)
+           AS share_permille,
+       CAST(t.rank AS INT) AS rank,
+       s.n_keys, s.total_rows,
+       CAST(s.p50_group AS BIGINT) AS p50_group,
+       CAST(s.p90_group AS BIGINT) AS p90_group,
+       CAST(s.p99_group AS BIGINT) AS p99_group,
+       s.max_group
+FROM top t CROSS JOIN stats s
+"""
