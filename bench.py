@@ -192,6 +192,16 @@ HEADLINE = [
     "preference_pairs",
     # r5m: quality-weighted multi-epoch repetition plan
     "epoch_plan",
+    # r5o: quality-aware keep-one over the minhash verdict
+    "dedup_keep_best",
+    # r5p: bloom-sketch decontamination (constant-size broadcast probe)
+    "decontaminate_bloom",
+    # r5p: HLL cardinality sketch + the exact count it approximates
+    "cardinality_sketch",
+    # r5p: per-doc char entropy + TTR (per-row HOF, no shuffle)
+    "char_entropy",
+    # r5p: key-skew diagnosis (exact rank-selection quantile mode)
+    "skew_report",
 ]
 
 
