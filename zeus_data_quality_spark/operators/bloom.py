@@ -118,17 +118,19 @@ def bloom_contamination_flags(
     """(id, n_bloom_hits, is_contaminated) per document, probing the
     packed filter instead of the exact gram set.
 
-    Per distinct (doc, gram): ``k`` bit probes, each a BROADCAST join
-    on its word index followed by a shift-and-mask — the corpus never
-    shuffles, and a gram counts as a (maybe-)hit only when ALL ``k``
-    bits are set. Guarantees, given the same ``shingle_n``/``m``/``k``
-    the filter was built with: every gram in the filter hits, so
+    Per (doc, gram) occurrence: ``k`` bit probes, each a BROADCAST
+    join on its word index followed by a shift-and-mask, then the
+    all-bits filter; only surviving (id, hit-gram) pairs — a vanishing
+    fraction on a clean corpus — shuffle into the per-doc DISTINCT
+    count. The corpus gram stream itself never shuffles (deduping
+    BEFORE the probe would shuffle everything just to normalize
+    counts). A gram counts as a (maybe-)hit only when ALL ``k`` bits
+    are set. Guarantees, given the same ``shingle_n``/``m``/``k`` the
+    filter was built with: every gram in the filter hits, so
     ``is_contaminated`` here is a SUPERSET of the exact path's flag
     (pinned by tests/test_bloom.py); false positives over-flag at the
     classic ≈(1-e^(-kn/m))^k rate."""
-    sh = _exploded_shingles(
-        docs, [F.col(id_col)], text_col, shingle_n
-    ).distinct()
+    sh = _exploded_shingles(docs, [F.col(id_col)], text_col, shingle_n)
     probed = sh
     hit_cols = []
     for s in range(k):
@@ -159,7 +161,7 @@ def bloom_contamination_flags(
     hits = (
         probed.filter(all_hit)
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.countDistinct("ngram").alias("__n"))
     )
     return (
         docs.select(id_col)

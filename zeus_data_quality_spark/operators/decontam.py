@@ -61,17 +61,22 @@ def contamination_flags(
     """(id, n_contaminated_ngrams, is_contaminated) per document.
 
     ``bench_ngrams`` is broadcast (eval suites are small); each doc's
-    distinct shingles probe it and hits aggregate per doc. Documents
+    shingles probe it and DISTINCT hits aggregate per doc. Documents
     with zero overlap never enter the aggregate (inner join) and come
     back via the left join with zero hits.
+
+    The dedup happens AFTER the broadcast probe, not before: a
+    pre-join ``.distinct()`` would shuffle the ENTIRE corpus's gram
+    stream just to normalize counts, while the inner join prunes to
+    matching occurrences first — a vanishing fraction on a clean
+    corpus — so only (id, hit-gram) pairs ever shuffle. Same verdicts
+    (count of DISTINCT shared grams either way).
     """
-    sh = _exploded_shingles(
-        docs, [F.col(id_col)], text_col, shingle_n
-    ).distinct()
+    sh = _exploded_shingles(docs, [F.col(id_col)], text_col, shingle_n)
     hits = (
         sh.join(F.broadcast(bench_ngrams), "ngram")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(F.countDistinct("ngram").alias("n_hits"))
     )
     return (
         docs.select(id_col)
