@@ -57,6 +57,76 @@ def test_ttr_and_token_types(spark):
     assert diverse["ttr_permille"] == 1000
 
 
+def test_streaming_entropy_gate_matches_batch(spark, sf_dir, tmp_path):
+    """Stream ≡ batch: the gate labels a readStream feed with values
+    identical to one batch pass AND to entropy_stats' columns (the
+    gate's Column helpers and the stats emitter must never diverge)."""
+    from zeus_data_quality_spark.streaming.entropy_gate import (
+        streaming_entropy_gate,
+    )
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batch = streaming_entropy_gate(raw)
+    want = {
+        r["doc_id"]: (
+            r["char_entropy_micro"],
+            r["ttr_permille"],
+            r["entropy_keep"],
+        )
+        for r in batch.collect()
+    }
+    stats = {
+        r["doc_id"]: (r["char_entropy_micro"], r["ttr_permille"])
+        for r in entropy_stats(raw, "doc_id").collect()
+    }
+    assert {k: v[:2] for k, v in want.items()} == stats
+
+    src = str(tmp_path / "ent_in")
+    raw.repartition(4).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        streaming_entropy_gate(stream)
+        .writeStream.format("memory")
+        .queryName("ent_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (
+            r["char_entropy_micro"],
+            r["ttr_permille"],
+            r["entropy_keep"],
+        )
+        for r in spark.sql("SELECT * FROM ent_stream").collect()
+    }
+    assert got == want
+
+
+def test_entropy_gate_cuts_spam_keeps_prose(spark):
+    """Default thresholds: mash/repeat rows drop, prose survives."""
+    from zeus_data_quality_spark.streaming.entropy_gate import (
+        streaming_entropy_gate,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "The committee reviewed the updated proposal on Tuesday."),
+            (2, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+            (3, "spam spam spam spam spam spam spam spam"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in streaming_entropy_gate(df, keep_only=True).collect()
+    }
+    assert kept == {1}
+
+
 def test_entropy_orders_spam_below_prose(spark):
     """The signal does its job: keyboard-mash repetition scores below
     a real sentence."""

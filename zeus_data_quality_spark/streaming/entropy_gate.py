@@ -1,0 +1,46 @@
+"""Streaming entropy/diversity gate — the cheap spam filter as a live
+tier.
+
+Char entropy and TTR (functions/entropy.py) are per-row HOF Columns —
+stateless Projects — so they stream in append mode with no watermark
+or state, exactly like the hygiene tiers (streaming/filter_stream.py)
+and the DSIR/KN gates. The streaming deployment shape: put this tier
+FIRST on an ingest feed — it reads nothing but the row, costs one
+Project, and drops keyboard-mash / repetition spam before the heavier
+model gates (perplexity, classifier) spend compute on it.
+
+Stream ≡ batch is pinned in tests/test_entropy.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.entropy import char_entropy_micro_col, ttr_permille_col
+
+
+def streaming_entropy_gate(
+    stream: DataFrame,
+    text_col: str = "text",
+    min_entropy_micro: int = 1_500_000,
+    min_ttr_permille: int = 200,
+    keep_only: bool = False,
+) -> DataFrame:
+    """Label (and optionally filter) a stream with the entropy /
+    diversity verdict: adds ``char_entropy_micro``, ``ttr_permille``
+    and ``entropy_keep`` (entropy ≥ min AND ttr ≥ min). Defaults pass
+    normal prose (~3-4.5 nats ⇒ 3-4.5M micro-nats) and cut one-char /
+    single-token repetition spam."""
+    out = (
+        stream.withColumn(
+            "char_entropy_micro", char_entropy_micro_col(F.col(text_col))
+        )
+        .withColumn("ttr_permille", ttr_permille_col(F.col(text_col)))
+        .withColumn(
+            "entropy_keep",
+            (F.col("char_entropy_micro") >= F.lit(int(min_entropy_micro)))
+            & (F.col("ttr_permille") >= F.lit(int(min_ttr_permille))),
+        )
+    )
+    return out.filter("entropy_keep") if keep_only else out
