@@ -1,0 +1,108 @@
+"""Count-Min sketch (functions/cms.py) semantics.
+Cross-engine parity: test_entry_parity.py (`cms_heavy_hitters`).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.functions.cms import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
+
+
+def _tokens(spark, words):
+    return spark.createDataFrame([(w,) for w in words], "tok string")
+
+
+def _counts(spark, words, **kw):
+    df = _tokens(spark, words)
+    items = df.distinct()
+    cms = cms_build(df, "tok", **kw)
+    return {
+        r["tok"]: r["cms_est"]
+        for r in cms_estimate(items, cms, "tok", **kw).collect()
+    }
+
+
+@pytest.mark.parametrize("hash_mode", ["md5", "xxhash64"])
+def test_one_sided_overcount_law(spark, hash_mode):
+    """The CMS guarantee: estimate >= true count for EVERY inserted
+    value (collisions only add), in both hash modes."""
+    words = ["a"] * 7 + ["b"] * 3 + ["c"] * 11 + ["d"]
+    true = {"a": 7, "b": 3, "c": 11, "d": 1}
+    got = _counts(spark, words, width=8, depth=2, hash_mode=hash_mode)
+    assert set(got) == set(true)
+    for w, t in true.items():
+        assert got[w] >= t, (w, got[w], t)
+
+
+def test_wide_grid_is_exact(spark):
+    """With width >> distinct values, no buckets collide in any row
+    and the estimate equals the true count exactly."""
+    words = ["x"] * 5 + ["y"] * 2 + ["z"] * 9
+    got = _counts(spark, words, width=4096, depth=4, hash_mode="md5")
+    assert got == {"x": 5, "y": 2, "z": 9}
+
+
+def test_merge_is_counterwise_sum(spark):
+    """CMS(A) ⊕ CMS(B) == CMS(A ∪ B) — linearity, the property that
+    makes per-partition sketches foldable at read time."""
+    a, b = ["p"] * 4 + ["q"], ["q"] * 6 + ["r"] * 2
+    ga = cms_build(_tokens(spark, a), "tok", width=16, depth=3, hash_mode="md5")
+    gb = cms_build(_tokens(spark, b), "tok", width=16, depth=3, hash_mode="md5")
+    whole = cms_build(
+        _tokens(spark, a + b), "tok", width=16, depth=3, hash_mode="md5"
+    )
+    merged = cms_merge(ga, gb)
+    pick = lambda df: sorted(  # noqa: E731
+        (r["seed"], r["bucket"], r["cnt"]) for r in df.collect()
+    )
+    assert pick(merged) == pick(whole)
+
+
+def test_error_bound_on_corpus(spark):
+    """On the real corpus at default size: overcount stays within the
+    ~2·N/width analytic ballpark for the true heavy hitters."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    ).filter("tok != ''")
+    n = toks.count()
+    top = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt")).orderBy(
+        F.desc("true_cnt")
+    ).limit(5)
+    cms = cms_build(toks, "tok", hash_mode="md5")
+    got = cms_estimate(top, cms, "tok", hash_mode="md5").collect()
+    for r in got:
+        over = r["cms_est"] - r["true_cnt"]
+        assert 0 <= over <= max(2 * n // 1024, 4), r
+
+
+def test_never_inserted_value_reads_collision_noise_only(spark):
+    """A probe for an absent value reads >= 0 (whatever shares its
+    buckets), and with an empty sketch reads exactly 0."""
+    words = ["a"] * 3
+    cms = cms_build(_tokens(spark, words), "tok", width=8, depth=2, hash_mode="md5")
+    got = {
+        r["tok"]: r["cms_est"]
+        for r in cms_estimate(
+            _tokens(spark, ["zzz"]), cms, "tok", width=8, depth=2, hash_mode="md5"
+        ).collect()
+    }
+    assert got["zzz"] >= 0
+    empty = cms_build(
+        _tokens(spark, []).filter("tok IS NOT NULL"), "tok", hash_mode="md5"
+    )
+    got0 = cms_estimate(
+        _tokens(spark, ["a"]), empty, "tok", hash_mode="md5"
+    ).collect()[0]
+    assert got0["cms_est"] == 0
+
+
+def test_md5_width_guard(spark):
+    with pytest.raises(ValueError):
+        cms_build(_tokens(spark, ["a"]), "tok", width=1 << 17, hash_mode="md5")

@@ -299,6 +299,11 @@ TAIL_OVERFLOW: set = {
     # quantiles (the salting/AQE decision table; mega-key detection
     # pinned in test_skewreport.py); full oracle, parity-checked here.
     "skew_report",
+    # r5p: Count-Min frequency sketch — the third sketch (bloom =
+    # membership, HLL = cardinality, CMS = frequency); one-sided
+    # overcount + linearity laws in test_cms.py; full oracle,
+    # parity-checked here.
+    "cms_heavy_hitters",
 }
 
 

@@ -1,0 +1,184 @@
+"""Count-Min sketch — bounded-memory frequency estimation.
+
+The third sketch of the trio (bloom = membership, HLL = cardinality,
+CMS = frequency; public: Cormode & Muthukrishnan 2005). Exact token /
+n-gram / key frequencies at 100 TB need a full groupBy over every
+distinct value; a CMS answers "how often does x occur?" from a fixed
+``depth × width`` integer grid: row d's counter at
+``hash_d(x) % width`` is incremented per occurrence, the estimate is
+the MIN over rows — always ≥ the true count (one-sided, collisions
+only ADD), within ``⌈e·N/width⌉`` of it with probability
+``1 − e^(−depth)``. The use cases heavy exact top-k can't reach:
+frequency lookups for values you only learn later (stream joins),
+per-partition sketches merged at read time, and heavy-hitter
+candidate screens before one exact pass over the survivors.
+
+Spark shape: build is one two-phase ``groupBy(seed, bucket).count()``
+— map-side combine bounds every task's output at ``depth × width``
+rows no matter the corpus (the same property as the HLL sketch);
+the grid is ≤ ``depth × width`` rows total, broadcastable. Estimates
+for a probe set explode ``depth`` rows per item, broadcast-join the
+grid, and take the per-item MIN — probe-set-scale, not corpus-scale.
+Two sketches MERGE by ``(seed, bucket) → SUM`` (counter-wise add),
+pinned in tests/test_cms.py.
+
+Hash modes per the engine convention (operators/dedup.py:201): ``md5``
+(hex4 → bucket; byte-identical cross-engine, the oracle mode) and
+``xxhash64`` (production).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import _hex_to_int
+
+DEFAULT_WIDTH = 1024
+DEFAULT_DEPTH = 4
+
+
+def _bucket(value: Column, seed: int, width: int, hash_mode: str) -> Column:
+    if hash_mode == "md5":
+        h = F.md5(F.concat(F.lit(f"{seed}:"), value.cast("string")))
+        return _hex_to_int(F.substring(h, 1, 4)) % width
+    return F.pmod(F.xxhash64(F.lit(seed), value), F.lit(width))
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    width: int = DEFAULT_WIDTH,
+    depth: int = DEFAULT_DEPTH,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """(seed, bucket, cnt) grid rows — at most ``depth × width``,
+    only touched counters materialize (an absent counter is 0). NULL
+    values are skipped. ``width`` ≤ 65536 in md5 mode (hex4 range)."""
+    if hash_mode == "md5" and width > 65536:
+        raise ValueError("md5 mode supports width <= 65536")
+    probes = df.filter(F.col(value_col).isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        _bucket(F.col(value_col), s, width, hash_mode)
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for s in range(depth)
+                ]
+            )
+        ).alias("p")
+    )
+    return (
+        probes.select("p.seed", "p.bucket")
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    items: DataFrame,
+    cms: DataFrame,
+    value_col: str,
+    width: int = DEFAULT_WIDTH,
+    depth: int = DEFAULT_DEPTH,
+    hash_mode: str = "xxhash64",
+    out_col: str = "cms_est",
+) -> DataFrame:
+    """``items`` + one ``out_col`` column: the min-over-rows counter
+    estimate for each item's ``value_col``. The grid is broadcast
+    (≤ depth × width rows); the probe explodes ``depth`` rows per
+    item and re-aggregates — probe-set-scale. Estimates are ≥ the
+    true occurrence count by construction; values never inserted
+    still read ≥ 0 from whatever shares their buckets."""
+    probes = items.select(
+        value_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        _bucket(F.col(value_col), s, width, hash_mode)
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for s in range(depth)
+                ]
+            )
+        ).alias("p"),
+    )
+    est = (
+        probes.join(
+            F.broadcast(cms),
+            (F.col("p.seed") == cms["seed"])
+            & (F.col("p.bucket") == cms["bucket"]),
+            "left",
+        )
+        .groupBy(value_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias(out_col)
+        )
+    )
+    return items.join(est, value_col, "left")
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Counter-wise sum — CMS(corpus A ∪ B) exactly (linearity)."""
+    return (
+        a.unionByName(b)
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def duckdb_cms_estimate_sql(
+    values_sql: str,
+    items_sql: str,
+    value_col: str,
+    width: int = DEFAULT_WIDTH,
+    depth: int = DEFAULT_DEPTH,
+    out_col: str = "cms_est",
+) -> str:
+    """DuckDB twin (md5 mode): replays grid build and min-probe for
+    the items produced by ``items_sql`` (one ``value_col`` column
+    each)."""
+    from .sampling import _sql_hex_to_int
+
+    def bucket(col: str) -> str:
+        return (
+            _sql_hex_to_int(
+                f"substr(md5(CAST(s AS VARCHAR) || ':' ||"
+                f" CAST({col} AS VARCHAR)), 1, 4)"
+            )
+            + f" % {width}"
+        )
+
+    return f"""
+WITH vals AS ({values_sql}),
+grid AS (
+    SELECT s AS seed, ({bucket(value_col)}) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM vals, range({depth}) r(s)
+    WHERE {value_col} IS NOT NULL
+    GROUP BY 1, 2
+),
+items AS ({items_sql}),
+probes AS (
+    SELECT i.{value_col}, s AS seed, ({bucket(f"i.{value_col}")}) AS bucket
+    FROM items i, range({depth}) r(s)
+),
+est AS (
+    SELECT p.{value_col},
+           CAST(MIN(COALESCE(g.cnt, 0)) AS BIGINT) AS {out_col}
+    FROM probes p
+    LEFT JOIN grid g ON g.seed = p.seed AND g.bucket = p.bucket
+    GROUP BY p.{value_col}
+)
+SELECT i.{value_col}, e.{out_col}
+FROM items i LEFT JOIN est e ON e.{value_col} = i.{value_col}
+"""

@@ -2057,6 +2057,62 @@ def _oracle_skew_report() -> str:
     return duckdb_skew_report_sql("events", "user_id", top_k=10)
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (``functions/cms.py``) probed at the
+    corpus's true top-10 tokens: (tok, true_cnt, cms_est, overcount).
+    The grid build shuffles ≤ depth×width rows regardless of corpus
+    size; estimates are ≥ truth by construction (overcount ≥ 0, the
+    pinned one-sided law)."""
+    from ..functions.cms import cms_build, cms_estimate
+    from ..functions.textstats import TOKEN_SPLIT
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), TOKEN_SPLIT)).alias(
+            "tok"
+        )
+    ).filter(F.col("tok") != "")
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("tok").asc())
+        .limit(10)
+    )
+    cms = cms_build(toks, "tok", hash_mode="md5")
+    out = cms_estimate(top, cms, "tok", hash_mode="md5")
+    return out.select(
+        "tok",
+        "true_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_cnt")).alias("overcount"),
+    )
+
+
+def _oracle_cms_heavy_hitters() -> str:
+    from ..functions.cms import duckdb_cms_estimate_sql
+    from ..functions.textstats import TOKEN_SPLIT
+
+    toks = f"""
+    SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                                        '{TOKEN_SPLIT}')) AS tok
+    FROM documents
+    """
+    vals = f"SELECT tok FROM ({toks}) WHERE tok <> ''"
+    items = f"""
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_cnt
+    FROM ({vals}) GROUP BY tok
+    ORDER BY true_cnt DESC, tok ASC LIMIT 10
+    """
+    cms = duckdb_cms_estimate_sql(vals, items, "tok")
+    return f"""
+WITH est AS ({cms}),
+truth AS ({items})
+SELECT t.tok, t.true_cnt, e.cms_est,
+       e.cms_est - t.true_cnt AS overcount
+FROM truth t JOIN est e ON e.tok = t.tok
+"""
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware keep-one (``operators/dedup.keep_best``): the
     ``minhash_dedup_labels`` verdict re-canonicalized so each near-dup
@@ -3279,6 +3335,10 @@ def queries():
         # quantiles — the salting/AQE decision table); full oracle
         # (TAIL_OVERFLOW).
         "skew_report": q_skew_report,
+        # r5p tail: Count-Min frequency sketch probed at the true
+        # top-10 tokens (one-sided overcount law pytest-pinned); full
+        # oracle (TAIL_OVERFLOW).
+        "cms_heavy_hitters": q_cms_heavy_hitters,
     }
 
 
@@ -3376,6 +3436,7 @@ def oracle_sql():
         "cardinality_sketch": _oracle_cardinality_sketch(),
         "char_entropy": _oracle_char_entropy(),
         "skew_report": _oracle_skew_report(),
+        "cms_heavy_hitters": _oracle_cms_heavy_hitters(),
         "source_caps": _oracle_source_caps(),
         "gram_novelty": _oracle_gram_novelty(),
         "prefix_dedup": _oracle_prefix_dedup(),
