@@ -478,3 +478,37 @@ def test_cli_clean_stage(spark, sf_dir, tmp_path):
     assert "<CARD>" in t and "<IP>" in t
     assert "​" not in t and " " not in t and "\r" not in t
     assert t.count("subscribe to our weekly digest") == 1
+
+
+def test_cli_stats_stage(spark, sf_dir, tmp_path):
+    """The r5p corpus-diagnosis stage: sketch artifacts land as
+    parquet (HLL sketch, CMS grid, skew table) and the summary JSON
+    carries sane values; the HLL artifact re-estimates to the same
+    value the summary reported (sketches are data, not run state)."""
+    import json as _json
+
+    out = str(tmp_path / "stats")
+    r = _cli(
+        "stats", "--input", f"{sf_dir}/documents.parquet",
+        "--output", out, "--hash-mode", "md5",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = _json.loads(r.stdout.strip().splitlines()[-1])
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert summary["rows"] == n_docs
+    assert summary["token_cardinality_est_milli"] > 0
+    assert summary["mean_entropy_micro"] > 1_000_000  # prose corpus
+    assert 0 < summary["top_key_share_permille"] <= 1000
+    assert summary["n_keys"] >= 1
+
+    hll = spark.read.parquet(f"{out}/hll_sketch")
+    assert hll.count() <= 64
+    from zeus_data_quality_spark.functions.cardinality import hll_estimate
+
+    re_est = hll_estimate(hll).collect()[0]["est_milli"]
+    assert re_est == summary["token_cardinality_est_milli"]
+
+    cms = spark.read.parquet(f"{out}/cms_grid")
+    assert 0 < cms.count() <= 4 * 1024
+    skew = spark.read.parquet(f"{out}/skew")
+    assert skew.count() >= 1

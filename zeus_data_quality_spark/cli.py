@@ -604,6 +604,81 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Corpus diagnosis stage: one pass over a parquet corpus emits
+    the three sketches as REUSABLE parquet artifacts — the HLL token-
+    cardinality sketch (``<out>/hll_sketch``), the Count-Min token-
+    frequency grid (``<out>/cms_grid``), the key-skew decision table
+    (``<out>/skew``) — plus a one-line summary JSON (rows, token-
+    cardinality estimate, entropy/spam aggregates, heaviest-key
+    share). Sketches from per-ingest runs merge later (HLL bucket-max,
+    CMS counter-sum), so this stage is the per-batch half of a
+    corpus-wide ledger; everything it aggregates is sketch- or
+    key-bounded, never corpus-bounded, except the entropy Project
+    which runs at scan speed."""
+    from .functions.cardinality import hll_estimate, hll_sketch
+    from .functions.cms import cms_build
+    from .functions.entropy import entropy_stats
+    from .functions.textstats import TOKEN_SPLIT
+    from .operators.skewreport import skew_report
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    tc, idc = args.text_col, args.id_col
+    toks = df.select(
+        F.explode(F.split(F.lower(F.trim(F.col(tc))), TOKEN_SPLIT)).alias(
+            "tok"
+        )
+    ).filter(F.col("tok") != "")
+
+    hll = hll_sketch(toks, "tok", hash_mode=args.hash_mode)
+    hll.write.mode("overwrite").parquet(f"{args.output}/hll_sketch")
+    est = hll_estimate(
+        spark.read.parquet(f"{args.output}/hll_sketch")
+    ).first()
+
+    cms = cms_build(toks, "tok", hash_mode=args.hash_mode)
+    cms.write.mode("overwrite").parquet(f"{args.output}/cms_grid")
+
+    skew = skew_report(df, args.key_col, top_k=args.top_k)
+    skew.write.mode("overwrite").parquet(f"{args.output}/skew")
+    top = (
+        spark.read.parquet(f"{args.output}/skew")
+        .orderBy("rank")
+        .first()
+    )
+
+    ent = entropy_stats(df, idc, tc).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.avg("char_entropy_micro").cast("long").alias(
+            "mean_entropy_micro"
+        ),
+        F.sum(
+            (F.col("char_entropy_micro") < args.spam_entropy_micro).cast(
+                "int"
+            )
+        ).alias("low_entropy_rows"),
+    ).first()
+
+    print(
+        json.dumps(
+            {
+                "rows": int(ent["rows"]),
+                "token_cardinality_est_milli": int(est["est_milli"]),
+                "mean_entropy_micro": int(ent["mean_entropy_micro"] or 0),
+                "low_entropy_rows": int(ent["low_entropy_rows"] or 0),
+                "n_keys": int(top["n_keys"]) if top else 0,
+                "top_key": top["key"] if top else None,
+                "top_key_share_permille": int(top["share_permille"])
+                if top
+                else 0,
+                "max_group": int(top["max_group"]) if top else 0,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_render(args) -> int:
     """SFT chat-template emission as a standalone stage: one training
     string per conversation with loss-mask char spans, written to
@@ -1048,6 +1123,21 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--id-col", default="doc_id")
     cl.add_argument("--min-count", type=int, default=2)
     cl.set_defaults(fn=cmd_clean)
+
+    st = sub.add_parser(
+        "stats",
+        help="corpus diagnosis: HLL/CMS sketch artifacts + skew table"
+        " + entropy summary",
+    )
+    st.add_argument("--input", required=True)
+    st.add_argument("--output", required=True)
+    st.add_argument("--id-col", default="doc_id")
+    st.add_argument("--text-col", default="text")
+    st.add_argument("--key-col", default="source")
+    st.add_argument("--top-k", type=int, default=10)
+    st.add_argument("--hash-mode", default="xxhash64")
+    st.add_argument("--spam-entropy-micro", type=int, default=1_500_000)
+    st.set_defaults(fn=cmd_stats)
 
     rd = sub.add_parser(
         "render", help="SFT chat-template emission with loss-mask spans"
