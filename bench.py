@@ -202,6 +202,8 @@ HEADLINE = [
     "char_entropy",
     # r5p: key-skew diagnosis (exact rank-selection quantile mode)
     "skew_report",
+    # r5p: Count-Min frequency sketch probed at the true top-10 tokens
+    "cms_heavy_hitters",
 ]
 
 

@@ -97,3 +97,38 @@ def test_m_validation(spark):
         hll_sketch(_vals(spark, 0, 10), "v", m=63)
     with pytest.raises(ValueError):
         hll_sketch(_vals(spark, 0, 10), "v", m=8192)
+
+
+def test_grouped_sketch_matches_per_key_filter(spark):
+    """hll_sketch_by(key) == {hll_sketch(rows of key)} for every key,
+    so per-key estimates are exactly the ungrouped ones."""
+    from pyspark.sql import functions as F
+
+    from zeus_data_quality_spark.functions.cardinality import (
+        hll_sketch_by,
+    )
+
+    df = spark.createDataFrame(
+        [(k, f"v{i % n}") for k, n in [("a", 40), ("b", 7)] for i in range(80)],
+        "k string, v string",
+    )
+    grouped = hll_sketch_by(df, "k", "v", hash_mode="md5")
+    for key in ("a", "b"):
+        got = sorted(
+            (r["bucket"], r["max_rank"])
+            for r in grouped.filter(F.col("key") == key).collect()
+        )
+        want = sorted(
+            map(
+                tuple,
+                hll_sketch(
+                    df.filter(F.col("k") == key), "v", hash_mode="md5"
+                ).collect(),
+            )
+        )
+        assert got == want
+        est = hll_estimate(
+            grouped.filter(F.col("key") == key).select("bucket", "max_rank")
+        ).collect()[0]["est_milli"] / 1000.0
+        n_true = 40 if key == "a" else 7
+        assert abs(est - n_true) <= max(0.45 * n_true, 1.5)

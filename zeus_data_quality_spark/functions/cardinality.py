@@ -93,7 +93,10 @@ def hll_sketch(
         raise ValueError("m must be a power of two in (0, 4096]")
     w = HASH_BITS - m.bit_length() + 1  # suffix bits: 60 - log2(m)
     h = _hash60(F.col(value_col), hash_mode)
-    suffix = F.floor(h / m).cast("long")
+    # h // m as a SHIFT, not floor(h / m): double division of a 60-bit
+    # integer rounds above 2^53, so floor() can disagree with the
+    # oracle's exact integer division near power-of-two boundaries
+    suffix = F.shiftright(h, m.bit_length() - 1)
     rank = F.when(suffix == 0, F.lit(w + 1)).otherwise(
         F.lit(w) - F.length(F.bin(suffix)) + 1
     )
@@ -101,6 +104,38 @@ def hll_sketch(
         df.filter(F.col(value_col).isNotNull())
         .select((h % m).alias("bucket"), rank.alias("__rank"))
         .groupBy("bucket")
+        .agg(F.max("__rank").cast("int").alias("max_rank"))
+    )
+
+
+def hll_sketch_by(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    m: int = DEFAULT_M,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Grouped sketch: (key, bucket, max_rank) — ≤ m rows PER KEY, the
+    bounded-shuffle answer to "distinct users per event type" /
+    "distinct n-grams per source" at corpus scale. Merges with the
+    same bucket-max, now keyed; feed one key's rows to
+    :func:`hll_estimate` (or group in SQL) for its estimate."""
+    if m & (m - 1) or not 0 < m <= 4096:
+        raise ValueError("m must be a power of two in (0, 4096]")
+    h = _hash60(F.col(value_col), hash_mode)
+    w = HASH_BITS - m.bit_length() + 1
+    suffix = F.shiftright(h, m.bit_length() - 1)
+    rank = F.when(suffix == 0, F.lit(w + 1)).otherwise(
+        F.lit(w) - F.length(F.bin(suffix)) + 1
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            (h % m).alias("bucket"),
+            rank.alias("__rank"),
+        )
+        .groupBy("key", "bucket")
         .agg(F.max("__rank").cast("int").alias("max_rank"))
     )
 

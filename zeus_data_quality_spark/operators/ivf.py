@@ -195,6 +195,15 @@ def ivf_topk(
         id_col,
         vec_col,
     )
+    # Materialize the index before the candidate join: projection
+    # collapse otherwise substitutes the k-dot assignment expression
+    # into the join and re-evaluates it per CANDIDATE PAIR — measured
+    # 13.0 s → 3.9 s at sf0.1 for the probe (the embed.py:265
+    # ann_from_text trap, same fix). localCheckpoint is executor-local
+    # (lost on executor failure); at cluster scale WRITE the index
+    # table once and probe the stored copy — the ann_ivf_probe /
+    # incremental_dedup persisted-index shape.
+    indexed = indexed.localCheckpoint(eager=True)
     dots = F.array(
         *[_dot(F.col("__qu"), c) for c in _centroid_lits(centroids)]
     )
