@@ -512,3 +512,44 @@ def test_cli_stats_stage(spark, sf_dir, tmp_path):
     assert 0 < cms.count() <= 4 * 1024
     skew = spark.read.parquet(f"{out}/skew")
     assert skew.count() >= 1
+
+
+def test_cli_stats_ledger_folds_across_ingests(spark, sf_dir, tmp_path):
+    """Two `stats --ledger` ingests over disjoint corpus halves: the
+    ledger's all-time cardinality equals a whole-corpus sketch run,
+    and versions advance."""
+    import json as _json
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a, b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    docs.filter("doc_id % 2 = 0").write.parquet(a)
+    docs.filter("doc_id % 2 = 1").write.parquet(b)
+    led = str(tmp_path / "ledger")
+
+    outs = []
+    for i, src in enumerate((a, b)):
+        r = _cli(
+            "stats", "--input", src, "--output",
+            str(tmp_path / f"out{i}"), "--hash-mode", "md5",
+            "--ledger", led,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs.append(_json.loads(r.stdout.strip().splitlines()[-1]))
+    assert outs[0]["ledger_hll_version"] == 0
+    assert outs[1]["ledger_hll_version"] == 1
+
+    from pyspark.sql import functions as F
+
+    from zeus_data_quality_spark.functions.cardinality import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"[ \t\n\r\f\x0b]+"))
+        .alias("tok")
+    ).filter("tok != ''")
+    whole = hll_estimate(hll_sketch(toks, "tok", hash_mode="md5")).collect()[
+        0
+    ]["est_milli"]
+    assert outs[1]["ledger_token_cardinality_est_milli"] == whole

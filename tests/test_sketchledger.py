@@ -1,0 +1,137 @@
+"""Sketch ledger (functions/sketchledger.py): per-ingest sketches
+folding into OCC-versioned corpus totals.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.functions.cardinality import (
+    hll_estimate,
+    hll_sketch,
+)
+from zeus_data_quality_spark.functions.cms import cms_build
+from zeus_data_quality_spark.functions.sketchledger import (
+    merge_cms_into_ledger,
+    merge_hll_into_ledger,
+)
+from zeus_data_quality_spark.sources.snapshots import (
+    SnapshotConflict,
+    read_snapshot,
+)
+
+
+def _vals(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+
+
+def test_two_ingests_fold_to_the_union_sketch(spark, tmp_path):
+    """Ingest A then B: the ledger equals the sketch of A ∪ B exactly
+    — estimates, buckets, and counters — and versions advance 0 → 1."""
+    led = str(tmp_path / "ledger")
+    a, b = _vals(spark, 0, 4000), _vals(spark, 3000, 9000)
+
+    v0 = merge_hll_into_ledger(hll_sketch(a, "v", hash_mode="md5"), f"{led}/hll")
+    v1 = merge_hll_into_ledger(hll_sketch(b, "v", hash_mode="md5"), f"{led}/hll")
+    assert (v0, v1) == (0, 1)
+    ledger = read_snapshot(spark, f"{led}/hll")
+    whole = hll_sketch(a.union(b), "v", hash_mode="md5")
+    assert sorted(map(tuple, ledger.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    assert (
+        hll_estimate(ledger).collect() == hll_estimate(whole).collect()
+    )
+
+    merge_cms_into_ledger(
+        cms_build(a, "v", width=64, depth=2, hash_mode="md5"), f"{led}/cms"
+    )
+    merge_cms_into_ledger(
+        cms_build(b, "v", width=64, depth=2, hash_mode="md5"), f"{led}/cms"
+    )
+    got = sorted(map(tuple, read_snapshot(spark, f"{led}/cms").collect()))
+    want = sorted(
+        map(
+            tuple,
+            cms_build(
+                a.union(b), "v", width=64, depth=2, hash_mode="md5"
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_time_travel_gives_growth_curve(spark, tmp_path):
+    """read_snapshot(ledger, v) is the corpus total as of ingest v —
+    the distinct-count growth curve is one estimate per version."""
+    led = str(tmp_path / "led2")
+    ests = []
+    for lo, hi in [(0, 100), (100, 5000), (5000, 5050)]:
+        merge_hll_into_ledger(
+            hll_sketch(_vals(spark, lo, hi), "v", hash_mode="md5"),
+            f"{led}/hll",
+        )
+    for v in (0, 1, 2):
+        sk = read_snapshot(spark, f"{led}/hll", v)
+        ests.append(hll_estimate(sk).collect()[0]["est_milli"])
+    # fold is monotone (bucket-max only grows); the big second ingest
+    # must move the estimate, the 1% third one need not
+    assert ests[0] < ests[1] <= ests[2]
+
+
+def test_conflict_retries_and_both_ingests_survive(spark, tmp_path):
+    """Simulate a racing ingest landing between read and commit: with
+    retries the fold re-reads and BOTH batches' contributions end up
+    in the final ledger; with retries=0 the conflict surfaces."""
+    import zeus_data_quality_spark.functions.sketchledger as sl
+
+    led = str(tmp_path / "led3")
+    a, b, c = (
+        _vals(spark, 0, 500),
+        _vals(spark, 500, 1000),
+        _vals(spark, 1000, 1500),
+    )
+    merge_hll_into_ledger(hll_sketch(a, "v", hash_mode="md5"), f"{led}/hll")
+
+    sneak = hll_sketch(c, "v", hash_mode="md5")
+    real_cv = sl.current_version
+    fired = {"done": False}
+
+    def racing(spark_, d):
+        v = real_cv(spark_, d)
+        if not fired["done"]:
+            fired["done"] = True
+            # the "other ingest" commits after our read
+            sl.write_snapshot(
+                read_snapshot(spark_, d, v)
+                .unionByName(sneak)
+                .groupBy("bucket")
+                .agg(F.max("max_rank").cast("int").alias("max_rank")),
+                d,
+                mode="overwrite",
+                expected_parent=v,
+            )
+        return v
+
+    sl.current_version = racing
+    try:
+        with pytest.raises(SnapshotConflict):
+            merge_hll_into_ledger(
+                hll_sketch(b, "v", hash_mode="md5"), f"{led}/hll", retries=0
+            )
+        fired["done"] = False
+        merge_hll_into_ledger(
+            hll_sketch(b, "v", hash_mode="md5"), f"{led}/hll"
+        )
+    finally:
+        sl.current_version = real_cv
+    final = read_snapshot(spark, f"{led}/hll")
+    whole = hll_sketch(
+        a.union(b).union(c), "v", hash_mode="md5"
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, whole.collect())
+    )

@@ -648,6 +648,33 @@ def cmd_stats(args) -> int:
         .first()
     )
 
+    ledger_info = {}
+    if args.ledger:
+        from .functions.sketchledger import (
+            merge_cms_into_ledger,
+            merge_hll_into_ledger,
+        )
+        from .sources.snapshots import read_snapshot
+
+        hv = merge_hll_into_ledger(
+            spark.read.parquet(f"{args.output}/hll_sketch"),
+            f"{args.ledger}/hll",
+        )
+        cv = merge_cms_into_ledger(
+            spark.read.parquet(f"{args.output}/cms_grid"),
+            f"{args.ledger}/cms",
+        )
+        total = hll_estimate(
+            read_snapshot(spark, f"{args.ledger}/hll")
+        ).first()
+        ledger_info = {
+            "ledger_hll_version": hv,
+            "ledger_cms_version": cv,
+            "ledger_token_cardinality_est_milli": int(
+                total["est_milli"]
+            ),
+        }
+
     ent = entropy_stats(df, idc, tc).agg(
         F.count(F.lit(1)).alias("rows"),
         F.avg("char_entropy_micro").cast("long").alias(
@@ -673,6 +700,7 @@ def cmd_stats(args) -> int:
                 if top
                 else 0,
                 "max_group": int(top["max_group"]) if top else 0,
+                **ledger_info,
             }
         )
     )
@@ -1137,6 +1165,11 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--top-k", type=int, default=10)
     st.add_argument("--hash-mode", default="xxhash64")
     st.add_argument("--spam-entropy-micro", type=int, default=1_500_000)
+    st.add_argument(
+        "--ledger", default=None,
+        help="OCC sketch-ledger dir: fold this batch's HLL/CMS into"
+        " versioned corpus totals",
+    )
     st.set_defaults(fn=cmd_stats)
 
     rd = sub.add_parser(

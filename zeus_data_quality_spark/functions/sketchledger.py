@@ -1,0 +1,99 @@
+"""Sketch ledger — per-ingest sketches folded into OCC-versioned
+corpus totals.
+
+The sketches are mergeable (HLL: bucket-max; CMS: counter-sum) and the
+snapshot store gives read-modify-write commits pinned to their parent
+version (sources/snapshots.py) — composing the two yields the corpus
+ledger a 10^12-turn pipeline actually runs: every ingest batch computes
+its own sketch (bounded shuffle, `cli.py stats`), then folds it into
+the ledger table with an optimistic commit. Two racing ingests both
+survive — the loser's conflict re-reads the winner's fold and retries,
+and because merge is associative+commutative the final state is
+identical either way. The ledger answers "how many distinct n-grams /
+how frequent is this token across EVERYTHING ingested so far" without
+ever re-scanning an old batch.
+
+Time travel comes free from the store: ``read_snapshot(dir, v)`` is
+the ledger as of ingest v — corpus-growth curves are one query per
+version.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.snapshots import (
+    SnapshotConflict,
+    current_version,
+    read_snapshot,
+    write_snapshot,
+)
+
+DEFAULT_RETRIES = 5
+
+
+def _fold(
+    spark: SparkSession,
+    batch: DataFrame,
+    ledger_dir: str,
+    keys: list[str],
+    agg,
+    retries: int,
+) -> int:
+    last: Exception | None = None
+    for _ in range(retries + 1):
+        v = current_version(spark, ledger_dir)
+        base = (
+            read_snapshot(spark, ledger_dir, v)
+            if v is not None
+            else batch.limit(0)
+        )
+        merged = (
+            base.unionByName(batch).groupBy(*keys).agg(agg)
+        )
+        try:
+            return write_snapshot(
+                merged, ledger_dir, mode="overwrite", expected_parent=v
+            )
+        except SnapshotConflict as e:  # racing ingest won; re-fold
+            last = e
+    raise last  # type: ignore[misc]
+
+
+def merge_hll_into_ledger(
+    batch_sketch: DataFrame,
+    ledger_dir: str,
+    retries: int = DEFAULT_RETRIES,
+) -> int:
+    """Fold a batch ``(bucket, max_rank)`` HLL sketch into the ledger
+    table; returns the committed version. Bucket-max merge ≡ the
+    sketch of the union corpus (tests/test_cardinality.py merge law),
+    so ``hll_estimate(read_snapshot(ledger))`` is the all-time
+    distinct estimate."""
+    return _fold(
+        batch_sketch.sparkSession,
+        batch_sketch,
+        ledger_dir,
+        ["bucket"],
+        F.max("max_rank").cast("int").alias("max_rank"),
+        retries,
+    )
+
+
+def merge_cms_into_ledger(
+    batch_grid: DataFrame,
+    ledger_dir: str,
+    retries: int = DEFAULT_RETRIES,
+) -> int:
+    """Fold a batch ``(seed, bucket, cnt)`` CMS grid into the ledger
+    (counter-wise sum — CMS linearity); returns the committed
+    version."""
+    return _fold(
+        batch_grid.sparkSession,
+        batch_grid,
+        ledger_dir,
+        ["seed", "bucket"],
+        F.sum("cnt").cast("long").alias("cnt"),
+        retries,
+    )
