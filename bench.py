@@ -204,6 +204,10 @@ HEADLINE = [
     "skew_report",
     # r5p: Count-Min frequency sketch probed at the true top-10 tokens
     "cms_heavy_hitters",
+    # r5q: per-rule drop attribution + pairwise co-failure matrix
+    # (one fused-scan Aggregate each, same scan as rule_failure_counts)
+    "rule_funnel",
+    "rule_overlap",
 ]
 
 

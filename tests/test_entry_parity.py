@@ -304,6 +304,15 @@ TAIL_OVERFLOW: set = {
     # overcount + linearity laws in test_cms.py; full oracle,
     # parity-checked here.
     "cms_heavy_hitters",
+    # r5q: per-rule drop attribution (filter funnel) — fails /
+    # sole-owner / sequential-marginal counts from the SAME fused
+    # flags the in-window rule_failure_counts aggregates (one
+    # Aggregate, unpivoted); full oracle, parity-checked here.
+    "rule_funnel",
+    # r5q: pairwise rule co-failure matrix — the redundancy signal,
+    # same single fused-scan Aggregate; full oracle, parity-checked
+    # here.
+    "rule_overlap",
 }
 
 

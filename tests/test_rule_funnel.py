@@ -1,0 +1,99 @@
+"""Hand-computed pins for the per-rule attribution report
+(``plans/runner.py::rule_funnel`` / ``rule_overlap``) — semantics
+verified against a micro-table where every count is enumerable by eye,
+independently of the DuckDB oracle (which replays the same algebra).
+"""
+
+from __future__ import annotations
+
+from zeus_data_quality_spark.functions.rules import Check
+from zeus_data_quality_spark.plans.runner import (
+    apply_checks,
+    rule_funnel,
+    rule_overlap,
+)
+
+# Three rules in check_id order: A (null text), B (length < 4),
+# C (leading/trailing whitespace).
+CHECKS = [
+    Check("A_NULL", "NULL_COUNT", "text"),
+    Check("B_LEN", "MIN_MAX", "n", params={"min": 4}),
+    Check(
+        "C_WS", "WHITESPACE", "text", params={"mode": "NO_LEADING_TRAILING"}
+    ),
+]
+
+# rows: (text, n) — per-row failing rule sets:
+#   r0 ok            {}           survives
+#   r1 null text     {A}          funnel → A, unique → A
+#   r2 n too small   {B}          funnel → B, unique → B
+#   r3 " pad "       {C}          funnel → C, unique → C
+#   r4 null + small  {A, B}       funnel → A (first), unique none
+#   r5 " pad ", 1    {B, C}       funnel → B, unique none
+#   r6 ok            {}           survives
+ROWS = [
+    ("ok", 10),
+    (None, 10),
+    ("fine", 1),
+    (" pad ", 10),
+    (None, 1),
+    (" pad ", 1),
+    ("good", 9),
+]
+
+
+def _labeled(spark):
+    df = spark.createDataFrame(ROWS, "text string, n int")
+    return apply_checks(df, CHECKS)
+
+
+def test_rule_funnel_hand_counts(spark):
+    out = rule_funnel(_labeled(spark), CHECKS).collect()
+    by = {r["rule"]: r for r in out}
+    assert [r["rule"] for r in out] == ["A_NULL", "B_LEN", "C_WS"]
+    # raw fails (overlaps count everywhere)
+    assert (by["A_NULL"]["fails"], by["B_LEN"]["fails"],
+            by["C_WS"]["fails"]) == (2, 3, 2)
+    # sole-owner drops: rows failing ONLY that rule
+    assert (by["A_NULL"]["unique_drops"], by["B_LEN"]["unique_drops"],
+            by["C_WS"]["unique_drops"]) == (1, 1, 1)
+    # sequential funnel: attributed to the FIRST failing rule
+    assert (by["A_NULL"]["funnel_drops"], by["B_LEN"]["funnel_drops"],
+            by["C_WS"]["funnel_drops"]) == (2, 2, 1)
+    # funnel totals are exactly the dropped-row count
+    assert sum(r["funnel_drops"] for r in out) == 5
+    assert all(r["rows_in"] == 7 for r in out)
+    # integer permille: 2000//7=285, 3000//7=428
+    assert (by["A_NULL"]["share_permille"], by["B_LEN"]["share_permille"],
+            by["C_WS"]["share_permille"]) == (285, 428, 285)
+
+
+def test_rule_funnel_invariants(spark):
+    out = rule_funnel(_labeled(spark), CHECKS).collect()
+    for r in out:
+        # unique ⊆ funnel ⊆ fails for the first rule; in general
+        # unique ≤ funnel (a sole-owner row always passes every
+        # earlier rule) and funnel ≤ fails
+        assert r["unique_drops"] <= r["funnel_drops"] <= r["fails"]
+
+
+def test_rule_overlap_hand_counts(spark):
+    out = rule_overlap(_labeled(spark), CHECKS).collect()
+    pairs = {(r["rule_a"], r["rule_b"]): r["both_fail"] for r in out}
+    # deterministic full matrix, check_id-ordered pairs
+    assert sorted(pairs) == [
+        ("A_NULL", "B_LEN"), ("A_NULL", "C_WS"), ("B_LEN", "C_WS"),
+    ]
+    assert pairs[("A_NULL", "B_LEN")] == 1  # r4
+    assert pairs[("A_NULL", "C_WS")] == 0  # null text can't have padding
+    assert pairs[("B_LEN", "C_WS")] == 1  # r5
+
+
+def test_funnel_all_pass_corpus(spark):
+    df = spark.createDataFrame([("ok", 10), ("fine", 8)], "text string, n int")
+    out = rule_funnel(apply_checks(df, CHECKS), CHECKS).collect()
+    assert len(out) == 3
+    for r in out:
+        assert (r["fails"], r["unique_drops"], r["funnel_drops"],
+                r["share_permille"]) == (0, 0, 0, 0)
+        assert r["rows_in"] == 2

@@ -227,6 +227,80 @@ def failure_counts_sql(checks: list[Check], source: str = "transcripts") -> str:
     )
 
 
+def funnel_sql(checks: list[Check], source: str = "transcripts") -> str:
+    """Body reproducing ``plans/runner.py::rule_funnel`` — per-rule
+    fails / unique_drops / funnel_drops / share_permille from one
+    aggregate over the labeled relation, unpivoted by UNION ALL."""
+    rcs = sorted(
+        (c for c in checks if not c.is_table_level), key=lambda c: c.check_id
+    )
+    f_cols = ",\n    ".join(
+        f"{fail_int_sql(c)} AS f_{c.check_id.lower()}" for c in rcs
+    )
+    tot = " + ".join(f"f_{c.check_id.lower()}" for c in rcs)
+    agg_cols = ["CAST(COUNT(*) AS BIGINT) AS rows_in"]
+    earlier: list[str] = []
+    for c in rcs:
+        cid = c.check_id.lower()
+        agg_cols.append(f"CAST(SUM(f_{cid}) AS BIGINT) AS fails_{cid}")
+        agg_cols.append(
+            f"CAST(SUM(CASE WHEN f_{cid} = 1 AND ({tot}) = 1 "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS uniq_{cid}"
+        )
+        cond = " AND ".join(
+            [f"f_{cid} = 1"] + [f"f_{e} = 0" for e in earlier]
+        )
+        agg_cols.append(
+            f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS funnel_{cid}"
+        )
+        earlier.append(cid)
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{c.check_id}' AS rule, fails_{c.check_id.lower()} AS fails,"
+        f" uniq_{c.check_id.lower()} AS unique_drops,"
+        f" funnel_{c.check_id.lower()} AS funnel_drops, rows_in,"
+        f" CAST((1000 * fails_{c.check_id.lower()}) // rows_in AS BIGINT)"
+        f" AS share_permille FROM __agg"
+        for c in rcs
+    )
+    return (
+        f", {labeled_cte(rcs, source)}\n"
+        f", __flags AS (SELECT {f_cols} FROM __labeled)\n"
+        f", __agg AS (SELECT {', '.join(agg_cols)} FROM __flags)\n"
+        f"SELECT * FROM (\n{rows}\n) ORDER BY rule"
+    )
+
+
+def overlap_sql(checks: list[Check], source: str = "transcripts") -> str:
+    """Body reproducing ``plans/runner.py::rule_overlap`` — pairwise
+    co-failure counts for every check_id-ordered pair."""
+    rcs = sorted(
+        (c for c in checks if not c.is_table_level), key=lambda c: c.check_id
+    )
+    f_cols = ",\n    ".join(
+        f"{fail_int_sql(c)} AS f_{c.check_id.lower()}" for c in rcs
+    )
+    aggs, rows = [], []
+    for i, a in enumerate(rcs):
+        for b in rcs[i + 1 :]:
+            al, bl = a.check_id.lower(), b.check_id.lower()
+            aggs.append(
+                f"CAST(SUM(CASE WHEN f_{al} = 1 AND f_{bl} = 1 "
+                f"THEN 1 ELSE 0 END) AS BIGINT) AS b_{al}__{bl}"
+            )
+            rows.append(
+                f"SELECT '{a.check_id}' AS rule_a, '{b.check_id}' AS rule_b,"
+                f" b_{al}__{bl} AS both_fail FROM __agg"
+            )
+    body = "\nUNION ALL\n".join(rows)
+    return (
+        f", {labeled_cte(rcs, source)}\n"
+        f", __flags AS (SELECT {f_cols} FROM __labeled)\n"
+        f", __agg AS (SELECT {', '.join(aggs)} FROM __flags)\n"
+        f"SELECT * FROM (\n{body}\n) ORDER BY rule_a, rule_b"
+    )
+
+
 def keep_labels_sql(checks: list[Check], source: str = "transcripts") -> str:
     """Per-row labels: source columns + n_violations + keep."""
     rcs = sorted(

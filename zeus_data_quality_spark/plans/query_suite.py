@@ -113,6 +113,27 @@ def q_rule_failure_counts_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     return failure_counts(apply_checks(t, checks), checks)
 
 
+def q_rule_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule drop attribution (filter funnel) for the default
+    config — fails / sole-owner drops / sequential-funnel marginals /
+    share permille per rule, one fused-scan Aggregate
+    (``plans/runner.py::rule_funnel``)."""
+    from .runner import rule_funnel
+
+    t = load_transcripts(spark, sf_dir)
+    return rule_funnel(apply_checks(t, CHECKS), CHECKS)
+
+
+def q_rule_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise rule co-failure matrix for the default config — the
+    redundancy signal for rule pruning, same single Aggregate
+    (``plans/runner.py::rule_overlap``)."""
+    from .runner import rule_overlap
+
+    t = load_transcripts(spark, sf_dir)
+    return rule_overlap(apply_checks(t, CHECKS), CHECKS)
+
+
 def q_keep_drop_labels_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-turn verdicts under the full extended config (see
     q_rule_failure_counts_ext)."""
@@ -3339,6 +3360,15 @@ def queries():
         # top-10 tokens (one-sided overcount law pytest-pinned); full
         # oracle (TAIL_OVERFLOW).
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        # r5q tail: per-rule drop attribution (filter funnel — fails /
+        # sole-owner / sequential marginal / share) from the SAME fused
+        # scan as the in-window rule_failure_counts; full oracle
+        # (TAIL_OVERFLOW).
+        "rule_funnel": q_rule_funnel,
+        # r5q tail: pairwise rule co-failure matrix (redundancy signal
+        # for rule pruning), same single Aggregate; full oracle
+        # (TAIL_OVERFLOW).
+        "rule_overlap": q_rule_overlap,
     }
 
 
@@ -3437,6 +3467,8 @@ def oracle_sql():
         "char_entropy": _oracle_char_entropy(),
         "skew_report": _oracle_skew_report(),
         "cms_heavy_hitters": _oracle_cms_heavy_hitters(),
+        "rule_funnel": oracle_with_transcripts(osql.funnel_sql(CHECKS)),
+        "rule_overlap": oracle_with_transcripts(osql.overlap_sql(CHECKS)),
         "source_caps": _oracle_source_caps(),
         "gram_novelty": _oracle_gram_novelty(),
         "prefix_dedup": _oracle_prefix_dedup(),

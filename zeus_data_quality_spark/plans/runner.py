@@ -121,6 +121,128 @@ def failure_counts(labeled: DataFrame, checks: list[Check]) -> DataFrame:
     return labeled.agg(*aggs)
 
 
+def _fail_int(check: Check):
+    """1 iff the rule fails (flag TRUE), else 0 — NULL-safe, matching
+    the oracle's ``CASE WHEN NOT pred THEN 1 ELSE 0 END`` counting."""
+    return F.when(F.col(rules.fail_flag_name(check)), 1).otherwise(0)
+
+
+def rule_funnel(labeled: DataFrame, checks: list[Check]) -> DataFrame:
+    """Per-rule drop attribution — the "filter funnel" report every
+    production quality pipeline publishes. One row per row-level check
+    (check_id order), from the SAME fused scan ``failure_counts`` uses:
+
+      ``fails``         rows failing the rule at all (overlaps count
+                        everywhere they fail),
+      ``unique_drops``  rows dropped by ONLY this rule — deleting the
+                        rule would rescue exactly these rows (its
+                        sole-owner cost),
+      ``funnel_drops``  sequential-funnel marginal: rows failing this
+                        rule that PASS every check ordered before it —
+                        what the rule removes when filters apply in
+                        check_id order; Σ funnel_drops over all rules
+                        is EXACTLY the total dropped-row count (each
+                        dropped row attributed to its first failing
+                        rule),
+      ``share_permille`` integer permille of rows_in failing the rule
+                        (exact integer division — engine-portable).
+
+    Scale shape: ONE Aggregate of 3k+1 partial-aggregable integer sums
+    over the labeled Project (no extra scan, no shuffle beyond the
+    single-row reduce); the per-rule unpivot explodes the one result
+    row. The reference reports only raw per-check counts
+    (``services/runner.py:43``); attribution is the extension a
+    10-rule pipeline over 10^12 turns needs to tune rule order/cost.
+    """
+    rcs = row_checks(checks)
+    ints = [_fail_int(c) for c in rcs]
+    tot = ints[0]
+    for x in ints[1:]:
+        tot = tot + x
+    aggs = [F.count(F.lit(1)).cast("long").alias("rows_in")]
+    earlier = F.lit(0)
+    for c, fi in zip(rcs, ints):
+        cid = c.check_id.lower()
+        aggs.append(F.sum(fi).cast("long").alias(f"fails_{cid}"))
+        aggs.append(
+            F.sum(F.when((fi == 1) & (tot == 1), 1).otherwise(0))
+            .cast("long")
+            .alias(f"uniq_{cid}")
+        )
+        aggs.append(
+            F.sum(F.when((fi == 1) & (earlier == 0), 1).otherwise(0))
+            .cast("long")
+            .alias(f"funnel_{cid}")
+        )
+        earlier = earlier + fi
+    one = labeled.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c.check_id).alias("rule"),
+                F.col(f"fails_{c.check_id.lower()}").alias("fails"),
+                F.col(f"uniq_{c.check_id.lower()}").alias("unique_drops"),
+                F.col(f"funnel_{c.check_id.lower()}").alias("funnel_drops"),
+            )
+            for c in rcs
+        ]
+    )
+    return (
+        one.select(F.col("rows_in"), F.explode(entries).alias("e"))
+        .select(
+            "e.rule",
+            "e.fails",
+            "e.unique_drops",
+            "e.funnel_drops",
+            "rows_in",
+            F.expr("(1000 * e.fails) div rows_in").alias("share_permille"),
+        )
+        .orderBy("rule")
+    )
+
+
+def rule_overlap(labeled: DataFrame, checks: list[Check]) -> DataFrame:
+    """Pairwise co-failure matrix: for every ordered pair of row checks
+    ``rule_a < rule_b`` (check_id sort), the count of rows failing
+    BOTH — the redundancy signal for pruning near-duplicate rules
+    (a pair whose ``both`` ≈ min(fails_a, fails_b) means one rule is
+    shadowed by the other). All k(k-1)/2 pair counts ride the same
+    single fused-scan Aggregate as :func:`rule_funnel`; zero-count
+    pairs are emitted so the output shape is deterministic."""
+    rcs = row_checks(checks)
+    ints = {c.check_id: _fail_int(c) for c in rcs}
+    aggs, pairs = [], []
+    for i, a in enumerate(rcs):
+        for b in rcs[i + 1 :]:
+            alias = f"b_{a.check_id.lower()}__{b.check_id.lower()}"
+            aggs.append(
+                F.sum(
+                    F.when(
+                        (ints[a.check_id] == 1) & (ints[b.check_id] == 1), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias(alias)
+            )
+            pairs.append((a.check_id, b.check_id, alias))
+    one = labeled.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("rule_a"),
+                F.lit(b).alias("rule_b"),
+                F.col(alias).alias("both_fail"),
+            )
+            for a, b, alias in pairs
+        ]
+    )
+    return (
+        one.select(F.explode(entries).alias("e"))
+        .select("e.rule_a", "e.rule_b", "e.both_fail")
+        .orderBy("rule_a", "rule_b")
+    )
+
+
 def split(labeled: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(kept, dropped) — dropped is the reference's failing-row view
     ``SELECT * FROM t WHERE NOT(pred)`` generalized to the fused rule
