@@ -553,3 +553,63 @@ def test_cli_stats_ledger_folds_across_ingests(spark, sf_dir, tmp_path):
         0
     ]["est_milli"]
     assert outs[1]["ledger_token_cardinality_est_milli"] == whole
+
+
+def test_cli_run_funnel_artifacts(spark, sf_dir, tmp_path):
+    """--funnel writes both attribution artifacts from one extra scan
+    and the summary JSON's funnel rows agree with the oracle-verified
+    rule_funnel operator on the same input."""
+    from zeus_data_quality_spark.plans.configs import (
+        default_transcript_checks,
+    )
+    from zeus_data_quality_spark.plans.runner import (
+        apply_checks,
+        rule_funnel,
+    )
+    from zeus_data_quality_spark.sources.transcripts import load_transcripts
+
+    inp = str(tmp_path / "in.parquet")
+    load_transcripts(spark, sf_dir).write.parquet(inp)
+    fdir = str(tmp_path / "funnel")
+
+    out = _cli(
+        "run",
+        "--input", inp,
+        "--output", str(tmp_path / "out"),
+        "--lineage", str(tmp_path / "lineage"),
+        "--run-id", "cli-fn1",
+        "--buckets", "2",
+        "--funnel", fdir,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+
+    checks = default_transcript_checks()
+    expected = {
+        r["rule"]: r
+        for r in rule_funnel(
+            apply_checks(spark.read.parquet(inp), checks), checks
+        ).collect()
+    }
+    assert len(summary["funnel"]) == len(expected)
+    for row in summary["funnel"]:
+        e = expected[row["rule"]]
+        assert (
+            row["fails"], row["unique_drops"],
+            row["funnel_drops"], row["share_permille"],
+        ) == (
+            e["fails"], e["unique_drops"],
+            e["funnel_drops"], e["share_permille"],
+        )
+    # Σ funnel over rules == dropped-row total from the lineage summary
+    assert (
+        sum(r["funnel_drops"] for r in summary["funnel"])
+        == summary["rows_dropped"]
+    )
+
+    fdf = spark.read.parquet(f"{fdir}/rule_funnel.parquet")
+    assert fdf.count() == len(expected)
+    odf = spark.read.parquet(f"{fdir}/rule_overlap.parquet")
+    k = len(expected)
+    assert odf.count() == k * (k - 1) // 2
+    assert set(odf.columns) == {"rule_a", "rule_b", "both_fail"}

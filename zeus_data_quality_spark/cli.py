@@ -109,6 +109,29 @@ def cmd_run(args) -> int:
         out["snapshot_version"] = write_snapshot(
             spark.read.parquet(args.output), args.snapshot, mode="overwrite"
         )
+    if getattr(args, "funnel", None):
+        # Per-rule attribution report: both tables from ONE extra
+        # fused-scan aggregate (plans/runner.py::rule_attribution);
+        # artifacts are rule-count-sized, written driver-side.
+        import os as _os
+
+        from .plans.runner import apply_checks, rule_attribution
+
+        funnel, overlap = rule_attribution(apply_checks(df, checks), checks)
+        spark.createDataFrame(
+            [tuple(r.values()) for r in funnel],
+            "rule string, fails long, unique_drops long, "
+            "funnel_drops long, rows_in long, share_permille long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(args.funnel, "rule_funnel.parquet")
+        )
+        spark.createDataFrame(
+            [tuple(r.values()) for r in overlap],
+            "rule_a string, rule_b string, both_fail long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(args.funnel, "rule_overlap.parquet")
+        )
+        out["funnel"] = funnel
     print(json.dumps(out))
     return 0
 
@@ -945,6 +968,14 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="after the run completes, commit the output as one version "
         "of a snapshot table at this dir (time travel across runs)",
+    )
+    r.add_argument(
+        "--funnel",
+        default=None,
+        help="write per-rule drop attribution (filter funnel) + the "
+        "pairwise rule co-failure matrix as parquet artifacts under "
+        "this dir — ONE extra fused-scan aggregate over the input — "
+        "and include the funnel rows in the summary JSON",
     )
     r.set_defaults(fn=cmd_run)
 

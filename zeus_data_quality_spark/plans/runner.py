@@ -127,6 +127,55 @@ def _fail_int(check: Check):
     return F.when(F.col(rules.fail_flag_name(check)), 1).otherwise(0)
 
 
+def _funnel_agg_exprs(rcs: list[Check]) -> list:
+    """rows_in + the per-rule (fails, uniq, funnel) sum triples —
+    3k+1 partial-aggregable integer sums over the fail flags."""
+    ints = [_fail_int(c) for c in rcs]
+    tot = ints[0]
+    for x in ints[1:]:
+        tot = tot + x
+    aggs = [F.count(F.lit(1)).cast("long").alias("rows_in")]
+    earlier = F.lit(0)
+    for c, fi in zip(rcs, ints):
+        cid = c.check_id.lower()
+        aggs.append(F.sum(fi).cast("long").alias(f"fails_{cid}"))
+        aggs.append(
+            F.sum(F.when((fi == 1) & (tot == 1), 1).otherwise(0))
+            .cast("long")
+            .alias(f"uniq_{cid}")
+        )
+        aggs.append(
+            F.sum(F.when((fi == 1) & (earlier == 0), 1).otherwise(0))
+            .cast("long")
+            .alias(f"funnel_{cid}")
+        )
+        earlier = earlier + fi
+    return aggs
+
+
+def _overlap_agg_exprs(
+    rcs: list[Check],
+) -> tuple[list, list[tuple[str, str, str]]]:
+    """(agg columns, (rule_a, rule_b, alias) pair list) for the
+    k(k-1)/2 pairwise co-failure sums."""
+    ints = {c.check_id: _fail_int(c) for c in rcs}
+    aggs, pairs = [], []
+    for i, a in enumerate(rcs):
+        for b in rcs[i + 1 :]:
+            alias = f"b_{a.check_id.lower()}__{b.check_id.lower()}"
+            aggs.append(
+                F.sum(
+                    F.when(
+                        (ints[a.check_id] == 1) & (ints[b.check_id] == 1), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias(alias)
+            )
+            pairs.append((a.check_id, b.check_id, alias))
+    return aggs, pairs
+
+
 def rule_funnel(labeled: DataFrame, checks: list[Check]) -> DataFrame:
     """Per-rule drop attribution — the "filter funnel" report every
     production quality pipeline publishes. One row per row-level check
@@ -155,27 +204,7 @@ def rule_funnel(labeled: DataFrame, checks: list[Check]) -> DataFrame:
     10-rule pipeline over 10^12 turns needs to tune rule order/cost.
     """
     rcs = row_checks(checks)
-    ints = [_fail_int(c) for c in rcs]
-    tot = ints[0]
-    for x in ints[1:]:
-        tot = tot + x
-    aggs = [F.count(F.lit(1)).cast("long").alias("rows_in")]
-    earlier = F.lit(0)
-    for c, fi in zip(rcs, ints):
-        cid = c.check_id.lower()
-        aggs.append(F.sum(fi).cast("long").alias(f"fails_{cid}"))
-        aggs.append(
-            F.sum(F.when((fi == 1) & (tot == 1), 1).otherwise(0))
-            .cast("long")
-            .alias(f"uniq_{cid}")
-        )
-        aggs.append(
-            F.sum(F.when((fi == 1) & (earlier == 0), 1).otherwise(0))
-            .cast("long")
-            .alias(f"funnel_{cid}")
-        )
-        earlier = earlier + fi
-    one = labeled.agg(*aggs)
+    one = labeled.agg(*_funnel_agg_exprs(rcs))
     entries = F.array(
         *[
             F.struct(
@@ -210,21 +239,7 @@ def rule_overlap(labeled: DataFrame, checks: list[Check]) -> DataFrame:
     single fused-scan Aggregate as :func:`rule_funnel`; zero-count
     pairs are emitted so the output shape is deterministic."""
     rcs = row_checks(checks)
-    ints = {c.check_id: _fail_int(c) for c in rcs}
-    aggs, pairs = [], []
-    for i, a in enumerate(rcs):
-        for b in rcs[i + 1 :]:
-            alias = f"b_{a.check_id.lower()}__{b.check_id.lower()}"
-            aggs.append(
-                F.sum(
-                    F.when(
-                        (ints[a.check_id] == 1) & (ints[b.check_id] == 1), 1
-                    ).otherwise(0)
-                )
-                .cast("long")
-                .alias(alias)
-            )
-            pairs.append((a.check_id, b.check_id, alias))
+    aggs, pairs = _overlap_agg_exprs(rcs)
     one = labeled.agg(*aggs)
     entries = F.array(
         *[
@@ -241,6 +256,43 @@ def rule_overlap(labeled: DataFrame, checks: list[Check]) -> DataFrame:
         .select("e.rule_a", "e.rule_b", "e.both_fail")
         .orderBy("rule_a", "rule_b")
     )
+
+
+def rule_attribution(
+    labeled: DataFrame, checks: list[Check]
+) -> tuple[list[dict], list[dict]]:
+    """Both attribution reports — funnel AND pairwise overlap — from
+    ONE corpus-scan Aggregate (3k+1 + k(k-1)/2 integer sums in a
+    single reduce), returned as driver-side row dicts (k and
+    k(k-1)/2 rows — vocabulary-sized, never corpus-sized). The CLI
+    uses this so the optional report costs exactly one extra pass
+    over the input, not two; the per-report operators
+    (:func:`rule_funnel` / :func:`rule_overlap`) stay the
+    oracle-verified relational surfaces."""
+    rcs = row_checks(checks)
+    o_aggs, pairs = _overlap_agg_exprs(rcs)
+    row = labeled.agg(*(_funnel_agg_exprs(rcs) + o_aggs)).first().asDict()
+    rows_in = row["rows_in"]
+    funnel = [
+        {
+            "rule": c.check_id,
+            "fails": row[f"fails_{c.check_id.lower()}"],
+            "unique_drops": row[f"uniq_{c.check_id.lower()}"],
+            "funnel_drops": row[f"funnel_{c.check_id.lower()}"],
+            "rows_in": rows_in,
+            "share_permille": (
+                (1000 * row[f"fails_{c.check_id.lower()}"]) // rows_in
+                if rows_in
+                else 0
+            ),
+        }
+        for c in rcs
+    ]
+    overlap = [
+        {"rule_a": a, "rule_b": b, "both_fail": row[alias]}
+        for a, b, alias in pairs
+    ]
+    return funnel, overlap
 
 
 def split(labeled: DataFrame) -> tuple[DataFrame, DataFrame]:
