@@ -208,6 +208,9 @@ HEADLINE = [
     # (one fused-scan Aggregate each, same scan as rule_failure_counts)
     "rule_funnel",
     "rule_overlap",
+    # r5r: embedding-cosine decontamination (broadcast eval vectors,
+    # per-doc MAX cosine — the paraphrase complement of decontaminate)
+    "decontaminate_semantic",
 ]
 
 

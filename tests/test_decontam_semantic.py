@@ -1,0 +1,113 @@
+"""Semantic (embedding-cosine) decontamination pins
+(operators/decontam.py::semantic_contamination_flags).
+
+Cross-engine value parity: test_entry_parity.py + tools/parity_check.py
+(`decontaminate_semantic` oracle). Here: semantic contracts — self
+matches, the paraphrase complementarity vs the exact n-gram path (the
+reason this operator exists), zero-vector/NULL handling, and threshold
+monotonicity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.operators.decontam import (
+    benchmark_ngrams,
+    contamination_flags,
+    semantic_contamination_flags,
+)
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+EVAL_ITEM = "the quick brown fox jumps over the lazy dog tonight"
+# Word-level reordering that breaks EVERY word-3-gram of EVAL_ITEM,
+# while the char-3-gram bag (and hence the hashed embedding) stays
+# close (measured cosine 0.836 vs the unrelated text's -0.288).
+PARAPHRASE = "brown the quick jumps fox the over dog lazy tonight"
+UNRELATED = "supply chain invoices reconcile quarterly ledger totals"
+
+
+def test_eval_items_flag_themselves(spark):
+    docs = _df(spark, [EVAL_ITEM, UNRELATED])
+    bench = docs.filter(F.col("doc_id") == 0)
+    out = {
+        r["doc_id"]: (r["max_cos"], r["contaminated"])
+        for r in semantic_contamination_flags(
+            docs, bench, "doc_id", "text", threshold=0.9
+        ).collect()
+    }
+    # an eval item present verbatim in the corpus has cosine exactly 1
+    assert out[0] == (1.0, True)
+    assert out[1][1] is False
+
+
+def test_paraphrase_complementarity_vs_exact_ngrams(spark):
+    """The pin this operator exists for: a word-reordered eval item is
+    MISSED by exact word-3-gram overlap but CAUGHT by the embedding
+    cosine (char-n-gram bags are word-order-insensitive)."""
+    docs = _df(spark, [PARAPHRASE, UNRELATED])
+    bench = _df(spark, [EVAL_ITEM])
+
+    exact = {
+        r["doc_id"]: r["n_contaminated_ngrams"]
+        for r in contamination_flags(
+            docs, benchmark_ngrams(bench), "doc_id", "text", min_hits=1
+        ).collect()
+    }
+    assert exact[0] == 0  # n-gram path shares NOT ONE gram
+
+    sem = {
+        r["doc_id"]: (r["max_cos"], r["contaminated"])
+        for r in semantic_contamination_flags(
+            docs, bench, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    assert sem[0][1] is True  # semantic path catches it
+    assert sem[0][0] >= 0.8
+    assert sem[1][1] is False  # and does not flag unrelated text
+    assert sem[1][0] < 0.8
+
+
+def test_zero_vector_and_null_contract(spark):
+    """Empty/short/NULL texts embed to the zero vector — cosine is
+    undefined, so they surface as max_cos NULL + contaminated false
+    (on either side: a zero-vector bench row must not flag anything)."""
+    docs = spark.createDataFrame(
+        [(0, EVAL_ITEM), (1, ""), (2, None)], "doc_id long, text string"
+    )
+    bench = docs  # includes the zero-vector rows
+    out = {
+        r["doc_id"]: (r["max_cos"], r["contaminated"])
+        for r in semantic_contamination_flags(
+            docs, bench, "doc_id", "text", threshold=0.9
+        ).collect()
+    }
+    assert out[0] == (1.0, True)
+    assert out[1] == (None, False)
+    assert out[2] == (None, False)
+
+
+def test_threshold_monotonicity(spark):
+    """Raising the threshold can only shrink the flagged set, and the
+    flag column is exactly max_cos >= threshold."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") < 25)
+    lo = semantic_contamination_flags(
+        docs, bench, "doc_id", "text", threshold=0.8
+    ).collect()
+    flagged_lo = {r["doc_id"] for r in lo if r["contaminated"]}
+    hi_rows = semantic_contamination_flags(
+        docs, bench, "doc_id", "text", threshold=0.95
+    ).collect()
+    flagged_hi = {r["doc_id"] for r in hi_rows if r["contaminated"]}
+    assert flagged_hi <= flagged_lo
+    assert len(flagged_hi) >= 25  # the eval slice always self-flags
+    for r in hi_rows:
+        want = r["max_cos"] is not None and r["max_cos"] >= 0.95
+        assert r["contaminated"] == want

@@ -313,6 +313,12 @@ TAIL_OVERFLOW: set = {
     # same single fused-scan Aggregate; full oracle, parity-checked
     # here.
     "rule_overlap",
+    # r5r: embedding-cosine decontamination — the paraphrase-level
+    # complement of the in-window decontaminate row (same eval set),
+    # composed from the in-window embedding core and semantic_dedup's
+    # round-9 cosine protocol (complementarity pinned in
+    # test_decontam_semantic.py); full oracle, parity-checked here.
+    "decontaminate_semantic",
 }
 
 
@@ -335,7 +341,7 @@ def test_driver_window_covers_every_operator_family():
         # demo, not an operator family — the tail twins note covers it)
         "dedup_exact": {"dedup_exact", "conversation_dedup"},
         "textstats": {"text_stats"},
-        "decontaminate": {"decontaminate"},
+        "decontaminate": {"decontaminate", "decontaminate_semantic"},
         "fingerprints": {"doc_fingerprints"},
         "quality_filter": {"document_quality_filter"},
         "repetition": {"gopher_repetition"},

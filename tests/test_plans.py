@@ -159,6 +159,16 @@ def test_decontaminate_broadcasts_benchmark_ngrams(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_decontaminate_semantic_broadcasts_eval_vectors(spark, sf_dir):
+    """The eval-vector probe must broadcast the bench side (eval
+    suites are small); the per-doc MAX must partial-aggregate before
+    any exchange so only (id, max_cos) rows ever shuffle — never the
+    corpus-sized per-pair cosine stream."""
+    plan = _plan(spark, qs.q_decontaminate_semantic(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_max" in plan
+
+
 def test_top_tokens_is_take_ordered(spark, sf_dir):
     plan = _plan(spark, qs.q_top_tokens(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan

@@ -130,3 +130,132 @@ SELECT d.{id_col},
        COALESCE(h.n_hits, 0) >= {min_hits} AS is_contaminated
 FROM {docs_table} d LEFT JOIN hits h ON h.{id_col} = d.{id_col}
 """
+
+
+def semantic_contamination_flags(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    dim: int | None = None,
+    n: int | None = None,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(id, max_cos, contaminated) — embedding-cosine decontamination.
+
+    The n-gram path above misses PARAPHRASED eval content: reworded
+    benchmark items share few word-3-grams with their source but map
+    near it in embedding space (the same blind spot SemDeDup closes
+    for dedup, Abbas et al. 2023 — public write-ups of LLM decontam
+    pipelines pair exact n-gram overlap with an embedding-similarity
+    sweep for exactly this reason). This operator flags every training
+    document whose max cosine against ANY benchmark item reaches
+    ``threshold``; ``max_cos`` is reported so the threshold can be
+    tuned from one run's output.
+
+    Composition (every stage already oracle-verified elsewhere):
+    in-engine char-n-gram embeddings (``functions/embed.py``, the
+    `text_embeddings` oracle) + the hoisted-norm round-9 cosine of
+    ``semdedup.semantic_pairs`` (the `semantic_dedup` oracle).
+
+    Spark shape at 100 TB: eval suites are thousands of items — their
+    (vector, norm) table broadcasts. The corpus streams through ONE
+    scan; its (id, vector, norm) projection is materialized BEFORE the
+    join (the projection-collapse discipline of ``embed.ann_from_text``
+    — left lazy, Catalyst inlines the norm/assembly expressions into
+    every per-pair cosine), then the broadcast nested-loop emits
+    per-(doc, bench) cosines that collapse in a partial-aggregable
+    per-doc MAX — nothing corpus-sized ever shuffles. Zero vectors
+    (empty/short texts) are excluded from BOTH sides — cosine is
+    undefined for them — and surface as ``max_cos NULL, contaminated
+    false`` via the final left join.
+    """
+    from ..functions.embed import DIM, NGRAM, bulk_text_embeddings
+    from .similarity import _norm
+
+    dim = DIM if dim is None else dim
+    n = NGRAM if n is None else n
+    emb = bulk_text_embeddings(docs, id_col, text_col, dim, n, hash_fn)
+    base = (
+        emb.filter(F.exists("embedding", lambda v: v != 0))
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col("embedding").alias("__v"),
+            _norm(F.col("embedding")).alias("__n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bemb = bulk_text_embeddings(bench, id_col, text_col, dim, n, hash_fn)
+    bnz = bemb.filter(F.exists("embedding", lambda v: v != 0)).select(
+        F.col("embedding").alias("__bv"),
+        _norm(F.col("embedding")).alias("__bn"),
+    )
+    # Statically expanded dot (dim codegen'd products, left-to-right
+    # double sum — bit-identical to the interpreted HOF and to the
+    # oracle's list_cosine_similarity; semdedup.semantic_pairs).
+    dot = None
+    for i in range(1, dim + 1):
+        term = (
+            F.element_at("__v", i).cast("double")
+            * F.element_at("__bv", i).cast("double")
+        )
+        dot = term if dot is None else dot + term
+    cos = F.round(dot / (F.col("__n") * F.col("__bn")), 9)
+    mc = (
+        base.crossJoin(F.broadcast(bnz))
+        .select("__id", cos.alias("__cos"))
+        .groupBy("__id")
+        .agg(F.max("__cos").alias("max_cos"))
+    )
+    return (
+        docs.select(id_col)
+        .join(mc, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            id_col,
+            "max_cos",
+            F.coalesce(
+                F.col("max_cos") >= F.lit(threshold), F.lit(False)
+            ).alias("contaminated"),
+        )
+    )
+
+
+def duckdb_semantic_contamination_sql(
+    docs_table: str,
+    bench_predicate: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    dim: int | None = None,
+    n: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`semantic_contamination_flags` — replays
+    the embedding CTE chain, the nonzero filter, the per-pair round-9
+    cosine and the per-doc MAX. ``list_cosine_similarity`` on the raw
+    integer vectors equals the hoisted-norm Spark formula bit-for-bit
+    (the protocol proven by the `semantic_dedup` oracle)."""
+    from ..functions.embed import DIM, NGRAM, duckdb_embedding_cte
+
+    dim = DIM if dim is None else dim
+    n = NGRAM if n is None else n
+    sq = "list_reduce(list_transform({v}, y -> y * y), (a, b) -> a + b)"
+    cte = duckdb_embedding_cte(docs_table, id_col, text_col, dim, n)
+    return f"""WITH {cte},
+sc_nz AS (
+    SELECT id, CAST(embedding AS DOUBLE[]) AS raw
+    FROM emb_vec
+    WHERE {sq.format(v='CAST(embedding AS DOUBLE[])')} > 0
+),
+sc_bench AS (SELECT raw FROM sc_nz WHERE {bench_predicate}),
+sc_max AS (
+    SELECT a.id,
+           MAX(round(list_cosine_similarity(a.raw, b.raw), 9)) AS max_cos
+    FROM sc_nz a CROSS JOIN sc_bench b
+    GROUP BY a.id
+)
+SELECT d.{id_col},
+       m.max_cos AS max_cos,
+       COALESCE(m.max_cos >= {threshold}, FALSE) AS contaminated
+FROM {docs_table} d LEFT JOIN sc_max m ON m.id = d.{id_col}
+"""

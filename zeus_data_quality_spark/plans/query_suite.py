@@ -498,6 +498,29 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(docs, bench, "doc_id", "text")
 
 
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine decontamination (the paraphrase-level
+    complement of the exact word-3-gram `decontaminate` row): same
+    doc_id < 25 eval set, flag = max round-9 cosine vs any eval item
+    ≥ 0.9. The oracle replays the embedding CTE chain, the nonzero
+    filter, every per-pair cosine and the per-doc MAX."""
+    from ..operators.decontam import semantic_contamination_flags
+
+    docs = _read(spark, sf_dir, "documents")
+    return semantic_contamination_flags(
+        docs, docs.filter(F.col("doc_id") < 25), "doc_id", "text",
+        threshold=0.9,
+    )
+
+
+def _oracle_decontaminate_semantic() -> str:
+    from ..operators.decontam import duckdb_semantic_contamination_sql
+
+    return duckdb_semantic_contamination_sql(
+        "documents", "id < 25", threshold=0.9
+    )
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al. 2003) per document —
     JVM-side rolling k-gram hashes, no shuffle."""
@@ -3369,6 +3392,11 @@ def queries():
         # for rule pruning), same single Aggregate; full oracle
         # (TAIL_OVERFLOW).
         "rule_overlap": q_rule_overlap,
+        # r5r tail: embedding-cosine decontamination — the paraphrase-
+        # level complement of the in-window decontaminate row (same
+        # eval set), composed from the in-window embedding +
+        # semantic_dedup cosine protocol; full oracle (TAIL_OVERFLOW).
+        "decontaminate_semantic": q_decontaminate_semantic,
     }
 
 
@@ -3469,6 +3497,7 @@ def oracle_sql():
         "cms_heavy_hitters": _oracle_cms_heavy_hitters(),
         "rule_funnel": oracle_with_transcripts(osql.funnel_sql(CHECKS)),
         "rule_overlap": oracle_with_transcripts(osql.overlap_sql(CHECKS)),
+        "decontaminate_semantic": _oracle_decontaminate_semantic(),
         "source_caps": _oracle_source_caps(),
         "gram_novelty": _oracle_gram_novelty(),
         "prefix_dedup": _oracle_prefix_dedup(),
