@@ -159,14 +159,25 @@ def test_decontaminate_broadcasts_benchmark_ngrams(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_decontaminate_semantic_broadcasts_eval_vectors(spark, sf_dir):
-    """The eval-vector probe must broadcast the bench side (eval
-    suites are small); the per-doc MAX must partial-aggregate before
-    any exchange so only (id, max_cos) rows ever shuffle — never the
-    corpus-sized per-pair cosine stream."""
+def test_decontaminate_semantic_has_no_pair_join(spark, sf_dir):
+    """The eval matrix rides the Arrow UDF closure (broadcast-model
+    pattern) — per-(doc, eval) pair rows must never exist: a
+    BroadcastNestedLoopJoin formulation materialized all 250M pair
+    rows outside codegen (441 s vs ~50 s on the 500k-doc sustained
+    run). The plan must be scan → Arrow batch → id join, with no
+    nested-loop or cartesian anywhere."""
     plan = _plan(spark, qs.q_decontaminate_semantic(spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "partial_max" in plan
+    assert "ArrowEvalPython" in plan
+    assert "CartesianProduct" not in plan
+    # the single nested-loop allowed is embedding_rows' zero-filled
+    # dim spine (ids × Range(dim)) — NOT a per-(doc, eval) pair join.
+    # Formatted explain prints every node twice (tree line + detail
+    # header), so count physical nodes via the "(n) Name" headers.
+    import re
+
+    nodes = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(nodes) <= 1
+    assert "Range" in plan
 
 
 def test_top_tokens_is_take_ordered(spark, sf_dir):

