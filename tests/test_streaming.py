@@ -324,3 +324,97 @@ def test_stream_hygiene_tiers_match_batch(spark, sf_dir, tmp_path):
     )
     want = sorted(map(tuple, tiers(t).select(*cols).collect()), key=str)
     assert got == want and len(got) > 0
+
+
+def test_streaming_semantic_gate_matches_batch(spark, sf_dir, tmp_path):
+    """The semantic-contamination gate (per-row embedding Project +
+    shared Arrow matmul scorer) is stateless and streams unchanged:
+    per-doc max_cos and keep verdicts match the batch operator,
+    including the NULL-for-zero-vector contract."""
+    from zeus_data_quality_spark.operators.decontam import (
+        semantic_contamination_flags,
+    )
+    from zeus_data_quality_spark.streaming.semantic_gate import (
+        fit_eval_vectors,
+        streaming_semantic_gate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # add an empty-text row to exercise the NULL max_cos path
+    extra = spark.createDataFrame(
+        [(990001, ""), (990002, None)], "doc_id long, text string"
+    )
+    docs = docs.select("doc_id", "text").unionByName(extra)
+    bench = docs.filter(F.col("doc_id") < 25)
+    vecs = fit_eval_vectors(bench, "doc_id", "text")
+    assert len(vecs) > 0
+
+    src = str(tmp_path / "in_sem")
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        f"{src}/part=a"
+    )
+    docs.filter(F.col("doc_id") % 2 != 0).write.mode("append").parquet(
+        f"{src}/part=b"
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        streaming_semantic_gate(stream, vecs, "text", threshold=0.9)
+        .writeStream.format("memory")
+        .queryName("sem_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["max_cos"], r["semantic_keep"])
+        for r in spark.table("sem_stream").collect()
+    }
+    want = {
+        r["doc_id"]: (r["max_cos"], not r["contaminated"])
+        for r in semantic_contamination_flags(
+            docs, bench, "doc_id", "text", threshold=0.9
+        ).collect()
+    }
+    assert got == want and len(got) == docs.count()
+    # the injected empty/NULL texts must be NULL-scored and kept
+    assert got[990001] == (None, True)
+    assert got[990002] == (None, True)
+    # and the eval items themselves are flagged (cos 1.0 with self)
+    assert got[0] == (1.0, False)
+
+
+def test_streaming_semantic_gate_empty_eval_keeps_all(spark, sf_dir, tmp_path):
+    """An empty eval suite gates nothing: max_cos NULL, all kept."""
+    from zeus_data_quality_spark.streaming.semantic_gate import (
+        streaming_semantic_gate,
+    )
+
+    src = str(tmp_path / "in_sem_empty")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs.write.mode("overwrite").parquet(f"{src}/part=a")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        streaming_semantic_gate(stream, [], "text", keep_only=True)
+        .writeStream.format("memory")
+        .queryName("sem_stream_empty")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("sem_stream_empty")
+    assert out.count() == docs.count()
+    assert out.filter(F.col("max_cos").isNotNull()).count() == 0

@@ -134,6 +134,68 @@ FROM {docs_table} d LEFT JOIN hits h ON h.{id_col} = d.{id_col}
 """
 
 
+def eval_matrix(eval_vectors: list) -> tuple:
+    """(m × dim float64 matrix, per-row norms) from collected eval
+    embedding rows — the broadcast-model artifact both scorers close
+    over. ``eval_vectors`` must be nonzero vectors (callers filter, as
+    :func:`semantic_contamination_flags` does)."""
+    bmat = np.asarray([list(v) for v in eval_vectors], dtype=np.float64)
+    bnorm = np.sqrt((bmat * bmat).sum(axis=1))  # (m,)
+    return bmat, bnorm
+
+
+def max_cos_raw(vals: list, bmat, bnorm):
+    """UNROUNDED per-row max cosine of a list of embedding rows (or
+    None) against the eval matrix — one numpy matmul + row-max, so no
+    (row, eval) pair row ever exists. NULL or all-zero embeddings
+    (cosine undefined) score NaN; both Arrow serializers (scalar
+    pandas_udf and mapInPandas) surface float64 NaN as SQL NULL, which
+    is exactly the batch operator's left-join contract. Callers apply
+    the oracle's round-9 SPARK-side (``F.round`` HALF_UP ≠ numpy's
+    banker's rounding) so batch and streaming stay bit-identical."""
+    out = np.full(len(vals), np.nan)
+    idx = [i for i, x in enumerate(vals) if x is not None]
+    if idx:
+        m = np.asarray([vals[i] for i in idx], dtype=np.float64)
+        na = np.sqrt((m * m).sum(axis=1))  # (batch,)
+        # exact-integer dots; na[:,None]*bnorm[None,:] is the same
+        # single (na*nb) multiply the oracle divides by
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = (m @ bmat.T) / (na[:, None] * bnorm[None, :])
+        mx = cos.max(axis=1)
+        mx[na == 0] = np.nan  # zero vector → cosine undefined
+        out[idx] = mx
+    return out
+
+
+def max_cosine_vs_matrix(vec: "F.Column", eval_vectors: list) -> "F.Column":
+    """Round-9 max cosine of an integer-count embedding column against
+    a collected eval matrix — the broadcast-model Arrow scorer of the
+    batch flags below (the eval matrix rides the pandas UDF closure
+    like a broadcast-loaded model).
+
+    ``vec`` must be a MATERIALIZED attribute (a column read from the
+    child plan, as ``semantic_contamination_flags``'s aggregated
+    embedding is), never an inline higher-order-function expression:
+    Spark's Python-UDF extraction leaves a UDF whose child contains
+    named lambda variables inside the projection, which then fails at
+    runtime with ``INTERNAL_ERROR Cannot evaluate expression``
+    (CollapseProject re-inlines even a split-off Project, so a
+    ``withColumn`` barrier does not help). Streaming, which computes
+    the embedding per-row in the same plan, therefore scores through
+    ``mapInPandas`` instead (``streaming/semantic_gate.py``) — a
+    Project below a MapInPandas node cannot be collapsed into it."""
+    from pyspark.sql.types import DoubleType
+
+    bmat, bnorm = eval_matrix(eval_vectors)
+
+    @F.pandas_udf(DoubleType())
+    def _max_cos(v: pd.Series) -> pd.Series:
+        return pd.Series(max_cos_raw(v.tolist(), bmat, bnorm))
+
+    return F.round(_max_cos(vec), 9)
+
+
 def semantic_contamination_flags(
     docs: DataFrame,
     bench: DataFrame,
@@ -188,8 +250,6 @@ def semantic_contamination_flags(
     cosine is undefined for them — and surface as ``max_cos NULL,
     contaminated false`` via the final left join.
     """
-    from pyspark.sql.types import DoubleType
-
     from ..functions.embed import DIM, NGRAM, bulk_text_embeddings
 
     dim = DIM if dim is None else dim
@@ -208,20 +268,9 @@ def semantic_contamination_flags(
     if not bvecs:
         mc = base.select("__id", F.lit(None).cast("double").alias("max_cos"))
     else:
-        bmat = np.asarray(bvecs, dtype=np.float64)  # (m, dim)
-        bnorm = np.sqrt((bmat * bmat).sum(axis=1))  # (m,)
-
-        @F.pandas_udf(DoubleType())
-        def _max_cos(v: pd.Series) -> pd.Series:
-            m = np.asarray(v.tolist(), dtype=np.float64)  # (batch, dim)
-            na = np.sqrt((m * m).sum(axis=1))  # (batch,)
-            # exact-integer dots; na[:,None]*bnorm[None,:] is the same
-            # single (na*nb) multiply the oracle divides by
-            cos = (m @ bmat.T) / (na[:, None] * bnorm[None, :])
-            return pd.Series(cos.max(axis=1))
-
         mc = base.select(
-            "__id", F.round(_max_cos("__v"), 9).alias("max_cos")
+            "__id",
+            max_cosine_vs_matrix(F.col("__v"), bvecs).alias("max_cos"),
         )
     return (
         docs.select(id_col)

@@ -1,0 +1,125 @@
+"""Streaming semantic-contamination gate — embedding-cosine sweep
+over readStream.
+
+The batch operator (``operators/decontam.semantic_contamination_flags``,
+the `decontaminate_semantic` oracle) flags paraphrase-level eval
+contamination that the exact n-gram probe misses. Its streaming recast
+follows the fitted-artifact shape of the other model gates
+(``dsir_gate.py``, ``kn_gate.py``): FIT offline — collect the eval
+suite's nonzero embedding matrix once, a KB-to-MB artifact — then
+score the live feed with two stateless stages that stream unchanged in
+append mode:
+
+1. per-row embedding: ``functions/embed.text_embedding`` — a pure
+   Column Project (HOF n-gram algebra, no explode, no shuffle; its
+   equality with the bulk relational path is pytest-pinned), and
+2. the shared Arrow matmul scorer (``operators/decontam.max_cos_raw``)
+   — the eval matrix rides the ``mapInPandas`` closure like a
+   broadcast-loaded model, one numpy matmul + row-max per Arrow batch,
+   so no (row, eval) pair row ever exists in the micro-batch plan
+   either.
+
+Why ``mapInPandas`` and not the batch path's scalar pandas UDF: here
+the embedding is computed per-row in the SAME plan, and Spark's
+Python-UDF extraction cannot handle a UDF whose child expression
+contains named lambda variables (the HOF n-gram algebra) — it leaves
+the UDF inside an interpreted projection that fails at runtime, and
+CollapseProject re-inlines any ``withColumn`` split that tries to
+materialize the embedding first. A Project below a MapInPandas node
+cannot be collapsed into it, so the embedding Project survives and the
+scorer reads a plain attribute. The batch operator is unaffected (its
+embeddings come out of an aggregation). Round-9 stays SPARK-side
+(``F.round`` HALF_UP) so stream ≡ batch bit-identically; pinned in
+tests/test_streaming.py.
+
+Keep semantics mirror the batch operator's left-join contract: NULL
+or all-zero embeddings (cosine undefined) score ``max_cos NULL`` and
+are KEPT (``coalesce(max_cos >= t, false)`` — the 3VL discipline of
+``functions/rules.py``).
+
+At 10^12 turns the gate adds zero state and zero shuffle to the
+streaming filter: a 10k-item × 64-dim eval matrix is ~5 MB of UDF
+closure, re-shipped per executor, not per row; the mapInPandas pass
+carries the row's own columns through Arrow once and back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fit_eval_vectors(
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int | None = None,
+    n: int | None = None,
+    hash_fn: str = "md5",
+) -> list:
+    """Collect the eval suite's nonzero embedding matrix (the offline
+    FIT step — run once per eval-suite version, same artifact the
+    batch operator derives internally)."""
+    from ..functions.embed import DIM, NGRAM, bulk_text_embeddings
+
+    dim = DIM if dim is None else dim
+    n = NGRAM if n is None else n
+    emb = bulk_text_embeddings(bench, id_col, text_col, dim, n, hash_fn)
+    return [
+        r["embedding"]
+        for r in emb.filter(F.exists("embedding", lambda v: v != 0)).collect()
+    ]
+
+
+def streaming_semantic_gate(
+    stream: DataFrame,
+    eval_vectors: list,
+    text_col: str = "text",
+    threshold: float = 0.9,
+    dim: int | None = None,
+    n: int | None = None,
+    hash_fn: str = "md5",
+    keep_only: bool = False,
+) -> DataFrame:
+    """Label (and optionally filter) a streaming DataFrame with the
+    max round-9 cosine against the fitted eval matrix.
+
+    Adds ``max_cos`` (NULL for empty/zero-vector texts — identical to
+    the batch operator) and ``semantic_keep`` (true unless max_cos ≥
+    threshold); ``keep_only=True`` drops contaminated rows instead of
+    labeling them."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..functions.embed import DIM, NGRAM, text_embedding
+    from ..operators.decontam import eval_matrix, max_cos_raw
+
+    dim = DIM if dim is None else dim
+    n = NGRAM if n is None else n
+    if eval_vectors:
+        bmat, bnorm = eval_matrix(eval_vectors)
+        with_v = stream.withColumn(
+            "__v", text_embedding(F.col(text_col), dim, n, hash_fn)
+        )
+        out_schema = StructType(
+            list(stream.schema.fields)
+            + [StructField("__raw_cos", DoubleType())]
+        )
+
+        def _score(batches):
+            for pdf in batches:
+                raw = max_cos_raw(pdf["__v"].tolist(), bmat, bnorm)
+                yield pdf.drop(columns=["__v"]).assign(__raw_cos=raw)
+
+        scored = with_v.mapInPandas(_score, out_schema)
+        out = scored.withColumn("max_cos", F.round("__raw_cos", 9)).drop(
+            "__raw_cos"
+        )
+    else:
+        out = stream.withColumn("max_cos", F.lit(None).cast("double"))
+    out = out.withColumn(
+        "semantic_keep",
+        ~F.coalesce(
+            F.col("max_cos") >= F.lit(float(threshold)), F.lit(False)
+        ),
+    )
+    return out.filter("semantic_keep") if keep_only else out
