@@ -613,3 +613,89 @@ def test_cli_run_funnel_artifacts(spark, sf_dir, tmp_path):
     k = len(expected)
     assert odf.count() == k * (k - 1) // 2
     assert set(odf.columns) == {"rule_a", "rule_b", "both_fail"}
+
+
+def test_cli_decontam_stage(spark, sf_dir, tmp_path):
+    """The decontamination stage end-to-end: exact gram flags + the
+    semantic paraphrase sweep OR-ed into one verdict table, plus the
+    filtered corpus. Planted rows prove each tier fired: a verbatim
+    eval item (gram + semantic), a word-reordered paraphrase (semantic
+    ONLY — shares not one word-3-gram), and an unrelated doc (kept)."""
+    eval_item = "the quick brown fox jumps over the lazy dog tonight"
+    paraphrase = "brown the quick jumps fox the over dog lazy tonight"
+    unrelated = "supply chain invoices reconcile quarterly ledger totals"
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    (990001, eval_item),
+                    (990002, paraphrase),
+                    (990003, unrelated),
+                ],
+                "doc_id long, text string",
+            )
+        )
+    )
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+    bench = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(
+        [(1, eval_item)], "doc_id long, text string"
+    ).write.parquet(bench)
+
+    vout = str(tmp_path / "verdicts")
+    kout = str(tmp_path / "kept")
+    out = _cli(
+        "decontam", "--input", inp, "--bench", bench, "--output", vout,
+        "--keep-output", kout, "--semantic", "--threshold", "0.8",
+        "--hash", "md5",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    s = json.loads(out.stdout.strip().splitlines()[-1])
+    n = docs.count()
+    assert s["rows"] == n
+    assert s["gram_flagged"] >= 1
+    assert s["semantic_flagged"] >= 2  # verbatim + paraphrase
+    assert s["flagged"] >= s["semantic_flagged"]
+    assert s["kept"] == n - s["flagged"]
+
+    v = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(vout).collect()
+    }
+    assert v[990001]["gram_contaminated"] and v[990001]["contaminated"]
+    assert not v[990002]["gram_contaminated"]  # exact path blind
+    assert v[990002]["semantic_contaminated"]  # semantic path catches
+    assert v[990002]["contaminated"]
+    assert not v[990003]["contaminated"]
+
+    kept_ids = {
+        r["doc_id"] for r in spark.read.parquet(kout).collect()
+    }
+    assert len(kept_ids) == s["kept"]
+    assert 990003 in kept_ids
+    assert 990001 not in kept_ids and 990002 not in kept_ids
+
+    # --bloom: the constant-size sketch probe flags a SUPERSET of the
+    # exact gram path (one-sided error; the law itself is test_bloom's,
+    # here we pin the CLI wiring end-to-end)
+    bout = str(tmp_path / "verdicts_bloom")
+    out = _cli(
+        "decontam", "--input", inp, "--bench", bench, "--output", bout,
+        "--bloom",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    sb = json.loads(out.stdout.strip().splitlines()[-1])
+    assert sb["rows"] == n and sb["semantic_flagged"] == 0
+    exact_ids = {i for i, r in v.items() if r["gram_contaminated"]}
+    bloom_v = spark.read.parquet(bout)
+    bloom_ids = {
+        r["doc_id"]
+        for r in bloom_v.filter("gram_contaminated").collect()
+    }
+    assert exact_ids <= bloom_ids
+    assert bloom_v.filter("max_cos is not null").count() == 0

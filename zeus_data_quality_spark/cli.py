@@ -627,6 +627,86 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_decontam(args) -> int:
+    """Benchmark-decontamination stage: flag (and optionally drop)
+    training documents that overlap the eval suite, as one
+    spark-submit pass over the corpus.
+
+    Exact word-n-gram overlap by default (the broadcast gram-set
+    probe of ``operators/decontam.py`` — the `decontaminate` oracle);
+    ``--bloom`` swaps the gram set for the constant-size packed
+    sketch of ``operators/bloom.py`` (one-sided error, flags a
+    SUPERSET — the shape for eval suites too big to broadcast
+    exactly); ``--semantic`` ADDS the embedding-cosine paraphrase
+    sweep (`decontaminate_semantic` oracle) and the final verdict is
+    the OR of the gram and semantic flags. Writes the per-doc verdict
+    table to ``--output``; ``--keep-output`` also writes the
+    decontaminated corpus; summary JSON to stdout.
+
+    At 100 TB nothing here shuffles the corpus: the gram/bloom probes
+    broadcast-join and only (id, hit) pairs aggregate; the semantic
+    sweep is one Arrow matmul per batch against the collected eval
+    matrix (decontam.py's broadcast-model shape).
+    """
+    from .operators.decontam import (
+        benchmark_ngrams,
+        contamination_flags,
+        semantic_contamination_flags,
+    )
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.bench)
+    idc, tc = args.id_col, args.text_col
+
+    grams = benchmark_ngrams(bench, tc, args.shingle_n)
+    if args.bloom:
+        from .operators.bloom import bloom_build, bloom_contamination_flags
+
+        words = bloom_build(grams, hash_mode=args.hash)
+        flags = bloom_contamination_flags(
+            docs, words, idc, tc, args.shingle_n, args.min_hits,
+            hash_mode=args.hash,
+        ).withColumnRenamed("n_bloom_hits", "n_contaminated_ngrams")
+    else:
+        flags = contamination_flags(
+            docs, grams, idc, tc, args.shingle_n, args.min_hits
+        )
+    verdicts = flags.withColumnRenamed("is_contaminated", "gram_contaminated")
+    if args.semantic:
+        sem = semantic_contamination_flags(
+            docs, bench, idc, tc,
+            threshold=args.threshold, hash_fn=args.hash,
+        ).withColumnRenamed("contaminated", "semantic_contaminated")
+        verdicts = verdicts.join(sem, idc)
+    else:
+        verdicts = verdicts.withColumn(
+            "max_cos", F.lit(None).cast("double")
+        ).withColumn("semantic_contaminated", F.lit(False))
+    verdicts = verdicts.withColumn(
+        "contaminated",
+        F.col("gram_contaminated") | F.col("semantic_contaminated"),
+    )
+    verdicts.write.mode("overwrite").parquet(args.output)
+    v = spark.read.parquet(args.output)
+    agg = v.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("gram_contaminated").cast("int")).alias("gram_flagged"),
+        F.sum(F.col("semantic_contaminated").cast("int")).alias(
+            "semantic_flagged"
+        ),
+        F.sum(F.col("contaminated").cast("int")).alias("flagged"),
+    ).first()
+    summary = {k: int(agg[k] or 0) for k in agg.asDict()}
+    summary["kept"] = summary["rows"] - summary["flagged"]
+    if args.keep_output:
+        docs.join(
+            v.filter(~F.col("contaminated")).select(idc), idc
+        ).write.mode("overwrite").parquet(args.keep_output)
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Corpus diagnosis stage: one pass over a parquet corpus emits
     the three sketches as REUSABLE parquet artifacts — the HLL token-
@@ -1182,6 +1262,39 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--id-col", default="doc_id")
     cl.add_argument("--min-count", type=int, default=2)
     cl.set_defaults(fn=cmd_clean)
+
+    dc = sub.add_parser(
+        "decontam",
+        help="flag/drop eval-set overlap (exact n-gram, bloom sketch, "
+        "semantic cosine)",
+    )
+    dc.add_argument("--input", required=True)
+    dc.add_argument("--bench", required=True, help="eval-suite parquet")
+    dc.add_argument(
+        "--output", required=True, help="per-doc verdict parquet"
+    )
+    dc.add_argument(
+        "--keep-output", default=None,
+        help="also write the decontaminated corpus here",
+    )
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--shingle-n", type=int, default=3)
+    dc.add_argument("--min-hits", type=int, default=1)
+    dc.add_argument(
+        "--bloom", action="store_true",
+        help="probe the constant-size packed sketch instead of the "
+        "exact broadcast gram set (superset flags)",
+    )
+    dc.add_argument(
+        "--semantic", action="store_true",
+        help="add the embedding-cosine paraphrase sweep",
+    )
+    dc.add_argument("--threshold", type=float, default=0.9)
+    dc.add_argument(
+        "--hash", choices=["md5", "xxhash64"], default="xxhash64"
+    )
+    dc.set_defaults(fn=cmd_decontam)
 
     st = sub.add_parser(
         "stats",
