@@ -211,6 +211,10 @@ HEADLINE = [
     # r5r: embedding-cosine decontamination (broadcast eval vectors,
     # per-doc MAX cosine — the paraphrase complement of decontaminate)
     "decontaminate_semantic",
+    # r5t: span-level decontamination (surgical excision of
+    # eval-overlapping char spans; broadcast eval-gram probe, no
+    # corpus-sized shuffle)
+    "decontaminate_spans",
 ]
 
 

@@ -699,3 +699,64 @@ def test_cli_decontam_stage(spark, sf_dir, tmp_path):
     }
     assert exact_ids <= bloom_ids
     assert bloom_v.filter("max_cos is not null").count() == 0
+
+
+def test_cli_decontam_spans_mode(spark, sf_dir, tmp_path):
+    """--spans: the kept corpus excises eval-overlapping spans instead
+    of dropping gram-flagged docs. A doc embedding the eval item keeps
+    its own prose with the eval sentence spliced out; the verbatim
+    eval item itself excises to empty and is dropped; a semantically-
+    flagged paraphrase still drops whole."""
+    eval_item = "the quick brown fox jumps over the lazy dog tonight"
+    paraphrase = "brown the quick jumps fox the over dog lazy tonight"
+    embedded = (
+        "Here is my original analysis paragraph. "
+        + eval_item
+        + " And here are my original conclusions."
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, embedded),
+            (2, eval_item),
+            (3, paraphrase),
+            (4, "supply chain invoices reconcile quarterly ledger totals"),
+        ],
+        "doc_id long, text string",
+    )
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+    bench = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(
+        [(1, eval_item)], "doc_id long, text string"
+    ).write.parquet(bench)
+
+    vout = str(tmp_path / "verdicts")
+    kout = str(tmp_path / "kept")
+    out = _cli(
+        "decontam", "--input", inp, "--bench", bench, "--output", vout,
+        "--keep-output", kout, "--semantic", "--threshold", "0.8",
+        "--hash", "md5", "--spans",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    s = json.loads(out.stdout.strip().splitlines()[-1])
+    assert s["rows"] == 4
+    assert s["spans_cut"] >= 2  # doc 1 and doc 2
+    assert s["chars_removed"] >= 2 * len(eval_item)
+    # kept = doc 1 (excised) + doc 4; doc 2 excises to empty, doc 3 is
+    # a semantic-only hit (no verbatim char overlap to excise)
+    assert s["kept"] == 2
+
+    v = {r["doc_id"]: r for r in spark.read.parquet(vout).collect()}
+    assert v[1]["n_spans"] == 1
+    assert v[1]["removed_chars"] == len(eval_item)
+    assert v[2]["removed_chars"] == len(eval_item)
+    assert v[3]["n_spans"] == 0 and v[3]["semantic_contaminated"]
+    assert v[4]["n_spans"] == 0 and not v[4]["contaminated"]
+
+    kept = {r["doc_id"]: r["text"] for r in spark.read.parquet(kout).collect()}
+    assert set(kept) == {1, 4}
+    assert "quick brown fox" not in kept[1]
+    assert kept[1].startswith("Here is my original analysis paragraph.")
+    assert kept[1].endswith("And here are my original conclusions.")
+    assert kept[4] == "supply chain invoices reconcile quarterly ledger totals"

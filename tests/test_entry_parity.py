@@ -319,6 +319,13 @@ TAIL_OVERFLOW: set = {
     # round-9 cosine protocol (complementarity pinned in
     # test_decontam_semantic.py); full oracle, parity-checked here.
     "decontaminate_semantic",
+    # r5t: span-level decontamination — surgical excision of
+    # eval-overlapping char spans (the GPT-3 appendix-C shape),
+    # composing the in-window substring_dedup island/splice machinery
+    # with the in-window decontaminate eval carve-out (excision
+    # semantics pinned in test_spandedup.py); full oracle,
+    # parity-checked here.
+    "decontaminate_spans",
 }
 
 

@@ -179,3 +179,103 @@ def test_superset_semantics_adjacent_independent_repeats(spark):
     # docs 1 and 2 each carry only a 30-char repeat -> below min_span,
     # not cut: the approximation is per-document contiguous coverage.
     assert 1 not in spans and 2 not in spans
+
+
+# ---------------------------------- span-level decontamination
+
+EVAL = (
+    "What is the capital of France? The capital of France is Paris, "
+    "of course."
+)
+
+
+def test_contaminated_spans_surgical_excision(spark):
+    """A doc embedding an eval sentence loses exactly that region;
+    clean docs pass through byte-identical; eval items in the corpus
+    excise themselves whole."""
+    from zeus_data_quality_spark.operators.spandedup import (
+        remove_contaminated_spans,
+    )
+
+    docs = _df(
+        spark,
+        [
+            EVAL,  # the eval item itself (doc_id 0 plays the benchmark)
+            "My own intro paragraph. " + EVAL + " My own closing words.",
+            "Totally original writing with no benchmark overlap at all.",
+        ],
+    )
+    bench = docs.filter("doc_id = 0")
+    out = {
+        r["doc_id"]: r
+        for r in remove_contaminated_spans(
+            docs, bench, "doc_id", "text"
+        ).collect()
+    }
+    # eval item fully cut
+    assert out[0]["cleaned_text"] == ""
+    assert out[0]["removed_chars"] == len(EVAL)
+    # embedded copy surgically excised, surrounding text kept verbatim
+    assert "capital of France" not in out[1]["cleaned_text"]
+    assert out[1]["cleaned_text"].startswith("My own intro paragraph.")
+    assert out[1]["cleaned_text"].endswith("My own closing words.")
+    assert out[1]["n_spans"] == 1
+    assert out[1]["removed_chars"] == len(EVAL)
+    # clean doc untouched
+    assert out[2]["n_spans"] == 0
+    assert (
+        out[2]["cleaned_text"]
+        == "Totally original writing with no benchmark overlap at all."
+    )
+
+
+def test_contaminated_spans_min_span_tolerates_short_echoes(spark):
+    """Overlaps shorter than min_span are kept (common-phrase
+    tolerance): a 30-char shared prefix survives min_span=50 but is
+    cut at the default min_span=k."""
+    from zeus_data_quality_spark.operators.spandedup import (
+        contaminated_spans,
+    )
+
+    shared = "The quick brown fox jumps over"  # 30 chars
+    docs = _df(spark, [shared + " the lazy dog and runs far away home."])
+    bench = _df(spark, [shared + " a completely different fence today."])
+    strict = contaminated_spans(docs, bench, "doc_id", "text").collect()
+    assert len(strict) == 1 and strict[0]["span_start"] == 1
+    lenient = contaminated_spans(
+        docs, bench, "doc_id", "text", min_span=50
+    ).collect()
+    assert lenient == []
+
+
+def test_contaminated_spans_duckdb_replay_parity(spark, sf_dir):
+    """Full-oracle replay on the real corpus: seeds, islands, splice."""
+    from zeus_data_quality_spark.operators.spandedup import (
+        duckdb_remove_contaminated_sql,
+        remove_contaminated_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        (r["doc_id"], r["n_spans"], r["removed_chars"], r["cleaned_text"])
+        for r in remove_contaminated_spans(
+            docs, docs.filter("doc_id < 25"), "doc_id", "text"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        (int(a), int(b), int(c), d)
+        for a, b, c, d in con.execute(
+            duckdb_remove_contaminated_sql(
+                "documents",
+                "(SELECT * FROM documents WHERE doc_id < 25)",
+                "doc_id",
+                "text",
+            )
+        ).fetchall()
+    )
+    assert got == want

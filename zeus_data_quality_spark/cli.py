@@ -639,9 +639,15 @@ def cmd_decontam(args) -> int:
     SUPERSET — the shape for eval suites too big to broadcast
     exactly); ``--semantic`` ADDS the embedding-cosine paraphrase
     sweep (`decontaminate_semantic` oracle) and the final verdict is
-    the OR of the gram and semantic flags. Writes the per-doc verdict
-    table to ``--output``; ``--keep-output`` also writes the
-    decontaminated corpus; summary JSON to stdout.
+    the OR of the gram and semantic flags; ``--spans`` switches the
+    kept corpus from drop-the-document to SURGICAL EXCISION (the
+    GPT-3 appendix-C shape, `decontaminate_spans` oracle): eval-
+    overlapping char spans are spliced out and the rest of the
+    document is kept — only documents that are semantically flagged
+    (paraphrases can't be excised verbatim) or fully excised are
+    dropped. Writes the per-doc verdict table to ``--output``;
+    ``--keep-output`` also writes the decontaminated corpus; summary
+    JSON to stdout.
 
     At 100 TB nothing here shuffles the corpus: the gram/bloom probes
     broadcast-join and only (id, hit) pairs aggregate; the semantic
@@ -687,6 +693,18 @@ def cmd_decontam(args) -> int:
         "contaminated",
         F.col("gram_contaminated") | F.col("semantic_contaminated"),
     )
+    spans_df = None
+    if args.spans:
+        from .operators.spandedup import remove_contaminated_spans
+
+        min_span = args.min_span if args.min_span else args.span_k
+        spans_df = remove_contaminated_spans(
+            docs, bench, idc, tc,
+            k=args.span_k, min_span=min_span, hash_fn=args.hash,
+        )
+        verdicts = verdicts.join(
+            spans_df.select(idc, "n_spans", "removed_chars"), idc
+        )
     verdicts.write.mode("overwrite").parquet(args.output)
     v = spark.read.parquet(args.output)
     agg = v.agg(
@@ -699,10 +717,39 @@ def cmd_decontam(args) -> int:
     ).first()
     summary = {k: int(agg[k] or 0) for k in agg.asDict()}
     summary["kept"] = summary["rows"] - summary["flagged"]
+    if args.spans:
+        sp = v.agg(
+            F.sum("n_spans").alias("spans_cut"),
+            F.sum("removed_chars").alias("chars_removed"),
+        ).first()
+        summary["spans_cut"] = int(sp["spans_cut"] or 0)
+        summary["chars_removed"] = int(sp["chars_removed"] or 0)
     if args.keep_output:
-        docs.join(
-            v.filter(~F.col("contaminated")).select(idc), idc
-        ).write.mode("overwrite").parquet(args.keep_output)
+        if args.spans:
+            # excision replaces dropping for gram overlap: keep every
+            # non-semantic-flagged doc whose excised text is nonempty,
+            # with the eval-overlapping spans spliced out
+            kept = (
+                spans_df.join(
+                    v.filter(~F.col("semantic_contaminated")).select(idc),
+                    idc,
+                )
+                .filter(F.length(F.trim("cleaned_text")) > 0)
+                .select(
+                    *[
+                        F.col("cleaned_text").alias(tc)
+                        if c == tc
+                        else F.col(c)
+                        for c in docs.columns
+                    ]
+                )
+            )
+            kept.write.mode("overwrite").parquet(args.keep_output)
+            summary["kept"] = spark.read.parquet(args.keep_output).count()
+        else:
+            docs.join(
+                v.filter(~F.col("contaminated")).select(idc), idc
+            ).write.mode("overwrite").parquet(args.keep_output)
     print(json.dumps(summary))
     return 0
 
@@ -1293,6 +1340,21 @@ def main(argv: list[str] | None = None) -> int:
     dc.add_argument("--threshold", type=float, default=0.9)
     dc.add_argument(
         "--hash", choices=["md5", "xxhash64"], default="xxhash64"
+    )
+    dc.add_argument(
+        "--spans", action="store_true",
+        help="surgical excision: the kept corpus splices out "
+        "eval-overlapping char spans instead of dropping gram-flagged "
+        "documents (semantic flags still drop whole docs)",
+    )
+    dc.add_argument(
+        "--span-k", type=int, default=20,
+        help="char k-gram width for the span seeds",
+    )
+    dc.add_argument(
+        "--min-span", type=int, default=None,
+        help="keep matched regions shorter than this (default: span-k "
+        "— cut every verbatim overlap)",
     )
     dc.set_defaults(fn=cmd_decontam)
 

@@ -117,6 +117,18 @@ def repeated_spans(
         .select("h")
     )
     pos = grams.join(dup, "h").select("id", "pos")
+    return _assemble_spans(pos, id_col, k, min_span)
+
+
+def _assemble_spans(
+    pos: DataFrame, id_col: str, k: int, min_span: int
+) -> DataFrame:
+    """Gaps-and-islands over duplicated seed positions ``(id, pos)`` →
+    ``(id_col, span_start, span_end)``: merge seeds whose covered
+    k-char ranges overlap or touch, keep islands of covered length ≥
+    ``min_span``. Shared by the self-repeat pass
+    (:func:`repeated_spans`) and the eval-seeded decontamination pass
+    (:func:`contaminated_spans`) — one per-doc window, no UDF."""
     w = Window.partitionBy("id").orderBy("pos")
     isl = (
         pos.withColumn("__prev", F.lag("pos").over(w))
@@ -189,6 +201,17 @@ def remove_repeated_spans(
     without spans — including NULL/short texts — pass through
     verbatim)."""
     spans = repeated_spans(df, id_col, text_col, k, min_span, hash_fn)
+    return attach_cleaned(df, spans, id_col, text_col)
+
+
+def attach_cleaned(
+    df: DataFrame, spans: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Splice ``spans`` (``(id_col, span_start, span_end)``, 1-based
+    inclusive, disjoint per doc) out of every row of ``df``: the input
+    columns + ``n_spans``, ``removed_chars``, ``cleaned_text``. One
+    per-doc aggregate collects the (tiny) span list, one Column fold
+    does the complement splice — no second corpus shuffle, no UDF."""
     per_doc = spans.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum(F.col("span_end") - F.col("span_start") + 1)
@@ -214,6 +237,72 @@ def remove_repeated_spans(
         ),
         cleaned.alias("cleaned_text"),
     )
+
+
+# ------------------------------------ span-level decontamination
+
+
+def contaminated_spans(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = K,
+    min_span: int = K,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(id, span_start, span_end) — regions of training text covered
+    by character k-grams that occur VERBATIM in the eval set
+    (``bench``), assembled into maximal islands like
+    :func:`repeated_spans`.
+
+    Span-level decontamination is the surgical complement of the
+    document-level flags in ``operators/decontam.py`` (the GPT-3
+    appendix-C recipe removes the overlapping WINDOW and keeps the
+    rest of the document — dropping whole documents over one leaked
+    sentence wastes good tokens). Here the duplicated-seed set comes
+    from the eval corpus instead of a corpus self-groupBy, which
+    changes the scale shape entirely: eval suites are thousands of
+    items, so their distinct gram hashes BROADCAST, the corpus seed
+    stream probes that broadcast join map-side, and only matching
+    (id, pos) rows — a vanishing fraction on a clean corpus — ever
+    reach the per-doc island window. No corpus-sized shuffle at all
+    (the self-repeat pass must shuffle every seed once).
+
+    ``min_span`` defaults to ``k`` (not the dedup pass's 50): against
+    an eval-set seed table ANY verbatim k-char overlap is leakage, so
+    the default cuts every matched region; raise it to tolerate short
+    common phrases. Matched regions shorter than ``min_span`` are
+    kept, exactly as in the dedup pass.
+    """
+    seeds = _seed_positions(docs, id_col, text_col, k, hash_fn)
+    bench_grams = (
+        _seed_positions(bench, id_col, text_col, k, hash_fn)
+        .select("h")
+        .distinct()
+    )
+    pos = seeds.join(F.broadcast(bench_grams), "h").select("id", "pos")
+    return _assemble_spans(pos, id_col, k, min_span)
+
+
+def remove_contaminated_spans(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = K,
+    min_span: int = K,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Every input row + ``n_spans``, ``removed_chars``,
+    ``cleaned_text`` with all eval-overlapping spans excised
+    (documents with no verbatim eval overlap pass through, text
+    byte-identical). Benchmark items present in ``docs`` themselves
+    match their own grams and are excised whole."""
+    spans = contaminated_spans(
+        docs, bench, id_col, text_col, k, min_span, hash_fn
+    )
+    return attach_cleaned(docs, spans, id_col, text_col)
 
 
 # ------------------------------------------------------------- oracle
@@ -280,6 +369,72 @@ def duckdb_remove_spans_sql(
     via LAG over each doc's spans + a tail piece, spliced with an
     ordered string_agg."""
     cte = duckdb_spans_cte(from_clause, id_col, text_col, k, min_span)
+    return _duckdb_splice_sql(cte, id_col)
+
+
+def duckdb_contaminated_spans_cte(
+    docs_from: str,
+    bench_from: str,
+    id_col: str,
+    text_col: str = "text",
+    k: int = K,
+    min_span: int = K,
+) -> str:
+    """CTE chain (no WITH) ending in ``ss_spans`` — the eval-seeded
+    twin of :func:`duckdb_spans_cte`: the duplicated-hash set is the
+    DISTINCT grams of ``bench_from`` instead of a corpus
+    self-groupBy."""
+    return f"""
+ss_src AS (SELECT {id_col} AS id, {text_col} AS t FROM {docs_from}),
+ss_bsrc AS (SELECT {text_col} AS t FROM {bench_from}),
+ss_bench AS (
+    SELECT DISTINCT md5(substr(t, pos, {k})) AS h
+    FROM (SELECT t, unnest(range(1, length(t) - {k} + 2)) AS pos
+          FROM ss_bsrc WHERE t IS NOT NULL AND length(t) >= {k})
+),
+ss_g AS (
+    SELECT id, pos, md5(substr(t, pos, {k})) AS h
+    FROM (SELECT id, t, unnest(range(1, length(t) - {k} + 2)) AS pos
+          FROM ss_src WHERE t IS NOT NULL AND length(t) >= {k})
+),
+ss_pos AS (SELECT id, pos FROM ss_g JOIN ss_bench USING (h)),
+ss_isl AS (
+    SELECT id, pos,
+           SUM(CASE WHEN prev IS NULL OR pos > prev + {k} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS isl
+    FROM (SELECT id, pos,
+                 LAG(pos) OVER (PARTITION BY id ORDER BY pos) AS prev
+          FROM ss_pos)
+),
+ss_spans AS (
+    SELECT id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {k - 1} AS BIGINT) AS span_end
+    FROM ss_isl GROUP BY id, isl
+    HAVING MAX(pos) + {k - 1} - MIN(pos) + 1 >= {min_span}
+)"""
+
+
+def duckdb_remove_contaminated_sql(
+    docs_from: str,
+    bench_from: str,
+    id_col: str,
+    text_col: str = "text",
+    k: int = K,
+    min_span: int = K,
+) -> str:
+    """Oracle for :func:`remove_contaminated_spans` — the eval-seeded
+    spans CTE + the shared complement splice."""
+    cte = duckdb_contaminated_spans_cte(
+        docs_from, bench_from, id_col, text_col, k, min_span
+    )
+    return _duckdb_splice_sql(cte, id_col)
+
+
+def _duckdb_splice_sql(cte: str, id_col: str) -> str:
+    """Complement-splice tail shared by the repeated-span and
+    eval-seeded oracles: ``cte`` must define ``ss_src(id, t)`` and
+    ``ss_spans(id, span_start, span_end)``."""
     return f"""WITH {cte},
 ss_segs AS (
     SELECT id, COALESCE(LAG(span_end) OVER w, 0) + 1 AS seg_from,

@@ -521,6 +521,34 @@ def _oracle_decontaminate_semantic() -> str:
     )
 
 
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination (GPT-3 appendix-C surgical excision;
+    the keep-the-rest complement of the document-level `decontaminate`
+    flags): the same doc_id < 25 eval carve-out seeds a BROADCAST
+    char-k-gram hash set, corpus seed positions probe it map-side,
+    islands assemble per doc, and the overlapping spans are spliced
+    out — documents with no verbatim eval overlap pass through
+    byte-identical, eval items in the corpus excise themselves whole.
+    The oracle replays seeds, islands, and the complement splice."""
+    from ..operators.spandedup import remove_contaminated_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return remove_contaminated_spans(
+        docs, docs.filter(F.col("doc_id") < 25), "doc_id", "text"
+    ).select("doc_id", "n_spans", "removed_chars", "cleaned_text")
+
+
+def _oracle_decontaminate_spans() -> str:
+    from ..operators.spandedup import duckdb_remove_contaminated_sql
+
+    return duckdb_remove_contaminated_sql(
+        "documents",
+        "(SELECT * FROM documents WHERE doc_id < 25)",
+        "doc_id",
+        "text",
+    )
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al. 2003) per document —
     JVM-side rolling k-gram hashes, no shuffle."""
@@ -3397,6 +3425,13 @@ def queries():
         # eval set), composed from the in-window embedding +
         # semantic_dedup cosine protocol; full oracle (TAIL_OVERFLOW).
         "decontaminate_semantic": q_decontaminate_semantic,
+        # r5t tail: span-level decontamination — surgical excision of
+        # eval-overlapping spans (keep the rest of the document),
+        # composing the in-window substring_dedup island/splice
+        # machinery with the in-window decontaminate eval carve-out;
+        # broadcast eval-gram probe, no corpus shuffle; full oracle
+        # (TAIL_OVERFLOW).
+        "decontaminate_spans": q_decontaminate_spans,
     }
 
 
@@ -3498,6 +3533,7 @@ def oracle_sql():
         "rule_funnel": oracle_with_transcripts(osql.funnel_sql(CHECKS)),
         "rule_overlap": oracle_with_transcripts(osql.overlap_sql(CHECKS)),
         "decontaminate_semantic": _oracle_decontaminate_semantic(),
+        "decontaminate_spans": _oracle_decontaminate_spans(),
         "source_caps": _oracle_source_caps(),
         "gram_novelty": _oracle_gram_novelty(),
         "prefix_dedup": _oracle_prefix_dedup(),
