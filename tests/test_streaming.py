@@ -418,3 +418,91 @@ def test_streaming_semantic_gate_empty_eval_keeps_all(spark, sf_dir, tmp_path):
     out = spark.table("sem_stream_empty")
     assert out.count() == docs.count()
     assert out.filter(F.col("max_cos").isNotNull()).count() == 0
+
+
+def test_streaming_span_gate_matches_batch(spark, sf_dir, tmp_path):
+    """The span-excision gate is stateless (islands are per-document)
+    and streams unchanged: per-doc n_spans/removed_chars/cleaned_text
+    match the batch operator verbatim, including NULL/short-text
+    pass-through and multi-island documents."""
+    from zeus_data_quality_spark.operators.spandedup import (
+        remove_contaminated_spans,
+    )
+    from zeus_data_quality_spark.streaming.span_gate import (
+        fit_eval_grams,
+        streaming_span_gate,
+    )
+
+    eval_a = "What is the capital of France? The capital is Paris."
+    eval_b = "Name the largest planet in our solar system: Jupiter."
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    (990001, ""),
+                    (990002, None),
+                    (990003, "short"),
+                    # two islands separated by original prose
+                    (
+                        990004,
+                        "Intro words. " + eval_a
+                        + " My own bridging paragraph goes here. "
+                        + eval_b + " Closing words.",
+                    ),
+                ],
+                "doc_id long, text string",
+            )
+        )
+    )
+    bench = spark.createDataFrame(
+        [(1, eval_a), (2, eval_b)], "doc_id long, text string"
+    ).unionByName(docs.filter(F.col("doc_id") < 25))
+    grams = fit_eval_grams(bench, "text")
+    assert len(grams) > 0
+
+    src = str(tmp_path / "in_spans")
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        f"{src}/part=a"
+    )
+    docs.filter(F.col("doc_id") % 2 != 0).write.mode("append").parquet(
+        f"{src}/part=b"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        streaming_span_gate(stream, grams, "text")
+        .writeStream.format("memory")
+        .queryName("span_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["n_spans"], r["removed_chars"], r["cleaned_text"])
+        for r in spark.table("span_stream").collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_spans"], r["removed_chars"], r["cleaned_text"])
+        for r in remove_contaminated_spans(
+            docs, bench, "doc_id", "text"
+        ).collect()
+    }
+    assert got == want and len(got) == docs.count()
+    # contract rows: pass-through for empty/NULL/short
+    assert got[990001] == (0, 0, "")
+    assert got[990002] == (0, 0, None)
+    assert got[990003] == (0, 0, "short")
+    # the two-island doc lost both eval sentences, kept its own prose
+    n, removed, cleaned = got[990004]
+    assert n == 2 and removed == len(eval_a) + len(eval_b)
+    assert cleaned.startswith("Intro words.")
+    assert "bridging paragraph" in cleaned
+    assert cleaned.endswith("Closing words.")
+    assert "capital of France" not in cleaned and "Jupiter" not in cleaned

@@ -1,0 +1,138 @@
+"""Streaming span-excision gate — surgical eval decontamination over
+readStream.
+
+The batch operator (``operators/spandedup.remove_contaminated_spans``,
+the `decontaminate_spans` oracle) splices eval-overlapping char spans
+out of every document instead of dropping it. Its streaming recast
+follows the fitted-artifact shape of the other model gates
+(``semantic_gate.py``, ``dsir_gate.py``): FIT offline — collect the
+eval suite's distinct k-gram STRINGS once, a MB-scale artifact for a
+thousands-of-items suite — then excise the live feed with one
+stateless ``mapInPandas`` stage that streams unchanged in append mode.
+
+Span assembly is PER-DOCUMENT (islands over one doc's own matched
+positions — no cross-document state at all), which is what makes the
+streaming twin stateless: each row's excision is a pure function of
+(text, eval gram set). The batch pass needs Spark's window machinery
+only because it processes the whole corpus relationally; per row the
+same gaps-and-islands merge is a linear scan.
+
+Exactness: the closure probes exact gram STRINGS (no hashing), so the
+gate's verdicts equal the batch operator's md5/xxhash64 modes
+verbatim absent hash collisions — pinned stream ≡ batch in
+tests/test_streaming.py, including NULL/short-text pass-through and
+multi-island documents.
+
+Scale shape: zero state, zero shuffle on the ingest feed; the gram
+set re-ships per executor, not per row. The per-row probe is a Python
+set lookup per char position (O(len) per doc) — megabytes/sec per
+core, plenty for an ingest gate; bulk (re)processing belongs to the
+batch pass, whose corpus-side probe is a codegen'd BroadcastHashJoin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.spandedup import K
+
+
+def fit_eval_grams(
+    bench: DataFrame, text_col: str = "text", k: int = K
+) -> frozenset:
+    """Collect the eval suite's distinct char k-grams (the offline FIT
+    step — run once per eval-suite version; the string-set analogue of
+    the hash set the batch operator broadcasts)."""
+    t = F.col(text_col)
+    grams = (
+        bench.filter(t.isNotNull() & (F.length(t) >= k))
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - (k - 1)),
+                    lambda i: F.substr(t, i, F.lit(k)),
+                )
+            ).alias("__g")
+        )
+        .distinct()
+        .collect()
+    )
+    return frozenset(r["__g"] for r in grams)
+
+
+def excise_spans(text, grams, k: int, min_span: int):
+    """(n_spans, removed_chars, cleaned_text) for ONE document — the
+    per-row twin of the batch pass's island assembly + complement
+    splice (0-based here; merge when the next matched position starts
+    within k of the previous, i.e. the covered ranges overlap or
+    touch; islands shorter than ``min_span`` are kept)."""
+    if text is None or len(text) < k:
+        return 0, 0, text
+    limit = len(text) - k + 1
+    spans = []
+    start = prev = None
+    for i in range(limit):
+        if text[i : i + k] in grams:
+            if prev is None or i > prev + k:
+                if prev is not None:
+                    spans.append((start, prev + k))
+                start = i
+            prev = i
+    if prev is not None:
+        spans.append((start, prev + k))
+    spans = [(s, e) for s, e in spans if e - s >= min_span]
+    if not spans:
+        return 0, 0, text
+    pieces, cur = [], 0
+    for s, e in spans:
+        pieces.append(text[cur:s])
+        cur = e
+    pieces.append(text[cur:])
+    removed = sum(e - s for s, e in spans)
+    return len(spans), removed, "".join(pieces)
+
+
+def streaming_span_gate(
+    stream: DataFrame,
+    eval_grams,
+    text_col: str = "text",
+    k: int = K,
+    min_span: int | None = None,
+) -> DataFrame:
+    """Excise eval-overlapping spans from a streaming DataFrame.
+
+    Adds ``n_spans``, ``removed_chars``, ``cleaned_text`` with the
+    batch operator's exact semantics (NULL/short texts pass through
+    verbatim with zero counts). ``min_span`` defaults to ``k`` like
+    the batch pass — any verbatim eval overlap is leakage."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    min_span = k if min_span is None else min_span
+    grams = frozenset(eval_grams)
+    out_schema = StructType(
+        list(stream.schema.fields)
+        + [
+            StructField("n_spans", LongType()),
+            StructField("removed_chars", LongType()),
+            StructField("cleaned_text", StringType()),
+        ]
+    )
+
+    def _excise(batches):
+        for pdf in batches:
+            cols = [
+                excise_spans(t, grams, k, min_span) for t in pdf[text_col]
+            ]
+            yield pdf.assign(
+                n_spans=[c[0] for c in cols],
+                removed_chars=[c[1] for c in cols],
+                cleaned_text=[c[2] for c in cols],
+            )
+
+    return stream.mapInPandas(_excise, out_schema)
