@@ -215,6 +215,9 @@ HEADLINE = [
     # eval-overlapping char spans; broadcast eval-gram probe, no
     # corpus-sized shuffle)
     "decontaminate_spans",
+    # r5t: per-eval-item leak attribution (same broadcast probe keyed
+    # by (item, doc))
+    "contamination_report",
 ]
 
 

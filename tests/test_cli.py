@@ -733,10 +733,11 @@ def test_cli_decontam_spans_mode(spark, sf_dir, tmp_path):
 
     vout = str(tmp_path / "verdicts")
     kout = str(tmp_path / "kept")
+    rout = str(tmp_path / "report")
     out = _cli(
         "decontam", "--input", inp, "--bench", bench, "--output", vout,
         "--keep-output", kout, "--semantic", "--threshold", "0.8",
-        "--hash", "md5", "--spans",
+        "--hash", "md5", "--spans", "--report", rout,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     s = json.loads(out.stdout.strip().splitlines()[-1])
@@ -760,3 +761,11 @@ def test_cli_decontam_spans_mode(spark, sf_dir, tmp_path):
     assert kept[1].startswith("Here is my original analysis paragraph.")
     assert kept[1].endswith("And here are my original conclusions.")
     assert kept[4] == "supply chain invoices reconcile quarterly ledger totals"
+
+    # --report: per-eval-item attribution — the one eval item is hit by
+    # the embedded doc, the verbatim copy, and (word-3-grams survive
+    # reordering poorly but the paraphrase shares none) nothing else
+    rep = {r["bench_id"]: r for r in spark.read.parquet(rout).collect()}
+    assert set(rep) == {1}
+    assert rep[1]["docs_hit"] == 2  # docs 1 and 2 quote it verbatim
+    assert rep[1]["total_hits"] > 0

@@ -326,6 +326,10 @@ TAIL_OVERFLOW: set = {
     # semantics pinned in test_spandedup.py); full oracle,
     # parity-checked here.
     "decontaminate_spans",
+    # r5t: per-eval-item leak attribution — the reviewer's report for
+    # the decontaminate family (same broadcast gram probe, keyed by
+    # (item, doc)); full oracle, parity-checked here.
+    "contamination_report",
 }
 
 

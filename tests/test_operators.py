@@ -487,6 +487,50 @@ def test_contamination_flags(spark):
         assert out[i]["n_contaminated_ngrams"] == 0
 
 
+def test_contamination_report_attributes_leaks_per_item(spark):
+    """Per-eval-item attribution: a leaked item counts the docs that
+    quote it, a novel item reports (0, 0), and flags agree — a doc is
+    flagged by contamination_flags iff it hits >= 1 item here."""
+    from zeus_data_quality_spark.operators.decontam import (
+        benchmark_ngrams,
+        contamination_flags,
+        contamination_report,
+    )
+
+    leaked = "the secret benchmark answer is forty two"
+    novel = "completely novel evaluation phrasing nobody quotes anywhere"
+    bench = spark.createDataFrame(
+        [(100, leaked), (200, novel)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "my doc says " + leaked + " somewhere in the middle"),
+            (2, "another quote of " + leaked),
+            (3, "totally clean document about spark plans"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rep = {
+        r["bench_id"]: (r["docs_hit"], r["total_hits"])
+        for r in contamination_report(
+            docs, bench, "doc_id", "doc_id", "text"
+        ).collect()
+    }
+    assert set(rep) == {100, 200}
+    assert rep[200] == (0, 0)
+    docs_hit, total_hits = rep[100]
+    assert docs_hit == 2
+    # each quoting doc shares all of the item's word-3-grams
+    assert total_hits >= 2 * 5
+    # flag agreement: union of attributed docs == flagged docs
+    flags = contamination_flags(docs, benchmark_ngrams(bench))
+    flagged = {
+        r["doc_id"] for r in flags.collect() if r["is_contaminated"]
+    }
+    assert flagged == {1, 2}
+
+
 def test_top_tokens(spark):
     from zeus_data_quality_spark.functions.textstats import top_tokens
 

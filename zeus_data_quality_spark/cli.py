@@ -693,6 +693,12 @@ def cmd_decontam(args) -> int:
         "contaminated",
         F.col("gram_contaminated") | F.col("semantic_contaminated"),
     )
+    if args.report:
+        from .operators.decontam import contamination_report
+
+        contamination_report(
+            docs, bench, idc, idc, tc, args.shingle_n, args.min_hits
+        ).write.mode("overwrite").parquet(args.report)
     spans_df = None
     if args.spans:
         from .operators.spandedup import remove_contaminated_spans
@@ -1340,6 +1346,11 @@ def main(argv: list[str] | None = None) -> int:
     dc.add_argument("--threshold", type=float, default=0.9)
     dc.add_argument(
         "--hash", choices=["md5", "xxhash64"], default="xxhash64"
+    )
+    dc.add_argument(
+        "--report", default=None,
+        help="also write the per-eval-item leak attribution table "
+        "(bench_id, docs_hit, total_hits) here",
     )
     dc.add_argument(
         "--spans", action="store_true",

@@ -95,6 +95,120 @@ def contamination_flags(
     )
 
 
+def benchmark_ngrams_by_item(
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-item distinct word n-grams of the benchmark set:
+    (item id, ngram) — the attribution-aware twin of
+    :func:`benchmark_ngrams`."""
+    return _exploded_shingles(
+        bench.select(F.col(id_col).alias("bench_id"), text_col),
+        [F.col("bench_id")],
+        text_col,
+        shingle_n,
+    ).distinct()
+
+
+def contamination_report(
+    docs: DataFrame,
+    bench: DataFrame,
+    doc_id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Per EVAL ITEM leak attribution: (bench_id, docs_hit,
+    total_hits) — how many training documents share at least
+    ``min_hits`` distinct word n-grams with each benchmark item, and
+    the total count of distinct shared (doc, gram) pairs. This is the
+    report a decontamination run gets reviewed with: which benchmark
+    items are actually leaked (boilerplate-heavy items light up
+    everything; genuinely novel items should be near zero), and
+    therefore whether the flag threshold or the eval set itself needs
+    attention. Items with zero overlap report (0, 0).
+
+    Same scale shape as :func:`contamination_flags` — the per-item
+    gram table is still eval-suite-sized, so it broadcasts; corpus
+    shingles probe it map-side and only matching (doc, item, gram)
+    rows ever shuffle, now keyed by (item, doc) instead of doc. The
+    output is |eval suite| rows.
+    """
+    bgrams = benchmark_ngrams_by_item(bench, bench_id_col, text_col, shingle_n)
+    sh = _exploded_shingles(docs, [F.col(doc_id_col)], text_col, shingle_n)
+    per_pair = (
+        sh.join(F.broadcast(bgrams), "ngram")
+        .groupBy("bench_id", doc_id_col)
+        .agg(F.countDistinct("ngram").alias("__hits"))
+        .filter(F.col("__hits") >= min_hits)
+    )
+    per_item = per_pair.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("docs_hit"),
+        F.sum("__hits").alias("total_hits"),
+    )
+    return (
+        bench.select(F.col(bench_id_col).alias("bench_id"))
+        .distinct()
+        .join(per_item, "bench_id", "left")
+        .select(
+            "bench_id",
+            F.coalesce(F.col("docs_hit"), F.lit(0))
+            .cast("long")
+            .alias("docs_hit"),
+            F.coalesce(F.col("total_hits"), F.lit(0))
+            .cast("long")
+            .alias("total_hits"),
+        )
+    )
+
+
+def duckdb_contamination_report_sql(
+    docs_table: str,
+    bench_predicate: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_hits: int = 1,
+) -> str:
+    """DuckDB twin of :func:`contamination_report` with the benchmark
+    carved out of ``docs_table`` by ``bench_predicate`` (the suite
+    fixture's convention)."""
+    gram = " || ' ' || ".join(
+        f"t[CAST(i + {j} AS INT)]" for j in range(shingle_n)
+    )
+    shingles = f"""
+    SELECT {id_col},
+           unnest(list_distinct(list_transform(
+               range(1, len(t) - {shingle_n - 2}), i -> {gram}))) AS ngram
+    FROM (SELECT {id_col},
+                 regexp_split_to_array(lower(trim({text_col})), '{TOKEN_SPLIT}') AS t
+          FROM {docs_table}) q
+    WHERE len(t) >= {shingle_n}
+    """
+    return f"""
+WITH sh AS ({shingles}),
+bench AS (
+    SELECT {id_col} AS bench_id, ngram FROM sh WHERE {bench_predicate}
+),
+pair AS (
+    SELECT b.bench_id, s.{id_col} AS did, COUNT(DISTINCT s.ngram) AS hits
+    FROM sh s JOIN bench b USING (ngram)
+    GROUP BY b.bench_id, s.{id_col}
+    HAVING COUNT(DISTINCT s.ngram) >= {min_hits}
+)
+SELECT d.bench_id,
+       CAST(COALESCE(COUNT(p.did), 0) AS BIGINT) AS docs_hit,
+       CAST(COALESCE(SUM(p.hits), 0) AS BIGINT) AS total_hits
+FROM (SELECT DISTINCT {id_col} AS bench_id FROM {docs_table}
+      WHERE {bench_predicate}) d
+LEFT JOIN pair p ON p.bench_id = d.bench_id
+GROUP BY d.bench_id
+"""
+
+
 def duckdb_contamination_sql(
     docs_table: str,
     bench_predicate: str,

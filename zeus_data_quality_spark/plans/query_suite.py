@@ -521,6 +521,28 @@ def _oracle_decontaminate_semantic() -> str:
     )
 
 
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-item leak attribution: for each doc_id < 25 benchmark
+    item, how many training documents share ≥1 word-3-gram with it
+    and the total distinct shared (doc, gram) pairs — the report that
+    tells a decontamination run WHICH benchmark items actually leak
+    (boilerplate-heavy items light up everything, novel items should
+    be near zero). Same broadcast probe as `decontaminate`, keyed by
+    (item, doc); output is |eval suite| rows."""
+    from ..operators.decontam import contamination_report
+
+    docs = _read(spark, sf_dir, "documents")
+    return contamination_report(
+        docs, docs.filter(F.col("doc_id") < 25), "doc_id", "doc_id", "text"
+    )
+
+
+def _oracle_contamination_report() -> str:
+    from ..operators.decontam import duckdb_contamination_report_sql
+
+    return duckdb_contamination_report_sql("documents", "doc_id < 25")
+
+
 def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level decontamination (GPT-3 appendix-C surgical excision;
     the keep-the-rest complement of the document-level `decontaminate`
@@ -3432,6 +3454,11 @@ def queries():
         # broadcast eval-gram probe, no corpus shuffle; full oracle
         # (TAIL_OVERFLOW).
         "decontaminate_spans": q_decontaminate_spans,
+        # r5t tail: per-eval-item leak attribution (which benchmark
+        # items actually leak; same broadcast gram probe as the
+        # in-window decontaminate row, keyed by (item, doc)); full
+        # oracle (TAIL_OVERFLOW).
+        "contamination_report": q_contamination_report,
     }
 
 
@@ -3534,6 +3561,7 @@ def oracle_sql():
         "rule_overlap": oracle_with_transcripts(osql.overlap_sql(CHECKS)),
         "decontaminate_semantic": _oracle_decontaminate_semantic(),
         "decontaminate_spans": _oracle_decontaminate_spans(),
+        "contamination_report": _oracle_contamination_report(),
         "source_caps": _oracle_source_caps(),
         "gram_novelty": _oracle_gram_novelty(),
         "prefix_dedup": _oracle_prefix_dedup(),
