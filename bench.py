@@ -289,6 +289,28 @@ def _extra_benches():
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return ann_from_text(docs, "doc_id", "text", hash_fn="xxhash64")
 
+    def semantic_dedup_xx(spark, sf_dir):
+        # production-hash twin of the driver's md5 oracle-parity row
+        # (the suite's slowest entry; this tracks the real-path cost)
+        from zeus_data_quality_spark.operators.semdedup import (
+            semantic_dedup,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return semantic_dedup(docs, "doc_id", "text", hash_fn="xxhash64")
+
+    def decontaminate_spans_xx(spark, sf_dir):
+        # production-hash twin of the r5t span-excision tail row
+        from zeus_data_quality_spark.operators.spandedup import (
+            remove_contaminated_spans,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return remove_contaminated_spans(
+            docs, docs.filter(F.col("doc_id") < 25), "doc_id", "text",
+            hash_fn="xxhash64",
+        )
+
     def substring_dedup_xx(spark, sf_dir):
         from zeus_data_quality_spark.operators.spandedup import (
             remove_repeated_spans,
@@ -361,6 +383,8 @@ def _extra_benches():
         "minhash_pairs_xx": minhash_pairs_xx,
         "dedup_labels_e2e_xx": dedup_labels_e2e_xx,
         "simhash_xx": simhash_xx,
+        "semantic_dedup_xx": semantic_dedup_xx,
+        "decontaminate_spans_xx": decontaminate_spans_xx,
     }
 
 
