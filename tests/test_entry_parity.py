@@ -309,6 +309,11 @@ TAIL_OVERFLOW: set = {
     # flags the in-window rule_failure_counts aggregates (one
     # Aggregate, unpivoted); full oracle, parity-checked here.
     "rule_funnel",
+    # r5u: TOKEN-weighted funnel — per-rule funnel_tokens + corpus
+    # tokens_in riding the same single Aggregate (token-budget view;
+    # Σ funnel_tokens = dropped tokens pinned in test_rule_funnel.py);
+    # full oracle, parity-checked here.
+    "rule_funnel_tokens",
     # r5q: pairwise rule co-failure matrix — the redundancy signal,
     # same single fused-scan Aggregate; full oracle, parity-checked
     # here.

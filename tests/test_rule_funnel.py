@@ -97,3 +97,39 @@ def test_funnel_all_pass_corpus(spark):
         assert (r["fails"], r["unique_drops"], r["funnel_drops"],
                 r["share_permille"]) == (0, 0, 0, 0)
         assert r["rows_in"] == 2
+
+
+def test_rule_funnel_tokens_hand_counts(spark):
+    """Token-weighted funnel: per-rule funnel_tokens attribute each
+    dropped row's whitespace-token count to its FIRST failing rule
+    (NULL text → 0 tokens), Σ funnel_tokens = total dropped tokens
+    exactly, and the row-count columns are unchanged by weighting."""
+    from pyspark.sql import functions as F
+
+    from zeus_data_quality_spark.functions.textstats import n_tokens
+
+    rows = [
+        ("alpha beta gamma", 10),         # passes all — 3 tokens
+        (None, 10),                       # {A} — 0 tokens
+        ("one two three four five", 1),   # {B} — 5 tokens
+        (" padded doc ", 10),             # {C} — 2 tokens
+        (None, 1),                        # {A,B} → funnel A — 0 tokens
+        (" x y z ", 1),                   # {B,C} → funnel B — 3 tokens
+        ("ok", 9),                        # passes — 1 token
+    ]
+    df = spark.createDataFrame(rows, "text string, n int").withColumn(
+        "n_tok", n_tokens(F.col("text")).cast("long")
+    )
+    out = rule_funnel(
+        apply_checks(df, CHECKS), CHECKS, tokens_col="n_tok"
+    ).collect()
+    by = {r["rule"]: r for r in out}
+    assert all(r["tokens_in"] == 14 for r in out)
+    assert (by["A_NULL"]["funnel_tokens"], by["B_LEN"]["funnel_tokens"],
+            by["C_WS"]["funnel_tokens"]) == (0, 8, 2)
+    # Σ funnel_tokens over rules == total dropped tokens exactly
+    assert sum(r["funnel_tokens"] for r in out) == 10
+    # row-count attribution is unchanged by token weighting
+    assert (by["A_NULL"]["funnel_drops"], by["B_LEN"]["funnel_drops"],
+            by["C_WS"]["funnel_drops"]) == (2, 2, 1)
+    assert all(r["rows_in"] == 7 for r in out)

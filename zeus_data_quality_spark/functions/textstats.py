@@ -142,6 +142,13 @@ def _duckdb_stat_exprs(text_col: str = "text") -> dict[str, str]:
     }
 
 
+def duckdb_n_tokens_sql(text_col: str = "text") -> str:
+    """The DuckDB twin of :func:`n_tokens` (whitespace token count,
+    blank → 0) as one SQL expression — for dual-dialect oracles that
+    token-WEIGHT a report (e.g. the token-weighted rule funnel)."""
+    return _duckdb_stat_exprs(text_col)["ntok"]
+
+
 def duckdb_is_quality_expr(text_col: str = "text") -> str:
     """The ``is_quality`` boolean of :func:`with_text_stats` as one
     DuckDB expression — reused by oracles that FILTER on quality

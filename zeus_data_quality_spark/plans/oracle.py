@@ -227,18 +227,29 @@ def failure_counts_sql(checks: list[Check], source: str = "transcripts") -> str:
     )
 
 
-def funnel_sql(checks: list[Check], source: str = "transcripts") -> str:
+def funnel_sql(
+    checks: list[Check],
+    source: str = "transcripts",
+    tokens_sql: str | None = None,
+) -> str:
     """Body reproducing ``plans/runner.py::rule_funnel`` — per-rule
     fails / unique_drops / funnel_drops / share_permille from one
-    aggregate over the labeled relation, unpivoted by UNION ALL."""
+    aggregate over the labeled relation, unpivoted by UNION ALL.
+    With ``tokens_sql`` (a SQL expression over the labeled relation's
+    columns, NULL → 0) adds the token-weighted funnel_tokens and
+    tokens_in columns, mirroring the Spark operator's ``tokens_col``."""
     rcs = sorted(
         (c for c in checks if not c.is_table_level), key=lambda c: c.check_id
     )
     f_cols = ",\n    ".join(
         f"{fail_int_sql(c)} AS f_{c.check_id.lower()}" for c in rcs
     )
+    if tokens_sql:
+        f_cols += f",\n    COALESCE({tokens_sql}, 0) AS __tok"
     tot = " + ".join(f"f_{c.check_id.lower()}" for c in rcs)
     agg_cols = ["CAST(COUNT(*) AS BIGINT) AS rows_in"]
+    if tokens_sql:
+        agg_cols.append("CAST(SUM(__tok) AS BIGINT) AS tokens_in")
     earlier: list[str] = []
     for c in rcs:
         cid = c.check_id.lower()
@@ -254,11 +265,21 @@ def funnel_sql(checks: list[Check], source: str = "transcripts") -> str:
             f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) "
             f"AS funnel_{cid}"
         )
+        if tokens_sql:
+            agg_cols.append(
+                f"CAST(SUM(CASE WHEN {cond} THEN __tok ELSE 0 END) "
+                f"AS BIGINT) AS ftok_{cid}"
+            )
         earlier.append(cid)
+    tok_sel = (
+        " ftok_{cid} AS funnel_tokens," if tokens_sql else ""
+    )
+    tok_in = " tokens_in," if tokens_sql else ""
     rows = "\nUNION ALL\n".join(
         f"SELECT '{c.check_id}' AS rule, fails_{c.check_id.lower()} AS fails,"
         f" uniq_{c.check_id.lower()} AS unique_drops,"
-        f" funnel_{c.check_id.lower()} AS funnel_drops, rows_in,"
+        f" funnel_{c.check_id.lower()} AS funnel_drops,"
+        f"{tok_sel.format(cid=c.check_id.lower())} rows_in,{tok_in}"
         f" CAST((1000 * fails_{c.check_id.lower()}) // rows_in AS BIGINT)"
         f" AS share_permille FROM __agg"
         for c in rcs

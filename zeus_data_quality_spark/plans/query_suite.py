@@ -124,6 +124,23 @@ def q_rule_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rule_funnel(apply_checks(t, CHECKS), CHECKS)
 
 
+def q_rule_funnel_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-weighted filter funnel — the same one-Aggregate drop
+    attribution as ``rule_funnel`` plus per-rule ``funnel_tokens``
+    (whitespace tokens of the rows first-failing there) and the corpus
+    ``tokens_in``; Σ funnel_tokens = total dropped tokens exactly.
+    Rows are what the funnel counts; TOKENS are what data-mixing
+    budgets actually plan in — a rule that drops 1% of rows but 9% of
+    tokens (long documents) reads very differently in this view
+    (``plans/runner.py::rule_funnel(tokens_col=...)``)."""
+    from .runner import rule_funnel
+
+    t = load_transcripts(spark, sf_dir).withColumn(
+        "n_tok", textstats.n_tokens(F.col("text")).cast("long")
+    )
+    return rule_funnel(apply_checks(t, CHECKS), CHECKS, tokens_col="n_tok")
+
+
 def q_rule_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise rule co-failure matrix for the default config — the
     redundancy signal for rule pruning, same single Aggregate
@@ -3438,6 +3455,11 @@ def queries():
         # scan as the in-window rule_failure_counts; full oracle
         # (TAIL_OVERFLOW).
         "rule_funnel": q_rule_funnel,
+        # r5u tail: TOKEN-weighted funnel — per-rule funnel_tokens +
+        # corpus tokens_in riding the same single Aggregate (the
+        # budget view data-mixing pipelines plan in); full oracle
+        # (TAIL_OVERFLOW).
+        "rule_funnel_tokens": q_rule_funnel_tokens,
         # r5q tail: pairwise rule co-failure matrix (redundancy signal
         # for rule pruning), same single Aggregate; full oracle
         # (TAIL_OVERFLOW).
@@ -3558,6 +3580,11 @@ def oracle_sql():
         "skew_report": _oracle_skew_report(),
         "cms_heavy_hitters": _oracle_cms_heavy_hitters(),
         "rule_funnel": oracle_with_transcripts(osql.funnel_sql(CHECKS)),
+        "rule_funnel_tokens": oracle_with_transcripts(
+            osql.funnel_sql(
+                CHECKS, tokens_sql=textstats.duckdb_n_tokens_sql("text")
+            )
+        ),
         "rule_overlap": oracle_with_transcripts(osql.overlap_sql(CHECKS)),
         "decontaminate_semantic": _oracle_decontaminate_semantic(),
         "decontaminate_spans": _oracle_decontaminate_spans(),

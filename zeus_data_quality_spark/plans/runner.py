@@ -127,14 +127,19 @@ def _fail_int(check: Check):
     return F.when(F.col(rules.fail_flag_name(check)), 1).otherwise(0)
 
 
-def _funnel_agg_exprs(rcs: list[Check]) -> list:
+def _funnel_agg_exprs(rcs: list[Check], tok=None) -> list:
     """rows_in + the per-rule (fails, uniq, funnel) sum triples —
-    3k+1 partial-aggregable integer sums over the fail flags."""
+    3k+1 partial-aggregable integer sums over the fail flags. With
+    ``tok`` (a token-count Column, NULL → 0) also tokens_in + the
+    per-rule funnel TOKEN sums (4k+2 sums, still one Aggregate)."""
     ints = [_fail_int(c) for c in rcs]
     tot = ints[0]
     for x in ints[1:]:
         tot = tot + x
     aggs = [F.count(F.lit(1)).cast("long").alias("rows_in")]
+    if tok is not None:
+        tok = F.coalesce(tok, F.lit(0))
+        aggs.append(F.sum(tok).cast("long").alias("tokens_in"))
     earlier = F.lit(0)
     for c, fi in zip(rcs, ints):
         cid = c.check_id.lower()
@@ -149,6 +154,12 @@ def _funnel_agg_exprs(rcs: list[Check]) -> list:
             .cast("long")
             .alias(f"funnel_{cid}")
         )
+        if tok is not None:
+            aggs.append(
+                F.sum(F.when((fi == 1) & (earlier == 0), tok).otherwise(0))
+                .cast("long")
+                .alias(f"ftok_{cid}")
+            )
         earlier = earlier + fi
     return aggs
 
@@ -176,7 +187,9 @@ def _overlap_agg_exprs(
     return aggs, pairs
 
 
-def rule_funnel(labeled: DataFrame, checks: list[Check]) -> DataFrame:
+def rule_funnel(
+    labeled: DataFrame, checks: list[Check], tokens_col: str | None = None
+) -> DataFrame:
     """Per-rule drop attribution — the "filter funnel" report every
     production quality pipeline publishes. One row per row-level check
     (check_id order), from the SAME fused scan ``failure_counts`` uses:
@@ -196,6 +209,13 @@ def rule_funnel(labeled: DataFrame, checks: list[Check]) -> DataFrame:
       ``share_permille`` integer permille of rows_in failing the rule
                         (exact integer division — engine-portable).
 
+    With ``tokens_col`` (a precomputed integer token-count column,
+    NULL → 0) the report is additionally TOKEN-weighted: per rule
+    ``funnel_tokens`` (tokens of the rows first-failing there — what
+    the rule costs in the budget pipelines actually plan in) plus the
+    corpus ``tokens_in``; Σ funnel_tokens = total dropped tokens
+    exactly. Still the same single Aggregate (4k+2 sums).
+
     Scale shape: ONE Aggregate of 3k+1 partial-aggregable integer sums
     over the labeled Project (no extra scan, no shuffle beyond the
     single-row reduce); the per-rule unpivot explodes the one result
@@ -204,7 +224,8 @@ def rule_funnel(labeled: DataFrame, checks: list[Check]) -> DataFrame:
     10-rule pipeline over 10^12 turns needs to tune rule order/cost.
     """
     rcs = row_checks(checks)
-    one = labeled.agg(*_funnel_agg_exprs(rcs))
+    tok = F.col(tokens_col) if tokens_col else None
+    one = labeled.agg(*_funnel_agg_exprs(rcs, tok))
     entries = F.array(
         *[
             F.struct(
@@ -212,20 +233,29 @@ def rule_funnel(labeled: DataFrame, checks: list[Check]) -> DataFrame:
                 F.col(f"fails_{c.check_id.lower()}").alias("fails"),
                 F.col(f"uniq_{c.check_id.lower()}").alias("unique_drops"),
                 F.col(f"funnel_{c.check_id.lower()}").alias("funnel_drops"),
+                *(
+                    [F.col(f"ftok_{c.check_id.lower()}").alias("funnel_tokens")]
+                    if tokens_col
+                    else []
+                ),
             )
             for c in rcs
         ]
     )
+    keep_cols = ["rows_in"] + (["tokens_in"] if tokens_col else [])
+    out_cols = [
+        "e.rule",
+        "e.fails",
+        "e.unique_drops",
+        "e.funnel_drops",
+        *(["e.funnel_tokens"] if tokens_col else []),
+        "rows_in",
+        *(["tokens_in"] if tokens_col else []),
+        F.expr("(1000 * e.fails) div rows_in").alias("share_permille"),
+    ]
     return (
-        one.select(F.col("rows_in"), F.explode(entries).alias("e"))
-        .select(
-            "e.rule",
-            "e.fails",
-            "e.unique_drops",
-            "e.funnel_drops",
-            "rows_in",
-            F.expr("(1000 * e.fails) div rows_in").alias("share_permille"),
-        )
+        one.select(*keep_cols, F.explode(entries).alias("e"))
+        .select(*out_cols)
         .orderBy("rule")
     )
 
