@@ -1,0 +1,85 @@
+"""Hand-computed pins for conversation-level keep propagation
+(``operators/convfeat.py::conversation_verdicts`` /
+``truncate_at_first_drop``) on a micro-corpus where every verdict is
+enumerable by eye, independent of the DuckDB oracle."""
+
+from __future__ import annotations
+
+from zeus_data_quality_spark.functions.rules import Check
+from zeus_data_quality_spark.operators.convfeat import (
+    conversation_verdicts,
+    truncate_at_first_drop,
+)
+from zeus_data_quality_spark.plans.runner import apply_checks
+
+CHECKS = [
+    Check("A_NULL", "NULL_COUNT", "text"),
+    Check("B_LEN", "MIN_MAX", "n", params={"min": 4}),
+]
+
+# (conv_id, turn_idx, role, text, n)
+ROWS = [
+    ("c1", 0, "user", "hi", 10),          # c1: clean ×3
+    ("c1", 1, "assistant", "hello", 10),
+    ("c1", 2, "user", "bye", 10),
+    ("c2", 0, "user", "q", 10),           # c2: turn 2 fails A → 250‰
+    ("c2", 1, "assistant", "a", 10),
+    ("c2", 2, "user", None, 10),
+    ("c2", 3, "assistant", "late", 10),
+    ("c3", 0, "user", "t", 10),           # c3: turn 4 fails B → 200‰
+    ("c3", 1, "assistant", "t", 10),
+    ("c3", 2, "user", "t", 10),
+    ("c3", 3, "assistant", "t", 10),
+    ("c3", 4, "user", "t", 1),
+    ("c4", None, "user", None, 10),       # c4: NULL-idx drop → cut all
+    ("c4", 0, "assistant", "ok", 10),
+    (None, 0, "user", "ok", 10),          # NULL conv: turn 1 fails B
+    (None, 1, "user", "bad", 1),
+]
+
+SCHEMA = "conv_id string, turn_idx int, role string, text string, n int"
+
+
+def _labeled(spark):
+    return apply_checks(spark.createDataFrame(ROWS, SCHEMA), CHECKS)
+
+
+def test_conversation_verdicts_hand_counts(spark):
+    out = conversation_verdicts(_labeled(spark), max_drop_permille=200)
+    by = {r["conv_id"]: r for r in out.collect()}
+    assert len(by) == 5  # NULL conv_id is its own group
+    def trip(cid):
+        r = by[cid]
+        return (r["n_turns"], r["n_dropped"], r["drop_permille"],
+                r["conv_keep"])
+    assert trip("c1") == (3, 0, 0, True)
+    assert trip("c2") == (4, 1, 250, False)   # just over the threshold
+    assert trip("c3") == (5, 1, 200, True)    # exactly at → keep
+    assert trip("c4") == (2, 1, 500, False)
+    assert trip(None) == (2, 1, 500, False)
+
+
+def test_truncate_at_first_drop_hand_counts(spark):
+    out = truncate_at_first_drop(_labeled(spark)).select(
+        "conv_id", "turn_idx"
+    ).collect()
+    got = sorted((r["conv_id"], r["turn_idx"]) for r in out
+                 if r["conv_id"] is not None)
+    # c1 whole, c2 cut at 2, c3 cut at 4, c4 cut entirely (NULL-idx drop)
+    assert got == [
+        ("c1", 0), ("c1", 1), ("c1", 2),
+        ("c2", 0), ("c2", 1),
+        ("c3", 0), ("c3", 1), ("c3", 2), ("c3", 3),
+    ]
+    nulls = [r["turn_idx"] for r in out if r["conv_id"] is None]
+    assert nulls == [0]  # NULL conv group truncates at its idx-1 drop
+
+
+def test_truncate_clean_conv_keeps_null_idx_rows(spark):
+    """A fully clean conversation passes through whole, including rows
+    whose turn_idx is NULL (no cut point to compare against)."""
+    rows = [("c9", 0, "user", "ok", 10), ("c9", None, "user", "ok", 10)]
+    out = truncate_at_first_drop(
+        apply_checks(spark.createDataFrame(rows, SCHEMA), CHECKS)
+    ).collect()
+    assert len(out) == 2

@@ -314,6 +314,18 @@ TAIL_OVERFLOW: set = {
     # Σ funnel_tokens = dropped tokens pinned in test_rule_funnel.py);
     # full oracle, parity-checked here.
     "rule_funnel_tokens",
+    # r5u: stratified per-ROLE funnel — per-segment drop attribution
+    # (one hash Aggregate keyed on role; hand pins in
+    # test_rule_funnel.py); full oracle, parity-checked here.
+    "rule_funnel_by_role",
+    # r5u: conversation-level keep propagation — drop-share threshold
+    # per conversation (hand pins in test_convkeep.py); full oracle,
+    # parity-checked here.
+    "conversation_verdicts",
+    # r5u: longest-valid-prefix truncation at the first dropped turn
+    # (NULL-idx drop truncates the whole conversation — pinned in
+    # test_convkeep.py); full oracle, parity-checked here.
+    "prefix_truncate",
     # r5q: pairwise rule co-failure matrix — the redundancy signal,
     # same single fused-scan Aggregate; full oracle, parity-checked
     # here.

@@ -133,3 +133,38 @@ def test_rule_funnel_tokens_hand_counts(spark):
     assert (by["A_NULL"]["funnel_drops"], by["B_LEN"]["funnel_drops"],
             by["C_WS"]["funnel_drops"]) == (2, 2, 1)
     assert all(r["rows_in"] == 7 for r in out)
+
+
+def test_rule_funnel_by_group_hand_counts(spark):
+    """Stratified funnel: per-group rows_in / fails / funnel / unique
+    counts, NULL group as its own stratum, share permille within the
+    group (not the corpus)."""
+    from zeus_data_quality_spark.plans.runner import rule_funnel_by
+
+    rows = [
+        ("u", "ok", 10),    # user — passes all
+        ("u", None, 10),    # user — {A}
+        ("u", "fine", 1),   # user — {B}
+        ("a", None, 1),     # assistant — {A,B} → funnel A
+        ("a", "good", 9),   # assistant — passes all
+        (None, None, 10),   # NULL group — {A}
+    ]
+    df = spark.createDataFrame(rows, "role string, text string, n int")
+    out = rule_funnel_by(apply_checks(df, CHECKS), CHECKS, "role").collect()
+    assert len(out) == 9  # 3 groups × 3 rules
+    by = {(r["role"], r["rule"]): r for r in out}
+    u_a, u_b = by[("u", "A_NULL")], by[("u", "B_LEN")]
+    assert (u_a["rows_in"], u_a["fails"], u_a["funnel_drops"],
+            u_a["unique_drops"]) == (3, 1, 1, 1)
+    assert (u_b["fails"], u_b["funnel_drops"], u_b["unique_drops"]) == (1, 1, 1)
+    assert u_a["share_permille"] == 333  # 1000 // 3, within the group
+    a_a, a_b = by[("a", "A_NULL")], by[("a", "B_LEN")]
+    # the one failing assistant row fails BOTH → funnel attributes to A,
+    # sole-owner counts are zero
+    assert (a_a["rows_in"], a_a["fails"], a_a["funnel_drops"],
+            a_a["unique_drops"]) == (2, 1, 1, 0)
+    assert (a_b["fails"], a_b["funnel_drops"], a_b["unique_drops"]) == (1, 0, 0)
+    n_a = by[(None, "A_NULL")]
+    assert (n_a["rows_in"], n_a["fails"], n_a["funnel_drops"]) == (1, 1, 1)
+    # C_WS never fails in this fixture — all-zero rows still emitted
+    assert all(by[(g, "C_WS")]["fails"] == 0 for g in ("u", "a", None))

@@ -85,3 +85,85 @@ def with_alternation_flag(
         | (F.col(role_col) != prev)
     )
     return df.withColumn(flag_name, passes)
+
+
+def conversation_verdicts(
+    labeled: DataFrame,
+    max_drop_permille: int = 200,
+    conv_col: str = "conv_id",
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Per-conversation keep verdict from per-turn keep labels: a
+    conversation survives iff its dropped-turn share is at most
+    ``max_drop_permille`` (integer permille — exact integer division,
+    engine-portable). Turn-level filtering alone silently ships
+    conversations that are mostly holes; training pipelines gate the
+    CONVERSATION once too many of its turns fail (the turn labels say
+    which turns are bad, this says which transcripts are beyond
+    repair). NULL conv_id rows form their own group, like any GROUP BY.
+
+    Output: (conv_id, n_turns, n_dropped, drop_permille, conv_keep).
+
+    Scale: one hash Aggregate keyed on conv_id over two integer sums —
+    map-side partials collapse each task to its local conversations
+    before the shuffle; no window, no join.
+    """
+    dropped = F.when(~F.col(keep_col), 1).otherwise(0)
+    return (
+        labeled.groupBy(conv_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum(dropped).cast("long").alias("n_dropped"),
+        )
+        .select(
+            conv_col,
+            "n_turns",
+            "n_dropped",
+            F.expr("(1000 * n_dropped) div n_turns").alias("drop_permille"),
+        )
+        .withColumn(
+            "conv_keep", F.col("drop_permille") <= F.lit(max_drop_permille)
+        )
+    )
+
+
+def truncate_at_first_drop(
+    labeled: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Longest-valid-prefix truncation: keep each conversation's turns
+    strictly BEFORE its first dropped turn (by ``idx_col``), drop the
+    rest. Dropping a mid-conversation turn and keeping what follows
+    breaks transcript coherence (later turns answer the excised one),
+    so assistant-data pipelines truncate at the first failure instead
+    of hole-punching.
+
+    Semantics (engine-portable, replayed exactly by the SQL oracle):
+    the cut point is ``MIN(CASE WHEN NOT keep THEN COALESCE(turn_idx,
+    -1) END)`` per conversation — a dropped turn with NULL turn_idx has
+    unknown position, so it conservatively truncates the whole
+    conversation (sentinel -1 precedes every real index). A fully
+    clean conversation passes through whole. Rows with NULL turn_idx
+    survive only in clean conversations (NULL < cut is NULL → filtered).
+
+    Scale: two-phase integer aggregate per conv_id (map-side partials,
+    |convs|-row result) null-safe-joined back on conv_id — AQE picks
+    broadcast when the conversation spine fits, sort-merge otherwise;
+    the wide text columns cross the shuffle once, same as any
+    conv-partitioned window, but with no per-partition sort.
+    """
+    cut = labeled.groupBy(F.col(conv_col).alias("__cc")).agg(
+        F.min(
+            F.when(
+                ~F.col(keep_col), F.coalesce(F.col(idx_col), F.lit(-1))
+            )
+        ).alias("__first_fail")
+    )
+    joined = labeled.join(
+        cut, F.col(conv_col).eqNullSafe(F.col("__cc")), "left"
+    )
+    return joined.filter(
+        F.col("__first_fail").isNull() | (F.col(idx_col) < F.col("__first_fail"))
+    ).drop("__cc", "__first_fail")

@@ -292,6 +292,55 @@ def funnel_sql(
     )
 
 
+def funnel_by_sql(
+    checks: list[Check], group_col: str, source: str = "transcripts"
+) -> str:
+    """Body reproducing ``plans/runner.py::rule_funnel_by`` — the
+    per-``group_col`` stratified funnel (one row per group × rule;
+    NULL group is its own stratum, per ANSI GROUP BY)."""
+    rcs = sorted(
+        (c for c in checks if not c.is_table_level), key=lambda c: c.check_id
+    )
+    f_cols = ",\n    ".join(
+        [f"{group_col} AS grp"]
+        + [f"{fail_int_sql(c)} AS f_{c.check_id.lower()}" for c in rcs]
+    )
+    tot = " + ".join(f"f_{c.check_id.lower()}" for c in rcs)
+    agg_cols = ["grp", "CAST(COUNT(*) AS BIGINT) AS rows_in"]
+    earlier: list[str] = []
+    for c in rcs:
+        cid = c.check_id.lower()
+        agg_cols.append(f"CAST(SUM(f_{cid}) AS BIGINT) AS fails_{cid}")
+        agg_cols.append(
+            f"CAST(SUM(CASE WHEN f_{cid} = 1 AND ({tot}) = 1 "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS uniq_{cid}"
+        )
+        cond = " AND ".join(
+            [f"f_{cid} = 1"] + [f"f_{e} = 0" for e in earlier]
+        )
+        agg_cols.append(
+            f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS funnel_{cid}"
+        )
+        earlier.append(cid)
+    rows = "\nUNION ALL\n".join(
+        f"SELECT grp AS {group_col}, '{c.check_id}' AS rule,"
+        f" fails_{c.check_id.lower()} AS fails,"
+        f" uniq_{c.check_id.lower()} AS unique_drops,"
+        f" funnel_{c.check_id.lower()} AS funnel_drops, rows_in,"
+        f" CAST((1000 * fails_{c.check_id.lower()}) // rows_in AS BIGINT)"
+        f" AS share_permille FROM __agg"
+        for c in rcs
+    )
+    return (
+        f", {labeled_cte(rcs, source)}\n"
+        f", __flags AS (SELECT {f_cols} FROM __labeled)\n"
+        f", __agg AS (SELECT {', '.join(agg_cols)} FROM __flags"
+        f" GROUP BY grp)\n"
+        f"SELECT * FROM (\n{rows}\n) ORDER BY {group_col}, rule"
+    )
+
+
 def overlap_sql(checks: list[Check], source: str = "transcripts") -> str:
     """Body reproducing ``plans/runner.py::rule_overlap`` — pairwise
     co-failure counts for every check_id-ordered pair."""
@@ -319,6 +368,54 @@ def overlap_sql(checks: list[Check], source: str = "transcripts") -> str:
         f", __flags AS (SELECT {f_cols} FROM __labeled)\n"
         f", __agg AS (SELECT {', '.join(aggs)} FROM __flags)\n"
         f"SELECT * FROM (\n{body}\n) ORDER BY rule_a, rule_b"
+    )
+
+
+def conv_verdicts_sql(
+    checks: list[Check],
+    max_drop_permille: int = 200,
+    source: str = "transcripts",
+) -> str:
+    """Body reproducing ``operators/convfeat.py::conversation_verdicts``
+    — per-conversation turn counts, dropped-turn counts, integer
+    drop permille, and the conversation-level keep verdict."""
+    rcs = sorted(
+        (c for c in checks if not c.is_table_level), key=lambda c: c.check_id
+    )
+    viol = " + ".join(fail_int_sql(c) for c in rcs)
+    return (
+        f", {labeled_cte(rcs, source)}\n"
+        f", __k AS (SELECT conv_id, CASE WHEN ({viol}) = 0 THEN 0 ELSE 1 "
+        "END AS dropped FROM __labeled)\n"
+        ", __agg AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns, "
+        "CAST(SUM(dropped) AS BIGINT) AS n_dropped FROM __k "
+        "GROUP BY conv_id)\n"
+        "SELECT conv_id, n_turns, n_dropped, "
+        "CAST((1000 * n_dropped) // n_turns AS BIGINT) AS drop_permille, "
+        f"(1000 * n_dropped) // n_turns <= {max_drop_permille} AS conv_keep "
+        "FROM __agg"
+    )
+
+
+def prefix_truncate_sql(checks: list[Check], source: str = "transcripts") -> str:
+    """Body reproducing ``operators/convfeat.py::truncate_at_first_drop``
+    — surviving (conv_id, turn_idx, role) rows strictly before each
+    conversation's first dropped turn (NULL-idx drop → sentinel -1
+    truncates the whole conversation; clean conversations pass whole)."""
+    rcs = sorted(
+        (c for c in checks if not c.is_table_level), key=lambda c: c.check_id
+    )
+    viol = " + ".join(fail_int_sql(c) for c in rcs)
+    return (
+        f", {labeled_cte(rcs, source)}\n"
+        f", __k AS (SELECT conv_id, turn_idx, role, ({viol}) = 0 AS keep "
+        "FROM __labeled)\n"
+        ", __cut AS (SELECT conv_id AS cc, MIN(CASE WHEN NOT keep THEN "
+        "COALESCE(turn_idx, -1) END) AS first_fail FROM __k "
+        "GROUP BY conv_id)\n"
+        "SELECT k.conv_id, k.turn_idx, k.role FROM __k k JOIN __cut c "
+        "ON k.conv_id IS NOT DISTINCT FROM c.cc "
+        "WHERE c.first_fail IS NULL OR k.turn_idx < c.first_fail"
     )
 
 

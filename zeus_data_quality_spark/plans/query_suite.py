@@ -141,6 +141,45 @@ def q_rule_funnel_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rule_funnel(apply_checks(t, CHECKS), CHECKS, tokens_col="n_tok")
 
 
+def q_rule_funnel_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified funnel — the per-ROLE drop attribution (one row per
+    role × rule). The global funnel says what each rule costs; this
+    says WHERE: a rule dropping 1‰ overall but 400‰ of tool turns is a
+    segment bug the corpus view hides
+    (``plans/runner.py::rule_funnel_by``)."""
+    from .runner import rule_funnel_by
+
+    t = load_transcripts(spark, sf_dir)
+    return rule_funnel_by(apply_checks(t, CHECKS), CHECKS, "role")
+
+
+def q_conversation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level keep propagation: a transcript survives iff
+    at most 200‰ of its turns are dropped — turn filtering alone ships
+    conversations that are mostly holes
+    (``operators/convfeat.py::conversation_verdicts``)."""
+    from ..operators.convfeat import conversation_verdicts
+
+    t = load_transcripts(spark, sf_dir)
+    return conversation_verdicts(
+        apply_checks(t, CHECKS), max_drop_permille=200
+    )
+
+
+def q_prefix_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-valid-prefix truncation: surviving (conv_id, turn_idx,
+    role) turns strictly before each conversation's first dropped turn
+    — hole-punching breaks transcript coherence, so assistant-data
+    pipelines cut at the first failure instead
+    (``operators/convfeat.py::truncate_at_first_drop``)."""
+    from ..operators.convfeat import truncate_at_first_drop
+
+    t = load_transcripts(spark, sf_dir)
+    return truncate_at_first_drop(apply_checks(t, CHECKS)).select(
+        "conv_id", "turn_idx", "role"
+    )
+
+
 def q_rule_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise rule co-failure matrix for the default config — the
     redundancy signal for rule pruning, same single Aggregate
@@ -3460,6 +3499,18 @@ def queries():
         # budget view data-mixing pipelines plan in); full oracle
         # (TAIL_OVERFLOW).
         "rule_funnel_tokens": q_rule_funnel_tokens,
+        # r5u tail: stratified per-ROLE funnel — one hash Aggregate
+        # keyed on role, |roles|×rules rows out; full oracle
+        # (TAIL_OVERFLOW).
+        "rule_funnel_by_role": q_rule_funnel_by_role,
+        # r5u tail: conversation-level keep propagation (drop-share
+        # threshold per conv); one conv_id hash Aggregate; full oracle
+        # (TAIL_OVERFLOW).
+        "conversation_verdicts": q_conversation_verdicts,
+        # r5u tail: longest-valid-prefix truncation at the first
+        # dropped turn (two-phase conv aggregate + null-safe join
+        # back); full oracle (TAIL_OVERFLOW).
+        "prefix_truncate": q_prefix_truncate,
         # r5q tail: pairwise rule co-failure matrix (redundancy signal
         # for rule pruning), same single Aggregate; full oracle
         # (TAIL_OVERFLOW).
@@ -3584,6 +3635,15 @@ def oracle_sql():
             osql.funnel_sql(
                 CHECKS, tokens_sql=textstats.duckdb_n_tokens_sql("text")
             )
+        ),
+        "rule_funnel_by_role": oracle_with_transcripts(
+            osql.funnel_by_sql(CHECKS, "role")
+        ),
+        "conversation_verdicts": oracle_with_transcripts(
+            osql.conv_verdicts_sql(CHECKS, max_drop_permille=200)
+        ),
+        "prefix_truncate": oracle_with_transcripts(
+            osql.prefix_truncate_sql(CHECKS)
         ),
         "rule_overlap": oracle_with_transcripts(osql.overlap_sql(CHECKS)),
         "decontaminate_semantic": _oracle_decontaminate_semantic(),

@@ -260,6 +260,54 @@ def rule_funnel(
     )
 
 
+def rule_funnel_by(
+    labeled: DataFrame, checks: list[Check], group_col: str
+) -> DataFrame:
+    """Stratified filter funnel: :func:`rule_funnel` grouped by
+    ``group_col`` (role, language, source, …) — one row per
+    (group, rule) with the group's own fails / unique_drops /
+    funnel_drops / rows_in / share_permille. The per-corpus funnel
+    says what each rule costs overall; this says WHERE it costs —
+    a rule dropping 1‰ globally but 400‰ of ``tool`` turns is a
+    segment bug, invisible in the global view. NULL group values form
+    their own stratum (Spark and ANSI GROUP BY agree on that).
+
+    Scale shape: one hash Aggregate keyed on ``group_col`` — map-side
+    partials collapse each task to |groups| rows before the shuffle,
+    so shuffle volume is |groups| × (3k+1) longs per task, not corpus
+    rows. The per-group unpivot explodes |groups| result rows. No
+    second scan, no join.
+    """
+    rcs = row_checks(checks)
+    one = labeled.groupBy(F.col(group_col).alias("grp")).agg(
+        *_funnel_agg_exprs(rcs)
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c.check_id).alias("rule"),
+                F.col(f"fails_{c.check_id.lower()}").alias("fails"),
+                F.col(f"uniq_{c.check_id.lower()}").alias("unique_drops"),
+                F.col(f"funnel_{c.check_id.lower()}").alias("funnel_drops"),
+            )
+            for c in rcs
+        ]
+    )
+    return (
+        one.select("grp", "rows_in", F.explode(entries).alias("e"))
+        .select(
+            F.col("grp").alias(group_col),
+            "e.rule",
+            "e.fails",
+            "e.unique_drops",
+            "e.funnel_drops",
+            "rows_in",
+            F.expr("(1000 * e.fails) div rows_in").alias("share_permille"),
+        )
+        .orderBy(group_col, "rule")
+    )
+
+
 def rule_overlap(labeled: DataFrame, checks: list[Check]) -> DataFrame:
     """Pairwise co-failure matrix: for every ordered pair of row checks
     ``rule_a < rule_b`` (check_id sort), the count of rows failing
