@@ -769,3 +769,111 @@ def test_cli_decontam_spans_mode(spark, sf_dir, tmp_path):
     assert set(rep) == {1}
     assert rep[1]["docs_hit"] == 2  # docs 1 and 2 quote it verbatim
     assert rep[1]["total_hits"] > 0
+
+
+def test_cli_run_conv_gate(spark, sf_dir, tmp_path):
+    """--conv-gate gates whole conversations by dropped-turn share as a
+    post-pass; --conv-out materializes the verdict table + gated
+    corpus, and both agree with the oracle-verified operators."""
+    from zeus_data_quality_spark.operators.convfeat import (
+        conversation_verdicts,
+    )
+    from zeus_data_quality_spark.plans.configs import (
+        default_transcript_checks,
+    )
+    from zeus_data_quality_spark.plans.runner import apply_checks
+    from zeus_data_quality_spark.sources.transcripts import load_transcripts
+    from pyspark.sql import functions as F
+
+    inp = str(tmp_path / "in.parquet")
+    load_transcripts(spark, sf_dir).write.parquet(inp)
+    cdir = str(tmp_path / "conv")
+
+    out = _cli(
+        "run",
+        "--input", inp,
+        "--output", str(tmp_path / "out"),
+        "--lineage", str(tmp_path / "lineage"),
+        "--run-id", "cli-cg1",
+        "--buckets", "2",
+        "--conv-gate", "200",
+        "--conv-out", cdir,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+
+    checks = default_transcript_checks()
+    labeled = apply_checks(spark.read.parquet(inp), checks)
+    expected = conversation_verdicts(labeled, max_drop_permille=200)
+    exp_total = expected.count()
+    exp_kept = expected.filter(F.col("conv_keep")).count()
+    assert (summary["conv_total"], summary["conv_kept"]) == (
+        exp_total, exp_kept,
+    )
+
+    vdf = spark.read.parquet(f"{cdir}/conv_verdicts.parquet")
+    assert vdf.count() == exp_total
+    assert set(vdf.columns) == {
+        "conv_id", "n_turns", "n_dropped", "drop_permille", "conv_keep",
+    }
+    # gated corpus = kept turns of kept conversations, exactly
+    corpus = spark.read.parquet(f"{cdir}/corpus.parquet")
+    kept_convs = {
+        r["conv_id"] for r in expected.filter(F.col("conv_keep")).collect()
+    }
+    exp_rows = labeled.filter(F.col("keep")).filter(
+        F.col("conv_id").isin([c for c in kept_convs if c is not None])
+        | (F.lit(None in kept_convs) & F.col("conv_id").isNull())
+    ).count()
+    assert summary["rows_after_conv_gate"] == corpus.count() == exp_rows
+    # every surviving row belongs to a kept conversation and is a kept turn
+    assert corpus.filter(~F.col("keep")).count() == 0
+
+
+def test_cli_run_conv_gate_truncate(spark, sf_dir, tmp_path):
+    """--truncate swaps kept-row filtering for longest-valid-prefix
+    truncation inside the conversation gate."""
+    from zeus_data_quality_spark.operators.convfeat import (
+        conversation_verdicts,
+        truncate_at_first_drop,
+    )
+    from zeus_data_quality_spark.plans.configs import (
+        default_transcript_checks,
+    )
+    from zeus_data_quality_spark.plans.runner import apply_checks
+    from zeus_data_quality_spark.sources.transcripts import load_transcripts
+    from pyspark.sql import functions as F
+
+    inp = str(tmp_path / "in.parquet")
+    load_transcripts(spark, sf_dir).write.parquet(inp)
+    cdir = str(tmp_path / "convt")
+
+    out = _cli(
+        "run",
+        "--input", inp,
+        "--output", str(tmp_path / "out"),
+        "--lineage", str(tmp_path / "lineage"),
+        "--run-id", "cli-cg2",
+        "--buckets", "2",
+        "--conv-gate", "200",
+        "--conv-out", cdir,
+        "--truncate",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+
+    checks = default_transcript_checks()
+    labeled = apply_checks(spark.read.parquet(inp), checks)
+    verdicts = conversation_verdicts(labeled, max_drop_permille=200)
+    kept = {
+        r["conv_id"] for r in verdicts.filter(F.col("conv_keep")).collect()
+    }
+    truncated = truncate_at_first_drop(labeled)
+    exp_rows = truncated.filter(
+        F.col("conv_id").isin([c for c in kept if c is not None])
+        | (F.lit(None in kept) & F.col("conv_id").isNull())
+    ).count()
+    corpus = spark.read.parquet(f"{cdir}/corpus.parquet")
+    assert summary["rows_after_conv_gate"] == corpus.count() == exp_rows
+    # truncation output is a subset of plain kept-row gating
+    assert corpus.filter(~F.col("keep")).count() == 0

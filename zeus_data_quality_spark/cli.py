@@ -132,6 +132,49 @@ def cmd_run(args) -> int:
             _os.path.join(args.funnel, "rule_overlap.parquet")
         )
         out["funnel"] = funnel
+    if getattr(args, "conv_gate", None) is not None:
+        # Conversation-level keep propagation as a post-pass over the
+        # COMPLETED output (the slice/resume protocol is untouched):
+        # gate whole transcripts whose dropped-turn share exceeds the
+        # permille threshold; --conv-out materializes the verdict
+        # table plus the conversation-gated corpus, --truncate swaps
+        # kept-row filtering for longest-valid-prefix truncation.
+        import os as _os
+
+        from .operators.convfeat import (
+            conversation_verdicts,
+            truncate_at_first_drop,
+        )
+
+        outdf = spark.read.parquet(args.output)
+        verdicts = conversation_verdicts(
+            outdf, max_drop_permille=args.conv_gate
+        )
+        conv_out = getattr(args, "conv_out", None)
+        if conv_out:
+            vpath = _os.path.join(conv_out, "conv_verdicts.parquet")
+            verdicts.write.mode("overwrite").parquet(vpath)
+            verdicts = spark.read.parquet(vpath)
+        vc = verdicts.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("conv_keep").cast("long")).alias("k"),
+        ).first()
+        out["conv_total"], out["conv_kept"] = vc["n"], vc["k"]
+        if conv_out:
+            base = (
+                truncate_at_first_drop(outdf)
+                if getattr(args, "truncate", False)
+                else outdf.filter(F.col("keep"))
+            )
+            spine = verdicts.filter(F.col("conv_keep")).select(
+                F.col("conv_id").alias("__vc")
+            )
+            gated = base.join(
+                spine, base["conv_id"].eqNullSafe(spine["__vc"]), "left_semi"
+            )
+            cpath = _os.path.join(conv_out, "corpus.parquet")
+            gated.write.mode("overwrite").parquet(cpath)
+            out["rows_after_conv_gate"] = spark.read.parquet(cpath).count()
     print(json.dumps(out))
     return 0
 
@@ -1109,6 +1152,31 @@ def main(argv: list[str] | None = None) -> int:
         "pairwise rule co-failure matrix as parquet artifacts under "
         "this dir — ONE extra fused-scan aggregate over the input — "
         "and include the funnel rows in the summary JSON",
+    )
+    r.add_argument(
+        "--conv-gate",
+        type=int,
+        default=None,
+        metavar="PERMILLE",
+        help="conversation-level keep propagation: after the run "
+        "completes, gate whole transcripts whose dropped-turn share "
+        "exceeds this permille "
+        "(operators/convfeat.py::conversation_verdicts); verdict "
+        "counts land in the summary JSON",
+    )
+    r.add_argument(
+        "--conv-out",
+        default=None,
+        help="with --conv-gate: write conv_verdicts.parquet + the "
+        "conversation-gated corpus.parquet under this dir",
+    )
+    r.add_argument(
+        "--truncate",
+        action="store_true",
+        help="with --conv-out: longest-valid-prefix truncation (cut "
+        "each conversation at its first dropped turn, "
+        "operators/convfeat.py::truncate_at_first_drop) instead of "
+        "kept-row filtering",
     )
     r.set_defaults(fn=cmd_run)
 
