@@ -63,3 +63,84 @@ def test_conversation_sessions_emit_on_timeout(spark, tmp_path):
     assert c1["n_role_switches"] == 2  # user→assistant→user
     assert c1["max_turn_idx"] == 2
     assert got["c2"]["n_turns"] == 1 and got["c2"]["n_role_switches"] == 0
+
+
+def test_conversation_verdict_stream_matches_batch(spark, tmp_path):
+    """Stream verdicts (emit-on-quiet) equal the batch
+    conversation_verdicts rows for every non-NULL conversation —
+    same counts, same integer permille, same threshold arithmetic."""
+    from zeus_data_quality_spark.streaming.stateful import (
+        conversation_verdict_stream,
+    )
+    from zeus_data_quality_spark.operators.convfeat import (
+        conversation_verdicts,
+    )
+
+    src = str(tmp_path / "vin")
+    schema = "conv_id string, turn_idx int, role string, keep boolean"
+    rows = [
+        ("c1", 0, "user", True),       # c1: 0/3 dropped → keep
+        ("c1", 1, "assistant", True),
+        ("c1", 2, "user", True),
+        ("c2", 0, "user", True),       # c2: 1/4 dropped = 250‰ → drop
+        ("c2", 1, "assistant", True),
+        ("c2", 2, "user", False),
+        ("c2", 3, "assistant", True),
+        ("c3", 0, "user", True),       # c3: 1/5 = 200‰ → keep (boundary)
+        ("c3", 1, "assistant", True),
+        ("c3", 2, "user", True),
+        ("c3", 3, "assistant", True),
+        ("c3", 4, "user", False),
+        (None, 0, "user", False),      # NULL conv filtered on the stream
+    ]
+    first = spark.createDataFrame(rows, schema)
+    first.write.mode("overwrite").parquet(f"{src}/batch=0")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    verdicts = conversation_verdict_stream(
+        stream, max_drop_permille=200, session_gap_ms=2_000
+    )
+    q = (
+        verdicts.writeStream.format("memory")
+        .queryName("conv_verdicts")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        time.sleep(4)
+        spark.createDataFrame(
+            [("c9", 0, "user", True)], schema
+        ).write.mode("overwrite").parquet(f"{src}/batch=1")
+        deadline = time.time() + 60
+        got = []
+        while time.time() < deadline:
+            got = spark.sql("SELECT * FROM conv_verdicts").collect()
+            if len(got) >= 3:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+
+    stream_rows = {
+        r["conv_id"]: (
+            r["n_turns"], r["n_dropped"], r["drop_permille"], r["conv_keep"]
+        )
+        for r in got
+    }
+    batch = conversation_verdicts(
+        first.filter(F.col("conv_id").isNotNull()), max_drop_permille=200
+    )
+    batch_rows = {
+        r["conv_id"]: (
+            r["n_turns"], r["n_dropped"], r["drop_permille"], r["conv_keep"]
+        )
+        for r in batch.collect()
+    }
+    for cid in ("c1", "c2", "c3"):
+        assert stream_rows[cid] == batch_rows[cid]
+    assert stream_rows["c2"][3] is False and stream_rows["c3"][3] is True

@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -104,6 +105,93 @@ def conversation_sessions(
             _make_update(session_gap_ms),
             outputStructType=SESSION_OUTPUT,
             stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+VERDICT_OUTPUT = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("n_turns", LongType()),
+        StructField("n_dropped", LongType()),
+        StructField("drop_permille", LongType()),
+        StructField("conv_keep", BooleanType()),
+    ]
+)
+VERDICT_STATE = StructType(
+    [
+        StructField("n_turns", LongType()),
+        StructField("n_dropped", LongType()),
+    ]
+)
+
+
+def _make_verdict_update(max_drop_permille: int, session_gap_ms: int):
+    """Closure factory (same reason as :func:`_make_update`): threshold
+    and gap ship inside the serialized function."""
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n_turns, n_dropped = state.get
+            state.remove()
+            permille = (1000 * n_dropped) // n_turns
+            yield pd.DataFrame(
+                [
+                    (
+                        key[0],
+                        n_turns,
+                        n_dropped,
+                        permille,
+                        permille <= max_drop_permille,
+                    )
+                ],
+                columns=[f.name for f in VERDICT_OUTPUT.fields],
+            )
+            return
+        n_turns, n_dropped = state.get if state.exists else (0, 0)
+        for pdf in batches:
+            n_turns += len(pdf)
+            n_dropped += int((~pdf["keep"].fillna(False)).sum())
+        state.update((n_turns, n_dropped))
+        state.setTimeoutDuration(session_gap_ms)
+        yield from ()
+
+    return update
+
+
+def conversation_verdict_stream(
+    labeled_stream: DataFrame,
+    max_drop_permille: int = 200,
+    session_gap_ms: int = 30_000,
+) -> DataFrame:
+    """Streaming twin of ``operators/convfeat.py::conversation_verdicts``
+    — per-turn keep labels arrive on the stream; once a conversation
+    has been silent for ``session_gap_ms`` of processing time, emit its
+    verdict row (n_turns, n_dropped, integer drop permille, conv_keep
+    at the same threshold arithmetic as the batch operator).
+
+    A conversation gate is inherently stateful on a stream (the verdict
+    needs the whole transcript), so this is the sanctioned
+    ``applyInPandasWithState`` shape: two integers of state per live
+    conversation, O(batch) work per micro-batch, emit-on-quiet. NULL
+    conv_id rows are filtered (no conversation to gate — the batch
+    operator's NULL stratum has no streaming analogue because the
+    stream never closes it).
+    """
+    return (
+        labeled_stream.select("conv_id", "keep")
+        .filter("conv_id IS NOT NULL")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _make_verdict_update(max_drop_permille, session_gap_ms),
+            outputStructType=VERDICT_OUTPUT,
+            stateStructType=VERDICT_STATE,
             outputMode="append",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
