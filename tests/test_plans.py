@@ -223,3 +223,34 @@ def test_repetition_stats_evaluate_char_sums_once(spark, sf_dir):
     # bounded small; duplication into frac+verdict consumers would
     # push this past 20.
     assert plan.count("aggregate(") <= 12
+
+
+def test_rule_funnel_by_is_one_grouped_aggregate(spark, sf_dir):
+    """The stratified funnel must ride ONE grouped hash Aggregate over
+    the labeled branch — same scan count as keep_drop (main + the
+    UNIQUE dup-key branch), no extra join beyond UNIQUE's
+    broadcast-back, and no window beyond the two corpus-synthesis
+    row_numbers."""
+    plan = _plan(spark, qs.q_rule_funnel_by_role(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2
+    assert tree.count("Window") == 2
+    # grouped partial+final pair for the funnel + partial+final for the
+    # UNIQUE dup-key branch; nothing per-rule
+    assert tree.count("HashAggregate") == 4
+    assert "CartesianProduct" not in tree
+
+
+def test_truncate_at_first_drop_no_window_sort(spark, sf_dir):
+    """Prefix truncation must plan as an unordered MIN aggregate +
+    join-back — never a conv-ordered window over the wide rows (the
+    only Sorts allowed are the corpus-synthesis row_numbers and the
+    join's own SMJ sorts on conv_id, which sort KEYS not transcripts
+    within a partition)."""
+    plan = _plan(spark, qs.q_prefix_truncate(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    # the cut-point aggregate is a partial+final pair
+    assert tree.count("HashAggregate") >= 2
+    # no window beyond the two corpus-synthesis row_numbers
+    assert tree.count("Window") <= 3
+    assert "CartesianProduct" not in tree
