@@ -877,3 +877,66 @@ def test_cli_run_conv_gate_truncate(spark, sf_dir, tmp_path):
     assert summary["rows_after_conv_gate"] == corpus.count() == exp_rows
     # truncation output is a subset of plain kept-row gating
     assert corpus.filter(~F.col("keep")).count() == 0
+
+
+def test_cli_run_funnel_tokens_and_by(spark, sf_dir, tmp_path):
+    """--funnel-tokens adds the token-weighted columns to the funnel
+    artifact (agreeing with the oracle-verified operator) and
+    --funnel-by writes the stratified per-group funnel."""
+    from zeus_data_quality_spark.functions.textstats import n_tokens
+    from zeus_data_quality_spark.plans.configs import (
+        default_transcript_checks,
+    )
+    from zeus_data_quality_spark.plans.runner import (
+        apply_checks,
+        rule_funnel,
+        rule_funnel_by,
+    )
+    from zeus_data_quality_spark.sources.transcripts import load_transcripts
+    from pyspark.sql import functions as F
+
+    inp = str(tmp_path / "in.parquet")
+    load_transcripts(spark, sf_dir).write.parquet(inp)
+    fdir = str(tmp_path / "funnel")
+
+    out = _cli(
+        "run",
+        "--input", inp,
+        "--output", str(tmp_path / "out"),
+        "--lineage", str(tmp_path / "lineage"),
+        "--run-id", "cli-ft1",
+        "--buckets", "2",
+        "--funnel", fdir,
+        "--funnel-tokens",
+        "--funnel-by", "role",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    checks = default_transcript_checks()
+    labeled_tok = apply_checks(
+        load_transcripts(spark, sf_dir).withColumn(
+            "__n_tok", n_tokens(F.col("text")).cast("long")
+        ),
+        checks,
+    )
+    expected = {
+        r["rule"]: r
+        for r in rule_funnel(
+            labeled_tok, checks, tokens_col="__n_tok"
+        ).collect()
+    }
+    fdf = spark.read.parquet(f"{fdir}/rule_funnel.parquet")
+    assert {"funnel_tokens", "tokens_in"} <= set(fdf.columns)
+    for row in fdf.collect():
+        e = expected[row["rule"]]
+        assert (row["funnel_tokens"], row["tokens_in"]) == (
+            e["funnel_tokens"], e["tokens_in"],
+        )
+
+    labeled = apply_checks(load_transcripts(spark, sf_dir), checks)
+    exp_by = rule_funnel_by(labeled, checks, "role")
+    bdf = spark.read.parquet(f"{fdir}/rule_funnel_by_role.parquet")
+    assert bdf.count() == exp_by.count()
+    got = {(r["role"], r["rule"]): r["funnel_drops"] for r in bdf.collect()}
+    for r in exp_by.collect():
+        assert got[(r["role"], r["rule"])] == r["funnel_drops"]

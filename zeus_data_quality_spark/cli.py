@@ -113,18 +113,47 @@ def cmd_run(args) -> int:
         # Per-rule attribution report: both tables from ONE extra
         # fused-scan aggregate (plans/runner.py::rule_attribution);
         # artifacts are rule-count-sized, written driver-side.
+        # --funnel-tokens adds the token-weighted columns (k+1 more
+        # sums in the same Aggregate); --funnel-by COL additionally
+        # writes the stratified per-group funnel (its own grouped
+        # Aggregate, |groups|×rules rows, written distributed).
         import os as _os
 
         from .plans.runner import apply_checks, rule_attribution
 
-        funnel, overlap = rule_attribution(apply_checks(df, checks), checks)
+        fin = df
+        tokens_col = None
+        if getattr(args, "funnel_tokens", False):
+            from .functions.textstats import n_tokens
+
+            tokens_col = "__n_tok"
+            fin = df.withColumn(
+                tokens_col, n_tokens(F.col("text")).cast("long")
+            )
+        funnel, overlap = rule_attribution(
+            apply_checks(fin, checks), checks, tokens_col=tokens_col
+        )
+        tok_ddl = (
+            "funnel_tokens long, tokens_in long, " if tokens_col else ""
+        )
         spark.createDataFrame(
             [tuple(r.values()) for r in funnel],
             "rule string, fails long, unique_drops long, "
-            "funnel_drops long, rows_in long, share_permille long",
+            f"funnel_drops long, {tok_ddl}rows_in long, "
+            "share_permille long",
         ).coalesce(1).write.mode("overwrite").parquet(
             _os.path.join(args.funnel, "rule_funnel.parquet")
         )
+        if getattr(args, "funnel_by", None):
+            from .plans.runner import rule_funnel_by
+
+            rule_funnel_by(
+                apply_checks(df, checks), checks, args.funnel_by
+            ).write.mode("overwrite").parquet(
+                _os.path.join(
+                    args.funnel, f"rule_funnel_by_{args.funnel_by}.parquet"
+                )
+            )
         spark.createDataFrame(
             [tuple(r.values()) for r in overlap],
             "rule_a string, rule_b string, both_fail long",
@@ -1152,6 +1181,20 @@ def main(argv: list[str] | None = None) -> int:
         "pairwise rule co-failure matrix as parquet artifacts under "
         "this dir — ONE extra fused-scan aggregate over the input — "
         "and include the funnel rows in the summary JSON",
+    )
+    r.add_argument(
+        "--funnel-tokens",
+        action="store_true",
+        help="with --funnel: token-weight the funnel artifact "
+        "(per-rule funnel_tokens + corpus tokens_in — the budget view; "
+        "same single Aggregate)",
+    )
+    r.add_argument(
+        "--funnel-by",
+        default=None,
+        metavar="COL",
+        help="with --funnel: also write the stratified per-COL funnel "
+        "(rule_funnel_by_<COL>.parquet, one row per group x rule)",
     )
     r.add_argument(
         "--conv-gate",

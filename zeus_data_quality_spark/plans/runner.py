@@ -337,7 +337,7 @@ def rule_overlap(labeled: DataFrame, checks: list[Check]) -> DataFrame:
 
 
 def rule_attribution(
-    labeled: DataFrame, checks: list[Check]
+    labeled: DataFrame, checks: list[Check], tokens_col: str | None = None
 ) -> tuple[list[dict], list[dict]]:
     """Both attribution reports — funnel AND pairwise overlap — from
     ONE corpus-scan Aggregate (3k+1 + k(k-1)/2 integer sums in a
@@ -346,10 +346,13 @@ def rule_attribution(
     uses this so the optional report costs exactly one extra pass
     over the input, not two; the per-report operators
     (:func:`rule_funnel` / :func:`rule_overlap`) stay the
-    oracle-verified relational surfaces."""
+    oracle-verified relational surfaces. With ``tokens_col`` the
+    funnel rows gain the token-weighted ``funnel_tokens`` +
+    ``tokens_in`` columns (same Aggregate, k+1 more sums)."""
     rcs = row_checks(checks)
     o_aggs, pairs = _overlap_agg_exprs(rcs)
-    row = labeled.agg(*(_funnel_agg_exprs(rcs) + o_aggs)).first().asDict()
+    tok = F.col(tokens_col) if tokens_col else None
+    row = labeled.agg(*(_funnel_agg_exprs(rcs, tok) + o_aggs)).first().asDict()
     rows_in = row["rows_in"]
     funnel = [
         {
@@ -357,6 +360,14 @@ def rule_attribution(
             "fails": row[f"fails_{c.check_id.lower()}"],
             "unique_drops": row[f"uniq_{c.check_id.lower()}"],
             "funnel_drops": row[f"funnel_{c.check_id.lower()}"],
+            **(
+                {
+                    "funnel_tokens": row[f"ftok_{c.check_id.lower()}"],
+                    "tokens_in": row["tokens_in"],
+                }
+                if tokens_col
+                else {}
+            ),
             "rows_in": rows_in,
             "share_permille": (
                 (1000 * row[f"fails_{c.check_id.lower()}"]) // rows_in
