@@ -218,6 +218,19 @@ HEADLINE = [
     # r5t: per-eval-item leak attribution (same broadcast probe keyed
     # by (item, doc))
     "contamination_report",
+    # r5u: token-weighted + per-role stratified funnels (same single
+    # Aggregate shape as rule_funnel; the budget and segment views)
+    "rule_funnel_tokens",
+    "rule_funnel_by_role",
+    # r5u: conversation-level keep propagation + longest-valid-prefix
+    # truncation (conv aggregate; truncate = aggregate + null-safe
+    # join-back, no conv-ordered window)
+    "conversation_verdicts",
+    "prefix_truncate",
+    # r5v: conversation-level NEAR-dup (render + the minhash labels
+    # chain over conversation documents; md5 parity mode — the
+    # production xxhash64 twin is benched in _extra_benches)
+    "conversation_near_dup",
 ]
 
 
@@ -371,7 +384,17 @@ def _extra_benches():
             hash_fn="xxhash64",
         )
 
+    def conversation_near_dup_xx(spark, sf_dir):
+        from zeus_data_quality_spark.operators.dedup import (
+            conversation_near_dup,
+        )
+
+        return conversation_near_dup(
+            load_transcripts(spark, sf_dir), hash_mode="xxhash64"
+        )
+
     return {
+        "conversation_near_dup_xx": conversation_near_dup_xx,
         "bpe_vocab_batched_512": bpe_vocab_batched_512,
         "hybrid_retrieval_xx": hybrid_retrieval_xx,
         "text_embeddings_xx": text_embeddings_xx,

@@ -83,3 +83,74 @@ def test_truncate_clean_conv_keeps_null_idx_rows(spark):
         apply_checks(spark.createDataFrame(rows, SCHEMA), CHECKS)
     ).collect()
     assert len(out) == 2
+
+
+def test_conversation_near_dup_regeneration_artifact(spark):
+    """The r5v fuzzy twin of conversation_dedup: a retried conversation
+    with ONE rewritten turn clusters with its original (exact dedup and
+    prefix dedup both miss it), unrelated conversations stay singleton,
+    and verdicts are invariant to physical row order."""
+    from zeus_data_quality_spark.operators.dedup import conversation_near_dup
+
+    script = [
+        "please summarize the quarterly report for the board meeting",
+        "the quarterly report shows revenue growth across all regions",
+        "can you also include the customer churn numbers in the summary",
+        "customer churn declined for the third consecutive quarter overall",
+        "great now draft a short email to the leadership team about it",
+    ]
+    rows = []
+    for cid, rewrite in (("a1", None), ("a2", 4)):
+        for i, t in enumerate(script):
+            if rewrite == i:
+                t = ("great now draft a brief email to the leadership "
+                     "group about it")
+            rows.append((cid, i, "user" if i % 2 == 0 else "assistant", t))
+        # NULL-defect turns render identically ('' at the front) in both
+        rows.append((cid, None, "tool", None))
+    rows.append(("zz", 0, "user",
+                 "completely unrelated text about gardening tools and "
+                 "soil ph levels in raised beds"))
+    schema = "conv_id string, turn_idx int, role string, text string"
+    df = spark.createDataFrame(rows, schema)
+    out = {r["conv_id"]: r
+           for r in conversation_near_dup(df, hash_mode="md5").collect()}
+    assert len(out) == 3
+    assert out["a1"]["component"] == "a1" and out["a1"]["is_canonical"]
+    assert out["a2"]["component"] == "a1" and not out["a2"]["is_canonical"]
+    assert out["zz"]["component"] == "zz" and out["zz"]["is_canonical"]
+
+    # row-order invariance: the rendering key is (turn_idx, text), not
+    # arrival order — reversed input produces identical verdicts
+    out2 = {r["conv_id"]: (r["component"], r["is_canonical"])
+            for r in conversation_near_dup(
+                spark.createDataFrame(list(reversed(rows)), schema),
+                hash_mode="md5").collect()}
+    assert out2 == {k: (v["component"], v["is_canonical"])
+                    for k, v in out.items()}
+
+
+def test_conversation_near_dup_duplicate_turn_idx_deterministic(spark):
+    """Duplicate turn keys (an injected corpus defect) tie-break on the
+    text itself, so two conversations holding the same multiset of
+    (turn_idx, text) rows render byte-identically and cluster."""
+    from zeus_data_quality_spark.operators.dedup import (
+        conversation_near_dup,
+        render_conversation_docs,
+    )
+
+    turns = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "iota kappa lambda mu nu xi omicron pi rho sigma"),
+        (1, "tau upsilon phi chi psi omega alpha beta gamma"),
+    ]
+    rows = [("d1", i, "user", t) for i, t in turns]
+    rows += [("d2", i, "user", t) for i, t in reversed(turns)]
+    schema = "conv_id string, turn_idx int, role string, text string"
+    df = spark.createDataFrame(rows, schema)
+    docs = {r["conv_id"]: r["__conv_doc"]
+            for r in render_conversation_docs(df).collect()}
+    assert docs["d1"] == docs["d2"]
+    out = {r["conv_id"]: r
+           for r in conversation_near_dup(df, hash_mode="md5").collect()}
+    assert out["d2"]["component"] == "d1" and not out["d2"]["is_canonical"]

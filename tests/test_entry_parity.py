@@ -347,6 +347,12 @@ TAIL_OVERFLOW: set = {
     # the decontaminate family (same broadcast gram probe, keyed by
     # (item, doc)); full oracle, parity-checked here.
     "contamination_report",
+    # r5v: conversation-level NEAR-dup — render each conversation to a
+    # canonical document, reuse the in-window minhash_dedup_labels
+    # chain (rendering + machinery + recursive CC all replayed in the
+    # oracle; regeneration-artifact semantics pinned in
+    # test_convkeep.py); full oracle, parity-checked here.
+    "conversation_near_dup",
 }
 
 

@@ -171,6 +171,88 @@ def conversation_dedup(
     )
 
 
+def render_conversation_docs(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Collapse a turn-level transcript table to one canonical document
+    per conversation: ``(conv_id, __conv_doc)`` where ``__conv_doc`` is
+    the turn texts newline-joined in ``(turn_idx, text)`` order.
+
+    The ordering key is deterministic under any physical row order
+    (duplicate turn_idx defects tie-break on the text itself; NULL
+    turn_idx sorts first via an int-min sentinel, NULL text renders as
+    the empty string), and is replayable verbatim in DuckDB as
+    ``string_agg(coalesce(text,''), chr(10) ORDER BY
+    coalesce(turn_idx, -2147483648), coalesce(text,''))`` — which is
+    what the ``conversation_near_dup`` oracle does.
+    """
+    min_int = -2147483648
+    key = F.struct(
+        F.coalesce(F.col(turn_col), F.lit(min_int)).alias("k1"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("k2"),
+    )
+    return (
+        df.filter(F.col(conv_col).isNotNull())
+        .groupBy(conv_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(key)), lambda s: s["k2"]
+                ),
+            ).alias("__conv_doc")
+        )
+    )
+
+
+def conversation_near_dup(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.7,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Conversation-level NEAR-dup verdict: ``(conv_id, component,
+    is_canonical)`` — the fuzzy twin of ``conversation_dedup``.
+
+    Exact conversation dedup misses the regeneration/retry artifact
+    class where two transcripts share most turns but differ in a
+    rewritten answer or an extra tool round; ``prefix_dedup`` only
+    catches the identical-opening case. This operator renders each
+    conversation to one canonical document
+    (``render_conversation_docs``) and reuses the proven MinHash+LSH
+    pairs → connected-components → keep-one chain
+    (``minhash_dedup_labels``) over those documents, so two
+    conversations whose rendered texts have word-shingle Jaccard ≥
+    ``threshold`` land in one component and all but the min conv_id
+    are dropped.
+
+    Scale shape: ONE conv_id shuffle carries each conversation's text
+    to its reducer (a 10^5-turn mega-conversation is one document in
+    one task — bounded by the corpus's own max transcript size, the
+    same bound any doc-level minhash run has); everything downstream
+    is the signature/band machinery whose pair-level shuffles carry
+    ~50 B rows (see ``minhash_dedup`` — map-side Jaccard estimate,
+    bucketed anchor pairs, never all-pairs).
+    """
+    rendered = render_conversation_docs(df, conv_col, turn_col, text_col)
+    return minhash_dedup_labels(
+        rendered,
+        conv_col,
+        "__conv_doc",
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        hash_mode=hash_mode,
+    )
+
+
 def _shingles(text_col: str, n: int = 3):
     """Word n-gram shingle array (distinct), built-in only:
     lowercase → split → sliding n-gram via transform over indices.

@@ -513,6 +513,56 @@ FROM c
 """
 
 
+def q_conversation_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level NEAR-dup verdict (operators/dedup.py
+    ``conversation_near_dup``): each conversation rendered to one
+    canonical document (turn texts in (turn_idx, text) order), then the
+    full MinHash+LSH pairs → connected-components → keep-one chain over
+    those documents, md5 parity mode. Catches the regeneration/retry
+    artifact class that exact `conversation_dedup` and opening-prefix
+    `prefix_dedup` both miss. The oracle replays the rendering
+    (string_agg ORDER BY twin), the entire signature/band/anchor-pair
+    machinery, and a recursive-CTE transitive closure."""
+    from ..operators.dedup import conversation_near_dup
+
+    return conversation_near_dup(
+        load_transcripts(spark, sf_dir), threshold=0.7, hash_mode="md5"
+    )
+
+
+def _oracle_conversation_near_dup() -> str:
+    from ..sources.transcripts import TRANSCRIPTS_CTE
+
+    return f"""WITH RECURSIVE
+{TRANSCRIPTS_CTE},
+__mh_in AS (
+    SELECT conv_id AS id,
+           string_agg(coalesce(text, ''), chr(10)
+               ORDER BY coalesce(turn_idx, -2147483648),
+                        coalesce(text, '')) AS txt
+    FROM transcripts WHERE conv_id IS NOT NULL GROUP BY conv_id
+),
+{duckdb_minhash_pairs_cte(threshold=0.7).strip()},
+__mh_edges AS (
+    SELECT id_a AS src, id_b AS dst FROM __mh_pairs
+    UNION
+    SELECT id_b, id_a FROM __mh_pairs
+),
+__mh_nodes AS (SELECT DISTINCT src AS id FROM __mh_edges),
+__mh_reach(id, r) AS (
+    SELECT id, id FROM __mh_nodes
+    UNION
+    SELECT __mh_reach.id, e.dst
+    FROM __mh_reach JOIN __mh_edges e ON e.src = __mh_reach.r
+),
+__mh_comp AS (SELECT id, MIN(r) AS component FROM __mh_reach GROUP BY id)
+SELECT d.id AS conv_id,
+       COALESCE(c.component, d.id) AS component,
+       d.id = COALESCE(c.component, d.id) AS is_canonical
+FROM __mh_in d LEFT JOIN __mh_comp c ON c.id = d.id
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return textstats.with_text_stats(docs, "text").select(
@@ -3435,6 +3485,9 @@ def queries():
         "corpus_mix": q_corpus_mix,
         "top_tokens": q_top_tokens,
         "conversation_dedup": q_conversation_dedup,
+        # r5v: conversation-level NEAR-dup (render + minhash labels) —
+        # full oracle, parity-checked in tests/test_entry_parity.py.
+        "conversation_near_dup": q_conversation_near_dup,
         "media_resize_checksums": q_media_resize_checksums,
         "ann_from_text": q_ann_from_text,
         # r5k rotation (see the prefix_dedup block above): all three
@@ -3566,6 +3619,7 @@ def oracle_sql():
         "c4_line_filter": _oracle_c4_line_filter(),
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "conversation_dedup": oracle_with_transcripts(ORACLE_CONV_DEDUP),
+        "conversation_near_dup": _oracle_conversation_near_dup(),
         "text_stats": textstats.duckdb_text_stats_sql("documents", "doc_id", "text"),
         "top_tokens": textstats.duckdb_top_tokens_sql("documents", "text", 50),
         "decontaminate": duckdb_contamination_sql("documents", "doc_id < 25"),
