@@ -386,6 +386,56 @@ def test_cli_incremental_dedup_cycle(spark, sf_dir, tmp_path):
     assert idx2.count() == idx1.count() + expected_new
 
 
+def test_cli_dedup_conversations_mode(spark, tmp_path):
+    """``dedup --conversations`` switches the dedup unit from document
+    to conversation: turn-level input, one rendered doc per conv_id,
+    and the regeneration artifact (a retried conversation with one
+    rewritten turn) clusters with its original while unrelated
+    conversations survive as canonical."""
+    script = [
+        "please summarize the quarterly report for the board meeting",
+        "the quarterly report shows revenue growth across all regions",
+        "can you also include the customer churn numbers in the summary",
+        "customer churn declined for the third consecutive quarter overall",
+        "great now draft a short email to the leadership team about it",
+    ]
+    rows = []
+    for cid, rewrite in (("orig", None), ("retry", 4)):
+        for i, t in enumerate(script):
+            if rewrite == i:
+                t = ("great now draft a brief email to the leadership "
+                     "group about it")
+            rows.append((cid, i, "user" if i % 2 == 0 else "assistant", t))
+    rows.append(("other", 0, "user",
+                 "completely unrelated text about gardening tools and "
+                 "soil ph levels in raised beds"))
+    schema = "conv_id string, turn_idx int, role string, text string"
+    turns = str(tmp_path / "turns.parquet")
+    spark.createDataFrame(rows, schema).write.parquet(turns)
+
+    out = _cli(
+        "dedup",
+        "--input", turns,
+        "--output", str(tmp_path / "out"),
+        "--conversations",
+        "--threshold", "0.7",
+        "--hash", "md5",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["rows"] == 3  # conversations, not turns
+    assert summary["canonical"] == 2
+    assert summary["near_dups_dropped"] == 1
+    res = {
+        r["conv_id"]: r
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert res["orig"]["is_canonical"]
+    assert res["retry"]["component"] == "orig"
+    assert not res["retry"]["is_canonical"]
+    assert res["other"]["is_canonical"]
+
+
 def test_cli_render_order_ccnet(spark, sf_dir, tmp_path):
     """The r5m emission stages run end-to-end through the CLI:
     chat-template rendering, training-order shuffle (shard-partitioned

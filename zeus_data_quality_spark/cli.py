@@ -220,22 +220,39 @@ def cmd_dedup(args) -> int:
     ``--checkpoint-dir``) so they survive executor loss within one
     driver lifetime — the in-session durability rung below
     ``--state-dir``.
+
+    ``--conversations`` switches the unit of deduplication from
+    document to conversation: the input is a turn-level transcript
+    table, each conversation renders to one canonical document in
+    ``(turn_idx, text)`` order (``render_conversation_docs``) and the
+    same MinHash → CC → keep-one chain (including the full durability
+    ladder and incremental ``--index`` mode) runs over conversations —
+    the regeneration/retry artifact cleaner.
     """
     from .operators.dedup import (
         incremental_dedup,
         minhash_dedup_labels,
         minhash_signatures,
+        render_conversation_docs,
     )
 
     spark = _spark(args)
+    src = spark.read.parquet(args.input)
+    if args.conversations:
+        src = render_conversation_docs(
+            src, args.conv_col, args.turn_col, args.text_col
+        )
+        id_col, text_col = args.conv_col, "__conv_doc"
+    else:
+        id_col, text_col = args.id_col, args.text_col
     if args.index:
         # incremental mode: dedup the batch against a persisted
         # (id, sig) index; survivors' signatures optionally merge into
         # --index-out for the next ingest.
-        df = spark.read.parquet(args.input)
+        df = src
         isigs = spark.read.parquet(args.index)
         out = incremental_dedup(
-            df, isigs, args.id_col, args.text_col,
+            df, isigs, id_col, text_col,
             threshold=args.threshold, hash_mode=args.hash,
         )
         out.write.mode("overwrite").parquet(args.output)
@@ -248,11 +265,11 @@ def cmd_dedup(args) -> int:
         }
         if args.index_out:
             keep_ids = res.filter("verdict = 'new_unique'").select(
-                F.col(args.id_col)
+                F.col(id_col)
             )
             new_sigs = minhash_signatures(
-                df.join(keep_ids, args.id_col), args.id_col,
-                args.text_col, hash_mode=args.hash,
+                df.join(keep_ids, id_col), id_col,
+                text_col, hash_mode=args.hash,
             ).filter(F.col("sig").isNotNull())
             isigs.unionByName(new_sigs).write.mode("overwrite").parquet(
                 args.index_out
@@ -280,12 +297,13 @@ def cmd_dedup(args) -> int:
             )
             return 2
         spark.sparkContext.setCheckpointDir(ckpt)
-    df = spark.read.parquet(args.input)
+    df = src
     labels = minhash_dedup_labels(
         df,
-        args.id_col,
-        args.text_col,
+        id_col,
+        text_col,
         threshold=args.threshold,
+        hash_mode=args.hash,
         reliable_checkpoint=args.reliable_checkpoints and not args.state_dir,
         state_dir=args.state_dir,
         max_iter=args.max_iter,
@@ -295,9 +313,9 @@ def cmd_dedup(args) -> int:
     if args.index_out:
         # bootstrap the incremental index: signatures of this run's
         # canonical docs become the --index of the next ingest
-        canon_ids = out.filter(F.col("is_canonical")).select(args.id_col)
+        canon_ids = out.filter(F.col("is_canonical")).select(id_col)
         minhash_signatures(
-            df.join(canon_ids, args.id_col), args.id_col, args.text_col,
+            df.join(canon_ids, id_col), id_col, text_col,
             hash_mode=args.hash,
         ).filter(F.col("sig").isNotNull()).write.mode(
             "overwrite"
@@ -1268,6 +1286,15 @@ def main(argv: list[str] | None = None) -> int:
                    "signatures) for the next ingest")
     d.add_argument("--hash", choices=["md5", "xxhash64"],
                    default="xxhash64")
+    d.add_argument("--conversations", action="store_true",
+                   help="input is a turn-level transcript table: render "
+                   "each conversation to one document ((turn_idx, text) "
+                   "order) and near-dup at CONVERSATION level — catches "
+                   "the regeneration/retry artifact class exact conv "
+                   "dedup misses; --id-col/--text-col are replaced by "
+                   "--conv-col/--turn-col + text")
+    d.add_argument("--conv-col", default="conv_id")
+    d.add_argument("--turn-col", default="turn_idx")
     d.set_defaults(fn=cmd_dedup)
 
     sd = sub.add_parser(

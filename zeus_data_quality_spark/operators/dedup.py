@@ -217,6 +217,9 @@ def conversation_near_dup(
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.7,
     hash_mode: str = "xxhash64",
+    reliable_checkpoint: bool = False,
+    state_dir: str | None = None,
+    max_iter: int = 15,
 ) -> DataFrame:
     """Conversation-level NEAR-dup verdict: ``(conv_id, component,
     is_canonical)`` — the fuzzy twin of ``conversation_dedup``.
@@ -239,7 +242,10 @@ def conversation_near_dup(
     same bound any doc-level minhash run has); everything downstream
     is the signature/band machinery whose pair-level shuffles carry
     ~50 B rows (see ``minhash_dedup`` — map-side Jaccard estimate,
-    bucketed anchor pairs, never all-pairs).
+    bucketed anchor pairs, never all-pairs). The durability kwargs
+    (``reliable_checkpoint`` / ``state_dir`` / ``max_iter``) pass
+    straight through to ``minhash_dedup_labels``'s connected-component
+    rounds, so the CLI's resumable ladder works here too.
     """
     rendered = render_conversation_docs(df, conv_col, turn_col, text_col)
     return minhash_dedup_labels(
@@ -250,6 +256,9 @@ def conversation_near_dup(
         bands=bands,
         threshold=threshold,
         hash_mode=hash_mode,
+        reliable_checkpoint=reliable_checkpoint,
+        state_dir=state_dir,
+        max_iter=max_iter,
     )
 
 
