@@ -231,6 +231,9 @@ HEADLINE = [
     # chain over conversation documents; md5 parity mode — the
     # production xxhash64 twin is benched in _extra_benches)
     "conversation_near_dup",
+    # r5w: incremental SEMANTIC ingest dedup (stored-quantizer
+    # assignment + member-index cosine match + batch components)
+    "incremental_semantic_dedup",
 ]
 
 

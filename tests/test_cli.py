@@ -237,6 +237,78 @@ def test_cli_semdedup(spark, sf_dir, tmp_path):
     assert sm["canonical"] == res.filter("is_canonical").count()
 
 
+def test_cli_semdedup_incremental_cycle(spark, sf_dir, tmp_path):
+    """Two-ingest SEMANTIC cycle (the paraphrase-level twin of
+    test_cli_incremental_dedup_cycle): run 1 self-dedups and persists
+    the semantic index (members + quantizer); run 2 dedups a batch —
+    half overlapping run 1's corpus verbatim — against it and merges
+    new_unique members into the next index."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    first = str(tmp_path / "first.parquet")
+    docs.filter("doc_id % 2 = 0").write.parquet(first)
+    batch = str(tmp_path / "batch.parquet")
+    dups = (
+        docs.filter("doc_id % 2 = 0")
+        .limit(5)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    docs.filter("doc_id % 2 = 1").unionByName(dups).write.parquet(batch)
+
+    out = _cli(
+        "semdedup",
+        "--input", first,
+        "--output", str(tmp_path / "out1"),
+        "--centroids", "4",
+        "--index-out", str(tmp_path / "idx1"),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    r1 = json.loads(out.stdout.strip().splitlines()[-1])
+    m1 = spark.read.parquet(str(tmp_path / "idx1") + "/members")
+    assert set(m1.columns) == {"doc_id", "embedding", "cluster"}
+    assert m1.count() <= r1["canonical"]  # zero-vector docs excluded
+    cents1 = spark.read.parquet(str(tmp_path / "idx1") + "/centroids")
+    assert cents1.count() == 4
+
+    out = _cli(
+        "semdedup",
+        "--input", batch,
+        "--output", str(tmp_path / "out2"),
+        "--index", str(tmp_path / "idx1"),
+        "--index-out", str(tmp_path / "idx2"),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    r2 = json.loads(out.stdout.strip().splitlines()[-1])
+    # the 5 verbatim copies of indexed docs must be caught
+    assert r2["dup_of_index"] >= 5
+    assert r2["new_unique"] > 0
+    res = spark.read.parquet(str(tmp_path / "out2"))
+    caught = {
+        r["doc_id"]
+        for r in res.filter("verdict = 'dup_of_index'").collect()
+    }
+    assert {d["doc_id"] for d in dups.collect()} <= caught
+    # merged index = old members + new_unique docs with nonzero vectors
+    from zeus_data_quality_spark.functions.embed import bulk_text_embeddings
+
+    expected_new = (
+        bulk_text_embeddings(
+            spark.read.parquet(batch).join(
+                res.filter("verdict = 'new_unique'").select("doc_id"),
+                "doc_id",
+            ),
+            "doc_id",
+            "text",
+            hash_fn="xxhash64",
+        )
+        .filter(F.exists("embedding", lambda v: v != 0))
+        .count()
+    )
+    m2 = spark.read.parquet(str(tmp_path / "idx2") + "/members")
+    assert m2.count() == m1.count() + expected_new
+
+
 def test_cli_run_classifier_config(spark, sf_dir, tmp_path):
     """--classifier runs the extended config plus the trained-model
     gate end-to-end; drop count strictly exceeds the extended run's

@@ -353,6 +353,13 @@ TAIL_OVERFLOW: set = {
     # oracle; regeneration-artifact semantics pinned in
     # test_convkeep.py); full oracle, parity-checked here.
     "conversation_near_dup",
+    # r5w: incremental SEMANTIC ingest dedup — the paraphrase-level
+    # twin of the in-window incremental_dedup contract composed from
+    # the in-window semantic_dedup machinery (stored-quantizer
+    # assignment, member-index cosine best-match, recursive batch
+    # components; three-way fixtures + empty-index ≡ full-labels law
+    # in test_semdedup.py); full oracle, parity-checked here.
+    "incremental_semantic_dedup",
 }
 
 

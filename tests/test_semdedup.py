@@ -157,3 +157,117 @@ def test_minhash_vs_semantic_complementarity(spark):
     assert sd[0] == sd[1]
     # unrelated docs stay singletons in both
     assert mh[4] != mh[5] and sd[4] != sd[5]
+
+
+def test_centroids_df_roundtrip(spark):
+    """centroids_to_df / centroids_from_df invert each other; a gapped
+    cluster column is rejected (a corrupted index must fail loudly,
+    not silently mis-assign every batch)."""
+    import pytest
+
+    from zeus_data_quality_spark.operators.semdedup import (
+        centroids_from_df,
+        centroids_to_df,
+    )
+
+    cents = [[1.0, 0.0, 0.0], [0.0, 0.6, 0.8]]
+    assert centroids_from_df(centroids_to_df(spark, cents)) == cents
+    gapped = centroids_to_df(spark, cents).filter("cluster <> 0")
+    with pytest.raises(ValueError, match="gaps"):
+        centroids_from_df(gapped)
+
+
+def test_incremental_semantic_dedup_verdicts(spark):
+    """The incremental path's three-way contract on the paraphrase
+    fixture: a batch paraphrase of an INDEXED doc → dup_of_index
+    (pointing at the index member), an intra-batch duplicate pair →
+    one new_unique canonical + one dup_in_batch pointing at it,
+    unrelated and zero-vector (NULL-text) batch docs → new_unique."""
+    from zeus_data_quality_spark.operators.ivf import train_centroids
+    from zeus_data_quality_spark.operators.semdedup import (
+        incremental_semantic_dedup,
+        semantic_index_members,
+    )
+
+    index_df = spark.createDataFrame(
+        [(0, PARA_A), (1, VERBATIM), (2, UNRELATED[0])],
+        "doc_id long, text string",
+    )
+    emb = bulk_text_embeddings(index_df, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    nonzero = emb.filter(F.exists("embedding", lambda v: v != 0))
+    cents = train_centroids(
+        nonzero, "embedding", "doc_id", n_centroids=2, init_mode="md5"
+    )
+    members = semantic_index_members(emb, cents, "doc_id").localCheckpoint(
+        eager=True
+    )
+    assert set(members.columns) == {"doc_id", "embedding", "cluster"}
+
+    batch = spark.createDataFrame(
+        [
+            (20, PARA_B),        # paraphrase of indexed PARA_A
+            (21, UNRELATED[1]),  # genuinely new
+            (22, UNRELATED[1]),  # exact in-batch copy of 21
+            (23, None),          # zero vector
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["verdict"], r["dup_of"])
+        for r in incremental_semantic_dedup(
+            batch, members, cents, "doc_id", "text", threshold=0.85
+        ).collect()
+    }
+    assert out[20] == ("dup_of_index", 0)
+    assert out[21] == ("new_unique", None)
+    assert out[22] == ("dup_in_batch", 21)
+    assert out[23] == ("new_unique", None)
+
+
+def test_incremental_semantic_empty_index_matches_full(spark):
+    """With an EMPTY index the incremental path degenerates to the
+    full batch self-dedup: dup_in_batch ⇔ not canonical, and dup_of
+    is exactly the full pass's component (same stored centroids on
+    both sides)."""
+    from zeus_data_quality_spark.functions.embed import DIM
+    from zeus_data_quality_spark.operators.ivf import train_centroids
+    from zeus_data_quality_spark.operators.semdedup import (
+        incremental_semantic_dedup,
+        semantic_dedup_from_embeddings,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = bulk_text_embeddings(docs, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    nonzero = emb.filter(F.exists("embedding", lambda v: v != 0))
+    cents = train_centroids(
+        nonzero, "embedding", "doc_id", n_centroids=4, init_mode="md5"
+    )
+    full = {
+        r["doc_id"]: (r["component"], r["is_canonical"])
+        for r in semantic_dedup_from_embeddings(
+            docs, emb, "doc_id", threshold=0.9, centroids=cents, dim=DIM
+        ).collect()
+    }
+    empty = spark.createDataFrame(
+        [], "doc_id long, embedding array<long>, cluster int"
+    )
+    inc = {
+        r["doc_id"]: (r["verdict"], r["dup_of"])
+        for r in incremental_semantic_dedup(
+            docs, empty, cents, "doc_id", "text", threshold=0.9
+        ).collect()
+    }
+    assert set(inc) == set(full)
+    n_dups = 0
+    for did, (verdict, dup_of) in inc.items():
+        comp, canon = full[did]
+        if canon:
+            assert verdict == "new_unique" and dup_of is None
+        else:
+            assert verdict == "dup_in_batch" and dup_of == comp
+            n_dups += 1
+    assert n_dups > 0  # the fixture corpus does contain semantic dups

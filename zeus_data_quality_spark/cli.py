@@ -441,18 +441,113 @@ def cmd_semdedup(args) -> int:
     search is O(Σ cluster_size²), so size it to cap expected cluster
     size (SemDeDup used 50k clusters at 1.3e9 docs); --hash xxhash64
     is the production embedding/init mode, md5 the oracle-replayable
-    one."""
-    from .operators.semdedup import semantic_dedup
+    one.
+
+    Incremental corpus growth (the paraphrase-level twin of
+    ``dedup --index``): ``--index-out`` on a full run persists the
+    semantic index (``members/`` = canonical (id, embedding, cluster)
+    partitioned by cluster, ``centroids/`` = the quantizer that
+    assigned them); ``--index`` dedups a NEW batch against it —
+    (id, verdict, dup_of) with verdict ∈ {dup_of_index, dup_in_batch,
+    new_unique} — assigning to the STORED centroids, never
+    re-embedding or re-clustering history; ``--index-out`` then merges
+    new_unique members forward for the next ingest."""
+    from .functions.embed import DIM, bulk_text_embeddings
+    from .operators.ivf import train_centroids
+    from .operators.semdedup import (
+        centroids_from_df,
+        centroids_to_df,
+        incremental_semantic_dedup,
+        semantic_dedup,
+        semantic_dedup_from_embeddings,
+        semantic_index_members,
+    )
 
     spark = _spark(args)
     df = spark.read.parquet(args.input)
-    out = semantic_dedup(
-        df, args.id_col, args.text_col,
-        n_centroids=args.centroids, n_iters=args.iters,
-        threshold=args.threshold, hash_fn=args.hash,
-    )
+    init_mode = "md5" if args.hash == "md5" else "xxhash64"
+
+    if args.index:
+        members = spark.read.parquet(f"{args.index}/members")
+        cents = centroids_from_df(
+            spark.read.parquet(f"{args.index}/centroids")
+        )
+        out = incremental_semantic_dedup(
+            df, members, cents, args.id_col, args.text_col,
+            threshold=args.threshold, hash_fn=args.hash,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        res = spark.read.parquet(args.output)
+        counts = {
+            r["verdict"]: r["n"]
+            for r in res.groupBy("verdict").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        if args.index_out:
+            keep = res.filter("verdict = 'new_unique'").select(
+                F.col(args.id_col)
+            )
+            new_members = semantic_index_members(
+                bulk_text_embeddings(
+                    df.join(keep, args.id_col), args.id_col,
+                    args.text_col, hash_fn=args.hash,
+                ),
+                cents,
+                args.id_col,
+            )
+            members.unionByName(new_members).write.mode(
+                "overwrite"
+            ).partitionBy("cluster").parquet(f"{args.index_out}/members")
+            centroids_to_df(spark, cents).write.mode("overwrite").parquet(
+                f"{args.index_out}/centroids"
+            )
+        print(
+            json.dumps(
+                {
+                    "rows": res.count(),
+                    "dup_of_index": counts.get("dup_of_index", 0),
+                    "dup_in_batch": counts.get("dup_in_batch", 0),
+                    "new_unique": counts.get("new_unique", 0),
+                }
+            )
+        )
+        return 0
+
+    if args.index_out:
+        # bootstrap: train once, label with the SAME centroids that
+        # get persisted, index = canonical members
+        emb = bulk_text_embeddings(
+            df, args.id_col, args.text_col, hash_fn=args.hash
+        ).localCheckpoint(eager=True)
+        nonzero = emb.filter(F.exists("embedding", lambda v: v != 0))
+        cents = train_centroids(
+            nonzero, "embedding", args.id_col,
+            n_centroids=args.centroids, n_iters=args.iters,
+            init_mode=init_mode,
+        )
+        out = semantic_dedup_from_embeddings(
+            df, emb, args.id_col, threshold=args.threshold,
+            centroids=cents, dim=DIM,
+        )
+    else:
+        out = semantic_dedup(
+            df, args.id_col, args.text_col,
+            n_centroids=args.centroids, n_iters=args.iters,
+            threshold=args.threshold, hash_fn=args.hash,
+        )
     out.write.mode("overwrite").parquet(args.output)
     res = spark.read.parquet(args.output)
+    if args.index_out:
+        canon = res.filter(F.col("is_canonical")).select(F.col(args.id_col))
+        semantic_index_members(
+            emb.join(canon, args.id_col), cents, args.id_col
+        ).write.mode("overwrite").partitionBy("cluster").parquet(
+            f"{args.index_out}/members"
+        )
+        centroids_to_df(spark, cents).write.mode("overwrite").parquet(
+            f"{args.index_out}/centroids"
+        )
     agg = res.agg(
         F.count(F.lit(1)).alias("rows"),
         F.sum(F.col("is_canonical").cast("long")).alias("canonical"),
@@ -1350,6 +1445,14 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--threshold", type=float, default=0.95)
     sm.add_argument("--hash", choices=["md5", "xxhash64"],
                     default="xxhash64")
+    sm.add_argument("--index", default=None,
+                    help="semantic index dir (members/ + centroids/) "
+                    "from a previous --index-out run: dedup THIS batch "
+                    "against it (verdicts dup_of_index / dup_in_batch "
+                    "/ new_unique) instead of a full self-dedup")
+    sm.add_argument("--index-out", default=None,
+                    help="write/merge the semantic index (canonical "
+                    "members + the quantizer) for the next ingest")
     sm.set_defaults(fn=cmd_semdedup)
 
     tc = sub.add_parser(

@@ -61,6 +61,24 @@ from .similarity import _dot, _norm
 DEFAULT_THRESHOLD = 0.95
 
 
+def _pair_dot(va: str, vb: str, dim: int | None):
+    """Dot product of two vector columns for the pair hot loop: with
+    ``dim`` given, statically expanded into ``dim`` codegen'd products
+    (the fast path); else the interpreted zip_with/aggregate HOF. Both
+    sum left-to-right in doubles — bit-identical values (pytest-pinned
+    in test_semdedup.py)."""
+    if dim is None:
+        return _dot(F.col(va), F.col(vb))
+    dot = None
+    for i in range(1, dim + 1):
+        term = (
+            F.element_at(va, i).cast("double")
+            * F.element_at(vb, i).cast("double")
+        )
+        dot = term if dot is None else dot + term
+    return dot
+
+
 def semantic_pairs(
     emb: DataFrame,
     id_col: str,
@@ -121,17 +139,9 @@ def semantic_pairs(
         "cluster", F.col("__id").alias("id_b"),
         F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
     )
-    if dim is not None:
-        dot = None
-        for i in range(1, dim + 1):
-            term = (
-                F.element_at("__va", i).cast("double")
-                * F.element_at("__vb", i).cast("double")
-            )
-            dot = term if dot is None else dot + term
-    else:
-        dot = _dot(F.col("__va"), F.col("__vb"))
-    cos = F.round(dot / (F.col("__na") * F.col("__nb")), 9)
+    cos = F.round(
+        _pair_dot("__va", "__vb", dim) / (F.col("__na") * F.col("__nb")), 9
+    )
     return (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -151,16 +161,24 @@ def semantic_dedup_from_embeddings(
     init_mode: str = "md5",
     max_iter: int = 15,
     dim: int | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Verdict over a PRE-MATERIALIZED embedding table (the corpus-
     scale entry point: write the embedding table once, feed it here
     and to the ANN index build). Zero vectors never enter clustering
     (cosine undefined) — those rows come back as their own singleton
-    components via the final left join against ``df``."""
+    components via the final left join against ``df``.
+
+    ``centroids``: pass a pre-trained quantizer to skip the Lloyd
+    loop — the bootstrap path of the incremental index (the caller
+    persists the same centroids it clusters with, so later ingests
+    assign identically)."""
     nonzero = emb.filter(F.exists(vec_col, lambda v: v != 0))
-    centroids = train_centroids(
-        nonzero, vec_col, id_col, n_centroids, n_iters, init_mode=init_mode
-    )
+    if centroids is None:
+        centroids = train_centroids(
+            nonzero, vec_col, id_col, n_centroids, n_iters,
+            init_mode=init_mode,
+        )
     pairs = semantic_pairs(
         nonzero, id_col, vec_col, centroids, threshold, dim=dim
     )
@@ -213,4 +231,150 @@ def semantic_dedup(
         init_mode="md5" if hash_fn == "md5" else "xxhash64",
         max_iter=max_iter,
         dim=dim,
+    )
+
+
+def centroids_to_df(spark, centroids: list[list[float]]) -> DataFrame:
+    """(cluster, centroid) — the quantizer as a k-row relation, the
+    persistable half of the semantic index (k rows: driver metadata,
+    never corpus-sized)."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    return spark.createDataFrame(rows, "cluster int, centroid array<double>")
+
+
+def centroids_from_df(df: DataFrame) -> list[list[float]]:
+    """Inverse of :func:`centroids_to_df` — collect is k rows."""
+    rows = df.orderBy("cluster").collect()
+    got = [r["cluster"] for r in rows]
+    if got != list(range(len(rows))):
+        raise ValueError(f"centroid table has gaps/dups: {got[:10]}...")
+    return [list(r["centroid"]) for r in rows]
+
+
+def semantic_index_members(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding, cluster) rows ready to persist as the member
+    half of the semantic index. Zero vectors are excluded (cosine
+    undefined — they can never witness a duplicate), mirroring the
+    ``sig IS NOT NULL`` discipline of the MinHash index
+    (:func:`.dedup.incremental_dedup`). At corpus scale write this
+    ``partitionBy("cluster")`` (``ivf.write_ivf_index`` layout) so the
+    incremental join prunes to the batch's clusters at the scan."""
+    nonzero = emb.filter(F.exists(vec_col, lambda v: v != 0))
+    return ivf_index(nonzero, centroids, id_col, vec_col).select(
+        F.col(id_col), F.col(vec_col).alias("embedding"), "cluster"
+    )
+
+
+def incremental_semantic_dedup(
+    batch: DataFrame,
+    index_members: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    text_col: str = "text",
+    dim: int = DIM,
+    n: int = NGRAM,
+    threshold: float = DEFAULT_THRESHOLD,
+    hash_fn: str = "md5",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Dedup a NEW ingest batch SEMANTICALLY against a persisted
+    embedding index — the paraphrase-level twin of
+    :func:`.dedup.incremental_dedup`: at 100 TB you never re-embed or
+    re-cluster the historical corpus; new batches assign to the STORED
+    centroids and compare only against index members of their own
+    cluster.
+
+    ``index_members`` is the (id, embedding, cluster) relation of
+    :func:`semantic_index_members` written by a previous run;
+    ``centroids`` MUST be the same quantizer that assigned those
+    members (persist both halves together — :func:`centroids_to_df`).
+
+    Output, one row per batch doc: (id, verdict, dup_of) with
+    verdict ∈ {'dup_of_index', 'dup_in_batch', 'new_unique'} — the
+    exact contract of the MinHash incremental path:
+
+    * ``dup_of_index`` — an index member in the batch doc's cluster
+      has ``round(cosine, 9) ≥ threshold``; ``dup_of`` = the best
+      such member (max cosine, min id on ties — deterministic).
+    * ``dup_in_batch`` — no index match, but a smaller-id batch doc
+      leads its semantic component (``semantic_pairs`` restricted to
+      the batch, same stored centroids). A member whose canonical
+      itself matched the index still points at the batch canonical
+      (single-hop vs index — same documented property as the MinHash
+      path).
+    * ``new_unique`` — survives both; its (id, embedding, cluster)
+      row is what a caller appends to the index. Zero-vector docs
+      (NULL/empty/sub-n-gram text) are always ``new_unique``.
+
+    Scale shape: the index join is an equi-join on ``cluster``, so
+    its cost is Σ over clusters of |batch ∩ c| × |index ∩ c| — the
+    published SemDeDup intra-cluster regime, capped by the centroid
+    count exactly like the full pass (this is NOT reduced to a
+    one-anchor-per-bucket probe: an embedding cluster is a coarse
+    Voronoi cell, not an LSH collision bucket, so a single anchor
+    would miss most true neighbors). Norms are hoisted per SIDE
+    (never per pair) and the batch assignment is materialized before
+    both consumers (the projection-collapse discipline of
+    :func:`semantic_pairs`)."""
+    emb = bulk_text_embeddings(
+        batch, id_col, text_col, dim, n, hash_fn
+    ).localCheckpoint(eager=True)
+    nonzero = emb.filter(F.exists("embedding", lambda v: v != 0))
+    assigned = (
+        ivf_index(nonzero, centroids, id_col, "embedding")
+        .select(
+            "cluster",
+            F.col(id_col).alias("__nid"),
+            F.col("embedding").alias("__nv"),
+            _norm(F.col("embedding")).alias("__nn"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    idx = index_members.select(
+        "cluster",
+        F.col(id_col).alias("__iid"),
+        F.col("embedding").alias("__iv"),
+        _norm(F.col("embedding")).alias("__in"),
+    )
+    cos = F.round(
+        _pair_dot("__nv", "__iv", dim) / (F.col("__nn") * F.col("__in")), 9
+    )
+    cand = (
+        assigned.join(idx, "cluster")
+        .select("__nid", "__iid", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+    best = cand.groupBy("__nid").agg(F.max("cos").alias("__best"))
+    idx_match = (
+        cand.join(best, "__nid")
+        .filter(F.col("cos") == F.col("__best"))
+        .groupBy("__nid")
+        .agg(F.min("__iid").alias("__dup_idx"))
+    )
+    pairs = semantic_pairs(
+        nonzero, id_col, "embedding", centroids, threshold, dim=dim
+    )
+    comp = connected_components(pairs, "id_a", "id_b", max_iter=max_iter)
+    out = (
+        batch.select(F.col(id_col).alias("__id"))
+        .join(idx_match, F.col("__id") == F.col("__nid"), "left")
+        .drop("__nid")
+        .join(comp, F.col("__id") == F.col("id"), "left")
+        .drop("id")
+    )
+    canonical = F.coalesce(F.col("component"), F.col("__id"))
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.when(F.col("__dup_idx").isNotNull(), F.lit("dup_of_index"))
+        .when(canonical != F.col("__id"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("new_unique"))
+        .alias("verdict"),
+        F.when(F.col("__dup_idx").isNotNull(), F.col("__dup_idx"))
+        .when(canonical != F.col("__id"), canonical)
+        .alias("dup_of"),
     )

@@ -1083,6 +1083,132 @@ FROM documents d LEFT JOIN scomp c ON c.id = d.doc_id
     )
 
 
+def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC ingest dedup (operators/semdedup.py) — the
+    paraphrase-level twin of `incremental_dedup`: the even-id half of
+    documents plays the previously-ingested corpus (its persisted
+    (id, embedding, cluster) member index + the quantizer that
+    assigned it), the odd-id half is the new batch — batch embeddings
+    assign to the STORED centroids, intra-cluster cosine vs index
+    members plus batch-internal semantic pairs → CC give each new doc
+    the three-way verdict (dup_of_index / dup_in_batch / new_unique)
+    with a deterministic best-match dup_of. md5 parity mode; the
+    oracle replays the embedding CTE, the Lloyd loop over the INDEX
+    half, BOTH assignments, the best-match selection, and the
+    recursive batch components in one statement."""
+    from ..functions.embed import bulk_text_embeddings
+    from ..operators.ivf import train_centroids
+    from ..operators.semdedup import (
+        incremental_semantic_dedup,
+        semantic_index_members,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    idx_emb = bulk_text_embeddings(
+        docs.filter("doc_id % 2 = 0"), "doc_id", "text"
+    ).localCheckpoint(eager=True)
+    nonzero = idx_emb.filter(F.exists("embedding", lambda v: v != 0))
+    cents = train_centroids(
+        nonzero, "embedding", "doc_id", n_centroids=8, n_iters=3,
+        init_mode="md5",
+    )
+    members = semantic_index_members(idx_emb, cents, "doc_id")
+    return incremental_semantic_dedup(
+        docs.filter("doc_id % 2 = 1"), members, cents, "doc_id", "text",
+        threshold=0.9, hash_fn="md5",
+    )
+
+
+def _oracle_incremental_semantic_dedup(
+    n_centroids: int = 8,
+    n_iters: int = 3,
+    threshold: float = 0.9,
+    dim: int = 16,
+    n: int = 3,
+) -> str:
+    """Full-replay oracle for ``q_incremental_semantic_dedup`` —
+    embeddings + Lloyd over the index half + both assignments +
+    best-match + recursive batch components."""
+    from ..functions.embed import duckdb_embedding_cte
+
+    sq = _SQ
+    raw = "CAST(embedding AS DOUBLE[])"
+    unit_body = (
+        f"SELECT id, {raw} AS raw,\n"
+        f"           list_transform({raw},\n"
+        f"                          x -> x / sqrt({sq.format(v=raw)})) AS v\n"
+        f"    FROM emb_vec\n"
+        f"    WHERE {sq.format(v=raw)} > 0"
+    )
+    parts = [
+        duckdb_embedding_cte("documents", "doc_id", "text", dim, n).strip(),
+        # quantizer training corpus = the INDEX half only
+        f"""unit AS (
+    {unit_body} AND id % 2 = 0
+)""",
+    ]
+    parts.extend(_lloyd_parts(n_centroids, n_iters))
+    parts.append(f"""bunit AS (
+    {unit_body} AND id % 2 = 1
+),
+basg AS (
+    SELECT id, raw, cluster FROM (
+        SELECT u.id, u.raw, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY u.id
+                   ORDER BY list_dot_product(u.v, c.vec) DESC,
+                            c.cluster ASC) AS rn
+        FROM bunit u CROSS JOIN c{n_iters} c
+    ) WHERE rn = 1
+),
+ihit AS (
+    SELECT nid, iid, cos FROM (
+        SELECT b.id AS nid, i.id AS iid,
+               round(list_cosine_similarity(b.raw, i.raw), 9) AS cos
+        FROM basg b JOIN asg i ON b.cluster = i.cluster
+    ) WHERE cos >= {threshold}
+),
+ibest AS (
+    SELECT h.nid, MIN(h.iid) AS dup_idx
+    FROM ihit h JOIN (
+        SELECT nid, MAX(cos) AS mc FROM ihit GROUP BY nid
+    ) m ON m.nid = h.nid AND h.cos = m.mc
+    GROUP BY h.nid
+),
+sp AS (
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(list_cosine_similarity(a.raw, b.raw), 9) AS cos
+    FROM basg a JOIN basg b ON a.cluster = b.cluster AND a.id < b.id
+),
+sedges AS (
+    SELECT id_a AS src, id_b AS dst FROM sp WHERE cos >= {threshold}
+    UNION
+    SELECT id_b, id_a FROM sp WHERE cos >= {threshold}
+),
+snodes AS (SELECT DISTINCT src AS id FROM sedges),
+sreach(id, r) AS (
+    SELECT id, id FROM snodes
+    UNION
+    SELECT sreach.id, e.dst FROM sreach JOIN sedges e ON e.src = sreach.r
+),
+scomp AS (SELECT id, MIN(r) AS component FROM sreach GROUP BY id)""")
+    return (
+        "WITH RECURSIVE " + ",\n".join(parts) + f"""
+SELECT d.doc_id,
+       CASE WHEN ib.dup_idx IS NOT NULL THEN 'dup_of_index'
+            WHEN COALESCE(c.component, d.doc_id) <> d.doc_id
+                THEN 'dup_in_batch'
+            ELSE 'new_unique' END AS verdict,
+       CASE WHEN ib.dup_idx IS NOT NULL THEN ib.dup_idx
+            WHEN COALESCE(c.component, d.doc_id) <> d.doc_id
+                THEN c.component END AS dup_of
+FROM documents d
+LEFT JOIN ibest ib ON ib.nid = d.doc_id
+LEFT JOIN scomp c ON c.id = d.doc_id
+WHERE d.doc_id % 2 = 1
+"""
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash in md5 parity mode (hex fingerprints verified bit-for-
     bit by the oracle); the xxhash64 long-fingerprint production path
@@ -3488,6 +3614,12 @@ def queries():
         # r5v: conversation-level NEAR-dup (render + minhash labels) —
         # full oracle, parity-checked in tests/test_entry_parity.py.
         "conversation_near_dup": q_conversation_near_dup,
+        # r5w: incremental SEMANTIC ingest dedup — the paraphrase-level
+        # twin of the in-window incremental_dedup contract over the
+        # in-window semantic_dedup machinery (stored-quantizer
+        # assignment, member-index cosine match, batch components);
+        # full oracle, parity-checked in tests/test_entry_parity.py.
+        "incremental_semantic_dedup": q_incremental_semantic_dedup,
         "media_resize_checksums": q_media_resize_checksums,
         "ann_from_text": q_ann_from_text,
         # r5k rotation (see the prefix_dedup block above): all three
@@ -3620,6 +3752,7 @@ def oracle_sql():
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "conversation_dedup": oracle_with_transcripts(ORACLE_CONV_DEDUP),
         "conversation_near_dup": _oracle_conversation_near_dup(),
+        "incremental_semantic_dedup": _oracle_incremental_semantic_dedup(),
         "text_stats": textstats.duckdb_text_stats_sql("documents", "doc_id", "text"),
         "top_tokens": textstats.duckdb_top_tokens_sql("documents", "text", 50),
         "decontaminate": duckdb_contamination_sql("documents", "doc_id < 25"),
