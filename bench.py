@@ -234,6 +234,11 @@ HEADLINE = [
     # r5w: incremental SEMANTIC ingest dedup (stored-quantizer
     # assignment + member-index cosine match + batch components)
     "incremental_semantic_dedup",
+    # r5x: operating-point calibration (one scan → |scores| histogram
+    # → PR sweep) and leakage-safe holdout split (minhash components
+    # re-key the split bucket)
+    "filter_calibration",
+    "leakage_safe_split",
 ]
 
 

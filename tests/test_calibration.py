@@ -1,0 +1,182 @@
+"""Hand-computed pins for operating-point calibration
+(``functions/calibration.py``) and the leakage-safe split
+(``operators/dedup.py::leakage_safe_split``) — semantics verified
+against micro-fixtures where every confusion-matrix cell is enumerable
+by eye, independently of the DuckDB oracle (which replays the same
+algebra).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.functions.calibration import (
+    pick_threshold,
+    threshold_sweep,
+)
+
+# (id, score, label, tok) — sorted by score desc the sweep is:
+#   0.9: {pos}                 kept 1  tp 1
+#   0.7: {pos, neg}            kept 3  tp 2
+#   0.4: {neg}                 kept 4  tp 2
+#   0.1: {pos}                 kept 5  tp 3
+# positives = 3, rows = 5, tokens = 2+4+8+16+32 = 62
+ROWS = [
+    (1, 0.9, True, 2),
+    (2, 0.7, True, 4),
+    (3, 0.7, False, 8),
+    (4, 0.4, False, 16),
+    (5, 0.1, True, 32),
+]
+SCHEMA = "id long, score double, label boolean, tok long"
+
+
+def _sweep_map(df):
+    return {
+        r["threshold"]: r.asDict()
+        for r in df.collect()
+    }
+
+
+def test_threshold_sweep_hand_counts(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    by = _sweep_map(threshold_sweep(df, "score", "label", tokens_col="tok"))
+    assert set(by) == {0.9, 0.7, 0.4, 0.1}
+
+    r = by[0.9]
+    assert (r["n_at"], r["tp"], r["fp"], r["fn"], r["tn"]) == (1, 1, 0, 2, 2)
+    assert r["keep_permille"] == 200            # 1/5
+    assert r["precision_permille"] == 1000
+    assert r["recall_permille"] == 333          # 1000*1 // 3
+    assert r["f1_permille"] == 500              # 2000*1 // (1+3)
+    assert (r["tokens_kept"], r["token_keep_permille"]) == (2, 32)
+
+    r = by[0.7]
+    assert (r["n_at"], r["tp"], r["fp"], r["fn"], r["tn"]) == (2, 2, 1, 1, 1)
+    assert r["precision_permille"] == 666       # 1000*2 // 3
+    assert r["recall_permille"] == 666
+    assert r["f1_permille"] == 666              # 2000*2 // (3+3)
+    assert (r["tokens_kept"], r["token_keep_permille"]) == (14, 225)
+
+    r = by[0.1]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (3, 2, 0, 0)
+    assert r["keep_permille"] == 1000
+    assert r["recall_permille"] == 1000
+    assert r["f1_permille"] == 750              # 2000*3 // (5+3)
+    assert (r["tokens_kept"], r["token_keep_permille"]) == (62, 1000)
+
+
+def test_threshold_sweep_null_contracts(spark):
+    # NULL score rows are excluded from the sweep entirely; NULL
+    # labels count as negative; NULL tokens count as 0.
+    rows = ROWS + [(6, None, True, 100), (7, 0.4, None, None)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    by = _sweep_map(threshold_sweep(df, "score", "label", tokens_col="tok"))
+    assert set(by) == {0.9, 0.7, 0.4, 0.1}      # no NULL-score bucket
+    r = by[0.4]
+    # id=7 joins the 0.4 bucket as a negative with 0 tokens
+    # (cumulative fp at 0.4 = ids 3, 4, 7)
+    assert (r["n_at"], r["tp"], r["fp"]) == (2, 2, 3)
+    assert r["tokens_kept"] == 30               # 2+4+8+16+0
+    # totals exclude the NULL-score positive: positives stay 3
+    assert by[0.1]["fn"] == 0 and by[0.1]["tp"] == 3
+
+
+def test_threshold_sweep_all_negative_recall_zero(spark):
+    df = spark.createDataFrame(
+        [(1, 0.5, False, 1), (2, 0.2, False, 1)], SCHEMA
+    )
+    rows = threshold_sweep(df, "score", "label").collect()
+    assert all(r["recall_permille"] == 0 for r in rows)
+    assert all(r["f1_permille"] == 0 for r in rows)
+
+
+def test_pick_threshold_max_f1_tie_breaks_high(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    sw = threshold_sweep(df, "score", "label")
+    best = pick_threshold(sw).collect()[0]
+    assert best["threshold"] == 0.1 and best["f1_permille"] == 750
+    # keep-rate floor of at most 500‰ forces the stricter operating
+    # point: among cuts keeping <= floor... (keep_permille >= 200)
+    capped = pick_threshold(sw, min_keep_permille=900).collect()[0]
+    assert capped["threshold"] == 0.1
+    # exact-tie determinism: two thresholds with identical F1 → the
+    # HIGHER threshold wins
+    tie = spark.createDataFrame(
+        [(1, 0.9, True, 1), (2, 0.5, False, 1), (3, 0.3, True, 1),
+         (4, 0.3, False, 1)],
+        SCHEMA,
+    )
+    tsw = {r["threshold"]: r["f1_permille"]
+           for r in threshold_sweep(tie, "score", "label").collect()}
+    # 0.9: f1 = 2000//3 = 666; 0.3: tp2 fp2 → 2000*2//6 = 666
+    assert tsw[0.9] == tsw[0.3] == 666
+    assert pick_threshold(
+        threshold_sweep(tie, "score", "label")
+    ).collect()[0]["threshold"] == 0.9
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    from zeus_data_quality_spark.operators.dedup import leakage_safe_split
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then wanders "
+        "home through the quiet evening fields before supper time"
+    )
+    rows = []
+    # 40 near-dup pairs (one-word edit) + 40 singletons
+    for i in range(40):
+        rows.append((2 * i, base + f" variant number {i}"))
+        rows.append((2 * i + 1, base + f" variant numbre {i}"))
+    for i in range(40):
+        rows.append(
+            (1000 + i,
+             f"completely unrelated document {i} about topic {i * 7} "
+             f"with its own words {i * 13} and nothing shared {i * 31}")
+        )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    weights = {"train": 0.5, "val": 0.25, "test": 0.25}
+    out = leakage_safe_split(
+        df, "doc_id", "text", weights=weights, threshold=0.5,
+        hash_mode="md5",
+    )
+    got = {r["doc_id"]: (r["component"], r["split"]) for r in out.collect()}
+    assert len(got) == len(rows)
+    # every member of a component shares the component's split
+    by_comp: dict = {}
+    for comp, split in got.values():
+        by_comp.setdefault(comp, set()).add(split)
+    assert all(len(s) == 1 for s in by_comp.values())
+    # the planted pairs actually clustered (same component → same split)
+    for i in range(40):
+        assert got[2 * i][0] == got[2 * i + 1][0]
+        assert got[2 * i][1] == got[2 * i + 1][1]
+    # all three splits are populated at these rates/sizes
+    assert {s for _, s in got.values()} == {"train", "val", "test"}
+    # determinism: a second run is byte-identical
+    again = {
+        r["doc_id"]: (r["component"], r["split"])
+        for r in leakage_safe_split(
+            df, "doc_id", "text", weights=weights, threshold=0.5,
+            hash_mode="md5",
+        ).collect()
+    }
+    assert again == got
+
+
+def test_leakage_safe_split_salt_redraws_but_components_stable(spark):
+    from zeus_data_quality_spark.operators.dedup import leakage_safe_split
+
+    rows = [
+        (i, f"standalone text {i} about {i * 3} things and {i * 11} more")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r for r in leakage_safe_split(
+        df, "doc_id", "text", hash_mode="md5"
+    ).collect()}
+    b = {r["doc_id"]: r for r in leakage_safe_split(
+        df, "doc_id", "text", salt="resplit", hash_mode="md5"
+    ).collect()}
+    assert all(a[i]["component"] == b[i]["component"] for i in a)
+    assert any(a[i]["split"] != b[i]["split"] for i in a)

@@ -1062,3 +1062,90 @@ def test_cli_run_funnel_tokens_and_by(spark, sf_dir, tmp_path):
     got = {(r["role"], r["rule"]): r["funnel_drops"] for r in bdf.collect()}
     for r in exp_by.collect():
         assert got[(r["role"], r["rule"])] == r["funnel_drops"]
+
+
+def test_cli_dedup_splits_leakage_safe(spark, tmp_path):
+    """``dedup --splits`` adds a leakage-safe holdout column: split
+    buckets key on the near-dup COMPONENT, so planted duplicate pairs
+    always share a split; the summary reports per-split counts that
+    sum to the corpus."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then wanders "
+        "home through the quiet evening fields before supper time"
+    )
+    rows = []
+    for i in range(30):
+        rows.append((2 * i, base + f" variant number {i}"))
+        rows.append((2 * i + 1, base + f" variant numbre {i}"))
+    for i in range(30):
+        rows.append(
+            (1000 + i,
+             f"unrelated document {i} about topic {i * 7} with words "
+             f"{i * 13} and nothing shared {i * 31}")
+        )
+    docs = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        docs
+    )
+    out = _cli(
+        "dedup",
+        "--input", docs,
+        "--output", str(tmp_path / "out"),
+        "--threshold", "0.5",
+        "--hash", "md5",
+        "--splits", "train=0.5,val=0.25,test=0.25",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["rows"] == len(rows)
+    assert sum(summary["splits"].values()) == len(rows)
+    got = {
+        r["doc_id"]: (r["component"], r["split"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    by_comp: dict = {}
+    for comp, split in got.values():
+        by_comp.setdefault(comp, set()).add(split)
+    assert all(len(s) == 1 for s in by_comp.values())
+    for i in range(30):  # planted pairs never straddle splits
+        assert got[2 * i][1] == got[2 * i + 1][1]
+
+
+def test_cli_train_classifier_calibrate(spark, sf_dir, tmp_path):
+    """``train-classifier --calibrate`` appends the max-F1 operating
+    point (and --sweep-out the full PR sweep) to the training summary:
+    the calibration threshold is one of the observed score values and
+    its confusion-matrix row is self-consistent."""
+    docs = f"{sf_dir}/documents.parquet"
+    sweep_dir = str(tmp_path / "sweep")
+    out = _cli(
+        "train-classifier",
+        "--input", docs,
+        "--id-col", "doc_id",
+        "--steps", "3",
+        "--calibrate",
+        "--sweep-out", sweep_dir,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    cal = summary["calibration"]
+    assert cal is not None
+    assert cal["tp"] + cal["fn"] > 0 and cal["tp"] + cal["fp"] > 0
+    assert 0 <= cal["f1_permille"] <= 1000
+    sweep = spark.read.parquet(sweep_dir)
+    svals = {r["threshold"]: r["f1_permille"] for r in sweep.collect()}
+    assert cal["threshold"] in svals
+    # the picked row IS the sweep's max F1
+    assert cal["f1_permille"] == max(svals.values())
+    # keep-floor constraint picks a (possibly different) valid row
+    floor = _cli(
+        "train-classifier",
+        "--input", docs,
+        "--id-col", "doc_id",
+        "--steps", "3",
+        "--calibrate",
+        "--min-keep-permille", "900",
+    )
+    assert floor.returncode == 0, floor.stderr[-2000:]
+    fcal = json.loads(floor.stdout.strip().splitlines()[-1])["calibration"]
+    assert fcal["keep_permille"] >= 900

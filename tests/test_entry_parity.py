@@ -360,6 +360,18 @@ TAIL_OVERFLOW: set = {
     # components; three-way fixtures + empty-index ≡ full-labels law
     # in test_semdedup.py); full oracle, parity-checked here.
     "incremental_semantic_dedup",
+    # r5x: operating-point calibration — the exhaustive PR sweep of
+    # the in-window classifier_mix scorer against the heuristic
+    # is_quality gate (exact integer tp/fp/fn/tn + permille metrics,
+    # token-budget view; hand-enumerated confusion matrices in
+    # test_calibration.py); full oracle, parity-checked here.
+    "filter_calibration",
+    # r5x: leakage-safe holdout split — the in-window
+    # minhash_dedup_labels component re-keys the in-window
+    # classifier_mix/hash_split md5 bucket so near-dup clusters never
+    # straddle train/val/test (cluster-atomicity + salt-redraw pins in
+    # test_calibration.py); full oracle, parity-checked here.
+    "leakage_safe_split",
 }
 
 

@@ -308,6 +308,22 @@ def cmd_dedup(args) -> int:
         state_dir=args.state_dir,
         max_iter=args.max_iter,
     )
+    if args.splits:
+        # leakage-safe holdout assignment: the md5 split bucket keys
+        # on the near-dup COMPONENT, so a duplicate cluster lands in
+        # ONE split (operators/dedup.py::leakage_safe_split semantics,
+        # fused here so the labels are computed once).
+        from .functions.sampling import hash_split
+
+        weights = _parse_splits(args.splits)
+        labels = hash_split(
+            labels.withColumn(
+                "__split_key", F.col("component").cast("string")
+            ),
+            "__split_key",
+            weights,
+            salt=args.split_salt,
+        ).drop("__split_key")
     labels.write.mode("overwrite").parquet(args.output)
     out = spark.read.parquet(args.output)
     if args.index_out:
@@ -322,17 +338,33 @@ def cmd_dedup(args) -> int:
         ).parquet(args.index_out)
     n = out.count()
     canon = out.filter(F.col("is_canonical")).count()
-    print(
-        json.dumps(
-            {
-                "rows": n,
-                "canonical": canon,
-                "near_dups_dropped": n - canon,
-                "state_dir": args.state_dir,
-            }
-        )
-    )
+    summary = {
+        "rows": n,
+        "canonical": canon,
+        "near_dups_dropped": n - canon,
+        "state_dir": args.state_dir,
+    }
+    if args.splits:
+        summary["splits"] = {
+            r["split"]: r["n"]
+            for r in out.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    print(json.dumps(summary))
     return 0
+
+
+def _parse_splits(spec: str) -> dict[str, float]:
+    """``train=0.8,val=0.1,test=0.1`` → ordered weights dict."""
+    weights: dict[str, float] = {}
+    for part in spec.split(","):
+        name, _, frac = part.partition("=")
+        name = name.strip()
+        if not name or not frac:
+            raise SystemExit(f"bad --splits entry: {part!r}")
+        weights[name] = float(frac)
+    return weights
 
 
 def cmd_spandedup(args) -> int:
@@ -729,9 +761,29 @@ def cmd_train_classifier(args) -> int:
             args.id_col, "quality_score", "predicted_quality"
         ).write.mode("overwrite").parquet(args.output)
         n_scored = spark.read.parquet(args.output).count()
-    feats.unpersist()
     out = {"weights": w, "steps": args.steps, "lr": args.lr,
            "train_sample": args.train_sample}
+    if args.calibrate or args.sweep_out:
+        # operating-point calibration: exhaustive PR sweep of the
+        # fresh scores against the training labels, then the max-F1
+        # (optionally keep-floor-constrained) cut — the threshold a
+        # CLASSIFIER check should ship with, instead of a guessed 0.5.
+        from .functions.calibration import pick_threshold, threshold_sweep
+
+        sweep = threshold_sweep(
+            score_quality(feats, w).select(
+                "quality_score", F.col("y").cast("boolean").alias("label")
+            ),
+            "quality_score",
+            "label",
+        )
+        if args.sweep_out:
+            sweep.write.mode("overwrite").parquet(args.sweep_out)
+        best = pick_threshold(
+            sweep, min_keep_permille=args.min_keep_permille
+        ).collect()
+        out["calibration"] = best[0].asDict() if best else None
+    feats.unpersist()
     if n_scored is not None:
         out["rows_scored"] = int(n_scored)
     print(json.dumps(out))
@@ -1390,6 +1442,15 @@ def main(argv: list[str] | None = None) -> int:
                    "--conv-col/--turn-col + text")
     d.add_argument("--conv-col", default="conv_id")
     d.add_argument("--turn-col", default="turn_idx")
+    d.add_argument(
+        "--splits", default=None,
+        help="leakage-safe holdout assignment, e.g. "
+        "'train=0.8,val=0.1,test=0.1': adds a split column keyed on "
+        "the near-dup COMPONENT so duplicate clusters never straddle "
+        "splits (batch mode only)",
+    )
+    d.add_argument("--split-salt", default="split",
+                   help="re-draw the split assignment without re-deduping")
     d.set_defaults(fn=cmd_dedup)
 
     sd = sub.add_parser(
@@ -1470,6 +1531,21 @@ def main(argv: list[str] | None = None) -> int:
         "--train-sample", type=float, default=None,
         help="train on this deterministic hash-sample fraction "
         "(scores still cover every row)",
+    )
+    tc.add_argument(
+        "--calibrate", action="store_true",
+        help="sweep every observed score threshold against the "
+        "training labels and report the max-F1 operating point "
+        "(exact integer-permille metrics)",
+    )
+    tc.add_argument(
+        "--sweep-out", default=None,
+        help="write the full PR threshold sweep as parquet",
+    )
+    tc.add_argument(
+        "--min-keep-permille", type=int, default=None,
+        help="constrain --calibrate to cuts keeping at least this "
+        "share of rows",
     )
     tc.set_defaults(fn=cmd_train_classifier)
 

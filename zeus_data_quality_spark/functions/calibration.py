@@ -1,0 +1,230 @@
+"""Operating-point calibration for score-based quality filters.
+
+Every model-gated filter in this engine — the trained logistic
+classifier (``functions/classifier.py``), perplexity scores
+(``functions/perplexity.py`` / ``functions/kn.py``), DSIR importance
+weights (``functions/dsir.py``) — ends in the same production
+question: WHERE do you put the cut? Published pipelines answer it by
+sweeping the threshold against a labeled slice and picking the point
+that maximizes F1 (or hits a keep-rate / token-budget target); the
+reference has no counterpart (its checks are fixed predicates,
+``streamlit_app.py`` check builder), so this is the extension that
+makes the CLASSIFIER/PERPLEXITY check types tunable rather than
+guessed.
+
+Scale shape: ONE corpus scan — a map-side-combined ``groupBy(score)``
+whose output is at most |distinct score values| rows (scores in this
+engine are rounded to a fixed decimal precision, e.g.
+``classifier.SCORE_DP``, so the histogram is bounded independent of
+corpus size) — then ordered-window cumulative sums over that tiny
+histogram. The single-partition window is over the HISTOGRAM, never
+the corpus; at 10^12 rows the reduce is the same |scores|-row table.
+All emitted metrics are exact integer counts and integer-permille
+ratios (floor division of non-negative longs), so every value is
+byte-identical across engines — no floating-point ratio reaches the
+output.
+
+Semantics (predict POSITIVE ⇔ score >= threshold, thresholds = the
+distinct observed scores, so the sweep is exhaustive — every
+achievable confusion matrix appears exactly once):
+
+* ``n_at``      rows scoring exactly this value,
+* ``tp/fp/fn/tn`` the confusion matrix at this cut,
+* ``keep_permille``      1000·kept // rows   (kept = tp + fp),
+* ``precision_permille`` 1000·tp // kept,
+* ``recall_permille``    1000·tp // positives (0 when no positives),
+* ``f1_permille``        2000·tp // (kept + positives) — the exact
+  integer-permille of F1 = 2tp / ((tp+fp) + (tp+fn)).
+
+NULL contract: rows with NULL score are EXCLUDED from the sweep (a
+row the scorer could not score cannot be thresholded — callers decide
+its fate separately); a NULL label counts as negative (3VL discipline
+of ``functions/rules.py``: only an affirmed positive is positive).
+
+``pick_threshold`` reduces the sweep to the chosen operating point —
+max-F1 (ties → the HIGHEST threshold: prefer the stricter cut, same
+determinism discipline as the dedup anchors' min-id), or the
+strictest threshold whose keep rate still reaches a floor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """One row per distinct observed score value, descending-cumulated
+    into the full PR sweep (see module docstring for the column
+    contract). With ``tokens_col`` (a precomputed integer token count,
+    NULL → 0) each row additionally carries ``tokens_kept`` and
+    ``token_keep_permille`` — the budget view: pipelines that must hit
+    a token target read the cut straight off this column.
+    """
+    lab = F.col(label_col).cast("boolean")
+    pos1 = F.when(lab, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_at"),
+        F.sum(pos1).alias("pos_at"),
+    ]
+    if tokens_col is not None:
+        aggs.append(
+            F.sum(
+                F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+            ).alias("tok_at")
+        )
+    hist = (
+        df.filter(F.col(score_col).isNotNull())
+        .groupBy(F.col(score_col).cast("double").alias("threshold"))
+        .agg(*aggs)
+    )
+    # Windows over the |distinct scores| histogram only (tiny); the
+    # corpus-sized work ended at the map-side-combined aggregate above.
+    cum = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    kept = F.sum("n_at").over(cum)
+    tp = F.sum("pos_at").over(cum)
+    rows = F.sum("n_at").over(tot)
+    positives = F.sum("pos_at").over(tot)
+    out = (
+        hist.withColumn("__kept", kept)
+        .withColumn("__tp", tp)
+        .withColumn("__rows", rows)
+        .withColumn("__pos", positives)
+    )
+    if tokens_col is not None:
+        out = out.withColumn(
+            "tokens_kept", F.sum("tok_at").over(cum)
+        ).withColumn("__tok_rows", F.sum("tok_at").over(tot))
+    fp = F.col("__kept") - F.col("__tp")
+    fn = F.col("__pos") - F.col("__tp")
+    tn = F.col("__rows") - F.col("__kept") - fn
+    cols = [
+        F.col("threshold"),
+        F.col("n_at"),
+        F.col("__tp").alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        tn.alias("tn"),
+        F.expr("1000 * __kept DIV __rows").alias("keep_permille"),
+        F.expr("1000 * __tp DIV __kept").alias("precision_permille"),
+        F.when(F.col("__pos") > 0, F.expr("1000 * __tp DIV __pos"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("recall_permille"),
+        F.expr("2000 * __tp DIV (__kept + __pos)").alias("f1_permille"),
+    ]
+    if tokens_col is not None:
+        cols.append(F.col("tokens_kept"))
+        cols.append(
+            F.when(
+                F.col("__tok_rows") > 0,
+                F.expr("1000 * tokens_kept DIV __tok_rows"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("token_keep_permille")
+        )
+    return out.select(*cols)
+
+
+def pick_threshold(
+    sweep: DataFrame,
+    min_keep_permille: int | None = None,
+) -> DataFrame:
+    """One-row reduction of a :func:`threshold_sweep` result to the
+    chosen operating point.
+
+    Default: the max-F1 threshold (ties broken toward the HIGHEST
+    threshold — the stricter, deterministic cut). With
+    ``min_keep_permille``: the max-F1 threshold among cuts keeping at
+    least that share of rows (the "best quality filter that still
+    keeps ≥ X‰ of the corpus" question) — same tie-break.
+
+    Driver-safe at any scale: the input is the |scores|-row sweep, the
+    reduction is one ORDER BY + LIMIT 1 over it.
+    """
+    cand = sweep
+    if min_keep_permille is not None:
+        cand = cand.filter(
+            F.col("keep_permille") >= int(min_keep_permille)
+        )
+    return cand.orderBy(
+        F.col("f1_permille").desc(), F.col("threshold").desc()
+    ).limit(1)
+
+
+# ------------------------------------------------------------- oracle
+
+
+def duckdb_threshold_sweep_sql(
+    scored_subquery: str,
+    score_col: str = "score",
+    label_col: str = "label",
+    tokens_col: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`threshold_sweep` over a subquery exposing
+    ``score_col``/``label_col`` (and optionally ``tokens_col``).
+    Same histogram → descending-cumsum → integer-permille chain;
+    DuckDB's ``//`` is the same floor division on non-negative BIGINTs
+    as Spark's ``DIV``."""
+    tok_sel = (
+        f", SUM(COALESCE(CAST({tokens_col} AS BIGINT), 0)) AS tok_at"
+        if tokens_col
+        else ""
+    )
+    tok_cum = (
+        ", CAST(SUM(tok_at) OVER (ORDER BY threshold DESC "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_kept"
+        ", CAST(SUM(tok_at) OVER () AS BIGINT) AS __tok_rows"
+        if tokens_col
+        else ""
+    )
+    tok_out = (
+        ", tokens_kept"
+        ", CAST(CASE WHEN __tok_rows > 0 THEN 1000 * tokens_kept "
+        "// __tok_rows ELSE 0 END AS BIGINT) AS token_keep_permille"
+        if tokens_col
+        else ""
+    )
+    return f"""
+WITH cal_hist AS (
+    SELECT CAST({score_col} AS DOUBLE) AS threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_at,
+           CAST(SUM(CASE WHEN CAST({label_col} AS BOOLEAN) THEN 1
+                         ELSE 0 END) AS BIGINT) AS pos_at{tok_sel}
+    FROM ({scored_subquery})
+    WHERE {score_col} IS NOT NULL
+    GROUP BY 1
+),
+cal_cum AS (
+    SELECT threshold, n_at,
+           CAST(SUM(n_at) OVER (ORDER BY threshold DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS __kept,
+           CAST(SUM(pos_at) OVER (ORDER BY threshold DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS __tp,
+           CAST(SUM(n_at) OVER () AS BIGINT) AS __rows,
+           CAST(SUM(pos_at) OVER () AS BIGINT) AS __pos{tok_cum}
+    FROM cal_hist
+)
+SELECT threshold, n_at, __tp AS tp,
+       __kept - __tp AS fp,
+       __pos - __tp AS fn,
+       __rows - __kept - (__pos - __tp) AS tn,
+       CAST(1000 * __kept // __rows AS BIGINT) AS keep_permille,
+       CAST(1000 * __tp // __kept AS BIGINT) AS precision_permille,
+       CAST(CASE WHEN __pos > 0 THEN 1000 * __tp // __pos
+                 ELSE 0 END AS BIGINT) AS recall_permille,
+       CAST(2000 * __tp // (__kept + __pos) AS BIGINT) AS f1_permille
+       {tok_out}
+FROM cal_cum
+"""

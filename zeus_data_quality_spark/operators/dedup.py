@@ -1278,6 +1278,53 @@ def minhash_dedup_labels(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup-consistent train/val/test assignment:
+    ``(id, component, split)`` where the md5 split bucket is keyed on
+    the document's near-dup COMPONENT label, not its own id — so an
+    entire duplicate cluster always lands in ONE split.
+
+    The failure mode this closes: ``sampling.hash_split`` keyed on the
+    row id scatters near-identical copies across splits, and the
+    held-out set silently overlaps the training set (the in-corpus
+    twin of eval contamination — ``operators/decontam.py`` guards the
+    external benchmark, this guards the pipeline's own holdout).
+    Singletons key on themselves (component = own id), so a clean
+    corpus reproduces ``hash_split(component-as-id)`` exactly and the
+    split rates stay ~weights; clusters move as indivisible units —
+    the standard group-aware-split discipline.
+
+    Scale shape: the :func:`minhash_dedup_labels` chain (bucketed
+    anchor pairs, map-side Jaccard verify, checkpointed components —
+    the proven 10M-doc path) plus ONE map-side Project for the md5
+    bucket compare. No new shuffle; changing ``salt`` re-draws the
+    assignment without touching the dedup work.
+    """
+    from ..functions.sampling import hash_split
+
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    verd = minhash_dedup_labels(
+        df, id_col, text_col, num_hashes, bands, threshold, hash_mode
+    )
+    keyed = verd.withColumn(
+        "__split_key", F.col("component").cast("string")
+    )
+    return hash_split(keyed, "__split_key", weights, salt=salt).select(
+        id_col, "component", "split"
+    )
+
+
 def keep_best(
     verdicts: DataFrame,
     scored: DataFrame,

@@ -3343,6 +3343,115 @@ def _oracle_corpus_diff() -> str:
     return f"WITH {DIFF_V2_CTE}\n{body}"
 
 
+def q_filter_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point calibration (``functions/calibration.py``): the
+    config-stored classifier weights score every document (the same
+    per-row scorer the in-window classifier_mix applies), the
+    heuristic ``is_quality`` gate plays the labeled slice, and
+    ``threshold_sweep`` emits the exhaustive PR sweep — one row per
+    distinct score with exact integer tp/fp/fn/tn, keep/precision/
+    recall/F1 permille, and the token-budget view. One corpus scan +
+    windows over the |distinct scores| histogram; the oracle replays
+    the scoring per distinct text, the heuristic label, and the whole
+    cumsum/permille chain."""
+    from ..functions.calibration import threshold_sweep
+    from ..functions.classifier import quality_score_col
+    from ..functions.textstats import is_quality_col, n_tokens
+    from .configs import DEFAULT_CLS_WEIGHTS
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = docs.select(
+        quality_score_col(F.col("text"), DEFAULT_CLS_WEIGHTS).alias(
+            "quality_score"
+        ),
+        is_quality_col(F.col("text")).alias("label"),
+        n_tokens(F.col("text")).cast("long").alias("n_tok"),
+    )
+    return threshold_sweep(
+        scored, "quality_score", "label", tokens_col="n_tok"
+    )
+
+
+def _oracle_filter_calibration() -> str:
+    from ..functions.calibration import duckdb_threshold_sweep_sql
+    from ..functions.classifier import duckdb_quality_score_per_text_cte
+    from ..functions.textstats import (
+        duckdb_is_quality_expr,
+        duckdb_n_tokens_sql,
+    )
+    from .configs import DEFAULT_CLS_WEIGHTS
+
+    cte = duckdb_quality_score_per_text_cte(
+        "__qs", "documents", "text", DEFAULT_CLS_WEIGHTS
+    )
+    scored = (
+        "SELECT q.quality_score, "
+        f"{duckdb_is_quality_expr('d.text')} AS label, "
+        f"{duckdb_n_tokens_sql('d.text')} AS n_tok "
+        "FROM documents d LEFT JOIN __qs q ON d.text = q.tid"
+    )
+    sweep = duckdb_threshold_sweep_sql(
+        scored, "quality_score", "label", tokens_col="n_tok"
+    ).strip()
+    assert sweep.startswith("WITH ")
+    return f"WITH {cte},\n{sweep[len('WITH '):]}"
+
+
+SPLIT_SAFE_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe holdout assignment (``operators/dedup.py``): the
+    md5 split bucket keys on the near-dup COMPONENT label, so an
+    entire duplicate cluster lands in one split and the val/test sets
+    cannot silently overlap train via near-copies (the in-corpus twin
+    of eval contamination). md5 parity mode at the
+    minhash_dedup_labels settings; the oracle replays the full pairs →
+    recursive-components chain and the split CASE keyed on the
+    component."""
+    from ..operators.dedup import leakage_safe_split
+
+    return leakage_safe_split(
+        _read(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        weights=SPLIT_SAFE_WEIGHTS,
+        threshold=0.7,
+        hash_mode="md5",
+    )
+
+
+def _oracle_leakage_safe_split() -> str:
+    from ..functions.sampling import duckdb_hash_split_sql
+    from ..operators.dedup import duckdb_minhash_pairs_cte
+
+    labels = (
+        "(SELECT d.doc_id, "
+        "COALESCE(c.component, d.doc_id) AS component "
+        "FROM documents d LEFT JOIN __mh_comp c ON c.id = d.doc_id)"
+    )
+    split = duckdb_hash_split_sql(labels, "component", SPLIT_SAFE_WEIGHTS)
+    return f"""
+WITH RECURSIVE
+__mh_in AS (SELECT doc_id AS id, text AS txt FROM documents),
+{duckdb_minhash_pairs_cte(threshold=0.7).strip()},
+__mh_edges AS (
+    SELECT id_a AS src, id_b AS dst FROM __mh_pairs
+    UNION
+    SELECT id_b, id_a FROM __mh_pairs
+),
+__mh_nodes AS (SELECT DISTINCT src AS id FROM __mh_edges),
+__mh_reach(id, r) AS (
+    SELECT id, id FROM __mh_nodes
+    UNION
+    SELECT __mh_reach.id, e.dst
+    FROM __mh_reach JOIN __mh_edges e ON e.src = __mh_reach.r
+),
+__mh_comp AS (SELECT id, MIN(r) AS component FROM __mh_reach GROUP BY id)
+SELECT doc_id, component, split FROM ({split})
+"""
+
+
 def queries():
     """Ordering is CURATED, not incidental: the correctness driver
     evaluates the first 50 entries, so positions 1-50 hold every
@@ -3717,6 +3826,17 @@ def queries():
         # in-window decontaminate row, keyed by (item, doc)); full
         # oracle (TAIL_OVERFLOW).
         "contamination_report": q_contamination_report,
+        # r5x tail: operating-point calibration — exhaustive PR sweep
+        # of the in-window classifier_mix scorer against the heuristic
+        # is_quality label (exact integer permille metrics, token-
+        # budget view); one scan + windows over the |scores| histogram;
+        # full oracle (TAIL_OVERFLOW).
+        "filter_calibration": q_filter_calibration,
+        # r5x tail: leakage-safe holdout split — the in-window
+        # minhash_dedup_labels component re-keys the in-window
+        # hash_split bucket so near-dup clusters never straddle
+        # train/val/test; full oracle (TAIL_OVERFLOW).
+        "leakage_safe_split": q_leakage_safe_split,
     }
 
 
@@ -3877,6 +3997,8 @@ def oracle_sql():
         "media_resize_checksums": ORACLE_MEDIA_RESIZE,
         "media_audio_frames": ORACLE_MEDIA_AUDIO,
         "media_video_frames": ORACLE_MEDIA_VIDEO,
+        "filter_calibration": _oracle_filter_calibration(),
+        "leakage_safe_split": _oracle_leakage_safe_split(),
         # Every query now has a value oracle — including ann_ivf_probe
         # (r2's one rows-only row), whose oracle replays seed sampling,
         # the Lloyd loop, probing and in-list ranking entirely in SQL.
