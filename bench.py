@@ -369,6 +369,27 @@ def _extra_benches():
         )
         return merges
 
+    def unigram_vocab_512(spark, sf_dir):
+        # SentencePiece-style unigram-LM trainer (functions/unigram.py)
+        # at a 512-piece target on the same deterministic
+        # vocabulary-rich corpus as bpe_vocab_batched_512 — the two
+        # tokenizer trainers stay comparable on identical input. Work
+        # after the one corpus pass is vocab-bound: seed explode +
+        # (EM-rounds × prune-rounds) Viterbi jobs over distinct words.
+        from zeus_data_quality_spark.functions.unigram import fit_unigram
+
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        words = [
+            F.substring(
+                F.md5(((F.col("id") * 8 + j) % 40000).cast("string")), 1, 6
+            )
+            for j in range(8)
+        ]
+        corpus = spark.range(n_docs * 40).select(
+            F.concat_ws(" ", *words).alias("text")
+        )
+        return fit_unigram(corpus, "text", vocab_size=512, seed_size=4096)
+
     def doc_fingerprints_xx(spark, sf_dir):
         from zeus_data_quality_spark.functions import fingerprint
 
@@ -404,6 +425,7 @@ def _extra_benches():
     return {
         "conversation_near_dup_xx": conversation_near_dup_xx,
         "bpe_vocab_batched_512": bpe_vocab_batched_512,
+        "unigram_vocab_512": unigram_vocab_512,
         "hybrid_retrieval_xx": hybrid_retrieval_xx,
         "text_embeddings_xx": text_embeddings_xx,
         "ann_from_text_xx": ann_from_text_xx,

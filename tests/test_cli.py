@@ -1149,3 +1149,35 @@ def test_cli_train_classifier_calibrate(spark, sf_dir, tmp_path):
     assert floor.returncode == 0, floor.stderr[-2000:]
     fcal = json.loads(floor.stdout.strip().splitlines()[-1])["calibration"]
     assert fcal["keep_permille"] >= 900
+
+
+def test_cli_tokenize_unigram(spark, sf_dir, tmp_path):
+    """--algo unigram trains the piece table and emits unigram token
+    counts; --emit-ids is rejected (BPE-only) with a JSON error."""
+    docs = f"{sf_dir}/documents.parquet"
+    out = _cli(
+        "tokenize",
+        "--input", docs,
+        "--output", str(tmp_path / "uni"),
+        "--algo", "unigram",
+        "--vocab-size", "64",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    tk = json.loads(out.stdout.strip().splitlines()[-1])
+    assert tk["pieces"] > 0 and tk["total_tokens"] > 0
+    pieces = spark.read.parquet(str(tmp_path / "uni" / "pieces"))
+    assert pieces.count() == tk["pieces"]
+    n_multi = pieces.filter("length(piece) > 1").count()
+    assert n_multi <= 64
+    counts = spark.read.parquet(str(tmp_path / "uni" / "counts"))
+    assert counts.count() == tk["docs"]
+    assert "n_unigram_tokens" in counts.columns
+
+    bad = _cli(
+        "tokenize",
+        "--input", docs,
+        "--output", str(tmp_path / "uni2"),
+        "--algo", "unigram",
+        "--emit-ids",
+    )
+    assert bad.returncode == 2

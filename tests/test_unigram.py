@@ -1,0 +1,271 @@
+"""Unigram-LM (SentencePiece-style) tokenizer training: Viterbi
+semantics, determinism, exact replay by an INDEPENDENT pure-Python
+oracle, token counts, packing integration."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.functions.textstats import BPE_TOKEN_PATTERN
+from zeus_data_quality_spark.functions.unigram import (
+    UNK_LOGP,
+    fit_unigram,
+    unigram_token_counts,
+    viterbi_segment,
+)
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox, the quick brown fox!",
+    "pack my box with five dozen liquor jugs",
+    "sphinx of black quartz, judge my vow",
+    "how vexingly quick daft zebras jump",
+    "the five boxing wizards jump quickly",
+    "jived fox nymph grabs quick waltz",
+    "quick zephyrs blow, vexing daft jim",
+    "the the the quick quick brown brown",
+    "jackdaws love my big sphinx of quartz",
+]
+
+
+def _df(spark, texts=TEXTS):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+# ------------------------------------------------- independent oracle
+# A from-first-principles reimplementation of the documented training
+# semantics (module docstring of functions/unigram.py), sharing NO
+# code with the engine: plain dicts, re.findall pre-tokenization, its
+# own DP. Exact equality of the resulting piece tables is the gate.
+
+
+def _oracle_word_counts(texts):
+    wc = {}
+    for t in texts:
+        for w in re.findall(BPE_TOKEN_PATTERN, t):
+            wc[w] = wc.get(w, 0) + 1
+    return wc
+
+
+def _oracle_seed(wc, max_len, seed_size, min_count):
+    counts = {}
+    for w, f in wc.items():
+        for i in range(len(w)):
+            for l in range(1, min(max_len, len(w) - i) + 1):
+                p = w[i : i + l]
+                counts[p] = counts.get(p, 0) + f
+    alpha = {p: c for p, c in counts.items() if len(p) == 1}
+    multi = sorted(
+        (
+            (p, c)
+            for p, c in counts.items()
+            if len(p) > 1 and c >= min_count
+        ),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:seed_size]
+    return {**alpha, **dict(multi)}
+
+
+def _oracle_viterbi(word, logp, max_len):
+    n = len(word)
+    best = [0.0] + [-math.inf] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        b, bj = -math.inf, i - 1
+        for j in range(max(0, i - max_len), i):
+            piece = word[j:i]
+            if piece in logp:
+                lp = logp[piece]
+            elif i - j == 1:
+                lp = UNK_LOGP
+            else:
+                continue
+            s = best[j] + lp
+            if s > b:
+                b, bj = s, j
+        best[i], back[i] = b, bj
+    out, i = [], n
+    while i > 0:
+        out.append(word[back[i] : i])
+        i = back[i]
+    return list(reversed(out))
+
+
+def _oracle_fit(
+    texts, vocab_size, max_len, seed_size, em_rounds, keep_frac, min_count
+):
+    wc = _oracle_word_counts(texts)
+    pieces = sorted(
+        _oracle_seed(wc, max_len, seed_size, min_count).items(),
+        key=lambda pc: (-pc[1], pc[0]),
+    )
+    while True:
+        for _ in range(em_rounds):
+            total = sum(c for _, c in pieces)
+            lt = math.log(total)
+            logp = {p: math.log(c) - lt for p, c in pieces}
+            counted = {}
+            for w, f in wc.items():
+                for p in _oracle_viterbi(w, logp, max_len):
+                    counted[p] = counted.get(p, 0) + f
+            pieces = [
+                (
+                    p,
+                    counted.get(p, 0)
+                    if len(p) > 1
+                    else max(1, counted.get(p, 0)),
+                )
+                for p, _ in pieces
+            ]
+            pieces = [(p, c) for p, c in pieces if c > 0]
+            pieces.sort(key=lambda pc: (-pc[1], pc[0]))
+        n_alpha = sum(1 for p, _ in pieces if len(p) == 1)
+        n_multi = len(pieces) - n_alpha
+        if n_multi <= max(0, vocab_size - n_alpha):
+            break
+        target = max(
+            vocab_size - n_alpha, math.ceil(keep_frac * n_multi)
+        )
+        if target >= n_multi:
+            target = max(0, vocab_size - n_alpha)
+        kept = [pc for pc in pieces if len(pc[0]) > 1][:target]
+        pieces = [pc for pc in pieces if len(pc[0]) == 1] + kept
+        pieces.sort(key=lambda pc: (-pc[1], pc[0]))
+    total = sum(c for _, c in pieces)
+    lt = math.log(total)
+    return [
+        (rank, p, c, math.log(c) - lt)
+        for rank, (p, c) in enumerate(pieces, start=1)
+    ]
+
+
+PARAMS = dict(
+    vocab_size=48, max_piece_len=6, seed_size=96, em_rounds=2,
+    keep_frac=0.75, min_count=2,
+)
+
+
+def test_fit_matches_independent_oracle_exactly(spark):
+    """Integer counts, ranks, membership AND float logprobs must be
+    bit-identical to the pure-Python replay — the hard-EM design's
+    whole point (no float crosses a shuffle)."""
+    got = [
+        (r["rank"], r["piece"], r["count"], r["logprob"])
+        for r in fit_unigram(_df(spark), "text", **PARAMS).collect()
+    ]
+    want = _oracle_fit(TEXTS, *(PARAMS[k] for k in (
+        "vocab_size", "max_piece_len", "seed_size", "em_rounds",
+        "keep_frac", "min_count",
+    )))
+    assert got == want
+
+
+def test_fit_is_deterministic_across_runs(spark):
+    a = fit_unigram(_df(spark), "text", **PARAMS).collect()
+    b = fit_unigram(
+        _df(spark).repartition(7), "text", **PARAMS
+    ).collect()
+    assert a == b
+
+
+def test_alphabet_survives_pruning(spark):
+    pieces = fit_unigram(_df(spark), "text", **PARAMS)
+    alpha = {
+        r["piece"]
+        for r in pieces.filter(F.length("piece") == 1).collect()
+    }
+    seen = set()
+    for t in TEXTS:
+        for w in re.findall(BPE_TOKEN_PATTERN, t):
+            seen |= set(w)
+    assert seen <= alpha
+
+
+def test_vocab_size_respected(spark):
+    pieces = fit_unigram(_df(spark), "text", **PARAMS).collect()
+    n_alpha = sum(1 for r in pieces if len(r["piece"]) == 1)
+    n_multi = len(pieces) - n_alpha
+    assert n_multi <= PARAMS["vocab_size"]
+
+
+def test_viterbi_prefers_longer_piece_on_tie():
+    """Equal-scoring splits resolve to the longer final piece
+    (smaller j wins) — the pinned tie-break."""
+    logp = {"a": -1.0, "aa": -2.0}
+    # 'aa' via [aa] scores -2.0; via [a,a] also -2.0 → [aa] wins
+    assert viterbi_segment("aa", logp, 4) == ["aa"]
+
+
+def test_viterbi_unknown_chars_fall_back():
+    logp = {"a": -1.0}
+    assert viterbi_segment("aXa", logp, 4) == ["a", "X", "a"]
+
+
+def test_token_counts_and_packing_integration(spark):
+    """Per-doc counts equal the sum of per-word Viterbi lengths, and
+    the column feeds pack_sequences as a real token budget."""
+    df = _df(spark)
+    pieces = fit_unigram(df, "text", **PARAMS)
+    logp = {
+        r["piece"]: r["logprob"]
+        for r in pieces.select("piece", "logprob").collect()
+    }
+    got = {
+        r["doc_id"]: r["n_unigram_tokens"]
+        for r in unigram_token_counts(
+            df, "doc_id", "text", pieces,
+            max_piece_len=PARAMS["max_piece_len"],
+        ).collect()
+    }
+    want = {
+        i: sum(
+            len(_oracle_viterbi(w, logp, PARAMS["max_piece_len"]))
+            for w in re.findall(BPE_TOKEN_PATTERN, t)
+        )
+        for i, t in enumerate(TEXTS)
+    }
+    assert got == want
+
+    from zeus_data_quality_spark.operators.packing import pack_sequences
+
+    with_n = df.join(
+        unigram_token_counts(
+            df, "doc_id", "text", pieces,
+            max_piece_len=PARAMS["max_piece_len"],
+        ),
+        "doc_id",
+    )
+    packed = pack_sequences(
+        with_n, id_col="doc_id", n_tokens_col="n_unigram_tokens",
+        budget=24, n_buckets=2,
+    )
+    rows = packed.collect()
+    assert len(rows) == len(TEXTS)
+    # spanned-sequence contract: every doc gets a seq slot, its offset
+    # is inside the budget, and n_tokens is the unigram count
+    for r in rows:
+        assert r["n_tokens"] == got[r["doc_id"]]
+        assert 0 <= r["offset"] < 24
+        assert r["seq_id"] >= 0
+
+
+def test_null_and_empty_text_count_zero(spark):
+    df = spark.createDataFrame(
+        [(0, "the quick fox"), (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    pieces = fit_unigram(_df(spark), "text", **PARAMS)
+    got = {
+        r["doc_id"]: r["n_unigram_tokens"]
+        for r in unigram_token_counts(
+            df, "doc_id", "text", pieces,
+            max_piece_len=PARAMS["max_piece_len"],
+        ).collect()
+    }
+    assert got[1] == 0 and got[2] == 0 and got[0] > 0

@@ -406,12 +406,53 @@ def cmd_tokenize(args) -> int:
     — every doc's token-ID sequence; --shards writes
     <output>/shards, the materialized fixed-budget training windows
     (partitioned by bucket: the shard-file boundary at cluster
-    scale)."""
+    scale).
+
+    --algo unigram trains the SentencePiece-style unigram-LM piece
+    table instead (functions/unigram.py: Viterbi hard-EM, vocab-sized
+    jobs after one corpus pass) — writes <output>/pieces and
+    <output>/counts (n_unigram_tokens); --vocab-size caps the
+    multi-char piece count. --emit-ids/--shards are BPE-only (unigram
+    piece IDs have no merge-rank table)."""
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    if args.algo == "unigram":
+        if args.emit_ids or args.shards:
+            print(
+                json.dumps(
+                    {"error": "--emit-ids/--shards require --algo bpe"}
+                )
+            )
+            return 2
+        from .functions.unigram import fit_unigram, unigram_token_counts
+
+        pieces = fit_unigram(
+            df, args.text_col, vocab_size=args.vocab_size,
+            min_count=args.min_count,
+        )
+        pieces.write.mode("overwrite").parquet(f"{args.output}/pieces")
+        pieces = spark.read.parquet(f"{args.output}/pieces")
+        counts = unigram_token_counts(
+            df, args.id_col, args.text_col, pieces
+        )
+        counts.write.mode("overwrite").parquet(f"{args.output}/counts")
+        stats = spark.read.parquet(f"{args.output}/counts").agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_unigram_tokens").alias("total_tokens"),
+        ).first()
+        print(
+            json.dumps(
+                {
+                    "pieces": pieces.count(),
+                    "docs": int(stats["docs"]),
+                    "total_tokens": int(stats["total_tokens"] or 0),
+                }
+            )
+        )
+        return 0
     from .functions.bpe import bpe_token_counts, fit_bpe_batched
     from .functions.encode import encode_token_ids, pack_token_shards
 
-    spark = _spark(args)
-    df = spark.read.parquet(args.input)
     merges, vocab = fit_bpe_batched(
         df, args.text_col, num_merges=args.merges,
         min_count=args.min_count, batch_size=args.batch_size,
@@ -1466,13 +1507,24 @@ def main(argv: list[str] | None = None) -> int:
     sd.set_defaults(fn=cmd_spandedup)
 
     tk = sub.add_parser(
-        "tokenize", help="train BPE merges + emit per-doc token counts"
+        "tokenize",
+        help="train a tokenizer (BPE merges or unigram-LM pieces) + "
+        "emit per-doc token counts",
     )
     tk.add_argument("--input", required=True)
     tk.add_argument("--output", required=True)
     tk.add_argument("--id-col", default="doc_id")
     tk.add_argument("--text-col", default="text")
+    tk.add_argument(
+        "--algo", choices=["bpe", "unigram"], default="bpe",
+        help="bpe = batched merge learning; unigram = "
+        "SentencePiece-style Viterbi hard-EM piece table",
+    )
     tk.add_argument("--merges", type=int, default=64)
+    tk.add_argument(
+        "--vocab-size", type=int, default=512,
+        help="(unigram) max multi-char pieces kept after pruning",
+    )
     tk.add_argument("--min-count", type=int, default=2)
     tk.add_argument(
         "--batch-size", type=int, default=32,

@@ -1,0 +1,351 @@
+"""In-engine unigram-LM tokenizer training (SentencePiece-style) —
+Viterbi hard-EM over a vocab-sized word table, integer-exact and
+oracle-replayable.
+
+Complements ``functions/bpe.py``: BPE grows a vocabulary bottom-up by
+merging frequent pairs; the unigram LM (Kudo 2018, "Subword
+Regularization") starts from an over-complete seed of candidate pieces
+and prunes it down under a per-piece probability model. Real
+pretraining pipelines ship both (SentencePiece exposes both trainers);
+this module gives the engine the second one with the same determinism
+discipline as ``fit_bpe``: every distributed aggregate carries only
+INTEGERS, ties break on a total order, and an independent pure-Python
+oracle (tests/test_unigram.py) replays training to exact equality.
+
+Why hard-EM (Viterbi counts) instead of full forward-backward: the
+E-step then produces integer expected counts (each word contributes
+its best segmentation, weighted by its integer corpus frequency), so
+the M-step's piece probabilities are exact rationals ``count/total``
+and the whole fit is bit-reproducible across engines and partitionings
+— float sums never cross an executor boundary. Kudo's forward-backward
+E-step would put float partial sums into the shuffle, where summation
+order varies run-to-run. Hard-EM is the standard deterministic variant
+and converges to the same pruned vocabularies in practice.
+
+Training shape (reference repo has no tokenizer — north-rule
+training-data extension, same lineage note as ``functions/bpe.py``):
+
+1. **Pre-tokenize + count** — the ONLY corpus-sized pass, shared with
+   BPE (``bpe._pretokens``; two-phase groupBy, map-side partials, the
+   shuffle carries ~|vocab| rows per task at 10^12 turns).
+2. **Seed** — every substring of every word up to ``max_piece_len``,
+   occurrence-weighted by word frequency (vocab-sized explode, O(L²)
+   structs per word with L capped by the pre-token pattern); keep all
+   single characters (the alphabet — never pruned, guarantees every
+   word stays segmentable) plus the top ``seed_size`` multi-char
+   pieces by ``(count DESC, piece ASC)`` with ``count >= min_count``.
+3. **EM/prune loop** over the vocab-sized word table: per E-step,
+   segment every distinct word with Viterbi under the current piece
+   log-probabilities (Arrow-batched pandas UDF; the piece table —
+   ~MBs even at 100k pieces — ships to executors by closure capture,
+   the same broadcast-a-small-model pattern as ``functions/langid``)
+   and sum integer piece counts weighted by word frequency; per
+   M-step, ``logp(piece) = ln(count) - ln(total)`` (computed on the
+   driver from the collected vocab-sized count table — the same
+   vocab-bound collect as ``fit_bpe``'s merge pick). Alphabet pieces
+   that won zero Viterbi uses keep count 1 (add-one floor on the
+   alphabet only) so they stay scorable. After each round except the
+   last, prune to ``max(vocab_size, ceil(keep_frac × n))`` pieces by
+   ``(count DESC, piece ASC)``, alphabet always retained.
+
+Corpus size appears ONLY in step 1; every later job is bounded by the
+distinct-word table. At 10^12 turns the word table is ~10^7–10^8 rows
+(Heaps' law) — comfortably distributed, trivially re-partitionable.
+
+Viterbi semantics (pinned, both engines): ``best[0] = 0``;
+``best[i] = max over j in [max(0, i-max_piece_len), i)`` of
+``best[j] + logp(word[j:i])`` for pieces in the vocabulary; on exact
+float ties the SMALLER ``j`` (longer final piece) wins; characters
+absent from the vocabulary segment as single-char pieces at
+``UNK_LOGP`` (fixed, so scoring a corpus with unseen characters is
+still deterministic). IEEE-754 ``log``/``+``/``>`` make the replay
+exact: both engines add the same doubles in the same left-to-right
+order.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .bpe import _pretokens
+from .textstats import BPE_TOKEN_PATTERN
+
+MAX_PIECE_LEN = 8
+SEED_SIZE = 2048
+VOCAB_SIZE = 512
+EM_ROUNDS = 2
+KEEP_FRAC = 0.75
+MIN_COUNT = 2
+UNK_LOGP = -20.0  # fixed score for characters outside the alphabet
+
+PIECES_SCHEMA = StructType(
+    [
+        StructField("rank", IntegerType(), False),
+        StructField("piece", StringType(), False),
+        StructField("count", LongType(), False),
+        StructField("logprob", DoubleType(), False),
+    ]
+)
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) — the corpus-sized pass (two-phase groupBy)."""
+    return (
+        _pretokens(df, text_col)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def seed_pieces(
+    words: DataFrame,
+    max_piece_len: int = MAX_PIECE_LEN,
+    seed_size: int = SEED_SIZE,
+    min_count: int = MIN_COUNT,
+) -> DataFrame:
+    """Over-complete candidate set: (piece, count) with count = total
+    occurrence-weighted frequency. Single-char pieces (the alphabet)
+    are all kept regardless of count or seed budget; multi-char pieces
+    keep the top ``seed_size`` by ``(count DESC, piece ASC)`` subject
+    to ``count >= min_count``. Everything is one vocab-sized explode +
+    one vocab-sized aggregate."""
+    # all (start, len) substrings up to max_piece_len, as a flat array
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.lit(max_piece_len), F.length("word") - i + 1
+                    ),
+                ),
+                lambda l: F.substr(F.col("word"), i, l),
+            ),
+        )
+    )
+    counts = (
+        words.select("freq", F.explode(subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("count"))
+    )
+    alphabet = counts.filter(F.length("piece") == 1)
+    multi = (
+        counts.filter(
+            (F.length("piece") > 1) & (F.col("count") >= min_count)
+        )
+        .orderBy(F.col("count").desc(), F.col("piece").asc())
+        .limit(seed_size)
+    )
+    return alphabet.unionByName(multi)
+
+
+def _logp_table(rows: list[tuple[str, int]]) -> dict[str, float]:
+    """piece -> ln(count) - ln(total). Pure driver-side math on the
+    collected vocab-sized table; the oracle rebuilds it identically
+    (math.log on the same integers)."""
+    total = sum(c for _, c in rows)
+    lt = math.log(total)
+    return {p: math.log(c) - lt for p, c in rows}
+
+
+def viterbi_segment(
+    word: str, logp: dict[str, float], max_piece_len: int = MAX_PIECE_LEN
+) -> list[str]:
+    """Best segmentation of ``word`` under the piece model — the
+    pinned semantics from the module docstring. Pure Python so the
+    pandas UDF, driver-side helpers, and the test oracle's independent
+    reimplementation all target one definition."""
+    n = len(word)
+    best = [0.0] + [-math.inf] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        b, bj = -math.inf, i - 1
+        for j in range(max(0, i - max_piece_len), i):
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if i - j == 1:
+                    lp = UNK_LOGP
+                else:
+                    continue
+            s = best[j] + lp
+            if s > b:
+                b, bj = s, j
+        best[i], back[i] = b, bj
+    out: list[str] = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    out.reverse()
+    return out
+
+
+def _segment_udf(logp: dict[str, float], max_piece_len: int):
+    @pandas_udf(ArrayType(StringType()))
+    def seg(words: pd.Series) -> pd.Series:
+        return words.map(
+            lambda w: viterbi_segment(w, logp, max_piece_len)
+        )
+
+    return seg
+
+
+def _estep_counts(
+    words: DataFrame, logp: dict[str, float], max_piece_len: int
+) -> DataFrame:
+    """(piece, count) — integer Viterbi-use counts, freq-weighted."""
+    seg = _segment_udf(logp, max_piece_len)
+    return (
+        words.select("freq", F.explode(seg("word")).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("count"))
+    )
+
+
+def fit_unigram(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = VOCAB_SIZE,
+    max_piece_len: int = MAX_PIECE_LEN,
+    seed_size: int = SEED_SIZE,
+    em_rounds: int = EM_ROUNDS,
+    keep_frac: float = KEEP_FRAC,
+    min_count: int = MIN_COUNT,
+) -> DataFrame:
+    """Train the unigram piece table; returns a DataFrame with
+    PIECES_SCHEMA ``(rank, piece, count, logprob)`` ordered by
+    ``(count DESC, piece ASC)`` (rank 1 = most used). ``count`` is the
+    final E-step's integer Viterbi-use count (alphabet floor 1);
+    ``logprob = ln(count) - ln(total)``.
+
+    Driver round-trips: one vocab-sized collect per E-step (the piece
+    count table — same bound as ``fit_bpe``'s merge pick) and one
+    prune per round; the number of rounds is
+    ``O(log(seed/vocab) / log(1/keep_frac))`` — 9 rounds take a 16k
+    seed to a 1k vocab at keep_frac 0.75. Corpus size appears only in
+    :func:`word_counts`."""
+    words = word_counts(df, text_col).localCheckpoint(eager=True)
+    seed_rows = (
+        seed_pieces(words, max_piece_len, seed_size, min_count)
+        .orderBy(F.col("count").desc(), F.col("piece").asc())
+        .collect()
+    )
+    pieces: list[tuple[str, int]] = [
+        (r["piece"], int(r["count"])) for r in seed_rows
+    ]
+    while True:
+        for _ in range(em_rounds):
+            logp = _logp_table(pieces)
+            counted = {
+                r["piece"]: int(r["count"])
+                for r in _estep_counts(
+                    words, logp, max_piece_len
+                ).collect()
+            }
+            # keep the current vocabulary's membership: unused pieces
+            # drop to 0 (pruned below), alphabet floors at 1
+            pieces = [
+                (
+                    p,
+                    counted.get(p, 0)
+                    if len(p) > 1
+                    else max(1, counted.get(p, 0)),
+                )
+                for p, _ in pieces
+            ]
+            pieces = [(p, c) for p, c in pieces if c > 0]
+            pieces.sort(key=lambda pc: (-pc[1], pc[0]))
+        n_multi = sum(1 for p, _ in pieces if len(p) > 1)
+        if n_multi <= max(0, vocab_size - _n_alpha(pieces)):
+            break
+        target = max(
+            vocab_size - _n_alpha(pieces),
+            math.ceil(keep_frac * n_multi),
+        )
+        if target >= n_multi:  # keep_frac floor can't shrink further
+            target = max(0, vocab_size - _n_alpha(pieces))
+        kept_multi = [pc for pc in pieces if len(pc[0]) > 1][:target]
+        pieces = [pc for pc in pieces if len(pc[0]) == 1] + kept_multi
+        pieces.sort(key=lambda pc: (-pc[1], pc[0]))
+    logp = _logp_table(pieces)
+    spark = df.sparkSession
+    rows = [
+        (rank, p, c, logp[p])
+        for rank, (p, c) in enumerate(pieces, start=1)
+    ]
+    return spark.createDataFrame(rows, PIECES_SCHEMA)
+
+
+def _n_alpha(pieces: list[tuple[str, int]]) -> int:
+    return sum(1 for p, _ in pieces if len(p) == 1)
+
+
+def unigram_token_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pieces: DataFrame,
+    max_piece_len: int = MAX_PIECE_LEN,
+) -> DataFrame:
+    """(id, n_unigram_tokens) per input row — the unigram twin of
+    ``bpe.bpe_token_counts``, usable as ``n_tokens_col`` for
+    ``operators.packing.pack_sequences``.
+
+    One pass over the corpus: explode pre-tokens, segment only the
+    DISTINCT words (vocab-sized pandas-UDF job), broadcast-join the
+    per-word piece count back, sum per document. Unseen words still
+    segment (alphabet + UNK fallback), NULL/empty texts count 0."""
+    logp = _logp_table(
+        [
+            (r["piece"], int(r["count"]))
+            for r in pieces.select("piece", "count").collect()
+        ]
+    )
+    per_tok = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.when(
+                F.col(text_col).isNotNull(),
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(BPE_TOKEN_PATTERN), F.lit(0)
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("word"),
+    )
+    seg = _segment_udf(logp, max_piece_len)
+    word_n = (
+        per_tok.select("word")
+        .filter(F.col("word").isNotNull())
+        .distinct()
+        .select(
+            "word", F.size(seg("word")).cast("long").alias("__n_piece")
+        )
+    )
+    return (
+        per_tok.join(F.broadcast(word_n), "word", "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__n_piece"), F.lit(0).cast("long")).alias(
+                "__n"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__n").cast("long").alias("n_unigram_tokens"))
+    )
