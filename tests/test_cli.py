@@ -1152,8 +1152,8 @@ def test_cli_train_classifier_calibrate(spark, sf_dir, tmp_path):
 
 
 def test_cli_tokenize_unigram(spark, sf_dir, tmp_path):
-    """--algo unigram trains the piece table and emits unigram token
-    counts; --emit-ids is rejected (BPE-only) with a JSON error."""
+    """--algo unigram trains the piece table, emits unigram token
+    counts, and shares the ids/shards surface with the BPE path."""
     docs = f"{sf_dir}/documents.parquet"
     out = _cli(
         "tokenize",
@@ -1161,6 +1161,8 @@ def test_cli_tokenize_unigram(spark, sf_dir, tmp_path):
         "--output", str(tmp_path / "uni"),
         "--algo", "unigram",
         "--vocab-size", "64",
+        "--shards",
+        "--budget", "64",
     )
     assert out.returncode == 0, out.stderr[-2000:]
     tk = json.loads(out.stdout.strip().splitlines()[-1])
@@ -1172,12 +1174,11 @@ def test_cli_tokenize_unigram(spark, sf_dir, tmp_path):
     counts = spark.read.parquet(str(tmp_path / "uni" / "counts"))
     assert counts.count() == tk["docs"]
     assert "n_unigram_tokens" in counts.columns
-
-    bad = _cli(
-        "tokenize",
-        "--input", docs,
-        "--output", str(tmp_path / "uni2"),
-        "--algo", "unigram",
-        "--emit-ids",
-    )
-    assert bad.returncode == 2
+    # ids: one row per doc; token conservation into the shard windows
+    ids = spark.read.parquet(str(tmp_path / "uni" / "ids"))
+    assert ids.count() == tk["ids_docs"] == tk["docs"]
+    n_ids_total = ids.agg({"n_ids": "sum"}).first()[0]
+    assert n_ids_total == tk["shard_tokens"] > 0
+    # counts and ids agree doc-by-doc (same segmentation both paths)
+    joined = counts.join(ids, "doc_id")
+    assert joined.filter("n_unigram_tokens != n_ids").count() == 0

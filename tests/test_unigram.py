@@ -269,3 +269,64 @@ def test_null_and_empty_text_count_zero(spark):
         ).collect()
     }
     assert got[1] == 0 and got[2] == 0 and got[0] > 0
+
+
+def test_encode_ids_match_python_oracle(spark):
+    """Per-doc id sequences equal the independent oracle's Viterbi
+    pieces mapped through the fitted rank table; unknown chars (absent
+    from training) encode to encode.UNK_ID."""
+    from zeus_data_quality_spark.functions.encode import UNK_ID
+    from zeus_data_quality_spark.functions.unigram import (
+        unigram_encode_ids,
+    )
+
+    df = _df(spark)
+    pieces = fit_unigram(df, "text", **PARAMS)
+    rows = pieces.select("piece", "logprob", "rank").collect()
+    logp = {r["piece"]: r["logprob"] for r in rows}
+    pid = {r["piece"]: r["rank"] for r in rows}
+
+    got = {
+        r["doc_id"]: r["ids"]
+        for r in unigram_encode_ids(
+            df, "doc_id", "text", pieces,
+            max_piece_len=PARAMS["max_piece_len"],
+        ).collect()
+    }
+    for i, t in enumerate(TEXTS):
+        want = [
+            pid.get(p, UNK_ID)
+            for w in re.findall(BPE_TOKEN_PATTERN, t)
+            for p in _oracle_viterbi(w, logp, PARAMS["max_piece_len"])
+        ]
+        assert got[i] == want
+
+    # unknown character → UNK_ID, not a crash
+    odd = spark.createDataFrame(
+        [(0, "quick Z@Z brown")], "doc_id long, text string"
+    )
+    ids = unigram_encode_ids(
+        odd, "doc_id", "text", pieces,
+        max_piece_len=PARAMS["max_piece_len"],
+    ).first()["ids"]
+    assert UNK_ID in ids
+
+
+def test_encode_ids_feed_shard_packer(spark):
+    """The unigram encoder's output contract plugs into the shared
+    BPE shard packer: token counts conserve into the windows."""
+    from zeus_data_quality_spark.functions.encode import pack_token_shards
+    from zeus_data_quality_spark.functions.unigram import (
+        unigram_encode_ids,
+    )
+
+    df = _df(spark)
+    pieces = fit_unigram(df, "text", **PARAMS)
+    enc = unigram_encode_ids(
+        df, "doc_id", "text", pieces,
+        max_piece_len=PARAMS["max_piece_len"],
+    )
+    total = enc.agg({"n_ids": "sum"}).first()[0]
+    shards = pack_token_shards(enc, "doc_id", budget=16, n_buckets=2)
+    assert shards.agg({"n_tokens": "sum"}).first()[0] == total
+    assert shards.filter("n_tokens > 16").count() == 0

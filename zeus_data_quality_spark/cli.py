@@ -411,20 +411,18 @@ def cmd_tokenize(args) -> int:
     --algo unigram trains the SentencePiece-style unigram-LM piece
     table instead (functions/unigram.py: Viterbi hard-EM, vocab-sized
     jobs after one corpus pass) — writes <output>/pieces and
-    <output>/counts (n_unigram_tokens); --vocab-size caps the
-    multi-char piece count. --emit-ids/--shards are BPE-only (unigram
-    piece IDs have no merge-rank table)."""
+    <output>/counts (n_unigram_tokens); --vocab-size caps the piece
+    count. --emit-ids/--shards work for both trainers: the unigram
+    encoder emits the same (id, ids, n_ids) contract, so the shard
+    packer is shared."""
     spark = _spark(args)
     df = spark.read.parquet(args.input)
     if args.algo == "unigram":
-        if args.emit_ids or args.shards:
-            print(
-                json.dumps(
-                    {"error": "--emit-ids/--shards require --algo bpe"}
-                )
-            )
-            return 2
-        from .functions.unigram import fit_unigram, unigram_token_counts
+        from .functions.unigram import (
+            fit_unigram,
+            unigram_encode_ids,
+            unigram_token_counts,
+        )
 
         pieces = fit_unigram(
             df, args.text_col, vocab_size=args.vocab_size,
@@ -440,15 +438,41 @@ def cmd_tokenize(args) -> int:
             F.count(F.lit(1)).alias("docs"),
             F.sum("n_unigram_tokens").alias("total_tokens"),
         ).first()
-        print(
-            json.dumps(
-                {
-                    "pieces": pieces.count(),
-                    "docs": int(stats["docs"]),
-                    "total_tokens": int(stats["total_tokens"] or 0),
-                }
+        summary = {
+            "pieces": pieces.count(),
+            "docs": int(stats["docs"]),
+            "total_tokens": int(stats["total_tokens"] or 0),
+        }
+        if args.emit_ids or args.shards:
+            enc = unigram_encode_ids(
+                df, args.id_col, args.text_col, pieces
             )
-        )
+            enc.write.mode("overwrite").parquet(f"{args.output}/ids")
+            enc = spark.read.parquet(f"{args.output}/ids")
+            summary["ids_docs"] = enc.count()
+            if args.shards:
+                from .functions.encode import pack_token_shards
+
+                shards = pack_token_shards(
+                    enc, args.id_col, budget=args.budget,
+                    n_buckets=args.n_buckets,
+                )
+                (
+                    shards.repartition("bucket")
+                    .write.mode("overwrite")
+                    .partitionBy("bucket")
+                    .parquet(f"{args.output}/shards")
+                )
+                sh = spark.read.parquet(f"{args.output}/shards")
+                agg = sh.agg(
+                    F.count(F.lit(1)).alias("n_seqs"),
+                    F.sum("n_tokens").alias("n_tokens"),
+                ).first()
+                summary.update(
+                    n_seqs=int(agg["n_seqs"]),
+                    shard_tokens=int(agg["n_tokens"] or 0),
+                )
+        print(json.dumps(summary))
         return 0
     from .functions.bpe import bpe_token_counts, fit_bpe_batched
     from .functions.encode import encode_token_ids, pack_token_shards

@@ -297,6 +297,95 @@ def _n_alpha(pieces: list[tuple[str, int]]) -> int:
     return sum(1 for p, _ in pieces if len(p) == 1)
 
 
+def _encode_udf(
+    model: dict[str, tuple[float, int]], max_piece_len: int
+):
+    """pandas UDF word -> array<int> of piece ids: Viterbi under the
+    logp half of ``model``, then map each piece to its id; characters
+    outside the vocabulary emit ``encode.UNK_ID``."""
+    from .encode import UNK_ID
+
+    logp = {p: v[0] for p, v in model.items()}
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def enc(words: pd.Series) -> pd.Series:
+        def one(w: str) -> list[int]:
+            return [
+                model[p][1] if p in model else UNK_ID
+                for p in viterbi_segment(w, logp, max_piece_len)
+            ]
+
+        return words.map(one)
+
+    return enc
+
+
+def unigram_encode_ids(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pieces: DataFrame,
+    max_piece_len: int = MAX_PIECE_LEN,
+) -> DataFrame:
+    """(id, ids array<int>, n_ids) per input row — the document's
+    unigram piece-id sequence, the trainer-agnostic twin of
+    ``encode.encode_token_ids`` (same output contract, so
+    ``encode.pack_token_shards`` consumes it unchanged).
+
+    Piece ids are the fitted table's ``rank`` (1-based, stable across
+    engines because training is integer-exact); characters outside the
+    alphabet encode to ``encode.UNK_ID``. One corpus pass: distinct
+    words Viterbi-encode in a vocab-sized pandas-UDF job, the id
+    arrays broadcast-join back to the position-exploded pre-tokens and
+    reassemble in order (the ``encode._word_id_arrays`` shape).
+    NULL/empty texts yield an empty array."""
+    model = {
+        r["piece"]: (r["logprob"], int(r["rank"]))
+        for r in pieces.select("piece", "logprob", "rank").collect()
+    }
+    per_tok = df.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            F.when(
+                F.col(text_col).isNotNull(),
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(BPE_TOKEN_PATTERN), F.lit(0)
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("__pos", "word"),
+    )
+    enc = _encode_udf(model, max_piece_len)
+    word_ids = (
+        per_tok.select("word")
+        .filter(F.col("word").isNotNull())
+        .distinct()
+        .select("word", enc("word").alias("__wids"))
+    )
+    return (
+        per_tok.join(F.broadcast(word_ids), "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__pos").alias("p"),
+                                F.coalesce(
+                                    F.col("__wids"),
+                                    F.array().cast("array<int>"),
+                                ).alias("w"),
+                            )
+                        )
+                    ),
+                    lambda x: x["w"],
+                )
+            ).alias("ids")
+        )
+        .withColumn("n_ids", F.size("ids").cast("long"))
+    )
+
+
 def unigram_token_counts(
     df: DataFrame,
     id_col: str,
