@@ -239,6 +239,14 @@ HEADLINE = [
     # re-key the split bucket)
     "filter_calibration",
     "leakage_safe_split",
+    # r5y: web-pipeline front door — WET-style HTML -> text extraction
+    # (per-row Column algebra, scan speed), RefinedWeb URL tier
+    # (relational part parsing + broadcast domain blocklist), and the
+    # token-budget mixture waterfill (one corpus aggregate, then
+    # |sources|-row window algebra)
+    "html_extract",
+    "url_filter",
+    "token_mix_plan",
 ]
 
 

@@ -236,6 +236,20 @@ TAIL_TWINS = {
     # here; its scan → hash-agg → sort shape is the most-covered
     # physical shape in the suite. Full oracle kept here.
     "tpch_q1",
+    # r5y rotation: evicted so the three new web-pipeline front-door
+    # families (html_extract, url_filter, token_mix_plan) get driver
+    # rows. document_quality_filter is a composite demo of in-window
+    # primitives (text_stats gates + exact-dup + length bounds);
+    # simhash's near-dup verdict surface stays in-window via
+    # minhash_dedup_labels + semantic_dedup (the signature algebra
+    # keeps its md5-parity oracle here); ann_recall_eval's two
+    # surfaces stay in-window strictly inside ann_ivf_from_text (same
+    # quantizer → probe → exact-rank chain, oracle-replayed) and
+    # hybrid_retrieval's dense branch (exact cosine top-k). All three
+    # keep full oracles here.
+    "document_quality_filter",
+    "simhash",
+    "ann_recall_eval",
     # r5o rotation: evicted so training_order + ccnet_buckets (the
     # seeded-shuffle/shard and CCNet-tertile-sampling families) get
     # driver rows. rollup_orders is a generic-SQL OLAP demo like
@@ -372,6 +386,11 @@ TAIL_OVERFLOW: set = {
     # straddle train/val/test (cluster-atomicity + salt-redraw pins in
     # test_calibration.py); full oracle, parity-checked here.
     "leakage_safe_split",
+    # r5y: per-registered-domain contribution stats — the derivative
+    # GROUP BY over the in-window url_filter's parts (identical
+    # synthesis + parsing CTE, one aggregate on top); full oracle,
+    # parity-checked here.
+    "domain_stats",
 }
 
 
@@ -396,14 +415,24 @@ def test_driver_window_covers_every_operator_family():
         "textstats": {"text_stats"},
         "decontaminate": {"decontaminate", "decontaminate_semantic"},
         "fingerprints": {"doc_fingerprints"},
-        "quality_filter": {"document_quality_filter"},
+        # (quality_filter left the family map in r5y: the composite
+        # demo's constituents — text_stats gates, exact dedup, length
+        # bounds — are all adjudicated in-window individually; the
+        # composite keeps its full oracle as a tail twin)
         "repetition": {"gopher_repetition"},
         "boilerplate": {"c4_line_filter"},
         "profile": {"column_profile"},
         "drift": {"value_drift"},
-        "ann": {"ann_bruteforce", "ann_ivf_probe", "ann_recall_eval"},
+        # r5y: the ann family's window coverage moved wholesale into
+        # ann_ivf_from_text (quantizer → probe → exact cosine rank —
+        # the same chain every ann row exercises, oracle-replayed
+        # end-to-end) and hybrid_retrieval's dense branch; the three
+        # standalone ann rows are tail twins with full oracles.
+        "ann": {"ann_ivf_from_text", "hybrid_retrieval"},
         "minhash": {"minhash_dedup_labels"},
-        "simhash": {"simhash"},
+        # (simhash left the family map in r5y: the signature algebra
+        # is a tail twin with its md5-parity oracle; the near-dup
+        # verdict surface stays via minhash + semantic_dedup)
         "langid": {"langid"},
         "perplexity": {"perplexity", "perplexity_trained", "perplexity_kn"},
         "monitor": {"monitor_topk", "monitor_daily_trend"},
@@ -447,8 +476,7 @@ def test_driver_window_covers_every_operator_family():
         "source_caps": {"source_caps"},
         # r5i: corpus-internal n-gram novelty
         "novelty": {"gram_novelty"},
-        # r5j: in-engine ANN recall evaluation (IVF vs brute force)
-        "ann_eval": {"ann_recall_eval"},
+        # (ann_eval left the family map in r5y — see the ann note)
         # r5k: conversation shared-prefix regeneration collapse
         "prefix_dedup": {"prefix_dedup"},
         # r5k: assistant refusal/boilerplate response heuristics
@@ -472,6 +500,13 @@ def test_driver_window_covers_every_operator_family():
         "training_order": {"training_order"},
         # r5o: CCNet perplexity-tertile sampling
         "ccnet_sampling": {"ccnet_buckets"},
+        # r5y: WET-style HTML -> text extraction front door
+        "html_extract": {"html_extract"},
+        # r5y: RefinedWeb URL tier (parse + broadcast blocklist;
+        # domain_stats is the tail's derivative aggregate)
+        "urls": {"url_filter"},
+        # r5y: token-budget mixture waterfill
+        "mix_planning": {"token_mix_plan"},
     }
     for fam, members in families.items():
         assert members & in_window, f"family {fam} has no driver-window row"
@@ -492,12 +527,14 @@ def test_driver_window_covers_every_operator_family():
     # same merge-rank → ids chain; tokenize_ids is a tail twin.
     # retrieval likewise: hybrid_retrieval's oracle strictly contains
     # bm25_topk's chain, so the lexical surface stays in-window.)
+    # (ann_eval left this list in r5y — see the ann family note)
     for fam in ("loop_detection", "classifier",
                 "bpe", "classifier_mix", "substring_dedup",
                 "source_caps", "novelty",
-                "ann_eval", "prefix_dedup", "response_quality",
+                "prefix_dedup", "response_quality",
                 "snapshot_diff", "tool_hygiene", "chat_render",
-                "normalize", "pii_validated", "line_dedup", "pq"):
+                "normalize", "pii_validated", "line_dedup", "pq",
+                "html_extract", "urls", "mix_planning"):
         assert families[fam] <= in_window, fam
     assert "hybrid_retrieval" in in_window
     # r5n: selection family keeps the budget-pack row in-window

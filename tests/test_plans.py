@@ -254,3 +254,54 @@ def test_truncate_at_first_drop_no_window_sort(spark, sf_dir):
     # no window beyond the two corpus-synthesis row_numbers
     assert tree.count("Window") <= 3
     assert "CartesianProduct" not in tree
+
+
+def test_html_extract_is_pure_project(spark, sf_dir):
+    """The HTML front door must be a per-row Project inside
+    whole-stage codegen — zero Exchange, zero Join, zero Aggregate:
+    its 100 TB cost model is pure scan bandwidth."""
+    plan = _plan(spark, qs.q_html_extract(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Exchange" not in tree
+    assert "Join" not in tree
+    assert "Aggregate" not in tree
+    # the extraction chain compiles into whole-stage codegen
+    assert "* Project" in tree
+
+
+def test_url_filter_broadcasts_blocklist_corpus_never_shuffles(
+    spark, sf_dir
+):
+    """The blocklist verdict must be a BroadcastHashJoin with the
+    corpus on the streamed side: the only Exchange allowed is the
+    (thousands-of-rows) blocklist's own distinct + BroadcastExchange —
+    the documents scan must reach the join without shuffling."""
+    plan = _plan(spark, qs.q_url_filter(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+    # corpus side: scan -> projects -> join, no Exchange in between
+    corpus_branch = tree.split("BroadcastHashJoin")[1].split(
+        "BroadcastExchange"
+    )[0]
+    assert "Exchange" not in corpus_branch
+    assert "Scan parquet" in corpus_branch
+
+
+def test_token_mix_plan_single_corpus_aggregate(spark, sf_dir):
+    """The waterfill's corpus-sized work must be ONE map-side-combined
+    groupBy(source) — a partial+final HashAggregate pair over a single
+    scan; everything downstream (broadcast weights join, saturation
+    windows) runs on the |sources|-row table."""
+    plan = _plan(spark, qs.q_token_mix_plan(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("HashAggregate") == 2
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    # windows run post-aggregate on the tiny table; the corpus scan
+    # feeds the aggregate directly (no Sort below the aggregate)
+    agg_down = tree.split("HashAggregate")[-1]
+    assert "Window" not in agg_down

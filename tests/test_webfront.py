@@ -1,0 +1,216 @@
+"""Web-pipeline front-door tiers: HTML -> text extraction
+(functions/htmlextract.py), the URL/domain tier (functions/urls.py),
+and token-budget mixture waterfilling (functions/mixplan.py).
+
+The corpus-level value gate is the DuckDB oracle parity in
+test_entry_parity.py (`html_extract`, `url_filter`, `domain_stats`,
+`token_mix_plan`); these tests pin the hand-checkable semantics the
+oracle replay cannot distinguish from a shared bug.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from zeus_data_quality_spark.functions.htmlextract import (
+    MIN_TEXT_RATIO_PERMILLE,
+    extract_html_text,
+    html_title,
+    synthesize_html,
+    with_extracted_text,
+)
+from zeus_data_quality_spark.functions.mixplan import token_mix_plan
+from zeus_data_quality_spark.functions.urls import (
+    BLOCKED_DOMAINS,
+    domain_stats,
+    synthesize_urls,
+    url_filter,
+)
+
+
+# ---------------------------------------------------------------------------
+# HTML extraction
+
+
+def _extract_one(spark, html: str):
+    return spark.createDataFrame([(html,)], ["html"]).select(
+        extract_html_text(F.col("html")).alias("t"),
+        html_title(F.col("html")).alias("title"),
+    ).first()
+
+
+def test_extract_strips_script_style_comments_and_tags(spark):
+    html = (
+        "<html><head><title>T</title>"
+        "<style>p { color: red; }</style></head><body>"
+        "<script>if (1 < 2) { alert('x & y'); }</script>"
+        "<!-- hidden <b>note</b> -->"
+        "<p>keep <b>this</b> text</p></body></html>"
+    )
+    row = _extract_one(spark, html)
+    assert row.t == "T keep this text"
+    assert row.title == "T"
+    # nothing from the removed spans survives
+    for bad in ("alert", "color", "hidden", "script", "<"):
+        assert bad not in row.t
+
+
+def test_entity_decode_order_handles_double_encoding(spark):
+    # &amp;lt; is a double-encoded '<' and must decode ONCE to '&lt;'
+    # (the HTML5 one-pass order: &amp; is decoded last).
+    row = _extract_one(
+        spark, "<p>a &amp;lt; b &lt; c &quot;q&quot; &#39;s&#39;&nbsp;end</p>"
+    )
+    assert row.t == 'a &lt; b < c "q" \'s\' end'
+
+
+def test_script_with_raw_angle_brackets_inside(spark):
+    # the '<' inside the script body must not confuse tag stripping
+    # because scripts are removed BEFORE tags.
+    row = _extract_one(
+        spark, "<body>x<script>for (i=0;i<9;i++) y();</script>z</body>"
+    )
+    assert row.t == "x z"
+
+
+def test_extraction_null_and_verdict_contract(spark):
+    df = spark.createDataFrame(
+        [Row(html=None), Row(html="<p>tiny but dense</p>")]
+    )
+    out = {r.html_chars: r for r in with_extracted_text(df).collect()}
+    null_row = out[None]
+    assert null_row.text is None and null_row.html_keep is None
+    tiny = out[21]
+    assert tiny.text == "tiny but dense"
+    # high density but below MIN_TEXT_CHARS -> dropped
+    assert tiny.text_ratio_permille >= MIN_TEXT_RATIO_PERMILLE
+    assert tiny.html_keep is False
+
+
+def test_synthesized_corpus_discriminates(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = with_extracted_text(synthesize_html(docs))
+    counts = {r.html_keep: r["count"] for r in
+              out.groupBy("html_keep").count().collect()}
+    # the THIN_ARM nav stubs (and only a small minority) must drop
+    assert counts.get(False, 0) > 0
+    assert counts.get(True, 0) > counts.get(False, 0) * 5
+    # every thin-arm page without the entity paragraph drops (the
+    # entity arm adds real decoded text, which can legitimately push
+    # a page back over the density floor)
+    thin = out.filter(
+        (F.col("doc_id") % 11 == 5) & (F.col("doc_id") % 4 != 3)
+        & F.col("html_keep")
+    )
+    assert thin.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# URL tier
+
+
+def _parts(spark, url: str):
+    docs = spark.createDataFrame([(0, url, 10)], ["doc_id", "url", "n_chars"])
+    bl = spark.createDataFrame([(d,) for d in BLOCKED_DOMAINS], ["reg_domain"])
+    return url_filter(docs, bl).first()
+
+
+def test_url_parts_full_form(spark):
+    r = _parts(spark, "http://sub.host.co:8080/a/b?x=1#frag")
+    assert r.scheme == "http"
+    assert r.host == "sub.host.co"
+    assert r.port == 8080
+    assert r.reg_domain == "host.co"
+    assert r.path == "/a/b"          # fragment and query never leak in
+    assert r.has_query is True
+    assert r.blocked is False
+
+
+def test_url_parts_minimal_and_blocked(spark):
+    r = _parts(spark, "https://ads.tracker.net/p/1")
+    assert r.port is None
+    assert r.reg_domain == "tracker.net"
+    assert r.blocked is True
+    assert r.has_query is False
+
+
+def test_domain_stats_collapses_subdomains(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bl = spark.createDataFrame([(d,) for d in BLOCKED_DOMAINS], ["reg_domain"])
+    stats = domain_stats(url_filter(synthesize_urls(docs), bl))
+    rows = {r.reg_domain: r for r in stats.collect()}
+    # www.example.com and blog.example.com share one registered domain
+    assert "example.com" in rows and "blog.example.com" not in rows
+    assert rows["tracker.net"].blocked and rows["casino.biz"].blocked
+    assert sum(r.n_docs for r in rows.values()) == docs.count()
+    # plain-http docs exist and are attributed
+    assert sum(r.n_http for r in rows.values()) > 0
+
+
+def test_url_filter_broadcast_plan(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bl = spark.createDataFrame([(d,) for d in BLOCKED_DOMAINS], ["reg_domain"])
+    plan = url_filter(synthesize_urls(docs), bl)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Token-mix waterfill
+
+
+def _plan(spark, rows, weights, budget):
+    docs = spark.createDataFrame(rows, ["source", "n_chars"])
+    return {
+        r.source: r
+        for r in token_mix_plan(docs, weights, budget).collect()
+    }
+
+
+def test_waterfill_hand_example(spark):
+    # avail: a=100 (w 1), b=1000 (w 1), c=1000 (w 2); budget 1200.
+    # Continuous solution: a saturates (r_a = 400); level T solves
+    # 100 + 3T/4 = 1200 -> T = 1466; b gets 1466/4 = 366, c gets 733.
+    rows = [("a", 100), ("b", 1000), ("c", 1000)]
+    plan = _plan(spark, rows, {"a": 1, "b": 1, "c": 2}, 1200)
+    assert plan["a"].saturated and plan["a"].alloc_tokens == 100
+    assert not plan["b"].saturated and plan["b"].alloc_tokens == 366
+    assert not plan["c"].saturated and plan["c"].alloc_tokens == 733
+    assert plan["a"].water_level == 1466
+    total = sum(p.alloc_tokens for p in plan.values())
+    assert total <= 1200 and total >= 1200 - len(plan)
+
+
+def test_waterfill_budget_exceeds_inventory(spark):
+    rows = [("a", 100), ("b", 50)]
+    plan = _plan(spark, rows, {"a": 3, "b": 1}, 10_000)
+    for p in plan.values():
+        assert p.saturated and p.alloc_tokens == p.avail_tokens
+        assert p.water_level is None
+
+
+def test_waterfill_nothing_saturates(spark):
+    rows = [("a", 10_000), ("b", 10_000)]
+    plan = _plan(spark, rows, {"a": 1, "b": 3}, 1000)
+    assert not any(p.saturated for p in plan.values())
+    assert plan["a"].alloc_tokens == 250
+    assert plan["b"].alloc_tokens == 750
+
+
+def test_waterfill_sources_outside_weights_excluded(spark):
+    rows = [("a", 100), ("zzz", 999)]
+    plan = _plan(spark, rows, {"a": 1}, 50)
+    assert set(plan) == {"a"}
+    assert plan["a"].alloc_tokens == 50
+
+
+def test_waterfill_rejects_bad_inputs(spark):
+    docs = spark.createDataFrame([("a", 1)], ["source", "n_chars"])
+    with pytest.raises(ValueError):
+        token_mix_plan(docs, {}, 10)
+    with pytest.raises(ValueError):
+        token_mix_plan(docs, {"a": 0}, 10)
+    with pytest.raises(ValueError):
+        token_mix_plan(docs, {"a": 1}, -1)

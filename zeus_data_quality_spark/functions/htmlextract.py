@@ -1,0 +1,303 @@
+"""HTML -> text extraction — the WET-style ingest front door of a web
+pipeline, as pure Column algebra.
+
+Everything upstream of this repo's quality tiers assumes a *text*
+column, but 100 TB web corpora arrive as raw HTML (WARC payloads).
+The extraction stage that turns markup into trainable text — strip
+script/style/comments, drop tags, decode entities, normalize
+whitespace — plus the markup-density quality signal (text chars /
+html chars, trafilatura's core heuristic) is therefore the first
+operator a real crawl pipeline runs, before normalization
+(`functions/normalize.py`), the C4/Gopher filters, and dedup. The
+reference has no engine at all (it emits Snowflake SQL strings from a
+Streamlit app — streamlit_app.py:1-1510), so this tier is a
+north-rule extension like `functions/scrub.py`.
+
+Engine-exactness design (same discipline as normalize.py / pii.py):
+
+* One arm table below drives BOTH the Spark Column synthesis of a
+  deterministic HTML corpus (documents wrapped in markup with
+  modulo-keyed script / style / comment / entity / link arms) and the
+  DuckDB CTE that derives the bit-identical corpus — so the driver
+  oracle checks the extractor on real tag soup, not toy strings.
+* Every regex is ASCII-only with identical meaning in Java regex and
+  RE2: literal alternations, `[^>]*` classes, and `(?s).*?`
+  non-greedy spans (RE2 and java.util.regex agree on leftmost
+  non-greedy semantics; no backreferences, no lookarounds).
+* Entity decoding is a fixed `replace()` chain — `&amp;` decoded LAST
+  so double-encoded text (`&amp;lt;`) resolves to the single-decoded
+  form (`&lt;`) in both engines, the HTML5-correct one-pass order.
+* The density metric is integer permille (`text_chars * 1000 DIV
+  html_chars`), so the keep verdict can never float-drift
+  cross-engine.
+
+Extraction order (each step feeds the next — order is load-bearing):
+
+1. Remove `<script ...>...</script>` spans (their bodies contain raw
+   `<`/`&` that later steps must never see).
+2. Remove `<style ...>...</style>` spans.
+3. Remove `<!-- ... -->` comments.
+4. Strip every remaining `<...>` tag to a space (block structure is
+   not preserved — the synthesized documents are single-line, and the
+   page-level line filters run on the dedicated page corpus).
+5. Decode the 6 core entities (`&lt; &gt; &quot; &#39; &nbsp;` then
+   `&amp;` last).
+6. Collapse whitespace runs (space/tab/LF) to one space and trim.
+
+Scale: every step is a per-row Project inside whole-stage codegen —
+no shuffle, no UDF, no Python. At 10^12 rows this runs at scan speed;
+at 100 TB the extractor is I/O-bound, exactly where a front-door
+stage should sit. The `keep` verdict prunes boilerplate-heavy pages
+*before* any shuffle-bearing stage sees them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Shared constants (drive both engines).
+
+# Entity decode chain, applied in order. `&amp;` MUST be last.
+ENTITY_DECODE: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+# Portable regexes (identical semantics in Java regex and RE2).
+RE_SCRIPT = "(?s)<script[^>]*>.*?</script>"
+RE_STYLE = "(?s)<style[^>]*>.*?</style>"
+RE_COMMENT = "(?s)<!--.*?-->"
+RE_TAG = "<[^>]*>"
+RE_WS = "[ \t\n]+"
+RE_TITLE = "<title>(.*?)</title>"
+RE_ANCHOR = "<a "
+RE_ANY_TAG = "</?[a-z]"
+
+# Keep verdict: markup-density floor + minimum extracted payload.
+# 400‰ sits between the nav-stub pages (~350‰ — skeleton markup with a
+# three-word body) and real-text pages (500‰+ even with every markup
+# arm stacked), so the verdict discriminates on density, not luck.
+MIN_TEXT_RATIO_PERMILLE = 400
+MIN_TEXT_CHARS = 40
+
+# Synthesis arms (modulus, residue) — which documents get which markup
+# defect. Chosen co-prime so arms overlap on some docs and miss others.
+SCRIPT_ARM = (7, 2)    # a <script> wall with raw < and & inside
+STYLE_ARM = (5, 1)     # a <style> block with braces
+COMMENT_ARM = (3, 0)   # an HTML comment carrying the doc id
+ENTITY_ARM = (4, 3)    # an entity-heavy paragraph incl. double-encode
+LINK_ARM = (2, 0)      # two anchor tags
+THIN_ARM = (11, 5)     # body text REPLACED by a nav stub -> low density
+
+SCRIPT_BLOCK = (
+    '<script type="text/javascript">var x = 1; '
+    'if (x < 2 && x > 0) { track("page", x); }</script>'
+)
+STYLE_BLOCK = "<style>body { margin: 0; } p { color: #333; }</style>"
+ENTITY_PARA = (
+    "<p>Tom &amp; Jerry say &quot;3 &lt; 5 &gt; 1&quot; in "
+    "Bob&#39;s&nbsp;house &amp;amp; twice</p>"
+)
+LINK_BLOCK = '<a href="/p/local">more</a> <a href="https://example.com/x">ext</a>'
+NAV_STUB = "home | about | contact"
+
+
+# ---------------------------------------------------------------------------
+# Spark side.
+
+def extract_html_text(col: Column) -> Column:
+    """Extracted plain text of one HTML string (the 6-step chain)."""
+    s = F.regexp_replace(col, RE_SCRIPT, " ")
+    s = F.regexp_replace(s, RE_STYLE, " ")
+    s = F.regexp_replace(s, RE_COMMENT, " ")
+    s = F.regexp_replace(s, RE_TAG, " ")
+    for ent, ch in ENTITY_DECODE:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(s, RE_WS, " "))
+
+
+def html_title(col: Column) -> Column:
+    """<title> payload, entity-decoded ('' when absent)."""
+    t = F.regexp_extract(col, RE_TITLE, 1)
+    for ent, ch in ENTITY_DECODE:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return t
+
+
+def with_extracted_text(
+    df: DataFrame, html_col: str = "html", out_col: str = "text"
+) -> DataFrame:
+    """Extracted text + markup-density quality signals + keep verdict.
+
+    Columns added: ``title``, ``<out_col>``, ``html_chars``,
+    ``text_chars``, ``text_ratio_permille`` (integer), ``n_links``,
+    ``n_tags``, ``html_keep``. NULL html propagates NULL text and a
+    NULL (not false) verdict — the 3VL contract every rule in
+    `functions/rules.py` follows.
+    """
+    c = F.col(html_col)
+    text = extract_html_text(c)
+    html_chars = F.length(c).cast("long")
+    text_chars = F.length(text).cast("long")
+    # Guard html_chars > 0 for the generic-operator path (an empty
+    # html string); NULL html falls through the guard to NULL, exactly
+    # like DuckDB's NULL arithmetic, so verdicts stay 3VL-consistent.
+    # floor(double) is exact here: both operands are < 2^53 integers,
+    # so IEEE division is correctly rounded and can't cross an
+    # integer boundary away from the true quotient's floor.
+    ratio = F.when(
+        html_chars > 0,
+        F.floor((text_chars * 1000).cast("double") / html_chars),
+    ).otherwise(F.lit(None)).cast("long")
+    keep = (ratio >= MIN_TEXT_RATIO_PERMILLE) & (
+        text_chars >= MIN_TEXT_CHARS
+    )
+    return df.withColumns({
+        "title": html_title(c),
+        out_col: text,
+        "html_chars": html_chars,
+        "text_chars": text_chars,
+        "text_ratio_permille": ratio,
+        "n_links": F.regexp_count(c, F.lit(RE_ANCHOR)).cast("long"),
+        "n_tags": F.regexp_count(c, F.lit(RE_ANY_TAG)).cast("long"),
+        "html_keep": keep,
+    })
+
+
+def synthesize_html(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``documents(doc_id, text, ...)`` -> ``(doc_id, html)``.
+
+    Deterministic tag soup: every page carries a title/h1 skeleton;
+    modulo-keyed arms add a script wall, a style block, a comment, an
+    entity-heavy paragraph, anchors, and (THIN_ARM) replace the body
+    with a nav stub so the density verdict discriminates. Pure
+    per-row Project — the synthesis itself runs at scan speed.
+    """
+    doc_id = F.col("doc_id")
+    body_text = F.when(
+        doc_id % THIN_ARM[0] == THIN_ARM[1], F.lit(NAV_STUB)
+    ).otherwise(F.trim(F.col(text_col)))
+
+    def arm(mod_res: tuple[int, int], lit: str) -> Column:
+        mod, res = mod_res
+        return F.when(doc_id % mod == res, F.lit(lit)).otherwise(F.lit(""))
+
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        doc_id.cast("string"),
+        F.lit(" &amp; co</title>"),
+        arm(STYLE_ARM, STYLE_BLOCK),
+        F.lit("</head><body>"),
+        arm(SCRIPT_ARM, SCRIPT_BLOCK),
+        F.when(
+            doc_id % COMMENT_ARM[0] == COMMENT_ARM[1],
+            F.concat(F.lit("<!-- page "), doc_id.cast("string"),
+                     F.lit(" rendered -->")),
+        ).otherwise(F.lit("")),
+        F.lit("<h1>Doc "),
+        doc_id.cast("string"),
+        F.lit("</h1><p>"),
+        body_text,
+        F.lit("</p>"),
+        arm(ENTITY_ARM, ENTITY_PARA),
+        arm(LINK_ARM, LINK_BLOCK),
+        F.lit("</body></html>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle side: identical expressions from the same constants.
+
+def _sq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def duckdb_html_cte(table: str = "documents") -> str:
+    """CTE ``html_pages(doc_id, html)`` — bit-identical synthesis."""
+
+    def arm_sql(mod_res: tuple[int, int], lit_sql: str) -> str:
+        mod, res = mod_res
+        return f"CASE WHEN doc_id % {mod} = {res} THEN {lit_sql} ELSE '' END"
+
+    body = (
+        f"CASE WHEN doc_id % {THIN_ARM[0]} = {THIN_ARM[1]} "
+        f"THEN '{_sq(NAV_STUB)}' ELSE trim(text) END"
+    )
+    comment = (
+        f"CASE WHEN doc_id % {COMMENT_ARM[0]} = {COMMENT_ARM[1]} "
+        f"THEN '<!-- page ' || CAST(doc_id AS VARCHAR) || ' rendered -->' "
+        f"ELSE '' END"
+    )
+    return f"""
+html_pages AS (
+    SELECT doc_id,
+        '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+        || ' &amp; co</title>'
+        || {arm_sql(STYLE_ARM, f"'{_sq(STYLE_BLOCK)}'")}
+        || '</head><body>'
+        || {arm_sql(SCRIPT_ARM, f"'{_sq(SCRIPT_BLOCK)}'")}
+        || {comment}
+        || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+        || {body}
+        || '</p>'
+        || {arm_sql(ENTITY_ARM, f"'{_sq(ENTITY_PARA)}'")}
+        || {arm_sql(LINK_ARM, f"'{_sq(LINK_BLOCK)}'")}
+        || '</body></html>' AS html
+    FROM {table}
+)"""
+
+
+def duckdb_extract_expr(col_sql: str) -> str:
+    """DuckDB expression equal to :func:`extract_html_text`."""
+    s = f"regexp_replace({col_sql}, '{RE_SCRIPT}', ' ', 'g')"
+    s = f"regexp_replace({s}, '{RE_STYLE}', ' ', 'g')"
+    s = f"regexp_replace({s}, '{RE_COMMENT}', ' ', 'g')"
+    s = f"regexp_replace({s}, '{RE_TAG}', ' ', 'g')"
+    for ent, ch in ENTITY_DECODE:
+        s = f"replace({s}, '{_sq(ent)}', '{_sq(ch)}')"
+    ws = "'[ ' || chr(9) || chr(10) || ']+'"
+    return f"trim(regexp_replace({s}, {ws}, ' ', 'g'))"
+
+
+def duckdb_title_expr(col_sql: str) -> str:
+    t = f"regexp_extract({col_sql}, '{RE_TITLE}', 1)"
+    for ent, ch in ENTITY_DECODE:
+        t = f"replace({t}, '{_sq(ent)}', '{_sq(ch)}')"
+    return t
+
+
+def duckdb_html_extract_sql(table: str = "documents") -> str:
+    """Full oracle: synthesis + extraction + signals + verdict."""
+    text = duckdb_extract_expr("html")
+    return f"""
+WITH {duckdb_html_cte(table).strip()},
+extracted AS (
+    SELECT doc_id,
+           {duckdb_title_expr('html')} AS title,
+           {text} AS text,
+           CAST(length(html) AS BIGINT) AS html_chars,
+           CAST(len(regexp_extract_all(html, '{RE_ANCHOR}')) AS BIGINT)
+               AS n_links,
+           CAST(len(regexp_extract_all(html, '{RE_ANY_TAG}')) AS BIGINT)
+               AS n_tags
+    FROM html_pages
+)
+SELECT doc_id, title, text, html_chars,
+       CAST(length(text) AS BIGINT) AS text_chars,
+       CAST(length(text) AS BIGINT) * 1000 // html_chars
+           AS text_ratio_permille,
+       n_links, n_tags,
+       (CAST(length(text) AS BIGINT) * 1000 // html_chars
+            >= {MIN_TEXT_RATIO_PERMILLE}
+        AND CAST(length(text) AS BIGINT) >= {MIN_TEXT_CHARS})
+           AS html_keep
+FROM extracted
+ORDER BY doc_id
+"""

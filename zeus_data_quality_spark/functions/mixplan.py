@@ -1,0 +1,191 @@
+"""Token-budget mixture solving — waterfilling a target source mix
+against per-source token inventories.
+
+`corpus_mix` / `temperature_mix` (functions/sampling.py,
+functions/selection.py) answer "keep WHICH rows so realized shares
+hit a target"; the question every data-mixing plan starts with is one
+level up: **given a total token budget B and target mix weights, how
+many tokens can each source actually contribute when some sources
+run out?** The classic answer is the waterfill: raise a water level
+T; each source contributes min(avail_s, w_s·T/W); sources that
+exhaust their inventory saturate and their unmet share redistributes
+to the rest — exactly how The Pile / LLaMA-style mixture tables are
+reconciled against finite source inventories before sampling starts.
+
+Integer-exact algebra (the whole plan is BIGINT arithmetic, so the
+DuckDB oracle replays it bit-identically):
+
+* ``r_s = avail_s * W DIV w_s`` — the water level at which source s
+  saturates (W = Σ weights; weights are arbitrary positive ints).
+* Sources sorted by ``(r_s, source)``; inclusive prefix sums ``A_k``
+  (avail) and ``cw_k`` (weight); ``W_k = W − cw_k``.
+* Source i is saturated iff saturating it is affordable:
+  ``A_i·W + r_i·W_i ≤ B·W`` (the integer form of
+  ``f(r_i) ≤ B`` for the piecewise-linear demand curve f).
+* Water level ``T = (B − A_sat)·W DIV W_rest`` over the saturated
+  set's totals; NULL when every source saturates (B ≥ Σ avail —
+  the plan simply takes everything).
+* ``alloc_s = avail_s`` if saturated else ``least(avail_s,
+  w_s·T DIV W)``. Flooring makes Σ alloc ≤ B always (never
+  over-budget), within |sources| tokens of the continuous optimum.
+
+Scale design: the corpus-sized work is ONE partial-aggregated
+groupBy(source) producing a |sources|-row table; every window below
+it runs on that tiny table (a single-partition unbounded window over
+dozens of rows — not a corpus shuffle). The weights ride a broadcast
+join. At 10^12 tokens the plan costs exactly one aggregate scan;
+realizing it (keeping rows until each source's allocation fills) is
+the in-window `token_budget_pack` / `source_caps` machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def token_mix_plan(
+    docs: DataFrame,
+    weights: dict[str, int],
+    budget: int,
+    source_col: str = "source",
+    tokens_col: str = "n_chars",
+) -> DataFrame:
+    """Per-source waterfill plan: ``(source, weight, avail_tokens,
+    saturated, water_level, alloc_tokens)``.
+
+    Sources absent from `weights` are excluded from the plan (weight
+    0 = not part of the mix). Weights are positive integers in any
+    scale (permille, percent, raw ratios) — only ratios matter.
+    """
+    if not weights or min(weights.values()) <= 0 or budget < 0:
+        raise ValueError("weights must be positive and budget >= 0")
+    w_total = sum(weights.values())
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        sorted(weights.items()), ["source", "weight"]
+    ).withColumn("weight", F.col("weight").cast("long"))
+
+    avail = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(F.col(tokens_col)).cast("long").alias("avail_tokens")
+    )
+    r_num = F.col("avail_tokens") * w_total
+    base = avail.join(F.broadcast(wdf), "source").withColumn(
+        "r_sat",
+        ((r_num - r_num % F.col("weight")) / F.col("weight")).cast("long"),
+    )
+
+    # |sources|-row table from here on: unbounded single-partition
+    # windows are intentional and cheap.
+    order = Window.orderBy("r_sat", "source")
+    cum = order.rowsBetween(Window.unboundedPreceding, 0)
+    everything = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    b = F.lit(int(budget)).cast("long")
+    wt = F.lit(int(w_total)).cast("long")
+    staged = (
+        base
+        .withColumn("__a", F.sum("avail_tokens").over(cum).cast("long"))
+        .withColumn("__cw", F.sum("weight").over(cum).cast("long"))
+        .withColumn("__wrest", (wt - F.col("__cw")).cast("long"))
+        .withColumn(
+            "saturated",
+            F.col("__a") * wt + F.col("r_sat") * F.col("__wrest")
+            <= b * wt,
+        )
+    )
+    sat_a = F.coalesce(
+        F.max(F.when(F.col("saturated"), F.col("__a"))).over(everything),
+        F.lit(0).cast("long"),
+    )
+    sat_wrest = F.coalesce(
+        F.min(F.when(F.col("saturated"), F.col("__wrest"))).over(everything),
+        wt,
+    )
+    # Exact integer division via the mod trick (numerators are
+    # non-negative by the saturation condition): the double quotient
+    # of an exactly-divisible pair < 2^53 is an exact integer, so
+    # floor drift is impossible at any budget scale.
+    lvl_num = (b - sat_a) * wt
+    level = F.when(
+        sat_wrest > 0,
+        ((lvl_num - lvl_num % sat_wrest) / sat_wrest).cast("long"),
+    )  # NULL when every source saturated (B >= total inventory)
+    alloc_num = F.col("weight") * F.col("water_level")
+    planned = staged.withColumn("water_level", level).withColumn(
+        "alloc_tokens",
+        F.when(F.col("saturated"), F.col("avail_tokens"))
+        .otherwise(
+            F.least(
+                F.col("avail_tokens"),
+                ((alloc_num - alloc_num % wt) / wt).cast("long"),
+            )
+        ).cast("long"),
+    )
+    return planned.select(
+        "source", "weight", "avail_tokens", "saturated",
+        "water_level", "alloc_tokens",
+    )
+
+
+def duckdb_token_mix_plan_sql(
+    weights: dict[str, int],
+    budget: int,
+    table: str = "documents",
+    source_col: str = "source",
+    tokens_col: str = "n_chars",
+) -> str:
+    """Full SQL replay of :func:`token_mix_plan` (same integer algebra)."""
+    w_total = sum(weights.values())
+    values = ", ".join(
+        f"('{s}', {w})" for s, w in sorted(weights.items())
+    )
+    return f"""
+WITH wts(source, weight) AS (VALUES {values}),
+avail AS (
+    SELECT {source_col} AS source,
+           CAST(SUM({tokens_col}) AS BIGINT) AS avail_tokens
+    FROM {table} GROUP BY 1
+),
+base AS (
+    SELECT a.source, CAST(w.weight AS BIGINT) AS weight, a.avail_tokens,
+           CAST(a.avail_tokens * {w_total} // w.weight AS BIGINT) AS r_sat
+    FROM avail a JOIN wts w USING (source)
+),
+staged AS (
+    SELECT *,
+        CAST(SUM(avail_tokens) OVER ord AS BIGINT) AS a_cum,
+        CAST({w_total} - SUM(weight) OVER ord AS BIGINT) AS w_rest
+    FROM base
+    WINDOW ord AS (ORDER BY r_sat, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+flagged AS (
+    SELECT *,
+        a_cum * {w_total} + r_sat * w_rest <= {budget}::BIGINT * {w_total}
+            AS saturated
+    FROM staged
+),
+leveled AS (
+    SELECT *,
+        COALESCE(MAX(CASE WHEN saturated THEN a_cum END) OVER (), 0)
+            AS sat_a,
+        COALESCE(MIN(CASE WHEN saturated THEN w_rest END) OVER (),
+                 {w_total}) AS sat_wrest
+    FROM flagged
+)
+SELECT source, weight, avail_tokens, saturated,
+    CASE WHEN sat_wrest > 0
+         THEN CAST(({budget}::BIGINT - sat_a) * {w_total} // sat_wrest
+                   AS BIGINT)
+    END AS water_level,
+    CAST(CASE WHEN saturated THEN avail_tokens
+         ELSE LEAST(avail_tokens,
+                    weight * (CASE WHEN sat_wrest > 0
+                              THEN ({budget}::BIGINT - sat_a) * {w_total}
+                                   // sat_wrest END) // {w_total})
+    END AS BIGINT) AS alloc_tokens
+FROM leveled
+ORDER BY source
+"""

@@ -1,0 +1,247 @@
+"""URL parsing, domain blocklists, and per-domain corpus stats — the
+RefinedWeb-style URL filtering tier, as pure Column algebra.
+
+Web corpora are filtered by WHERE a document came from before any
+content signal is computed: adult/ads/malware domain blocklists,
+per-domain contribution stats (one domain dominating a crawl is a
+quality and diversity defect), and scheme/port hygiene. RefinedWeb
+(Penedo et al. 2023) and C4 both run a URL tier first — it is the
+cheapest filter in the pipeline (no text scan at all). The reference
+has no engine (it emits Snowflake SQL from a Streamlit app), so this
+is a north-rule extension like `functions/htmlextract.py`, which it
+precedes: block the domain, skip the extraction.
+
+Engine-exactness design:
+
+* One host/arm table below drives BOTH the Spark synthesis of a
+  deterministic ``url`` column over ``documents`` and the DuckDB CTE
+  deriving the bit-identical corpus.
+* URL parts are extracted with ASCII-only regexes that mean the same
+  thing in Java regex and RE2 (character classes + anchored groups —
+  no lookarounds, no backreferences).
+* The registered domain is the last two dot-labels of the host — the
+  standard public-suffix approximation when no PSL table is shipped
+  (documented; a real deployment broadcast-joins the PSL exactly like
+  the blocklist here).
+* Ports are extracted as strings and NULLIF('')-cast so absent ports
+  are NULL in both engines (DuckDB CAST('') errors; Spark returns
+  NULL — NULLIF makes both take the same path).
+
+Scale design: parsing is a per-row Project (scan speed at 10^12
+rows). The blocklist is a BROADCAST left-semi/anti join — blocklists
+are thousands of rows against 10^9+ documents, the canonical
+broadcast shape; `flag_blocked` never shuffles the corpus. Per-domain
+stats are one partial-aggregated groupBy on the (small-cardinality)
+registered domain; a mega-domain (half the crawl from one host) is
+exactly the skew `operators/skewreport.py` diagnoses and AQE's skew
+split handles — the aggregate itself is two integers per domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Shared constants.
+
+HOSTS: tuple[str, ...] = (
+    "en.wikipedia.org",
+    "github.com",
+    "ads.tracker.net",
+    "blog.example.com",
+    "docs.python.org",
+    "spam.casino.biz",
+    "news.site.org",
+    "www.example.com",
+)
+# Registered domains blocked by policy (ads + spam arms above).
+BLOCKED_DOMAINS: tuple[str, ...] = ("tracker.net", "casino.biz")
+
+HTTP_ARM = (13, 4)    # plain-http scheme
+PORT_ARM = (17, 9)    # explicit :8080 port
+QUERY_ARM = (3, 1)    # tracking query string
+FRAG_ARM = (19, 6)    # #top fragment (must never leak into path)
+
+# Portable part regexes.
+RE_SCHEME = "^([a-z]+)://"
+RE_HOST = "^[a-z]+://([^/:?#]+)"
+RE_PORT = "^[a-z]+://[^/:?#]+:([0-9]+)"
+RE_PATH = "^[a-z]+://[^/?#]*(/[^?#]*)"
+RE_REG_DOMAIN = "([^.]+[.][^.]+)$"
+RE_HAS_QUERY = "[?]"
+
+
+# ---------------------------------------------------------------------------
+# Spark side.
+
+def synthesize_urls(docs: DataFrame) -> DataFrame:
+    """``documents(doc_id, ...)`` -> ``(doc_id, url, n_chars)``.
+
+    Deterministic URL per document: host by ``doc_id % len(HOSTS)``,
+    scheme/port/query/fragment by co-prime modulo arms. Pure Project.
+    """
+    doc_id = F.col("doc_id")
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in HOSTS]),
+        (doc_id % len(HOSTS)).cast("int") + 1,
+    )
+    scheme = F.when(
+        doc_id % HTTP_ARM[0] == HTTP_ARM[1], F.lit("http")
+    ).otherwise(F.lit("https"))
+    port = F.when(
+        doc_id % PORT_ARM[0] == PORT_ARM[1], F.lit(":8080")
+    ).otherwise(F.lit(""))
+    query = F.when(
+        doc_id % QUERY_ARM[0] == QUERY_ARM[1],
+        F.concat(F.lit("?utm_source=feed&ref="),
+                 (doc_id % 7).cast("string")),
+    ).otherwise(F.lit(""))
+    frag = F.when(
+        doc_id % FRAG_ARM[0] == FRAG_ARM[1], F.lit("#top")
+    ).otherwise(F.lit(""))
+    url = F.concat(
+        scheme, F.lit("://"), host, port,
+        F.lit("/p/"), doc_id.cast("string"), query, frag,
+    )
+    return docs.select("doc_id", url.alias("url"), "n_chars")
+
+
+def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds ``scheme``, ``host``, ``port`` (nullable long),
+    ``reg_domain``, ``path``, ``has_query``."""
+    c = F.col(url_col)
+    host = F.regexp_extract(c, RE_HOST, 1)
+    return df.withColumns({
+        "scheme": F.regexp_extract(c, RE_SCHEME, 1),
+        "host": host,
+        "port": F.nullif(
+            F.regexp_extract(c, RE_PORT, 1), F.lit("")
+        ).cast("long"),
+        "reg_domain": F.regexp_extract(host, RE_REG_DOMAIN, 1),
+        "path": F.regexp_extract(c, RE_PATH, 1),
+        "has_query": F.regexp_count(c, F.lit(RE_HAS_QUERY)) > 0,
+    })
+
+
+def flag_blocked(parts: DataFrame, blocklist: DataFrame) -> DataFrame:
+    """Adds ``blocked`` via a BROADCAST left join on ``reg_domain``.
+
+    `blocklist` is a 1-column DataFrame ``(reg_domain)`` — thousands
+    of rows at most, so the join never shuffles the corpus side.
+    """
+    hits = F.broadcast(
+        blocklist.select(F.col("reg_domain").alias("__bl_domain"))
+        .distinct()
+        .withColumn("__blocked", F.lit(True))
+    )
+    out = parts.join(
+        hits, parts["reg_domain"] == hits["__bl_domain"], "left"
+    )
+    return out.drop("__bl_domain").withColumn(
+        "blocked", F.coalesce(F.col("__blocked"), F.lit(False))
+    ).drop("__blocked")
+
+
+def url_filter(docs: DataFrame, blocklist: DataFrame,
+               url_col: str = "url") -> DataFrame:
+    """Per-document URL verdict table: parts + ``blocked``."""
+    return flag_blocked(with_url_parts(docs, url_col), blocklist)
+
+
+def domain_stats(parts_with_blocked: DataFrame,
+                 chars_col: str = "n_chars") -> DataFrame:
+    """Per-registered-domain corpus contribution: docs, chars, http
+    share, blocked. One partial-aggregated groupBy on a
+    small-cardinality key."""
+    return parts_with_blocked.groupBy("reg_domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col(chars_col)).cast("long").alias("sum_chars"),
+        F.sum(
+            F.when(F.col("scheme") == "http", 1).otherwise(0)
+        ).cast("long").alias("n_http"),
+        F.max("blocked").alias("blocked"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle side.
+
+def duckdb_urls_cte(table: str = "documents") -> str:
+    """CTE ``urls(doc_id, url, n_chars)`` — bit-identical synthesis."""
+    host_arms = " ".join(
+        f"WHEN doc_id % {len(HOSTS)} = {i} THEN '{h}'"
+        for i, h in enumerate(HOSTS)
+    )
+    return f"""
+urls AS (
+    SELECT doc_id,
+        (CASE WHEN doc_id % {HTTP_ARM[0]} = {HTTP_ARM[1]}
+              THEN 'http' ELSE 'https' END)
+        || '://'
+        || (CASE {host_arms} END)
+        || (CASE WHEN doc_id % {PORT_ARM[0]} = {PORT_ARM[1]}
+                 THEN ':8080' ELSE '' END)
+        || '/p/' || CAST(doc_id AS VARCHAR)
+        || (CASE WHEN doc_id % {QUERY_ARM[0]} = {QUERY_ARM[1]}
+                 THEN '?utm_source=feed&ref=' || CAST(doc_id % 7 AS VARCHAR)
+                 ELSE '' END)
+        || (CASE WHEN doc_id % {FRAG_ARM[0]} = {FRAG_ARM[1]}
+                 THEN '#top' ELSE '' END) AS url,
+        n_chars
+    FROM {table}
+)"""
+
+
+def duckdb_url_parts_select(url_sql: str = "url") -> str:
+    """SELECT-list fragment with the identical part extraction."""
+    host = f"regexp_extract({url_sql}, '{RE_HOST}', 1)"
+    return f"""
+        regexp_extract({url_sql}, '{RE_SCHEME}', 1) AS scheme,
+        {host} AS host,
+        CAST(NULLIF(regexp_extract({url_sql}, '{RE_PORT}', 1), '')
+             AS BIGINT) AS port,
+        regexp_extract({host}, '{RE_REG_DOMAIN}', 1) AS reg_domain,
+        regexp_extract({url_sql}, '{RE_PATH}', 1) AS path,
+        len(regexp_extract_all({url_sql}, '{RE_HAS_QUERY}')) > 0
+            AS has_query"""
+
+
+def duckdb_blocked_expr() -> str:
+    doms = ", ".join(f"'{d}'" for d in BLOCKED_DOMAINS)
+    return f"reg_domain IN ({doms})"
+
+
+def duckdb_url_filter_sql(table: str = "documents") -> str:
+    """Full oracle for :func:`url_filter` over the synthesized urls."""
+    return f"""
+WITH {duckdb_urls_cte(table).strip()},
+parts AS (
+    SELECT doc_id, url, n_chars, {duckdb_url_parts_select()}
+    FROM urls
+)
+SELECT doc_id, url, n_chars, scheme, host, port, reg_domain, path,
+       has_query, {duckdb_blocked_expr()} AS blocked
+FROM parts
+ORDER BY doc_id
+"""
+
+
+def duckdb_domain_stats_sql(table: str = "documents") -> str:
+    """Full oracle for :func:`domain_stats`."""
+    return f"""
+WITH {duckdb_urls_cte(table).strip()},
+parts AS (
+    SELECT doc_id, n_chars, {duckdb_url_parts_select()}
+    FROM urls
+)
+SELECT reg_domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(CASE WHEN scheme = 'http' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_http,
+       MAX({duckdb_blocked_expr()}) AS blocked
+FROM parts
+GROUP BY reg_domain
+ORDER BY reg_domain
+"""

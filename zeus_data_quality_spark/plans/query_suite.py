@@ -1707,6 +1707,95 @@ def _oracle_line_dedup() -> str:
     return _oracle_pages(duckdb_line_dedup_sql("pages", "page_id"))
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (functions/htmlextract.py): the
+    WET-style ingest front door. Deterministic tag soup synthesized
+    over documents (script/style/comment/entity/link/thin-body arms),
+    then the 6-step strip-and-decode chain plus the markup-density
+    keep verdict — all per-row Column algebra inside whole-stage
+    codegen, no shuffle anywhere."""
+    from ..functions.htmlextract import synthesize_html, with_extracted_text
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_extracted_text(synthesize_html(docs)).select(
+        "doc_id", "title", "text", "html_chars", "text_chars",
+        "text_ratio_permille", "n_links", "n_tags", "html_keep",
+    )
+
+
+def _oracle_html_extract() -> str:
+    from ..functions.htmlextract import duckdb_html_extract_sql
+
+    return duckdb_html_extract_sql("documents")
+
+
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style URL tier (functions/urls.py): deterministic
+    url synthesis over documents, relational scheme/host/port/
+    registered-domain/path parsing, and the domain blocklist verdict
+    via a BROADCAST join (blocklist rows never shuffle the corpus)."""
+    from ..functions.urls import (BLOCKED_DOMAINS, synthesize_urls,
+                                  url_filter)
+
+    docs = _read(spark, sf_dir, "documents")
+    blocklist = spark.createDataFrame(
+        [(d,) for d in BLOCKED_DOMAINS], ["reg_domain"]
+    )
+    return url_filter(synthesize_urls(docs), blocklist)
+
+
+def _oracle_url_filter() -> str:
+    from ..functions.urls import duckdb_url_filter_sql
+
+    return duckdb_url_filter_sql("documents")
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain corpus contribution stats (docs, chars,
+    http share, blocked) — one partial-aggregated groupBy over the
+    in-window url_filter's parts (functions/urls.py)."""
+    from ..functions.urls import (BLOCKED_DOMAINS, domain_stats,
+                                  synthesize_urls, url_filter)
+
+    docs = _read(spark, sf_dir, "documents")
+    blocklist = spark.createDataFrame(
+        [(d,) for d in BLOCKED_DOMAINS], ["reg_domain"]
+    )
+    return domain_stats(url_filter(synthesize_urls(docs), blocklist))
+
+
+def _oracle_domain_stats() -> str:
+    from ..functions.urls import duckdb_domain_stats_sql
+
+    return duckdb_domain_stats_sql("documents")
+
+
+# Token-mix waterfill parameters: weights keyed on the source suffix
+# (src0 -> 1 ... src19 -> 20) so demand spans a 20x range and the
+# budget saturates the high-weight / low-inventory sources.
+MIXPLAN_WEIGHTS = {f"src{i}": i + 1 for i in range(20)}
+MIXPLAN_BUDGET = 100_000
+
+
+def q_token_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture waterfill (functions/mixplan.py): given a
+    corpus token budget and target source weights, the integer-exact
+    per-source allocation with saturation redistribution — one
+    corpus aggregate, then |sources|-row window algebra."""
+    from ..functions.mixplan import token_mix_plan
+
+    docs = _read(spark, sf_dir, "documents")
+    return token_mix_plan(docs, MIXPLAN_WEIGHTS, MIXPLAN_BUDGET)
+
+
+def _oracle_token_mix_plan() -> str:
+    from ..functions.mixplan import duckdb_token_mix_plan_sql
+
+    return duckdb_token_mix_plan_sql(
+        MIXPLAN_WEIGHTS, MIXPLAN_BUDGET, "documents"
+    )
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition rules (Rae et al. 2021) over the synthesized
     page corpus (``sources/pages.py``): duplicate line/paragraph
@@ -3520,19 +3609,32 @@ def queries():
         "text_stats": q_text_stats,
         "decontaminate": q_decontaminate,
         "doc_fingerprints": q_doc_fingerprints,
-        "document_quality_filter": q_document_quality_filter,
+        # r5y rotation: three NEW web-pipeline front-door families
+        # promoted — html_extract (WET-style HTML -> text extraction
+        # + markup-density verdict), url_filter (RefinedWeb URL tier:
+        # relational part parsing + broadcast domain blocklist), and
+        # token_mix_plan (integer-exact waterfill of a token budget
+        # against per-source inventories). Evicted family-duplicates,
+        # all keeping full oracles in the tail:
+        # `document_quality_filter` — a composite demo of in-window
+        # primitives (text_stats gates + exact-dup + length bounds;
+        # its oracle is a strict subset of machinery the window
+        # already adjudicates via text_stats + dedup_exact);
+        # `simhash` — the 64-bit signature Column algebra; the
+        # near-dup verdict surface stays in-window via
+        # minhash_dedup_labels + semantic_dedup, and simhash's own
+        # oracle (md5 parity mode) remains in the tail;
+        # `ann_recall_eval` — its two surfaces both stay in-window
+        # strictly inside ann_ivf_from_text (the same quantizer ->
+        # probe -> exact-rank chain, oracle-replayed end-to-end) and
+        # hybrid_retrieval's dense branch (exact cosine top-k).
+        "html_extract": q_html_extract,
+        "url_filter": q_url_filter,
+        "token_mix_plan": q_token_mix_plan,
         "column_profile": q_column_profile,
         "value_drift": q_value_drift,
-        # r5j: in-engine ANN recall evaluation — the tuning loop. Its
-        # oracle is a strict SUPERSET of ann_ivf_probe's (full Lloyd +
-        # probe replay, plus the exact brute-force rank, plus the
-        # set-intersection recall), so the probe row rotates to the
-        # tail with its oracle intact and the ann family's in-window
-        # coverage strictly grows.
-        "ann_recall_eval": q_ann_recall_eval,
         "minhash_dedup_labels": q_minhash_dedup_labels,
         "semantic_dedup": q_semantic_dedup,
-        "simhash": q_simhash,
         "langid": q_langid,
         # r5l: tool-call JSON payload hygiene (functions/tooljson.py)
         # — the new tool_hygiene family; evicted `monitor_topk` (the
@@ -3650,6 +3752,15 @@ def queries():
         # r5f: incremental ingest dedup vs a persisted signature index
         "incremental_dedup": q_incremental_dedup,
         # ---- tail: engine twins / derivative aggregates (see above) ----
+        # r5y rotation (see the html_extract block above): all three
+        # evicted rows keep their full oracles here, and domain_stats
+        # is the derivative per-domain aggregate of the in-window
+        # url_filter's parts (same synthesis + parsing CTE, one
+        # GROUP BY on top).
+        "document_quality_filter": q_document_quality_filter,
+        "simhash": q_simhash,
+        "ann_recall_eval": q_ann_recall_eval,
+        "domain_stats": q_domain_stats,
         # r5d rotation: the static broadcast-table bigram scorer rotates
         # to the tail; the perplexity family keeps perplexity_trained
         # (corpus-trained bigram join) and perplexity_kn (KN trigram)
@@ -3868,6 +3979,12 @@ def oracle_sql():
         "tpch_q1": ORACLE_TPCH_Q1,
         "tpch_q3": ORACLE_TPCH_Q3,
         "gopher_repetition": _oracle_gopher_repetition(),
+        # r5y: HTML front door, URL tier, token-mix waterfill (+ the
+        # domain_stats derivative aggregate in the tail).
+        "html_extract": _oracle_html_extract(),
+        "url_filter": _oracle_url_filter(),
+        "token_mix_plan": _oracle_token_mix_plan(),
+        "domain_stats": _oracle_domain_stats(),
         "c4_line_filter": _oracle_c4_line_filter(),
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "conversation_dedup": oracle_with_transcripts(ORACLE_CONV_DEDUP),
