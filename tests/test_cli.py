@@ -1182,3 +1182,39 @@ def test_cli_tokenize_unigram(spark, sf_dir, tmp_path):
     # counts and ids agree doc-by-doc (same segmentation both paths)
     joined = counts.join(ids, "doc_id")
     assert joined.filter("n_unigram_tokens != n_ids").count() == 0
+
+
+def test_cli_web_stage(spark, sf_dir, tmp_path):
+    """The r5y web front-door stage end-to-end: synthesized html+url
+    corpus → custom blocklist → extraction → density gate, with the
+    funnel JSON internally consistent and every tier proven to have
+    fired on the output."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+
+    blf = tmp_path / "blocked.txt"
+    blf.write_text("tracker.net\ncasino.biz\nexample.com\n")
+
+    out = _cli(
+        "web", "--input", inp, "--output", str(tmp_path / "web"),
+        "--synthesize", "--blocklist", str(blf),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    s = json.loads(out.stdout.strip().splitlines()[-1])
+    assert s["rows_in"] == docs.count()
+    assert s["blocklist_size"] == 3
+    assert 0 < s["blocked"] < s["rows_in"]
+    assert s["extracted"] == s["rows_in"] - s["blocked"]
+    assert s["kept"] + s["dropped_low_density"] == s["extracted"]
+    assert 0 < s["kept"] < s["extracted"]
+    assert 0 < s["kept_text_chars"] < s["html_chars"]
+
+    res = spark.read.parquet(str(tmp_path / "web"))
+    assert res.count() == s["kept"]
+    assert "html" not in res.columns and "html_keep" not in res.columns
+    doms = {r["reg_domain"] for r in res.select("reg_domain").distinct().collect()}
+    assert doms.isdisjoint({"tracker.net", "casino.biz", "example.com"})
+    one = res.orderBy("doc_id").first()
+    assert one["text"] and "<" not in one["text"]
+    assert one["title"].startswith("Doc ")

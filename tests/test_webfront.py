@@ -214,3 +214,107 @@ def test_waterfill_rejects_bad_inputs(spark):
         token_mix_plan(docs, {"a": 0}, 10)
     with pytest.raises(ValueError):
         token_mix_plan(docs, {"a": 1}, -1)
+
+
+# ---------------------------------------------------------------------------
+# Streaming web gate (stream ≡ batch)
+
+
+def test_streaming_web_gate_matches_batch(spark, sf_dir, tmp_path):
+    """The front-door tiers on a live feed must reach byte-identical
+    verdicts/text to the batch path: same URL parts, same blocked
+    flag (broadcast stream-static join), same extracted text and
+    density verdict."""
+    from zeus_data_quality_spark.functions.htmlextract import (
+        with_extracted_text as batch_extract,
+    )
+    from zeus_data_quality_spark.functions.urls import (
+        flag_blocked, with_url_parts,
+    )
+    from zeus_data_quality_spark.streaming.web_gate import (
+        streaming_web_gate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = synthesize_html(
+        synthesize_urls(docs, keep_cols=("text",)), keep_cols=("url",)
+    ).limit(300)
+    src = str(tmp_path / "feed")
+    base.write.parquet(src)
+
+    bl = spark.createDataFrame(
+        [(d,) for d in BLOCKED_DOMAINS], ["reg_domain"]
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, html string, url string")
+        .parquet(src)
+    )
+    q = (
+        streaming_web_gate(stream, bl)
+        .writeStream.format("memory")
+        .queryName("web_gate_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: r
+        for r in spark.sql(
+            "SELECT doc_id, reg_domain, blocked, text, html_keep, "
+            "web_keep FROM web_gate_stream"
+        ).collect()
+    }
+    batch = batch_extract(
+        flag_blocked(with_url_parts(base, "url"), bl), "html",
+        out_col="text2",
+    ).withColumn(
+        "web_keep", (~F.col("blocked")) & F.col("html_keep")
+    )
+    want = {r["doc_id"]: r for r in batch.collect()}
+    assert set(got) == set(want) and len(got) == 300
+    for k, w in want.items():
+        g = got[k]
+        assert g["blocked"] == w["blocked"]
+        assert g["reg_domain"] == w["reg_domain"]
+        assert g["text"] == w["text2"]
+        assert g["html_keep"] == w["html_keep"]
+        assert g["web_keep"] == w["web_keep"]
+    assert any(r["blocked"] for r in want.values())
+    assert any(not r["html_keep"] for r in want.values())
+
+
+def test_streaming_web_gate_keep_only_and_no_url(spark, tmp_path):
+    """keep_only filters to survivors; a feed without a url column
+    skips the URL tier (blocked=false everywhere)."""
+    from zeus_data_quality_spark.streaming.web_gate import (
+        streaming_web_gate,
+    )
+
+    rows = [
+        (1, "<html><head><title>t</title></head><body><p>"
+            + "real content here " * 8 + "</p></body></html>"),
+        (2, "<html><body><a href='/'>x</a></body></html>"),
+    ]
+    src = str(tmp_path / "feed2")
+    spark.createDataFrame(rows, "doc_id bigint, html string").write.parquet(
+        src
+    )
+    stream = spark.readStream.schema("doc_id bigint, html string").parquet(
+        src
+    )
+    q = (
+        streaming_web_gate(stream, keep_only=True)
+        .writeStream.format("memory")
+        .queryName("web_gate_keep")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT doc_id, blocked, web_keep FROM web_gate_keep"
+    ).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    assert not out[0]["blocked"] and out[0]["web_keep"]

@@ -929,6 +929,82 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_web(args) -> int:
+    """Web front-door stage: URL blocklist tier → HTML → text
+    extraction → markup-density gate, in that order (blocked domains
+    never pay for a single extraction regex — the URL tier reads no
+    HTML at all). Input is a parquet with ``(id, html[, url])``
+    columns, or ``--synthesize`` derives the deterministic html + url
+    corpus from a documents-shaped table (the bench/test path — same
+    arms the oracle replays). Writes the kept extracted corpus
+    (id, url parts, title, text, density signals); per-tier funnel as
+    summary JSON to stdout.
+
+    Scale shape (SCALE.md r5y): URL parsing and extraction are per-row
+    Projects; the blocklist is a broadcast join; the only aggregates
+    are the funnel summaries. The corpus never shuffles.
+    """
+    from .functions.htmlextract import synthesize_html, with_extracted_text
+    from .functions.urls import (BLOCKED_DOMAINS, flag_blocked,
+                                 synthesize_urls, with_url_parts)
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+
+    if args.synthesize:
+        # join-free composition: urls keep text, html keeps url
+        base = synthesize_html(
+            synthesize_urls(df, keep_cols=(args.text_col,)),
+            text_col=args.text_col, keep_cols=("url",),
+        )
+    else:
+        base = df
+
+    summary: dict[str, int] = {}
+    if "url" in base.columns:
+        if args.blocklist:
+            with open(args.blocklist) as fh:
+                doms = [ln.strip() for ln in fh if ln.strip()]
+        else:
+            doms = list(BLOCKED_DOMAINS)
+        bl = spark.createDataFrame([(d,) for d in doms], ["reg_domain"])
+        parts = flag_blocked(with_url_parts(base, "url"), bl)
+        uagg = parts.agg(
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(F.col("blocked").cast("long")).alias("blocked"),
+        ).first()
+        summary["rows_in"] = int(uagg["rows_in"] or 0)
+        summary["blocked"] = int(uagg["blocked"] or 0)
+        summary["blocklist_size"] = len(set(doms))
+        survivors = parts.filter(~F.col("blocked")).drop("blocked")
+    else:
+        summary["rows_in"] = base.count()
+        summary["blocked"] = 0
+        survivors = base
+
+    ext = with_extracted_text(
+        survivors, args.html_col, out_col=args.text_col,
+        min_ratio_permille=args.min_ratio, min_text_chars=args.min_chars,
+    )
+    kept = ext.filter(F.col("html_keep")).drop("html_keep", args.html_col)
+    kept.write.mode("overwrite").parquet(args.output)
+
+    eagg = ext.agg(
+        F.count(F.lit(1)).alias("extracted"),
+        F.sum(F.col("html_keep").cast("long")).alias("kept"),
+        F.sum("html_chars").alias("html_chars"),
+        F.sum(F.when(F.col("html_keep"), F.col("text_chars"))
+              .otherwise(F.lit(0))).alias("kept_text_chars"),
+    ).first()
+    summary["extracted"] = int(eagg["extracted"] or 0)
+    summary["kept"] = int(eagg["kept"] or 0)
+    summary["dropped_low_density"] = summary["extracted"] - summary["kept"]
+    summary["html_chars"] = int(eagg["html_chars"] or 0)
+    summary["kept_text_chars"] = int(eagg["kept_text_chars"] or 0)
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_decontam(args) -> int:
     """Benchmark-decontamination stage: flag (and optionally drop)
     training documents that overlap the eval suite, as one
@@ -1708,6 +1784,31 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--id-col", default="doc_id")
     cl.add_argument("--min-count", type=int, default=2)
     cl.set_defaults(fn=cmd_clean)
+
+    from .functions.htmlextract import (MIN_TEXT_CHARS,
+                                        MIN_TEXT_RATIO_PERMILLE)
+
+    wb = sub.add_parser(
+        "web",
+        help="web front door: URL blocklist → HTML extraction → "
+        "markup-density gate",
+    )
+    wb.add_argument("--input", required=True)
+    wb.add_argument("--output", required=True)
+    wb.add_argument("--html-col", default="html")
+    wb.add_argument("--text-col", default="text")
+    wb.add_argument(
+        "--blocklist", default=None,
+        help="newline-separated registered domains (default: built-in)",
+    )
+    wb.add_argument(
+        "--synthesize", action="store_true",
+        help="derive deterministic html+url from a documents corpus "
+        "(bench/test path)",
+    )
+    wb.add_argument("--min-ratio", type=int, default=MIN_TEXT_RATIO_PERMILLE)
+    wb.add_argument("--min-chars", type=int, default=MIN_TEXT_CHARS)
+    wb.set_defaults(fn=cmd_web)
 
     dc = sub.add_parser(
         "decontam",

@@ -131,7 +131,9 @@ def html_title(col: Column) -> Column:
 
 
 def with_extracted_text(
-    df: DataFrame, html_col: str = "html", out_col: str = "text"
+    df: DataFrame, html_col: str = "html", out_col: str = "text",
+    min_ratio_permille: int = MIN_TEXT_RATIO_PERMILLE,
+    min_text_chars: int = MIN_TEXT_CHARS,
 ) -> DataFrame:
     """Extracted text + markup-density quality signals + keep verdict.
 
@@ -139,7 +141,9 @@ def with_extracted_text(
     ``text_chars``, ``text_ratio_permille`` (integer), ``n_links``,
     ``n_tags``, ``html_keep``. NULL html propagates NULL text and a
     NULL (not false) verdict — the 3VL contract every rule in
-    `functions/rules.py` follows.
+    `functions/rules.py` follows. The verdict thresholds default to
+    the module constants (the oracle-pinned operating point) and are
+    parametric for deployments tuning their own density floor.
     """
     c = F.col(html_col)
     text = extract_html_text(c)
@@ -155,8 +159,8 @@ def with_extracted_text(
         html_chars > 0,
         F.floor((text_chars * 1000).cast("double") / html_chars),
     ).otherwise(F.lit(None)).cast("long")
-    keep = (ratio >= MIN_TEXT_RATIO_PERMILLE) & (
-        text_chars >= MIN_TEXT_CHARS
+    keep = (ratio >= int(min_ratio_permille)) & (
+        text_chars >= int(min_text_chars)
     )
     return df.withColumns({
         "title": html_title(c),
@@ -170,14 +174,19 @@ def with_extracted_text(
     })
 
 
-def synthesize_html(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """``documents(doc_id, text, ...)`` -> ``(doc_id, html)``.
+def synthesize_html(
+    docs: DataFrame, text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """``documents(doc_id, text, ...)`` -> ``(doc_id, html, *keep_cols)``.
 
     Deterministic tag soup: every page carries a title/h1 skeleton;
     modulo-keyed arms add a script wall, a style block, a comment, an
     entity-heavy paragraph, anchors, and (THIN_ARM) replace the body
     with a nav stub so the density verdict discriminates. Pure
     per-row Project — the synthesis itself runs at scan speed.
+    `keep_cols` passes extra input columns through (the CLI composes
+    url + html synthesis join-free this way).
     """
     doc_id = F.col("doc_id")
     body_text = F.when(
@@ -209,7 +218,7 @@ def synthesize_html(docs: DataFrame, text_col: str = "text") -> DataFrame:
         arm(LINK_ARM, LINK_BLOCK),
         F.lit("</body></html>"),
     )
-    return docs.select("doc_id", html.alias("html"))
+    return docs.select("doc_id", html.alias("html"), *keep_cols)
 
 
 # ---------------------------------------------------------------------------

@@ -75,11 +75,16 @@ RE_HAS_QUERY = "[?]"
 # ---------------------------------------------------------------------------
 # Spark side.
 
-def synthesize_urls(docs: DataFrame) -> DataFrame:
-    """``documents(doc_id, ...)`` -> ``(doc_id, url, n_chars)``.
+def synthesize_urls(
+    docs: DataFrame, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """``documents(doc_id, ...)`` -> ``(doc_id, url, n_chars,
+    *keep_cols)``.
 
     Deterministic URL per document: host by ``doc_id % len(HOSTS)``,
     scheme/port/query/fragment by co-prime modulo arms. Pure Project.
+    `keep_cols` passes extra input columns through (the CLI composes
+    url + html synthesis join-free this way).
     """
     doc_id = F.col("doc_id")
     host = F.element_at(
@@ -104,7 +109,7 @@ def synthesize_urls(docs: DataFrame) -> DataFrame:
         scheme, F.lit("://"), host, port,
         F.lit("/p/"), doc_id.cast("string"), query, frag,
     )
-    return docs.select("doc_id", url.alias("url"), "n_chars")
+    return docs.select("doc_id", url.alias("url"), "n_chars", *keep_cols)
 
 
 def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:

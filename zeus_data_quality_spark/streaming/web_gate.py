@@ -1,0 +1,63 @@
+"""Streaming web front-door gate — URL blocklist + HTML extraction +
+markup-density verdict on a live crawl feed.
+
+Both tiers are stateless per-row transforms (functions/urls.py parses
+with portable regexes; functions/htmlextract.py is a 6-step
+regexp/replace chain), so they stream in append mode with no
+watermark or state, exactly like the hygiene and entropy gates. The
+one non-Project piece — the domain blocklist — is a BROADCAST
+stream-static join (static side = the blocklist DataFrame), which
+Structured Streaming supports natively in append mode: each
+micro-batch joins against the broadcast table, the stream side never
+shuffles.
+
+Deployment order mirrors the batch `web` CLI stage: the URL tier runs
+FIRST (it never reads the HTML payload), so blocked domains drop
+before the extraction chain spends a single regex on them.
+
+Stream ≡ batch is pinned in tests/test_webfront.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.htmlextract import (
+    MIN_TEXT_CHARS,
+    MIN_TEXT_RATIO_PERMILLE,
+    with_extracted_text,
+)
+from ..functions.urls import flag_blocked, with_url_parts
+
+
+def streaming_web_gate(
+    stream: DataFrame,
+    blocklist: DataFrame | None = None,
+    html_col: str = "html",
+    url_col: str = "url",
+    out_col: str = "text",
+    min_ratio_permille: int = MIN_TEXT_RATIO_PERMILLE,
+    min_text_chars: int = MIN_TEXT_CHARS,
+    keep_only: bool = False,
+) -> DataFrame:
+    """Label (and optionally filter) a crawl stream with the front-door
+    verdicts: URL parts + ``blocked`` (when `url_col` exists and a
+    blocklist is given), then extracted ``<out_col>`` + density signals
+    + ``web_keep`` (not blocked AND html_keep). With ``keep_only`` the
+    stream carries only surviving rows."""
+    out = stream
+    if url_col in stream.columns:
+        out = with_url_parts(out, url_col)
+        if blocklist is not None:
+            out = flag_blocked(out, blocklist)
+    if "blocked" not in out.columns:
+        out = out.withColumn("blocked", F.lit(False))
+    out = with_extracted_text(
+        out, html_col, out_col=out_col,
+        min_ratio_permille=min_ratio_permille,
+        min_text_chars=min_text_chars,
+    ).withColumn(
+        "web_keep", (~F.col("blocked")) & F.col("html_keep")
+    )
+    return out.filter("web_keep") if keep_only else out
