@@ -247,6 +247,12 @@ HEADLINE = [
     "html_extract",
     "url_filter",
     "token_mix_plan",
+    # r5z: web-graph tier — cross-snapshot URL keep-latest dedup (one
+    # partial-aggregated extremum groupBy) and domain-authority
+    # PageRank (one corpus edge aggregate + 4 integer power
+    # iterations over |domains|-row tables)
+    "crawl_dedup",
+    "domain_rank",
 ]
 
 

@@ -391,6 +391,19 @@ TAIL_OVERFLOW: set = {
     # synthesis + parsing CTE, one aggregate on top); full oracle,
     # parity-checked here.
     "domain_stats",
+    # r5z: cross-snapshot URL keep-latest dedup. The 50-row window is
+    # at one-row-per-family capacity (every eviction candidate is a
+    # sole family carrier or a pinned r3/r4-verdict promotion), so
+    # this sits here with its FULL oracle: the extremum-aggregate
+    # physical shape is in-window via line_dedup (count+min_by twin)
+    # and the url synthesis shares the in-window url_filter's CTE
+    # discipline.
+    "crawl_dedup",
+    # r5z: domain-authority PageRank power iteration — full oracle
+    # (every unrolled integer iteration replayed in SQL, the pq_topk
+    # Lloyd-replay discipline); window-capacity note as above. The
+    # iterate-on-small-aggregates shape is in-window via pq_topk.
+    "domain_rank",
 }
 
 
@@ -507,6 +520,9 @@ def test_driver_window_covers_every_operator_family():
         "urls": {"url_filter"},
         # r5y: token-budget mixture waterfill
         "mix_planning": {"token_mix_plan"},
+        # (r5z's crawl_dedup + domain_rank are TAIL_OVERFLOW rows with
+        # full oracles — the 50-slot window is at one-row-per-family
+        # capacity; see the TAIL_OVERFLOW notes)
     }
     for fam, members in families.items():
         assert members & in_window, f"family {fam} has no driver-window row"

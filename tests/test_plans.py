@@ -305,3 +305,36 @@ def test_token_mix_plan_single_corpus_aggregate(spark, sf_dir):
     # feeds the aggregate directly (no Sort below the aggregate)
     agg_down = tree.split("HashAggregate")[-1]
     assert "Window" not in agg_down
+
+
+def test_crawl_dedup_single_extremum_aggregate(spark, sf_dir):
+    """The keep-latest verdict must be ONE map-side-combined
+    groupBy(url) — a partial+final aggregate pair (SortAggregate:
+    max_by over a struct ordering is sort-based, but the partial
+    still combines before the Exchange) over a single scan, no join,
+    no window: capture text never rides the shuffle."""
+    plan = _plan(spark, qs.q_crawl_dedup(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Aggregate") == 2
+    # the partial aggregate sits below (deeper than) the one Exchange
+    assert tree.rindex("Aggregate") > tree.index("Exchange")
+    assert tree.count("Exchange") == 1
+    assert "Join" not in tree
+    assert "Window" not in tree
+
+
+def test_domain_rank_corpus_touched_once(spark, sf_dir):
+    """The power iteration must touch the corpus exactly once (the
+    persisted edge-weight aggregate); iterations run joins over the
+    |domains|-row tables only. The persisted edge table appears as
+    InMemoryTableScan reuses, not parquet rescans."""
+    df = qs.q_domain_rank(spark, sf_dir)
+    plan = _plan(spark, df)
+    tree = plan.split("\n\n")[0]
+    # scans of the documents parquet: the edge aggregate (cached, so
+    # at most the cache-fill lineage) plus the nodes/outdeg branches
+    # that derive from the same cached edge table.
+    assert "CartesianProduct" not in tree
+    # dangling-mass scalar rides a broadcast, never a shuffle of rank
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree

@@ -1,0 +1,142 @@
+"""Web-graph tier: cross-snapshot URL dedup (operators/crawldedup.py)
+and domain-authority rank (operators/domainrank.py).
+
+The corpus-level value gate is the DuckDB oracle parity in
+test_entry_parity.py (`crawl_dedup`, `domain_rank` — both full
+oracles); these tests pin the hand-checkable semantics a shared-bug
+oracle replay cannot distinguish.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.operators.crawldedup import (
+    crawl_dedup,
+    keep_latest,
+)
+from zeus_data_quality_spark.operators.domainrank import (
+    DEFAULT_SCALE,
+    domain_rank,
+    synthesize_links,
+)
+
+
+def _captures(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, url string, fetch_ts bigint"
+    )
+
+
+def test_crawl_dedup_latest_wins_and_counts(spark):
+    caps = _captures(spark, [
+        (1, "u1", 100), (2, "u1", 300), (3, "u1", 200),
+        (7, "u2", 50),
+    ])
+    got = {r["url"]: r for r in crawl_dedup(caps).collect()}
+    assert got["u1"]["kept_doc_id"] == 2          # latest fetch wins
+    assert got["u1"]["n_captures"] == 3
+    assert (got["u1"]["first_fetch"], got["u1"]["last_fetch"]) == (100, 300)
+    assert got["u2"]["kept_doc_id"] == 7 and got["u2"]["n_captures"] == 1
+
+
+def test_crawl_dedup_tie_breaks_to_smallest_id(spark):
+    caps = _captures(spark, [
+        (9, "u", 500), (4, "u", 500), (6, "u", 500), (5, "u", 100),
+    ])
+    got = crawl_dedup(caps).collect()[0]
+    assert got["kept_doc_id"] == 4                # ts tie -> min id
+
+
+def test_keep_latest_returns_winning_captures(spark):
+    caps = _captures(spark, [
+        (1, "u1", 100), (2, "u1", 300), (8, "u2", 10),
+    ])
+    got = {r["url"]: r for r in keep_latest(caps).collect()}
+    assert set(got) == {"u1", "u2"}
+    assert got["u1"]["doc_id"] == 2 and got["u1"]["fetch_ts"] == 300
+    assert got["u1"]["n_captures"] == 2
+    assert got["u2"]["doc_id"] == 8 and got["u2"]["n_captures"] == 1
+
+
+def test_crawl_dedup_row_order_invariant(spark):
+    rows = [(i, f"u{i % 5}", 1000 - (i * 37) % 97) for i in range(40)]
+    a = {r["url"]: r["kept_doc_id"]
+         for r in crawl_dedup(_captures(spark, rows)).collect()}
+    b = {r["url"]: r["kept_doc_id"]
+         for r in crawl_dedup(_captures(spark, rows[::-1])).collect()}
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# domain_rank
+
+
+def _links(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_domain_rank_uniform_at_zero_iters_and_mass_conserved(spark):
+    links = _links(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    got = {r["domain"]: r["rank"]
+           for r in domain_rank(links, iters=0).collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert len(set(got.values())) == 1            # uniform start
+    assert sum(got.values()) <= DEFAULT_SCALE
+    # after iterations mass is conserved up to floor losses
+    got4 = {r["domain"]: r["rank"]
+            for r in domain_rank(links, iters=4).collect()}
+    total = sum(got4.values())
+    assert DEFAULT_SCALE - 10_000 <= total <= DEFAULT_SCALE
+
+
+def test_domain_rank_authority_orders_by_inlinks(spark):
+    # everyone links to "hub"; hub forwards its whole mass to "leaf",
+    # so leaf (hub's sole beneficiary, plus a's link) outranks hub,
+    # which outranks the unlinked sources — classic PageRank flow.
+    links = _links(spark, [
+        ("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "leaf"),
+        ("a", "leaf"),
+    ])
+    got = {r["domain"]: r for r in domain_rank(links, iters=8).collect()}
+    assert got["leaf"]["rank"] > got["hub"]["rank"] > got["a"]["rank"]
+    assert got["hub"]["in_domains"] == 3
+    assert got["hub"]["out_domains"] == 1
+    assert got["a"]["in_domains"] == 0
+
+
+def test_domain_rank_drops_self_links(spark):
+    links = _links(spark, [("a", "a"), ("a", "b"), ("b", "a")])
+    got = {r["domain"]: r for r in domain_rank(links, iters=2).collect()}
+    # a's self-link contributes to neither degree nor rank
+    assert got["a"]["out_domains"] == 1 and got["a"]["in_domains"] == 1
+
+
+def test_domain_rank_dangling_mass_redistributed(spark):
+    # "sink" has no outlinks: its rank must recirculate, not vanish.
+    links = _links(spark, [("a", "sink"), ("b", "sink"), ("a", "b")])
+    got = {r["domain"]: r["rank"]
+           for r in domain_rank(links, iters=6).collect()}
+    total = sum(got.values())
+    assert DEFAULT_SCALE - 10_000 <= total <= DEFAULT_SCALE
+    assert got["sink"] > got["a"]                 # pure sink still top
+
+
+def test_domain_rank_empty_and_validation(spark):
+    empty = _links(spark, []).filter(F.lit(False))
+    assert domain_rank(empty, iters=2).count() == 0
+    links = _links(spark, [("a", "b")])
+    with pytest.raises(ValueError):
+        domain_rank(links, iters=-1)
+    with pytest.raises(ValueError):
+        domain_rank(links, alpha_permille=1001)
+
+
+def test_synthesize_links_shape(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    links = synthesize_links(docs)
+    n_docs = docs.count()
+    n_even = docs.filter(F.col("doc_id") % 2 == 0).count()
+    assert links.count() == n_docs + n_even       # 1 link + 1 for even
+    assert links.filter(F.col("src").isNull()).count() == 0

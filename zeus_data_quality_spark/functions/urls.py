@@ -169,6 +169,43 @@ def domain_stats(parts_with_blocked: DataFrame,
     )
 
 
+# Crawl-capture synthesis: every CAPTURE_GROUP consecutive doc_ids
+# share one URL (the multi-snapshot duplicate class crawl_dedup
+# collapses); fetch times are epoch seconds spread by a co-prime
+# modulus so captures of one URL are never simultaneous.
+CAPTURE_GROUP = 3
+CRAWL_EPOCH = 1_767_225_600  # 2026-01-01T00:00:00Z
+FETCH_MOD = 97               # co-prime with CAPTURE_GROUP
+
+
+def synthesize_crawl(docs: DataFrame) -> DataFrame:
+    """``documents(doc_id, ...)`` -> ``(doc_id, url, fetch_ts)``.
+
+    URL keyed on ``doc_id DIV CAPTURE_GROUP`` (so each URL has up to
+    CAPTURE_GROUP captures); ``fetch_ts`` = CRAWL_EPOCH +
+    (doc_id % FETCH_MOD) hours, BIGINT epoch seconds. Pure Project.
+    """
+    doc_id = F.col("doc_id")
+    grp = (doc_id - doc_id % CAPTURE_GROUP) / CAPTURE_GROUP
+    grp = grp.cast("long")
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in HOSTS]),
+        (grp % len(HOSTS)).cast("int") + 1,
+    )
+    scheme = F.when(
+        grp % HTTP_ARM[0] == HTTP_ARM[1], F.lit("http")
+    ).otherwise(F.lit("https"))
+    url = F.concat(
+        scheme, F.lit("://"), host, F.lit("/p/"), grp.cast("string")
+    )
+    fetch_ts = (
+        F.lit(CRAWL_EPOCH) + (doc_id % FETCH_MOD) * 3600
+    ).cast("long")
+    return docs.select(
+        "doc_id", url.alias("url"), fetch_ts.alias("fetch_ts")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle side.
 
@@ -249,4 +286,51 @@ SELECT reg_domain,
 FROM parts
 GROUP BY reg_domain
 ORDER BY reg_domain
+"""
+
+
+def duckdb_crawl_cte(table: str = "documents") -> str:
+    """CTE ``crawl(doc_id, url, fetch_ts)`` — bit-identical synthesis
+    of :func:`synthesize_crawl`."""
+    host_arms = " ".join(
+        f"WHEN grp % {len(HOSTS)} = {i} THEN '{h}'"
+        for i, h in enumerate(HOSTS)
+    )
+    return f"""
+crawl AS (
+    SELECT doc_id,
+        (CASE WHEN grp % {HTTP_ARM[0]} = {HTTP_ARM[1]}
+              THEN 'http' ELSE 'https' END)
+        || '://' || (CASE {host_arms} END)
+        || '/p/' || CAST(grp AS VARCHAR) AS url,
+        CAST({CRAWL_EPOCH} + (doc_id % {FETCH_MOD}) * 3600 AS BIGINT)
+            AS fetch_ts
+    FROM (SELECT doc_id, doc_id // {CAPTURE_GROUP} AS grp FROM {table})
+)"""
+
+
+def duckdb_crawl_dedup_sql(table: str = "documents") -> str:
+    """Full oracle for ``operators/crawldedup.py::crawl_dedup`` over
+    the synthesized captures: the max_by((ts, -id)) extremum replayed
+    as ROW_NUMBER ordering."""
+    return f"""
+WITH {duckdb_crawl_cte(table).strip()},
+ranked AS (
+    SELECT url, doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY url ORDER BY fetch_ts DESC, doc_id ASC
+           ) AS rn
+    FROM crawl
+),
+agg AS (
+    SELECT url,
+           CAST(COUNT(*) AS BIGINT) AS n_captures,
+           CAST(MIN(fetch_ts) AS BIGINT) AS first_fetch,
+           CAST(MAX(fetch_ts) AS BIGINT) AS last_fetch
+    FROM crawl GROUP BY url
+)
+SELECT a.url, r.doc_id AS kept_doc_id, a.n_captures,
+       a.first_fetch, a.last_fetch
+FROM agg a JOIN ranked r ON a.url = r.url AND r.rn = 1
+ORDER BY a.url
 """

@@ -1,0 +1,299 @@
+"""Domain authority rank — PageRank-style power iteration over the
+outlink domain graph, in exact integer arithmetic.
+
+Web-corpus pipelines use link-graph authority as a quality prior
+(Common Crawl publishes harmonic-centrality host ranks; C4/RefinedWeb
+derivatives filter or weight by domain reputation): a page from a
+domain nothing links to is more likely machine-generated spam than
+one from a well-linked domain. The graph-side computation is a
+PageRank power iteration — an operator Spark has no built-in for, and
+the canonical case where the *iteration state is small* (|domains|,
+not |pages|) while the input is corpus-sized.
+
+Semantics (one variant, stated exactly — the oracle replays it):
+
+* Edge weights ``w(s,d)`` = number of (src_domain, dst_domain) link
+  rows, self-links dropped; ``outdeg(s) = Σ_d w(s,d)``.
+* Ranks live in integer units of ``scale`` (default 10^12): the
+  initial rank is ``scale // n`` for each of the n distinct domains.
+* One iteration, all floor division:
+
+      inflow(d) = Σ_{(s,d)} (rank(s) * w(s,d)) // outdeg(s)
+      dang      = Σ_{s: outdeg(s) undefined} rank(s)
+      rank'(d)  = ((1000 - α)·(scale // n)
+                   + α·(inflow(d) + dang // n)) // 1000
+
+  with α = `alpha_permille` (damping, default 850‰). Integer sums are
+  associative/commutative, so the result is bit-identical under any
+  aggregation order — the property that lets DuckDB replay every
+  unrolled iteration and hash-match (the Lloyd-replay discipline of
+  operators/ivf.py).
+
+Scale design: the ONLY corpus-sized work is the one partial-aggregated
+``groupBy(src, dst)`` edge count; every iteration after that is a join
++ aggregate over the EDGE table (|domains| ~ 10^7-10^8 rows at web
+scale, KBs here) with the rank table on the build side — broadcast
+when it fits, hash-shuffle otherwise, never touching the corpus
+again. The dangling term is a 1-row aggregate broadcast back via
+crossJoin (the dim-spine anchor pattern). K iterations = K small
+joins; `localCheckpoint` every few rounds caps the lineage exactly as
+the connected-components loop does (operators/dedup.py).
+
+The reference has no engine (Snowflake SQL strings from a Streamlit
+app — streamlit_app.py:1-1510); this is a north-rule extension in the
+web-front family (functions/urls.py, functions/htmlextract.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.urls import HOSTS
+
+DEFAULT_SCALE = 10**12
+DEFAULT_ALPHA_PERMILLE = 850
+
+# Deterministic outlink synthesis arms: every doc links its own
+# domain to a first target; even docs add a second. Co-prime
+# multipliers spread targets over all hosts (self-links occur and are
+# dropped by domain_rank — part of the contract under test).
+LINK1_MUL, LINK1_ADD = 5, 3
+LINK2_MUL, LINK2_ADD = 11, 1
+
+
+def _reg_domain(host: str) -> str:
+    return ".".join(host.rsplit(".", 2)[-2:])
+
+
+REG_DOMAINS: tuple[str, ...] = tuple(_reg_domain(h) for h in HOSTS)
+
+
+def synthesize_links(docs: DataFrame) -> DataFrame:
+    """``documents(doc_id, ...)`` -> ``(doc_id, src, dst)`` link rows.
+
+    src = registered domain of HOSTS[doc_id % 8]; dst arms by
+    co-prime multipliers; even doc_ids emit two links. Pure Project +
+    a bounded 1→2 explode.
+    """
+    doc_id = F.col("doc_id")
+    doms = F.array(*[F.lit(d) for d in REG_DOMAINS])
+    n = len(REG_DOMAINS)
+    src = F.element_at(doms, (doc_id % n).cast("int") + 1)
+    dst1 = F.element_at(
+        doms, ((doc_id * LINK1_MUL + LINK1_ADD) % n).cast("int") + 1
+    )
+    dst2 = F.element_at(
+        doms, ((doc_id * LINK2_MUL + LINK2_ADD) % n).cast("int") + 1
+    )
+    targets = F.when(
+        doc_id % 2 == 0, F.array(dst1, dst2)
+    ).otherwise(F.array(dst1))
+    return docs.select(
+        "doc_id", src.alias("src"), F.explode(targets).alias("dst")
+    )
+
+
+def _fdiv(a, b):
+    """Exact floor division for non-negative bigints (the mixplan
+    subtraction trick — no float path)."""
+    return ((a - a % b) / b).cast("long")
+
+
+def domain_rank(
+    links: DataFrame,
+    iters: int = 4,
+    alpha_permille: int = DEFAULT_ALPHA_PERMILLE,
+    scale: int = DEFAULT_SCALE,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """``(domain, rank, in_domains, out_domains)`` after `iters`
+    integer power iterations; ranks in units of 1/`scale`.
+
+    ``in_domains`` / ``out_domains`` are distinct-neighbor degrees —
+    the interpretable fan-in/fan-out next to the rank.
+    """
+    if iters < 0 or not 0 <= alpha_permille <= 1000:
+        raise ValueError("iters >= 0 and alpha_permille in [0, 1000]")
+    src, dst = F.col(src_col), F.col(dst_col)
+    clean = links.filter(
+        src.isNotNull() & dst.isNotNull() & (src != dst)
+    ).select(src.alias("src"), dst.alias("dst"))
+
+    # The one corpus-sized aggregate; everything below is domain-sized.
+    w = clean.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("weight")
+    )
+    outdeg = w.groupBy("src").agg(
+        F.sum("weight").cast("long").alias("outdeg"),
+        F.count(F.lit(1)).cast("long").alias("out_domains"),
+    )
+    indeg = w.groupBy("dst").agg(
+        F.count(F.lit(1)).cast("long").alias("in_domains")
+    )
+    nodes = (
+        w.select(F.col("src").alias("domain"))
+        .union(w.select(F.col("dst").alias("domain")))
+        .distinct()
+    )
+    n = nodes.count()  # |domains| — bounded, driver-safe
+    if n == 0:
+        spark = links.sparkSession
+        return spark.createDataFrame(
+            [], "domain string, rank long, in_domains long, "
+                "out_domains long",
+        )
+
+    e = w.join(outdeg.select("src", "outdeg"), "src").persist()
+    base = (1000 - alpha_permille) * (scale // n)
+    rank = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
+    for t in range(iters):
+        contrib = e.join(
+            rank, e["src"] == rank["domain"]
+        ).select(
+            F.col("dst").alias("domain"),
+            _fdiv(F.col("rank") * F.col("weight"), F.col("outdeg"))
+            .alias("c"),
+        )
+        inflow = contrib.groupBy("domain").agg(
+            F.sum("c").cast("long").alias("inflow")
+        )
+        dang = (
+            rank.join(
+                outdeg.select(F.col("src").alias("domain")),
+                "domain", "left_anti",
+            )
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long")
+                 .alias("dang"))
+        )
+        rank = (
+            nodes.join(inflow, "domain", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "domain",
+                _fdiv(
+                    F.lit(base)
+                    + F.lit(alpha_permille)
+                    * (F.coalesce(F.col("inflow"), F.lit(0))
+                       + _fdiv(F.col("dang"), F.lit(n))),
+                    F.lit(1000),
+                ).alias("rank"),
+            )
+        )
+        if (t + 1) % checkpoint_every == 0:
+            rank = rank.localCheckpoint(eager=True)
+
+    out = (
+        rank.join(indeg.withColumnRenamed("dst", "domain"),
+                  "domain", "left")
+        .join(outdeg.select(F.col("src").alias("domain"),
+                            "out_domains"), "domain", "left")
+        .select(
+            "domain", "rank",
+            F.coalesce("in_domains", F.lit(0)).cast("long")
+            .alias("in_domains"),
+            F.coalesce("out_domains", F.lit(0)).cast("long")
+            .alias("out_domains"),
+        )
+    )
+    e.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle side: every unrolled iteration replayed.
+
+def duckdb_links_cte(table: str = "documents") -> str:
+    """CTE ``links(doc_id, src, dst)`` — bit-identical synthesis."""
+    n = len(REG_DOMAINS)
+
+    def pick(expr: str) -> str:
+        arms = " ".join(
+            f"WHEN ({expr}) % {n} = {i} THEN '{d}'"
+            for i, d in enumerate(REG_DOMAINS)
+        )
+        return f"CASE {arms} END"
+
+    return f"""
+links AS (
+    SELECT doc_id, {pick('doc_id')} AS src,
+           {pick(f'doc_id * {LINK1_MUL} + {LINK1_ADD}')} AS dst
+    FROM {table}
+    UNION ALL
+    SELECT doc_id, {pick('doc_id')} AS src,
+           {pick(f'doc_id * {LINK2_MUL} + {LINK2_ADD}')} AS dst
+    FROM {table} WHERE doc_id % 2 = 0
+)"""
+
+
+def duckdb_domain_rank_sql(
+    table: str = "documents",
+    iters: int = 4,
+    alpha_permille: int = DEFAULT_ALPHA_PERMILLE,
+    scale: int = DEFAULT_SCALE,
+) -> str:
+    """Full oracle: link synthesis + every power iteration unrolled
+    as CTE blocks with identical integer floor division."""
+    base = f"({1000 - alpha_permille} * ({scale} // nn.n))"
+    blocks = [
+        duckdb_links_cte(table).strip(),
+        """w AS (
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS weight
+    FROM links WHERE src <> dst GROUP BY src, dst
+)""",
+        """outdeg AS (
+    SELECT src, CAST(SUM(weight) AS BIGINT) AS outdeg,
+           CAST(COUNT(*) AS BIGINT) AS out_domains
+    FROM w GROUP BY src
+)""",
+        """indeg AS (
+    SELECT dst AS domain, CAST(COUNT(*) AS BIGINT) AS in_domains
+    FROM w GROUP BY dst
+)""",
+        """nodes AS (
+    SELECT src AS domain FROM w UNION SELECT dst FROM w
+)""",
+        "cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        f"""r0 AS (
+    SELECT domain, CAST({scale} // nn.n AS BIGINT) AS rank
+    FROM nodes, cnt nn
+)""",
+    ]
+    for t in range(iters):
+        blocks.append(f"""i{t} AS (
+    SELECT e.dst AS domain,
+           CAST(SUM((r.rank * e.weight) // o.outdeg) AS BIGINT)
+               AS inflow
+    FROM w e
+    JOIN outdeg o ON e.src = o.src
+    JOIN r{t} r ON e.src = r.domain
+    GROUP BY e.dst
+)""")
+        blocks.append(f"""d{t} AS (
+    SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dang
+    FROM r{t} r LEFT JOIN outdeg o ON r.domain = o.src
+    WHERE o.src IS NULL
+)""")
+        blocks.append(f"""r{t + 1} AS (
+    SELECT nd.domain,
+           CAST(({base}
+                 + {alpha_permille}
+                 * (COALESCE(i.inflow, 0) + dd.dang // nn.n)) // 1000
+                AS BIGINT) AS rank
+    FROM nodes nd
+    LEFT JOIN i{t} i ON nd.domain = i.domain
+    CROSS JOIN d{t} dd CROSS JOIN cnt nn
+)""")
+    joined = ",\n".join(blocks)
+    return f"""
+WITH {joined}
+SELECT r.domain, r.rank,
+       CAST(COALESCE(i.in_domains, 0) AS BIGINT) AS in_domains,
+       CAST(COALESCE(o.out_domains, 0) AS BIGINT) AS out_domains
+FROM r{iters} r
+LEFT JOIN indeg i ON r.domain = i.domain
+LEFT JOIN outdeg o ON r.domain = o.src
+ORDER BY r.domain
+"""

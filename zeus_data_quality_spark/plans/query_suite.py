@@ -1770,6 +1770,48 @@ def _oracle_domain_stats() -> str:
     return duckdb_domain_stats_sql("documents")
 
 
+def q_crawl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot URL dedup (operators/crawldedup.py): the
+    multi-capture crawl corpus synthesized over documents (every 3
+    consecutive doc_ids share one URL), then the keep-latest verdict —
+    ONE partial-aggregated groupBy(url) with a max_by((ts, -id))
+    extremum; text never rides the shuffle."""
+    from ..functions.urls import synthesize_crawl
+    from ..operators.crawldedup import crawl_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return crawl_dedup(synthesize_crawl(docs))
+
+
+def _oracle_crawl_dedup() -> str:
+    from ..functions.urls import duckdb_crawl_dedup_sql
+
+    return duckdb_crawl_dedup_sql("documents")
+
+
+# Driver-window power-iteration depth for domain_rank (the operator
+# takes any iters; 4 keeps the unrolled oracle readable).
+DOMAIN_RANK_ITERS = 4
+
+
+def q_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-authority rank (operators/domainrank.py): deterministic
+    outlink synthesis over documents, then 4 integer-exact PageRank
+    power iterations over the domain graph — the only corpus-sized
+    work is the one edge-count aggregate; every iteration is a join +
+    aggregate over the |domains|-row tables."""
+    from ..operators.domainrank import domain_rank, synthesize_links
+
+    docs = _read(spark, sf_dir, "documents")
+    return domain_rank(synthesize_links(docs), iters=DOMAIN_RANK_ITERS)
+
+
+def _oracle_domain_rank() -> str:
+    from ..operators.domainrank import duckdb_domain_rank_sql
+
+    return duckdb_domain_rank_sql("documents", iters=DOMAIN_RANK_ITERS)
+
+
 # Token-mix waterfill parameters: weights keyed on the source suffix
 # (src0 -> 1 ... src19 -> 20) so demand spans a 20x range and the
 # budget saturates the high-weight / low-inventory sources.
@@ -3761,6 +3803,21 @@ def queries():
         "simhash": q_simhash,
         "ann_recall_eval": q_ann_recall_eval,
         "domain_stats": q_domain_stats,
+        # r5z: two NEW web-graph surfaces with FULL oracles —
+        # crawl_dedup (cross-snapshot URL keep-latest: the duplicate
+        # class a pipeline removes BEFORE any content dedup) and
+        # domain_rank (integer-exact PageRank power iteration over
+        # the outlink domain graph; every unrolled iteration replayed
+        # in SQL). The 50-row driver window is at one-row-per-family
+        # capacity (every eviction candidate is a sole family carrier
+        # or a pinned r3/r4-verdict promotion), so both sit in the
+        # parity-checked tail: crawl_dedup's extremum-aggregate shape
+        # is in-window via line_dedup (count+min_by twin) and its
+        # synthesis shares the in-window url_filter CTE; domain_rank's
+        # iterate-on-aggregates shape is in-window via pq_topk's
+        # unrolled Lloyd oracle.
+        "crawl_dedup": q_crawl_dedup,
+        "domain_rank": q_domain_rank,
         # r5d rotation: the static broadcast-table bigram scorer rotates
         # to the tail; the perplexity family keeps perplexity_trained
         # (corpus-trained bigram join) and perplexity_kn (KN trigram)
@@ -3985,6 +4042,9 @@ def oracle_sql():
         "url_filter": _oracle_url_filter(),
         "token_mix_plan": _oracle_token_mix_plan(),
         "domain_stats": _oracle_domain_stats(),
+        # r5z: cross-snapshot URL dedup + domain-authority rank.
+        "crawl_dedup": _oracle_crawl_dedup(),
+        "domain_rank": _oracle_domain_rank(),
         "c4_line_filter": _oracle_c4_line_filter(),
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "conversation_dedup": oracle_with_transcripts(ORACLE_CONV_DEDUP),
