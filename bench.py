@@ -253,6 +253,9 @@ HEADLINE = [
     # iterations over |domains|-row tables)
     "crawl_dedup",
     "domain_rank",
+    # r5z: robots.txt REP compliance verdict (broadcast rules table +
+    # per-row HOF longest-prefix extremum, zero corpus shuffle)
+    "robots_filter",
 ]
 
 

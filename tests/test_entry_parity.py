@@ -404,6 +404,11 @@ TAIL_OVERFLOW: set = {
     # Lloyd-replay discipline); window-capacity note as above. The
     # iterate-on-small-aggregates shape is in-window via pq_topk.
     "domain_rank",
+    # r5z: robots.txt REP compliance verdict — full oracle (parse
+    # chain + longest-prefix/Allow-wins extremum replayed in SQL);
+    # the broadcast-dim + per-row-HOF physical shape is in-window via
+    # url_filter + gopher_repetition; window-capacity note as above.
+    "robots_filter",
 }
 
 

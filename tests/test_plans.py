@@ -338,3 +338,20 @@ def test_domain_rank_corpus_touched_once(spark, sf_dir):
     assert "CartesianProduct" not in tree
     # dangling-mass scalar rides a broadcast, never a shuffle of rank
     assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
+
+
+def test_robots_filter_broadcasts_rules_no_pair_rows(spark, sf_dir):
+    """The REP verdict must broadcast the |domains|-row rules table
+    and fold per-row — the corpus side reaches the join unshuffled
+    and no (url × rule) pair row ever exists (no Explode/Generate of
+    the rules against the corpus)."""
+    plan = _plan(spark, qs.q_robots_filter(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    assert "Generate" not in tree          # no rule explode
+    corpus_branch = tree.split("BroadcastHashJoin")[1].split(
+        "BroadcastExchange"
+    )[0]
+    assert "Exchange" not in corpus_branch
+    assert "Scan parquet" in corpus_branch

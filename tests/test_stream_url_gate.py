@@ -1,0 +1,126 @@
+"""Streaming first-seen URL gate: single-batch agreement with the
+batch keep-first verdict, and cross-micro-batch re-crawl detection.
+
+Same harness as test_stream_band_dedup.py (memory sink + polling, one
+continuous query; processAllAvailable never settles under
+ProcessingTimeTimeout)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.streaming.url_gate import streaming_url_gate
+
+SCHEMA = "doc_id long, url string"
+
+
+def _start(spark, src, name, ttl_ms=3_600_000):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = streaming_url_gate(stream, ttl_ms=ttl_ms)
+    return (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+
+def _wait(spark, name, cond, timeout=90):
+    deadline = time.time() + timeout
+    rows = []
+    while time.time() < deadline:
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+        if cond(rows):
+            return rows
+    raise AssertionError(f"condition not met in {timeout}s ({len(rows)} rows)")
+
+
+def test_single_batch_matches_batch_keep_first(spark, tmp_path):
+    """One micro-batch holding every capture must admit exactly the
+    min-id capture per URL — the batch keep-first verdict."""
+    from zeus_data_quality_spark.functions.urls import synthesize_crawl
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 60)
+    )
+    caps = synthesize_crawl(docs).select("doc_id", "url")
+    src = str(tmp_path / "in")
+    caps.write.parquet(f"{src}/b0")
+
+    want_first = {
+        r["url"]: r["first"]
+        for r in caps.groupBy("url").agg(F.min("doc_id").alias("first"))
+        .collect()
+    }
+    n_caps = caps.count()
+
+    q = _start(spark, src, "url_single")
+    try:
+        got = _wait(spark, "url_single", lambda rs: len(rs) >= n_caps)
+    finally:
+        q.stop()
+    by_id = {r["id"]: r for r in got}
+    assert len(by_id) == n_caps
+    url_of = {r["doc_id"]: r["url"] for r in caps.collect()}
+    for doc_id, row in by_id.items():
+        first = want_first[url_of[doc_id]]
+        assert row["first_id"] == first
+        assert row["is_recrawl"] == (doc_id != first)
+    # the synthesis produces real multi-capture URLs
+    assert any(r["is_recrawl"] for r in got)
+    assert any(not r["is_recrawl"] for r in got)
+
+
+def test_recrawl_flagged_across_micro_batches(spark, tmp_path):
+    """A URL admitted in batch 0 must flag its batch-1 capture as a
+    re-crawl anchored to the original id; a brand-new URL in batch 1
+    is admitted."""
+    src = str(tmp_path / "in")
+    b0 = spark.createDataFrame(
+        [(1, "https://a.com/x"), (2, "https://a.com/y")], SCHEMA
+    )
+    b0.write.parquet(f"{src}/b0")
+
+    q = _start(spark, src, "url_cross")
+    try:
+        _wait(spark, "url_cross", lambda rs: len(rs) >= 2)
+        b1 = spark.createDataFrame(
+            [(9, "https://a.com/x"), (10, "https://b.com/z")], SCHEMA
+        )
+        b1.write.parquet(f"{src}/b1")
+        got = _wait(spark, "url_cross", lambda rs: len(rs) >= 4)
+    finally:
+        q.stop()
+    by_id = {r["id"]: r for r in got}
+    assert by_id[9]["is_recrawl"] and by_id[9]["first_id"] == 1
+    assert not by_id[10]["is_recrawl"] and by_id[10]["first_id"] == 10
+    assert not by_id[1]["is_recrawl"] and not by_id[2]["is_recrawl"]
+
+
+def test_ttl_evicts_and_readmits(spark, tmp_path):
+    """After the TTL evicts a silent URL, its next capture re-admits
+    (bounded-memory contract)."""
+    src = str(tmp_path / "in")
+    spark.createDataFrame([(1, "https://a.com/x")], SCHEMA).write.parquet(
+        f"{src}/b0"
+    )
+    q = _start(spark, src, "url_ttl", ttl_ms=1500)
+    try:
+        _wait(spark, "url_ttl", lambda rs: len(rs) >= 1)
+        time.sleep(4)  # let the TTL fire (state maintenance batches run)
+        spark.createDataFrame(
+            [(5, "https://a.com/x")], SCHEMA
+        ).write.parquet(f"{src}/b1")
+        got = _wait(spark, "url_ttl", lambda rs: len(rs) >= 2)
+    finally:
+        q.stop()
+    by_id = {r["id"]: r for r in got}
+    assert not by_id[5]["is_recrawl"] and by_id[5]["first_id"] == 5

@@ -140,3 +140,61 @@ def test_synthesize_links_shape(spark, sf_dir):
     n_even = docs.filter(F.col("doc_id") % 2 == 0).count()
     assert links.count() == n_docs + n_even       # 1 link + 1 for even
     assert links.filter(F.col("src").isNull()).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# robots.txt REP verdict
+
+
+def _robots_eval(spark, robots_txt, paths, domain="d.com"):
+    from zeus_data_quality_spark.functions.robots import robots_filter
+
+    parts = spark.createDataFrame(
+        [(i, domain, p) for i, p in enumerate(paths)],
+        "doc_id bigint, reg_domain string, path string",
+    )
+    robots = spark.createDataFrame(
+        [(domain, robots_txt)], "reg_domain string, robots_txt string"
+    )
+    out = robots_filter(parts, robots).orderBy("doc_id").collect()
+    return [r["robots_allowed"] for r in out]
+
+
+def test_robots_longest_prefix_wins(spark):
+    txt = "User-agent: *\nDisallow: /p\nAllow: /p/ok"
+    got = _robots_eval(spark, txt, ["/p/ok/page", "/p/other", "/q"])
+    assert got == [True, False, True]
+
+
+def test_robots_allow_beats_disallow_at_equal_length(spark):
+    txt = "User-agent: *\nDisallow: /dir\nAllow: /dir"
+    assert _robots_eval(spark, txt, ["/dir/x"]) == [True]
+
+
+def test_robots_empty_disallow_matches_nothing(spark):
+    txt = "User-agent: *\nDisallow: "
+    assert _robots_eval(spark, txt, ["/anything", "/"]) == [True, True]
+
+
+def test_robots_unlisted_domain_allows_all(spark):
+    from zeus_data_quality_spark.functions.robots import robots_filter
+
+    parts = spark.createDataFrame(
+        [(1, "other.com", "/p/1")],
+        "doc_id bigint, reg_domain string, path string",
+    )
+    robots = spark.createDataFrame(
+        [("d.com", "User-agent: *\nDisallow: /")],
+        "reg_domain string, robots_txt string",
+    )
+    out = robots_filter(parts, robots).collect()
+    assert out[0]["robots_allowed"] is True
+
+
+def test_robots_corpus_verdicts_nontrivial(spark, sf_dir):
+    from zeus_data_quality_spark.plans.query_suite import q_robots_filter
+
+    out = q_robots_filter(spark, sf_dir)
+    n = out.count()
+    blocked = out.filter(~F.col("robots_allowed")).count()
+    assert 0 < blocked < n

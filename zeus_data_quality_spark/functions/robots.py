@@ -1,0 +1,234 @@
+"""robots.txt compliance tier — parse per-domain robots rules and
+evaluate the Robots Exclusion Protocol verdict per URL, as pure
+Column algebra.
+
+Responsible crawl pipelines (RefinedWeb §3.1, Common Crawl's own
+fetcher) honor robots.txt; a corpus builder re-filtering someone
+else's crawl needs the same evaluation offline: per (domain, path),
+does the domain's robots policy allow this page? The semantics
+implemented are the original prefix-match REP with Google's
+tie-break:
+
+* Only the ``User-agent: *`` section is modeled (one policy per
+  domain — the common corpus-pipeline simplification).
+* A rule matches when the URL path STARTS WITH the rule's prefix;
+  empty-prefix rules (``Disallow:`` with nothing) match nothing —
+  the REP's "empty Disallow = allow all".
+* The LONGEST matching prefix wins; at equal length ``Allow`` beats
+  ``Disallow`` (Google REP §2.4.2). No rule matches → allowed.
+* ``*`` wildcards and ``$`` anchors are NOT interpreted (documented
+  simplification: prefix-only matching, the original 1994 REP).
+
+Engine-exactness design: parsing is a line-split → prefix-filter →
+substring chain with identical semantics in Spark and DuckDB; the
+verdict's extremum is max over (prefix_length, is_allow) — at equal
+length two matching prefixes of the same path are the same string,
+so the pick is total and deterministic, and the DuckDB oracle can
+replay it as ROW_NUMBER ordering.
+
+Scale design: the rules live as an ARRAY column on a |domains|-row
+table that BROADCASTS onto the corpus (robots files are KBs, domains
+10^7 at web scale — a few GB broadcast, or a shuffle join keyed on
+the domain if beyond broadcast reach). The per-row evaluation is a
+higher-order-function fold over that array inside whole-stage
+codegen: the corpus never shuffles and never even materializes a
+(url × rule) pair row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Deterministic per-domain robots.txt synthesis (drives both engines).
+# Arms keyed on the domain's index in the sorted distinct domain list:
+#   every domain:   Disallow: /p/<i>        (blocks the /p/<i>* subtree)
+#   even index:     Allow: /p/<i><i>        (re-allows /p/<ii>* inside it)
+#   index % 3 == 0: Disallow: /admin
+#   index % 5 == 1: Disallow:               (empty prefix — matches nothing)
+
+ALLOW_PREFIX = "Allow: "
+DISALLOW_PREFIX = "Disallow: "
+
+
+def robots_txt_for_index(i: int) -> str:
+    lines = ["User-agent: *", f"Disallow: /p/{i}"]
+    if i % 2 == 0:
+        lines.append(f"Allow: /p/{i}{i}")
+    if i % 3 == 0:
+        lines.append("Disallow: /admin")
+    if i % 5 == 1:
+        lines.append("Disallow: ")
+    return "\n".join(lines)
+
+
+def synthesize_robots(spark, domains: list[str]) -> DataFrame:
+    """``(reg_domain, robots_txt)`` — one deterministic robots file
+    per domain, arms keyed on the sorted-distinct index."""
+    rows = [
+        (d, robots_txt_for_index(i))
+        for i, d in enumerate(sorted(set(domains)))
+    ]
+    return spark.createDataFrame(rows, "reg_domain string, robots_txt string")
+
+
+# ---------------------------------------------------------------------------
+# Spark side.
+
+def parse_robots_rules(txt: Column) -> Column:
+    """``array<struct<allow boolean, prefix string>>`` parsed from one
+    robots.txt payload: Allow:/Disallow: lines of the (single modeled)
+    ``User-agent: *`` section, empty prefixes dropped."""
+    lines = F.split(txt, "\n")
+    rules = F.transform(
+        lines,
+        lambda ln: F.when(
+            ln.startswith(ALLOW_PREFIX),
+            F.struct(
+                F.lit(True).alias("allow"),
+                F.substring(ln, len(ALLOW_PREFIX) + 1, 4096)
+                .alias("prefix"),
+            ),
+        ).when(
+            ln.startswith(DISALLOW_PREFIX),
+            F.struct(
+                F.lit(False).alias("allow"),
+                F.substring(ln, len(DISALLOW_PREFIX) + 1, 4096)
+                .alias("prefix"),
+            ),
+        ).otherwise(F.lit(None)),
+    )
+    return F.filter(
+        rules, lambda r: r.isNotNull() & (F.length(r["prefix"]) > 0)
+    )
+
+
+def robots_verdict(path: Column, rules: Column) -> Column:
+    """REP verdict for one path against a parsed rules array: longest
+    matching prefix wins, Allow beats Disallow at equal length, no
+    match (or no rules / NULL rules) → allowed. Pure HOF fold — no
+    shuffle, no UDF."""
+    matches = F.filter(
+        rules, lambda r: path.startswith(r["prefix"])
+    )
+    best = F.array_max(
+        F.transform(
+            matches,
+            lambda r: F.struct(
+                F.length(r["prefix"]).alias("l"),
+                r["allow"].alias("allow"),
+            ),
+        )
+    )
+    return F.coalesce(best["allow"], F.lit(True))
+
+
+def robots_filter(
+    parts: DataFrame,
+    robots: DataFrame,
+    path_col: str = "path",
+    domain_col: str = "reg_domain",
+) -> DataFrame:
+    """Adds ``robots_allowed`` to a URL-parts frame via a BROADCAST
+    join of the per-domain rules (parsed once, |domains| rows) and a
+    per-row HOF verdict. Domains with no robots file allow all."""
+    rules = F.broadcast(
+        robots.select(
+            F.col("reg_domain").alias("__rb_domain"),
+            parse_robots_rules(F.col("robots_txt")).alias("__rb_rules"),
+        )
+    )
+    joined = parts.join(
+        rules, parts[domain_col] == rules["__rb_domain"], "left"
+    ).drop("__rb_domain")
+    return joined.withColumn(
+        "robots_allowed",
+        robots_verdict(F.col(path_col), F.col("__rb_rules")),
+    ).drop("__rb_rules")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle side: parsing + verdict replayed relationally.
+
+def _sq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def duckdb_robots_cte(domains: list[str]) -> str:
+    """CTE ``robots(reg_domain, robots_txt)`` — the same synthesis."""
+    rows = ",\n        ".join(
+        f"('{_sq(d)}', '{_sq(robots_txt_for_index(i))}')"
+        for i, d in enumerate(sorted(set(domains)))
+    )
+    return f"""
+robots AS (
+    SELECT * FROM (VALUES
+        {rows}
+    ) AS t(reg_domain, robots_txt)
+)"""
+
+
+def duckdb_rules_cte() -> str:
+    """CTE ``rules(reg_domain, is_allow, prefix)`` — the parse chain
+    replayed: line split, Allow/Disallow filter, empty drop."""
+    return f"""
+rules AS (
+    SELECT reg_domain,
+           starts_with(ln, '{ALLOW_PREFIX}') AS is_allow,
+           CASE WHEN starts_with(ln, '{ALLOW_PREFIX}')
+                THEN substr(ln, {len(ALLOW_PREFIX) + 1})
+                ELSE substr(ln, {len(DISALLOW_PREFIX) + 1}) END AS prefix
+    FROM robots, unnest(string_split(robots_txt, chr(10))) AS u(ln)
+    WHERE (starts_with(ln, '{ALLOW_PREFIX}')
+           OR starts_with(ln, '{DISALLOW_PREFIX}'))
+)"""
+
+
+def duckdb_robots_verdict_sql(
+    parts_cte_name: str, domains: list[str]
+) -> str:
+    """SELECT producing ``(doc_id, robots_allowed)`` from a CTE named
+    `parts_cte_name` with (doc_id, reg_domain, path): the longest-
+    prefix / Allow-wins extremum as ROW_NUMBER ordering."""
+    return f"""
+matches AS (
+    SELECT p.doc_id, r.is_allow,
+           ROW_NUMBER() OVER (
+               PARTITION BY p.doc_id
+               ORDER BY length(r.prefix) DESC, r.is_allow DESC
+           ) AS rn
+    FROM {parts_cte_name} p
+    JOIN rules r
+      ON p.reg_domain = r.reg_domain
+     AND length(r.prefix) > 0
+     AND starts_with(p.path, r.prefix)
+)
+SELECT p.doc_id,
+       COALESCE(m.is_allow, TRUE) AS robots_allowed
+FROM {parts_cte_name} p
+LEFT JOIN (SELECT doc_id, is_allow FROM matches WHERE rn = 1) m
+  ON p.doc_id = m.doc_id"""
+
+
+def duckdb_robots_filter_sql(table: str = "documents") -> str:
+    """Full oracle over the synthesized url corpus: url synthesis +
+    part parsing (functions/urls.py CTEs) + robots synthesis + parse
+    + the REP extremum, emitting (doc_id, url, reg_domain, path,
+    robots_allowed)."""
+    from .urls import duckdb_url_parts_select, duckdb_urls_cte
+    from ..operators.domainrank import REG_DOMAINS
+
+    return f"""
+WITH {duckdb_urls_cte(table).strip()},
+parts AS (
+    SELECT doc_id, url, {duckdb_url_parts_select()}
+    FROM urls
+),
+{duckdb_robots_cte(list(REG_DOMAINS)).strip()},
+{duckdb_rules_cte().strip()},
+{duckdb_robots_verdict_sql("parts", list(REG_DOMAINS)).strip()
+ .replace("SELECT p.doc_id,",
+          "SELECT p.doc_id, p.url, p.reg_domain, p.path,")}
+ORDER BY p.doc_id
+"""

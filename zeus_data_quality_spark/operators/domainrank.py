@@ -107,7 +107,7 @@ def domain_rank(
     scale: int = DEFAULT_SCALE,
     src_col: str = "src",
     dst_col: str = "dst",
-    checkpoint_every: int = 8,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """``(domain, rank, in_domains, out_domains)`` after `iters`
     integer power iterations; ranks in units of 1/`scale`.
@@ -182,6 +182,12 @@ def domain_rank(
                 ).alias("rank"),
             )
         )
+        # rank_t feeds BOTH the contribution join and the dangling
+        # aggregate of round t+1 — without a per-round checkpoint the
+        # unresolved lineage doubles every iteration (2^K plan copies;
+        # measured 102 s for 8 iterations over a 7-row rank table).
+        # The checkpointed state is |domains| rows, so the cut is
+        # cheap at any scale — the CC-loop discipline (dedup.py).
         if (t + 1) % checkpoint_every == 0:
             rank = rank.localCheckpoint(eager=True)
 

@@ -1812,6 +1812,30 @@ def _oracle_domain_rank() -> str:
     return duckdb_domain_rank_sql("documents", iters=DOMAIN_RANK_ITERS)
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance verdict (functions/robots.py): per-domain
+    robots synthesized deterministically, parsed to rule arrays on a
+    |domains|-row BROADCAST table, and the REP longest-prefix /
+    Allow-wins extremum evaluated per URL as a per-row HOF fold — the
+    corpus never shuffles and no (url × rule) pair row exists."""
+    from ..functions.robots import robots_filter, synthesize_robots
+    from ..functions.urls import synthesize_urls, with_url_parts
+    from ..operators.domainrank import REG_DOMAINS
+
+    docs = _read(spark, sf_dir, "documents")
+    parts = with_url_parts(synthesize_urls(docs))
+    robots = synthesize_robots(spark, list(REG_DOMAINS))
+    return robots_filter(parts, robots).select(
+        "doc_id", "url", "reg_domain", "path", "robots_allowed"
+    )
+
+
+def _oracle_robots_filter() -> str:
+    from ..functions.robots import duckdb_robots_filter_sql
+
+    return duckdb_robots_filter_sql("documents")
+
+
 # Token-mix waterfill parameters: weights keyed on the source suffix
 # (src0 -> 1 ... src19 -> 20) so demand spans a 20x range and the
 # budget saturates the high-weight / low-inventory sources.
@@ -3818,6 +3842,10 @@ def queries():
         # unrolled Lloyd oracle.
         "crawl_dedup": q_crawl_dedup,
         "domain_rank": q_domain_rank,
+        # r5z: robots.txt REP compliance verdict — full oracle (parse
+        # chain + longest-prefix/Allow-wins extremum replayed in SQL);
+        # window-capacity tail row like its two siblings above.
+        "robots_filter": q_robots_filter,
         # r5d rotation: the static broadcast-table bigram scorer rotates
         # to the tail; the perplexity family keeps perplexity_trained
         # (corpus-trained bigram join) and perplexity_kn (KN trigram)
@@ -4042,9 +4070,11 @@ def oracle_sql():
         "url_filter": _oracle_url_filter(),
         "token_mix_plan": _oracle_token_mix_plan(),
         "domain_stats": _oracle_domain_stats(),
-        # r5z: cross-snapshot URL dedup + domain-authority rank.
+        # r5z: cross-snapshot URL dedup + domain-authority rank +
+        # robots.txt REP verdict.
         "crawl_dedup": _oracle_crawl_dedup(),
         "domain_rank": _oracle_domain_rank(),
+        "robots_filter": _oracle_robots_filter(),
         "c4_line_filter": _oracle_c4_line_filter(),
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "conversation_dedup": oracle_with_transcripts(ORACLE_CONV_DEDUP),

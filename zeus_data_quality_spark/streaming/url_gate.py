@@ -1,0 +1,105 @@
+"""Streaming first-seen URL gate — online cross-snapshot URL dedup.
+
+The batch operator (`operators/crawldedup.py`) collapses multi-crawl
+captures to the LATEST fetch per URL; on an unbounded ingest feed
+"latest" is ill-posed (it would need unbounded delay), so the online
+recast is the standard admission-control inversion: **the FIRST
+arrival of a URL is admitted, every later capture is flagged as a
+re-crawl** — the same duplicate class collapsed from the other end.
+A later batch compaction (keep_latest over the admitted store) can
+still upgrade admitted captures to fresher ones.
+
+State is one row per live URL — the admitted id only, keyed by the
+64-bit xxhash of the URL (8-byte group keys, no URL strings in state;
+collisions at n²/2⁶⁴ are negligible and only ever cause a false
+re-crawl flag). A processing-time TTL evicts URLs silent for
+``ttl_ms``, after which the next capture re-admits — size the TTL to
+the crawl-snapshot horizon, the same bounded-memory trade as the
+streaming band gate (streaming/band_dedup.py, whose state discipline
+this copies).
+
+The reference has no streaming surface at all (SURVEY.md §2.8); this
+extends the r5z web-graph tier per the north rule.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+URL_OUTPUT = StructType(
+    [
+        StructField("url_key", LongType()),
+        StructField("id", LongType()),
+        StructField("first_id", LongType()),
+        StructField("is_recrawl", BooleanType()),
+    ]
+)
+URL_STATE = StructType([StructField("first_id", LongType())])
+
+
+def _make_update(ttl_ms: int):
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids: list[int] = []
+        for pdf in batches:
+            ids.extend(int(x) for x in pdf["id"].dropna())
+        if not ids:
+            return
+        # within one micro-batch, the smallest id is "first" — the
+        # deterministic tie-break that makes a single-batch stream
+        # reproduce the batch keep-first verdict exactly
+        ids.sort()
+        first = state.get[0] if state.exists else ids[0]
+        state.update((first,))
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {
+                "url_key": [key[0]] * len(ids),
+                "id": ids,
+                "first_id": [first] * len(ids),
+                "is_recrawl": [i != first for i in ids],
+            }
+        )
+
+    return update
+
+
+def streaming_url_gate(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """stream of (id, url) → append stream of ``(url_key, id,
+    first_id, is_recrawl)``: the first capture of each URL is admitted
+    (``is_recrawl`` false), later captures flagged. ``id_col`` must be
+    integral."""
+    keyed = stream.select(
+        F.xxhash64(F.col(url_col)).alias("url_key"),
+        F.col(id_col).cast("long").alias("id"),
+    )
+    return keyed.groupBy("url_key").applyInPandasWithState(
+        _make_update(ttl_ms),
+        outputStructType=URL_OUTPUT,
+        stateStructType=URL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
