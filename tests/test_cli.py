@@ -1218,3 +1218,33 @@ def test_cli_web_stage(spark, sf_dir, tmp_path):
     one = res.orderBy("doc_id").first()
     assert one["text"] and "<" not in one["text"]
     assert one["title"].startswith("Doc ")
+
+
+def test_cli_web_stage_with_robots(spark, sf_dir, tmp_path):
+    """--robots synth adds the REP tier between the blocklist and
+    extraction: the funnel gains robots_denied and the output loses
+    exactly those rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+
+    base = _cli(
+        "web", "--input", inp, "--output", str(tmp_path / "web0"),
+        "--synthesize",
+    )
+    assert base.returncode == 0, base.stderr[-2000:]
+    s0 = json.loads(base.stdout.strip().splitlines()[-1])
+
+    out = _cli(
+        "web", "--input", inp, "--output", str(tmp_path / "web1"),
+        "--synthesize", "--robots", "synth",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    s1 = json.loads(out.stdout.strip().splitlines()[-1])
+    assert s1["rows_in"] == s0["rows_in"]
+    assert s1["blocked"] == s0["blocked"]
+    assert 0 < s1["robots_denied"]
+    assert s1["extracted"] == s0["extracted"] - s1["robots_denied"]
+    assert s1["kept"] <= s0["kept"]
+    res = spark.read.parquet(str(tmp_path / "web1"))
+    assert res.count() == s1["kept"]

@@ -318,3 +318,55 @@ def test_streaming_web_gate_keep_only_and_no_url(spark, tmp_path):
     ).collect()
     assert [r["doc_id"] for r in out] == [1]
     assert not out[0]["blocked"] and out[0]["web_keep"]
+
+
+def test_streaming_web_gate_with_robots_matches_batch(spark, sf_dir, tmp_path):
+    """With a robots frame, the streaming gate's web_keep must also
+    honor the REP verdict, byte-equal to the batch composition."""
+    from zeus_data_quality_spark.functions.robots import (
+        robots_filter, synthesize_robots,
+    )
+    from zeus_data_quality_spark.functions.urls import with_url_parts
+    from zeus_data_quality_spark.operators.domainrank import REG_DOMAINS
+    from zeus_data_quality_spark.streaming.web_gate import (
+        streaming_web_gate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = synthesize_html(
+        synthesize_urls(docs, keep_cols=("text",)), keep_cols=("url",)
+    ).limit(200)
+    src = str(tmp_path / "feed3")
+    base.write.parquet(src)
+    robots = synthesize_robots(spark, list(REG_DOMAINS))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, html string, url string")
+        .parquet(src)
+    )
+    q = (
+        streaming_web_gate(stream, robots=robots)
+        .writeStream.format("memory")
+        .queryName("web_gate_robots")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r
+        for r in spark.sql(
+            "SELECT doc_id, robots_allowed, web_keep FROM web_gate_robots"
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r
+        for r in robots_filter(with_url_parts(base, "url"), robots)
+        .select("doc_id", "robots_allowed").collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        assert got[k]["robots_allowed"] == w["robots_allowed"]
+        if not w["robots_allowed"]:
+            assert not got[k]["web_keep"]
+    assert any(not r["robots_allowed"] for r in want.values())

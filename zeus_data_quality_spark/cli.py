@@ -930,15 +930,16 @@ def cmd_clean(args) -> int:
 
 
 def cmd_web(args) -> int:
-    """Web front-door stage: URL blocklist tier → HTML → text
-    extraction → markup-density gate, in that order (blocked domains
-    never pay for a single extraction regex — the URL tier reads no
-    HTML at all). Input is a parquet with ``(id, html[, url])``
-    columns, or ``--synthesize`` derives the deterministic html + url
-    corpus from a documents-shaped table (the bench/test path — same
-    arms the oracle replays). Writes the kept extracted corpus
-    (id, url parts, title, text, density signals); per-tier funnel as
-    summary JSON to stdout.
+    """Web front-door stage: URL blocklist tier → robots.txt REP
+    verdict (``--robots``) → HTML → text extraction → markup-density
+    gate, in that order (blocked/denied domains never pay for a
+    single extraction regex — the URL tiers read no HTML at all).
+    Input is a parquet with ``(id, html[, url])`` columns, or
+    ``--synthesize`` derives the deterministic html + url corpus from
+    a documents-shaped table (the bench/test path — same arms the
+    oracle replays). Writes the kept extracted corpus (id, url parts,
+    title, text, density signals); per-tier funnel as summary JSON to
+    stdout.
 
     Scale shape (SCALE.md r5y): URL parsing and extraction are per-row
     Projects; the blocklist is a broadcast join; the only aggregates
@@ -981,6 +982,24 @@ def cmd_web(args) -> int:
         summary["rows_in"] = base.count()
         summary["blocked"] = 0
         survivors = base
+
+    if args.robots and "reg_domain" in survivors.columns:
+        from .functions.robots import robots_filter, synthesize_robots
+
+        if args.robots == "synth":
+            from .operators.domainrank import REG_DOMAINS
+
+            robots = synthesize_robots(spark, list(REG_DOMAINS))
+        else:
+            robots = spark.read.parquet(args.robots)
+        rb = robots_filter(survivors, robots)
+        ragg = rb.agg(
+            F.sum((~F.col("robots_allowed")).cast("long")).alias("denied")
+        ).first()
+        summary["robots_denied"] = int(ragg["denied"] or 0)
+        survivors = rb.filter(F.col("robots_allowed")).drop(
+            "robots_allowed"
+        )
 
     ext = with_extracted_text(
         survivors, args.html_col, out_col=args.text_col,
@@ -1805,6 +1824,11 @@ def main(argv: list[str] | None = None) -> int:
         "--synthesize", action="store_true",
         help="derive deterministic html+url from a documents corpus "
         "(bench/test path)",
+    )
+    wb.add_argument(
+        "--robots", default=None,
+        help="honor robots.txt: parquet of (reg_domain, robots_txt), "
+        "or 'synth' for the deterministic per-domain set",
     )
     wb.add_argument("--min-ratio", type=int, default=MIN_TEXT_RATIO_PERMILLE)
     wb.add_argument("--min-chars", type=int, default=MIN_TEXT_CHARS)

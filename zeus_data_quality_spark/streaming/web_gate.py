@@ -39,25 +39,35 @@ def streaming_web_gate(
     out_col: str = "text",
     min_ratio_permille: int = MIN_TEXT_RATIO_PERMILLE,
     min_text_chars: int = MIN_TEXT_CHARS,
+    robots: DataFrame | None = None,
     keep_only: bool = False,
 ) -> DataFrame:
     """Label (and optionally filter) a crawl stream with the front-door
     verdicts: URL parts + ``blocked`` (when `url_col` exists and a
-    blocklist is given), then extracted ``<out_col>`` + density signals
-    + ``web_keep`` (not blocked AND html_keep). With ``keep_only`` the
-    stream carries only surviving rows."""
+    blocklist is given), ``robots_allowed`` (when a `robots` frame of
+    (reg_domain, robots_txt) is given — another broadcast stream-static
+    join + stateless HOF fold), then extracted ``<out_col>`` + density
+    signals + ``web_keep`` (not blocked AND robots-allowed AND
+    html_keep). With ``keep_only`` the stream carries only survivors."""
     out = stream
     if url_col in stream.columns:
         out = with_url_parts(out, url_col)
         if blocklist is not None:
             out = flag_blocked(out, blocklist)
+        if robots is not None:
+            from ..functions.robots import robots_filter
+
+            out = robots_filter(out, robots)
     if "blocked" not in out.columns:
         out = out.withColumn("blocked", F.lit(False))
+    if "robots_allowed" not in out.columns:
+        out = out.withColumn("robots_allowed", F.lit(True))
     out = with_extracted_text(
         out, html_col, out_col=out_col,
         min_ratio_permille=min_ratio_permille,
         min_text_chars=min_text_chars,
     ).withColumn(
-        "web_keep", (~F.col("blocked")) & F.col("html_keep")
+        "web_keep",
+        (~F.col("blocked")) & F.col("robots_allowed") & F.col("html_keep"),
     )
     return out.filter("web_keep") if keep_only else out
