@@ -198,3 +198,9 @@ def test_robots_corpus_verdicts_nontrivial(spark, sf_dir):
     n = out.count()
     blocked = out.filter(~F.col("robots_allowed")).count()
     assert 0 < blocked < n
+
+
+def test_robots_parser_tolerates_crlf_nospace_and_trailing_ws(spark):
+    txt = "User-agent: *\r\nDisallow:/p\r\nAllow: /p/ok   \r\n"
+    got = _robots_eval(spark, txt, ["/p/ok/page", "/p/other", "/q"])
+    assert got == [True, False, True]

@@ -50,6 +50,10 @@ from pyspark.sql import functions as F
 
 ALLOW_PREFIX = "Allow: "
 DISALLOW_PREFIX = "Disallow: "
+# bare directive keys the parser matches on (the space after the
+# colon is optional in the wild; the remainder is trimmed)
+ALLOW_KEY = "Allow:"
+DISALLOW_KEY = "Disallow:"
 
 
 def robots_txt_for_index(i: int) -> str:
@@ -80,21 +84,26 @@ def parse_robots_rules(txt: Column) -> Column:
     """``array<struct<allow boolean, prefix string>>`` parsed from one
     robots.txt payload: Allow:/Disallow: lines of the (single modeled)
     ``User-agent: *`` section, empty prefixes dropped."""
-    lines = F.split(txt, "\n")
+    # real robots.txt files arrive with CRLF endings, no space after
+    # the colon, and trailing whitespace on rule lines: the split
+    # tolerates \r\n, the match is on the bare `Allow:`/`Disallow:`
+    # key, and the remainder is trimmed on both sides (REP ignores
+    # surrounding whitespace) — identically in the DuckDB oracle.
+    lines = F.split(txt, "\r?\n")
     rules = F.transform(
         lines,
         lambda ln: F.when(
-            ln.startswith(ALLOW_PREFIX),
+            ln.startswith(ALLOW_KEY),
             F.struct(
                 F.lit(True).alias("allow"),
-                F.substring(ln, len(ALLOW_PREFIX) + 1, 4096)
+                F.trim(F.substring(ln, len(ALLOW_KEY) + 1, 4096))
                 .alias("prefix"),
             ),
         ).when(
-            ln.startswith(DISALLOW_PREFIX),
+            ln.startswith(DISALLOW_KEY),
             F.struct(
                 F.lit(False).alias("allow"),
-                F.substring(ln, len(DISALLOW_PREFIX) + 1, 4096)
+                F.trim(F.substring(ln, len(DISALLOW_KEY) + 1, 4096))
                 .alias("prefix"),
             ),
         ).otherwise(F.lit(None)),
@@ -175,13 +184,14 @@ def duckdb_rules_cte() -> str:
     return f"""
 rules AS (
     SELECT reg_domain,
-           starts_with(ln, '{ALLOW_PREFIX}') AS is_allow,
-           CASE WHEN starts_with(ln, '{ALLOW_PREFIX}')
-                THEN substr(ln, {len(ALLOW_PREFIX) + 1})
-                ELSE substr(ln, {len(DISALLOW_PREFIX) + 1}) END AS prefix
-    FROM robots, unnest(string_split(robots_txt, chr(10))) AS u(ln)
-    WHERE (starts_with(ln, '{ALLOW_PREFIX}')
-           OR starts_with(ln, '{DISALLOW_PREFIX}'))
+           starts_with(ln, '{ALLOW_KEY}') AS is_allow,
+           CASE WHEN starts_with(ln, '{ALLOW_KEY}')
+                THEN trim(substr(ln, {len(ALLOW_KEY) + 1}))
+                ELSE trim(substr(ln, {len(DISALLOW_KEY) + 1})) END AS prefix
+    FROM robots,
+         unnest(string_split_regex(robots_txt, '\\r?\\n')) AS u(ln)
+    WHERE (starts_with(ln, '{ALLOW_KEY}')
+           OR starts_with(ln, '{DISALLOW_KEY}'))
 )"""
 
 
