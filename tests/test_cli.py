@@ -1248,3 +1248,37 @@ def test_cli_web_stage_with_robots(spark, sf_dir, tmp_path):
     assert s1["kept"] <= s0["kept"]
     res = spark.read.parquet(str(tmp_path / "web1"))
     assert res.count() == s1["kept"]
+
+
+def test_cli_graph_stage(spark, sf_dir, tmp_path):
+    """The r5z web-graph stage: crawl compaction keeps exactly one
+    capture per URL (the latest) and the rank artifact lands with
+    conserved integer mass."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+
+    out = _cli(
+        "graph", "--input", inp, "--output", str(tmp_path / "kept"),
+        "--synthesize", "--rank-out", str(tmp_path / "rank"),
+        "--rank-iters", "4",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    s = json.loads(out.stdout.strip().splitlines()[-1])
+    assert s["captures_in"] == docs.count()
+    assert 0 < s["urls_kept"] < s["captures_in"]
+    assert s["recrawls_dropped"] == s["captures_in"] - s["urls_kept"]
+
+    kept = spark.read.parquet(str(tmp_path / "kept"))
+    assert kept.count() == s["urls_kept"]
+    assert kept.select("url").distinct().count() == s["urls_kept"]
+    # latest-capture invariant: every kept row carries its URL's max ts
+    from pyspark.sql import functions as SF
+    mx = kept.groupBy("url").agg(SF.max("fetch_ts").alias("mx"))
+    bad = kept.join(mx, "url").filter(SF.col("fetch_ts") != SF.col("mx"))
+    assert bad.count() == 0
+
+    rank = spark.read.parquet(str(tmp_path / "rank"))
+    assert rank.count() == s["domains_ranked"] == 7
+    total = rank.agg(SF.sum("rank")).first()[0]
+    assert 10**12 - 10_000 <= total <= 10**12

@@ -1024,6 +1024,65 @@ def cmd_web(args) -> int:
     return 0
 
 
+def cmd_graph(args) -> int:
+    """Web-graph stage: cross-snapshot crawl compaction (keep the
+    latest capture per URL) plus the domain-authority rank artifact,
+    in one spark-submit pass. ``--input`` is a captures parquet with
+    (doc_id, url, fetch_ts[, ...]) — or ``--synthesize`` derives the
+    deterministic capture + outlink corpora from a documents-shaped
+    table. Writes the compacted corpus to ``--output`` and, with
+    ``--rank-out``, the (domain, rank, in_domains, out_domains)
+    artifact a quality tier can broadcast-join as a prior; summary
+    JSON to stdout.
+
+    Scale shape (SCALE.md r5z): compaction is one partial-aggregated
+    extremum + a 1:N join-back; the rank's corpus-sized work is one
+    edge aggregate, iterations run on |domains|-row tables.
+    """
+    from .operators.crawldedup import keep_latest
+    from .operators.domainrank import domain_rank, synthesize_links
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+
+    if args.synthesize:
+        from .functions.urls import synthesize_crawl
+
+        captures = synthesize_crawl(df)
+        links = synthesize_links(df)
+    else:
+        captures = df
+        links = None
+
+    summary: dict[str, int] = {}
+    compacted = keep_latest(captures)
+    compacted.write.mode("overwrite").parquet(args.output)
+    res = spark.read.parquet(args.output)
+    summary["captures_in"] = captures.count()
+    summary["urls_kept"] = res.count()
+    summary["recrawls_dropped"] = (
+        summary["captures_in"] - summary["urls_kept"]
+    )
+
+    if args.rank_out:
+        if links is None:
+            if not {"src", "dst"} <= set(df.columns):
+                print(
+                    json.dumps({"error": "rank needs (src, dst) links "
+                                "or --synthesize"}),
+                    file=sys.stderr,
+                )
+                return 2
+            links = df.select("src", "dst")
+        rank = domain_rank(links, iters=args.rank_iters)
+        rank.write.mode("overwrite").parquet(args.rank_out)
+        rres = spark.read.parquet(args.rank_out)
+        summary["domains_ranked"] = rres.count()
+        summary["rank_iters"] = args.rank_iters
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_decontam(args) -> int:
     """Benchmark-decontamination stage: flag (and optionally drop)
     training documents that overlap the eval suite, as one
@@ -1833,6 +1892,25 @@ def main(argv: list[str] | None = None) -> int:
     wb.add_argument("--min-ratio", type=int, default=MIN_TEXT_RATIO_PERMILLE)
     wb.add_argument("--min-chars", type=int, default=MIN_TEXT_CHARS)
     wb.set_defaults(fn=cmd_web)
+
+    gr = sub.add_parser(
+        "graph",
+        help="web graph: crawl compaction (keep-latest per URL) + "
+        "domain-authority rank artifact",
+    )
+    gr.add_argument("--input", required=True)
+    gr.add_argument("--output", required=True)
+    gr.add_argument(
+        "--synthesize", action="store_true",
+        help="derive deterministic captures+links from a documents "
+        "corpus (bench/test path)",
+    )
+    gr.add_argument(
+        "--rank-out", default=None,
+        help="also write the (domain, rank, degrees) artifact here",
+    )
+    gr.add_argument("--rank-iters", type=int, default=8)
+    gr.set_defaults(fn=cmd_graph)
 
     dc = sub.add_parser(
         "decontam",
