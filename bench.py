@@ -256,6 +256,9 @@ HEADLINE = [
     # r5z: robots.txt REP compliance verdict (broadcast rules table +
     # per-row HOF longest-prefix extremum, zero corpus shuffle)
     "robots_filter",
+    # r5z: the rank artifact as a per-doc quality prior (broadcast
+    # join of the |domains|-row rank table)
+    "domain_prior",
 ]
 
 

@@ -409,6 +409,9 @@ TAIL_OVERFLOW: set = {
     # the broadcast-dim + per-row-HOF physical shape is in-window via
     # url_filter + gopher_repetition; window-capacity note as above.
     "robots_filter",
+    # r5z: the rank artifact in use — derivative broadcast join of
+    # domain_rank onto the per-doc url parts (composed full oracle).
+    "domain_prior",
 }
 
 

@@ -208,6 +208,33 @@ def domain_rank(
     return out
 
 
+def with_authority_prior(
+    parts: DataFrame,
+    rank: DataFrame,
+    domain_col: str = "reg_domain",
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """Join the rank artifact onto a corpus as a per-document quality
+    prior: adds ``domain_rank`` (integer units of 1/`scale`; 0 for
+    unranked domains) and ``authority_permille`` (rank·1000 // scale —
+    the broadcast-joinable feature a mixer or classifier consumes).
+    The rank table is |domains| rows → BROADCAST; the corpus never
+    shuffles."""
+    r = F.broadcast(
+        rank.select(
+            F.col("domain").alias("__dr_domain"),
+            F.col("rank").alias("__dr_rank"),
+        )
+    )
+    out = parts.join(
+        r, parts[domain_col] == r["__dr_domain"], "left"
+    ).drop("__dr_domain")
+    rk = F.coalesce(F.col("__dr_rank"), F.lit(0)).cast("long")
+    return out.withColumn("domain_rank", rk).withColumn(
+        "authority_permille", _fdiv(rk * 1000, F.lit(scale))
+    ).drop("__dr_rank")
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle side: every unrolled iteration replayed.
 

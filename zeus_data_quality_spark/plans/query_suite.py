@@ -1812,6 +1812,52 @@ def _oracle_domain_rank() -> str:
     return duckdb_domain_rank_sql("documents", iters=DOMAIN_RANK_ITERS)
 
 
+def q_domain_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority prior in use (operators/domainrank.py): the rank
+    artifact broadcast-joined onto every document's registered domain
+    as (domain_rank, authority_permille) — the derivative join
+    composing the in-corpus url parsing with the domain_rank chain."""
+    from ..operators.domainrank import (domain_rank, synthesize_links,
+                                        with_authority_prior)
+    from ..functions.urls import synthesize_urls, with_url_parts
+
+    docs = _read(spark, sf_dir, "documents")
+    parts = with_url_parts(synthesize_urls(docs)).select(
+        "doc_id", "reg_domain"
+    )
+    rank = domain_rank(synthesize_links(docs), iters=DOMAIN_RANK_ITERS)
+    return with_authority_prior(parts, rank)
+
+
+def _oracle_domain_prior() -> str:
+    from ..operators.domainrank import (DEFAULT_SCALE,
+                                        duckdb_domain_rank_sql)
+    from ..functions.urls import duckdb_url_parts_select, duckdb_urls_cte
+
+    rank_sql = duckdb_domain_rank_sql(
+        "documents", iters=DOMAIN_RANK_ITERS
+    ).strip()
+    assert rank_sql.startswith("WITH ")
+    rank_body, rank_select = rank_sql[5:].rsplit("\nSELECT", 1)
+    return f"""
+WITH {rank_body},
+rank_table AS (
+SELECT{rank_select}
+),
+{duckdb_urls_cte("documents").strip()},
+parts AS (
+    SELECT doc_id, {duckdb_url_parts_select()}
+    FROM urls
+)
+SELECT p.doc_id, p.reg_domain,
+       CAST(COALESCE(r.rank, 0) AS BIGINT) AS domain_rank,
+       CAST(COALESCE(r.rank, 0) * 1000 // {DEFAULT_SCALE} AS BIGINT)
+           AS authority_permille
+FROM parts p LEFT JOIN rank_table r ON p.reg_domain = r.domain
+ORDER BY p.doc_id
+"""
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt compliance verdict (functions/robots.py): per-domain
     robots synthesized deterministically, parsed to rule arrays on a
@@ -3846,6 +3892,10 @@ def queries():
         # chain + longest-prefix/Allow-wins extremum replayed in SQL);
         # window-capacity tail row like its two siblings above.
         "robots_filter": q_robots_filter,
+        # r5z: the rank artifact in use — per-doc authority prior
+        # (derivative broadcast join over domain_rank + url parts,
+        # full composed oracle).
+        "domain_prior": q_domain_prior,
         # r5d rotation: the static broadcast-table bigram scorer rotates
         # to the tail; the perplexity family keeps perplexity_trained
         # (corpus-trained bigram join) and perplexity_kn (KN trigram)
@@ -4075,6 +4125,7 @@ def oracle_sql():
         "crawl_dedup": _oracle_crawl_dedup(),
         "domain_rank": _oracle_domain_rank(),
         "robots_filter": _oracle_robots_filter(),
+        "domain_prior": _oracle_domain_prior(),
         "c4_line_filter": _oracle_c4_line_filter(),
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "conversation_dedup": oracle_with_transcripts(ORACLE_CONV_DEDUP),
