@@ -204,3 +204,25 @@ def test_robots_parser_tolerates_crlf_nospace_and_trailing_ws(spark):
     txt = "User-agent: *\r\nDisallow:/p\r\nAllow: /p/ok   \r\n"
     got = _robots_eval(spark, txt, ["/p/ok/page", "/p/other", "/q"])
     assert got == [True, False, True]
+
+
+def test_authority_prior_join_and_unranked_zero(spark):
+    from zeus_data_quality_spark.operators.domainrank import (
+        with_authority_prior,
+    )
+
+    parts = spark.createDataFrame(
+        [(1, "a.com"), (2, "b.com"), (3, "ghost.com")],
+        "doc_id bigint, reg_domain string",
+    )
+    rank = spark.createDataFrame(
+        [("a.com", 600_000_000_000), ("b.com", 399_999_999_999)],
+        "domain string, rank long",
+    )
+    got = {r["doc_id"]: r
+           for r in with_authority_prior(parts, rank).collect()}
+    assert got[1]["domain_rank"] == 600_000_000_000
+    assert got[1]["authority_permille"] == 600
+    assert got[2]["authority_permille"] == 399       # floor, not round
+    assert got[3]["domain_rank"] == 0
+    assert got[3]["authority_permille"] == 0
