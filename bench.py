@@ -259,6 +259,9 @@ HEADLINE = [
     # r5z: the rank artifact as a per-doc quality prior (broadcast
     # join of the |domains|-row rank table)
     "domain_prior",
+    # r5z: encoding-damage signals (mojibake/C1/U+FFFD counters,
+    # per-row Project, no shuffle)
+    "encoding_quality",
 ]
 
 

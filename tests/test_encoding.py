@@ -1,0 +1,66 @@
+"""Encoding-damage signals (functions/encoding.py): hand-checkable
+artifact counting and the 3VL verdict; the corpus-level value gate is
+the `encoding_quality` oracle parity in test_entry_parity.py.
+
+All special characters here are escapes — no raw non-ASCII bytes in
+source (the module itself follows the same rule)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zeus_data_quality_spark.functions.encoding import (
+    with_encoding_stats,
+)
+
+
+def _stats(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    return {
+        r["doc_id"]: r
+        for r in with_encoding_stats(df).orderBy("doc_id").collect()
+    }
+
+
+def test_counts_each_artifact_class(spark):
+    got = _stats(spark, [
+        "clean prose, nothing wrong here",
+        "bad \ufffd byte and another \ufffd",
+        "stray\u0085nel and\u0090more",
+        "caf\u00c3\u00a9 but se\u00c3\u00b1or too",
+        "it\u00e2\u20ac\u2019s quoted",
+        "nb\u00c2\u00a0space",
+    ])
+    assert got[0]["encoding_ok"] and got[0]["n_mojibake"] == 0
+    assert got[1]["n_replacement"] == 2 and not got[1]["encoding_ok"]
+    assert got[2]["n_c1"] == 2 and not got[2]["encoding_ok"]
+    assert got[3]["n_mojibake"] == 2 and not got[3]["encoding_ok"]
+    # the curly-quote triple counts via its leading a-circ+euro pair
+    assert got[4]["n_mojibake"] == 1 and not got[4]["encoding_ok"]
+    assert got[5]["n_mojibake"] == 1 and not got[5]["encoding_ok"]
+
+
+def test_legitimate_accents_do_not_flag(spark):
+    # real (correctly decoded) accented text must pass: the detector
+    # keys on the mis-decode DIGRAPHS, not on accented letters
+    got = _stats(spark, ["caf\u00e9 s\u00e9ance \u00fcber ni\u00f1o"])
+    assert got[0]["encoding_ok"] and got[0]["n_mojibake"] == 0
+
+
+def test_null_text_is_3vl(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id bigint, text string")
+    r = with_encoding_stats(df).collect()[0]
+    assert r["n_replacement"] is None and r["encoding_ok"] is None
+
+
+def test_corpus_mix_nontrivial(spark, sf_dir):
+    from zeus_data_quality_spark.plans.query_suite import (
+        q_encoding_quality,
+    )
+
+    out = q_encoding_quality(spark, sf_dir)
+    n = out.count()
+    bad = out.filter(~F.col("encoding_ok")).count()
+    assert 0 < bad < n

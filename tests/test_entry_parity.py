@@ -412,6 +412,11 @@ TAIL_OVERFLOW: set = {
     # r5z: the rank artifact in use — derivative broadcast join of
     # domain_rank onto the per-doc url parts (composed full oracle).
     "domain_prior",
+    # r5z: encoding-damage signals (mojibake/C1/U+FFFD counters +
+    # 3VL verdict) — full oracle; the per-row-Project quality-signal
+    # physical shape is in-window via text_stats/char_entropy's
+    # family (gopher_repetition), window-capacity note as above.
+    "encoding_quality",
 }
 
 

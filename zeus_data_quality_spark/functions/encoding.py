@@ -1,0 +1,180 @@
+"""Encoding-damage quality signals — mojibake and mis-decode
+detection, as pure Column algebra.
+
+Web corpora carry a distinct damage class the content filters above
+never look for: text that was decoded with the wrong charset
+somewhere in the crawl chain. The three classic artifacts:
+
+* **U+FFFD replacement characters** — a decoder already gave up; the
+  original bytes are gone.
+* **C1 control characters** (U+0080-U+009F) — the signature of
+  cp1252/latin-1 bytes mis-read as code points; almost never
+  legitimate in text.
+* **UTF-8-read-as-latin-1 digraphs** (U+00C3 U+00A9 where U+00E9
+  'e-acute' was meant; U+00E2 U+20AC U+2019 for a right quote): each
+  UTF-8 multi-byte sequence mis-decoded expands into a recognizable
+  lead char followed by continuation-byte artifacts.
+
+CCNet/C4-class pipelines drop or re-decode such documents; scoring
+them is a per-row Project (scan speed at 10^12 rows), and all three
+counters are exact integers, so the verdict replays bit-identically
+in DuckDB.
+
+Engine-exactness notes: the digraph counter uses the literal
+replace-trick ((len(s) - len(replace(s, seq, ''))) / len(seq)) for
+multi-char sequences — no regex, identical in both engines; the
+C1 counter uses regexp_count over an explicit code-point class
+(Java regex and RE2 agree on code-point classes). All special
+characters in this module are built from ``chr()`` escapes — no raw
+non-ASCII in source. The synthesized corpus injects each artifact on
+co-prime modulo arms so the driver oracle checks real damage
+patterns, not clean text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+REPLACEMENT_CHAR = "\ufffd"
+# the classic smart-punctuation mojibake digraphs (cp1252 curly
+# quotes/dashes read as latin-1) and common accented-latin pairs —
+# counted as literal sequences
+MOJIBAKE_SEQS: tuple[str, ...] = (
+    "\u00e2\u20ac",    # a-circ + euro: leads mis-decoded curly punct
+    "\u00c3\u00a9",    # -> e-acute
+    "\u00c3\u00a8",    # -> e-grave
+    "\u00c3\u00bc",    # -> u-umlaut
+    "\u00c3\u00b1",    # -> n-tilde
+    "\u00c2\u00a0",    # -> mis-decoded non-breaking space
+)
+# C1 control block — regex class over explicit code points
+_C1_CLASS = "[\u0080-\u009f]"
+
+# Damage-injection arms for the deterministic corpus (modulo, residue).
+FFFD_ARM = (7, 2)
+C1_ARM = (5, 3)       # injects U+0085 (NEL), the most common C1 stray
+DIGRAPH_ARM = (4, 1)  # injects a "caf<C3><A9>" digraph
+QUOTE_ARM = (3, 0)    # injects the curly-quote triple <E2><20AC><2019>
+
+_DMG_FFFD = " broken \ufffd bytes"
+_DMG_C1 = " stray\u0085line"
+_DMG_DIGRAPH = " caf\u00c3\u00a9 menu"
+_DMG_QUOTE = " it\u00e2\u20ac\u2019s here"
+
+MAX_MOJIBAKE = 0      # verdict: any artifact fails (they never belong)
+
+
+def _count_literal(col: Column, seq: str) -> Column:
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(seq), F.lit(""))))
+        / len(seq)
+    ).cast("long")
+
+
+def with_encoding_stats(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Adds ``n_replacement``, ``n_c1``, ``n_mojibake`` (sum over the
+    literal digraph table) and ``encoding_ok`` (no artifact of any
+    class; NULL text -> NULL counts and a NULL 3VL verdict)."""
+    c = F.col(text_col)
+    n_rep = _count_literal(c, REPLACEMENT_CHAR)
+    n_c1 = F.regexp_count(c, F.lit(_C1_CLASS)).cast("long")
+    n_moj = None
+    for seq in MOJIBAKE_SEQS:
+        term = _count_literal(c, seq)
+        n_moj = term if n_moj is None else (n_moj + term)
+    n_moj = n_moj.cast("long")
+    ok = (n_rep == 0) & (n_c1 == 0) & (n_moj <= MAX_MOJIBAKE)
+    return df.withColumns({
+        "n_replacement": n_rep,
+        "n_c1": n_c1,
+        "n_mojibake": n_moj,
+        "encoding_ok": ok,
+    })
+
+
+def synthesize_encoding_damage(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """``documents`` -> ``(doc_id, text)`` with deterministic damage
+    injected on co-prime arms (clean docs stay byte-identical)."""
+    doc_id = F.col("doc_id")
+
+    def arm(mod_res: tuple[int, int], lit: str) -> Column:
+        mod, res = mod_res
+        return F.when(doc_id % mod == res, F.lit(lit)).otherwise(F.lit(""))
+
+    text = F.concat(
+        F.col(text_col),
+        arm(FFFD_ARM, _DMG_FFFD),
+        arm(C1_ARM, _DMG_C1),
+        arm(DIGRAPH_ARM, _DMG_DIGRAPH),
+        arm(QUOTE_ARM, _DMG_QUOTE),
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle side. Every special character is emitted as a
+# chr(<codepoint>) concatenation so the SQL text itself stays ASCII.
+
+def _sql_str(s: str) -> str:
+    """ASCII-only SQL expression evaluating to the string `s`."""
+    parts: list[str] = []
+    buf = ""
+    for ch in s:
+        if 0x20 <= ord(ch) < 0x7F and ch != "'":
+            buf += ch
+        else:
+            if buf:
+                parts.append(f"'{buf}'")
+                buf = ""
+            parts.append(f"chr({ord(ch)})")
+    if buf:
+        parts.append(f"'{buf}'")
+    return " || ".join(parts) if parts else "''"
+
+
+def duckdb_damage_cte(table: str = "documents") -> str:
+    def arm_sql(mod_res: tuple[int, int], lit: str) -> str:
+        mod, res = mod_res
+        return (
+            f"CASE WHEN doc_id % {mod} = {res} THEN {_sql_str(lit)} "
+            f"ELSE '' END"
+        )
+
+    return f"""
+damaged AS (
+    SELECT doc_id,
+        text
+        || {arm_sql(FFFD_ARM, _DMG_FFFD)}
+        || {arm_sql(C1_ARM, _DMG_C1)}
+        || {arm_sql(DIGRAPH_ARM, _DMG_DIGRAPH)}
+        || {arm_sql(QUOTE_ARM, _DMG_QUOTE)} AS text
+    FROM {table}
+)"""
+
+
+def duckdb_encoding_stats_sql(table: str = "documents") -> str:
+    def count_lit(seq: str) -> str:
+        return (
+            f"(length(text) - length(replace(text, {_sql_str(seq)}, '')))"
+            f" // {len(seq)}"
+        )
+
+    moj = " + ".join(count_lit(s) for s in MOJIBAKE_SEQS)
+    n_rep = count_lit(REPLACEMENT_CHAR)
+    c1 = f"len(regexp_extract_all(text, {_sql_str(_C1_CLASS)}))"
+    return f"""
+WITH {duckdb_damage_cte(table).strip()}
+SELECT doc_id,
+       CAST({n_rep} AS BIGINT) AS n_replacement,
+       CAST({c1} AS BIGINT) AS n_c1,
+       CAST({moj} AS BIGINT) AS n_mojibake,
+       ({n_rep} = 0 AND {c1} = 0 AND ({moj}) <= {MAX_MOJIBAKE})
+           AS encoding_ok
+FROM damaged
+ORDER BY doc_id
+"""

@@ -1858,6 +1858,26 @@ ORDER BY p.doc_id
 """
 
 
+def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage signals (functions/encoding.py): deterministic
+    mojibake/C1/U+FFFD injection over documents, then the integer
+    artifact counters + 3VL verdict — one per-row Project, no
+    shuffle."""
+    from ..functions.encoding import (synthesize_encoding_damage,
+                                      with_encoding_stats)
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_encoding_stats(synthesize_encoding_damage(docs)).select(
+        "doc_id", "n_replacement", "n_c1", "n_mojibake", "encoding_ok"
+    )
+
+
+def _oracle_encoding_quality() -> str:
+    from ..functions.encoding import duckdb_encoding_stats_sql
+
+    return duckdb_encoding_stats_sql("documents")
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt compliance verdict (functions/robots.py): per-domain
     robots synthesized deterministically, parsed to rule arrays on a
@@ -3896,6 +3916,9 @@ def queries():
         # (derivative broadcast join over domain_rank + url parts,
         # full composed oracle).
         "domain_prior": q_domain_prior,
+        # r5z: encoding-damage signals (mojibake / C1 / U+FFFD) —
+        # full oracle, window-capacity tail row.
+        "encoding_quality": q_encoding_quality,
         # r5d rotation: the static broadcast-table bigram scorer rotates
         # to the tail; the perplexity family keeps perplexity_trained
         # (corpus-trained bigram join) and perplexity_kn (KN trigram)
@@ -4126,6 +4149,7 @@ def oracle_sql():
         "domain_rank": _oracle_domain_rank(),
         "robots_filter": _oracle_robots_filter(),
         "domain_prior": _oracle_domain_prior(),
+        "encoding_quality": _oracle_encoding_quality(),
         "c4_line_filter": _oracle_c4_line_filter(),
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "conversation_dedup": oracle_with_transcripts(ORACLE_CONV_DEDUP),
