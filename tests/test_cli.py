@@ -1282,3 +1282,31 @@ def test_cli_graph_stage(spark, sf_dir, tmp_path):
     assert rank.count() == s["domains_ranked"] == 7
     total = rank.agg(SF.sum("rank")).first()[0]
     assert 10**12 - 10_000 <= total <= 10**12
+
+
+def test_cli_clean_stage_encoding_gate(spark, sf_dir, tmp_path):
+    """--encoding scores mojibake damage on RAW text (before
+    normalization masks C1 strays); --drop-damaged excludes failing
+    docs from the cleaned output."""
+    from zeus_data_quality_spark.functions.encoding import (
+        synthesize_encoding_damage,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    damaged = synthesize_encoding_damage(docs)
+    inp = str(tmp_path / "dmg.parquet")
+    damaged.write.parquet(inp)
+
+    out = _cli(
+        "clean", "--input", inp, "--output", str(tmp_path / "clean_enc"),
+        "--encoding", "--drop-damaged",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    s = json.loads(out.stdout.strip().splitlines()[-1])
+    assert s["enc_damaged_docs"] > 0
+    assert s["enc_replacement"] > 0 and s["enc_mojibake"] > 0
+    assert s["enc_c1"] > 0
+    # the cleaned corpus excludes every damaged doc
+    res = spark.read.parquet(str(tmp_path / "clean_enc"))
+    assert res.count() == 200 - s["enc_damaged_docs"]
+    assert s["rows"] == 200 - s["enc_damaged_docs"]

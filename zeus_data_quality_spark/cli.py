@@ -892,8 +892,27 @@ def cmd_clean(args) -> int:
     df = spark.read.parquet(args.input)
     tc = args.text_col
 
-    norm = with_normalized_text(df, tc, out_col="__norm")
     summary: dict[str, int] = {}
+    if args.encoding:
+        # score BEFORE normalization: normalize deletes control chars
+        # and would mask the C1 mis-decode signature
+        from .functions.encoding import with_encoding_stats
+
+        enc = with_encoding_stats(df, tc)
+        eagg = enc.agg(
+            F.sum("n_replacement").alias("enc_replacement"),
+            F.sum("n_c1").alias("enc_c1"),
+            F.sum("n_mojibake").alias("enc_mojibake"),
+            F.sum((~F.coalesce(F.col("encoding_ok"), F.lit(True)))
+                  .cast("long")).alias("enc_damaged_docs"),
+        ).first()
+        summary.update({k: int(eagg[k] or 0) for k in eagg.asDict()})
+        if args.drop_damaged:
+            df = enc.filter(
+                F.coalesce(F.col("encoding_ok"), F.lit(True))
+            ).drop("n_replacement", "n_c1", "n_mojibake", "encoding_ok")
+
+    norm = with_normalized_text(df, tc, out_col="__norm")
     agg = norm.agg(
         F.count(F.lit(1)).alias("rows"),
         *[F.sum(k).alias(k) for k in CLASS_COUNTS],
@@ -1861,6 +1880,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     cl.add_argument("--id-col", default="doc_id")
     cl.add_argument("--min-count", type=int, default=2)
+    cl.add_argument(
+        "--encoding", action="store_true",
+        help="score mojibake/C1/U+FFFD damage (on raw text, before "
+        "normalization) and add per-class totals to the summary",
+    )
+    cl.add_argument(
+        "--drop-damaged", action="store_true",
+        help="with --encoding: drop documents failing encoding_ok",
+    )
     cl.set_defaults(fn=cmd_clean)
 
     from .functions.htmlextract import (MIN_TEXT_CHARS,
