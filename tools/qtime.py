@@ -1,0 +1,91 @@
+"""Per-query timing / plan-dump harness for the optimization loop.
+
+Times individual suite queries (and bench.py's _extra_benches entries)
+with the noop sink — same methodology as bench.py, without running the
+whole suite. Does NOT replace bench.py (which is frozen for
+measurement); this is the guide-§1.4 isolation tool.
+
+Usage:
+  python tools/qtime.py [-n RUNS] [--explain DIR] [--suffix S] q1 q2 ...
+  python tools/qtime.py --all            # every HEADLINE + extra query
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import bench  # noqa: E402
+from zeus_data_quality_spark.plans import query_suite as qs  # noqa: E402
+from zeus_data_quality_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    n_runs = 2
+    explain_dir = None
+    suffix = ""
+    names: list[str] = []
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "-n":
+            n_runs = int(args[i + 1]); i += 2
+        elif a == "--explain":
+            explain_dir = args[i + 1]; i += 2
+        elif a == "--suffix":
+            suffix = args[i + 1]; i += 2
+        elif a == "--all":
+            names = "ALL"; i += 1  # type: ignore[assignment]
+        else:
+            names.append(a); i += 1
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("qtime", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).agg(F.sum("id")).collect()
+
+    queries = dict(qs.queries())
+    queries.update(bench._extra_benches())
+    if names == "ALL":
+        names = bench.HEADLINE + list(bench._extra_benches())
+
+    from zeus_data_quality_spark.operators.dedup import (
+        release_signature_caches,
+    )
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = queries[name]
+        if explain_dir:
+            os.makedirs(explain_dir, exist_ok=True)
+            df = fn(spark, sf_dir)
+            with open(
+                os.path.join(explain_dir, f"{name}{suffix}.txt"), "w"
+            ) as fh:
+                fh.write(df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+                    df._jdf.queryExecution(), "formatted"
+                ))
+            release_signature_caches()
+        best = float("inf")
+        for _ in range(n_runs):
+            spark.sparkContext.setJobDescription(f"qtime:{name}")
+            t0 = time.time()
+            bench._force(fn(spark, sf_dir))
+            best = min(best, time.time() - t0)
+            release_signature_caches()
+        if n_runs > 0:
+            timings[name] = round(best, 3)
+            print(f"{name}: {timings[name]}", file=sys.stderr)
+    print(json.dumps(timings))
+
+
+if __name__ == "__main__":
+    main()

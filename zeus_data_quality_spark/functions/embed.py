@@ -139,7 +139,7 @@ def with_text_embedding(
     )
 
 
-def _bucket_sign_sums(
+def _pivot_sums(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -147,23 +147,38 @@ def _bucket_sign_sums(
     n: int,
     hash_fn: str,
 ) -> DataFrame:
-    """Relational core: (id, dim_idx, val) for NON-ZERO coordinates.
+    """Relational core: (id, __v0..__v{dim-1}) — the dense embedding as
+    ``dim`` long columns, one row per distinct id (ids are unique in
+    every caller; the upstream contract of this module).
 
     Explodes the n-char GRAMS (not positions-with-text: a position
     explode would copy the whole document into every generated row —
-    measured 3× slower), then hashes in the codegen'd Project: the
-    interpreted transform only does cheap substrings, the hash runs
-    compiled (measured 2× vs hash-inside-transform on bulk runs);
-    two-phase (id, bucket) sum finishes it. Identical values to the
-    per-row :func:`text_embedding` Project — its bulk twin."""
+    measured 3× slower), hashes in the codegen'd Project, then ONE
+    hash aggregate keyed on id with ``dim`` conditional sums (partial,
+    map-side — the shuffle carries ≤ dim longs per id per mapper).
+    ``explode_outer`` keeps NULL/short-text rows (their single NULL
+    gram hashes to a NULL bucket, which no conditional sum matches →
+    all-zero vector), so no spine join-back is needed: the r5 shape
+    (groupBy(id, bucket) → spine crossJoin → left join → groupBy(id))
+    was 3 shuffles + a join; this is the same values in 1 shuffle
+    (bench: text_embeddings 8.05 s → see OPTIMIZATION_r06.md).
+    Identical values to the per-row :func:`text_embedding` Project —
+    its bulk twin."""
+    from ..session import spread_scan
+
+    # Project to the two needed columns BEFORE the (gated) spread so a
+    # local-mode repartition shuffles only (id, text) — and a
+    # cluster-scale scan skips it entirely (guide §2.3 / spread_scan).
+    df = spread_scan(df.select(F.col(id_col), F.col(text_col)))
     t = F.lower(F.trim(F.col(text_col)))
     n_g = F.length(t) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), n_g), lambda i: F.substr(t, i, F.lit(n))
-    )
-    exploded = df.filter(t.isNotNull() & (n_g >= 1)).select(
-        F.col(id_col), F.explode(grams).alias("__g")
-    )
+    grams = F.when(
+        t.isNotNull() & (n_g >= 1),
+        F.transform(
+            F.sequence(F.lit(1), n_g), lambda i: F.substr(t, i, F.lit(n))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(F.col(id_col), F.explode_outer(grams).alias("__g"))
     if hash_fn == "xxhash64":
         h64 = F.xxhash64(F.lit(SALT), F.col("__g"))
         hashed = exploded.select(
@@ -188,8 +203,19 @@ def _bucket_sign_sums(
             .otherwise(F.lit(-1))
             .alias("__s"),
         )
-    return hashed.groupBy(id_col, "dim_idx").agg(
-        F.sum("__s").cast("long").alias("val")
+    # NULL-gram rows (empty/short text): xxhash64 of a NULL column is
+    # NULL → dim_idx NULL → matches no branch → every sum NULL →
+    # coalesce 0. Same for the md5 path.
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("dim_idx") == j, F.col("__s"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"__v{j}")
+            for j in range(dim)
+        ]
     )
 
 
@@ -202,23 +228,15 @@ def embedding_rows(
     hash_fn: str = "md5",
 ) -> DataFrame:
     """Exploded oracle-friendly form: (id, dim_idx int, val long) —
-    dim rows per input row, exact integers (zero-filled spine)."""
-    sums = _bucket_sign_sums(df, id_col, text_col, dim, n, hash_fn)
-    spine = df.select(F.col(id_col)).crossJoin(
-        F.broadcast(
-            df.sparkSession.range(dim).select(
-                F.col("id").cast("int").alias("dim_idx")
-            )
-        )
-    )
-    return (
-        spine.join(sums, [id_col, "dim_idx"], "left")
-        .select(
-            id_col,
-            "dim_idx",
-            F.coalesce(F.col("val"), F.lit(0).cast("long")).alias("val"),
-        )
-    )
+    dim rows per input row, exact integers (zero coordinates
+    included)."""
+    sums = _pivot_sums(df, id_col, text_col, dim, n, hash_fn)
+    return sums.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.col(f"__v{j}") for j in range(dim)])
+        ).alias("dim_idx", "val"),
+    ).select(id_col, F.col("dim_idx").cast("int").alias("dim_idx"), "val")
 
 
 def bulk_text_embeddings(
@@ -231,16 +249,13 @@ def bulk_text_embeddings(
 ) -> DataFrame:
     """(id, embedding array<long>) assembled from the relational core
     — same values as :func:`with_text_embedding`, whole-stage-codegen
-    throughput for bulk materialization. The zero-filled spine of
-    :func:`embedding_rows` guarantees exactly ``dim`` entries per id
-    (zero vectors included), so assembly is one sort-by-coordinate
-    collect."""
-    rows = embedding_rows(df, id_col, text_col, dim, n, hash_fn)
-    return rows.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim_idx", "val"))),
-            lambda s: s["val"],
-        ).alias("embedding")
+    throughput for bulk materialization. One shuffle end-to-end
+    (:func:`_pivot_sums`); the array is assembled coordinate-ordered by
+    construction (zero vectors included)."""
+    sums = _pivot_sums(df, id_col, text_col, dim, n, hash_fn)
+    return sums.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__v{j}") for j in range(dim)]).alias("embedding"),
     )
 
 

@@ -110,6 +110,34 @@ def _word_id_arrays(
     )
 
 
+def _encoded_words(unseen: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """(word, syms) for the distinct UNSEEN words: apply the rank-
+    ordered merges. The word set is vocabulary-bound, so within the
+    same driver gate as the trainer (`bpe.DRIVER_VOCAB_LIMIT`) the
+    folds run in one in-memory pass instead of one eager
+    localCheckpoint job per few merges (the sequential per-word fold
+    is identical — :func:`~.bpe._driver_apply_batch` with a
+    single-pair map per rank equals :func:`~.bpe._apply_merge`);
+    larger word sets keep the distributed fold chain."""
+    from .bpe import DRIVER_VOCAB_LIMIT, _driver_apply_batch
+
+    if DRIVER_VOCAB_LIMIT > 0:
+        head = unseen.limit(DRIVER_VOCAB_LIMIT + 1).collect()
+        if len(head) <= DRIVER_VOCAB_LIMIT:
+            rows = []
+            for r in head:
+                syms = list(r["word"])
+                for left, right in merges:
+                    syms = _driver_apply_batch(
+                        syms, {left: (right, left + right)}
+                    )
+                rows.append((r["word"], syms))
+            return unseen.sparkSession.createDataFrame(
+                rows, "word string, syms array<string>"
+            )
+    return apply_bpe_merges(unseen, merges)
+
+
 def encode_token_ids(
     df: DataFrame,
     id_col: str,
@@ -126,8 +154,11 @@ def encode_token_ids(
     distinct-deduplicated and encoded with the learned merges — the
     :func:`~.bpe.bpe_token_counts_oov` discipline, here returning the
     ids themselves. NULL/empty texts yield an empty array."""
+    from ..session import spread_scan
+
     if id_table is None:
         id_table = token_id_table(vocab, merges_df)
+    df = spread_scan(df.select(F.col(id_col), F.col(text_col)))
     per_tok = df.select(
         F.col(id_col),
         F.posexplode_outer(
@@ -152,7 +183,7 @@ def encode_token_ids(
         (r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()
     ]
     new_ids = _word_id_arrays(
-        apply_bpe_merges(unseen, merges), id_table
+        _encoded_words(unseen, merges), id_table
     ).withColumnRenamed("ids", "__new")
     word_ids = F.coalesce(
         F.col("__seen"), F.col("__new"), F.array().cast("array<int>")

@@ -133,6 +133,11 @@ def entropy_stats(
     ``ttr_permille`` = ⌊1000 · distinct tokens / tokens⌋ over the
     lowercased whitespace tokenization (0 tokens → 0).
     """
+    from ..session import spread_scan
+
+    # Per-row HOF fold is CPU-heavy; spread a single-split scan
+    # (no-op at cluster scale — see session.spread_scan).
+    df = spread_scan(df.select(F.col(id_col), F.col(text_col)))
     text = F.coalesce(F.col(text_col), F.lit(""))
     chars = _chars(text)
     n = F.length(text)

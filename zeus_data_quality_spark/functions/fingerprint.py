@@ -84,6 +84,9 @@ def with_fingerprints(
     of the k-gram set), ``fp_max`` (largest winnowed hash), ``n_kgrams``
     and ``n_fingerprints`` (winnowed set size ≈ len/w).
     """
+    from ..session import spread_scan
+
+    df = spread_scan(df.select(F.col(id_col), F.col(text_col)))
     return (
         df.selectExpr(id_col, f"{kgram_hash_sql(text_col, k, hash_fn)} AS __h")
         .selectExpr(id_col, "size(__h) AS n_kgrams", f"{winnow_sql('__h', w)} AS __fps")

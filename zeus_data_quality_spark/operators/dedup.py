@@ -318,6 +318,12 @@ def minhash_signatures(
       anchors → pairs → estimate → components) independently. Use it
       for verification; xxhash64 for production throughput.
     """
+    from ..session import spread_scan
+
+    # Per-row shingle hashing is the expensive part; spread a
+    # single-split scan across the cores first (no-op at cluster
+    # scale), shuffling only the two needed columns.
+    df = spread_scan(df.select(F.col(id_col), F.col(text_col)))
     if hash_mode == "md5":
         sh = _shingles(text_col, shingle_n)
         base = df.select(F.col(id_col), sh.alias("__sh"))
@@ -684,6 +690,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     unsigned shift returns the raw long, and Spark's % keeps the
     sign).
     """
+    from ..session import spread_scan
+
+    df = spread_scan(df.select(F.col(id_col), F.col(text_col)))
     t = F.col(text_col)
     toks = F.array_distinct(F.split(F.lower(F.trim(t)), TOKEN_SPLIT))
     hashed = df.select(
@@ -720,6 +729,9 @@ def simhash_md5_hex(df: DataFrame, id_col: str, text_col: str = "text") -> DataF
     bit_j = majority over distinct tokens of bit_j(md5(token)[:16hex]);
     NULL / whitespace-only text → NULL.
     """
+    from ..session import spread_scan
+
+    df = spread_scan(df.select(F.col(id_col), F.col(text_col)))
     t = F.col(text_col)
     toks = F.array_distinct(F.split(F.lower(F.trim(t)), TOKEN_SPLIT))
     hashed = df.select(

@@ -54,7 +54,46 @@ def get_spark(
         # Finer splits smooth stage tails (local[32] runs 4+ waves).
         .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        # This engine's rows are CPU-heavy per byte (regex chains, HOF
+        # folds, per-gram hashing), so AQE's byte-proportional
+        # coalescing (parallelismFirst targets total/parallelism but
+        # floors at minPartitionSize, default 1m) collapses small-byte
+        # post-shuffle stages to 1-2 tasks and serializes the heavy
+        # map work that follows. A 64k floor keeps such stages near
+        # the core count; stages whose data exceeds 1m×parallelism are
+        # unaffected, so at cluster scale this only touches stages too
+        # small to matter. Override: SPARK_GRAFT_MIN_PARTITION_SIZE.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def spread_scan(df, target: int | None = None):
+    """Round-robin repartition a SMALL scan up to the session's default
+    parallelism — the compute-parallelism guard for per-row-heavy
+    stages (per-gram hashing, regex chains, HOF folds).
+
+    Single-row-group parquet files (this sandbox's testdata at every
+    sf) cannot be split by the reader, so without this the whole
+    per-row pipeline behind them runs as ONE task no matter the core
+    count. The partition-count gate makes it scale-adaptive: a
+    cluster-scale scan already has ≥ defaultParallelism splits, so the
+    repartition (and its shuffle) simply never happens there — the
+    target derives from the session, never a tuned constant. Results
+    are partitioning-independent throughout the engine (integer /
+    decimal / sorted-fold accumulation discipline), so this is a pure
+    parallelism change.
+    """
+    sc = df.sparkSession.sparkContext
+    t = target or sc.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= t:
+            return df
+    except Exception:  # pragma: no cover - planning quirk, stay lazy
+        return df
+    return df.repartition(t)
