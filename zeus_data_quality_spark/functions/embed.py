@@ -180,7 +180,12 @@ def _pivot_sums(
     ).otherwise(F.array().cast("array<string>"))
     exploded = df.select(F.col(id_col), F.explode_outer(grams).alias("__g"))
     if hash_fn == "xxhash64":
-        h64 = F.xxhash64(F.lit(SALT), F.col("__g"))
+        # xxhash64 is NULL-tolerant (a NULL input still hashes), so the
+        # NULL gram of an empty/short-text row must be masked explicitly
+        # — unlike the md5 path, where the hash itself is NULL.
+        h64 = F.when(
+            F.col("__g").isNotNull(), F.xxhash64(F.lit(SALT), F.col("__g"))
+        )
         hashed = exploded.select(
             F.col(id_col),
             F.pmod(h64, F.lit(dim)).cast("int").alias("dim_idx"),
