@@ -381,8 +381,10 @@ def test_connected_components_converged_flag(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(21)], "id_a long, id_b long"
     )
+    # pointer-jumping reaches ~2^r - 1 hops in r rounds, so 3 rounds
+    # cover ≤ 7 of the 21 hops — still a truncation
     labels, converged = connected_components(
-        edges, max_iter=5, return_converged=True
+        edges, max_iter=3, return_converged=True
     )
     assert converged is False
     comps = {r["component"] for r in labels.collect()}

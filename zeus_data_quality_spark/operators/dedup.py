@@ -1060,38 +1060,78 @@ def connected_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    labels = _truncate(
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
-    )
-    converged = False
-    for _ in range(max_iter):
-        # neighbor's current component, min per node
-        prop = (
-            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.min("comp").alias("n_comp"))
+    # Size the loop's shuffles to the GRAPH, not the session default:
+    # the per-round tables are (id, comp) pairs — at a few thousand
+    # edges a 32-partition exchange is pure task overhead, at corpus
+    # scale the cap keeps the session's parallelism. The count also
+    # materializes the persisted edge set once, up front.
+    spark = edges.sparkSession
+    n_edges = sym.count()
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_p = max(1, min(int(old_sp), n_edges // 100_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_p))
+    try:
+        labels = _truncate(
+            sym.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("comp", F.col("id"))
         )
-        new = _truncate(
-            labels.join(prop, "id", "left")
-            .select(
+        converged = False
+        if not labels.take(1):
+            # No edges at all (common at high thresholds): every node
+            # is its own component and the caller's join-back fills
+            # those in — skip the propagation loop entirely (take(1) on
+            # the just-checkpointed labels is a block scan, not a
+            # recompute).
+            converged = True
+        for _ in range(0 if converged else max_iter):
+            # One round = min-label PROPAGATION over the edges plus one
+            # POINTER-JUMP (comp := comp of comp): reach doubles per
+            # round, so a diameter-d path needs ~log2(d) rounds instead
+            # of d (each round is O(|E|) work either way — strictly
+            # fewer total shuffles). Both steps only ever lower comp to
+            # another REACHABLE node's id, so truncation at max_iter
+            # still yields a valid refinement and the fixpoint (no
+            # change in a full round ⇒ comp constant across every edge)
+            # is the same min-reachable labeling. The change flag rides
+            # THROUGH the checkpoint so the convergence count is a scan
+            # of checkpointed blocks, not a second join (the r5 form
+            # re-joined new against labels — 2 extra shuffles/round).
+            prop = (
+                sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.min("comp").alias("n_comp"))
+            )
+            stepped = labels.join(prop, "id", "left").select(
                 "id",
+                F.col("comp").alias("__old"),
                 F.least(
                     F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
-                ).alias("comp"),
+                ).alias("__c1"),
             )
-        )
-        changed = (
-            new.join(labels.withColumnRenamed("comp", "old"), "id")
-            .filter(F.col("comp") != F.col("old"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            converged = True
-            break
-    out = labels.select(F.col("id"), F.col("comp").alias("component"))
+            jump = stepped.select(
+                F.col("id").alias("__jid"), F.col("__c1").alias("__jc")
+            )
+            c2 = F.least(
+                F.col("__c1"), F.coalesce(F.col("__jc"), F.col("__c1"))
+            )
+            new = _truncate(
+                stepped.join(
+                    jump, F.col("__c1") == F.col("__jid"), "left"
+                ).select(
+                    "id",
+                    c2.alias("comp"),
+                    (c2 < F.col("__old")).alias("__chg"),
+                )
+            )
+            changed = new.filter(F.col("__chg")).count()
+            labels = new.select("id", "comp")
+            if changed == 0:
+                converged = True
+                break
+        out = labels.select(F.col("id"), F.col("comp").alias("component"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     sym.unpersist()
     if return_converged:
         return out, converged

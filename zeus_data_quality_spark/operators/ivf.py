@@ -97,22 +97,30 @@ def train_centroids(
     )
     centroids = [list(r["__v"]) for r in seed_rows]
 
+    dim = len(centroids[0]) if centroids else 0
     for _ in range(n_iters):
         assigned = unit.select(
             _assign(F.col("__v"), centroids).alias("__c"), F.col("__v")
         )
+        # Per-dimension mean as dim statically-expanded avg aggregates:
+        # ONE partial-aggregated shuffle of k×dim doubles instead of the
+        # posexplode → (c,pos) agg → (c) re-agg two-shuffle form. The
+        # per-partition accumulation sequences are identical (same rows,
+        # same order, one partial per input partition either way), so
+        # the computed means match the previous form.
         means = (
-            assigned.select("__c", F.posexplode("__v").alias("__pos", "__x"))
-            .groupBy("__c", "__pos")
-            .agg(F.avg("__x").alias("__m"))
-            .groupBy("__c")
-            .agg(F.array_sort(F.collect_list(F.struct("__pos", "__m"))).alias("__ms"))
-            .select("__c", F.transform("__ms", lambda s: s["__m"]).alias("__mean"))
+            assigned.groupBy("__c")
+            .agg(
+                *[
+                    F.avg(F.element_at("__v", i + 1)).alias(f"__m{i}")
+                    for i in range(dim)
+                ]
+            )
             .collect()
         )
         new = list(centroids)  # empty clusters keep previous centroid
         for r in means:
-            m = r["__mean"]
+            m = [r[f"__m{i}"] for i in range(dim)]
             norm = sum(x * x for x in m) ** 0.5
             if norm > 0:
                 new[r["__c"]] = [x / norm for x in m]

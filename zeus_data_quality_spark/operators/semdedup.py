@@ -63,10 +63,17 @@ DEFAULT_THRESHOLD = 0.95
 
 def _pair_dot(va: str, vb: str, dim: int | None):
     """Dot product of two vector columns for the pair hot loop: with
-    ``dim`` given, statically expanded into ``dim`` codegen'd products
-    (the fast path); else the interpreted zip_with/aggregate HOF. Both
-    sum left-to-right in doubles — bit-identical values (pytest-pinned
-    in test_semdedup.py)."""
+    ``dim`` given, statically expanded into ``dim`` products; else the
+    zip_with/aggregate HOF. Both sum left-to-right in doubles —
+    bit-identical values (pytest-pinned in test_semdedup.py).
+
+    r6 measurement: when the ``round(cos,9) ≥ t`` filter lands in the
+    JOIN CONDITION (Catalyst pushes it through the projection into the
+    BroadcastHashJoin), the statically-expanded form drops the join
+    out of efficient evaluation — 4.0 s vs 0.63 s for the HOF form on
+    the sf0.1 batch×index join, both sides checkpointed. The pair
+    JOINS therefore pass ``dim=None`` now; the static form remains for
+    pure Projects."""
     if dim is None:
         return _dot(F.col(va), F.col(vb))
     dot = None
@@ -86,9 +93,15 @@ def semantic_pairs(
     centroids: list[list[float]],
     threshold: float = DEFAULT_THRESHOLD,
     dim: int | None = None,
+    indexed: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos) — intra-cluster pairs with
     ``round(cosine, 9) ≥ threshold``, ``id_a < id_b``.
+
+    ``indexed``: a pre-materialized ``(cluster, __id, __v, __n)``
+    assignment (the exact relation built below) — pass it when the
+    caller already computed the same assignment for another consumer
+    (the incremental path) so it is not recomputed and re-checkpointed.
 
     The self-join equi-joins on the cluster id, so pair generation is
     per-inverted-list (the SemDeDup restriction), never all-pairs;
@@ -97,11 +110,11 @@ def semantic_pairs(
 
     The pair expression is the hot loop (Σ cluster² evaluations):
     per-row norms are hoisted out of the join — ``similarity.cosine``
-    would recompute both norms per PAIR — and with ``dim`` given the
-    dot product is statically expanded into ``dim`` codegen'd
-    products instead of an interpreted zip_with/aggregate HOF. Both
-    forms sum left-to-right in doubles, so the value — and the round-9
-    protocol the oracle replays — is bit-identical.
+    would recompute both norms per PAIR — and the dot product uses
+    the HOF form because the threshold filter is pushed into the join
+    condition (see the ``_pair_dot`` r6 measurement note; both forms
+    sum left-to-right in doubles, so the value — and the round-9
+    protocol the oracle replays — is bit-identical).
 
     Zero vectors are dropped by filtering the INPUT (one cheap
     ``exists`` per row), never by ``filter(cluster.isNotNull())`` on
@@ -120,17 +133,18 @@ def semantic_pairs(
     2.6 s (materialize) + 3.7 s (join) on a 50k-doc 64-cluster run.
     At corpus scale the same move is ``ivf.write_ivf_index`` — write
     the assignment once, partitioned by cluster."""
-    nonzero = emb.filter(F.exists(vec_col, lambda v: v != 0))
-    indexed = (
-        ivf_index(nonzero, centroids, id_col, vec_col)
-        .select(
-            "cluster",
-            F.col(id_col).alias("__id"),
-            F.col(vec_col).alias("__v"),
-            _norm(F.col(vec_col)).alias("__n"),
+    if indexed is None:
+        nonzero = emb.filter(F.exists(vec_col, lambda v: v != 0))
+        indexed = (
+            ivf_index(nonzero, centroids, id_col, vec_col)
+            .select(
+                "cluster",
+                F.col(id_col).alias("__id"),
+                F.col(vec_col).alias("__v"),
+                _norm(F.col(vec_col)).alias("__n"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
     a = indexed.select(
         "cluster", F.col("__id").alias("id_a"),
         F.col("__v").alias("__va"), F.col("__n").alias("__na"),
@@ -139,8 +153,10 @@ def semantic_pairs(
         "cluster", F.col("__id").alias("id_b"),
         F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
     )
+    # dim=None deliberately: this cos lands in the join condition via
+    # predicate pushdown — see the _pair_dot r6 measurement note.
     cos = F.round(
-        _pair_dot("__va", "__vb", dim) / (F.col("__na") * F.col("__nb")), 9
+        _pair_dot("__va", "__vb", None) / (F.col("__na") * F.col("__nb")), 9
     )
     return (
         a.join(b, "cluster")
@@ -341,23 +357,37 @@ def incremental_semantic_dedup(
         F.col("embedding").alias("__iv"),
         _norm(F.col("embedding")).alias("__in"),
     )
+    # dim=None deliberately — see the _pair_dot r6 measurement note.
     cos = F.round(
-        _pair_dot("__nv", "__iv", dim) / (F.col("__nn") * F.col("__in")), 9
+        _pair_dot("__nv", "__iv", None) / (F.col("__nn") * F.col("__in")), 9
     )
     cand = (
         assigned.join(idx, "cluster")
         .select("__nid", "__iid", cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
-    best = cand.groupBy("__nid").agg(F.max("cos").alias("__best"))
+    # best match in ONE aggregation: max of (cos, -iid) structs picks
+    # the max cosine and, on exact-tie cosines, the min member id —
+    # the same verdict as the r5 max-then-filter-then-min self-join,
+    # without evaluating the cluster join twice (cand appeared on both
+    # sides of that join) or the extra shuffle.
     idx_match = (
-        cand.join(best, "__nid")
-        .filter(F.col("cos") == F.col("__best"))
-        .groupBy("__nid")
-        .agg(F.min("__iid").alias("__dup_idx"))
+        cand.groupBy("__nid")
+        .agg(
+            F.max(
+                F.struct(F.col("cos"), (-F.col("__iid")).alias("__ni"))
+            ).alias("__b")
+        )
+        .select("__nid", (-F.col("__b.__ni")).alias("__dup_idx"))
     )
     pairs = semantic_pairs(
-        nonzero, id_col, "embedding", centroids, threshold, dim=dim
+        nonzero, id_col, "embedding", centroids, threshold, dim=dim,
+        indexed=assigned.select(
+            "cluster",
+            F.col("__nid").alias("__id"),
+            F.col("__nv").alias("__v"),
+            F.col("__nn").alias("__n"),
+        ),
     )
     comp = connected_components(pairs, "id_a", "id_b", max_iter=max_iter)
     out = (
