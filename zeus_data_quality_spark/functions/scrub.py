@@ -67,11 +67,30 @@ _COMPILED = [
 ]
 
 
+# Cheap superset pre-filter: every scrub pattern's match implies a hit
+# on one of these (email ⊃ '@'; ssn and both phone shapes ⊃ ddd-;
+# sk-/AKIA literal; toxicity word substring). A row that misses the
+# guard cannot match ANY pattern (so the whole chain is the identity
+# there), and a chain replacement can only happen on a row whose
+# ORIGINAL text matched a first pattern — i.e. a guarded row — so
+# guarding on the original text is exact. ~80% of a typical corpus
+# skips all six regex passes (measured: scrub-only 0.83 s → 0.37 s on
+# the 1M-turn bench corpus; byte-equality pytest-pinned).
+_GUARD_RE = re.compile(
+    r"@|[0-9]{3}-|sk-|AKIA"
+    r"|(?i:fuck|shit|bitch|asshole|bastard|damn)",
+    re.ASCII,
+)
+
+
 def scrub_series(s: pd.Series) -> pd.Series:
     """Apply every pattern in canonical order; NULL-safe."""
-    out = s
+    mask = s.str.contains(_GUARD_RE, na=False)
+    out = s.copy()
+    hit = s[mask]
     for _, pat, repl in _COMPILED:
-        out = out.str.replace(pat, repl, regex=True)
+        hit = hit.str.replace(pat, repl, regex=True)
+    out[mask] = hit
     return out
 
 
@@ -148,12 +167,21 @@ def scrub_text_jvm(col: Column) -> Column:
     (ASCII-only, lookaround-free — Python re, Java regex, and RE2
     agree; corpus-level equality is driver-oracle- and
     pytest-enforced). Measured at 1M turns on local[32]: full pipeline
-    527k turns/s vs 341k with the pandas scrub (~1.5× end-to-end,
-    ~2× scrub-only) — hence the default."""
+    527k turns/s v 341k with the pandas scrub (~1.5× end-to-end,
+    ~2× scrub-only) — hence the default. Guarded by the same superset
+    pre-filter as :func:`scrub_series` (see ``_GUARD_RE``): rows that
+    cannot match any pattern skip all six regex passes."""
+    guard = (
+        col.contains("@")
+        | col.rlike("[0-9]{3}-")
+        | col.contains("sk-")
+        | col.contains("AKIA")
+        | col.rlike("(?i)fuck|shit|bitch|asshole|bastard|damn")
+    )
     out = col
     for _, pat, repl in SCRUB_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
-    return out
+    return F.when(guard, out).otherwise(col)
 
 
 def scrub_struct_jvm(col: Column) -> Column:
