@@ -154,6 +154,42 @@ def seed_pieces(
     return alphabet.unionByName(multi)
 
 
+import os as _os
+
+DRIVER_VOCAB_LIMIT = int(
+    _os.environ.get("SPARK_GRAFT_UNIGRAM_DRIVER_VOCAB", "1000000")
+)
+
+
+def _driver_seed(
+    wlist: list[tuple[str, int]],
+    max_piece_len: int,
+    seed_size: int,
+    min_count: int,
+) -> list[tuple[str, int]]:
+    """Driver twin of :func:`seed_pieces` + the seed collect's
+    ``(count DESC, piece ASC)`` order — piece ties use UTF-8 byte
+    order, Spark's string sort."""
+    cnt: dict[str, int] = {}
+    for w, fq in wlist:
+        n = len(w)
+        for i in range(n):
+            for ln in range(1, min(max_piece_len, n - i) + 1):
+                p = w[i : i + ln]
+                cnt[p] = cnt.get(p, 0) + fq
+    key = lambda pc: (-pc[1], pc[0].encode("utf-8"))  # noqa: E731
+    alphabet = [(p, c) for p, c in cnt.items() if len(p) == 1]
+    multi = sorted(
+        (
+            (p, c)
+            for p, c in cnt.items()
+            if len(p) > 1 and c >= min_count
+        ),
+        key=key,
+    )[:seed_size]
+    return sorted(alphabet + multi, key=key)
+
+
 def _logp_table(rows: list[tuple[str, int]]) -> dict[str, float]:
     """piece -> ln(count) - ln(total). Pure driver-side math on the
     collected vocab-sized table; the oracle rebuilds it identically
@@ -241,24 +277,46 @@ def fit_unigram(
     ``O(log(seed/vocab) / log(1/keep_frac))`` — 9 rounds take a 16k
     seed to a 1k vocab at keep_frac 0.75. Corpus size appears only in
     :func:`word_counts`."""
-    words = word_counts(df, text_col).localCheckpoint(eager=True)
-    seed_rows = (
-        seed_pieces(words, max_piece_len, seed_size, min_count)
-        .orderBy(F.col("count").desc(), F.col("piece").asc())
-        .collect()
-    )
-    pieces: list[tuple[str, int]] = [
-        (r["piece"], int(r["count"])) for r in seed_rows
-    ]
+    words_df = word_counts(df, text_col)
+    wlist: list[tuple[str, int]] | None = None
+    words = None
+    if DRIVER_VOCAB_LIMIT > 0:
+        head = words_df.limit(DRIVER_VOCAB_LIMIT + 1).collect()
+        if len(head) <= DRIVER_VOCAB_LIMIT:
+            # Vocabulary fits the driver (the same bound as the
+            # E-step's piece-count collects): run seed + every E-step
+            # in-process — viterbi_segment IS the UDF's body, and the
+            # integer freq sums are exact in any order, so the loop is
+            # semantics-identical to the distributed form (the pytest
+            # twin pins it). Saves ~1 Spark job per E-step round.
+            wlist = [(r["word"], int(r["freq"])) for r in head]
+    if wlist is None:
+        words = words_df.localCheckpoint(eager=True)
+        seed_rows = (
+            seed_pieces(words, max_piece_len, seed_size, min_count)
+            .orderBy(F.col("count").desc(), F.col("piece").asc())
+            .collect()
+        )
+        pieces: list[tuple[str, int]] = [
+            (r["piece"], int(r["count"])) for r in seed_rows
+        ]
+    else:
+        pieces = _driver_seed(wlist, max_piece_len, seed_size, min_count)
     while True:
         for _ in range(em_rounds):
             logp = _logp_table(pieces)
-            counted = {
-                r["piece"]: int(r["count"])
-                for r in _estep_counts(
-                    words, logp, max_piece_len
-                ).collect()
-            }
+            if wlist is not None:
+                counted = {}
+                for w, fq in wlist:
+                    for p in viterbi_segment(w, logp, max_piece_len):
+                        counted[p] = counted.get(p, 0) + fq
+            else:
+                counted = {
+                    r["piece"]: int(r["count"])
+                    for r in _estep_counts(
+                        words, logp, max_piece_len
+                    ).collect()
+                }
             # keep the current vocabulary's membership: unused pieces
             # drop to 0 (pruned below), alphabet floors at 1
             pieces = [
