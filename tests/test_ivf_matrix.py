@@ -1,0 +1,146 @@
+"""The broadcast-matrix argmax assignment (operators/ivf.py
+``_assign_matrix``) must be BIT-IDENTICAL to the literal-expression
+``_assign`` path it replaces above ``MATRIX_ASSIGN_MIN_K`` — same
+cluster for every row (the numpy accumulation replays the fold's
+left-to-right double additions), same NULL for zero vectors, same
+first-maximum tie-break.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from zeus_data_quality_spark.operators import ivf
+from zeus_data_quality_spark.operators.ivf import (
+    _assign_matrix,
+    ivf_index,
+    train_centroids,
+)
+
+
+def _vec_table(spark, n_rows=300, dim=16):
+    """Deterministic signed-integer vectors (the embedding family's
+    value domain), including a zero vector and a NULL vector."""
+    base = spark.range(n_rows).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                F.pmod(F.xxhash64(F.col("id"), j), F.lit(19)) - 9
+            ).cast("long"),
+        ).alias("embedding"),
+    )
+    zero = spark.sql(
+        f"SELECT CAST({n_rows} AS LONG) vec_id, "
+        f"array_repeat(CAST(0 AS LONG), {dim}) embedding"
+    )
+    nullv = spark.sql(
+        f"SELECT CAST({n_rows + 1} AS LONG) vec_id, "
+        "CAST(NULL AS ARRAY<LONG>) embedding"
+    )
+    return base.unionByName(zero).unionByName(nullv)
+
+
+def _tie_table(spark, dim=4):
+    """Rows whose dots against duplicated centroids tie exactly —
+    integer dots, so ties are exact, exercising the first-max rule."""
+    return spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.0, float(i % 2)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _collect_assign(df_assigned, id_col="vec_id"):
+    return {
+        r[id_col]: r["cluster"]
+        for r in df_assigned.select(id_col, "cluster").collect()
+    }
+
+
+def test_matrix_equals_literal_assignment(spark):
+    df = _vec_table(spark)
+    cents = train_centroids(
+        df.filter(F.exists("embedding", lambda v: v != 0)),
+        "embedding",
+        "vec_id",
+        n_centroids=13,
+        n_iters=2,
+    )
+    lit_path = _collect_assign(ivf_index(df, cents))
+    mat_path = _collect_assign(
+        _assign_matrix(
+            df.select("vec_id", "embedding"),
+            cents,
+            "embedding",
+            "cluster",
+            normalize=True,
+        )
+    )
+    assert lit_path == mat_path
+    # zero and NULL vectors → NULL cluster on both paths
+    n = len(lit_path)
+    assert lit_path[n - 2] is None and lit_path[n - 1] is None
+
+
+def test_matrix_first_max_tie_break(spark):
+    df = _tie_table(spark)
+    # duplicated centroids guarantee exact dot ties; the winner must be
+    # the FIRST (lowest centroid id), like array_position's first match
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    cents = cents + cents + cents  # ids 0..5, duplicates of 0/1
+    lit_path = _collect_assign(ivf_index(df, cents))
+    mat_path = _collect_assign(
+        _assign_matrix(
+            df.select("vec_id", "embedding"),
+            cents,
+            "embedding",
+            "cluster",
+            normalize=True,
+        )
+    )
+    assert lit_path == mat_path
+    assert set(mat_path.values()) <= {0, 1}  # never a duplicate id
+
+
+def test_gate_switches_paths_identically(spark, monkeypatch):
+    """ivf_index (and the Lloyd loop) must produce the same clusters
+    whether the gate selects the literal or the matrix path."""
+    df = _vec_table(spark, n_rows=200)
+    nonzero = df.filter(
+        F.col("embedding").isNotNull()
+        & F.exists("embedding", lambda v: v != 0)
+    )
+    results = {}
+    for gate in (10**9, 1):  # literal-everywhere vs matrix-everywhere
+        monkeypatch.setattr(ivf, "MATRIX_ASSIGN_MIN_K", gate)
+        cents = train_centroids(
+            nonzero, "embedding", "vec_id", n_centroids=11, n_iters=3
+        )
+        queries = nonzero.orderBy("vec_id").limit(4)
+        topk = sorted(
+            tuple(r)
+            for r in ivf.ivf_topk(
+                nonzero, queries, cents, k=3, nprobe=2
+            ).collect()
+        )
+        results[gate] = (cents, _collect_assign(ivf_index(df, cents)), topk)
+    assert results[10**9][0] == results[1][0]  # identical centroids
+    assert results[10**9][1] == results[1][1]  # identical assignment
+    assert results[10**9][2] == results[1][2]  # identical probe top-k
+
+
+@pytest.mark.parametrize("k", [128, 300])
+def test_matrix_path_large_k(spark, k):
+    """Above the gate the assignment must run (and stay NULL-safe) at
+    a k the literal expression path was never asked to plan."""
+    df = _vec_table(spark, n_rows=64)
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    cents = rng.randn(k, 16)
+    cents = (cents / np.sqrt((cents * cents).sum(axis=1))[:, None]).tolist()
+    out = _collect_assign(ivf_index(df, cents))
+    assert len(out) == 66
+    assert out[64] is None and out[65] is None
+    assert all(0 <= c < k for i, c in out.items() if c is not None)

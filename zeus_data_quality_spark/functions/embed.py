@@ -195,18 +195,38 @@ def _pivot_sums(
             ).alias("__s"),
         )
     else:
+        # md5 parity mode: hash each DISTINCT gram once and broadcast
+        # the (gram → bucket, sign) map back over the occurrence
+        # stream (guide §3.1). The md5 + hex-decode chain is ~10
+        # expression evals per input; a broadcast-hash-join probe on a
+        # short string key is far cheaper, and the distinct char-n-gram
+        # set is alphabet-bounded (|charset|^n), never corpus-bounded —
+        # at sf0.1 it is ~50k rows for tens of millions of occurrences.
+        # The distinct pass re-reads the same exchange (ReusedExchange)
+        # and its shuffle carries only the distinct grams. A LEFT join
+        # keeps the explode_outer NULL-gram rows of empty/short texts
+        # (NULL key matches nothing → NULL dim_idx → all-zero vector),
+        # exactly like the inline-hash form (md5(NULL) is NULL).
         h = F.md5(F.concat(F.lit(SALT + ":"), F.col("__g")))
-        hashed = exploded.select(
-            F.col(id_col),
-            (_hex_to_int(F.substring(h, 1, 4)) % dim)
-            .cast("int")
-            .alias("dim_idx"),
-            F.when(
-                F.position(F.substring(h, 5, 1), F.lit(_ALPHA)) <= 8,
-                F.lit(1),
+        gram_map = (
+            exploded.select("__g")
+            .filter(F.col("__g").isNotNull())
+            .distinct()
+            .select(
+                "__g",
+                (_hex_to_int(F.substring(h, 1, 4)) % dim)
+                .cast("int")
+                .alias("dim_idx"),
+                F.when(
+                    F.position(F.substring(h, 5, 1), F.lit(_ALPHA)) <= 8,
+                    F.lit(1),
+                )
+                .otherwise(F.lit(-1))
+                .alias("__s"),
             )
-            .otherwise(F.lit(-1))
-            .alias("__s"),
+        )
+        hashed = exploded.join(F.broadcast(gram_map), "__g", "left").select(
+            F.col(id_col), "dim_idx", "__s"
         )
     # NULL-gram rows (empty/short text): xxhash64 of a NULL column is
     # NULL → dim_idx NULL → matches no branch → every sum NULL →

@@ -27,6 +27,8 @@ driver check; the pytest oracle is the nprobe=all equivalence.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -35,6 +37,101 @@ from .similarity import _dot, _norm, cosine
 DEFAULT_CENTROIDS = 16
 DEFAULT_ITERS = 3
 DEFAULT_NPROBE = 4
+
+# Above this centroid count the argmax assignment runs as ONE numpy
+# matrix product per Arrow batch (broadcast centroid matrix) instead of
+# the k-literal-dot Column expression: the literal form builds O(k·dim)
+# plan nodes per consumer — fine at the oracle-parity k ≤ 64, planner-
+# killing at the SemDeDup-scale k ≈ 50k the module docstrings
+# prescribe. Below the gate the literal path is kept unchanged (it is
+# what the DuckDB oracle replays, and at tiny k it avoids the Python
+# boundary entirely). The two paths are bit-identical (the numpy
+# accumulation replays the fold's left-to-right double additions —
+# see _assign_matrix) and equality is pytest-pinned across the gate.
+MATRIX_ASSIGN_MIN_K = int(
+    os.environ.get("SPARK_GRAFT_MATRIX_ASSIGN_MIN_K", "128")
+)
+
+
+def _assign_matrix(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    out_col: str,
+    normalize: bool,
+):
+    """All input columns + ``out_col`` (int cluster id, NULL for the
+    all-zero vector when ``normalize=True``) via an Arrow-batched
+    broadcast-centroid-matrix argmax.
+
+    Bit-compatibility with the literal-expression ``_assign``: every
+    double addition is replayed in the same order — the norm is
+    accumulated dimension-by-dimension (the ``_norm`` fold), the unit
+    vector is the same per-element division, and the k dot products
+    accumulate dimension-by-dimension starting from 0.0 (the ``_dot``
+    fold), so each (row, centroid) sum is the identical IEEE-754
+    sequence. ``np.argmax`` returns the FIRST maximum — the
+    ``array_position(dots, array_max(dots))`` tie-break.
+
+    Memory: the dot accumulator is rows × k doubles; rows are chunked
+    so a 50k-centroid assignment stays bounded per task regardless of
+    the Arrow batch size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    c_mat = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    k, dim = c_mat.shape
+    chunk = max(1, 16_000_000 // max(k, 1))
+    # fresh StructType — StructType.add would mutate df's cached schema
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, IntegerType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                pdf[out_col] = pd.Series([], dtype="Int32")
+                yield pdf
+                continue
+            vals = list(pdf[vec_col])
+            none_mask = np.asarray([v is None for v in vals], dtype=bool)
+            x = np.asarray(
+                [
+                    np.asarray(v, dtype=np.float64)
+                    if v is not None
+                    else np.zeros(dim, dtype=np.float64)
+                    for v in vals
+                ]
+            )
+            out = np.empty(n, dtype=np.int64)
+            null_mask = none_mask.copy()
+            for s in range(0, n, chunk):
+                xc = x[s : s + chunk]
+                if normalize:
+                    nn = np.zeros(len(xc), dtype=np.float64)
+                    for d in range(dim):
+                        nn += xc[:, d] * xc[:, d]
+                    norm = np.sqrt(nn)
+                    zero = norm == 0.0
+                    null_mask[s : s + chunk] |= zero
+                    norm[zero] = 1.0  # dummy; rows masked below
+                    u = xc / norm[:, None]
+                else:
+                    u = xc
+                acc = np.zeros((len(xc), k), dtype=np.float64)
+                for d in range(dim):
+                    acc += u[:, d, None] * c_mat[None, :, d]
+                out[s : s + chunk] = np.argmax(acc, axis=1)
+            res = pd.Series(out, index=pdf.index, dtype="Int64")
+            res[null_mask] = None
+            pdf[out_col] = res.astype("Int32")
+            yield pdf
+
+    return df.mapInPandas(assign, schema)
 
 
 def _unit(vec):
@@ -99,9 +196,16 @@ def train_centroids(
 
     dim = len(centroids[0]) if centroids else 0
     for _ in range(n_iters):
-        assigned = unit.select(
-            _assign(F.col("__v"), centroids).alias("__c"), F.col("__v")
-        )
+        if len(centroids) >= MATRIX_ASSIGN_MIN_K:
+            # Large-k Lloyd assignment: broadcast-matrix argmax (the
+            # __v vectors are already unit, so no re-normalization).
+            assigned = _assign_matrix(
+                unit.select("__v"), centroids, "__v", "__c", normalize=False
+            ).select(F.col("__c"), F.col("__v"))
+        else:
+            assigned = unit.select(
+                _assign(F.col("__v"), centroids).alias("__c"), F.col("__v")
+            )
         # Per-dimension mean as dim statically-expanded avg aggregates:
         # ONE partial-aggregated shuffle of k×dim doubles instead of the
         # posexplode → (c,pos) agg → (c) re-agg two-shuffle form. The
@@ -129,6 +233,54 @@ def train_centroids(
     return centroids
 
 
+def _probe_matrix(
+    q: DataFrame, centroids: list[list[float]], nprobe: int
+) -> DataFrame:
+    """(query_id, __qv, cluster) — one row per probed cluster, the
+    large-k twin of the literal sort-slice-explode probe. Input must
+    be (query_id, __qv); unit-normalization and dot accumulation
+    replay the fold order exactly (see :func:`_assign_matrix`)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    c_mat = np.asarray(centroids, dtype=np.float64)
+    k, dim = c_mat.shape
+    schema = StructType(
+        list(q.schema.fields) + [StructField("cluster", IntegerType())]
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            rows = {name: [] for name in pdf.columns}
+            clusters: list[int] = []
+            for _, r in pdf.iterrows():
+                v = r["__qv"]
+                if v is None:
+                    continue
+                x = np.asarray(v, dtype=np.float64)
+                nn = 0.0
+                for d in range(dim):
+                    nn += x[d] * x[d]
+                if nn == 0.0:
+                    continue
+                u = x / np.sqrt(nn)
+                acc = np.zeros(k, dtype=np.float64)
+                for d in range(dim):
+                    acc += u[d] * c_mat[:, d]
+                nd = -acc
+                order = np.lexsort((np.arange(k), nd))[:nprobe]
+                for c in order:
+                    for name in pdf.columns:
+                        rows[name].append(r[name])
+                    clusters.append(int(c))
+            out = pd.DataFrame(rows)
+            out["cluster"] = pd.Series(clusters, dtype="Int32")
+            yield out
+
+    return q.mapInPandas(probe, schema)
+
+
 def ivf_index(
     df: DataFrame,
     centroids: list[list[float]],
@@ -137,6 +289,16 @@ def ivf_index(
 ) -> DataFrame:
     """(id, vec, cluster) — the inverted-file assignment. At corpus
     scale, write this partitioned/clustered by ``cluster``."""
+    if len(centroids) >= MATRIX_ASSIGN_MIN_K:
+        # Large-k path: one broadcast numpy matrix per task instead of
+        # k·dim literal plan nodes (bit-identical — see _assign_matrix).
+        return _assign_matrix(
+            df.select(F.col(id_col), F.col(vec_col)),
+            centroids,
+            vec_col,
+            "cluster",
+            normalize=True,
+        )
     # Materialize the unit vector once: inlining _unit into every
     # centroid dot would recompute the norm n_centroids times.
     return df.select(
@@ -212,29 +374,49 @@ def ivf_topk(
     # table once and probe the stored copy — the ann_ivf_probe /
     # incremental_dedup persisted-index shape.
     indexed = indexed.localCheckpoint(eager=True)
-    dots = F.array(
-        *[_dot(F.col("__qu"), c) for c in _centroid_lits(centroids)]
-    )
-    # top-nprobe clusters: sort (−score, cluster) structs, slice, project
-    ranked = F.slice(
-        F.array_sort(
-            F.transform(
-                dots,
-                lambda d, i: F.struct((-d).alias("nd"), i.alias("cluster")),
-            )
-        ),
-        1,
-        nprobe,
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        _unit(F.col(vec_col)).alias("__qu"),
-    ).select(
-        "query_id",
-        "__qv",
-        F.explode(F.transform(ranked, lambda s: s["cluster"])).alias("cluster"),
-    )
+    if len(centroids) >= MATRIX_ASSIGN_MIN_K:
+        # Large-k probe: numpy (-dot, cluster) sort per Arrow batch —
+        # the same fold-order dots as the literal path, top-nprobe by
+        # the identical (nd asc, cluster asc) order (np.lexsort with
+        # cluster as the secondary key), zero/NULL query vectors emit
+        # no probe rows (the explode-of-NULL behavior below).
+        q = _probe_matrix(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("__qv"),
+            ),
+            centroids,
+            nprobe,
+        )
+    else:
+        dots = F.array(
+            *[_dot(F.col("__qu"), c) for c in _centroid_lits(centroids)]
+        )
+        # top-nprobe clusters: sort (−score, cluster) structs, slice,
+        # project
+        ranked = F.slice(
+            F.array_sort(
+                F.transform(
+                    dots,
+                    lambda d, i: F.struct(
+                        (-d).alias("nd"), i.alias("cluster")
+                    ),
+                )
+            ),
+            1,
+            nprobe,
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            _unit(F.col(vec_col)).alias("__qu"),
+        ).select(
+            "query_id",
+            "__qv",
+            F.explode(
+                F.transform(ranked, lambda s: s["cluster"])
+            ).alias("cluster"),
+        )
     scored = (
         indexed.join(F.broadcast(q), on="cluster")
         .filter(F.col(id_col) != F.col("query_id"))
