@@ -1,0 +1,66 @@
+"""The driver-side connected-components round loop (operators/dedup.py,
+``DRIVER_CC_EDGE_LIMIT`` gate) must be an operation-for-operation twin
+of the distributed loop: identical labels, identical converged flag,
+identical max_iter truncation behavior, preserved id types.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from zeus_data_quality_spark.operators import dedup as dd
+
+
+def _labels(df):
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+@pytest.mark.parametrize("max_iter", [2, 3, 15])
+def test_driver_cc_equals_distributed(spark, monkeypatch, max_iter):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)]
+        + [(100, 200), (200, 150), (999, 998)],
+        "id_a long, id_b long",
+    )
+    out = {}
+    for gate in (10**9, 0):  # driver path vs distributed path
+        monkeypatch.setattr(dd, "DRIVER_CC_EDGE_LIMIT", gate)
+        labels, conv = dd.connected_components(
+            edges, max_iter=max_iter, return_converged=True
+        )
+        out[gate] = (_labels(labels), conv)
+    assert out[10**9] == out[0]
+
+
+def test_driver_cc_string_ids_and_schema(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    labels = dd.connected_components(edges)
+    assert [f.name for f in labels.schema.fields] == ["id", "component"]
+    assert labels.schema["id"].dataType.simpleString() == "string"
+    assert _labels(labels) == {
+        "a": "a",
+        "b": "a",
+        "c": "a",
+        "x": "x",
+        "y": "x",
+    }
+
+
+def test_driver_cc_truncation_matches(spark, monkeypatch):
+    """max_iter truncation (converged=False, over-segmented refinement)
+    must behave identically on both paths."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    res = {}
+    for gate in (10**9, 0):
+        monkeypatch.setattr(dd, "DRIVER_CC_EDGE_LIMIT", gate)
+        labels, conv = dd.connected_components(
+            edges, max_iter=3, return_converged=True
+        )
+        res[gate] = (_labels(labels), conv)
+    assert res[10**9] == res[0]
+    assert res[0][1] is False
+    assert len(set(res[0][0].values())) > 1

@@ -144,3 +144,28 @@ def test_matrix_path_large_k(spark, k):
     assert len(out) == 66
     assert out[64] is None and out[65] is None
     assert all(0 <= c < k for i, c in out.items() if c is not None)
+
+
+def test_driver_lloyd_equals_distributed(spark, monkeypatch):
+    """The in-process Lloyd loop (DRIVER_KMEANS_LIMIT gate) must land
+    on the same centroids as the distributed loop on the organic
+    corpus — same seeds, same argmax fold order, assignment-robust
+    means (pinned here on real data)."""
+    from zeus_data_quality_spark.functions.embed import (
+        bulk_text_embeddings,
+    )
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = bulk_text_embeddings(docs, "doc_id", "text").localCheckpoint()
+    nonzero = emb.filter(F.exists("embedding", lambda v: v != 0))
+    out = {}
+    for gate in (10**9, 0):  # driver path vs distributed path
+        monkeypatch.setattr(ivf, "DRIVER_KMEANS_LIMIT", gate)
+        for mode in ("md5", "xxhash64"):
+            out[(gate, mode)] = train_centroids(
+                nonzero, "embedding", "doc_id", n_centroids=8,
+                n_iters=3, init_mode=mode,
+            )
+    for mode in ("md5", "xxhash64"):
+        assert out[(10**9, mode)] == out[(0, mode)]

@@ -169,15 +169,10 @@ def test_decontaminate_semantic_has_no_pair_join(spark, sf_dir):
     plan = _plan(spark, qs.q_decontaminate_semantic(spark, sf_dir))
     assert "ArrowEvalPython" in plan
     assert "CartesianProduct" not in plan
-    # the single nested-loop allowed is embedding_rows' zero-filled
-    # dim spine (ids × Range(dim)) — NOT a per-(doc, eval) pair join.
-    # Formatted explain prints every node twice (tree line + detail
-    # header), so count physical nodes via the "(n) Name" headers.
-    import re
-
-    nodes = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
-    assert len(nodes) <= 1
-    assert "Range" in plan
+    # r6: the single-shuffle pivot embedding (explode_outer + dim
+    # conditional sums) removed the zero-filled dim spine entirely, so
+    # NO nested-loop join of any kind remains in this plan.
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_top_tokens_is_take_ordered(spark, sf_dir):

@@ -1,0 +1,100 @@
+"""Large-k centroid-assignment scale bench (guide §1.4 noop isolation).
+
+Evidence for the broadcast-matrix assignment path (operators/ivf.py
+``_assign_matrix``): embeds an amplified documents corpus (xxhash64
+production mode), trains a k-centroid spherical k-means quantizer on a
+hash-sample, then times the full-corpus ``ivf_index`` assignment with
+the noop sink — at a k the literal-expression path cannot plan.
+
+Usage:
+  python tools/bench_assign_scale.py [k] [replicas] [n_iters]
+Defaults: k=4096, replicas=10 (sf0.1 documents ×10 ≈ 500k docs), 2.
+
+NOT part of bench.py (frozen): cite the printed JSON in
+OPTIMIZATION_r06.md / BENCH/BASELINE.md instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from zeus_data_quality_spark.functions.embed import (  # noqa: E402
+    bulk_text_embeddings,
+)
+from zeus_data_quality_spark.operators import ivf  # noqa: E402
+from zeus_data_quality_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    n_iters = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench_assign_scale", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reps = spark.range(replicas).select(F.col("id").alias("__rep"))
+    amplified = docs.crossJoin(reps).select(
+        (F.col("doc_id") * replicas + F.col("__rep")).alias("doc_id"),
+        # replica-suffixed text so embeddings differ across replicas
+        F.concat_ws(" ", "text", F.col("__rep").cast("string")).alias(
+            "text"
+        ),
+    )
+
+    t0 = time.time()
+    spark.sparkContext.setJobDescription(f"assign-scale: embed x{replicas}")
+    emb = bulk_text_embeddings(
+        amplified, "doc_id", "text", hash_fn="xxhash64"
+    ).localCheckpoint(eager=True)
+    n_docs = emb.count()
+    t_embed = time.time() - t0
+
+    # quantizer trains on a deterministic hash-sample (train_centroids'
+    # own scale note: the quantizer doesn't need every row)
+    sample = emb.filter(F.pmod(F.xxhash64(F.col("doc_id")), 10) == 0)
+    t0 = time.time()
+    spark.sparkContext.setJobDescription(f"assign-scale: train k={k}")
+    cents = ivf.train_centroids(
+        sample.filter(F.exists("embedding", lambda v: v != 0)),
+        "embedding",
+        "doc_id",
+        n_centroids=k,
+        n_iters=n_iters,
+    )
+    t_train = time.time() - t0
+
+    t0 = time.time()
+    spark.sparkContext.setJobDescription(f"assign-scale: assign k={k}")
+    ivf.ivf_index(emb, cents, "doc_id", "embedding").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    t_assign = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "k": k,
+                "n_docs": n_docs,
+                "n_iters": n_iters,
+                "cpus": cpus,
+                "matrix_path": k >= ivf.MATRIX_ASSIGN_MIN_K,
+                "embed_sec": round(t_embed, 2),
+                "train_sec": round(t_train, 2),
+                "assign_sec": round(t_assign, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

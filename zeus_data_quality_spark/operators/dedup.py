@@ -27,6 +27,17 @@ from ..functions.textstats import TOKEN_SPLIT  # engine-portable ASCII \\s (ADVI
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 4  # rows_per_band = num_hashes // bands
 
+# connected_components runs its round loop driver-side when the
+# symmetrized edge set fits this bound (the BPE DRIVER_VOCAB_LIMIT
+# pattern): the per-round tables are a few thousand (id, comp) pairs
+# at validation scale, and 3-4 scheduler round-trips per round dwarf
+# the actual work. Ids only — never text — so the collect is compact.
+import os as _os
+
+DRIVER_CC_EDGE_LIMIT = int(
+    _os.environ.get("SPARK_GRAFT_DRIVER_CC_EDGES", "500000")
+)
+
 # Every persisted signature table is tracked here (STRONG refs — a
 # weakref registry is a no-op for the documented use case: a caller
 # without sig_cache_out drops its only strong reference when the pair
@@ -1067,6 +1078,66 @@ def connected_components(
     # materializes the persisted edge set once, up front.
     spark = edges.sparkSession
     n_edges = sym.count()
+    if 0 < n_edges <= DRIVER_CC_EDGE_LIMIT and not reliable_checkpoint:
+        # (reliable_checkpoint callers explicitly asked for durable
+        # round commits — keep their distributed loop.)
+        # Driver-sized graph: run the SAME round loop in-process (one
+        # collect of the already-persisted (src, dst) pairs — compact
+        # ids only, never text) instead of 3-4 Spark jobs per round.
+        # The loop below is an operation-for-operation twin of the
+        # distributed rounds — min-label propagation, pointer jump,
+        # change count, max_iter truncation — on exact integer/string
+        # ids, so labels (and the converged flag) are identical;
+        # equality is pytest-pinned, including the truncation case.
+        # Corpus-scale graphs exceed the edge gate and keep the
+        # distributed loop unchanged (env: SPARK_GRAFT_DRIVER_CC_EDGES,
+        # 0 disables).
+        pair_rows = [(r["src"], r["dst"]) for r in sym.collect()]
+        sym.unpersist()
+        adj: dict = {}
+        for s, d in pair_rows:
+            adj.setdefault(s, []).append(d)
+        labels = {node: node for node in adj}
+        converged = False
+        for _ in range(max_iter):
+            prop = {
+                s: min(labels[d] for d in ds) for s, ds in adj.items()
+            }
+            # c1 for every node FIRST, then the pointer jump reads the
+            # same round's c1 map — exactly the distributed
+            # stepped-join-jump dataflow.
+            c1 = {
+                node: min(comp, prop[node])
+                for node, comp in labels.items()
+            }
+            changed = 0
+            new_labels = {}
+            for node, comp in labels.items():
+                c = c1[node]
+                c2 = min(c, c1.get(c, c))
+                new_labels[node] = c2
+                if c2 < comp:
+                    changed += 1
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+        id_type = edges.schema[id_a].dataType
+        from pyspark.sql.types import StructField as _SF
+        from pyspark.sql.types import StructType as _ST
+
+        out = spark.createDataFrame(
+            list(labels.items()),
+            _ST(
+                [
+                    _SF("id", id_type, nullable=False),
+                    _SF("component", id_type, nullable=False),
+                ]
+            ),
+        )
+        if return_converged:
+            return out, converged
+        return out
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     loop_p = max(1, min(int(old_sp), n_edges // 100_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_p))
@@ -1232,15 +1303,26 @@ def connected_components_durable(
                 .groupBy(F.col("src").alias("id"))
                 .agg(F.min("comp").alias("n_comp"))
             )
+            # propagation + pointer jump — the identical round the
+            # in-memory loop runs (labels here are a parquet scan, so
+            # the jump's second reference re-reads the committed round
+            # instead of needing a checkpoint)
+            stepped = labels.join(prop, "id", "left").select(
+                "id",
+                F.least(
+                    F.col("comp"),
+                    F.coalesce(F.col("n_comp"), F.col("comp")),
+                ).alias("__c1"),
+            )
+            jump = stepped.select(
+                F.col("id").alias("__jid"), F.col("__c1").alias("__jc")
+            )
+            c2 = F.least(
+                F.col("__c1"), F.coalesce(F.col("__jc"), F.col("__c1"))
+            )
             (
-                labels.join(prop, "id", "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("comp"),
-                        F.coalesce(F.col("n_comp"), F.col("comp")),
-                    ).alias("comp"),
-                )
+                stepped.join(jump, F.col("__c1") == F.col("__jid"), "left")
+                .select("id", c2.alias("comp"))
                 .write.mode("overwrite")
                 .parquet(round_path(n))
             )

@@ -52,6 +52,23 @@ MATRIX_ASSIGN_MIN_K = int(
     os.environ.get("SPARK_GRAFT_MATRIX_ASSIGN_MIN_K", "128")
 )
 
+# train_centroids runs the Lloyd loop in-process when the (already
+# persisted) unit-vector table fits this row bound — the BPE
+# DRIVER_VOCAB_LIMIT / connected_components DRIVER_CC_EDGE_LIMIT gate
+# pattern: at validation scale each of the n_iters rounds is a full
+# scheduler round-trip for ~1 s of fixed overhead and milliseconds of
+# math. The in-process argmax replays the fold order exactly
+# (_assign_matrix's accumulation); the per-cluster mean accumulates in
+# row order, which — like the distributed partial-merge order and the
+# DuckDB oracle's own AVG — is one of several equally-valid IEEE
+# orders for a quantity the pipeline treats as robust (assignment
+# boundaries), with parity pinned by the oracle gate. Corpus-scale
+# inputs exceed the bound and keep the distributed loop. Override:
+# SPARK_GRAFT_DRIVER_KMEANS_ROWS (0 disables).
+DRIVER_KMEANS_LIMIT = int(
+    os.environ.get("SPARK_GRAFT_DRIVER_KMEANS_ROWS", "200000")
+)
+
 
 def _assign_matrix(
     df: DataFrame,
@@ -195,6 +212,41 @@ def train_centroids(
     centroids = [list(r["__v"]) for r in seed_rows]
 
     dim = len(centroids[0]) if centroids else 0
+    if (
+        DRIVER_KMEANS_LIMIT > 0
+        and centroids
+        and unit.count() <= DRIVER_KMEANS_LIMIT
+    ):
+        import numpy as np
+
+        x = np.asarray(
+            [list(r["__v"]) for r in unit.collect()], dtype=np.float64
+        )
+        unit.unpersist()
+        k = len(centroids)
+        chunk = max(1, 16_000_000 // k)
+        for _ in range(n_iters):
+            c_mat = np.asarray(centroids, dtype=np.float64)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            cnts = np.zeros(k, dtype=np.int64)
+            for s in range(0, len(x), chunk):
+                xc = x[s : s + chunk]
+                acc = np.zeros((len(xc), k), dtype=np.float64)
+                for d in range(dim):
+                    acc += xc[:, d, None] * c_mat[None, :, d]
+                asg = np.argmax(acc, axis=1)
+                np.add.at(sums, asg, xc)
+                np.add.at(cnts, asg, 1)
+            new = list(centroids)  # empty clusters keep previous
+            for c in range(k):
+                if cnts[c] == 0:
+                    continue
+                m = [float(v) / float(cnts[c]) for v in sums[c]]
+                norm = sum(v * v for v in m) ** 0.5
+                if norm > 0:
+                    new[c] = [v / norm for v in m]
+            centroids = new
+        return centroids
     for _ in range(n_iters):
         if len(centroids) >= MATRIX_ASSIGN_MIN_K:
             # Large-k Lloyd assignment: broadcast-matrix argmax (the
