@@ -169,3 +169,17 @@ def test_driver_lloyd_equals_distributed(spark, monkeypatch):
             )
     for mode in ("md5", "xxhash64"):
         assert out[(10**9, mode)] == out[(0, mode)]
+
+
+def test_driver_pq_train_equals_distributed(spark, monkeypatch):
+    """train_pq's in-process loop (DRIVER_PQ_LIMIT gate) must land on
+    the same codebooks as the distributed loop on the organic
+    embeddings table."""
+    from zeus_data_quality_spark.operators import pq
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = {}
+    for gate in (10**9, 0):
+        monkeypatch.setattr(pq, "DRIVER_PQ_LIMIT", gate)
+        out[gate] = pq.train_pq(emb)
+    assert out[10**9] == out[0]

@@ -119,8 +119,13 @@ def bucket_counts(
     """(bucket, cnt) — the corpus's hashed-gram distribution. One
     scan; map-side partial aggregation collapses each task to
     ≤ n_buckets rows before the shuffle."""
+    from ..session import spread_scan
+
+    # per-gram hashing is the cost; spread a single-split scan first
+    # (no-op at cluster scale — session.spread_scan)
     return (
-        df.select(
+        spread_scan(df.select(F.col(text_col)))
+        .select(
             F.explode(gram_buckets(F.col(text_col), n_buckets, hash_fn)).alias(
                 "bucket"
             )
@@ -199,11 +204,15 @@ def _lambda_df_flagged(
     # predicate once per exploded GRAM instead of once per row —
     # measured 45 s vs 4 s at sf0.1 (the SemDeDup trap class,
     # BENCH/BASELINE.md round 5).
-    flagged = raw.select(
-        F.coalesce(target_flag.cast("boolean"), F.lit(False)).alias(
-            "__is_t"
-        ),
-        F.col(text_col),
+    from ..session import spread_scan
+
+    flagged = spread_scan(
+        raw.select(
+            F.coalesce(target_flag.cast("boolean"), F.lit(False)).alias(
+                "__is_t"
+            ),
+            F.col(text_col),
+        )
     )
     counts = (
         flagged.select(
@@ -284,8 +293,11 @@ def dsir_log_weights(
     table (broadcast to the scoring join). Documents with no grams
     get logw = 0 (empty product)."""
     lam = _lambda_df(raw, target, text_col, n_buckets, hash_fn)
+    from ..session import spread_scan
+
     doc_buckets = (
-        raw.select(
+        spread_scan(raw.select(F.col(id_col), F.col(text_col)))
+        .select(
             F.col(id_col).alias("id"),
             F.explode(gram_buckets(F.col(text_col), n_buckets, hash_fn)).alias(
                 "bucket"
@@ -368,10 +380,16 @@ def dsir_select(
         lam = fit_dsir_lambda(
             raw, target, text_col, n_buckets, hash_fn, target_flag
         )
-        scored = raw.select(
-            F.col(id_col),
-            dsir_score_col(F.col(text_col), lam, hash_fn).alias("logw"),
-        ).localCheckpoint(eager=True)
+        from ..session import spread_scan
+
+        scored = (
+            spread_scan(raw.select(F.col(id_col), F.col(text_col)))
+            .select(
+                F.col(id_col),
+                dsir_score_col(F.col(text_col), lam, hash_fn).alias("logw"),
+            )
+            .localCheckpoint(eager=True)
+        )
     else:
         if target is None:
             target = raw.filter(target_flag).select(id_col, text_col)

@@ -133,6 +133,13 @@ def with_text_embedding(
 ) -> DataFrame:
     """(id, embedding array<long>) for every row; NULL/short texts get
     the zero vector (kept, so downstream joins stay total)."""
+    from ..session import spread_scan
+
+    # Per-gram hashing is CPU-heavy per row; spread a single-split
+    # scan across the cores (no-op at cluster scale, and a no-op on
+    # streams — spread_scan stays lazy when the plan can't answer
+    # getNumPartitions). Project first so only (id, text) shuffles.
+    df = spread_scan(df.select(F.col(id_col), F.col(text_col)))
     return df.select(
         F.col(id_col),
         text_embedding(F.col(text_col), dim, n, hash_fn).alias(out_col),

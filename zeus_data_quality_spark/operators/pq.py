@@ -42,12 +42,28 @@ training-pipeline extension like ivf.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_M = 16
 DEFAULT_K = 16
 DEFAULT_ITERS = 2
+
+# train_pq runs its per-subspace Lloyd loop in-process when the vector
+# table fits this row bound — the ivf.DRIVER_KMEANS_LIMIT /
+# connected_components DRIVER_CC_EDGE_LIMIT gate family: at validation
+# scale each iteration is several scheduler round-trips (assign join,
+# posexplode mean, two groupBys, collect) for milliseconds of math.
+# Seed selection, argmin fold order, and lowest-code tie-breaks are
+# replicated operation-for-operation; the per-(code, pos) mean
+# accumulates in row order (the same robustness class as the
+# distributed partial-merge order — see ivf.DRIVER_KMEANS_LIMIT).
+# Codebook equality with the distributed loop is pytest-pinned on the
+# organic embeddings table. Override: SPARK_GRAFT_DRIVER_PQ_ROWS
+# (0 disables).
+DRIVER_PQ_LIMIT = int(os.environ.get("SPARK_GRAFT_DRIVER_PQ_ROWS", "200000"))
 
 
 def _l2sq(vec, cent_lit):
@@ -113,6 +129,55 @@ def _assign(sub: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _train_pq_driver(
+    rows, m: int, k: int, n_iters: int, sub_dim: int
+) -> list[list[list[float]]]:
+    """In-process twin of train_pq's seed + Lloyd loop over collected
+    (__id, __v) rows — see the DRIVER_PQ_LIMIT note. Seed order is the
+    identical (md5-hex of the decimal id string, id) sort; the per-
+    subspace argmin replays the ascending-index (a-b)² fold and the
+    lowest-code tie-break (np.argmin = first minimum)."""
+    import hashlib
+
+    import numpy as np
+
+    seed_rows = sorted(
+        rows,
+        key=lambda r: (
+            hashlib.md5(str(r["__id"]).encode()).hexdigest(),
+            r["__id"],
+        ),
+    )[:k]
+    books = [
+        [list(r["__v"])[s * sub_dim : (s + 1) * sub_dim] for r in seed_rows]
+        for s in range(m)
+    ]
+    if not rows or not books[0]:
+        return books
+    x = np.asarray([list(r["__v"]) for r in rows], dtype=np.float64)
+    for _ in range(n_iters):
+        new = [list(b) for b in books]  # empty codes keep previous
+        for s in range(m):
+            c_mat = np.asarray(books[s], dtype=np.float64)  # (k, sub_dim)
+            xs = x[:, s * sub_dim : (s + 1) * sub_dim]
+            acc = np.zeros((len(x), len(c_mat)), dtype=np.float64)
+            for d in range(sub_dim):
+                diff = xs[:, d, None] - c_mat[None, :, d]
+                acc += diff * diff
+            codes = np.argmin(acc, axis=1)
+            sums = np.zeros((len(c_mat), sub_dim), dtype=np.float64)
+            cnts = np.zeros(len(c_mat), dtype=np.int64)
+            np.add.at(sums, codes, xs)
+            np.add.at(cnts, codes, 1)
+            for c in range(len(c_mat)):
+                if cnts[c] > 0:
+                    new[s][c] = [
+                        float(v) / float(cnts[c]) for v in sums[c]
+                    ]
+        books = new
+    return books
+
+
 def train_pq(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -137,6 +202,15 @@ def train_pq(
         F.col(vec_col).cast("array<double>").alias("__v"),
     ).filter(F.col("__v").isNotNull())
     base = base.persist()
+    id_kind = df.schema[id_col].dataType.simpleString()
+    if (
+        DRIVER_PQ_LIMIT > 0
+        and id_kind in ("tinyint", "smallint", "int", "bigint", "string")
+        and base.count() <= DRIVER_PQ_LIMIT
+    ):
+        rows = base.collect()
+        base.unpersist()
+        return _train_pq_driver(rows, m, k, n_iters, sub_dim)
     seed_rows = (
         base.orderBy(
             F.md5(F.col("__id").cast("string").cast("binary")), F.col("__id")

@@ -65,8 +65,13 @@ def doc_postings(
     """(doc_id, term, tf) inverted postings — the corpus-side scan.
     One explode + one map-side-combined aggregate keyed on
     (doc_id, term); no term-only hotspot."""
+    from ..session import spread_scan
+
+    # tokenization is per-row CPU ahead of the postings aggregate;
+    # spread a single-split scan first (no-op at cluster scale)
     return (
-        docs.select(
+        spread_scan(docs.select(F.col(id_col), F.col(text_col)))
+        .select(
             F.col(id_col).alias("doc_id"),
             F.explode(_tokens(F.col(text_col))).alias("term"),
         )

@@ -79,6 +79,11 @@ def _seed_positions(
     )
     gram = F.col("__g")
     h = F.xxhash64(gram) if hash_fn == "xxhash64" else F.md5(gram)
+    from ..session import spread_scan
+
+    # per-gram hashing is the cost; spread a single-split scan first
+    # (no-op at cluster scale — session.spread_scan)
+    df = spread_scan(df.select(F.col(id_col), F.col(text_col)))
     return (
         df.filter(t.isNotNull() & (F.length(t) >= k))
         .select(
@@ -225,7 +230,12 @@ def attach_cleaned(
             )
         ).alias("__spans"),
     )
-    joined = df.join(per_doc, id_col, "left")
+    from ..session import spread_scan
+
+    # the complement splice is a per-row HOF fold; a single-split scan
+    # would run it (and the whole probe side of the broadcast join)
+    # as ONE task — spread first (no-op at cluster scale)
+    joined = spread_scan(df).join(per_doc, id_col, "left")
     cleaned = F.when(
         F.col("n_spans").isNull(), F.col(text_col)
     ).otherwise(_splice(F.col(text_col), F.col("__spans")))

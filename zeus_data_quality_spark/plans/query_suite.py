@@ -2613,8 +2613,12 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.cms import cms_build, cms_estimate
     from ..functions.textstats import TOKEN_SPLIT
 
+    from ..session import spread_scan
+
     docs = _read(spark, sf_dir, "documents")
-    toks = docs.select(
+    # tokenization + the depth×md5 CMS probes are per-row CPU; spread
+    # the single-split scan before the explode (no-op at cluster scale)
+    toks = spread_scan(docs.select("text")).select(
         F.explode(F.split(F.lower(F.trim("text")), TOKEN_SPLIT)).alias(
             "tok"
         )
