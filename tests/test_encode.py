@@ -116,3 +116,33 @@ def test_shards_reconstruct_bucket_streams(spark, trained):
         full = [r for r in rows if r["bucket"] == b and r["seq_id"] != seq]
         assert all(r["n_tokens"] == budget for r in full)
         assert 0 < n_tok <= budget
+
+
+def test_arrow_encode_equals_relational(spark, monkeypatch):
+    """The Arrow-batched encode (bpe.DRIVER_VOCAB_LIMIT gate) must be
+    token-for-token identical to the relational explode+join path —
+    same pre-tokenization, same seen-word ids, same unseen-word merge
+    fold and UNK mapping."""
+    import pyspark.sql.functions as F
+
+    from zeus_data_quality_spark.functions import bpe as bpe_mod
+    from zeus_data_quality_spark.functions.bpe import fit_bpe
+    from zeus_data_quality_spark.functions.encode import encode_token_ids
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges, vocab = fit_bpe(docs, "text", 16, 2)
+    # score a DIFFERENT frame than the training one so unseen words
+    # (cross-corpus) exercise the merge-fold fallback, plus NULL text
+    other = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 != 0, F.concat("text", F.lit(" zzqx9")))
+        .alias("text"),
+    )
+    out = {}
+    for gate in (10**9, 0):  # arrow path vs relational path
+        monkeypatch.setattr(bpe_mod, "DRIVER_VOCAB_LIMIT", gate)
+        rows = encode_token_ids(
+            other, "doc_id", "text", vocab, merges
+        ).collect()
+        out[gate] = {r["doc_id"]: (list(r["ids"]), r["n_ids"]) for r in rows}
+    assert out[10**9] == out[0]

@@ -138,6 +138,85 @@ def _encoded_words(unseen: DataFrame, merges: list[tuple[str, str]]) -> DataFram
     return apply_bpe_merges(unseen, merges)
 
 
+def _encode_token_ids_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    word2ids: dict,
+    tok2id: dict,
+    merges: list,
+) -> DataFrame:
+    """One Arrow-batched pass twin of the relational encode (guide
+    §4.2): pre-tokenize with the SAME leftmost-first ASCII alternation
+    (BPE_TOKEN_PATTERN means the same thing in Java regex and Python
+    ``re``), look each word up in the driver-built word→ids dict, and
+    encode unseen words with the rank-ordered merges
+    (:func:`~.bpe._driver_apply_batch` single-pair passes — the exact
+    fold) memoized per task. Replaces explode + two broadcast joins +
+    an object-hash regroup shuffle with a per-row Project-shaped pass;
+    ids are integers, so equality with the relational path is exact
+    (pytest-pinned, oracle-verified)."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..session import spread_scan
+    from .bpe import _driver_apply_batch
+
+    pat = re.compile(BPE_TOKEN_PATTERN)
+    maps = [{left: (right, left + right)} for left, right in merges]
+    src = spread_scan(df.select(F.col(id_col), F.col(text_col)))
+    schema = StructType(
+        [
+            src.schema[id_col],
+            StructField("ids", ArrayType(IntegerType())),
+            StructField("n_ids", LongType()),
+        ]
+    )
+
+    def encode(batches):
+        memo = dict(word2ids)  # per-task; unseen words memoized in
+
+        def word_ids(w):
+            hit = memo.get(w)
+            if hit is None:
+                syms = list(w)
+                for mp in maps:
+                    syms = _driver_apply_batch(syms, mp)
+                hit = [tok2id.get(s, UNK_ID) for s in syms]
+                memo[w] = hit
+            return hit
+
+        for pdf in batches:
+            ids_out, n_out = [], []
+            for t in pdf[text_col]:
+                if t is None:
+                    ids_out.append([])
+                    n_out.append(0)
+                    continue
+                ids: list[int] = []
+                for w in pat.findall(t):
+                    ids.extend(word_ids(w))
+                ids_out.append(ids)
+                n_out.append(len(ids))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "ids": ids_out,
+                    "n_ids": pd.Series(n_out, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(encode, schema)
+
+
 def encode_token_ids(
     df: DataFrame,
     id_col: str,
@@ -155,9 +234,34 @@ def encode_token_ids(
     :func:`~.bpe.bpe_token_counts_oov` discipline, here returning the
     ids themselves. NULL/empty texts yield an empty array."""
     from ..session import spread_scan
+    from .bpe import DRIVER_VOCAB_LIMIT
 
     if id_table is None:
         id_table = token_id_table(vocab, merges_df)
+    if DRIVER_VOCAB_LIMIT > 0:
+        vhead = (
+            vocab.select("word", "syms")
+            .limit(DRIVER_VOCAB_LIMIT + 1)
+            .collect()
+        )
+        if len(vhead) <= DRIVER_VOCAB_LIMIT:
+            # driver-sized vocabulary (the bpe.DRIVER_VOCAB_LIMIT
+            # gate): one Arrow-batched pass with dict lookups instead
+            # of explode + two broadcast joins + a regroup shuffle
+            tok2id = {
+                r["token"]: r["token_id"] for r in id_table.collect()
+            }
+            merges = [
+                (r["left"], r["right"])
+                for r in merges_df.orderBy("rank").collect()
+            ]
+            word2ids = {
+                r["word"]: [tok2id.get(s, UNK_ID) for s in r["syms"]]
+                for r in vhead
+            }
+            return _encode_token_ids_arrow(
+                df, id_col, text_col, word2ids, tok2id, merges
+            )
     df = spread_scan(df.select(F.col(id_col), F.col(text_col)))
     per_tok = df.select(
         F.col(id_col),
