@@ -64,3 +64,21 @@ def test_driver_cc_truncation_matches(spark, monkeypatch):
     assert res[10**9] == res[0]
     assert res[0][1] is False
     assert len(set(res[0][0].values())) > 1
+
+
+def test_driver_domain_rank_equals_distributed(spark, monkeypatch):
+    """domain_rank's in-process power iterations
+    (DRIVER_RANK_EDGE_LIMIT gate) must be bit-identical to the
+    distributed loop — integer sums + floor division only."""
+    from zeus_data_quality_spark.operators import domainrank as dr
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    links = dr.synthesize_links(docs)
+    out = {}
+    for gate in (10**9, 0):
+        monkeypatch.setattr(dr, "DRIVER_RANK_EDGE_LIMIT", gate)
+        out[gate] = sorted(
+            tuple(r) for r in dr.domain_rank(links, iters=4).collect()
+        )
+    assert out[10**9] == out[0]
+    assert len(out[0]) > 0

@@ -54,6 +54,21 @@ from ..functions.urls import HOSTS
 DEFAULT_SCALE = 10**12
 DEFAULT_ALPHA_PERMILLE = 850
 
+# domain_rank runs its power iterations in-process when the weighted
+# EDGE table (the output of the one corpus-sized aggregate) fits this
+# row bound — the connected_components DRIVER_CC_EDGE_LIMIT gate
+# family. Everything after the edge aggregate is exact non-negative
+# integer arithmetic (sums + floor division), so the in-process loop
+# is bit-identical under any order; equality with the distributed
+# loop is pytest-pinned. Web-scale graphs exceed the gate and keep
+# the distributed loop. Override: SPARK_GRAFT_DRIVER_RANK_EDGES
+# (0 disables).
+import os as _os
+
+DRIVER_RANK_EDGE_LIMIT = int(
+    _os.environ.get("SPARK_GRAFT_DRIVER_RANK_EDGES", "500000")
+)
+
 # Deterministic outlink synthesis arms: every doc links its own
 # domain to a first target; even docs add a second. Co-prime
 # multipliers spread targets over all hosts (self-links occur and are
@@ -100,6 +115,56 @@ def _fdiv(a, b):
     return ((a - a % b) / b).cast("long")
 
 
+def _domain_rank_driver(
+    spark, edges, iters: int, alpha_permille: int, scale: int
+) -> DataFrame:
+    """In-process twin of domain_rank's post-aggregate loop over the
+    collected (src, dst, weight) edge rows — see
+    DRIVER_RANK_EDGE_LIMIT. Pure non-negative integer arithmetic
+    (Python ``//`` == the engine's _fdiv), so bit-identical."""
+    outdeg: dict = {}
+    out_domains: dict = {}
+    in_domains: dict = {}
+    for s, d, wt in edges:
+        outdeg[s] = outdeg.get(s, 0) + wt
+        out_domains[s] = out_domains.get(s, 0) + 1
+        in_domains[d] = in_domains.get(d, 0) + 1
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    if n == 0:
+        return spark.createDataFrame(
+            [], "domain string, rank long, in_domains long, "
+                "out_domains long",
+        )
+    base = (1000 - alpha_permille) * (scale // n)
+    rank = {node: scale // n for node in nodes}
+    for _ in range(iters):
+        inflow: dict = {}
+        for s, d, wt in edges:
+            inflow[d] = inflow.get(d, 0) + (rank[s] * wt) // outdeg[s]
+        dang = sum(r for node, r in rank.items() if node not in outdeg)
+        rank = {
+            node: (
+                base
+                + alpha_permille * (inflow.get(node, 0) + dang // n)
+            )
+            // 1000
+            for node in nodes
+        }
+    return spark.createDataFrame(
+        [
+            (
+                node,
+                rank[node],
+                in_domains.get(node, 0),
+                out_domains.get(node, 0),
+            )
+            for node in nodes
+        ],
+        "domain string, rank long, in_domains long, out_domains long",
+    )
+
+
 def domain_rank(
     links: DataFrame,
     iters: int = 4,
@@ -126,6 +191,16 @@ def domain_rank(
     w = clean.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("long").alias("weight")
     )
+    if DRIVER_RANK_EDGE_LIMIT > 0:
+        head = w.limit(DRIVER_RANK_EDGE_LIMIT + 1).collect()
+        if len(head) <= DRIVER_RANK_EDGE_LIMIT:
+            return _domain_rank_driver(
+                links.sparkSession,
+                [(r["src"], r["dst"], r["weight"]) for r in head],
+                iters,
+                alpha_permille,
+                scale,
+            )
     outdeg = w.groupBy("src").agg(
         F.sum("weight").cast("long").alias("outdeg"),
         F.count(F.lit(1)).cast("long").alias("out_domains"),

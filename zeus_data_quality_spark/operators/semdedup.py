@@ -297,6 +297,7 @@ def incremental_semantic_dedup(
     threshold: float = DEFAULT_THRESHOLD,
     hash_fn: str = "md5",
     max_iter: int = 15,
+    emb: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW ingest batch SEMANTICALLY against a persisted
     embedding index — the paraphrase-level twin of
@@ -336,10 +337,16 @@ def incremental_semantic_dedup(
     would miss most true neighbors). Norms are hoisted per SIDE
     (never per pair) and the batch assignment is materialized before
     both consumers (the projection-collapse discipline of
-    :func:`semantic_pairs`)."""
-    emb = bulk_text_embeddings(
-        batch, id_col, text_col, dim, n, hash_fn
-    ).localCheckpoint(eager=True)
+    :func:`semantic_pairs`).
+
+    ``emb``: optionally the batch's PRE-MATERIALIZED (id, embedding)
+    table — pass it when the caller already embedded a superset (e.g.
+    one corpus-wide embedding pass feeding both the index build and
+    the batch) so the batch is not re-embedded here."""
+    if emb is None:
+        emb = bulk_text_embeddings(
+            batch, id_col, text_col, dim, n, hash_fn
+        ).localCheckpoint(eager=True)
     nonzero = emb.filter(F.exists("embedding", lambda v: v != 0))
     assigned = (
         ivf_index(nonzero, centroids, id_col, "embedding")

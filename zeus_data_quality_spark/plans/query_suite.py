@@ -1104,9 +1104,13 @@ def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _read(spark, sf_dir, "documents")
-    idx_emb = bulk_text_embeddings(
-        docs.filter("doc_id % 2 = 0"), "doc_id", "text"
-    ).localCheckpoint(eager=True)
+    # ONE corpus embedding pass feeds both halves (the oracle's own
+    # shape — a single emb CTE filtered by parity); per-row embeddings
+    # are independent, so filtering before or after is value-identical
+    emb_all = bulk_text_embeddings(docs, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    idx_emb = emb_all.filter("doc_id % 2 = 0")
     nonzero = idx_emb.filter(F.exists("embedding", lambda v: v != 0))
     cents = train_centroids(
         nonzero, "embedding", "doc_id", n_centroids=8, n_iters=3,
@@ -1116,6 +1120,7 @@ def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_semantic_dedup(
         docs.filter("doc_id % 2 = 1"), members, cents, "doc_id", "text",
         threshold=0.9, hash_fn="md5",
+        emb=emb_all.filter("doc_id % 2 = 1"),
     )
 
 
