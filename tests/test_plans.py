@@ -324,12 +324,24 @@ def test_domain_rank_corpus_touched_once(spark, sf_dir):
     persisted edge-weight aggregate); iterations run joins over the
     |domains|-row tables only. The persisted edge table appears as
     InMemoryTableScan reuses, not parquet rescans."""
+    import pytest as _pytest
+
+    from zeus_data_quality_spark.operators import domainrank as dr
+
+    # r6: below DRIVER_RANK_EDGE_LIMIT the iterations run in-process
+    # and the returned plan is a LocalTableScan (the corpus pass
+    # happened inside the gated collect of the edge aggregate); the
+    # distributed-loop plan pins below are checked with the gate off.
     df = qs.q_domain_rank(spark, sf_dir)
-    plan = _plan(spark, df)
+    assert "Scan ExistingRDD" in _plan(spark, df)
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(dr, "DRIVER_RANK_EDGE_LIMIT", 0)
+        plan = _plan(spark, qs.q_domain_rank(spark, sf_dir))
+    finally:
+        mp.undo()
     tree = plan.split("\n\n")[0]
-    # scans of the documents parquet: the edge aggregate (cached, so
-    # at most the cache-fill lineage) plus the nodes/outdeg branches
-    # that derive from the same cached edge table.
     assert "CartesianProduct" not in tree
     # dangling-mass scalar rides a broadcast, never a shuffle of rank
     assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
