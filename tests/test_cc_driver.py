@@ -82,3 +82,16 @@ def test_driver_domain_rank_equals_distributed(spark, monkeypatch):
         )
     assert out[10**9] == out[0]
     assert len(out[0]) > 0
+
+
+def test_null_endpoint_edges_fall_back_to_distributed(spark):
+    """NULL edge endpoints must not crash the driver loop — they fall
+    back to the distributed rounds (SQL join semantics: NULL matches
+    nothing)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (None, 5), (6, None)],
+        "id_a long, id_b long",
+    )
+    labels = dd.connected_components(edges)
+    got = _labels(labels)
+    assert got[1] == 1 and got[2] == 1 and got[3] == 1

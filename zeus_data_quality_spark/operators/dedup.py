@@ -1008,6 +1008,38 @@ WHERE NOT f.is_idx
 """
 
 
+def _driver_cc_rounds(pair_rows, max_iter: int):
+    """In-process twin of the distributed CC round loop over collected
+    symmetrized (src, dst) pairs — min-label propagation, pointer
+    jump, change count, max_iter truncation, operation-for-operation.
+    Returns (labels dict, converged). Raises TypeError on NULL
+    endpoints (caller falls back to the distributed loop)."""
+    adj: dict = {}
+    for s, d in pair_rows:
+        adj.setdefault(s, []).append(d)
+    labels = {node: node for node in adj}
+    converged = False
+    for _ in range(max_iter):
+        prop = {s: min(labels[d] for d in ds) for s, ds in adj.items()}
+        # c1 for every node FIRST, then the pointer jump reads the
+        # same round's c1 map — exactly the distributed
+        # stepped-join-jump dataflow.
+        c1 = {node: min(comp, prop[node]) for node, comp in labels.items()}
+        changed = 0
+        new_labels = {}
+        for node, comp in labels.items():
+            c = c1[node]
+            c2 = min(c, c1.get(c, c))
+            new_labels[node] = c2
+            if c2 < comp:
+                changed += 1
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    return labels, converged
+
+
 def connected_components(
     edges: DataFrame,
     id_a: str = "id_a",
@@ -1093,51 +1125,33 @@ def connected_components(
         # distributed loop unchanged (env: SPARK_GRAFT_DRIVER_CC_EDGES,
         # 0 disables).
         pair_rows = [(r["src"], r["dst"]) for r in sym.collect()]
-        sym.unpersist()
-        adj: dict = {}
-        for s, d in pair_rows:
-            adj.setdefault(s, []).append(d)
-        labels = {node: node for node in adj}
-        converged = False
-        for _ in range(max_iter):
-            prop = {
-                s: min(labels[d] for d in ds) for s, ds in adj.items()
-            }
-            # c1 for every node FIRST, then the pointer jump reads the
-            # same round's c1 map — exactly the distributed
-            # stepped-join-jump dataflow.
-            c1 = {
-                node: min(comp, prop[node])
-                for node, comp in labels.items()
-            }
-            changed = 0
-            new_labels = {}
-            for node, comp in labels.items():
-                c = c1[node]
-                c2 = min(c, c1.get(c, c))
-                new_labels[node] = c2
-                if c2 < comp:
-                    changed += 1
-            labels = new_labels
-            if changed == 0:
-                converged = True
-                break
-        id_type = edges.schema[id_a].dataType
-        from pyspark.sql.types import StructField as _SF
-        from pyspark.sql.types import StructType as _ST
+        try:
+            out = _driver_cc_rounds(pair_rows, max_iter)
+        except TypeError:
+            # a NULL endpoint reached a Python min() — NULL edges have
+            # SQL join/3VL semantics only the distributed loop
+            # defines; no caller produces them, but fall through
+            # rather than diverge (sym is still persisted).
+            out = None
+        if out is not None:
+            labels, converged = out
+            sym.unpersist()
+            id_type = edges.schema[id_a].dataType
+            from pyspark.sql.types import StructField as _SF
+            from pyspark.sql.types import StructType as _ST
 
-        out = spark.createDataFrame(
-            list(labels.items()),
-            _ST(
-                [
-                    _SF("id", id_type, nullable=False),
-                    _SF("component", id_type, nullable=False),
-                ]
-            ),
-        )
-        if return_converged:
-            return out, converged
-        return out
+            out_df = spark.createDataFrame(
+                list(labels.items()),
+                _ST(
+                    [
+                        _SF("id", id_type, nullable=False),
+                        _SF("component", id_type, nullable=False),
+                    ]
+                ),
+            )
+            if return_converged:
+                return out_df, converged
+            return out_df
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     loop_p = max(1, min(int(old_sp), n_edges // 100_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_p))
