@@ -58,7 +58,7 @@ def _collect_assign(df_assigned, id_col="vec_id"):
     }
 
 
-def test_matrix_equals_literal_assignment(spark):
+def test_matrix_equals_literal_assignment(spark, monkeypatch):
     df = _vec_table(spark)
     cents = train_centroids(
         df.filter(F.exists("embedding", lambda v: v != 0)),
@@ -67,6 +67,9 @@ def test_matrix_equals_literal_assignment(spark):
         n_centroids=13,
         n_iters=2,
     )
+    # r6: the matrix path is the default at every k — force the
+    # literal expression so this stays a cross-path pin.
+    monkeypatch.setattr(ivf, "MATRIX_ASSIGN_MIN_K", 10**9)
     lit_path = _collect_assign(ivf_index(df, cents))
     mat_path = _collect_assign(
         _assign_matrix(
@@ -83,12 +86,13 @@ def test_matrix_equals_literal_assignment(spark):
     assert lit_path[n - 2] is None and lit_path[n - 1] is None
 
 
-def test_matrix_first_max_tie_break(spark):
+def test_matrix_first_max_tie_break(spark, monkeypatch):
     df = _tie_table(spark)
     # duplicated centroids guarantee exact dot ties; the winner must be
     # the FIRST (lowest centroid id), like array_position's first match
     cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
     cents = cents + cents + cents  # ids 0..5, duplicates of 0/1
+    monkeypatch.setattr(ivf, "MATRIX_ASSIGN_MIN_K", 10**9)
     lit_path = _collect_assign(ivf_index(df, cents))
     mat_path = _collect_assign(
         _assign_matrix(
@@ -183,3 +187,24 @@ def test_driver_pq_train_equals_distributed(spark, monkeypatch):
         monkeypatch.setattr(pq, "DRIVER_PQ_LIMIT", gate)
         out[gate] = pq.train_pq(emb)
     assert out[10**9] == out[0]
+
+
+def test_matrix_ragged_rows_null_like_literal(spark, monkeypatch):
+    """Ragged vectors (len != dim) must map to a NULL cluster on the
+    matrix path exactly as zip_with's NULL padding makes them on the
+    literal path — not crash the numpy stack (r6 hardening)."""
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 0.0]),            # short
+            (2, [1.0] * 7),             # long
+            (3, None),
+            (4, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    mat = _collect_assign(ivf_index(df, cents))  # default: matrix path
+    monkeypatch.setattr(ivf, "MATRIX_ASSIGN_MIN_K", 10**9)
+    lit = _collect_assign(ivf_index(df, cents))
+    assert mat == lit == {0: 0, 1: None, 2: None, 3: None, 4: 1}

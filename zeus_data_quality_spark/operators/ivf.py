@@ -38,18 +38,24 @@ DEFAULT_CENTROIDS = 16
 DEFAULT_ITERS = 3
 DEFAULT_NPROBE = 4
 
-# Above this centroid count the argmax assignment runs as ONE numpy
-# matrix product per Arrow batch (broadcast centroid matrix) instead of
-# the k-literal-dot Column expression: the literal form builds O(k·dim)
-# plan nodes per consumer — fine at the oracle-parity k ≤ 64, planner-
-# killing at the SemDeDup-scale k ≈ 50k the module docstrings
-# prescribe. Below the gate the literal path is kept unchanged (it is
-# what the DuckDB oracle replays, and at tiny k it avoids the Python
-# boundary entirely). The two paths are bit-identical (the numpy
-# accumulation replays the fold's left-to-right double additions —
-# see _assign_matrix) and equality is pytest-pinned across the gate.
+# At or above this centroid count the argmax assignment runs as ONE
+# numpy matrix product per Arrow batch (broadcast centroid matrix)
+# instead of the k-literal-dot Column expression. The literal form
+# builds O(k·dim) plan nodes per consumer — planner-killing at the
+# SemDeDup-scale k ≈ 50k the module docstrings prescribe — and its
+# higher-order aggregate/zip_with dots are CodegenFallback
+# (interpreted): measured at sf0.1 the Arrow path wins at EVERY k
+# (k=8: 0.24 s vs 1.1 s warm for the 50k-row index build; k=64:
+# 0.24 s vs 16 s, the latter mostly planning), so since r6 the matrix
+# path is the default everywhere and the literal expression remains
+# the env-selectable oracle-replay twin
+# (SPARK_GRAFT_MATRIX_ASSIGN_MIN_K=128 restores the r5 behavior —
+# also what the DuckDB oracle replays in SQL). The two paths are
+# bit-identical (the numpy accumulation replays the fold's
+# left-to-right double additions — see _assign_matrix) and equality
+# is pytest-pinned across the gate (tests/test_ivf_matrix.py).
 MATRIX_ASSIGN_MIN_K = int(
-    os.environ.get("SPARK_GRAFT_MATRIX_ASSIGN_MIN_K", "128")
+    os.environ.get("SPARK_GRAFT_MATRIX_ASSIGN_MIN_K", "1")
 )
 
 # train_centroids runs the Lloyd loop in-process when the (already
@@ -115,11 +121,16 @@ def _assign_matrix(
                 yield pdf
                 continue
             vals = list(pdf[vec_col])
-            none_mask = np.asarray([v is None for v in vals], dtype=bool)
+            # NULL vectors and ragged rows (len != dim) → NULL cluster,
+            # exactly the literal path's outcome (zip_with pads the
+            # short side with NULLs, so every ragged dot is NULL).
+            none_mask = np.asarray(
+                [v is None or len(v) != dim for v in vals], dtype=bool
+            )
             x = np.asarray(
                 [
                     np.asarray(v, dtype=np.float64)
-                    if v is not None
+                    if v is not None and len(v) == dim
                     else np.zeros(dim, dtype=np.float64)
                     for v in vals
                 ]
@@ -169,6 +180,97 @@ def _assign(vec, centroids: list[list[float]]):
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
+def _train_centroids_driver(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int,
+    n_iters: int,
+    seed_key,
+) -> list[list[float]] | None:
+    """In-process seed + Lloyd twin fed by ONE Arrow collect of the RAW
+    vectors (plus the Spark-computed seed hash): the interpreted
+    ``_unit`` HOF never evaluates — the norm replays its fold
+    dimension-by-dimension (left-to-right double adds, then one IEEE
+    divide per element), so unit vectors, seed order (a Python tuple
+    sort over the same (hash, id) key, NULLS FIRST like ``orderBy``)
+    and the Lloyd input sequence are bit-identical to the previous
+    persist + cache-fill + TakeOrdered + collect form. Returns None to
+    fall back to the distributed path on inputs only the relational
+    semantics define (ragged dims, NULL ids, empty/all-zero tables);
+    cross-path equality is pinned by tests/test_ivf_matrix.py."""
+    import numpy as np
+
+    pdf = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__raw"),
+        )
+        .withColumn("__sk", seed_key)
+        .toPandas()
+    )
+    if len(pdf) == 0 or pdf["__id"].isna().any():
+        return None
+    mask = pdf["__raw"].map(lambda v: v is not None).to_numpy(dtype=bool)
+    if not mask.any():
+        return None
+    ids = pdf["__id"].to_numpy()[mask]
+    sks = pdf["__sk"].to_numpy()[mask]
+    try:
+        x = np.vstack(pdf["__raw"].to_numpy()[mask]).astype(
+            np.float64, copy=False
+        )
+    except ValueError:
+        return None  # ragged dims: the HOF path defines those
+    dim = x.shape[1]
+    sumsq = np.zeros(len(x), dtype=np.float64)
+    for d in range(dim):
+        sumsq = sumsq + x[:, d] * x[:, d]
+    if np.isnan(sumsq).any():
+        # NULL elements (→ HOF-excluded rows) and NaN data (→ kept,
+        # Spark orders NaN greatest so n>0 holds) both surface here as
+        # NaN — only the relational path defines them. Bail.
+        return None
+    norm = np.sqrt(sumsq)
+    keep = norm > 0
+    if not keep.any():
+        return None
+    ids, sks = ids[keep], sks[keep]
+    u = x[keep] / norm[keep][:, None]
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (
+            (sks[i] is not None, sks[i] if sks[i] is not None else 0),
+            ids[i],
+        ),
+    )
+    centroids = [u[i].tolist() for i in order[:n_centroids]]
+    k = len(centroids)
+    chunk = max(1, 16_000_000 // k)
+    for _ in range(n_iters):
+        c_mat = np.asarray(centroids, dtype=np.float64)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        cnts = np.zeros(k, dtype=np.int64)
+        for s in range(0, len(u), chunk):
+            xc = u[s : s + chunk]
+            acc = np.zeros((len(xc), k), dtype=np.float64)
+            for d in range(dim):
+                acc += xc[:, d, None] * c_mat[None, :, d]
+            asg = np.argmax(acc, axis=1)
+            np.add.at(sums, asg, xc)
+            np.add.at(cnts, asg, 1)
+        new = list(centroids)  # empty clusters keep previous
+        for c in range(k):
+            if cnts[c] == 0:
+                continue
+            m = [float(v) / float(cnts[c]) for v in sums[c]]
+            nn = sum(v * v for v in m) ** 0.5
+            if nn > 0:
+                new[c] = [v / nn for v in m]
+        centroids = new
+    return centroids
+
+
 def train_centroids(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -189,6 +291,25 @@ def train_centroids(
     posexplode, renormalized; empty clusters keep their previous
     centroid.
     """
+    seed_key = (
+        F.md5(F.col("__id").cast("string").cast("binary"))
+        if init_mode == "md5"
+        else F.xxhash64(F.col("__id").cast("string"))
+    )
+    # Driver gate on the RAW row count (cheap — parquet metadata or a
+    # cached intermediate at every call site; an upper bound on the
+    # unit-vector count, so the gate is conservative): below it the
+    # whole seed + Lloyd loop runs in-process off ONE Arrow collect —
+    # no persist, no interpreted-HOF cache fill, no TakeOrdered seed
+    # job, no pickle collect. Bit-identical to the distributed path
+    # (pinned, tests/test_ivf_matrix.py); falls through on ragged
+    # dims / NULL ids / empty input.
+    if DRIVER_KMEANS_LIMIT > 0 and df.count() <= DRIVER_KMEANS_LIMIT:
+        out = _train_centroids_driver(
+            df, vec_col, id_col, n_centroids, n_iters, seed_key
+        )
+        if out is not None:
+            return out
     # Persist the normalized vectors: the init sample plus every Lloyd
     # iteration re-reads them (n_iters+1 passes of scan + norm
     # otherwise). At corpus scale, train on a persisted/written sample
@@ -198,12 +319,6 @@ def train_centroids(
         .filter(F.col("__v").isNotNull())
         .persist()
     )
-
-    seed_key = (
-        F.md5(F.col("__id").cast("string").cast("binary"))
-        if init_mode == "md5"
-        else F.xxhash64(F.col("__id").cast("string"))
-    )
     seed_rows = (
         unit.orderBy(seed_key, F.col("__id"))
         .limit(n_centroids)
@@ -212,41 +327,6 @@ def train_centroids(
     centroids = [list(r["__v"]) for r in seed_rows]
 
     dim = len(centroids[0]) if centroids else 0
-    if (
-        DRIVER_KMEANS_LIMIT > 0
-        and centroids
-        and unit.count() <= DRIVER_KMEANS_LIMIT
-    ):
-        import numpy as np
-
-        x = np.asarray(
-            [list(r["__v"]) for r in unit.collect()], dtype=np.float64
-        )
-        unit.unpersist()
-        k = len(centroids)
-        chunk = max(1, 16_000_000 // k)
-        for _ in range(n_iters):
-            c_mat = np.asarray(centroids, dtype=np.float64)
-            sums = np.zeros((k, dim), dtype=np.float64)
-            cnts = np.zeros(k, dtype=np.int64)
-            for s in range(0, len(x), chunk):
-                xc = x[s : s + chunk]
-                acc = np.zeros((len(xc), k), dtype=np.float64)
-                for d in range(dim):
-                    acc += xc[:, d, None] * c_mat[None, :, d]
-                asg = np.argmax(acc, axis=1)
-                np.add.at(sums, asg, xc)
-                np.add.at(cnts, asg, 1)
-            new = list(centroids)  # empty clusters keep previous
-            for c in range(k):
-                if cnts[c] == 0:
-                    continue
-                m = [float(v) / float(cnts[c]) for v in sums[c]]
-                norm = sum(v * v for v in m) ** 0.5
-                if norm > 0:
-                    new[c] = [v / norm for v in m]
-            centroids = new
-        return centroids
     for _ in range(n_iters):
         if len(centroids) >= MATRIX_ASSIGN_MIN_K:
             # Large-k Lloyd assignment: broadcast-matrix argmax (the
@@ -308,7 +388,10 @@ def _probe_matrix(
             clusters: list[int] = []
             for _, r in pdf.iterrows():
                 v = r["__qv"]
-                if v is None:
+                # NULL / ragged query vectors emit no probe rows (the
+                # explode-of-NULL behavior; ragged dots are NULL-poisoned
+                # on the literal side and undefined here).
+                if v is None or len(v) != dim:
                     continue
                 x = np.asarray(v, dtype=np.float64)
                 nn = 0.0
