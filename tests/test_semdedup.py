@@ -271,3 +271,35 @@ def test_incremental_semantic_empty_index_matches_full(spark):
             assert verdict == "dup_in_batch" and dup_of == comp
             n_dups += 1
     assert n_dups > 0  # the fixture corpus does contain semantic dups
+
+
+def test_pair_matrix_equals_relational_join(spark, monkeypatch):
+    """The Arrow cogroup pair stage (r6, SEMPAIR_MATRIX_CAP) must
+    produce the identical (id_a, id_b, cos) set as the relational
+    self-join — organic corpus, both hash modes, plus the cap-routing
+    union path (matrix small clusters + relational big ones)."""
+    from zeus_data_quality_spark.operators import semdedup as S
+    from zeus_data_quality_spark.operators.ivf import train_centroids
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for mode in ("md5", "xxhash64"):
+        emb = bulk_text_embeddings(
+            docs, "doc_id", "text", hash_fn=mode
+        ).localCheckpoint()
+        nz = emb.filter(F.exists("embedding", lambda v: v != 0))
+        cents = train_centroids(
+            nz, "embedding", "doc_id", n_centroids=4, n_iters=2,
+            init_mode="md5" if mode == "md5" else "xxhash64",
+        )
+        got = {}
+        for cap in (16384, 0, 10):  # matrix, relational, routed union
+            monkeypatch.setattr(S, "SEMPAIR_MATRIX_CAP", cap)
+            got[cap] = sorted(
+                tuple(r)
+                for r in S.semantic_pairs(
+                    nz, "doc_id", "embedding", cents, threshold=0.6
+                ).collect()
+            )
+        assert got[16384] == got[0], mode
+        assert got[10] == got[0], mode
+        assert len(got[0]) > 0, mode  # non-vacuous

@@ -50,6 +50,8 @@ training-pipeline extension; r4 verdict task 2).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -59,6 +61,107 @@ from .ivf import ivf_index, train_centroids
 from .similarity import _dot, _norm
 
 DEFAULT_THRESHOLD = 0.95
+
+# Clusters at or below this row count take the Arrow cogroup pair
+# stage (one chunked numpy accumulation per cluster — guide §4.2);
+# larger clusters keep the relational self-join, whose pair stream
+# never buffers a whole cluster's output in one pandas frame. At the
+# SemDeDup operating point n_centroids caps expected cluster size far
+# below this, so production runs stay on the matrix path; the cap is
+# the pathological-mega-cluster escape hatch. 0 disables the matrix
+# path entirely (pure relational — the oracle-replay shape).
+SEMPAIR_MATRIX_CAP = int(
+    os.environ.get("SPARK_GRAFT_SEMPAIR_MATRIX_CAP", "16384")
+)
+
+
+def _pairs_matrix(indexed: DataFrame, threshold: float) -> DataFrame:
+    """(id_a, id_b, __raw) — the intra-cluster pair stage as ONE
+    chunked numpy accumulation per cluster (Arrow cogroup) instead of
+    Σ cluster² interpreted-HOF dot evaluations inside the self-join.
+
+    Bit-identical protocol: rows are sorted by id (so the upper
+    triangle IS the ``id_a < id_b`` filter — numpy/Python orderings
+    match Spark's for integer ids and for UTF-8 string ids), the dot
+    accumulates dimension-by-dimension (the ``_dot`` fold's
+    left-to-right double adds), the denominator is the same
+    ``__na * __nb`` multiply, and the division is the same IEEE
+    divide. The ROUND-9 + threshold filter stay IN SPARK on the
+    emitted ``__raw`` column, so the surviving pair set and the
+    ``cos`` values are identical to the join form BY CONSTRUCTION —
+    the numpy side only pre-filters with a half-ulp-safe margin
+    (``round(x, 9) ≥ t`` requires ``x ≥ t − 0.5e-9``; NaN is kept
+    because Spark orders NaN greatest). Equality with the relational
+    join is additionally pytest-pinned (tests/test_semdedup.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_type = dict((f.name, f.dataType) for f in indexed.schema.fields)[
+        "__id"
+    ]
+    schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("__raw", DoubleType()),
+        ]
+    )
+    margin = threshold - 1e-9
+
+    def fn(key, pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": pdf["__id"][:0], "id_b": pdf["__id"][:0],
+                 "__raw": pd.Series([], dtype="float64")}
+            )
+        order = np.argsort(pdf["__id"].to_numpy(), kind="stable")
+        pdf = pdf.iloc[order]
+        ids = pdf["__id"].to_numpy()
+        x = np.vstack(pdf["__v"].to_numpy()).astype(np.float64, copy=False)
+        nr = pdf["__n"].to_numpy(dtype=np.float64)
+        dim = x.shape[1]
+        out_a, out_b, out_v = [], [], []
+        # Row-chunked accumulator: block × n doubles regardless of n.
+        block = max(1, 4_000_000 // n)
+        for s in range(0, n, block):
+            xb = x[s : s + block]
+            acc = np.zeros((len(xb), n), dtype=np.float64)
+            for d in range(dim):
+                acc += xb[:, d, None] * x[None, :, d]
+            den = nr[s : s + block, None] * nr[None, :]
+            raw = acc / den
+            # upper triangle only: global row index < column index
+            rows_idx = np.arange(s, s + len(xb))[:, None]
+            cols_idx = np.arange(n)[None, :]
+            mask = (rows_idx < cols_idx) & (
+                (raw >= margin) | np.isnan(raw)
+            )
+            ii, jj = np.nonzero(mask)
+            if len(ii):
+                out_a.append(ids[ii + s])
+                out_b.append(ids[jj])
+                out_v.append(raw[ii, jj])
+        if not out_a:
+            return pd.DataFrame(
+                {"id_a": ids[:0], "id_b": ids[:0],
+                 "__raw": pd.Series([], dtype="float64")}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "__raw": np.concatenate(out_v),
+            }
+        )
+
+    return (
+        indexed.filter(F.col("cluster").isNotNull())
+        .groupBy("cluster")
+        .applyInPandas(fn, schema)
+    )
 
 
 def _pair_dot(va: str, vb: str, dim: int | None):
@@ -145,11 +248,49 @@ def semantic_pairs(
             )
             .localCheckpoint(eager=True)
         )
-    a = indexed.select(
+    mat_part = None
+    rel_source = indexed
+    if SEMPAIR_MATRIX_CAP > 0:
+        # Route clusters by size: the Arrow cogroup buffers one whole
+        # cluster per group (its vector matrix is cluster_rows × dim
+        # doubles), so only clusters ≤ the cap take it; bigger ones
+        # keep the streaming relational join. One cached count skips
+        # the per-cluster size pass whenever no cluster CAN exceed the
+        # cap — the common case at the SemDeDup operating point.
+        if indexed.count() <= SEMPAIR_MATRIX_CAP:
+            big: list = []
+        else:
+            big = [
+                r["cluster"]
+                for r in indexed.filter(F.col("cluster").isNotNull())
+                .groupBy("cluster")
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .filter(F.col("__c") > SEMPAIR_MATRIX_CAP)
+                .collect()
+            ]
+        small = (
+            indexed
+            if not big
+            else indexed.filter(
+                F.col("cluster").isNotNull()
+                & ~F.col("cluster").isin(*big)
+            )
+        )
+        mat_part = (
+            _pairs_matrix(small, threshold)
+            .select(
+                "id_a", "id_b", F.round(F.col("__raw"), 9).alias("cos")
+            )
+            .filter(F.col("cos") >= threshold)
+        )
+        if not big:
+            return mat_part
+        rel_source = indexed.filter(F.col("cluster").isin(*big))
+    a = rel_source.select(
         "cluster", F.col("__id").alias("id_a"),
         F.col("__v").alias("__va"), F.col("__n").alias("__na"),
     )
-    b = indexed.select(
+    b = rel_source.select(
         "cluster", F.col("__id").alias("id_b"),
         F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
     )
@@ -158,12 +299,13 @@ def semantic_pairs(
     cos = F.round(
         _pair_dot("__va", "__vb", None) / (F.col("__na") * F.col("__nb")), 9
     )
-    return (
+    rel = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+    return rel if mat_part is None else mat_part.unionByName(rel)
 
 
 def semantic_dedup_from_embeddings(
