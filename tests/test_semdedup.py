@@ -303,3 +303,33 @@ def test_pair_matrix_equals_relational_join(spark, monkeypatch):
         assert got[16384] == got[0], mode
         assert got[10] == got[0], mode
         assert len(got[0]) > 0, mode  # non-vacuous
+
+
+def test_incremental_cand_matrix_equals_relational(spark, monkeypatch):
+    """The incremental batch×index candidate stage (r6 Arrow cogroup)
+    must produce the identical verdict table as the relational join."""
+    from zeus_data_quality_spark.operators import semdedup as S
+    from zeus_data_quality_spark.operators.ivf import train_centroids
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb_all = bulk_text_embeddings(docs, "doc_id", "text").localCheckpoint()
+    idx_emb = emb_all.filter("doc_id % 2 = 0")
+    nz = idx_emb.filter(F.exists("embedding", lambda v: v != 0))
+    cents = train_centroids(
+        nz, "embedding", "doc_id", n_centroids=4, n_iters=2
+    )
+    members = S.semantic_index_members(idx_emb, cents, "doc_id")
+    batch = docs.filter("doc_id % 2 = 1")
+    bemb = emb_all.filter("doc_id % 2 = 1")
+    got = {}
+    for cap in (16384, 0):
+        monkeypatch.setattr(S, "SEMPAIR_MATRIX_CAP", cap)
+        got[cap] = sorted(
+            tuple(r)
+            for r in S.incremental_semantic_dedup(
+                batch, members, cents, "doc_id", emb=bemb,
+                threshold=0.6,
+            ).collect()
+        )
+    assert got[16384] == got[0]
+    assert any(r[1] == "dup_of_index" for r in got[0])  # non-vacuous

@@ -308,6 +308,122 @@ def semantic_pairs(
     return rel if mat_part is None else mat_part.unionByName(rel)
 
 
+def _batch_index_cand(
+    assigned: DataFrame, idx: DataFrame, threshold: float, dim: int
+) -> DataFrame:
+    """(__nid, __iid, cos) with ``round(cos,9) ≥ threshold`` — the
+    incremental batch×index per-cluster join, as an Arrow COGROUP when
+    both relations fit the cluster-buffer cap (one chunked numpy cross
+    accumulation per cluster — the :func:`_pairs_matrix` protocol:
+    dimension-stepped dot fold, same ``__nn * __in`` multiply, same
+    IEEE divide; numpy only pre-filters with the half-ulp margin and
+    ROUND-9 + threshold stay in Spark, so the candidate set is
+    identical by construction; NaN kept — Spark orders it greatest).
+    Above the cap (or with the matrix path disabled) the relational
+    join is unchanged. The two count jobs are cached/metadata reads at
+    every call site (the batch assignment is checkpointed; a
+    corpus-scale index is a stored table)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    use_matrix = False
+    if SEMPAIR_MATRIX_CAP > 0:
+        if (
+            assigned.count() <= SEMPAIR_MATRIX_CAP
+            and idx.count() <= SEMPAIR_MATRIX_CAP
+        ):
+            use_matrix = True
+    if not use_matrix:
+        # dim=None deliberately — see the _pair_dot r6 measurement note.
+        cos = F.round(
+            _pair_dot("__nv", "__iv", None)
+            / (F.col("__nn") * F.col("__in")),
+            9,
+        )
+        return (
+            assigned.join(idx, "cluster")
+            .select("__nid", "__iid", cos.alias("cos"))
+            .filter(F.col("cos") >= threshold)
+        )
+    nid_t = dict((f.name, f.dataType) for f in assigned.schema.fields)[
+        "__nid"
+    ]
+    iid_t = dict((f.name, f.dataType) for f in idx.schema.fields)["__iid"]
+    schema = StructType(
+        [
+            StructField("__nid", nid_t),
+            StructField("__iid", iid_t),
+            StructField("__raw", DoubleType()),
+        ]
+    )
+    margin = threshold - 1e-9
+
+    def fn(key, npdf, ipdf):
+        if len(npdf) == 0 or len(ipdf) == 0 or key[0] is None:
+            return pd.DataFrame(
+                {"__nid": npdf["__nid"][:0], "__iid": ipdf["__iid"][:0],
+                 "__raw": pd.Series([], dtype="float64")}
+            )
+        nids = npdf["__nid"].to_numpy()
+        iids = ipdf["__iid"].to_numpy()
+        xn = np.vstack(npdf["__nv"].to_numpy()).astype(
+            np.float64, copy=False
+        )
+        xi = np.vstack(ipdf["__iv"].to_numpy()).astype(
+            np.float64, copy=False
+        )
+        nn = npdf["__nn"].to_numpy(dtype=np.float64)
+        ni = ipdf["__in"].to_numpy(dtype=np.float64)
+        dim = xn.shape[1]
+        m = len(iids)
+        out_n, out_i, out_v = [], [], []
+        block = max(1, 4_000_000 // m)
+        for s in range(0, len(nids), block):
+            xb = xn[s : s + block]
+            acc = np.zeros((len(xb), m), dtype=np.float64)
+            for d in range(dim):
+                acc += xb[:, d, None] * xi[None, :, d]
+            raw = acc / (nn[s : s + block, None] * ni[None, :])
+            mask = (raw >= margin) | np.isnan(raw)
+            ii, jj = np.nonzero(mask)
+            if len(ii):
+                out_n.append(nids[ii + s])
+                out_i.append(iids[jj])
+                out_v.append(raw[ii, jj])
+        if not out_n:
+            return pd.DataFrame(
+                {"__nid": nids[:0], "__iid": iids[:0],
+                 "__raw": pd.Series([], dtype="float64")}
+            )
+        return pd.DataFrame(
+            {
+                "__nid": np.concatenate(out_n),
+                "__iid": np.concatenate(out_i),
+                "__raw": np.concatenate(out_v),
+            }
+        )
+
+    # size == dim keeps the numpy stacks rectangular; exact-equivalent
+    # to the relational outcome — ragged rows can never produce a
+    # non-NULL zip_with dot against the (all dim-length) batch side.
+    return (
+        assigned.filter(
+            F.col("cluster").isNotNull() & (F.size("__nv") == dim)
+        )
+        .groupBy("cluster")
+        .cogroup(
+            idx.filter(
+                F.col("cluster").isNotNull() & (F.size("__iv") == dim)
+            ).groupBy("cluster")
+        )
+        .applyInPandas(fn, schema)
+        .select("__nid", "__iid", F.round(F.col("__raw"), 9).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def semantic_dedup_from_embeddings(
     df: DataFrame,
     emb: DataFrame,
@@ -506,14 +622,8 @@ def incremental_semantic_dedup(
         F.col("embedding").alias("__iv"),
         _norm(F.col("embedding")).alias("__in"),
     )
-    # dim=None deliberately — see the _pair_dot r6 measurement note.
-    cos = F.round(
-        _pair_dot("__nv", "__iv", None) / (F.col("__nn") * F.col("__in")), 9
-    )
-    cand = (
-        assigned.join(idx, "cluster")
-        .select("__nid", "__iid", cos.alias("cos"))
-        .filter(F.col("cos") >= threshold)
+    cand = _batch_index_cand(
+        assigned, idx, threshold, len(centroids[0])
     )
     # best match in ONE aggregation: max of (cos, -iid) structs picks
     # the max cosine and, on exact-tie cosines, the min member id —
