@@ -236,32 +236,58 @@ def encode_token_ids(
     from ..session import spread_scan
     from .bpe import DRIVER_VOCAB_LIMIT
 
-    if id_table is None:
-        id_table = token_id_table(vocab, merges_df)
     if DRIVER_VOCAB_LIMIT > 0:
-        vhead = (
+        # Arrow collects (the vocab/merges tables usually ORIGINATE on
+        # the driver — fit_bpe's in-process loop wraps Python rows in
+        # createDataFrame — so pickle collects here were a pure
+        # round-trip tax: measured 2.5 s of the warm sf0.1 encode
+        # build, vs ~0.3 s for the same data over toPandas).
+        vpdf = (
             vocab.select("word", "syms")
             .limit(DRIVER_VOCAB_LIMIT + 1)
-            .collect()
+            .toPandas()
         )
-        if len(vhead) <= DRIVER_VOCAB_LIMIT:
+        if len(vpdf) <= DRIVER_VOCAB_LIMIT:
             # driver-sized vocabulary (the bpe.DRIVER_VOCAB_LIMIT
             # gate): one Arrow-batched pass with dict lookups instead
             # of explode + two broadcast joins + a regroup shuffle
-            tok2id = {
-                r["token"]: r["token_id"] for r in id_table.collect()
-            }
-            merges = [
-                (r["left"], r["right"])
-                for r in merges_df.orderBy("rank").collect()
-            ]
+            mpdf = merges_df.select("left", "right", "rank").toPandas()
+            mpdf = mpdf.sort_values("rank", kind="stable")
+            merges = list(zip(mpdf["left"], mpdf["right"]))
+            if id_table is not None:
+                ipdf = id_table.toPandas()
+                tok2id = dict(
+                    zip(ipdf["token"], ipdf["token_id"].astype(int).tolist())
+                )
+            else:
+                # In-process twin of token_id_table's (is_merge, mrank,
+                # token) row_number + min-id-per-token: alphabet chars
+                # (sorted — Python code-point order == Spark's UTF-8
+                # binary order) take 0..A-1, the i-th merge in rank
+                # order takes A+i, and setdefault keeps the FIRST
+                # (= minimum) id for duplicate token strings exactly
+                # like the relational min aggregate.
+                chars = sorted(
+                    {
+                        c
+                        for w in vpdf["word"]
+                        if w is not None
+                        for c in w
+                    }
+                )
+                tok2id = {c: i for i, c in enumerate(chars)}
+                base = len(chars)
+                for i, (lft, rgt) in enumerate(merges):
+                    tok2id.setdefault(lft + rgt, base + i)
             word2ids = {
-                r["word"]: [tok2id.get(s, UNK_ID) for s in r["syms"]]
-                for r in vhead
+                w: [tok2id.get(s, UNK_ID) for s in syms]
+                for w, syms in zip(vpdf["word"], vpdf["syms"])
             }
             return _encode_token_ids_arrow(
                 df, id_col, text_col, word2ids, tok2id, merges
             )
+    if id_table is None:
+        id_table = token_id_table(vocab, merges_df)
     df = spread_scan(df.select(F.col(id_col), F.col(text_col)))
     per_tok = df.select(
         F.col(id_col),
