@@ -130,31 +130,34 @@ def _assign(sub: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _train_pq_driver(
-    rows, m: int, k: int, n_iters: int, sub_dim: int
+    ids, vecs, m: int, k: int, n_iters: int, sub_dim: int
 ) -> list[list[list[float]]]:
-    """In-process twin of train_pq's seed + Lloyd loop over collected
-    (__id, __v) rows — see the DRIVER_PQ_LIMIT note. Seed order is the
-    identical (md5-hex of the decimal id string, id) sort; the per-
-    subspace argmin replays the ascending-index (a-b)² fold and the
-    lowest-code tie-break (np.argmin = first minimum)."""
+    """In-process twin of train_pq's seed + Lloyd loop over the
+    collected (id, vector) columns — see the DRIVER_PQ_LIMIT note.
+    Seed order is the identical (md5-hex of the decimal id string, id)
+    sort; the per-subspace argmin replays the ascending-index (a-b)²
+    fold and the lowest-code tie-break (np.argmin = first minimum)."""
     import hashlib
 
     import numpy as np
 
-    seed_rows = sorted(
-        rows,
-        key=lambda r: (
-            hashlib.md5(str(r["__id"]).encode()).hexdigest(),
-            r["__id"],
+    seed_idx = sorted(
+        range(len(ids)),
+        key=lambda i: (
+            hashlib.md5(str(ids[i]).encode()).hexdigest(),
+            ids[i],
         ),
     )[:k]
     books = [
-        [list(r["__v"])[s * sub_dim : (s + 1) * sub_dim] for r in seed_rows]
+        [
+            [float(v) for v in vecs[i][s * sub_dim : (s + 1) * sub_dim]]
+            for i in seed_idx
+        ]
         for s in range(m)
     ]
-    if not rows or not books[0]:
+    if not ids or not books[0]:
         return books
-    x = np.asarray([list(r["__v"]) for r in rows], dtype=np.float64)
+    x = np.asarray([list(v) for v in vecs], dtype=np.float64)
     for _ in range(n_iters):
         new = [list(b) for b in books]  # empty codes keep previous
         for s in range(m):
@@ -208,9 +211,19 @@ def train_pq(
         and id_kind in ("tinyint", "smallint", "int", "bigint", "string")
         and base.count() <= DRIVER_PQ_LIMIT
     ):
-        rows = base.collect()
+        # Arrow collect (array columns over pickle measured ~1 s at
+        # this size — the train_centroids r6 finding); NULL ids fall
+        # back to the pickle rows so str(None) seed keys stay exact.
+        pdf = base.toPandas()
+        if pdf["__id"].isna().any():
+            rows = base.collect()
+            ids = [r["__id"] for r in rows]
+            vecs = [r["__v"] for r in rows]
+        else:
+            ids = pdf["__id"].tolist()
+            vecs = list(pdf["__v"])
         base.unpersist()
-        return _train_pq_driver(rows, m, k, n_iters, sub_dim)
+        return _train_pq_driver(ids, vecs, m, k, n_iters, sub_dim)
     seed_rows = (
         base.orderBy(
             F.md5(F.col("__id").cast("string").cast("binary")), F.col("__id")
