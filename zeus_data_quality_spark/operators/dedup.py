@@ -647,13 +647,32 @@ def incremental_dedup(
         .agg(F.first("est").alias("est"))  # est is pure f(sig_a, sig_b)
         .filter(F.col("est") >= threshold)
     )
-    best_est = cand.groupBy("__nid").agg(F.max("est").alias("__best"))
-    idx_match = (
-        cand.join(best_est, "__nid")
-        .filter(F.col("est") == F.col("__best"))
-        .groupBy("__nid")
-        .agg(F.min("__iid").alias("__dup_idx"))
-    )
+    # Best match in ONE aggregation (the incremental_semantic_dedup r6
+    # trick): max of (est, -iid) structs = max estimate, min member id
+    # on exact-tie estimates — identical verdict to the former
+    # max-then-filter-then-min self-join, which evaluated the whole
+    # cand subtree (including the INDEX-side signature computation)
+    # twice. Numeric ids only; string-id callers keep the two-step
+    # form (strings don't negate).
+    iid_kind = index_sigs.schema[id_col].dataType.simpleString()
+    if iid_kind in ("tinyint", "smallint", "int", "bigint"):
+        idx_match = (
+            cand.groupBy("__nid")
+            .agg(
+                F.max(
+                    F.struct(F.col("est"), (-F.col("__iid")).alias("__ni"))
+                ).alias("__b")
+            )
+            .select("__nid", (-F.col("__b.__ni")).alias("__dup_idx"))
+        )
+    else:
+        best_est = cand.groupBy("__nid").agg(F.max("est").alias("__best"))
+        idx_match = (
+            cand.join(best_est, "__nid")
+            .filter(F.col("est") == F.col("__best"))
+            .groupBy("__nid")
+            .agg(F.min("__iid").alias("__dup_idx"))
+        )
 
     handle: list = []
     pairs = minhash_candidate_pairs(
