@@ -208,3 +208,40 @@ def test_matrix_ragged_rows_null_like_literal(spark, monkeypatch):
     monkeypatch.setattr(ivf, "MATRIX_ASSIGN_MIN_K", 10**9)
     lit = _collect_assign(ivf_index(df, cents))
     assert mat == lit == {0: 0, 1: None, 2: None, 3: None, 4: 1}
+
+
+def test_brute_matrix_equals_relational(spark, monkeypatch):
+    """brute_force_topk's r6 query-matrix path must equal the
+    relational crossJoin cosine — organic corpus plus NULL/ragged/
+    NULL-element candidates and string ids."""
+    from zeus_data_quality_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = {}
+    for cap in (1024, 0):
+        monkeypatch.setattr(S, "BRUTE_MATRIX_MAX_QUERIES", cap)
+        got[cap] = sorted(
+            tuple(r)
+            for r in S.brute_force_topk(
+                emb, queries, "vec_id", "embedding", k=5
+            ).collect()
+        )
+    assert got[1024] == got[0] and len(got[0]) > 0
+
+    rows = [
+        (i, [float((i * 7 + j) % 13 - 6) for j in range(8)])
+        for i in range(30)
+    ]
+    rows += [(30, None), (31, [1.0] * 4), (32, [1.0] * 7 + [None])]
+    edf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    eq = edf.filter("vec_id < 3")
+    for df, q in ((edf, eq),):
+        out = {}
+        for cap in (1024, 0):
+            monkeypatch.setattr(S, "BRUTE_MATRIX_MAX_QUERIES", cap)
+            out[cap] = sorted(
+                tuple(r)
+                for r in S.brute_force_topk(df, q, k=4).collect()
+            )
+        assert out[1024] == out[0]

@@ -90,8 +90,16 @@ def test_dedup_exact_no_text_in_shuffle(spark, sf_dir):
 
 
 def test_ann_bruteforce_broadcasts_queries(spark, sf_dir):
+    """The query set must ride to the candidates (closure broadcast of
+    the r6 matrix path, or a broadcast join on the relational path) —
+    the corpus side must never shuffle for the scoring."""
     plan = _plan(spark, qs.q_ann_bruteforce(spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert (
+        "MapInPandas" in plan  # r6: query matrix in the Arrow closure
+        or "BroadcastNestedLoopJoin" in plan
+        or "BroadcastExchange" in plan
+    )
+    assert "CartesianProduct" not in plan
 
 
 def test_fingerprint_dup_groups_no_expression_duplication(spark, sf_dir):

@@ -19,8 +19,18 @@ Training-data-pipeline capability (north-rule extension). Two paths:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# At or below this many query rows, brute_force_topk scores through one
+# numpy accumulation per Arrow batch against the broadcast query matrix
+# (r6 W22); 0 restores the relational crossJoin cosine everywhere. The
+# cap bounds the collected query set and the per-batch score matrix.
+BRUTE_MATRIX_MAX_QUERIES = int(
+    os.environ.get("SPARK_GRAFT_BRUTE_MATRIX_MAX_Q", "1024")
+)
 
 
 def _dot(a, b):
@@ -45,6 +55,106 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _brute_scored_matrix(
+    df: DataFrame, qrows, id_col: str, vec_col: str
+) -> DataFrame:
+    """(query_id, neighbor_id, cos) — the brute-force scoring as one
+    chunk-free numpy accumulation per Arrow batch against the
+    broadcast query matrix, instead of an interpreted HOF cosine per
+    candidate×query pair (the W18 cost class).
+
+    Bit-identical protocol: the dot and both squared norms accumulate
+    dimension-by-dimension (the ``_dot``/``_norm`` fold's
+    left-to-right double adds), the norm PRODUCT is the same IEEE
+    multiply — and the DIVISION stays IN SPARK on the emitted (dot,
+    nprod) columns, so zero-norm candidates produce the same JVM
+    0/0 → NaN (which Spark orders greatest, rank 1) and ANSI
+    semantics as the relational ``cosine``. NULL / ragged candidates
+    emit NaN dot/nprod, which Arrow maps to NULL — the relational
+    NULL-cosine outcome for those rows. (A candidate whose DATA
+    contains NaN also lands on NULL here where the relational form
+    yields NaN — embeddings are integer-derived, no producer emits
+    NaN; the relational path stays env-selectable,
+    SPARK_GRAFT_BRUTE_MATRIX_MAX_Q=0.)"""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    qids = [r["query_id"] for r in qrows]
+    qm = np.asarray(
+        [[float(x) for x in r["__qv"]] for r in qrows], dtype=np.float64
+    )
+    kq, dim = qm.shape
+    qss = np.zeros(kq, dtype=np.float64)
+    for d in range(dim):
+        qss = qss + qm[:, d] * qm[:, d]
+    qn = np.sqrt(qss)
+    qid_arr = np.asarray(qids, dtype=object)
+    nid_field = df.select(F.col(id_col).alias("neighbor_id")).schema[
+        "neighbor_id"
+    ]
+    qid_field = StructField("query_id", nid_field.dataType)
+    schema = StructType(
+        [
+            qid_field,
+            nid_field,
+            StructField("__dot", DoubleType()),
+            StructField("__np", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vals = list(pdf[vec_col])
+            ok = np.asarray(
+                [v is not None and len(v) == dim for v in vals], dtype=bool
+            )
+            x = np.asarray(
+                [
+                    np.asarray(v, dtype=np.float64)
+                    if o
+                    else np.zeros(dim, dtype=np.float64)
+                    for v, o in zip(vals, ok)
+                ]
+            )
+            css = np.zeros(n, dtype=np.float64)
+            dot = np.zeros((n, kq), dtype=np.float64)
+            for d in range(dim):
+                xd = x[:, d]
+                css = css + xd * xd
+                dot += xd[:, None] * qm[None, :, d]
+            cn = np.sqrt(css)
+            nprod = qn[None, :] * cn[:, None]
+            bad = ~ok
+            dot[bad, :] = np.nan  # Arrow → NULL: the relational
+            nprod[bad, :] = np.nan  # NULL-cosine outcome
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(qid_arr, n),
+                    "neighbor_id": np.repeat(
+                        pdf[id_col].to_numpy(), kq
+                    ),
+                    "__dot": dot.ravel(),
+                    "__np": nprod.ravel(),
+                }
+            )
+
+    return (
+        df.select(F.col(id_col), F.col(vec_col))
+        .mapInPandas(score, schema)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("__dot") / F.col("__np")).alias("cos"),
+        )
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -57,16 +167,36 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("__qv"), F.col("__cv")).alias("cos"),
+    scored = None
+    if BRUTE_MATRIX_MAX_QUERIES > 0:
+        qrows = q.limit(BRUTE_MATRIX_MAX_QUERIES + 1).collect()
+        dims = {
+            len(r["__qv"]) for r in qrows if r["__qv"] is not None
+        }
+        regular = (
+            0 < len(qrows) <= BRUTE_MATRIX_MAX_QUERIES
+            and len(dims) == 1
+            and all(
+                r["__qv"] is not None
+                and all(x is not None for x in r["__qv"])
+                for r in qrows
+            )
         )
-    )
+        if regular:
+            scored = _brute_scored_matrix(df, qrows, id_col, vec_col)
+    if scored is None:
+        c = df.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        )
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine(F.col("__qv"), F.col("__cv")).alias("cos"),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
